@@ -1,13 +1,70 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.queries.{ExtensionCatalog, Oracles, QueryCatalog}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` holds one entry per implemented operator from SURVEY §2
+  * (p/a/w/j/u/r/q families) plus the LLM-pipeline extensions
+  * (dd/ann/ta/mm families); `oracleSql` holds the DuckDB twin for each
+  * (see [[graft.queries.Oracles]] for the parity rules).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+    QueryCatalog.q1PricingSummary(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // stateless transforms (SURVEY §2.3)
+    "p1_buy_sell" -> QueryCatalog.p1BuySell,
+    "p2_contains_all" -> QueryCatalog.p2ContainsAll,
+    "p3_sentiment" -> QueryCatalog.p3Sentiment,
+    "p5_occurrences" -> QueryCatalog.p5Occurrences,
+    "p6_parse_props" -> QueryCatalog.p6ParseProps,
+    "p8_global_agg" -> QueryCatalog.p8GlobalAgg,
+    "p10_hype_words" -> QueryCatalog.p10HypeWords,
+    "p14_deltas" -> QueryCatalog.p14Deltas,
+    "r1_split_route" -> QueryCatalog.r1SplitRoute,
+    // aggregations (§2.5) + windows (§2.6/2.7)
+    "a1_window_sum" -> QueryCatalog.a1WindowSum,
+    "a2_running_sum" -> QueryCatalog.a2RunningSum,
+    "a5_group_product" -> QueryCatalog.a5GroupProduct,
+    "a6_max_per_key" -> QueryCatalog.a6MaxPerKey,
+    "agg_count_distinct" -> QueryCatalog.aggCountDistinct,
+    "w_rank_topk" -> QueryCatalog.wRankTopK,
+    "w_lag_delta" -> QueryCatalog.wLagDelta,
+    // joins / two-input (§2.4) + set ops (§2.8) + routing (§2.9)
+    "j_broadcast_dim" -> QueryCatalog.jBroadcastDim,
+    "j_shuffle_agg" -> QueryCatalog.jShuffleAgg,
+    "j_semi" -> QueryCatalog.jSemi,
+    "j_anti" -> QueryCatalog.jAnti,
+    "j_asof" -> QueryCatalog.jAsOf,
+    "j4_cogroup" -> QueryCatalog.j4Cogroup,
+    "u1_union_tagged" -> QueryCatalog.u1UnionTagged,
+    "set_except" -> QueryCatalog.setExcept,
+    // headline scan/join/agg queries
+    "q1_pricing_summary" -> QueryCatalog.q1PricingSummary,
+    "q3_shipping" -> QueryCatalog.q3Shipping,
+    "q5_volume" -> QueryCatalog.q5Volume,
+    // LLM-pipeline extensions
+    "dd_exact" -> ExtensionCatalog.ddExact,
+    "dd_minhash_sig" -> ExtensionCatalog.ddMinhashSig,
+    "dd_minhash_lsh" -> ExtensionCatalog.ddMinhashLsh,
+    "dd_simhash" -> ExtensionCatalog.ddSimhash,
+    "dd_jaccard" -> ExtensionCatalog.ddJaccard,
+    "ann_brute_force" -> ExtensionCatalog.annBruteForce,
+    "ann_bucketed" -> ExtensionCatalog.annBucketed,
+    "ta_langid" -> ExtensionCatalog.taLangId,
+    "ta_quality" -> ExtensionCatalog.taQuality,
+    "ta_tokens" -> ExtensionCatalog.taTokens,
+    "ta_fingerprint" -> ExtensionCatalog.taFingerprint,
+    "mm_decode_meta" -> ExtensionCatalog.mmDecodeMeta
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Oracles.all
 }

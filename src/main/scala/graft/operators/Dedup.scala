@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Hashing
+
+/** Deduplication family for large-scale training-data pipelines:
+  * exact, MinHash-LSH, SimHash, and n-gram-Jaccard near-dup.
+  *
+  * Scale notes (the 100 TB path):
+  *  - every variant is a constant number of hash-partitioned passes —
+  *    no driver-side state, no O(n²) candidate generation: near-dup
+  *    candidates only form inside an LSH band bucket / blocking key;
+  *  - signatures are fixed-width (k ints), so the shuffle payload per
+  *    doc is bounded regardless of document length;
+  *  - token explode is the widest stage; it happens before the first
+  *    aggregation so it never shuffles raw text more than once.
+  */
+object Dedup {
+
+  /** Exact dedup by content: one survivor (min id) per distinct text.
+    * A single hash aggregation — the groupBy key is the text itself so
+    * Spark's partial (map-side) aggregation collapses duplicates before
+    * the shuffle. */
+  def exact(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.groupBy(col(textCol))
+      .agg(min(col(idCol)).as("survivor_id"), count(lit(1)).as("n_copies"))
+      .select(col("survivor_id"), col("n_copies"))
+
+  /** Distinct-token shingle set per doc with mod-2^31 hashes — the
+    * shared front end of MinHash and Jaccard. */
+  private def tokenHashes(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(split(trim(regexp_replace(regexp_replace(lower(col(textCol)),
+          "[^a-z \\n]+", ""), "\\s+", " ")), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .select(col("doc_id"), Hashing.md5Mod31(col("tok")).as("h"))
+      .distinct()
+
+  /** MinHash signature: k affine permutations, min over the token set
+    * (one aggregation, k columns wide). */
+  def minHashSignatures(docs: DataFrame, textCol: String, idCol: String, k: Int): DataFrame =
+    tokenHashes(docs, textCol, idCol)
+      .groupBy(col("doc_id"))
+      .agg(min(Hashing.affine(col("h"), 0)).as("mh0"),
+        (1 until k).map(j => min(Hashing.affine(col("h"), j)).as(s"mh$j")): _*)
+
+  /** MinHash + LSH banding: docs sharing all rows of any band become a
+    * candidate pair (a < b). bands × rowsPerBand = k. Pair generation
+    * is a self-join on the band bucket — bounded by bucket size, never
+    * all-pairs. */
+  def minHashLsh(docs: DataFrame, textCol: String, idCol: String,
+                 bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
+    val k = bands * rowsPerBand
+    val sigs = minHashSignatures(docs, textCol, idCol, k)
+    val bandBuckets = (0 until bands).map { b =>
+      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(j => col(s"mh$j"))
+      sigs.select(col("doc_id"), lit(b).as("band"),
+        concat_ws("_", cols: _*).as("bucket"))
+    }.reduce(_ unionByName _)
+    val a = bandBuckets.select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
+    val b = bandBuckets.select(col("band"), col("bucket"), col("doc_id").as("doc_b"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+  }
+
+  /** SimHash: per-doc 32-bit signature where bit i is the sign of the
+    * token-set's aggregate weight on that bit. Identical integer
+    * arithmetic is SQL-expressible for the oracle. */
+  def simHash(docs: DataFrame, textCol: String, idCol: String, bits: Int = 32): DataFrame = {
+    val th = tokenHashes(docs, textCol, idCol)
+    // explode bits: one row per (doc, bit), weight ±1
+    // bit extraction via exact floor-division (h < 2^31, double-exact):
+    // identical formula in the DuckDB oracle.
+    val perBit = th.select(col("doc_id"),
+        explode(sequence(lit(0), lit(bits - 1))).as("bit"),
+        col("h"))
+      .select(col("doc_id"), col("bit"),
+        when(expr("cast(floor(h / power(2, bit)) as bigint) % 2") === 1, 1)
+          .otherwise(-1).as("w"))
+    perBit.groupBy(col("doc_id"), col("bit"))
+      .agg(sum(col("w")).as("s"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("s") > 0, expr("cast(power(2, bit) as bigint)"))
+        .otherwise(0L)).as("simhash"))
+  }
+
+  /** N-gram Jaccard near-dup: candidates block on a 1-band MinHash
+    * (equal min token hash), then exact Jaccard |A∩B| / |A∪B| over
+    * distinct token sets. Emits pairs with similarity >= threshold. */
+  def ngramJaccard(docs: DataFrame, textCol: String, idCol: String,
+                   threshold: Double): DataFrame = {
+    val th = tokenHashes(docs, textCol, idCol)
+    val sizes = th.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"),
+      min(col("h")).as("block"))
+    val withBlock = th.join(sizes, "doc_id")
+    val a = withBlock.select(col("block"), col("doc_id").as("doc_a"),
+      col("h"), col("sz").as("sz_a"))
+    val b = withBlock.select(col("block"), col("doc_id").as("doc_b"),
+      col("h"), col("sz").as("sz_b"))
+    a.join(b, Seq("block", "h"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"), col("sz_a"), col("sz_b"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard",
+        round(col("inter") / (col("sz_a") + col("sz_b") - col("inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+}

@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Hashing
+
+/** Text-analysis operators for training-data pipelines: language ID,
+  * quality scoring, token counting, document fingerprinting. All pure
+  * Column expressions (codegen'd, SQL-expressible for the oracle) —
+  * the generalized form of the reference's lexicon/regex text surface
+  * (katas/Chapter01 sentiment :149-182, ShareHypePiece.java:65-84
+  * tokenizer).
+  */
+object TextAnalysis {
+
+  /** Stopword lists per language for the stopword language-ID
+    * heuristic. Tiny on purpose: the operator shape (per-language score
+    * → argmax) is what scales, the lists are swappable. */
+  val StopwordsEn = Seq("the", "a", "of", "and", "to", "in", "is", "that")
+  val StopwordsFr = Seq("le", "la", "de", "et", "un", "une", "est", "que")
+  val StopwordsDe = Seq("der", "die", "das", "und", "ein", "ist", "nicht", "mit")
+
+  private def wordHits(text: Column, words: Seq[String]): Column =
+    size(regexp_extract_all(text, lit("\\b(" + words.mkString("|") + ")\\b"), lit(0)))
+
+  /** Language ID: count stopword hits per language, argmax with 'und'
+    * (undetermined) when all scores are zero. */
+  def langId(text: Column): Column = {
+    val lowered = lower(text)
+    val en = wordHits(lowered, StopwordsEn)
+    val fr = wordHits(lowered, StopwordsFr)
+    val de = wordHits(lowered, StopwordsDe)
+    when(greatest(en, fr, de) === 0, "und")
+      .when(en >= fr && en >= de, "en")
+      .when(fr >= de, "fr")
+      .otherwise("de")
+  }
+
+  /** Quality features: length, word count, punctuation ratio, stopword
+    * ratio, mean word length — and a composite score. Deterministic
+    * arithmetic, rounded for oracle parity. */
+  def qualityFeatures(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val nChars = length(t)
+    val nWords = size(split(trim(t), "\\s+"))
+    val nPunct = length(t) - length(regexp_replace(t, "[\\.,;:!\\?]", ""))
+    val nStop = wordHits(lower(t), StopwordsEn)
+    df.withColumn("n_words", nWords)
+      .withColumn("punct_ratio", round(nPunct.cast("double") / nChars, 6))
+      .withColumn("stopword_ratio", round(nStop.cast("double") / nWords, 6))
+      .withColumn("mean_word_len",
+        round(length(regexp_replace(t, "\\s+", "")).cast("double") / nWords, 6))
+      .withColumn("quality_score", round(
+        when(nWords >= 5, lit(1.0)).otherwise(lit(0.0)) * lit(0.4)
+          + when(nPunct.cast("double") / nChars < 0.2, lit(1.0)).otherwise(lit(0.0)) * lit(0.3)
+          + least(nStop.cast("double") / nWords * 4, lit(1.0)) * lit(0.3), 6))
+  }
+
+  /** Token counts: whitespace tokens and a BPE-ish regex token count
+    * (letter runs + digit runs + single punctuation marks). */
+  def tokenCounts(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("ws_tokens", size(split(trim(col(textCol)), "\\s+")))
+      .withColumn("bpe_tokens", size(regexp_extract_all(col(textCol),
+        lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"), lit(0))))
+
+  /** Order-insensitive document fingerprint: modular sum of
+    * md5-derived token hashes — a content-addressed id for cheap
+    * near-exact duplicate detection; identical arithmetic in the
+    * DuckDB oracle. */
+  def fingerprint(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        explode(split(trim(regexp_replace(regexp_replace(lower(col(textCol)),
+          "[^a-z \\n]+", ""), "\\s+", " ")), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(col("doc_id"))
+      .agg((sum(Hashing.md5Mod31(col("tok"))) % lit(2147483647L)).as("fingerprint"),
+        count(lit(1)).as("n_tokens"))
+}

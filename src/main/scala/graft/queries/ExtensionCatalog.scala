@@ -1,0 +1,87 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators._
+
+/** The LLM-training-data-pipeline extension surface (BASELINE.json
+  * north star): dedup family, similarity search, text analysis,
+  * multimodal plumbing — each a first-class query with a DuckDB
+  * oracle twin where SQL can express it.
+  */
+object ExtensionCatalog {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // ----------------------------------------------------------------- dedup
+
+  /** Exact dedup survivors (hash-groupBy on content). */
+  val ddExact: Q = (s, d) =>
+    Dedup.exact(Tables.documents(s, d), "text", "doc_id")
+
+  /** MinHash signatures (16 permutations) per document. */
+  val ddMinhashSig: Q = (s, d) =>
+    Dedup.minHashSignatures(Tables.documents(s, d), "text", "doc_id", k = 16)
+
+  /** MinHash-LSH candidate pairs (4 bands × 4 rows). */
+  val ddMinhashLsh: Q = (s, d) =>
+    Dedup.minHashLsh(Tables.documents(s, d), "text", "doc_id")
+
+  /** SimHash 32-bit signatures per document. */
+  val ddSimhash: Q = (s, d) =>
+    Dedup.simHash(Tables.documents(s, d), "text", "doc_id")
+
+  /** Token-set Jaccard near-dup pairs over min-hash blocks. */
+  val ddJaccard: Q = (s, d) =>
+    Dedup.ngramJaccard(Tables.documents(s, d), "text", "doc_id", threshold = 0.5)
+
+  // ------------------------------------------------------------ similarity
+
+  /** Brute-force cosine top-10 for a fixed query set (vec_id < 20). */
+  val annBruteForce: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 20), k = 10)
+  }
+
+  /** Sign-LSH bucketed ANN (the scale path; partial recall by design). */
+  val annBucketed: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    Similarity.bucketedTopK(emb, emb.filter(col("vec_id") < 20), k = 10)
+  }
+
+  // ---------------------------------------------------------- text analysis
+
+  /** Stopword-profile language ID vs the labeled lang column. */
+  val taLangId: Q = (s, d) =>
+    Tables.documents(s, d).select(col("doc_id"), col("lang"),
+      TextAnalysis.langId(col("text")).as("lang_pred"))
+
+  /** Quality features + composite score. */
+  val taQuality: Q = (s, d) =>
+    TextAnalysis.qualityFeatures(Tables.documents(s, d), "text")
+      .select(col("doc_id"), col("n_words").cast("long").as("n_words"),
+        col("punct_ratio"), col("stopword_ratio"), col("mean_word_len"),
+        col("quality_score"))
+
+  /** Whitespace + BPE-ish token counts. */
+  val taTokens: Q = (s, d) =>
+    TextAnalysis.tokenCounts(Tables.documents(s, d), "text")
+      .select(col("doc_id"), col("ws_tokens").cast("long").as("ws_tokens"),
+        col("bpe_tokens").cast("long").as("bpe_tokens"))
+
+  /** Order-insensitive content fingerprint. */
+  val taFingerprint: Q = (s, d) =>
+    TextAnalysis.fingerprint(Tables.documents(s, d), "text", "doc_id")
+
+  // ------------------------------------------------------------- multimodal
+
+  /** Multimodal plumbing: text bytes stand in for an opaque media
+    * payload (the container has no image/audio libs — the decode step
+    * is a deterministic STUB; the Spark-side schema/partitioning/batch
+    * shape is real). See [[Multimodal.decodeStub]]. */
+  val mmDecodeMeta: Q = (s, d) =>
+    Multimodal.decodeStub(
+      Multimodal.asBinaryPayload(Tables.documents(s, d), "text", "doc_id"))
+}

@@ -1,0 +1,248 @@
+package graft.queries
+
+/** DuckDB oracle twins for [[QueryCatalog]] / [[ExtensionCatalog]].
+  *
+  * Parity rules (learned against DuckDB 1.0):
+  *  - DuckDB `regexp_replace` replaces the FIRST match unless the 'g'
+  *    flag is passed — Spark replaces all; every oracle uses 'g'.
+  *  - integer sums: DuckDB sum(BIGINT) → HUGEINT; cast back to BIGINT.
+  *  - epoch() → DOUBLE; cast to BIGINT.
+  *  - cross-engine hash: ('0x' || substr(md5(x),1,15))::BIGINT, the
+  *    twin of graft.functions.Hashing.md5Long.
+  *  - never emit raw events.ts (ns vs floored-µs mismatch).
+  *  - all doubles rounded (2/4/6 decimals) in BOTH engines before
+  *    comparison; ranking happens on the rounded value.
+  */
+object Oracles {
+
+  /** Tokenizer twin of StatelessOps.explodeTokens / Dedup.tokenHashes. */
+  private val tokCte =
+    """toks_raw AS (
+      |  SELECT doc_id, unnest(string_split(trim(regexp_replace(regexp_replace(lower(text),
+      |    '[^a-z \n]+', '', 'g'), '\s+', ' ', 'g')), ' ')) AS tok FROM documents),
+      |toks AS (
+      |  SELECT DISTINCT doc_id,
+      |    ('0x' || substr(md5(tok),1,15))::BIGINT % 2147483647 AS h
+      |  FROM toks_raw WHERE length(tok) > 0)""".stripMargin
+
+  /** Non-distinct variant (token multiset) for the fingerprint. */
+  private val tokMultisetCte =
+    """toks_raw AS (
+      |  SELECT doc_id, unnest(string_split(trim(regexp_replace(regexp_replace(lower(text),
+      |    '[^a-z \n]+', '', 'g'), '\s+', ' ', 'g')), ' ')) AS tok FROM documents),
+      |toks AS (
+      |  SELECT doc_id, ('0x' || substr(md5(tok),1,15))::BIGINT % 2147483647 AS h
+      |  FROM toks_raw WHERE length(tok) > 0)""".stripMargin
+
+  /** MinHash permutation j twin of Hashing.affine. */
+  private def mh(j: Int): String =
+    s"min((${2 * j + 1} * h + ${12345 * (j + 1)}) % 2147483647) AS mh$j"
+
+  private def sigCte(k: Int): String =
+    s"""$tokCte,
+       |sig AS (SELECT doc_id, ${(0 until k).map(mh).mkString(", ")}
+       |  FROM toks GROUP BY doc_id)""".stripMargin
+
+  private def bandsCte(bands: Int, rowsPerBand: Int): String = {
+    val selects = (0 until bands).map { b =>
+      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(j => s"mh$j")
+      s"SELECT doc_id, $b AS band, concat_ws('_', ${cols.mkString(", ")}) AS bucket FROM sig"
+    }
+    s"bands AS (${selects.mkString(" UNION ALL ")})"
+  }
+
+  val all: Map[String, String] = Map(
+    "p1_buy_sell" ->
+      "SELECT event_id, CASE WHEN value > 100.0 THEN 'BUY' ELSE 'SELL' END AS decision FROM events",
+    "p2_contains_all" ->
+      "SELECT doc_id, n_chars FROM documents WHERE text LIKE '%join%' AND text LIKE '%scan%'",
+    "p3_sentiment" ->
+      """SELECT doc_id, sentiment FROM (
+        |  SELECT doc_id, CASE WHEN regexp_matches(text, '\b(fast|big|merge)\b') THEN 'POS'
+        |    WHEN regexp_matches(text, '\b(slow|small|filter)\b') THEN 'NEG'
+        |    ELSE 'NEUTRAL' END AS sentiment FROM documents)
+        |WHERE sentiment <> 'NEUTRAL'""".stripMargin,
+    "p5_occurrences" ->
+      """SELECT doc_id FROM documents, generate_series(1, 2000) g(i)
+        |WHERE i <= (length(text) - length(replace(text, 'join', ''))) // 4""".stripMargin,
+    "p6_parse_props" ->
+      "SELECT event_id, TRY_CAST(regexp_extract(props, '\"k\": ([0-9]+)', 1) AS BIGINT) AS k FROM events",
+    "p8_global_agg" ->
+      "SELECT 'FOO' AS k, count(*) AS n, sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total FROM events",
+    "p10_hype_words" ->
+      """SELECT word, count(*) AS n FROM (
+        |  SELECT unnest(string_split(trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z \n]+', '', 'g'), '\s+', ' ', 'g')), ' ')) AS word FROM documents)
+        |WHERE word IN ('join','merge','fast','big','slow','small') GROUP BY word""".stripMargin,
+    "p14_deltas" ->
+      """SELECT event_id, round(CASE WHEN event_type = 'purchase' THEN -value
+        |  WHEN event_type = 'error' THEN value ELSE 0.0 END, 2) AS coins_delta FROM events""".stripMargin,
+    "r1_split_route" ->
+      """SELECT event_id, CASE WHEN value > 400.0 THEN 'invalid'
+        |  WHEN event_type = 'purchase' THEN 'buy'
+        |  WHEN event_type = 'view' THEN 'sell' ELSE 'other' END AS route FROM events""".stripMargin,
+    "a1_window_sum" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch, event_type,
+        |  count(*) AS n, sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "a2_running_sum" ->
+      """SELECT event_id, round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running FROM events""".stripMargin,
+    "a5_group_product" ->
+      "SELECT l_orderkey, round(exp(sum(ln(1.0 + l_discount))), 4) AS disc_product FROM lineitem GROUP BY 1",
+    "a6_max_per_key" ->
+      """SELECT user_id, round(max(value), 2) AS max_v, round(min(value), 2) AS min_v,
+        |  count(*) AS n FROM events GROUP BY 1""".stripMargin,
+    "agg_count_distinct" ->
+      "SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n FROM events GROUP BY 1",
+    "w_rank_topk" ->
+      """SELECT p_brand, p_partkey, round(p_retailprice, 2) AS price, rk FROM (
+        |  SELECT p_brand, p_partkey, p_retailprice,
+        |    row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS rk
+        |  FROM part) WHERE rk <= 3""".stripMargin,
+    "w_lag_delta" ->
+      """SELECT event_id, round(value - lag(value, 1) OVER (PARTITION BY user_id
+        |  ORDER BY ts, event_id), 4) AS delta FROM events""".stripMargin,
+    "j_broadcast_dim" ->
+      """SELECT p_brand, sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) / 100.0 AS revenue,
+        |  count(*) AS n FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1""".stripMargin,
+    "j_shuffle_agg" ->
+      """SELECT o_orderpriority, count(*) AS n_lines, round(sum(l_quantity), 4) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1""".stripMargin,
+    "j_semi" ->
+      """SELECT c_mktsegment, count(*) AS n FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) GROUP BY 1""".stripMargin,
+    "j_anti" ->
+      """SELECT c_mktsegment, count(*) AS n FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) GROUP BY 1""".stripMargin,
+    "j_asof" ->
+      """SELECT a.event_id, a.user_id, b.value AS prior_click_value
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') a
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') b
+        |  ON a.user_id = b.user_id AND b.ts <= a.ts""".stripMargin,
+    "j4_cogroup" ->
+      """WITH buys AS (SELECT user_id, count(*) AS n_buys, sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS spent
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |errs AS (SELECT user_id, count(*) AS n_errs FROM events
+        |  WHERE event_type = 'error' GROUP BY 1)
+        |SELECT coalesce(b.user_id, e.user_id) AS user_id,
+        |  coalesce(n_buys, 0) AS n_buys, coalesce(spent, 0.0) AS spent,
+        |  coalesce(n_errs, 0) AS n_errs
+        |FROM buys b FULL OUTER JOIN errs e ON b.user_id = e.user_id""".stripMargin,
+    "u1_union_tagged" ->
+      """SELECT event_id, 'buy' AS tag FROM events WHERE event_type = 'purchase'
+        |UNION ALL SELECT event_id, 'err' AS tag FROM events WHERE event_type = 'error'""".stripMargin,
+    "set_except" ->
+      """SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+        |EXCEPT SELECT DISTINCT user_id FROM events WHERE event_type = 'error'""".stripMargin,
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 4) AS sum_qty,
+        |  sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS sum_base,
+        |  sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) / 100.0 AS sum_disc,
+        |  round(avg(l_quantity), 4) AS avg_qty, count(*) AS n
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1999-12-01' GROUP BY 1, 2""".stripMargin,
+    "q3_shipping" ->
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS odate,
+        |  sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) / 100.0 AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |  JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01'
+        |GROUP BY 1, 2""".stripMargin,
+    "q5_volume" ->
+      """SELECT n_name, sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) / 100.0 AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA' GROUP BY 1""".stripMargin,
+
+    // ------------------------------------------------------------ extensions
+    "dd_exact" ->
+      "SELECT min(doc_id) AS survivor_id, count(*) AS n_copies FROM documents GROUP BY text",
+    "dd_minhash_sig" ->
+      s"WITH ${sigCte(16)} SELECT * FROM sig",
+    "dd_minhash_lsh" ->
+      s"""WITH ${sigCte(16)}, ${bandsCte(4, 4)}
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+         |  AND a.doc_id < b.doc_id""".stripMargin,
+    "dd_simhash" ->
+      s"""WITH $tokCte,
+         |perbit AS (SELECT doc_id, bit,
+         |    CASE WHEN CAST(floor(h / power(2, bit)) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END AS w
+         |  FROM toks, generate_series(0, 31) g(bit)),
+         |bitsums AS (SELECT doc_id, bit, sum(w) AS s FROM perbit GROUP BY 1, 2)
+         |SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN CAST(power(2, bit) AS BIGINT)
+         |  ELSE 0 END) AS BIGINT) AS simhash FROM bitsums GROUP BY doc_id""".stripMargin,
+    "dd_jaccard" ->
+      s"""WITH $tokCte,
+         |sizes AS (SELECT doc_id, count(*) AS sz, min(h) AS block FROM toks GROUP BY 1),
+         |wb AS (SELECT t.doc_id, t.h, s.sz, s.block FROM toks t JOIN sizes s USING (doc_id))
+         |SELECT doc_a, doc_b, jaccard FROM (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    round(count(*) / (a.sz + b.sz - count(*)), 6) AS jaccard
+         |  FROM wb a JOIN wb b ON a.block = b.block AND a.h = b.h AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id, a.sz, b.sz)
+         |WHERE jaccard >= 0.5""".stripMargin,
+    "ann_brute_force" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 20),
+        |scored AS (SELECT q.query_id, e.vec_id,
+        |    round(list_cosine_similarity(list_transform(q.q_emb, x -> CAST(x AS DOUBLE)),
+        |      list_transform(e.embedding, x -> CAST(x AS DOUBLE))), 6) AS cos
+        |  FROM embeddings e, q WHERE e.vec_id <> q.query_id)
+        |SELECT query_id, vec_id, cos, rk FROM (SELECT *,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rk
+        |  FROM scored) WHERE rk <= 10""".stripMargin,
+    "ann_bucketed" ->
+      """WITH b AS (SELECT vec_id, embedding,
+        |    (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+        |    + 2 * (CASE WHEN embedding[2] > 0 THEN 1 ELSE 0 END)
+        |    + 4 * (CASE WHEN embedding[3] > 0 THEN 1 ELSE 0 END) AS bucket FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, embedding AS q_emb, bucket FROM b WHERE vec_id < 20),
+        |scored AS (SELECT q.query_id, e.vec_id,
+        |    round(list_cosine_similarity(list_transform(q.q_emb, x -> CAST(x AS DOUBLE)),
+        |      list_transform(e.embedding, x -> CAST(x AS DOUBLE))), 6) AS cos
+        |  FROM b e JOIN q ON e.bucket = q.bucket WHERE e.vec_id <> q.query_id)
+        |SELECT query_id, vec_id, cos, rk FROM (SELECT *,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rk
+        |  FROM scored) WHERE rk <= 10""".stripMargin,
+    "ta_langid" ->
+      """SELECT doc_id, lang, CASE WHEN greatest(en, fr, de) = 0 THEN 'und'
+        |  WHEN en >= fr AND en >= de THEN 'en' WHEN fr >= de THEN 'fr'
+        |  ELSE 'de' END AS lang_pred FROM (
+        |  SELECT doc_id, lang,
+        |    len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is|that)\b')) AS en,
+        |    len(regexp_extract_all(lower(text), '\b(le|la|de|et|un|une|est|que)\b')) AS fr,
+        |    len(regexp_extract_all(lower(text), '\b(der|die|das|und|ein|ist|nicht|mit)\b')) AS de
+        |  FROM documents)""".stripMargin,
+    "ta_quality" ->
+      """SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+        |  round(n_punct / n_chars_d, 6) AS punct_ratio,
+        |  round(n_stop / n_words, 6) AS stopword_ratio,
+        |  round(n_nonspace / n_words, 6) AS mean_word_len,
+        |  round((CASE WHEN n_words >= 5 THEN 1.0 ELSE 0.0 END) * 0.4
+        |    + (CASE WHEN n_punct / n_chars_d < 0.2 THEN 1.0 ELSE 0.0 END) * 0.3
+        |    + least(n_stop / n_words * 4, 1.0) * 0.3, 6) AS quality_score
+        |FROM (SELECT doc_id, length(text) AS n_chars_d,
+        |    len(string_split_regex(trim(text), '\s+')) AS n_words,
+        |    length(text) - length(regexp_replace(text, '[\.,;:!\?]', '', 'g')) AS n_punct,
+        |    len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is|that)\b')) AS n_stop,
+        |    length(regexp_replace(text, '\s+', '', 'g')) AS n_nonspace
+        |  FROM documents)""".stripMargin,
+    "ta_tokens" ->
+      """SELECT doc_id, CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS BIGINT) AS bpe_tokens
+        |FROM documents""".stripMargin,
+    "ta_fingerprint" ->
+      s"""WITH $tokMultisetCte
+         |SELECT doc_id, CAST(sum(h) % 2147483647 AS BIGINT) AS fingerprint,
+         |  count(*) AS n_tokens FROM toks GROUP BY doc_id""".stripMargin,
+    "mm_decode_meta" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS byte_len,
+        |  CAST(length(text) % 1024 AS BIGINT) AS width,
+        |  CAST((length(text) // 1024) % 1024 AS BIGINT) AS height,
+        |  CASE WHEN length(text) % 2 = 0 THEN 'png' ELSE 'jpg' END AS format
+        |FROM documents""".stripMargin
+  )
+}

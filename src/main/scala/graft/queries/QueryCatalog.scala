@@ -1,0 +1,271 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Hashing
+import graft.operators._
+
+/** The batch query surface: one entry per operator from SURVEY.md §2
+  * plus the LLM-data-pipeline extensions, each with a DuckDB oracle
+  * twin (see [[Oracles]]). Every double output is rounded and every
+  * integer output cast to long so the two engines hash identically.
+  *
+  * Scale stance (100 TB): no collect(), no cross joins outside
+  * broadcast-bounded sides, aggregations rely on partial (map-side)
+  * combine, joins declare broadcast on dimension tables and let AQE
+  * pick shuffle strategy elsewhere; near-dup candidates only form
+  * inside LSH buckets.
+  */
+object QueryCatalog {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Money-sum that is bitwise identical across engines: per-row round
+    * to integer cents (the same double op in both), exact integer sum,
+    * one final division. Accumulating raw doubles and rounding the
+    * total is NOT cross-engine stable — the accumulated ulp error can
+    * straddle a rounding boundary (seen at sf0.01).
+    * DuckDB twin: sum(CAST(round(x * 100) AS BIGINT)) / 100.0 */
+  def moneySum(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    sum(round(c * 100).cast("long")) / 100.0
+
+  // -------------------------------------------------------------- stateless
+
+  /** P1 — BUY/SELL decision map (Chapter00:119-125). */
+  val p1BuySell: Q = (s, d) =>
+    Tables.events(s, d).select(col("event_id"),
+      StatelessOps.buyOrSell(col("value"), 100.0).as("decision"))
+
+  /** P2 — contains-all filter (Chapter01:140-147). */
+  val p2ContainsAll: Q = (s, d) =>
+    Tables.documents(s, d)
+      .filter(StatelessOps.containsAll(col("text"), Seq("join", "scan")))
+      .select(col("doc_id"), col("n_chars"))
+
+  /** P3+P4 — regex sentiment + drop-neutral (Chapter01:149-161). */
+  val p3Sentiment: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        StatelessOps.sentiment(col("text"),
+          pos = Seq("fast", "big", "merge"), neg = Seq("slow", "small", "filter"))
+          .as("sentiment"))
+      .filter(col("sentiment") =!= "NEUTRAL")
+
+  /** P5 — one row per occurrence of a needle (Chapter01:163-170). */
+  val p5Occurrences: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), StatelessOps.occurrences(col("text"), "join").as("one"))
+      .select(col("doc_id"))
+
+  /** P6/P12 — parse a field out of raw JSON-ish text (Gibber.java:118-145). */
+  val p6ParseProps: Q = (s, d) =>
+    Tables.events(s, d).select(col("event_id"),
+      StatelessOps.jsonIntField(col("props"), "k").as("k"))
+
+  /** P8 — constant-key global aggregate (SharePriceDataflow.java:137-143). */
+  val p8GlobalAgg: Q = (s, d) =>
+    Tables.events(s, d).withColumn("k", lit("FOO")).groupBy(col("k"))
+      .agg(count(lit(1)).as("n"), moneySum(col("value")).as("total"))
+
+  /** P10 — tokenizer + lexicon hype explode (SharePriceDataflow.java:152-160,
+    * ShareHypePiece.java:65-84); word frequencies of lexicon hits. */
+  val p10HypeWords: Q = (s, d) => {
+    val lex = Seq("join", "merge", "fast", "big", "slow", "small")
+    Tables.documents(s, d)
+      .select(StatelessOps.explodeTokens(col("text")).as("word"))
+      .filter(col("word").isin(lex: _*))
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+  }
+
+  /** P14 — op→delta sign conversion (TraderStateUpdater.java:141-172):
+    * purchases spend coins, refund-ish errors return them. */
+  val p14Deltas: Q = (s, d) =>
+    Tables.events(s, d).select(col("event_id"),
+      round(when(col("event_type") === "purchase", -col("value"))
+        .when(col("event_type") === "error", col("value"))
+        .otherwise(lit(0.0)), 2).as("coins_delta"))
+
+  /** R1/R2 — split/select routing as one tagged pass (Chapter02:174-217). */
+  val r1SplitRoute: Q = (s, d) =>
+    Tables.events(s, d).select(col("event_id"),
+      StatelessOps.route(Seq(
+        (col("value") > 400.0, "invalid"),
+        (col("event_type") === "purchase", "buy"),
+        (col("event_type") === "view", "sell")), "other").as("route"))
+
+  // ------------------------------------------------------------ aggregates
+
+  /** A1 — tumbling event-time window sum (Chapter03:125-139), 1-hour
+    * windows via the streaming-compatible window() operator. */
+  val a1WindowSum: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), moneySum(col("value")).as("total"))
+      .select(unix_timestamp(col("w.start")).as("hour_epoch"),
+        col("event_type"), col("n"), col("total"))
+
+  /** A2/A3 — running per-key sum, emitted per element
+    * (SharePriceDataflow.java:121-122, MarketDataflow.java:319-339). */
+  val a2RunningSum: Q = (s, d) =>
+    Tables.events(s, d).select(col("event_id"),
+      round(RunningAggs.runningSum(col("value"),
+        col("user_id"), col("ts"), col("event_id")), 4).as("running"))
+
+  /** A5 — running product via exp∘sum∘ln (SharePriceDataflow.java:72-96),
+    * group-total form over per-order discount factors. */
+  val a5GroupProduct: Q = (s, d) =>
+    Tables.lineitem(s, d).groupBy(col("l_orderkey"))
+      .agg(round(RunningAggs.groupProduct(lit(1.0) + col("l_discount")), 4)
+        .as("disc_product"))
+
+  /** A6 — per-key max/min/count (Chapter03:194-209). */
+  val a6MaxPerKey: Q = (s, d) =>
+    Tables.events(s, d).groupBy(col("user_id"))
+      .agg(round(max(col("value")), 2).as("max_v"),
+        round(min(col("value")), 2).as("min_v"),
+        count(lit(1)).as("n"))
+
+  /** Distinct + exact count-distinct (declared n/a in the reference —
+    * provided as Spark built-ins per SURVEY §2.5). */
+  val aggCountDistinct: Q = (s, d) =>
+    Tables.events(s, d).groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n"))
+
+  // --------------------------------------------------- windows / sort / topk
+
+  /** §2.7 — top-k per group with deterministic tiebreak. */
+  val wRankTopK: Q = (s, d) => {
+    val w = Window.partitionBy(col("p_brand"))
+      .orderBy(col("p_retailprice").desc, col("p_partkey"))
+    Tables.part(s, d)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .select(col("p_brand"), col("p_partkey"), round(col("p_retailprice"), 2).as("price"), col("rk"))
+  }
+
+  /** §2.6 — lag/delta analytic window (per-key previous value). */
+  val wLagDelta: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d).select(col("event_id"),
+      round(col("value") - lag(col("value"), 1).over(w), 4).as("delta"))
+  }
+
+  // ---------------------------------------------------------------- joins
+
+  /** Broadcast dimension join: lineitem ⋈ part (dim side broadcast —
+    * the 100 TB plan keeps the fact-side scan shuffle-free). */
+  val jBroadcastDim: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue"), count(lit(1)).as("n"))
+
+  /** Large shuffle join lineitem ⋈ orders + aggregation (AQE decides
+    * the physical strategy at scale). */
+  val jShuffleAgg: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lines"),
+        round(sum(col("l_quantity")), 4).as("sum_qty"))
+
+  /** Left-semi: customers having orders (EXISTS). */
+  val jSemi: Q = (s, d) =>
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+
+  /** Left-anti: customers without orders (NOT EXISTS). */
+  val jAnti: Q = (s, d) =>
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+
+  /** J1/J2/J3 batch analog — as-of join: each purchase priced at the
+    * user's most recent click value (MarketDataflow.java:190-268 keeps
+    * the latest price in state; this is its batch twin). */
+  val jAsOf: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+    val clicks = ev.filter(col("event_type") === "click")
+    AsOfJoin.asOf(purchases, clicks, key = "user_id",
+        leftTime = "ts", rightTime = "ts",
+        valueCols = Seq("value" -> "prior_click_value"))
+      .select(col("event_id"), col("user_id"), col("prior_click_value"))
+  }
+
+  /** J4 batch analog — per-key cogroup of two pre-aggregated sides
+    * (MonkeyStockChampion.java:143-232 scans both sides per key). */
+  val j4Cogroup: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val buys = ev.filter(col("event_type") === "purchase").groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_buys"), moneySum(col("value")).as("spent"))
+    val errs = ev.filter(col("event_type") === "error").groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_errs"))
+    buys.join(errs, Seq("user_id"), "full_outer")
+      .select(col("user_id"),
+        coalesce(col("n_buys"), lit(0L)).as("n_buys"),
+        coalesce(col("spent"), lit(0.0)).as("spent"),
+        coalesce(col("n_errs"), lit(0L)).as("n_errs"))
+  }
+
+  // --------------------------------------------------------------- set ops
+
+  /** U1/U2 — tagged union of same-typed streams (MarketDataflow.java:130-132). */
+  val u1UnionTagged: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), lit("buy").as("tag"))
+      .union(ev.filter(col("event_type") === "error")
+        .select(col("event_id"), lit("err").as("tag")))
+  }
+
+  /** except/intersect (absent in the reference; Spark built-ins). */
+  val setExcept: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    ev.filter(col("event_type") === "purchase").select(col("user_id")).distinct()
+      .except(ev.filter(col("event_type") === "error").select(col("user_id")).distinct())
+  }
+
+  // -------------------------------------------------------------- headline
+
+  /** TPC-H Q1-style pricing summary — the flagship scan+agg. */
+  val q1PricingSummary: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("1999-12-01"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_quantity")), 4).as("sum_qty"),
+        moneySum(col("l_extendedprice")).as("sum_base"),
+        moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        count(lit(1)).as("n"))
+
+  /** TPC-H Q3-style shipping priority (3-way join, group, filter). */
+  val q3Shipping: Q = (s, d) =>
+    Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+      .filter(col("o_orderdate") < lit("1998-01-01"))
+      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .filter(col("l_shipdate") > lit("1998-01-01"))
+      .groupBy(col("o_orderkey"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("odate"))
+      .agg(moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue"))
+
+  /** TPC-H Q5-style local-supplier volume (5-way join chain; dims
+    * broadcast, fact joins shuffle on their keys). */
+  val q5Volume: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA")
+      .groupBy(col("n_name"))
+      .agg(moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue"))
+}
