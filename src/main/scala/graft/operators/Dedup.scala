@@ -40,12 +40,19 @@ object Dedup {
       .distinct()
 
   /** MinHash signature: k affine permutations, min over the token set
-    * (one aggregation, k columns wide). */
+    * (one aggregation, k columns wide). The affine re-hashes are
+    * hoisted into a projection BEFORE the aggregate: embedding k
+    * compound expressions inside partial_min makes the generated
+    * aggregate method huge, and Janino recompilation of that method
+    * (cache-missed per action since expr ids differ) costs seconds —
+    * measured 4-25 s vs ms for plain min(col) aggs. */
   def minHashSignatures(docs: DataFrame, textCol: String, idCol: String, k: Int): DataFrame =
     tokenHashes(docs, textCol, idCol)
+      .select(col("doc_id") +:
+        (0 until k).map(j => Hashing.affine(col("h"), j).as(s"a$j")): _*)
       .groupBy(col("doc_id"))
-      .agg(min(Hashing.affine(col("h"), 0)).as("mh0"),
-        (1 until k).map(j => min(Hashing.affine(col("h"), j)).as(s"mh$j")): _*)
+      .agg(min(col("a0")).as("mh0"),
+        (1 until k).map(j => min(col(s"a$j")).as(s"mh$j")): _*)
 
   /** MinHash + LSH banding: docs sharing all rows of any band become a
     * candidate pair (a < b). bands × rowsPerBand = k. Pair generation
@@ -55,11 +62,17 @@ object Dedup {
                  bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
     val k = bands * rowsPerBand
     val sigs = minHashSignatures(docs, textCol, idCol, k)
-    val bandBuckets = (0 until bands).map { b =>
-      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(j => col(s"mh$j"))
-      sigs.select(col("doc_id"), lit(b).as("band"),
-        concat_ws("_", cols: _*).as("bucket"))
-    }.reduce(_ unionByName _)
+    // One row per (doc, band) via posexplode of a precomputed bucket
+    // array — NOT a bands-way union: Spark does not dedupe common
+    // subplans, so a union would re-execute the whole signature
+    // pipeline (scan+tokenize+hash+agg) once per band. At 100 TB that
+    // is bands× the scan; as one explode it is a single pass.
+    val bucketArr = array((0 until bands).map { b =>
+      concat_ws("_",
+        (b * rowsPerBand until (b + 1) * rowsPerBand).map(j => col(s"mh$j")): _*)
+    }: _*)
+    val bandBuckets = sigs
+      .select(col("doc_id"), posexplode(bucketArr).as(Seq("band", "bucket")))
     val a = bandBuckets.select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
     val b = bandBuckets.select(col("band"), col("bucket"), col("doc_id").as("doc_b"))
     a.join(b, Seq("band", "bucket"))
@@ -68,24 +81,24 @@ object Dedup {
   }
 
   /** SimHash: per-doc 32-bit signature where bit i is the sign of the
-    * token-set's aggregate weight on that bit. Identical integer
-    * arithmetic is SQL-expressible for the oracle. */
+    * token-set's aggregate weight on that bit (same integer arithmetic
+    * as the DuckDB oracle). Bit weights are hoisted into a projection
+    * (±1 per bit via exact shift-division) so the aggregate is `bits`
+    * plain sums and no 32× row explode is needed: one narrow pass +
+    * one aggregation regardless of corpus size. */
   def simHash(docs: DataFrame, textCol: String, idCol: String, bits: Int = 32): DataFrame = {
     val th = tokenHashes(docs, textCol, idCol)
-    // explode bits: one row per (doc, bit), weight ±1
-    // bit extraction via exact floor-division (h < 2^31, double-exact):
-    // identical formula in the DuckDB oracle.
-    val perBit = th.select(col("doc_id"),
-        explode(sequence(lit(0), lit(bits - 1))).as("bit"),
-        col("h"))
-      .select(col("doc_id"), col("bit"),
-        when(expr("cast(floor(h / power(2, bit)) as bigint) % 2") === 1, 1)
-          .otherwise(-1).as("w"))
-    perBit.groupBy(col("doc_id"), col("bit"))
-      .agg(sum(col("w")).as("s"))
-      .groupBy(col("doc_id"))
-      .agg(sum(when(col("s") > 0, expr("cast(power(2, bit) as bigint)"))
-        .otherwise(0L)).as("simhash"))
+    val weighted = th.select(col("doc_id") +:
+      (0 until bits).map(i =>
+        when((col("h") / lit(1L << i)).cast("long") % 2 === 1, 1)
+          .otherwise(-1).as(s"w$i")): _*)
+    weighted.groupBy(col("doc_id"))
+      .agg(sum(col("w0")).as("s0"),
+        (1 until bits).map(i => sum(col(s"w$i")).as(s"s$i")): _*)
+      .select(col("doc_id"),
+        (0 until bits).map(i =>
+          when(col(s"s$i") > 0, lit(1L << i)).otherwise(0L))
+          .reduce(_ + _).as("simhash"))
   }
 
   /** N-gram Jaccard near-dup: candidates block on a 1-band MinHash
