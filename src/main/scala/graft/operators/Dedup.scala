@@ -101,23 +101,30 @@ object Dedup {
           .reduce(_ + _).as("simhash"))
   }
 
-  /** N-gram Jaccard near-dup: candidates block on a 1-band MinHash
-    * (equal min token hash), then exact Jaccard |A∩B| / |A∪B| over
-    * distinct token sets. Emits pairs with similarity >= threshold. */
+  /** Token-set Jaccard near-dup: LSH band candidates, then EXACT
+    * Jaccard |A∩B| / |A∪B| via per-doc token-set arrays and
+    * array_intersect. Work is linear in the candidate count — the
+    * first cut (token-level self-join on a blocking key) materialized
+    * |block|² rows PER TOKEN (225M intermediate rows / 361 s at sf0.1
+    * on a 31-word-vocabulary corpus where every pair is a near-dup);
+    * the array form shuffles each candidate pair once and intersects
+    * two bounded arrays per pair. Emits pairs with
+    * similarity >= threshold. */
   def ngramJaccard(docs: DataFrame, textCol: String, idCol: String,
-                   threshold: Double): DataFrame = {
-    val th = tokenHashes(docs, textCol, idCol)
-    val sizes = th.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"),
-      min(col("h")).as("block"))
-    val withBlock = th.join(sizes, "doc_id")
-    val a = withBlock.select(col("block"), col("doc_id").as("doc_a"),
-      col("h"), col("sz").as("sz_a"))
-    val b = withBlock.select(col("block"), col("doc_id").as("doc_b"),
-      col("h"), col("sz").as("sz_b"))
-    a.join(b, Seq("block", "h"))
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"), col("sz_a"), col("sz_b"))
-      .agg(count(lit(1)).as("inter"))
+                   threshold: Double, bands: Int = 4, rowsPerBand: Int = 8): DataFrame = {
+    // Longer bands (r=8) than the generic LSH: candidate probability
+    // J^r per band keeps the pair set near the true >= threshold set
+    // instead of admitting the quadratic mid-similarity bulk.
+    val cands = minHashLsh(docs, textCol, idCol, bands, rowsPerBand)
+    val arrs = tokenHashes(docs, textCol, idCol)
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("h")).as("toks"), count(lit(1)).as("sz"))
+    val a = arrs.select(col("doc_id").as("doc_a"),
+      col("toks").as("toks_a"), col("sz").as("sz_a"))
+    val b = arrs.select(col("doc_id").as("doc_b"),
+      col("toks").as("toks_b"), col("sz").as("sz_b"))
+    cands.join(a, "doc_a").join(b, "doc_b")
+      .withColumn("inter", size(array_intersect(col("toks_a"), col("toks_b"))))
       .withColumn("jaccard",
         round(col("inter") / (col("sz_a") + col("sz_b") - col("inter")), 6))
       .filter(col("jaccard") >= threshold)

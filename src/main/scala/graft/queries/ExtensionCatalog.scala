@@ -35,7 +35,7 @@ object ExtensionCatalog {
 
   /** Token-set Jaccard near-dup pairs over min-hash blocks. */
   val ddJaccard: Q = (s, d) =>
-    Dedup.ngramJaccard(Tables.documents(s, d), "text", "doc_id", threshold = 0.5)
+    Dedup.ngramJaccard(Tables.documents(s, d), "text", "doc_id", threshold = 0.7)
 
   // ------------------------------------------------------------ similarity
 

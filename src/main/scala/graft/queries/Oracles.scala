@@ -176,15 +176,17 @@ object Oracles {
          |SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN CAST(power(2, bit) AS BIGINT)
          |  ELSE 0 END) AS BIGINT) AS simhash FROM bitsums GROUP BY doc_id""".stripMargin,
     "dd_jaccard" ->
-      s"""WITH $tokCte,
-         |sizes AS (SELECT doc_id, count(*) AS sz, min(h) AS block FROM toks GROUP BY 1),
-         |wb AS (SELECT t.doc_id, t.h, s.sz, s.block FROM toks t JOIN sizes s USING (doc_id))
+      s"""WITH ${sigCte(32)}, ${bandsCte(4, 8)},
+         |cands AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+         |    AND a.doc_id < b.doc_id),
+         |arrs AS (SELECT doc_id, list(h) AS toks_l, count(*) AS sz FROM toks GROUP BY doc_id)
          |SELECT doc_a, doc_b, jaccard FROM (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |    round(count(*) / (a.sz + b.sz - count(*)), 6) AS jaccard
-         |  FROM wb a JOIN wb b ON a.block = b.block AND a.h = b.h AND a.doc_id < b.doc_id
-         |  GROUP BY a.doc_id, b.doc_id, a.sz, b.sz)
-         |WHERE jaccard >= 0.5""".stripMargin,
+         |  SELECT doc_a, doc_b,
+         |    round(len(list_intersect(x.toks_l, y.toks_l))
+         |      / (x.sz + y.sz - len(list_intersect(x.toks_l, y.toks_l))), 6) AS jaccard
+         |  FROM cands JOIN arrs x ON doc_a = x.doc_id JOIN arrs y ON doc_b = y.doc_id)
+         |WHERE jaccard >= 0.7""".stripMargin,
     "ann_brute_force" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 20),
         |scored AS (SELECT q.query_id, e.vec_id,

@@ -1,0 +1,63 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery}
+import org.apache.spark.sql.types.StructType
+
+/** Kafka-shaped topic boundary on files (S1/K1 analogs — the reference
+  * moves every stream over Kafka as JSON key/value records,
+  * JsonSchema.java:12-30, BaseJsonSerde.java:15-54; this container has
+  * no broker, so a topic is a directory of JSON-lines with the same
+  * record shape: {"key": ..., "value": {...}}).
+  *
+  * The wire semantics carried over: tolerant parsing (unknown fields
+  * ignored — from_json drops them; malformed rows become null values,
+  * not failures), ISO-8601 UTC timestamps, key+value envelope. The
+  * same API shape would bind to `format("kafka")` on a real cluster —
+  * only `load`/`save` options change.
+  *
+  * The broker-mediated feedback loop (T2's RETURN updaters looping
+  * back into trader-state-updates, MarketDataflow.java:130-165) is
+  * reproduced by writing one query's output topic dir and reading it
+  * as another query's source dir.
+  */
+object JsonTopics {
+
+  /** Streaming read of a topic dir: JSON lines → (key, value struct). */
+  def readStream(spark: SparkSession, dir: String, keyType: String,
+                 valueSchema: StructType): DataFrame =
+    spark.readStream
+      .schema(new StructType()
+        .add("key", keyType)
+        .add("value", valueSchema))
+      .json(dir)
+
+  /** Batch read of a topic dir. */
+  def read(spark: SparkSession, dir: String, keyType: String,
+           valueSchema: StructType): DataFrame =
+    spark.read
+      .schema(new StructType().add("key", keyType).add("value", valueSchema))
+      .json(dir)
+
+  /** Parse a raw JSON string column with a tolerant schema (P12 —
+    * Gibber.java:118-145: unknown fields ignored, bad rows null). */
+  def parseJson(raw: DataFrame, jsonCol: String, schema: StructType): DataFrame =
+    raw.withColumn("value", from_json(col(jsonCol), schema))
+
+  /** Streaming write to a topic dir (checkpointed, exactly-once file
+    * sink — the K1 analog; Dashboard's ES push K2 maps to the same
+    * foreachBatch/file pattern). */
+  def writeStream(df: DataFrame, dir: String, checkpoint: String): StreamingQuery =
+    df.select(to_json(struct(df.columns.map(col): _*)).as("line"))
+      .writeStream.format("text")
+      .option("path", dir)
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .start()
+
+  /** Batch write. */
+  def write(df: DataFrame, dir: String): Unit =
+    df.select(to_json(struct(df.columns.map(col): _*)).as("line"))
+      .write.mode("append").text(dir)
+}
