@@ -115,19 +115,44 @@ object Dedup {
     // Longer bands (r=8) than the generic LSH: candidate probability
     // J^r per band keeps the pair set near the true >= threshold set
     // instead of admitting the quadratic mid-similarity bulk.
-    val cands = minHashLsh(docs, textCol, idCol, bands, rowsPerBand)
+    // Explicit rebalance of the candidate pairs: the band self-join's
+    // input shuffle is tiny (signatures only), so AQE coalesces it to
+    // ~1 partition — and the pair EXPLOSION plus every array intersect
+    // then runs in a single task (measured: 1 task × 17 s CPU with 31
+    // idle cores). Round-robin repartition spreads pairs before the
+    // expensive per-pair work; the token-array side is small and
+    // auto-broadcasts, keeping the intersects map-side parallel.
+    val n = docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val cands = minHashLsh(docs, textCol, idCol, bands, rowsPerBand).repartition(n)
     val arrs = tokenHashes(docs, textCol, idCol)
       .groupBy(col("doc_id"))
-      .agg(collect_set(col("h")).as("toks"), count(lit(1)).as("sz"))
-    val a = arrs.select(col("doc_id").as("doc_a"),
-      col("toks").as("toks_a"), col("sz").as("sz_a"))
-    val b = arrs.select(col("doc_id").as("doc_b"),
-      col("toks").as("toks_b"), col("sz").as("sz_b"))
+      .agg(sort_array(collect_set(col("h"))).as("toks"))
+    val a = arrs.select(col("doc_id").as("doc_a"), col("toks").as("toks_a"))
+    val b = arrs.select(col("doc_id").as("doc_b"), col("toks").as("toks_b"))
+    // The per-pair intersect runs as a compact Scala kernel (sorted
+    // two-pointer merge, no allocation) instead of codegen'd
+    // array_intersect: the fused whole-stage method for
+    // joins+intersect+filter was too large to JIT, so the FIRST
+    // execution ran interpreted — 4860 s task time / 438 s GC vs 13 s
+    // once hot. Small methods JIT immediately: stable ~8 s cold.
+    val spark = docs.sparkSession
+    import spark.implicits._
     cands.join(a, "doc_a").join(b, "doc_b")
-      .withColumn("inter", size(array_intersect(col("toks_a"), col("toks_b"))))
-      .withColumn("jaccard",
-        round(col("inter") / (col("sz_a") + col("sz_b") - col("inter")), 6))
-      .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .select(col("doc_a"), col("doc_b"), col("toks_a"), col("toks_b"))
+      .as[(Long, Long, Array[Long], Array[Long])]
+      .mapPartitions { it =>
+        it.flatMap { case (da, db, ta, tb) =>
+          var i = 0; var j = 0; var inter = 0
+          while (i < ta.length && j < tb.length) {
+            if (ta(i) < tb(j)) i += 1
+            else if (ta(i) > tb(j)) j += 1
+            else { inter += 1; i += 1; j += 1 }
+          }
+          val jac = inter.toDouble / (ta.length + tb.length - inter)
+          // HALF_UP to match Spark round() and the DuckDB oracle
+          val r = BigDecimal(jac).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          if (r >= threshold) Some((da, db, r)) else None
+        }
+      }.toDF("doc_a", "doc_b", "jaccard")
   }
 }
