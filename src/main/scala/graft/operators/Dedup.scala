@@ -71,8 +71,14 @@ object Dedup {
       concat_ws("_",
         (b * rowsPerBand until (b + 1) * rowsPerBand).map(j => col(s"mh$j")): _*)
     }: _*)
+    // Pin the join partitioning: AQE coalesces the small signature
+    // shuffle to ~1 partition and the pair-explosion then runs in a
+    // single task (measured 1 task × 8 s CPU at sf0.1). An explicit
+    // hash repartition on the join key keeps the self-join spread.
+    val n = docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val bandBuckets = sigs
       .select(col("doc_id"), posexplode(bucketArr).as(Seq("band", "bucket")))
+      .repartition(n, col("band"), col("bucket"))
     val a = bandBuckets.select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
     val b = bandBuckets.select(col("band"), col("bucket"), col("doc_id").as("doc_b"))
     a.join(b, Seq("band", "bucket"))

@@ -15,12 +15,14 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Cosine similarity between two array columns as a single
-    * codegen'd expression. */
-  def cosine(a: String, b: String) = expr(
-    s"""aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)), 0D, (s, v) -> s + v)
-       | / (sqrt(aggregate($a, 0D, (s, v) -> s + cast(v as double) * cast(v as double)))
-       |    * sqrt(aggregate($b, 0D, (s, v) -> s + cast(v as double) * cast(v as double))))""".stripMargin)
+  /** Cosine similarity via the native Catalyst expression
+    * (graft.functions.CosineSimilarity): one fused codegen loop for
+    * dot + both norms, replacing the aggregate/zip_with lambda
+    * composition (which allocates per-element closure frames and
+    * an intermediate product array). Accumulation order is identical,
+    * so results are bit-equal with the previous form and the oracle. */
+  def cosine(a: String, b: String) =
+    graft.functions.CosineSimilarity.cosine(col(a), col(b))
 
   /** Brute-force top-k: for each query vector, cosine against the full
     * corpus, keep the k nearest. The query side is broadcast (small by

@@ -60,4 +60,18 @@ object JsonTopics {
   def write(df: DataFrame, dir: String): Unit =
     df.select(to_json(struct(df.columns.map(col): _*)).as("line"))
       .write.mode("append").text(dir)
+
+  /** K2 analog — push each micro-batch to an external store through an
+    * arbitrary batch writer (the reference indexes TraderState /
+    * SharePriceInfo into Elasticsearch for Kibana,
+    * Dashboard.java:54-132; the capability is "stream → external
+    * store", with the store-specific client injected). */
+  def foreachBatchSink(df: DataFrame, checkpoint: String)(
+      push: (DataFrame, Long) => Unit): StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        push(batch, id)
+      }
+      .start()
 }
