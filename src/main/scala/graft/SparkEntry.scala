@@ -36,6 +36,9 @@ object SparkEntry {
     "agg_count_distinct" -> QueryCatalog.aggCountDistinct,
     "w_rank_topk" -> QueryCatalog.wRankTopK,
     "w_lag_delta" -> QueryCatalog.wLagDelta,
+    "w_first_last" -> QueryCatalog.wFirstLast,
+    "a4_ema_final" -> QueryCatalog.a4EmaFinal,
+    "agg_approx_distinct" -> QueryCatalog.aggApproxDistinct,
     // joins / two-input (§2.4) + set ops (§2.8) + routing (§2.9)
     "j_broadcast_dim" -> QueryCatalog.jBroadcastDim,
     "j_shuffle_agg" -> QueryCatalog.jShuffleAgg,
@@ -55,6 +58,7 @@ object SparkEntry {
     "dd_minhash_lsh" -> ExtensionCatalog.ddMinhashLsh,
     "dd_simhash" -> ExtensionCatalog.ddSimhash,
     "dd_jaccard" -> ExtensionCatalog.ddJaccard,
+    "dd_embed_cosine" -> ExtensionCatalog.ddEmbedCosine,
     "ann_brute_force" -> ExtensionCatalog.annBruteForce,
     "ann_bucketed" -> ExtensionCatalog.annBucketed,
     "ta_langid" -> ExtensionCatalog.taLangId,

@@ -37,6 +37,22 @@ object ExtensionCatalog {
   val ddJaccard: Q = (s, d) =>
     Dedup.ngramJaccard(Tables.documents(s, d), "text", "doc_id", threshold = 0.7)
 
+  /** Embedding-cosine near-dup pairs (the 5th dedup variant): sign-LSH
+    * bucket join, exact cosine >= threshold inside the bucket. */
+  val ddEmbedCosine: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val withBucket = emb.select(col("vec_id"), col("embedding"),
+      Similarity.signBucket("embedding", 4).as("bucket"))
+    val a = withBucket.select(col("bucket"), col("vec_id").as("vec_a"),
+      col("embedding").as("emb_a"))
+    val b = withBucket.select(col("bucket"), col("vec_id").as("vec_b"),
+      col("embedding").as("emb_b"))
+    a.join(b, "bucket").filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        round(Similarity.cosine("emb_a", "emb_b"), 6).as("cos"))
+      .filter(col("cos") >= 0.2)
+  }
+
   // ------------------------------------------------------------ similarity
 
   /** Brute-force cosine top-10 for a fixed query set (vec_id < 20). */

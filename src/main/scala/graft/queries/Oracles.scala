@@ -103,6 +103,21 @@ object Oracles {
     "w_lag_delta" ->
       """SELECT event_id, round(value - lag(value, 1) OVER (PARTITION BY user_id
         |  ORDER BY ts, event_id), 4) AS delta FROM events""".stripMargin,
+    "w_first_last" ->
+      """SELECT user_id, arg_min(event_id, ts) AS first_event,
+        |  arg_max(event_id, ts) AS last_event FROM events GROUP BY 1""".stripMargin,
+    "dd_embed_cosine" ->
+      """WITH b AS (SELECT vec_id, embedding,
+        |    (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+        |    + 2 * (CASE WHEN embedding[2] > 0 THEN 1 ELSE 0 END)
+        |    + 4 * (CASE WHEN embedding[3] > 0 THEN 1 ELSE 0 END)
+        |    + 8 * (CASE WHEN embedding[4] > 0 THEN 1 ELSE 0 END) AS bucket FROM embeddings)
+        |SELECT vec_a, vec_b, cos FROM (
+        |  SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
+        |    round(list_cosine_similarity(list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+        |      list_transform(b2.embedding, x -> CAST(x AS DOUBLE))), 6) AS cos
+        |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+        |WHERE cos >= 0.2""".stripMargin,
     "j_broadcast_dim" ->
       """SELECT p_brand, sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) / 100.0 AS revenue,
         |  count(*) AS n FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1""".stripMargin,

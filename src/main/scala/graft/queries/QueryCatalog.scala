@@ -154,6 +154,31 @@ object QueryCatalog {
       round(col("value") - lag(col("value"), 1).over(w), 4).as("delta"))
   }
 
+  /** §2.6 — first/last value per key by event time (min_by/max_by). */
+  val wFirstLast: Q = (s, d) =>
+    Tables.events(s, d).groupBy(col("user_id"))
+      .agg(min_by(col("event_id"), col("ts")).as("first_event"),
+        max_by(col("event_id"), col("ts")).as("last_event"))
+
+  /** A4 batch form — final EMA per key over time-ordered values via the
+    * order-sensitive keyed fold (not SQL-expressible; driver records a
+    * rows-only check, exact-series goldens live in KataSpec). */
+  val a4EmaFinal: Q = (s, d) => {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), unix_millis(col("ts")), col("value"))
+      .as[(Long, Long, Double)]
+    RunningAggs.emaPerKey(ev).toDF("user_id", "ema")
+      .select(col("user_id"), round(col("ema"), 6).as("ema"))
+  }
+
+  /** Approximate distinct (HLL++) — sketch family, rows-only check
+    * (approx algorithms differ across engines by design). */
+  val aggApproxDistinct: Q = (s, d) =>
+    Tables.events(s, d).groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"))
+
   // ---------------------------------------------------------------- joins
 
   /** Broadcast dimension join: lineitem ⋈ part (dim side broadcast —
