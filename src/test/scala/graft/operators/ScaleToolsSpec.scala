@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.streaming.SparkSpec
+
+/** Scale toolbox: salted joins match unsalted results; bucketed tables
+  * co-locate a join with no shuffle exchange on either side.
+  */
+class ScaleToolsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("salted join is row-identical to the plain join under heavy skew") {
+    val d = "/root/testdata/sf0.001"
+    val li = graft.Tables.lineitem(spark, d)     // l_suppkey is dense
+    val sup = graft.Tables.supplier(spark, d)
+    val plain = li.join(sup, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name")).agg(count(lit(1)).as("n"),
+        round(sum(col("l_quantity")), 4).as("q"))
+    val salted = SkewTools.saltedJoin(
+      li.withColumnRenamed("l_suppkey", "k"),
+      sup.withColumnRenamed("s_suppkey", "k"), "k", salts = 8)
+      .groupBy(col("s_name")).agg(count(lit(1)).as("n"),
+        round(sum(col("l_quantity")), 4).as("q"))
+    val p = plain.collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    val s = salted.collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(p.toSeq == s.toSeq && p.nonEmpty)
+  }
+
+  test("hotKeys surfaces the heaviest join keys") {
+    val hot = SkewTools.hotKeys(
+      graft.Tables.lineitem(spark, "/root/testdata/sf0.001"), "l_suppkey", 5)
+      .collect()
+    assert(hot.length == 5 && hot.head.getLong(1) >= hot.last.getLong(1))
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    val d = "/root/testdata/sf0.001"
+    // spark.sql.warehouse.dir is static; tables land in ./spark-warehouse
+    // (gitignored) and are dropped below.
+    spark.sql("DROP TABLE IF EXISTS li_b")
+    spark.sql("DROP TABLE IF EXISTS ord_b")
+    graft.Tables.lineitem(spark, d).write.bucketBy(8, "l_orderkey")
+      .sortBy("l_orderkey").mode("overwrite").saveAsTable("li_b")
+    graft.Tables.orders(spark, d).write.bucketBy(8, "o_orderkey")
+      .sortBy("o_orderkey").mode("overwrite").saveAsTable("ord_b")
+    // co-located join: bucket pruning leaves NO Exchange in the plan
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("li_b")
+        .join(spark.table("ord_b"), col("l_orderkey") === col("o_orderkey"))
+      val physical = joined.queryExecution.executedPlan.toString
+      assert(!physical.contains("Exchange"),
+        s"expected shuffle-free co-located join, got:\n$physical")
+      assert(joined.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS li_b")
+      spark.sql("DROP TABLE IF EXISTS ord_b")
+    }
+  }
+}
