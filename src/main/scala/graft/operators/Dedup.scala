@@ -71,19 +71,59 @@ object Dedup {
       concat_ws("_",
         (b * rowsPerBand until (b + 1) * rowsPerBand).map(j => col(s"mh$j")): _*)
     }: _*)
-    // Pin the join partitioning: AQE coalesces the small signature
-    // shuffle to ~1 partition and the pair-explosion then runs in a
-    // single task (measured 1 task × 8 s CPU at sf0.1). An explicit
-    // hash repartition on the join key keeps the self-join spread.
-    val n = docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    // Pair generation is a per-bucket Scala kernel, NOT a self-join:
+    // the fused codegen for posexplode+join+filter+distinct exceeded
+    // the JIT's method limit and ran permanently interpreted (1330 s
+    // task time for 5M pairs at sf0.1, bimodal with AQE's plan
+    // choice). Grouping each (band, bucket) once and emitting sorted
+    // id combinations lazily is one aggregation + a tiny JIT-friendly
+    // loop, and generates each candidate pair exactly once per band.
+    val spark = docs.sparkSession
+    import spark.implicits._
     val bandBuckets = sigs
       .select(col("doc_id"), posexplode(bucketArr).as(Seq("band", "bucket")))
-      .repartition(n, col("band"), col("bucket"))
-    val a = bandBuckets.select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
-    val b = bandBuckets.select(col("band"), col("bucket"), col("doc_id").as("doc_b"))
-    a.join(b, Seq("band", "bucket"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b")).distinct()
+    val n = docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    bandBuckets
+      .groupBy(col("band"), col("bucket"))
+      .agg(collect_list(col("doc_id")).as("ids"))
+      // AQE coalesces this small aggregate to ~1 partition; the pair
+      // emission below is the expensive part, so rebalance first.
+      .select(col("ids")).repartition(n).as[Seq[Long]]
+      // Dedicated iterator class, not Iterator.flatMap chains: the
+      // shared combinator call sites go megamorphic in a long-lived
+      // session (43 bench queries in one JVM) and the kernel
+      // deoptimizes 5-10x. Own class = monomorphic = stays JIT'd.
+      .mapPartitions(groups => new PairIterator(groups))
+      .toDF("doc_a", "doc_b").distinct()
+  }
+
+  /** Emits all sorted id pairs (a < b) of each group, lazily. */
+  private final class PairIterator(groups: Iterator[Seq[Long]])
+      extends scala.collection.AbstractIterator[(Long, Long)] {
+    private var cur: Array[Long] = _
+    private var i = 0
+    private var j = 1
+    loadNext()
+    private def loadNext(): Unit = {
+      cur = null
+      while (cur == null && groups.hasNext) {
+        val arr = groups.next().toArray
+        if (arr.length >= 2) {
+          java.util.Arrays.sort(arr)
+          cur = arr; i = 0; j = 1
+        }
+      }
+    }
+    override def hasNext: Boolean = cur != null
+    override def next(): (Long, Long) = {
+      val out = (cur(i), cur(j))
+      j += 1
+      if (j >= cur.length) {
+        i += 1; j = i + 1
+        if (j >= cur.length) loadNext()
+      }
+      out
+    }
   }
 
   /** SimHash: per-doc 32-bit signature where bit i is the sign of the
@@ -146,19 +186,41 @@ object Dedup {
     cands.join(a, "doc_a").join(b, "doc_b")
       .select(col("doc_a"), col("doc_b"), col("toks_a"), col("toks_b"))
       .as[(Long, Long, Array[Long], Array[Long])]
-      .mapPartitions { it =>
-        it.flatMap { case (da, db, ta, tb) =>
-          var i = 0; var j = 0; var inter = 0
-          while (i < ta.length && j < tb.length) {
-            if (ta(i) < tb(j)) i += 1
-            else if (ta(i) > tb(j)) j += 1
-            else { inter += 1; i += 1; j += 1 }
-          }
-          val jac = inter.toDouble / (ta.length + tb.length - inter)
-          // HALF_UP to match Spark round() and the DuckDB oracle
-          val r = BigDecimal(jac).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-          if (r >= threshold) Some((da, db, r)) else None
+      // dedicated iterator class — see PairIterator's megamorphism note
+      .mapPartitions(rows => new JaccardIterator(rows, threshold))
+      .toDF("doc_a", "doc_b", "jaccard")
+  }
+
+  /** Sorted two-pointer intersect + threshold filter, lazily. */
+  private final class JaccardIterator(
+      rows: Iterator[(Long, Long, Array[Long], Array[Long])], threshold: Double)
+      extends scala.collection.AbstractIterator[(Long, Long, Double)] {
+    private var nextA = 0L
+    private var nextB = 0L
+    private var nextJ = 0.0
+    private var ready = false
+    advance()
+    private def advance(): Unit = {
+      ready = false
+      while (!ready && rows.hasNext) {
+        val (da, db, ta, tb) = rows.next()
+        var i = 0; var j = 0; var inter = 0
+        while (i < ta.length && j < tb.length) {
+          if (ta(i) < tb(j)) i += 1
+          else if (ta(i) > tb(j)) j += 1
+          else { inter += 1; i += 1; j += 1 }
         }
-      }.toDF("doc_a", "doc_b", "jaccard")
+        val jac = inter.toDouble / (ta.length + tb.length - inter)
+        // HALF_UP to match Spark round() and the DuckDB oracle
+        val r = BigDecimal(jac).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        if (r >= threshold) { nextA = da; nextB = db; nextJ = r; ready = true }
+      }
+    }
+    override def hasNext: Boolean = ready
+    override def next(): (Long, Long, Double) = {
+      val out = (nextA, nextB, nextJ)
+      advance()
+      out
+    }
   }
 }

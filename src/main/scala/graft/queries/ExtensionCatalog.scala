@@ -25,9 +25,13 @@ object ExtensionCatalog {
   val ddMinhashSig: Q = (s, d) =>
     Dedup.minHashSignatures(Tables.documents(s, d), "text", "doc_id", k = 16)
 
-  /** MinHash-LSH candidate pairs (4 bands × 4 rows). */
+  /** MinHash-LSH candidate pairs (4 bands × 8 rows: collision
+    * probability J^8 per band targets true near-dups; looser banding
+    * on a corpus where every pair is mid-similar just enumerates the
+    * quadratic bulk). */
   val ddMinhashLsh: Q = (s, d) =>
-    Dedup.minHashLsh(Tables.documents(s, d), "text", "doc_id")
+    Dedup.minHashLsh(Tables.documents(s, d), "text", "doc_id",
+      bands = 4, rowsPerBand = 8)
 
   /** SimHash 32-bit signatures per document. */
   val ddSimhash: Q = (s, d) =>

@@ -178,7 +178,7 @@ object Oracles {
     "dd_minhash_sig" ->
       s"WITH ${sigCte(16)} SELECT * FROM sig",
     "dd_minhash_lsh" ->
-      s"""WITH ${sigCte(16)}, ${bandsCte(4, 4)}
+      s"""WITH ${sigCte(32)}, ${bandsCte(4, 8)}
          |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
          |  AND a.doc_id < b.doc_id""".stripMargin,
