@@ -171,7 +171,12 @@ object Semantics {
   private val NegRe = ".*\\b(frown|sad|bad|no)\\b.*".r
 
   /** Kata-01 sentiment: POS / NEG / NEUTRAL by word-boundary regex
-    * (Chapter01_LinearStatelessAnalysis.java:175-182). */
+    * (Chapter01_LinearStatelessAnalysis.java:175-182). NOTE: this is a
+    * FULL-string match where '.' does not cross newlines — faithfully
+    * reproducing the reference's `String.matches`, which returns
+    * NEUTRAL for multiline text. The corpus-facing operator
+    * (StatelessOps.sentiment) deliberately uses find-semantics (rlike)
+    * instead; they differ on multiline inputs by design. */
   def sentiment(text: String): String = text match {
     case PosRe(_) => "POS"
     case NegRe(_) => "NEG"

@@ -40,22 +40,27 @@ object AsOfJoin {
     // timestamps (side 0 < side 1) so a right row at time t prices a
     // left row at the same t — matching the reference's "state written
     // before flatMap1 reads it" semantics.
+    // Carried values travel inside ONE struct that is null exactly on
+    // left rows: last(..., ignoreNulls) must skip left placeholders but
+    // NOT a matched right row whose value happens to be NULL (raw-value
+    // carry would silently fall back to an older right row there).
     val l = left.withColumn("__side", lit(1))
       .withColumn("__t", col(leftTime))
-      .select((leftCols.map(col) :+ col("__side") :+ col("__t")) ++
-        valueCols.map { case (c, o) =>
-          lit(null).cast(right.schema(c).dataType).as(s"__v_$o") }: _*)
+      .select(leftCols.map(col) :+ col("__side") :+ col("__t") :+
+        lit(null).cast(org.apache.spark.sql.types.StructType(
+          valueCols.map { case (c, o) =>
+            org.apache.spark.sql.types.StructField(o, right.schema(c).dataType) }
+        )).as("__vpack"): _*)
     val r = right.select((leftCols.map(c =>
         if (c == key) col(key) else lit(null).cast(left.schema(c).dataType).as(c)) :+
-        lit(0).as("__side") :+ col(rightTime).as("__t")) ++
-        valueCols.map { case (c, o) => col(c).as(s"__v_$o") }: _*)
+        lit(0).as("__side") :+ col(rightTime).as("__t")) :+
+        struct(valueCols.map { case (c, o) => col(c).as(o) }: _*).as("__vpack"): _*)
     val w = Window.partitionBy(col(key)).orderBy(col("__t"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = l.unionByName(r)
-      .select(col("*") +: valueCols.map { case (_, o) =>
-        last(col(s"__v_$o"), ignoreNulls = true).over(w).as(s"__c_$o") }: _*)
+      .withColumn("__c", last(col("__vpack"), ignoreNulls = true).over(w))
     carried.filter(col("__side") === 1)
       .select(leftCols.map(col) ++ valueCols.map { case (_, o) =>
-        col(s"__c_$o").as(o) }: _*)
+        col(s"__c.$o").as(o) }: _*)
   }
 }

@@ -30,11 +30,12 @@ object Dedup {
       .select(col("survivor_id"), col("n_copies"))
 
   /** Distinct-token shingle set per doc with mod-2^31 hashes — the
-    * shared front end of MinHash and Jaccard. */
+    * shared front end of MinHash and Jaccard. Tokenizer is THE single
+    * definition in StatelessOps.explodeTokens (oracle parity for every
+    * dedup and text-analysis query depends on one tokenizer per engine). */
   private def tokenHashes(docs: DataFrame, textCol: String, idCol: String): DataFrame =
     docs.select(col(idCol).as("doc_id"),
-        explode(split(trim(regexp_replace(regexp_replace(lower(col(textCol)),
-          "[^a-z \\n]+", ""), "\\s+", " ")), " ")).as("tok"))
+        StatelessOps.explodeTokens(col(textCol)).as("tok"))
       .filter(length(col("tok")) > 0)
       .select(col("doc_id"), Hashing.md5Mod31(col("tok")).as("h"))
       .distinct()

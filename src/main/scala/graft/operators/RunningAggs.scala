@@ -34,30 +34,12 @@ object RunningAggs {
   /** Group-total product (same identity, whole-group frame). */
   def groupProduct(factor: Column): Column = exp(sum(log(factor)))
 
-  /** A4 — EMA recurrence as a typed Aggregator over (orderKey, value)
-    * pairs pre-sorted per group. The fold order matches the reference
-    * exactly (Chapter04_WorkingWithState.java:168-178) so kata goldens
-    * are bitwise-equal. Input rows MUST arrive time-ordered within the
-    * group — callers sort inside mapGroups (see emaPerKey). */
-  final class EmaAggregator(alpha: Double) extends Aggregator[Double, Option[Double], Double] {
-    def zero: Option[Double] = None
-    def reduce(b: Option[Double], x: Double): Option[Double] = Some(Semantics.emaStep(b, x, alpha))
-    // EMA is not parallel-mergeable; merge only ever sees one non-empty
-    // side because callers aggregate within an already-grouped iterator.
-    def merge(a: Option[Double], b: Option[Double]): Option[Double] = (a, b) match {
-      case (Some(_), Some(_)) =>
-        throw new IllegalStateException("EMA cannot merge two partial folds — sort-group first")
-      case _ => a.orElse(b)
-    }
-    def finish(r: Option[Double]): Double = r.getOrElse(Double.NaN)
-    def bufferEncoder: Encoder[Option[Double]] = Encoders.product[Tuple1[Option[Double]]]
-      .asInstanceOf[Encoder[Option[Double]]] // not used on the mapGroups path
-    def outputEncoder: Encoder[Double] = Encoders.scalaDouble
-  }
-
   /** A4 — final EMA per key over time-ordered values: shuffles once on
     * the key, sorts within each group, folds sequentially. Scales as a
-    * single hash-partitioned pass (no driver collection). */
+    * single hash-partitioned pass (no driver collection). An
+    * Aggregator form is deliberately NOT provided: EMA partials cannot
+    * merge, so Spark's partial-aggregation contract cannot be honored
+    * — the sort-group fold here is the correct shape. */
   def emaPerKey[K: Encoder](ds: Dataset[(K, Long, Double)], alpha: Double = 0.1)(
       implicit tupleEnc: Encoder[(K, Double)]): Dataset[(K, Double)] =
     ds.groupByKey(_._1).mapGroups { (k, it) =>

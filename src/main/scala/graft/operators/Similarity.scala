@@ -24,20 +24,28 @@ object Similarity {
   def cosine(a: String, b: String) =
     graft.functions.CosineSimilarity.cosine(col(a), col(b))
 
-  /** Brute-force top-k: for each query vector, cosine against the full
-    * corpus, keep the k nearest. The query side is broadcast (small by
-    * construction); the corpus is scanned exactly once. */
-  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val q = broadcast(queries.select(col("vec_id").as("query_id"),
-      col("embedding").as("q_emb")))
-    val scored = corpus.select(col("vec_id"), col("embedding")).crossJoin(q)
-      .filter(col("vec_id") =!= col("query_id"))
+  /** Shared tail: score candidate (query_id, vec_id) pairs, rank on the
+    * ROUNDED cosine with an id tiebreak (both engines rank the same
+    * rounded value — fp ties cannot diverge), keep top-k. One
+    * definition so the rounding/tiebreak contract with the oracle
+    * cannot drift between the ANN variants. */
+  private def scoreTopK(pairs: DataFrame, k: Int): DataFrame = {
+    val scored = pairs.filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         round(cosine("q_emb", "embedding"), 6).as("cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
       .select(col("query_id"), col("vec_id"), col("cos"), col("rk"))
+  }
+
+  /** Brute-force top-k: for each query vector, cosine against the full
+    * corpus, keep the k nearest. The query side is broadcast (small by
+    * construction); the corpus is scanned exactly once. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb")))
+    scoreTopK(corpus.select(col("vec_id"), col("embedding")).crossJoin(q), k)
   }
 
   /** Sign-LSH bucket id from the first `nBits` embedding dimensions
@@ -57,13 +65,6 @@ object Similarity {
     val q = broadcast(queries.select(col("vec_id").as("query_id"),
       col("embedding").as("q_emb"),
       signBucket("embedding", nBits).as("bucket")))
-    val scored = c.join(q, "bucket")
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"),
-        round(cosine("q_emb", "embedding"), 6).as("cos"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("vec_id"))
-    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
-      .select(col("query_id"), col("vec_id"), col("cos"), col("rk"))
+    scoreTopK(c.join(q, "bucket"), k)
   }
 }

@@ -21,6 +21,12 @@ object SkewTools {
     * row keeps one salt". */
   def saltedJoin(large: DataFrame, small: DataFrame, key: String,
                  salts: Int, joinType: String = "inner"): DataFrame = {
+    // Outer-on-the-small-side joins are NOT salt-equivalent: an
+    // unmatched small key would emit one null-extended row per salt
+    // replica instead of one.
+    require(Set("inner", "left", "left_outer", "leftouter", "left_semi",
+      "leftsemi").contains(joinType.toLowerCase.replace("_", "")),
+      s"saltedJoin supports inner/left joins only, got $joinType")
     val l = large.withColumn("__salt",
       pmod(hash(monotonically_increasing_id()), lit(salts)))
     val s = small.withColumn("__salt",

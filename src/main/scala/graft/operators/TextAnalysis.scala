@@ -70,8 +70,7 @@ object TextAnalysis {
     * DuckDB oracle. */
   def fingerprint(df: DataFrame, textCol: String, idCol: String): DataFrame =
     df.select(col(idCol).as("doc_id"),
-        explode(split(trim(regexp_replace(regexp_replace(lower(col(textCol)),
-          "[^a-z \\n]+", ""), "\\s+", " ")), " ")).as("tok"))
+        StatelessOps.explodeTokens(col(textCol)).as("tok"))
       .filter(length(col("tok")) > 0)
       .groupBy(col("doc_id"))
       .agg((sum(Hashing.md5Mod31(col("tok"))) % lit(2147483647L)).as("fingerprint"),

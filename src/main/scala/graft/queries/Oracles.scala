@@ -256,10 +256,12 @@ object Oracles {
          |SELECT doc_id, CAST(sum(h) % 2147483647 AS BIGINT) AS fingerprint,
          |  count(*) AS n_tokens FROM toks GROUP BY doc_id""".stripMargin,
     "mm_decode_meta" ->
-      """SELECT doc_id, CAST(length(text) AS BIGINT) AS byte_len,
-        |  CAST(length(text) % 1024 AS BIGINT) AS width,
-        |  CAST((length(text) // 1024) % 1024 AS BIGINT) AS height,
-        |  CASE WHEN length(text) % 2 = 0 THEN 'png' ELSE 'jpg' END AS format
+      // strlen = BYTE length (the stub measures UTF-8 payload bytes);
+      // length() counts characters and diverges on non-ASCII text.
+      """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS byte_len,
+        |  CAST(strlen(text) % 1024 AS BIGINT) AS width,
+        |  CAST((strlen(text) // 1024) % 1024 AS BIGINT) AS height,
+        |  CASE WHEN strlen(text) % 2 = 0 THEN 'png' ELSE 'jpg' END AS format
         |FROM documents""".stripMargin
   )
 }

@@ -56,8 +56,11 @@ object Katas {
       (player, inv.time, inv.txnId, inv.invested)
     }.toDF("player", "time", "txnId", "invested")
     val wm = if (df.isStreaming) df.withWatermark("time", watermarkDelay) else df
+    // min_by, not first(): first() is arrival-order-nondeterministic
+    // across partitions; the reference keeps the EARLIEST txnId.
     wm.groupBy(window(col("time"), "100 milliseconds"), col("player"))
-      .agg(sum(col("invested")).as("invested"), first(col("txnId")).as("txnId"))
+      .agg(sum(col("invested")).as("invested"),
+        min_by(col("txnId"), col("time")).as("txnId"))
       .select(col("player"), col("invested"), col("txnId"))
   }
 
