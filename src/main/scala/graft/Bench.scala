@@ -17,6 +17,9 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // floor AQE coalescing at the core count: it sizes partitions by
+      // shuffle INPUT bytes and otherwise serializes explosive joins
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionNum", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -13,6 +13,9 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       // events.parquet carries INT64 TIMESTAMP(NANOS) — see graft.Tables.events
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // floor AQE coalescing at the core count: it sizes partitions by
+      // shuffle INPUT bytes and otherwise serializes explosive joins
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionNum", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
