@@ -30,4 +30,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // threads shuffling millions of rows thrash an 8g heap (measured GC
   // spikes up to 438 s); the box has 128 GiB.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  // One long-lived JVM runs 43 queries' worth of Janino-generated
+  // classes (and Bench/Explain re-run them): the default 240 MB code
+  // cache fills, the JIT silently stops compiling, and identical
+  // reruns inflate 5-10x CPU (measured: the same tokenize stage 32 s
+  // -> 134 s task time on run 2). Size the cache for codegen churn.
+  "-XX:ReservedCodeCacheSize=1g",
+  "-XX:+UseCodeCacheFlushing",
 )

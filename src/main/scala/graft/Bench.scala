@@ -20,6 +20,10 @@ object Bench {
       // floor AQE coalescing at the core count: it sizes partitions by
       // shuffle INPUT bytes and otherwise serializes explosive joins
       .config("spark.sql.adaptive.coalescePartitions.minPartitionNum", cpus)
+      // minPartitionNum is inert in Spark 4 (parallelismFirst honors
+      // only minPartitionSize): a ~1 MB shuffle feeding a CPU-heavy
+      // stage still coalesced to ONE task. Small floor = real floor.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -32,21 +36,30 @@ object Bench {
     // best-of-2 per query: the box is co-tenant (load swings 1-5 from
     // outside) and a single shot can land 5-10x off; the minimum of two
     // runs is the honest throughput of the plan itself.
+    val failed = scala.collection.mutable.LinkedHashSet[String]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // a failed query reports the -1.0 sentinel, joins "failed", and
+      // fails the run — a regression must not bench as "fast"
       def once(): Double = {
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: $e")
+          failed += name
+          -1.0
         }
-        (System.nanoTime() - t0) / 1e9
       }
-      name -> math.min(once(), once())
+      val first = once()
+      name -> (if (first < 0) first else math.min(first, once()))
     }
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

@@ -16,10 +16,20 @@ object Verify {
       // floor AQE coalescing at the core count: it sizes partitions by
       // shuffle INPUT bytes and otherwise serializes explosive joins
       .config("spark.sql.adaptive.coalescePartitions.minPartitionNum", cpus)
+      // Spark 4: parallelismFirst honors only minPartitionSize; see Bench
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // ts-parity note (checked 2026-08-12): events.ts carries REAL
+    // sub-microsecond precision (max ts%1000 = 999 raw ns), yet every
+    // ts query stays parity-safe because BOTH engines truncate ns→µs —
+    // Spark via Tables.events' timestamp_micros(ts div 1000), DuckDB
+    // 1.x by reading parquet timestamp[ns] as its µs TIMESTAMP. A
+    // DuckDB upgrade that starts preserving TIMESTAMP_NS would change
+    // ts ordering/grouping in the oracle only — the check_oracle
+    // compare itself is the guard that would catch it.
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

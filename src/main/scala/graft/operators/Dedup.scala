@@ -33,12 +33,23 @@ object Dedup {
     * shared front end of MinHash and Jaccard. Tokenizer is THE single
     * definition in StatelessOps.explodeTokens (oracle parity for every
     * dedup and text-analysis query depends on one tokenizer per engine). */
-  private def tokenHashes(docs: DataFrame, textCol: String, idCol: String): DataFrame =
-    docs.select(col(idCol).as("doc_id"),
-        StatelessOps.explodeTokens(col(textCol)).as("tok"))
+  private def tokenHashes(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    // Tokenize parallelism = scan parallelism, and a small corpus in a
+    // single parquet row group scans as ONE task (measured: the whole
+    // sf0.1 tokenize serialized into one 11-60 s task). When the input
+    // has fewer partitions than the session's parallelism, spread the
+    // narrow (id, text) projection first; when the scan is already
+    // parallel (the 100 TB case — thousands of files/row groups) skip
+    // the extra text shuffle entirely.
+    val n = docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val slim = docs.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
+    val spread = if (slim.rdd.getNumPartitions < n) slim.repartition(n) else slim
+    spread.select(col("doc_id"),
+        StatelessOps.explodeTokens(col("__text")).as("tok"))
       .filter(length(col("tok")) > 0)
       .select(col("doc_id"), Hashing.md5Mod31(col("tok")).as("h"))
       .distinct()
+  }
 
   /** MinHash signature: k affine permutations, min over the token set
     * (one aggregation, k columns wide). The affine re-hashes are
@@ -57,21 +68,27 @@ object Dedup {
 
   /** MinHash + LSH banding: docs sharing all rows of any band become a
     * candidate pair (a < b). bands × rowsPerBand = k. Pair generation
-    * is a self-join on the band bucket — bounded by bucket size, never
-    * all-pairs. */
+    * is per band bucket — bounded by `maxBucket`, never all-pairs.
+    *
+    * Hot-bucket contract (the one real 100 TB killer otherwise): a
+    * degenerate bucket — a template document duplicated millions of
+    * times — must not become one task holding the whole id array and
+    * emitting |bucket|² pairs. Buckets larger than `maxBucket` are
+    * salted into ceil(size/maxBucket) shards by a secondary hash of
+    * the doc id, and pairs form only within a shard:
+    *  - per-group memory is O(maxBucket), per-bucket emission is
+    *    O(maxBucket × |bucket|) — linear in bucket size, not quadratic;
+    *  - RECALL CONTRACT: buckets ≤ maxBucket (every bucket at the
+    *    verified scales: max observed 191 @sf0.01, 1732 @sf0.1) are
+    *    exact. Above the cap, cross-shard pairs of the pathological
+    *    bucket are dropped by design; its members still cluster into
+    *    ≤ ceil(size/maxBucket) near-dup groups, so a downstream
+    *    survivor pass keeps at most that many copies instead of one. */
   def minHashLsh(docs: DataFrame, textCol: String, idCol: String,
-                 bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
+                 bands: Int = 4, rowsPerBand: Int = 4,
+                 maxBucket: Int = 2048): DataFrame = {
     val k = bands * rowsPerBand
     val sigs = minHashSignatures(docs, textCol, idCol, k)
-    // One row per (doc, band) via posexplode of a precomputed bucket
-    // array — NOT a bands-way union: Spark does not dedupe common
-    // subplans, so a union would re-execute the whole signature
-    // pipeline (scan+tokenize+hash+agg) once per band. At 100 TB that
-    // is bands× the scan; as one explode it is a single pass.
-    val bucketArr = array((0 until bands).map { b =>
-      concat_ws("_",
-        (b * rowsPerBand until (b + 1) * rowsPerBand).map(j => col(s"mh$j")): _*)
-    }: _*)
     // Pair generation is a per-bucket Scala kernel, NOT a self-join:
     // the fused codegen for posexplode+join+filter+distinct exceeded
     // the JIT's method limit and ran permanently interpreted (1330 s
@@ -81,21 +98,65 @@ object Dedup {
     // loop, and generates each candidate pair exactly once per band.
     val spark = docs.sparkSession
     import spark.implicits._
-    val bandBuckets = sigs
-      .select(col("doc_id"), posexplode(bucketArr).as(Seq("band", "bucket")))
+    val banded = sigs.select(col("doc_id"),
+      posexplode(bucketArray(bands, rowsPerBand)).as(Seq("band", "bucket")))
     val n = docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    bandBuckets
-      .groupBy(col("band"), col("bucket"))
-      .agg(collect_list(col("doc_id")).as("ids"))
+    saltedBucketGroups(banded, col("doc_id"), maxBucket)
       // AQE coalesces this small aggregate to ~1 partition; the pair
       // emission below is the expensive part, so rebalance first.
-      .select(col("ids")).repartition(n).as[Seq[Long]]
+      .repartition(n).as[Seq[Long]]
       // Dedicated iterator class, not Iterator.flatMap chains: the
       // shared combinator call sites go megamorphic in a long-lived
       // session (43 bench queries in one JVM) and the kernel
       // deoptimizes 5-10x. Own class = monomorphic = stays JIT'd.
       .mapPartitions(groups => new PairIterator(groups))
       .toDF("doc_a", "doc_b").distinct()
+  }
+
+  /** One bucket string per band from the `mh*` signature columns.
+    * Used via ONE posexplode — NOT a bands-way union: Spark does not
+    * dedupe common subplans, so a union would re-execute the whole
+    * signature pipeline (scan+tokenize+hash+agg) once per band. At
+    * 100 TB that is bands× the scan; as one explode it is one pass. */
+  private def bucketArray(bands: Int, rowsPerBand: Int) =
+    array((0 until bands).map { b =>
+      concat_ws("_",
+        (b * rowsPerBand until (b + 1) * rowsPerBand).map(j => col(s"mh$j")): _*)
+    }: _*)
+
+  /** Groups a banded frame (band, bucket, payload…) into per-shard
+    * member lists bounded by `maxBucket` (the hot-bucket salt — see
+    * [[minHashLsh]]'s recall contract). Bucket size comes from a
+    * window over the banded rows — NOT a count+join-back, which would
+    * re-execute the whole upstream pipeline a second time (Spark does
+    * not dedupe common subplans; at 100 TB that subtree dominates).
+    * The groupBy reuses the window's (band,bucket) clustering — a
+    * subset of its keys — so no second shuffle, and singleton buckets
+    * are dropped before any list is built. */
+  private def saltedBucketGroups(banded: DataFrame, payload: org.apache.spark.sql.Column,
+                                 maxBucket: Int): DataFrame =
+    banded
+      .withColumn("bsize",
+        count(lit(1)).over(Window.partitionBy(col("band"), col("bucket"))))
+      .filter(col("bsize") >= 2)
+      .withColumn("shard",
+        pmod(xxhash64(col("doc_id")), ceil(col("bsize") / lit(maxBucket))))
+      .groupBy(col("band"), col("bucket"), col("shard"))
+      .agg(collect_list(payload).as("members"))
+      .select(col("members"))
+
+  /** HALF_UP at 6 decimals, parity-exact with Spark round() and the
+    * DuckDB oracle. The BigDecimal path (Double.toString + parse — a
+    * measured per-pair hotspot at ~µs/call) runs ONLY inside the tiny
+    * band around a .5 boundary where double error could flip the
+    * decision; everything else takes the two-flop floor path. */
+  private[operators] def round6(v: Double): Double = {
+    val scaled = v * 1e6
+    val frac = scaled - math.floor(scaled)
+    if (math.abs(frac - 0.5) > 1e-6)
+      math.floor(scaled + 0.5) / 1e6
+    else
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
   }
 
   /** Emits all sorted id pairs (a < b) of each group, lazily. */
@@ -158,63 +219,110 @@ object Dedup {
     * two bounded arrays per pair. Emits pairs with
     * similarity >= threshold. */
   def ngramJaccard(docs: DataFrame, textCol: String, idCol: String,
-                   threshold: Double, bands: Int = 4, rowsPerBand: Int = 8): DataFrame = {
+                   threshold: Double, bands: Int = 4, rowsPerBand: Int = 8,
+                   maxBucket: Int = 2048): DataFrame = {
     // Longer bands (r=8) than the generic LSH: candidate probability
     // J^r per band keeps the pair set near the true >= threshold set
     // instead of admitting the quadratic mid-similarity bulk.
-    // Explicit rebalance of the candidate pairs: the band self-join's
-    // input shuffle is tiny (signatures only), so AQE coalesces it to
-    // ~1 partition — and the pair EXPLOSION plus every array intersect
-    // then runs in a single task (measured: 1 task × 17 s CPU with 31
-    // idle cores). Round-robin repartition spreads pairs before the
-    // expensive per-pair work; the token-array side is small and
-    // auto-broadcasts, keeping the intersects map-side parallel.
-    val n = docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    val cands = minHashLsh(docs, textCol, idCol, bands, rowsPerBand).repartition(n)
-    val arrs = tokenHashes(docs, textCol, idCol)
-      .groupBy(col("doc_id"))
-      .agg(sort_array(collect_set(col("h"))).as("toks"))
-    val a = arrs.select(col("doc_id").as("doc_a"), col("toks").as("toks_a"))
-    val b = arrs.select(col("doc_id").as("doc_b"), col("toks").as("toks_b"))
-    // The per-pair intersect runs as a compact Scala kernel (sorted
-    // two-pointer merge, no allocation) instead of codegen'd
-    // array_intersect: the fused whole-stage method for
-    // joins+intersect+filter was too large to JIT, so the FIRST
-    // execution ran interpreted — 4860 s task time / 438 s GC vs 13 s
-    // once hot. Small methods JIT immediately: stable ~8 s cold.
+    //
+    // The exact intersects run INSIDE the salted bucket kernel: each
+    // doc's sorted token-hash set rides along into its (band, bucket,
+    // shard) group and every in-group pair is intersected on the spot.
+    // The previous shape — materialize candidate pairs, then join the
+    // token arrays back on both sides — spent ~100 µs/pair in SMJ
+    // sorts, row copies and per-pair array deserialization (379 s CPU
+    // at sf0.1) around a ~60 ns two-pointer merge. Group-locally each
+    // doc's array is deserialized once per band, there is no join at
+    // all, and the only wide shuffle is the banded token sets
+    // (bands × one fixed-width hash set per doc). A pair colliding in
+    // several bands is intersected once per band — duplicate kernel
+    // work that is ~3 orders of magnitude cheaper than the join it
+    // replaces — and collapsed by the final distinct on the identical
+    // (a, b, jaccard) triple.
+    //
+    // One aggregation computes BOTH the minhash signature (banding)
+    // and the exact token set (jaccard) from a single tokenize pass —
+    // a separate minHashLsh + token-array subtree would tokenize the
+    // corpus twice (no common-subplan dedup).
+    val k = bands * rowsPerBand
     val spark = docs.sparkSession
     import spark.implicits._
-    cands.join(a, "doc_a").join(b, "doc_b")
-      .select(col("doc_a"), col("doc_b"), col("toks_a"), col("toks_b"))
-      .as[(Long, Long, Array[Long], Array[Long])]
+    val n = docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val sigsWithToks = tokenHashes(docs, textCol, idCol)
+      .select(col("doc_id") +: col("h") +:
+        (0 until k).map(j => Hashing.affine(col("h"), j).as(s"a$j")): _*)
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("h"))).as("toks"),
+        (0 until k).map(j => min(col(s"a$j")).as(s"mh$j")): _*)
+    val banded = sigsWithToks.select(col("doc_id"), col("toks"),
+      posexplode(bucketArray(bands, rowsPerBand)).as(Seq("band", "bucket")))
+    // tuple-encoder field names: the struct must expose _1/_2
+    saltedBucketGroups(banded,
+      struct(col("doc_id").as("_1"), col("toks").as("_2")), maxBucket)
+      .repartition(n)
+      .as[Seq[(Long, Seq[Long])]]
       // dedicated iterator class — see PairIterator's megamorphism note
-      .mapPartitions(rows => new JaccardIterator(rows, threshold))
-      .toDF("doc_a", "doc_b", "jaccard")
+      .mapPartitions(groups => new GroupJaccardIterator(groups, threshold))
+      .toDF("doc_a", "doc_b", "jaccard").distinct()
   }
 
-  /** Sorted two-pointer intersect + threshold filter, lazily. */
-  private final class JaccardIterator(
-      rows: Iterator[(Long, Long, Array[Long], Array[Long])], threshold: Double)
+  /** Per-group all-pairs sorted two-pointer intersect + threshold
+    * filter, lazily. Group size is bounded by the LSH salt
+    * (`maxBucket`), so the materialized arrays are O(maxBucket × set). */
+  private final class GroupJaccardIterator(
+      groups: Iterator[Seq[(Long, Seq[Long])]], threshold: Double)
       extends scala.collection.AbstractIterator[(Long, Long, Double)] {
+    private var ids: Array[Long] = _
+    private var toks: Array[Array[Long]] = _
+    private var i = 0
+    private var j = 1
     private var nextA = 0L
     private var nextB = 0L
     private var nextJ = 0.0
     private var ready = false
     advance()
+    private def loadGroup(): Boolean = {
+      ids = null
+      while (ids == null && groups.hasNext) {
+        val g = groups.next()
+        if (g.length >= 2) {
+          val sorted = g.sortBy(_._1)
+          ids = new Array[Long](sorted.length)
+          toks = new Array[Array[Long]](sorted.length)
+          var m = 0
+          while (m < sorted.length) {
+            ids(m) = sorted(m)._1; toks(m) = sorted(m)._2.toArray; m += 1
+          }
+          i = 0; j = 1
+        }
+      }
+      ids != null
+    }
     private def advance(): Unit = {
       ready = false
-      while (!ready && rows.hasNext) {
-        val (da, db, ta, tb) = rows.next()
-        var i = 0; var j = 0; var inter = 0
-        while (i < ta.length && j < tb.length) {
-          if (ta(i) < tb(j)) i += 1
-          else if (ta(i) > tb(j)) j += 1
-          else { inter += 1; i += 1; j += 1 }
+      if (ids == null && !loadGroup()) return
+      while (!ready) {
+        if (j >= ids.length) {
+          i += 1; j = i + 1
+          if (j >= ids.length) { if (!loadGroup()) return }
+        } else {
+          val ta = toks(i); val tb = toks(j)
+          var x = 0; var y = 0; var inter = 0
+          while (x < ta.length && y < tb.length) {
+            if (ta(x) < tb(y)) x += 1
+            else if (ta(x) > tb(y)) y += 1
+            else { inter += 1; x += 1; y += 1 }
+          }
+          val jac = inter.toDouble / (ta.length + tb.length - inter)
+          // Below-threshold pairs (the bulk) are rejected unrounded:
+          // rounding can lift jac by at most 5e-7, so anything under
+          // threshold - 5e-7 can't pass. Survivors get exact HALF_UP.
+          if (jac >= threshold - 5e-7) {
+            val r = Dedup.round6(jac)
+            if (r >= threshold) { nextA = ids(i); nextB = ids(j); nextJ = r; ready = true }
+          }
+          j += 1
         }
-        val jac = inter.toDouble / (ta.length + tb.length - inter)
-        // HALF_UP to match Spark round() and the DuckDB oracle
-        val r = BigDecimal(jac).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-        if (r >= threshold) { nextA = da; nextB = db; nextJ = r; ready = true }
       }
     }
     override def hasNext: Boolean = ready

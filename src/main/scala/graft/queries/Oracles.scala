@@ -62,9 +62,15 @@ object Oracles {
         |    WHEN regexp_matches(text, '\b(slow|small|filter)\b') THEN 'NEG'
         |    ELSE 'NEUTRAL' END AS sentiment FROM documents)
         |WHERE sentiment <> 'NEUTRAL'""".stripMargin,
+    // DuckDB can't use a column as a lateral generate_series bound, so
+    // the series is fixed at 2000 with a loud error() guard: a corpus
+    // whose per-doc occurrence cap (length/4) exceeds it would
+    // otherwise silently diverge from Spark's unbounded explode.
     "p5_occurrences" ->
       """SELECT doc_id FROM documents, generate_series(1, 2000) g(i)
-        |WHERE i <= (length(text) - length(replace(text, 'join', ''))) // 4""".stripMargin,
+        |WHERE i <= (length(text) - length(replace(text, 'join', ''))) // 4
+        |  AND 1 = (SELECT CASE WHEN max(length(text)) // 4 <= 2000 THEN 1
+        |    ELSE error('p5 oracle: occurrence cap 2000 exceeded') END FROM documents)""".stripMargin,
     "p6_parse_props" ->
       "SELECT event_id, TRY_CAST(regexp_extract(props, '\"k\": ([0-9]+)', 1) AS BIGINT) AS k FROM events",
     "p8_global_agg" ->

@@ -20,6 +20,8 @@ object Explain {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.coalescePartitions.minPartitionNum",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      // Spark 4: parallelismFirst honors only minPartitionSize; see Bench
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
       .config("spark.ui.enabled", "false")
     // ad-hoc conf experiments: SPARK_GRAFT_EXTRA_CONF="k=v;k2=v2"
     sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(";").foreach { kv =>
@@ -39,12 +41,17 @@ object Explain {
           si.name.takeWhile(_ != '\n').take(60))
       }
     })
-    val df = SparkEntry.queries(name)(spark, sfDir)
-    df.explain("formatted")
-    (1 to runs).foreach { i =>
-      val t0 = System.nanoTime()
-      df.write.format("noop").mode("overwrite").save()
-      println(f"[explain] $name run $i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+    // comma-separated names run as a sequence (JVM cross-query effects:
+    // a megamorphic kernel in one query can deoptimize the next)
+    val names = name.split(",").toSeq
+    names.foreach { nm =>
+      val df = SparkEntry.queries(nm)(spark, sfDir)
+      if (names.length == 1) df.explain("formatted")
+      (1 to runs).foreach { i =>
+        val t0 = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+        println(f"[explain] $nm run $i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      }
     }
     spark.stop()
   }

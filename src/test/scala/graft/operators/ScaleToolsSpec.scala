@@ -27,6 +27,32 @@ class ScaleToolsSpec extends SparkSpec {
     assert(p.toSeq == s.toSeq && p.nonEmpty)
   }
 
+  test("LSH hot bucket is salted: 1e5 copies of one doc complete with bounded shards") {
+    // Degenerate corpus: every doc identical -> all 1e5 ids land in ONE
+    // LSH bucket per band. Pre-fix this was one task holding the whole
+    // id array and emitting |bucket|^2 = 5e9 pairs. With maxBucket=16
+    // the bucket salts into ceil(1e5/16)=6250 shards; emission is
+    // within-shard only (documented recall contract) and every
+    // collect_list group stays O(maxBucket).
+    val nDocs = 100000L
+    val cap = 16
+    val docs = spark.range(nDocs).select(col("id").as("doc_id"),
+      lit("alpha bravo charlie delta echo foxtrot golf hotel").as("text"))
+    val pairs = Dedup.minHashLsh(docs, "text", "doc_id",
+      bands = 2, rowsPerBand = 2, maxBucket = cap)
+    val nShards = math.ceil(nDocs.toDouble / cap).toLong
+    val shardOf = (c: org.apache.spark.sql.Column) => pmod(xxhash64(c), lit(nShards))
+    // independent replica of the shard split: expected pair count and
+    // the bound on any one collect_list group
+    val shardSizes = spark.range(nDocs).groupBy(shardOf(col("id")).as("shard"))
+      .count().collect().map(_.getLong(1))
+    val expectedPairs = shardSizes.map(n => n * (n - 1) / 2).sum
+    assert(shardSizes.max < 4L * cap, s"shard skew too high: ${shardSizes.max}")
+    assert(pairs.count() == expectedPairs)
+    // every emitted pair is within one shard (the recall contract)
+    assert(pairs.filter(shardOf(col("doc_a")) =!= shardOf(col("doc_b"))).count() == 0)
+  }
+
   test("hotKeys surfaces the heaviest join keys") {
     val hot = SkewTools.hotKeys(
       graft.Tables.lineitem(spark, "/root/testdata/sf0.001"), "l_suppkey", 5)
