@@ -34,17 +34,24 @@ object RunningAggs {
   /** Group-total product (same identity, whole-group frame). */
   def groupProduct(factor: Column): Column = exp(sum(log(factor)))
 
-  /** A4 — final EMA per key over time-ordered values: shuffles once on
-    * the key, sorts within each group, folds sequentially. Scales as a
-    * single hash-partitioned pass (no driver collection). An
-    * Aggregator form is deliberately NOT provided: EMA partials cannot
-    * merge, so Spark's partial-aggregation contract cannot be honored
-    * — the sort-group fold here is the correct shape. */
+  /** A4 — final EMA per key over time-ordered values: repartition on
+    * the key, external-sort within partitions by (key, ts, value),
+    * stream the fold, emit once per key at the group boundary. Scales
+    * as a single hash-partitioned pass with NO per-key buffer (the
+    * earlier mapGroups form held each key's history in a heap Vector).
+    * An Aggregator form is deliberately NOT provided: EMA partials
+    * cannot merge, so Spark's partial-aggregation contract cannot be
+    * honored — the sort-fold here is the correct shape. */
   def emaPerKey[K: Encoder](ds: Dataset[(K, Long, Double)], alpha: Double = 0.1)(
-      implicit tupleEnc: Encoder[(K, Double)]): Dataset[(K, Double)] =
-    ds.groupByKey(_._1).mapGroups { (k, it) =>
-      val ema = it.toVector.sortBy(r => (r._2, r._3)).map(_._3)
-        .foldLeft(Option.empty[Double])((b, x) => Some(Semantics.emaStep(b, x, alpha)))
-      (k, ema.getOrElse(Double.NaN))
-    }
+      implicit tupleEnc: Encoder[(K, Double)]): Dataset[(K, Double)] = {
+    // normalize column names: a typed Dataset built from named columns
+    // keeps those names, so sort columns are pinned via toDF
+    val sorted = ds.toDF("_1", "_2", "_3").as[(K, Long, Double)](ds.encoder)
+      .repartition(col("_1"))
+      .sortWithinPartitions(col("_1"), col("_2"), col("_3"))
+    SecondarySort.keyedFoldFlush(sorted)(_._1, () => Option.empty[Double],
+      (s: Option[Double], row: (K, Long, Double)) =>
+        (Some(Semantics.emaStep(s, row._3, alpha)): Option[Double], Seq.empty[(K, Double)]),
+      (k: K, s: Option[Double]) => Seq(k -> s.getOrElse(Double.NaN)))
+  }
 }

@@ -94,6 +94,18 @@ object Oracles {
     "a2_running_sum" ->
       """SELECT event_id, round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running FROM events""".stripMargin,
+    // Order-sensitive seeded EMA fold (first value seeds, then
+    // ema = 0.1*x + 0.9*ema): expressible since DuckDB 1.0 via
+    // list_reduce over a time-ordered list — the reduce seeds with the
+    // first element, exactly the reference recurrence
+    // (Chapter04_WorkingWithState.java:168-178). 0.9 is written as a
+    // literal because 1.0-0.1 == 0.9 in IEEE doubles (Semantics.emaStep
+    // computes alpha complements the same way). Tie-break inside one
+    // millisecond is by value in BOTH engines.
+    "a4_ema_final" ->
+      """SELECT user_id, round(list_reduce(list(value ORDER BY epoch_ms(ts), value),
+        |  (acc, x) -> 0.1 * x + 0.9 * acc), 6) AS ema
+        |FROM events GROUP BY user_id""".stripMargin,
     "a5_group_product" ->
       "SELECT l_orderkey, round(exp(sum(ln(1.0 + l_discount))), 4) AS disc_product FROM lineitem GROUP BY 1",
     "a6_max_per_key" ->

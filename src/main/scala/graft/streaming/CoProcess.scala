@@ -67,13 +67,25 @@ object CoProcess {
           out.iterator
       }
 
-  /** Batch twin: same replay over a static Dataset, one pass per key. */
+  /** Batch twin: the same per-event transitions, but as a secondary
+    * sort — repartition on the key, sort within partitions by
+    * (key, time, side) with the right/"state" side first at equal
+    * timestamps (matching replay()'s order), then ONE streaming fold.
+    * No per-key buffer: a hot key's history rides Spark's external
+    * sort instead of a heap Vector (see graft.operators.SecondarySort). */
   def coFlatMapBatch[L, R, S, O](tagged: Dataset[Tagged[L, R]], init: S,
                                  onLeft: (S, Timestamp, L) => (S, Seq[O]),
                                  onRight: (S, Timestamp, R) => (S, Seq[O]))(
-      implicit oe: Encoder[O], ke: Encoder[String]): Dataset[O] =
-    tagged.groupByKey(_.key).flatMapGroups {
-      (_: String, it: Iterator[Tagged[L, R]]) =>
-        replay(it.toSeq, init, onLeft, onRight)._2.iterator
-    }
+      implicit oe: Encoder[O], ke: Encoder[String]): Dataset[O] = {
+    import org.apache.spark.sql.functions.col
+    val sorted = tagged
+      .repartition(col("key"))
+      .sortWithinPartitions(col("key"), col("time"), col("left").isNotNull)
+    graft.operators.SecondarySort.keyedFold(sorted)(_.key, () => init,
+      (s: S, row: Tagged[L, R]) => row match {
+        case Tagged(_, t, Some(l), _) => onLeft(s, t, l)
+        case Tagged(_, t, _, Some(r)) => onRight(s, t, r)
+        case _                        => (s, Seq.empty)
+      })
+  }
 }

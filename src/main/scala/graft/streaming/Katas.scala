@@ -82,14 +82,17 @@ object Katas {
             ema.foreach(gs.update)
             out.iterator
         }
-    else
-      prices.groupByKey(_._1).flatMapGroups {
-        (key: String, it: Iterator[(String, SharePriceInfo)]) =>
-          var ema = Option.empty[Double]
-          it.toVector.sortBy(_._2.time.getTime).map { case (_, p) =>
-            ema = Some(Semantics.emaStep(ema, p.coins))
-            key -> ema.get
-          }.iterator
-      }
+    else {
+      // batch twin as a secondary sort — no per-key heap buffer
+      import org.apache.spark.sql.functions.col
+      val sorted = prices.toDF("_1", "_2").as[(String, SharePriceInfo)]
+        .repartition(col("_1"))
+        .sortWithinPartitions(col("_1"), col("_2.time"))
+      graft.operators.SecondarySort.keyedFold(sorted)(_._1, () => Option.empty[Double],
+        (s: Option[Double], row: (String, SharePriceInfo)) => {
+          val e = Semantics.emaStep(s, row._2.coins)
+          (Some(e): Option[Double], Seq(row._1 -> e))
+        })
+    }
   }
 }

@@ -106,19 +106,21 @@ object MarketDataflow {
       }
   }
 
-  /** Batch twin of the ledger fold. */
+  /** Batch twin of the ledger fold — secondary sort on
+    * (trader, time, txnId), streaming fold, no per-key buffer
+    * (see graft.operators.SecondarySort). */
   def ledgerBatch(spark: SparkSession,
                   updates: Dataset[(String, TraderStateUpdater)]): Dataset[(String, TxnEvent)] = {
     import spark.implicits._
-    updates.groupByKey(_._1).flatMapGroups {
-      (trader: String, it: Iterator[(String, TraderStateUpdater)]) =>
-        val sorted = it.toVector.sortBy { case (_, u) => (u.time.getTime, u.txnId) }
-        sorted.foldLeft((LedgerState(None, 0.0), Vector.empty[(String, TxnEvent)])) {
-          case ((s, acc), (_, u)) =>
-            val (s2, ev) = ledgerStep(s, u)
-            (s2, acc :+ (trader -> ev))
-        }._2.iterator
-    }
+    import org.apache.spark.sql.functions.col
+    val sorted = updates.toDF("_1", "_2").as[(String, TraderStateUpdater)]
+      .repartition(col("_1"))
+      .sortWithinPartitions(col("_1"), col("_2.time"), col("_2.txnId"))
+    graft.operators.SecondarySort.keyedFold(sorted)(_._1, () => LedgerState(None, 0.0),
+      (s: LedgerState, row: (String, TraderStateUpdater)) => {
+        val (s2, ev) = ledgerStep(s, row._2)
+        (s2, Seq(row._1 -> ev))
+      })
   }
 
   // ------------------------------------------------------------ T2 ROI loop

@@ -43,15 +43,18 @@ object TraderJobs {
             gs.update(c)
             out.iterator
         }
-    else
-      prices.groupByKey(_._1).flatMapGroups {
-        (trader: String, it: Iterator[(String, SharePriceInfo)]) =>
-          var c = 0
-          it.toVector.sortBy(_._2.time.getTime).map { case (_, p) =>
-            val (c2, order) = followStep(c, trader, p)
-            c = c2; order
-          }.iterator
-      }
+    else {
+      // batch twin as a secondary sort — no per-key heap buffer
+      import org.apache.spark.sql.functions.col
+      val sorted = prices.toDF("_1", "_2").as[(String, SharePriceInfo)]
+        .repartition(col("_1"))
+        .sortWithinPartitions(col("_1"), col("_2.time"))
+      graft.operators.SecondarySort.keyedFold(sorted)(_._1, () => 0,
+        (c: Int, row: (String, SharePriceInfo)) => {
+          val (c2, order) = followStep(c, row._1, row._2)
+          (c2, Seq(order))
+        })
+    }
   }
 
   // --------------------------------------------------------- J3 invest budget
@@ -80,10 +83,16 @@ object TraderJobs {
 
   // ------------------------------------------------------------- J4 champion
 
-  /** J4 state: full history of both sides per key (the reference uses
-    * GlobalWindows + fire-per-element and rescans everything,
-    * MonkeyStockChampion.java:143-232). */
-  final case class ChampionState(results: Seq[TxnResult], prices: Seq[SharePriceInfo],
+  /** J4 state — O(1) per key. The reference accumulates the FULL
+    * history of both sides (GlobalWindows + fire-per-element rescans,
+    * MonkeyStockChampion.java:143-232), but its decision rules only
+    * ever read `results.last`, `prices.last` and the two monotone
+    * all-forecast predicates — so the state folds to the last element
+    * of each side plus two running booleans, semantics-identical,
+    * with constant size instead of O(events) growth per key. */
+  final case class ChampionState(lastResult: Option[TxnResult],
+                                 lastPrice: Option[SharePriceInfo],
+                                 allGt1: Boolean, allLt1: Boolean,
                                  txnCounter: Int)
 
   /** Mixed champion op with an R2 routing tag — the concrete record
@@ -100,34 +109,36 @@ object TraderJobs {
     * coins<5 ∧ shares≥2 ⇒ SELL 2), else all forecasts>1 ⇒ BUY 1 /
     * all <1 ⇒ SELL 1. */
   def championFire(s: ChampionState, time: Timestamp): (ChampionState, Seq[ChampOp]) = {
-    if (s.results.isEmpty || s.prices.isEmpty) (s, Seq.empty)
-    else {
-      val lastState = s.results.last.state
-      val lastPrice = s.prices.last
-      val c = s.txnCounter
-      def id(i: Int) = s"champ_txn_${c + i}"
-      val ops: Seq[ChampOp] =
-        if (lastState.coins > 10 * lastPrice.coins)
-          Seq(ChampOp("MARKET", time, id(0), "BUY", 3, 0.0, 0),
-            ChampOp("INVEST", time, id(1), "", 0, lastState.coins / 2, 0),
-            ChampOp("FEED", time, id(2), "", 0, 0.0, 1))
-        else if (lastState.coins < 5 && lastState.shares >= 2)
-          Seq(ChampOp("MARKET", time, id(0), "SELL", 2, 0.0, 0))
-        else if (s.prices.forall(_.forecast > 1))
-          Seq(ChampOp("MARKET", time, id(0), "BUY", 1, 0.0, 0))
-        else if (s.prices.forall(_.forecast < 1))
-          Seq(ChampOp("MARKET", time, id(0), "SELL", 1, 0.0, 0))
-        else Seq.empty
-      (s.copy(txnCounter = c + ops.length), ops)
+    (s.lastResult, s.lastPrice) match {
+      case (Some(lastResult), Some(lastPrice)) =>
+        val lastState = lastResult.state
+        val c = s.txnCounter
+        def id(i: Int) = s"champ_txn_${c + i}"
+        val ops: Seq[ChampOp] =
+          if (lastState.coins > 10 * lastPrice.coins)
+            Seq(ChampOp("MARKET", time, id(0), "BUY", 3, 0.0, 0),
+              ChampOp("INVEST", time, id(1), "", 0, lastState.coins / 2, 0),
+              ChampOp("FEED", time, id(2), "", 0, 0.0, 1))
+          else if (lastState.coins < 5 && lastState.shares >= 2)
+            Seq(ChampOp("MARKET", time, id(0), "SELL", 2, 0.0, 0))
+          else if (s.allGt1)
+            Seq(ChampOp("MARKET", time, id(0), "BUY", 1, 0.0, 0))
+          else if (s.allLt1)
+            Seq(ChampOp("MARKET", time, id(0), "SELL", 1, 0.0, 0))
+          else Seq.empty
+        (s.copy(txnCounter = c + ops.length), ops)
+      case _ => (s, Seq.empty)
     }
   }
 
   def onResult(s: ChampionState, t: Timestamp, r: TxnResult): (ChampionState, Seq[ChampOp]) =
-    championFire(s.copy(results = s.results :+ r), t)
+    championFire(s.copy(lastResult = Some(r)), t)
 
   def onChampPrice(s: ChampionState, t: Timestamp,
                    p: SharePriceInfo): (ChampionState, Seq[ChampOp]) =
-    championFire(s.copy(prices = s.prices :+ p), t)
+    championFire(s.copy(lastPrice = Some(p),
+      allGt1 = s.allGt1 && p.forecast > 1,
+      allLt1 = s.allLt1 && p.forecast < 1), t)
 
   /** Streaming champion: cogroup-with-per-element-fire as a tagged
     * union + keyed full-history state; route downstream by `kind`. */
@@ -135,7 +146,9 @@ object TraderJobs {
                results: Dataset[(String, Timestamp, TxnResult)],
                prices: Dataset[(String, Timestamp, SharePriceInfo)]): Dataset[ChampOp] = {
     import spark.implicits._
-    val init = ChampionState(Nil, Nil, 0)
+    // allGt1/allLt1 start vacuously true (no prices seen yet; the fire
+    // guard requires a price before any rule can emit)
+    val init = ChampionState(None, None, allGt1 = true, allLt1 = true, 0)
     CoProcess.coFlatMap[TxnResult, SharePriceInfo, ChampionState, ChampOp](
       CoProcess.tagged(results, prices), init, onResult, onChampPrice)
   }
