@@ -48,23 +48,71 @@ object Similarity {
     scoreTopK(corpus.select(col("vec_id"), col("embedding")).crossJoin(q), k)
   }
 
-  /** Sign-LSH bucket id from the first `nBits` embedding dimensions
-    * (deterministic, SQL-expressible for the oracle; a production
-    * variant would use random hyperplanes — same plumbing). */
-  def signBucket(embCol: String, nBits: Int = 3) =
-    (0 until nBits).map(i =>
-      when(element_at(col(embCol), i + 1) > 0, 1L << i).otherwise(0L))
+  /** Deterministic Rademacher hyperplane component: ±1 from the low
+    * bit of md5("hp_<bit>_<dim>"). Random ±1 hyperplanes are standard
+    * sign-LSH for cosine (SimHash, Charikar 2002); a seeded hash makes
+    * them reproducible across engines — the DuckDB oracle inlines the
+    * SAME constants (graft.queries.Oracles calls this function), so
+    * there is exactly one source of truth for the planes. */
+  def hyperplaneSign(bit: Int, dim: Int): Int = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"hp_${bit}_$dim".getBytes("UTF-8"))
+    if ((h(0) & 1) == 1) 1 else -1
+  }
+
+  /** Bucket width from corpus size: smallest nBits with
+    * n / 2^nBits <= targetBucket, floored at `floor`. Integer-exact
+    * (binary length, not float log2 — log2 of exact powers of two
+    * differs across math libraries) so the oracle's
+    * length(printf('%b', …)) twin cannot diverge. */
+  def adaptiveNBits(n: Long, targetBucket: Int = 64, floor: Int = 4): Int = {
+    val x = math.max((n - 1) / targetBucket, 1L)
+    math.max(floor, 64 - java.lang.Long.numberOfLeadingZeros(x))
+  }
+
+  /** Signed projection of the embedding on hyperplane `bit`:
+    * left-associated sum over dims, so the oracle's identically
+    * associated literal sum is bit-equal (float→double casts and ±1.0
+    * multiplies are exact). */
+  private def projection(embCol: String, bit: Int, dim: Int) =
+    (0 until dim).map(d =>
+      element_at(col(embCol), d + 1).cast("double") *
+        lit(hyperplaneSign(bit, d).toDouble))
       .reduce(_ + _)
 
-  /** Bucketed ANN: queries join only their own bucket — the 100 TB
+  /** Sign-LSH bucket id from `nBits` Rademacher hyperplanes over all
+    * `dim` dimensions. nBits scales with corpus size (adaptiveNBits) —
+    * at 10^9 vectors and targetBucket 64 that is 24 bits / 16M buckets,
+    * keeping the self-join O(n × targetBucket) instead of O(n²/2^k)
+    * with a fixed k. */
+  def hyperplaneBucket(embCol: String, nBits: Int, dim: Int = 64) =
+    (0 until nBits).map(b =>
+      when(projection(embCol, b, dim) > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+
+  /** Bucketed ANN: queries join only their probe buckets — the 100 TB
     * path (bucket-partitioned join instead of cross product). Recall
-    * is partial by construction; callers trade nBits for recall. */
-  def bucketedTopK(corpus: DataFrame, queries: DataFrame, k: Int, nBits: Int = 3): DataFrame = {
+    * is partial by construction; multi-probe (the exact bucket plus
+    * each single-bit flip, nBits+1 probes per query) recovers most
+    * near-boundary neighbors for a bounded candidate-set increase. */
+  def bucketedTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                   targetBucket: Int = 64, dim: Int = 64,
+                   multiProbe: Boolean = true): DataFrame = {
+    // parquet metadata count — no data scan; derives the bucket width
+    val nBits = adaptiveNBits(corpus.count(), targetBucket)
     val c = corpus.select(col("vec_id"), col("embedding"),
-      signBucket("embedding", nBits).as("bucket"))
-    val q = broadcast(queries.select(col("vec_id").as("query_id"),
+      hyperplaneBucket("embedding", nBits, dim).as("bucket"))
+    val base = queries.select(col("vec_id").as("query_id"),
       col("embedding").as("q_emb"),
-      signBucket("embedding", nBits).as("bucket")))
-    scoreTopK(c.join(q, "bucket"), k)
+      hyperplaneBucket("embedding", nBits, dim).as("bucket0"))
+    val probes =
+      if (!multiProbe) base.select(col("query_id"), col("q_emb"), col("bucket0").as("bucket"))
+      else base.select(col("query_id"), col("q_emb"),
+        explode(array(col("bucket0") +:
+          (0 until nBits).map(b => col("bucket0").bitwiseXOR(lit(1L << b))): _*))
+          .as("bucket"))
+    // probe buckets of one query are pairwise distinct, so each corpus
+    // vector can match a query at most once — no pair dedup needed
+    scoreTopK(c.join(broadcast(probes), "bucket"), k)
   }
 }

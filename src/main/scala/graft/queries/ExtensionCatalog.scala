@@ -41,12 +41,18 @@ object ExtensionCatalog {
   val ddJaccard: Q = (s, d) =>
     Dedup.ngramJaccard(Tables.documents(s, d), "text", "doc_id", threshold = 0.7)
 
-  /** Embedding-cosine near-dup pairs (the 5th dedup variant): sign-LSH
-    * bucket join, exact cosine >= threshold inside the bucket. */
+  /** Embedding-cosine near-dup pairs (the 5th dedup variant):
+    * Rademacher sign-LSH bucket join with nBits derived from corpus
+    * size (bounded expected bucket cardinality at any scale), exact
+    * cosine >= threshold inside the bucket. Recall is partial by LSH
+    * construction — near-dups split by a hyperplane are missed; the
+    * adaptive width trades that recall against the quadratic
+    * in-bucket candidate count. */
   val ddEmbedCosine: Q = (s, d) => {
     val emb = Tables.embeddings(s, d)
+    val nBits = Similarity.adaptiveNBits(emb.count())
     val withBucket = emb.select(col("vec_id"), col("embedding"),
-      Similarity.signBucket("embedding", 4).as("bucket"))
+      Similarity.hyperplaneBucket("embedding", nBits).as("bucket"))
     val a = withBucket.select(col("bucket"), col("vec_id").as("vec_a"),
       col("embedding").as("emb_a"))
     val b = withBucket.select(col("bucket"), col("vec_id").as("vec_b"),
@@ -65,7 +71,9 @@ object ExtensionCatalog {
     Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 20), k = 10)
   }
 
-  /** Sign-LSH bucketed ANN (the scale path; partial recall by design). */
+  /** Rademacher sign-LSH bucketed ANN with adaptive width and
+    * single-bit-flip multi-probe (the scale path; partial recall by
+    * design). */
   val annBucketed: Q = (s, d) => {
     val emb = Tables.embeddings(s, d)
     Similarity.bucketedTopK(emb, emb.filter(col("vec_id") < 20), k = 10)

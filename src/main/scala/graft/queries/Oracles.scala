@@ -38,6 +38,33 @@ object Oracles {
   private def mh(j: Int): String =
     s"min((${2 * j + 1} * h + ${12345 * (j + 1)}) % 2147483647) AS mh$j"
 
+  // ---- Rademacher sign-LSH twins (dd_embed_cosine / ann_bucketed) ----
+  // The hyperplane constants come from Similarity.hyperplaneSign — ONE
+  // source of truth — inlined as literal signed sums with the same left
+  // association as the Spark expression, so the projection doubles are
+  // bit-equal. nbits derives from corpus size by the same integer
+  // binary-length formula (no float log2).
+  private val EmbDim = 64
+  private val MaxBits = 16
+
+  private val nbitsCte =
+    "nb AS (SELECT greatest(4, length(printf('%b', greatest((count(*) - 1) // 64, 1)))) AS nbits FROM embeddings)"
+
+  private def projSql(bit: Int): String =
+    (0 until EmbDim).map { d =>
+      val s = graft.operators.Similarity.hyperplaneSign(bit, d)
+      s"CAST(embedding[${d + 1}] AS DOUBLE) * $s.0"
+    }.mkString("(", " + ", ")")
+
+  private def bucketSql: String =
+    (0 until MaxBits).map { b =>
+      s"(CASE WHEN $b < nbits AND ${projSql(b)} > 0 THEN ${1L << b} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  private def lshBucketsCte: String =
+    s"""$nbitsCte,
+       |b AS (SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings, nb)""".stripMargin
+
   private def sigCte(k: Int): String =
     s"""$tokCte,
        |sig AS (SELECT doc_id, ${(0 until k).map(mh).mkString(", ")}
@@ -125,17 +152,13 @@ object Oracles {
       """SELECT user_id, arg_min(event_id, ts) AS first_event,
         |  arg_max(event_id, ts) AS last_event FROM events GROUP BY 1""".stripMargin,
     "dd_embed_cosine" ->
-      """WITH b AS (SELECT vec_id, embedding,
-        |    (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
-        |    + 2 * (CASE WHEN embedding[2] > 0 THEN 1 ELSE 0 END)
-        |    + 4 * (CASE WHEN embedding[3] > 0 THEN 1 ELSE 0 END)
-        |    + 8 * (CASE WHEN embedding[4] > 0 THEN 1 ELSE 0 END) AS bucket FROM embeddings)
-        |SELECT vec_a, vec_b, cos FROM (
-        |  SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
-        |    round(list_cosine_similarity(list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
-        |      list_transform(b2.embedding, x -> CAST(x AS DOUBLE))), 6) AS cos
-        |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
-        |WHERE cos >= 0.2""".stripMargin,
+      s"""WITH $lshBucketsCte
+         |SELECT vec_a, vec_b, cos FROM (
+         |  SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
+         |    round(list_cosine_similarity(list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+         |      list_transform(b2.embedding, x -> CAST(x AS DOUBLE))), 6) AS cos
+         |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+         |WHERE cos >= 0.2""".stripMargin,
     "j_broadcast_dim" ->
       """SELECT p_brand, sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) / 100.0 AS revenue,
         |  count(*) AS n FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1""".stripMargin,
@@ -229,19 +252,24 @@ object Oracles {
         |SELECT query_id, vec_id, cos, rk FROM (SELECT *,
         |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rk
         |  FROM scored) WHERE rk <= 10""".stripMargin,
+    // multi-probe: the exact bucket (i=0) plus each single-bit flip
+    // (i=1..nbits), mirroring Similarity.bucketedTopK's probe array;
+    // fixed-bound series + WHERE because DuckDB lateral series can't
+    // take a column bound
     "ann_bucketed" ->
-      """WITH b AS (SELECT vec_id, embedding,
-        |    (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
-        |    + 2 * (CASE WHEN embedding[2] > 0 THEN 1 ELSE 0 END)
-        |    + 4 * (CASE WHEN embedding[3] > 0 THEN 1 ELSE 0 END) AS bucket FROM embeddings),
-        |q AS (SELECT vec_id AS query_id, embedding AS q_emb, bucket FROM b WHERE vec_id < 20),
-        |scored AS (SELECT q.query_id, e.vec_id,
-        |    round(list_cosine_similarity(list_transform(q.q_emb, x -> CAST(x AS DOUBLE)),
-        |      list_transform(e.embedding, x -> CAST(x AS DOUBLE))), 6) AS cos
-        |  FROM b e JOIN q ON e.bucket = q.bucket WHERE e.vec_id <> q.query_id)
-        |SELECT query_id, vec_id, cos, rk FROM (SELECT *,
-        |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rk
-        |  FROM scored) WHERE rk <= 10""".stripMargin,
+      s"""WITH $lshBucketsCte,
+         |q AS (SELECT vec_id AS query_id, q_emb, bucket FROM (
+         |  SELECT vec_id, embedding AS q_emb, bucket FROM b) WHERE vec_id < 20),
+         |probes AS (SELECT query_id, q_emb,
+         |    CASE WHEN i = 0 THEN bucket ELSE xor(bucket, (CAST(1 AS BIGINT) << (i - 1))) END AS bucket
+         |  FROM q, generate_series(0, $MaxBits) g(i), nb WHERE i <= nbits),
+         |scored AS (SELECT p.query_id, e.vec_id,
+         |    round(list_cosine_similarity(list_transform(p.q_emb, x -> CAST(x AS DOUBLE)),
+         |      list_transform(e.embedding, x -> CAST(x AS DOUBLE))), 6) AS cos
+         |  FROM b e JOIN probes p ON e.bucket = p.bucket WHERE e.vec_id <> p.query_id)
+         |SELECT query_id, vec_id, cos, rk FROM (SELECT *,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rk
+         |  FROM scored) WHERE rk <= 10""".stripMargin,
     "ta_langid" ->
       """SELECT doc_id, lang, CASE WHEN greatest(en, fr, de) = 0 THEN 'und'
         |  WHEN en >= fr AND en >= de THEN 'en' WHEN fr >= de THEN 'fr'

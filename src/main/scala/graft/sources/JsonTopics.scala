@@ -24,6 +24,64 @@ import org.apache.spark.sql.types.StructType
   */
 object JsonTopics {
 
+  /** Transport selection: a topic is either a directory of JSON-lines
+    * (the in-container stand-in) or a real Kafka topic — the record
+    * shape ({"key", "value"} envelope, tolerant JSON value) is
+    * identical, so dataflows are written once against this API. */
+  sealed trait TopicTransport
+  final case class DirTopic(dir: String) extends TopicTransport
+  final case class KafkaTopic(bootstrapServers: String, topic: String,
+                              startingOffsets: String = "earliest") extends TopicTransport
+
+  /** Consumer options for the Kafka branch — the reference's consumer
+    * wiring (bootstrap servers + subscribe + offset reset,
+    * MarketDataflow.java:85-97). Pure, unit-testable without a broker. */
+  def kafkaReadOptions(k: KafkaTopic): Map[String, String] = Map(
+    "kafka.bootstrap.servers" -> k.bootstrapServers,
+    "subscribe" -> k.topic,
+    "startingOffsets" -> k.startingOffsets,
+    // the reference's consumers resume past compacted/expired segments
+    "failOnDataLoss" -> "false")
+
+  /** Producer options for the Kafka branch (MarketDataflow.java:133-137). */
+  def kafkaWriteOptions(k: KafkaTopic): Map[String, String] = Map(
+    "kafka.bootstrap.servers" -> k.bootstrapServers,
+    "topic" -> k.topic)
+
+  /** Streaming read over either transport. The Kafka branch decodes
+    * the binary key/value into the same (key, value struct) columns
+    * the dir branch produces, so downstream operators are
+    * transport-agnostic. Untested against a live broker in this
+    * container (none available) — the option construction is
+    * unit-tested instead. */
+  def readStreamFrom(spark: SparkSession, topic: TopicTransport, keyType: String,
+                     valueSchema: StructType): DataFrame = topic match {
+    case DirTopic(dir) => readStream(spark, dir, keyType, valueSchema)
+    case k: KafkaTopic =>
+      kafkaReadOptions(k).foldLeft(spark.readStream.format("kafka")) {
+        case (r, (opt, v)) => r.option(opt, v)
+      }.load()
+        .select(col("key").cast("string").cast(keyType).as("key"),
+          from_json(col("value").cast("string"), valueSchema).as("value"))
+  }
+
+  /** Streaming write over either transport. Expects the topic envelope
+    * (a `key` column and a `value` struct column); the Kafka branch
+    * serializes value to JSON — the reference's producer record shape
+    * (BaseJsonSerde.java:15-54). */
+  def writeStreamTo(df: DataFrame, topic: TopicTransport,
+                    checkpoint: String): StreamingQuery = topic match {
+    case DirTopic(dir) => writeStream(df, dir, checkpoint)
+    case k: KafkaTopic =>
+      kafkaWriteOptions(k).foldLeft(
+        df.select(col("key").cast("string").as("key"),
+          to_json(col("value")).as("value"))
+          .writeStream.format("kafka")
+          .option("checkpointLocation", checkpoint)) {
+        case (w, (opt, v)) => w.option(opt, v)
+      }.start()
+  }
+
   /** Streaming read of a topic dir: JSON lines → (key, value struct). */
   def readStream(spark: SparkSession, dir: String, keyType: String,
                  valueSchema: StructType): DataFrame =

@@ -2,8 +2,8 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{Dataset, SparkSession}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.{Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 import graft.model._
 
@@ -135,11 +135,52 @@ object MarketDataflow {
     trader -> Semantics.returnDelta(ev.txnResult.txnId, now, returned)
   }
 
-  /** Streaming T2: accepted INVEST TxnEvents keyed by txnId; a
-    * processing-time timeout models the maturation timer
-    * (flatMapGroupsWithState + ProcessingTimeTimeout — SURVEY §2.10).
-    * `sampler` is seed-injected for deterministic tests. */
+  /** Streaming T2: accepted INVEST TxnEvents keyed by txnId; the
+    * maturation delay is a REAL registered timer on Spark 4's
+    * `transformWithState` — `handleExpiredTimer` maps 1:1 to the
+    * reference's `ProcessFunction.onTimer` (MarketDataflow.java
+    * :361-391), replacing the coarser flatMapGroupsWithState
+    * `setTimeoutDuration` (one timeout per key, reset on update) used
+    * in round 1. `sampler` is seed-injected for deterministic tests.
+    *
+    * transformWithState requires the RocksDB state store
+    * (`spark.sql.streaming.stateStore.providerClass =
+    * org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider`)
+    * — its timer/column-family contract is RocksDB-only. */
   final case class RoiState(trader: String, txnId: String, returned: Double)
+
+  final class RoiProcessor(sampler: Double => Double)
+      extends StatefulProcessor[String, (String, TxnEvent), (String, TraderStateUpdater)] {
+    @transient private var state: ValueState[RoiState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[RoiState]("roi",
+        Encoders.product[RoiState], TTLConfig.NONE)
+
+    override def handleInputRows(txnId: String, rows: Iterator[(String, TxnEvent)],
+        tv: TimerValues): Iterator[(String, TraderStateUpdater)] = {
+      rows.nextOption() match {
+        case Some((trader, ev)) =>
+          val sample = sampler(ev.totalInvestments)
+          state.update(RoiState(trader, txnId, sample * ev.investedCoins))
+          // maturation delay = totalInvestments ms (MarketDataflow.java:368,375)
+          getHandle.registerTimer(tv.getCurrentProcessingTimeInMs() +
+            math.max(1L, ev.totalInvestments.toLong))
+        case None =>
+      }
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(txnId: String, tv: TimerValues,
+        timer: ExpiredTimerInfo): Iterator[(String, TraderStateUpdater)] =
+      if (!state.exists()) Iterator.empty
+      else {
+        val s = state.get()
+        state.clear()
+        Iterator(s.trader -> Semantics.returnDelta(s.txnId,
+          new Timestamp(timer.getExpiryTimeInMs), s.returned))
+      }
+  }
 
   def roiReturns(spark: SparkSession,
                  acceptedInvests: Dataset[(String, TxnEvent)],
@@ -149,25 +190,7 @@ object MarketDataflow {
       .filter(e => e._2.txnResult.status == TxnResultType.ACCEPTED &&
         e._2.investedCoins > 0)
       .groupByKey(_._2.txnResult.txnId)
-      .flatMapGroupsWithState[RoiState, (String, TraderStateUpdater)](
-        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
-        (txnId: String, it: Iterator[(String, TxnEvent)], gs: GroupState[RoiState]) =>
-          if (gs.hasTimedOut) {
-            val s = gs.get
-            gs.remove()
-            Iterator(s.trader -> Semantics.returnDelta(s.txnId,
-              new Timestamp(System.currentTimeMillis()), s.returned))
-          } else {
-            it.toSeq.headOption match {
-              case Some((trader, ev)) =>
-                val sample = sampler(ev.totalInvestments)
-                gs.update(RoiState(trader, txnId, sample * ev.investedCoins))
-                // maturation delay = totalInvestments ms (MarketDataflow.java:368,375)
-                gs.setTimeoutDuration(math.max(1L, ev.totalInvestments.toLong))
-                Iterator.empty
-              case None => Iterator.empty
-            }
-          }
-      }
+      .transformWithState(new RoiProcessor(sampler),
+        TimeMode.ProcessingTime(), OutputMode.Append())
   }
 }

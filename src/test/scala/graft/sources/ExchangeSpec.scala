@@ -26,6 +26,72 @@ class ExchangeSpec extends SparkSpec {
     assert(a.map(_.mult).distinct.length > 90) // actually random-ish
   }
 
+  test("kafka transport builds the reference's consumer/producer options " +
+    "(no broker in this container — integration untestable here)") {
+    val k = JsonTopics.KafkaTopic("broker:9092", "market-orders", "latest")
+    assert(JsonTopics.kafkaReadOptions(k) == Map(
+      "kafka.bootstrap.servers" -> "broker:9092",
+      "subscribe" -> "market-orders",
+      "startingOffsets" -> "latest",
+      "failOnDataLoss" -> "false"))
+    assert(JsonTopics.kafkaWriteOptions(k) == Map(
+      "kafka.bootstrap.servers" -> "broker:9092",
+      "topic" -> "market-orders"))
+    // the dir branch of the SAME transport API dispatches to the
+    // JSON-lines reader and stays a streaming plan
+    val dir = Files.createTempDirectory("graft_kafka_dir").toString
+    val df = JsonTopics.readStreamFrom(spark, JsonTopics.DirTopic(dir), "string",
+      new StructType().add("txnId", StringType))
+    assert(df.isStreaming && df.columns.toSeq == Seq("key", "value"))
+  }
+
+  test("K2 foreachBatchSink pushes micro-batches into two store indices " +
+    "(Dashboard trader-state + share-price shape)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // injected in-memory stand-in for the external document store
+    val store = new java.util.concurrent.ConcurrentHashMap[String, Map[String, String]]()
+    def indexDoc(index: String, id: String, doc: Map[String, String]): Unit =
+      store.put(s"$index/$id", doc)
+
+    val cp = Files.createTempDirectory("graft_k2_cp").toString
+    val traders = MemoryStream[(String, Double, Int)]
+    val prices = MemoryStream[(Long, Double, Double)]
+    // two indexers, field-mapped per index (Dashboard.java:81-132)
+    val q1 = JsonTopics.foreachBatchSink(
+      traders.toDF().toDF("team", "coins", "shares"), s"$cp/trader") { (batch, _) =>
+      batch.collect().foreach { r =>
+        indexDoc("trader-state", r.getAs[String]("team"), Map(
+          "coins" -> r.getAs[Double]("coins").toString,
+          "shares" -> r.getAs[Int]("shares").toString))
+      }
+    }
+    val q2 = JsonTopics.foreachBatchSink(
+      prices.toDF().toDF("time", "coins", "forecast"), s"$cp/price") { (batch, _) =>
+      batch.collect().foreach { r =>
+        indexDoc("share-price", r.getAs[Long]("time").toString, Map(
+          "coins" -> r.getAs[Double]("coins").toString,
+          "forecast" -> r.getAs[Double]("forecast").toString))
+      }
+    }
+    try {
+      traders.addData(("ALOUATE_a", 8.5, 3), ("BONOBO_b", 12.0, 0))
+      prices.addData((t0 + 1, 2.5, 1.1))
+      q1.processAllAvailable() // no timers involved — safe to await
+      q2.processAllAvailable()
+      // second micro-batch upserts an existing doc id
+      traders.addData(("ALOUATE_a", 6.5, 4))
+      q1.processAllAvailable()
+      assert(store.size == 3)
+      assert(store.get("trader-state/ALOUATE_a") ==
+        Map("coins" -> "6.5", "shares" -> "4"))
+      assert(store.get("trader-state/BONOBO_b") ==
+        Map("coins" -> "12.0", "shares" -> "0"))
+      assert(store.get(s"share-price/${t0 + 1}") ==
+        Map("coins" -> "2.5", "forecast" -> "1.1"))
+    } finally { q1.stop(); q2.stop() }
+  }
+
   test("orders topic round-trip -> J1 -> ledger -> txn-results topic") {
     val dir = Files.createTempDirectory("graft_topics").toString
 

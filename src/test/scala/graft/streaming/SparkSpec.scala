@@ -11,6 +11,10 @@ trait SparkSpec extends AnyFunSuite {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    // transformWithState (T2 timers) is RocksDB-only; the other
+    // stateful ops run fine on it too
+    .config("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     .getOrCreate()
 
   def ts(ms: Long): java.sql.Timestamp = new java.sql.Timestamp(ms)
