@@ -38,6 +38,7 @@ object SparkEntry {
     "w_lag_delta" -> QueryCatalog.wLagDelta,
     "w_first_last" -> QueryCatalog.wFirstLast,
     "a4_ema_final" -> QueryCatalog.a4EmaFinal,
+    "a7_session_window" -> QueryCatalog.a7SessionWindow,
     "agg_approx_distinct" -> QueryCatalog.aggApproxDistinct,
     // joins / two-input (§2.4) + set ops (§2.8) + routing (§2.9)
     "j_broadcast_dim" -> QueryCatalog.jBroadcastDim,
@@ -61,6 +62,7 @@ object SparkEntry {
     "dd_embed_cosine" -> ExtensionCatalog.ddEmbedCosine,
     "ann_brute_force" -> ExtensionCatalog.annBruteForce,
     "ann_bucketed" -> ExtensionCatalog.annBucketed,
+    "ann_ivf" -> ExtensionCatalog.annIvf,
     "ta_langid" -> ExtensionCatalog.taLangId,
     "ta_quality" -> ExtensionCatalog.taQuality,
     "ta_tokens" -> ExtensionCatalog.taTokens,

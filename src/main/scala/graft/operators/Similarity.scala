@@ -90,6 +90,34 @@ object Similarity {
       when(projection(embCol, b, dim) > 0, lit(1L << b)).otherwise(lit(0L)))
       .reduce(_ + _)
 
+  /** IVF-Flat ANN: inverted lists over deterministic training-free
+    * centroids (the first `nCentroids` vectors by id — reproducible
+    * and oracle-expressible; a production build would k-means these,
+    * same plumbing). Every vector joins its argmax-cosine centroid
+    * once (the standard IVF n×C assignment scan); a query probes its
+    * `nProbe` nearest centroids' lists, touching ~nProbe/nCentroids of
+    * the corpus instead of all of it. Assignment and probing rank the
+    * ROUNDED cosine with a centroid-id tiebreak — fp ties cannot
+    * diverge from the oracle. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nCentroids: Int = 32, nProbe: Int = 4): DataFrame = {
+    val cents = broadcast(corpus.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb")))
+    def nearest(df: DataFrame, idCol: String, embCol: String, n: Int) = {
+      val w = Window.partitionBy(col(idCol))
+        .orderBy(col("cent_cos").desc, col("cent_id"))
+      df.crossJoin(cents)
+        .withColumn("cent_cos", round(cosine(embCol, "cent_emb"), 6))
+        .withColumn("crn", row_number().over(w)).filter(col("crn") <= n)
+        .drop("cent_emb", "cent_cos", "crn")
+    }
+    val assigned = nearest(corpus.select(col("vec_id"), col("embedding")),
+      "vec_id", "embedding", 1)
+    val probes = nearest(queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb")), "query_id", "q_emb", nProbe)
+    scoreTopK(assigned.join(broadcast(probes), "cent_id"), k)
+  }
+
   /** Bucketed ANN: queries join only their probe buckets — the 100 TB
     * path (bucket-partitioned join instead of cross product). Recall
     * is partial by construction; multi-probe (the exact bucket plus

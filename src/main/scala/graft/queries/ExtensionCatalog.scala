@@ -79,6 +79,14 @@ object ExtensionCatalog {
     Similarity.bucketedTopK(emb, emb.filter(col("vec_id") < 20), k = 10)
   }
 
+  /** IVF-Flat ANN: inverted lists over deterministic centroids, probe
+    * the 4 nearest of 32 (partial recall by design — the third ANN
+    * shape next to brute-force and sign-LSH). */
+  val annIvf: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 20), k = 10)
+  }
+
   // ---------------------------------------------------------- text analysis
 
   /** Stopword-profile language ID vs the labeled lang column. */

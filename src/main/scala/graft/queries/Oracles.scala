@@ -138,6 +138,20 @@ object Oracles {
     "a6_max_per_key" ->
       """SELECT user_id, round(max(value), 2) AS max_v, round(min(value), 2) AS min_v,
         |  count(*) AS n FROM events GROUP BY 1""".stripMargin,
+    // gaps-and-islands twin of session_window(ts, '5 minutes'): new
+    // session when the gap >= 5 min (windows merge while
+    // next.start < prev.end); both engines truncate the session start
+    // to ms (unix_millis / epoch_ms)
+    "a7_session_window" ->
+      """WITH o AS (SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |      OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 5 MINUTE
+        |      THEN 1 ELSE 0 END AS new_s FROM events),
+        |s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM o)
+        |SELECT user_id, epoch_ms(min(ts)) AS session_start_ms, count(*) AS n,
+        |  sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total
+        |FROM s GROUP BY user_id, sid""".stripMargin,
     "agg_count_distinct" ->
       "SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n FROM events GROUP BY 1",
     "w_rank_topk" ->
@@ -270,6 +284,28 @@ object Oracles {
          |SELECT query_id, vec_id, cos, rk FROM (SELECT *,
          |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rk
          |  FROM scored) WHERE rk <= 10""".stripMargin,
+    // IVF-Flat twin: same deterministic centroids (vec_id < 32),
+    // argmax-cosine assignment and 4-probe, ROUNDED-cosine ranking
+    // with id tiebreaks throughout
+    "ann_ivf" ->
+      """WITH cents AS (SELECT vec_id AS cent_id, embedding AS cent_emb
+        |  FROM embeddings WHERE vec_id < 32),
+        |ac AS (SELECT e.vec_id, e.embedding, c.cent_id,
+        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |      round(list_cosine_similarity(list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+        |        list_transform(c.cent_emb, x -> CAST(x AS DOUBLE))), 6) DESC, c.cent_id) AS crn
+        |  FROM embeddings e, cents c),
+        |assigned AS (SELECT vec_id, embedding, cent_id FROM ac WHERE crn = 1),
+        |probes AS (SELECT vec_id AS query_id, embedding AS q_emb, cent_id FROM ac
+        |  WHERE vec_id < 20 AND crn <= 4),
+        |scored AS (SELECT p.query_id, a.vec_id,
+        |    round(list_cosine_similarity(list_transform(p.q_emb, x -> CAST(x AS DOUBLE)),
+        |      list_transform(a.embedding, x -> CAST(x AS DOUBLE))), 6) AS cos
+        |  FROM assigned a JOIN probes p ON a.cent_id = p.cent_id
+        |  WHERE a.vec_id <> p.query_id)
+        |SELECT query_id, vec_id, cos, rk FROM (SELECT *,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rk
+        |  FROM scored) WHERE rk <= 10""".stripMargin,
     "ta_langid" ->
       """SELECT doc_id, lang, CASE WHEN greatest(en, fr, de) = 0 THEN 'und'
         |  WHEN en >= fr AND en >= de THEN 'en' WHEN fr >= de THEN 'fr'

@@ -114,6 +114,20 @@ object QueryCatalog {
       round(RunningAggs.runningSum(col("value"),
         col("user_id"), col("ts"), col("event_id")), 4).as("running"))
 
+  /** A7 — per-user session windows with a 5-minute inactivity gap:
+    * Spark's streaming-compatible session_window operator (the
+    * merging-session analog of the reference's windowed katas). The
+    * oracle expresses the same sessions as a gaps-and-islands SQL —
+    * a new session starts when the gap to the previous event is
+    * >= 5 minutes, exactly session_window's merge rule (windows merge
+    * while next.start < prev.end). */
+  val a7SessionWindow: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(session_window(col("ts"), "5 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"), moneySum(col("value")).as("total"))
+      .select(col("user_id"), unix_millis(col("w.start")).as("session_start_ms"),
+        col("n"), col("total"))
+
   /** A5 — running product via exp∘sum∘ln (SharePriceDataflow.java:72-96),
     * group-total form over per-order discount factors. */
   val a5GroupProduct: Q = (s, d) =>
