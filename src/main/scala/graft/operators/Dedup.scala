@@ -29,6 +29,26 @@ object Dedup {
       .agg(min(col(idCol)).as("survivor_id"), count(lit(1)).as("n_copies"))
       .select(col("survivor_id"), col("n_copies"))
 
+  /** Streaming twin of [[exact]]: keep the first-seen row per content
+    * hash across micro-batches. With an event-time column the state is
+    * watermark-evicted (`dropDuplicatesWithinWatermark` — duplicates
+    * arriving inside the horizon dedup, older state ages out, so state
+    * is bounded by the horizon's arrival volume); without one the
+    * state grows with the distinct-content count — documented, for
+    * bounded/replay streams only. The 256-bit content hash keeps state
+    * per doc fixed-width regardless of document length. */
+  def exactStream(docs: DataFrame, textCol: String,
+                  tsCol: Option[String] = None,
+                  horizon: String = "10 minutes"): DataFrame = {
+    val hashed = docs.withColumn("__h", sha2(col(textCol), 256))
+    val deduped = tsCol match {
+      case Some(t) => hashed.withWatermark(t, horizon)
+        .dropDuplicatesWithinWatermark("__h")
+      case None => hashed.dropDuplicates("__h")
+    }
+    deduped.drop("__h")
+  }
+
   /** Distinct-token shingle set per doc with mod-2^31 hashes — the
     * shared front end of MinHash and Jaccard. Tokenizer is THE single
     * definition in StatelessOps.explodeTokens (oracle parity for every

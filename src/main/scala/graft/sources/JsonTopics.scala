@@ -119,6 +119,11 @@ object JsonTopics {
     df.select(to_json(struct(df.columns.map(col): _*)).as("line"))
       .write.mode("append").text(dir)
 
+  /** K3 analog — the reference's `print()` debug sink
+    * (Chapter01 katas): console output per micro-batch. */
+  def consoleSink(df: DataFrame): StreamingQuery =
+    df.writeStream.format("console").option("truncate", "false").start()
+
   /** K2 analog — push each micro-batch to an external store through an
     * arbitrary batch writer (the reference indexes TraderState /
     * SharePriceInfo into Elasticsearch for Kibana,

@@ -45,6 +45,18 @@ class ExchangeSpec extends SparkSpec {
     assert(df.isStreaming && df.columns.toSeq == Seq("key", "value"))
   }
 
+  test("K3 console sink starts and drains a micro-batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(String, Int)]
+    val q = JsonTopics.consoleSink(in.toDF().toDF("k", "v"))
+    try {
+      in.addData(("a", 1))
+      q.processAllAvailable()
+      assert(q.isActive)
+    } finally q.stop()
+  }
+
   test("K2 foreachBatchSink pushes micro-batches into two store indices " +
     "(Dashboard trader-state + share-price shape)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
