@@ -53,7 +53,15 @@ object CoProcess {
   }
 
   /** Streaming coFlatMap over a tagged union: keyed state carried
-    * across micro-batches via flatMapGroupsWithState. */
+    * across micro-batches via flatMapGroupsWithState.
+    *
+    * State-API choice (deliberate): T2's maturation timers use Spark
+    * 4's `transformWithState` (MarketDataflow.RoiProcessor) because
+    * real registered timers map 1:1 to the reference's onTimer. Plain
+    * keyed replay here stays on flatMapGroupsWithState because it is
+    * state-store-provider-agnostic — transformWithState hard-requires
+    * RocksDB, which would force that provider on every CoProcess user
+    * for zero capability gain (no timers, no multi-state). */
   def coFlatMap[L, R, S, O](tagged: Dataset[Tagged[L, R]], init: S,
                             onLeft: (S, Timestamp, L) => (S, Seq[O]),
                             onRight: (S, Timestamp, R) => (S, Seq[O]))(
