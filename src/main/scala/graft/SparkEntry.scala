@@ -67,7 +67,9 @@ object SparkEntry {
     "ta_quality" -> ExtensionCatalog.taQuality,
     "ta_tokens" -> ExtensionCatalog.taTokens,
     "ta_fingerprint" -> ExtensionCatalog.taFingerprint,
-    "mm_decode_meta" -> ExtensionCatalog.mmDecodeMeta
+    "mm_decode_meta" -> ExtensionCatalog.mmDecodeMeta,
+    "mm_resize" -> ExtensionCatalog.mmResize,
+    "mm_frames" -> ExtensionCatalog.mmFrames
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -28,6 +28,47 @@ object Multimodal {
     df.select(col(idCol).cast("long").as("doc_id"),
       col(textCol).cast("binary").as("payload"))
 
+  final case class ResizedMedia(doc_id: Long, out_w: Long, out_h: Long,
+                                out_bytes: Long, checksum: Long)
+  final case class FrameSample(doc_id: Long, frame_idx: Long, frame_ts_ms: Long)
+
+  /** RESIZE STUB — deterministic fake of an image resize kernel: fixed
+    * target dims, RGB byte count, and a length-derived checksum the
+    * DuckDB oracle reproduces from `strlen(text)`. The plumbing is the
+    * real part: payloads never shuffle (narrow map over the scan), the
+    * resizer would init once per partition, and the binary column is
+    * pruned away for metadata-only consumers. */
+  def resizeStub(payloads: DataFrame, targetW: Int = 256, targetH: Int = 256): DataFrame = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.as[MediaPayload].mapPartitions { it =>
+      // real pipeline: val resizer = Resizer.init(targetW, targetH) — once per partition
+      it.map { p =>
+        val n = p.payload.length.toLong
+        ResizedMedia(p.doc_id, targetW.toLong, targetH.toLong,
+          targetW.toLong * targetH * 3, n % 997L)
+      }
+    }.toDF()
+  }
+
+  /** FRAME-SAMPLE STUB — deterministic fake of video frame sampling:
+    * the fake container holds one "frame" per 256 payload bytes
+    * (minimum one); every `stride`-th frame is emitted with a 25 fps
+    * timestamp. One output row per sampled frame — the explode stays
+    * narrow (no payload in the output), which is the property that
+    * matters at 100 TB. */
+  def frameSampleStub(payloads: DataFrame, stride: Int = 4): DataFrame = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.as[MediaPayload].mapPartitions { it =>
+      it.flatMap { p =>
+        val total = math.max(1L, p.payload.length.toLong / 256L)
+        (0L until total by stride.toLong).iterator
+          .map(f => FrameSample(p.doc_id, f, f * 40L))
+      }
+    }.toDF()
+  }
+
   /** DECODE STUB — deterministic fake of the media decode kernel.
     * A real build would link an image/audio decoder here and run it
     * once per partition (decoder init amortized across the batch);

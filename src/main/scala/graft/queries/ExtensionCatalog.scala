@@ -120,4 +120,14 @@ object ExtensionCatalog {
   val mmDecodeMeta: Q = (s, d) =>
     Multimodal.decodeStub(
       Multimodal.asBinaryPayload(Tables.documents(s, d), "text", "doc_id"))
+
+  /** Resize plumbing over the binary payload column (stubbed kernel). */
+  val mmResize: Q = (s, d) =>
+    Multimodal.resizeStub(
+      Multimodal.asBinaryPayload(Tables.documents(s, d), "text", "doc_id"))
+
+  /** Frame-sampling plumbing: one narrow row per sampled frame. */
+  val mmFrames: Q = (s, d) =>
+    Multimodal.frameSampleStub(
+      Multimodal.asBinaryPayload(Tables.documents(s, d), "text", "doc_id"))
 }

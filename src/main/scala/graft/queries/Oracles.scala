@@ -337,6 +337,20 @@ object Oracles {
       s"""WITH $tokMultisetCte
          |SELECT doc_id, CAST(sum(h) % 2147483647 AS BIGINT) AS fingerprint,
          |  count(*) AS n_tokens FROM toks GROUP BY doc_id""".stripMargin,
+    "mm_resize" ->
+      """SELECT doc_id, CAST(256 AS BIGINT) AS out_w, CAST(256 AS BIGINT) AS out_h,
+        |  CAST(196608 AS BIGINT) AS out_bytes,
+        |  CAST(strlen(text) % 997 AS BIGINT) AS checksum
+        |FROM documents""".stripMargin,
+    // one fake frame per 256 payload bytes (min 1), every 4th sampled
+    // at 25 fps; fixed-bound series + guard, like p5_occurrences
+    "mm_frames" ->
+      """SELECT doc_id, CAST(i * 4 AS BIGINT) AS frame_idx,
+        |  CAST(i * 4 * 40 AS BIGINT) AS frame_ts_ms
+        |FROM documents, generate_series(0, 2000) g(i)
+        |WHERE i * 4 < greatest(strlen(text) // 256, 1)
+        |  AND 1 = (SELECT CASE WHEN max(strlen(text)) // 256 <= 8000 THEN 1
+        |    ELSE error('mm_frames oracle: frame cap exceeded') END FROM documents)""".stripMargin,
     "mm_decode_meta" ->
       // strlen = BYTE length (the stub measures UTF-8 payload bytes);
       // length() counts characters and diverges on non-ASCII text.
