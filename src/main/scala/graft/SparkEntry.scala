@@ -40,6 +40,7 @@ object SparkEntry {
     "a4_ema_final" -> QueryCatalog.a4EmaFinal,
     "a7_session_window" -> QueryCatalog.a7SessionWindow,
     "agg_approx_distinct" -> QueryCatalog.aggApproxDistinct,
+    "agg_kmv_distinct" -> QueryCatalog.aggKmvDistinct,
     // joins / two-input (§2.4) + set ops (§2.8) + routing (§2.9)
     "j_broadcast_dim" -> QueryCatalog.jBroadcastDim,
     "j_shuffle_agg" -> QueryCatalog.jShuffleAgg,

@@ -154,6 +154,22 @@ object Oracles {
         |FROM s GROUP BY user_id, sid""".stripMargin,
     "agg_count_distinct" ->
       "SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n FROM events GROUP BY 1",
+    // KMV sketch twin: rank distinct md5 hashes per group, read the
+    // 64th smallest; estimate = 63 * (2^31-1) // kth (both engines
+    // truncate), exact count while under k
+    "agg_kmv_distinct" ->
+      """WITH h AS (SELECT DISTINCT event_type,
+        |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)),1,15))::BIGINT % 2147483647 AS h
+        |  FROM events),
+        |r AS (SELECT event_type, h,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS nd FROM h),
+        |k AS (SELECT event_type, CAST(CASE WHEN max(nd) < 64 THEN max(nd)
+        |    ELSE CAST(63 AS BIGINT) * 2147483647 // greatest(max(CASE WHEN rn = 64 THEN h END), 1)
+        |    END AS BIGINT) AS kmv_users FROM r GROUP BY event_type),
+        |x AS (SELECT event_type, count(DISTINCT user_id) AS exact_users
+        |  FROM events GROUP BY event_type)
+        |SELECT k.event_type, kmv_users, exact_users FROM k JOIN x USING (event_type)""".stripMargin,
     "w_rank_topk" ->
       """SELECT p_brand, p_partkey, round(p_retailprice, 2) AS price, rk FROM (
         |  SELECT p_brand, p_partkey, p_retailprice,

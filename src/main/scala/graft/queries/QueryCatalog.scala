@@ -193,6 +193,18 @@ object QueryCatalog {
       .agg(approx_count_distinct(col("user_id")).as("approx_users"),
         countDistinct(col("user_id")).as("exact_users"))
 
+  /** Distinct-count sketch WITH cross-engine parity: KMV(k=64) over
+    * md5 hashes — a native TypedImperativeAggregate with bounded O(k)
+    * mergeable state whose estimate the DuckDB oracle reproduces
+    * exactly (kth-smallest distinct hash), unlike HLL++ above. */
+  val aggKmvDistinct: Q = (s, d) => {
+    val ev = Tables.events(s, d).select(col("event_type"), col("user_id"),
+      graft.functions.Hashing.md5Mod31(col("user_id").cast("string")).as("h"))
+    ev.groupBy(col("event_type"))
+      .agg(graft.functions.KmvDistinct.kmvDistinct(col("h"), 64).as("kmv_users"),
+        countDistinct(col("user_id")).as("exact_users"))
+  }
+
   // ---------------------------------------------------------------- joins
 
   /** Broadcast dimension join: lineitem ⋈ part (dim side broadcast —
