@@ -59,6 +59,7 @@ object SparkEntry {
     "dd_minhash_sig" -> ExtensionCatalog.ddMinhashSig,
     "dd_minhash_lsh" -> ExtensionCatalog.ddMinhashLsh,
     "dd_simhash" -> ExtensionCatalog.ddSimhash,
+    "dd_simhash_pairs" -> ExtensionCatalog.ddSimhashPairs,
     "dd_jaccard" -> ExtensionCatalog.ddJaccard,
     "dd_embed_cosine" -> ExtensionCatalog.ddEmbedCosine,
     "ann_brute_force" -> ExtensionCatalog.annBruteForce,

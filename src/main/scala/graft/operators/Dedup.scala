@@ -1,8 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
 
 import graft.functions.Hashing
 
@@ -133,6 +134,69 @@ object Dedup {
       .toDF("doc_a", "doc_b").distinct()
   }
 
+  /** Streaming MinHash-LSH near-dup candidates: the signature is
+    * computed per row with array expressions (array_distinct +
+    * transform + array_min — no cross-row distinct, so the front end
+    * is fully stateless and streaming-safe), then keyed state per
+    * (band, bucket) pairs each arriving doc against the bucket's
+    * retained members.
+    *
+    * Bounded-state contract (the streaming form of [[minHashLsh]]'s
+    * hot-bucket salt): at most `maxBucket` first-seen members are
+    * retained per bucket. A later arrival still pairs against the
+    * retained members (bounded per-event emission) but is not
+    * retained — a mass-duplicated template document can grow neither
+    * the state nor the output quadratically. A pair colliding in
+    * several bands is emitted once per band; downstream consumers
+    * dedup as needed (a streaming distinct would need its own
+    * watermark state). */
+  def minHashLshStream(docs: DataFrame, textCol: String, idCol: String,
+                       bands: Int = 4, rowsPerBand: Int = 4,
+                       maxBucket: Int = 2048): Dataset[(Long, Long)] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sigs = rowMinHashSignatures(docs, textCol, idCol, bands * rowsPerBand)
+    sigs.select(col("doc_id"),
+        posexplode(bucketArray(bands, rowsPerBand)).as(Seq("band", "bucket")))
+      .select(col("band"), col("bucket"), col("doc_id")).as[(Int, String, Long)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState[Seq[Long], (Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: (Int, String), it: Iterator[(Int, String, Long)],
+         gs: org.apache.spark.sql.streaming.GroupState[Seq[Long]]) =>
+          var members = gs.getOption.getOrElse(Seq.empty).toVector
+          val out = Vector.newBuilder[(Long, Long)]
+          it.foreach { case (_, _, id) =>
+            members.foreach { m =>
+              if (m != id) out += ((math.min(m, id), math.max(m, id)))
+            }
+            if (members.length < maxBucket && !members.contains(id))
+              members = members :+ id
+          }
+          gs.update(members)
+          out.result().iterator
+      }
+  }
+
+  /** Per-row MinHash signatures via array expressions — identical
+    * values to [[minHashSignatures]] (same tokenizer, same hashes,
+    * same permutations; DedupStreamSpec pins the equality) but with
+    * no cross-row operator, so it runs in a streaming plan. The batch
+    * form stays explode+aggregate: a corpus-wide token explode
+    * aggregates with map-side combine, which beats per-row array
+    * allocation at scan scale. */
+  def rowMinHashSignatures(docs: DataFrame, textCol: String, idCol: String,
+                           k: Int): DataFrame = {
+    val toks = array_distinct(filter(
+      StatelessOps.tokenArray(col(textCol)), t => length(t) > 0))
+    docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        transform(toks, t => Hashing.md5Mod31(t)).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .select(col("doc_id") +: (0 until k).map(j =>
+        array_min(transform(col("hs"), h => Hashing.affine(h, j))).as(s"mh$j")): _*)
+  }
+
   /** One bucket string per band from the `mh*` signature columns.
     * Used via ONE posexplode — NOT a bands-way union: Spark does not
     * dedupe common subplans, so a union would re-execute the whole
@@ -227,6 +291,93 @@ object Dedup {
         (0 until bits).map(i =>
           when(col(s"s$i") > 0, lit(1L << i)).otherwise(0L))
           .reduce(_ + _).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs within hamming distance <= maxDist — EXACT
+    * by pigeonhole: the 32-bit signature splits into maxDist+1 chunks,
+    * and any pair within the distance must agree on at least one whole
+    * chunk, so chunk-equality blocks are a LOSSLESS candidate
+    * generator (no LSH recall loss; the hot-bucket salt contract of
+    * [[minHashLsh]] still applies to pathological blocks). Verification
+    * is bitCount(xor) inside the salted block kernel. */
+  def simHashPairs(docs: DataFrame, textCol: String, idCol: String,
+                   maxDist: Int = 3, maxBucket: Int = 4096): DataFrame = {
+    // maxBucket sits higher than minHashLsh's: 8-bit chunk blocks are
+    // far coarser than 32-bit banded minhash buckets (256 values per
+    // band), so legitimate blocks run bigger (measured 2364 max at
+    // sf0.1 vs 1732 for minhash). Same salt/recall contract above it.
+    require(32 % (maxDist + 1) == 0, "chunks must divide the 32-bit signature")
+    val chunks = maxDist + 1
+    val width = 32 / chunks
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val n = docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val sigs = simHash(docs, textCol, idCol)
+    val banded = sigs.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until chunks).map(c =>
+        shiftright(col("simhash"), c * width).bitwiseAND(lit((1L << width) - 1))): _*))
+        .as(Seq("band", "bucket")))
+    saltedBucketGroups(banded,
+      struct(col("doc_id").as("_1"), col("simhash").as("_2")), maxBucket)
+      .repartition(n)
+      .as[Seq[(Long, Long)]]
+      .mapPartitions(groups => new HammingIterator(groups, maxDist))
+      .toDF("doc_a", "doc_b", "hamming").distinct()
+  }
+
+  /** Per-block all-pairs hamming check, lazily (see PairIterator's
+    * megamorphism note). */
+  private final class HammingIterator(
+      groups: Iterator[Seq[(Long, Long)]], maxDist: Int)
+      extends scala.collection.AbstractIterator[(Long, Long, Long)] {
+    private var ids: Array[Long] = _
+    private var sigs: Array[Long] = _
+    private var i = 0
+    private var j = 1
+    private var outA = 0L
+    private var outB = 0L
+    private var outD = 0L
+    private var ready = false
+    advance()
+    private def loadGroup(): Boolean = {
+      ids = null
+      while (ids == null && groups.hasNext) {
+        val g = groups.next()
+        if (g.length >= 2) {
+          val sorted = g.sortBy(_._1)
+          ids = new Array[Long](sorted.length)
+          sigs = new Array[Long](sorted.length)
+          var m = 0
+          while (m < sorted.length) {
+            ids(m) = sorted(m)._1; sigs(m) = sorted(m)._2; m += 1
+          }
+          i = 0; j = 1
+        }
+      }
+      ids != null
+    }
+    private def advance(): Unit = {
+      ready = false
+      if (ids == null && !loadGroup()) return
+      while (!ready) {
+        if (j >= ids.length) {
+          i += 1; j = i + 1
+          if (j >= ids.length) { if (!loadGroup()) return }
+        } else {
+          val d = java.lang.Long.bitCount(sigs(i) ^ sigs(j))
+          if (d <= maxDist) {
+            outA = ids(i); outB = ids(j); outD = d.toLong; ready = true
+          }
+          j += 1
+        }
+      }
+    }
+    override def hasNext: Boolean = ready
+    override def next(): (Long, Long, Long) = {
+      val out = (outA, outB, outD)
+      advance()
+      out
+    }
   }
 
   /** Token-set Jaccard near-dup: LSH band candidates, then EXACT

@@ -45,8 +45,10 @@ object StatelessOps {
   /** P10 — tokenize (lowercase, strip non-letters, split on whitespace)
     * and explode one row per token
     * (exchange/model/ShareHypePiece.java:65-84). */
-  def explodeTokens(text: Column): Column =
-    explode(split(trim(regexp_replace(regexp_replace(lower(text), "[^a-z \\n]+", ""), "\\s+", " ")), " "))
+  def tokenArray(text: Column): Column =
+    split(trim(regexp_replace(regexp_replace(lower(text), "[^a-z \\n]+", ""), "\\s+", " ")), " ")
+
+  def explodeTokens(text: Column): Column = explode(tokenArray(text))
 
   /** P6/P12 — pull a named field out of a JSON-ish props string by
     * regex (Gibber.java:118-145 parses id_str/text from raw tweet

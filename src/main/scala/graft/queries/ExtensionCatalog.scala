@@ -37,6 +37,11 @@ object ExtensionCatalog {
   val ddSimhash: Q = (s, d) =>
     Dedup.simHash(Tables.documents(s, d), "text", "doc_id")
 
+  /** SimHash near-dup pairs within hamming distance 3 (exact
+    * pigeonhole blocking). */
+  val ddSimhashPairs: Q = (s, d) =>
+    Dedup.simHashPairs(Tables.documents(s, d), "text", "doc_id")
+
   /** Token-set Jaccard near-dup pairs over min-hash blocks. */
   val ddJaccard: Q = (s, d) =>
     Dedup.ngramJaccard(Tables.documents(s, d), "text", "doc_id", threshold = 0.7)

@@ -261,6 +261,24 @@ object Oracles {
          |bitsums AS (SELECT doc_id, bit, sum(w) AS s FROM perbit GROUP BY 1, 2)
          |SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN CAST(power(2, bit) AS BIGINT)
          |  ELSE 0 END) AS BIGINT) AS simhash FROM bitsums GROUP BY doc_id""".stripMargin,
+    // pigeonhole blocking twin: 4 chunk-equality blocks of 8 bits are
+    // a lossless candidate generator for hamming <= 3
+    "dd_simhash_pairs" ->
+      s"""WITH $tokCte,
+         |perbit AS (SELECT doc_id, bit,
+         |    CASE WHEN CAST(floor(h / power(2, bit)) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END AS w
+         |  FROM toks, generate_series(0, 31) g(bit)),
+         |bitsums AS (SELECT doc_id, bit, sum(w) AS s FROM perbit GROUP BY 1, 2),
+         |sh AS (SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN CAST(power(2, bit) AS BIGINT)
+         |  ELSE 0 END) AS BIGINT) AS simhash FROM bitsums GROUP BY doc_id),
+         |bands AS (SELECT doc_id, simhash, c AS band, (simhash >> (c * 8)) & 255 AS bucket
+         |  FROM sh, generate_series(0, 3) g(c)),
+         |cands AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    a.simhash AS sa, b.simhash AS sb
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+         |    AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+         |FROM cands WHERE bit_count(xor(sa, sb)) <= 3""".stripMargin,
     "dd_jaccard" ->
       s"""WITH ${sigCte(32)}, ${bandsCte(4, 8)},
          |cands AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b

@@ -26,6 +26,40 @@ class DedupStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming MinHash-LSH pairs new docs against retained bucket members, capped") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val pairs = Dedup.minHashLshStream(in.toDF().toDF("doc_id", "text"),
+      "text", "doc_id", maxBucket = 2)
+    val q = pairs.toDF("doc_a", "doc_b").writeStream.format("memory")
+      .queryName("lshs").outputMode("append").start()
+    def collected(): Set[(Long, Long)] =
+      spark.table("lshs").as[(Long, Long)].collect().toSet
+    try {
+      val t = "alpha beta gamma delta echo foxtrot"
+      in.addData((1L, t), (2L, t), (10L, "completely unrelated words zulu"))
+      q.processAllAvailable()
+      assert(collected() == Set((1L, 2L)))
+      // cross-batch: 3 pairs against the retained members from batch 1
+      in.addData((3L, t))
+      q.processAllAvailable()
+      assert(collected() == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+      // cap=2: doc 3 was NOT retained, so 5 pairs only against {1, 2}
+      in.addData((5L, t))
+      q.processAllAvailable()
+      assert(collected() == Set((1L, 2L), (1L, 3L), (2L, 3L), (1L, 5L), (2L, 5L)))
+    } finally q.stop()
+  }
+
+  test("per-row array signatures equal the batch explode+agg signatures") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val batch = Dedup.minHashSignatures(docs, "text", "doc_id", k = 16)
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    val perRow = Dedup.rowMinHashSignatures(docs, "text", "doc_id", k = 16)
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(batch.nonEmpty && batch == perRow)
+  }
+
   test("watermarked streaming dedup evicts state beyond the horizon") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val in = MemoryStream[(Long, java.sql.Timestamp, String)]
