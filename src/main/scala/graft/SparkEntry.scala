@@ -69,6 +69,7 @@ object SparkEntry {
     "ta_quality" -> ExtensionCatalog.taQuality,
     "ta_tokens" -> ExtensionCatalog.taTokens,
     "ta_fingerprint" -> ExtensionCatalog.taFingerprint,
+    "ta_winnow" -> ExtensionCatalog.taWinnow,
     "mm_decode_meta" -> ExtensionCatalog.mmDecodeMeta,
     "mm_resize" -> ExtensionCatalog.mmResize,
     "mm_frames" -> ExtensionCatalog.mmFrames

@@ -75,4 +75,34 @@ object TextAnalysis {
       .groupBy(col("doc_id"))
       .agg((sum(Hashing.md5Mod31(col("tok"))) % lit(2147483647L)).as("fingerprint"),
         count(lit(1)).as("n_tokens"))
+
+  /** Winnowing fingerprint (the MOSS scheme, Schleimer et al. 2003):
+    * hash every k-gram of the raw text, take the window-min over each
+    * sliding window of w grams, keep the DISTINCT minima per doc. The
+    * retained contract here is the distinct min-hash SET (not the
+    * positions) — set semantics make the result independent of the
+    * tie-breaking order inside a window, which is what keeps the
+    * DuckDB twin byte-exact. Emits the set's size and modular sum as
+    * the stable summary. One explode + one window + one aggregation —
+    * all codegen'd, grams never shuffle (the window partitions by
+    * doc_id only). */
+  def winnowFingerprint(df: DataFrame, textCol: String, idCol: String,
+                        k: Int = 4, w: Int = 8): DataFrame = {
+    val grams = df
+      .select(col(idCol).as("doc_id"), col(textCol).as("__t"),
+        explode(sequence(lit(1), greatest(length(col(textCol)) - (k - 1), lit(0))))
+          .as("i"))
+      .select(col("doc_id"), col("i"),
+        Hashing.md5Mod31(col("__t").substr(col("i"), lit(k))).as("h"))
+    val winMin = grams
+      .withColumn("wmin", min(col("h")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+          .orderBy(col("i"))
+          .rowsBetween(-(w - 1), org.apache.spark.sql.expressions.Window.currentRow)))
+      .filter(col("i") >= w) // full windows only
+    winMin.select(col("doc_id"), col("wmin")).distinct()
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_fingerprints"),
+        (sum(col("wmin")) % lit(2147483647L)).as("fp_sum"))
+  }
 }

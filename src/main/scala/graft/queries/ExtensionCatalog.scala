@@ -116,6 +116,11 @@ object ExtensionCatalog {
   val taFingerprint: Q = (s, d) =>
     TextAnalysis.fingerprint(Tables.documents(s, d), "text", "doc_id")
 
+  /** Winnowing (MOSS) rolling-hash fingerprint: distinct window-min
+    * 4-gram hashes, w=8. */
+  val taWinnow: Q = (s, d) =>
+    TextAnalysis.winnowFingerprint(Tables.documents(s, d), "text", "doc_id")
+
   // ------------------------------------------------------------- multimodal
 
   /** Multimodal plumbing: text bytes stand in for an opaque media

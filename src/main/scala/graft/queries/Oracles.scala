@@ -371,6 +371,23 @@ object Oracles {
       s"""WITH $tokMultisetCte
          |SELECT doc_id, CAST(sum(h) % 2147483647 AS BIGINT) AS fingerprint,
          |  count(*) AS n_tokens FROM toks GROUP BY doc_id""".stripMargin,
+    // winnowing: window-min of 4-gram hashes over w=8, distinct-min
+    // SET per doc (tie-order-free, so cross-engine deterministic);
+    // docs shorter than k+w-1 chars have no full window in either
+    // engine
+    "ta_winnow" ->
+      """WITH g AS (SELECT doc_id, i,
+        |    ('0x' || substr(md5(substr(text, i, 4)),1,15))::BIGINT % 2147483647 AS h
+        |  FROM documents, generate_series(1, 4000) s(i)
+        |  WHERE i <= greatest(length(text) - 3, 0)
+        |    AND 1 = (SELECT CASE WHEN max(length(text)) - 3 <= 4000 THEN 1
+        |      ELSE error('ta_winnow oracle: gram series bound exceeded') END FROM documents)),
+        |m AS (SELECT doc_id, i, min(h) OVER (PARTITION BY doc_id ORDER BY i
+        |    ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS wmin FROM g),
+        |d AS (SELECT DISTINCT doc_id, wmin FROM m WHERE i >= 8)
+        |SELECT doc_id, count(*) AS n_fingerprints,
+        |  CAST(sum(wmin) % 2147483647 AS BIGINT) AS fp_sum
+        |FROM d GROUP BY doc_id""".stripMargin,
     "mm_resize" ->
       """SELECT doc_id, CAST(256 AS BIGINT) AS out_w, CAST(256 AS BIGINT) AS out_h,
         |  CAST(196608 AS BIGINT) AS out_bytes,
