@@ -79,30 +79,33 @@ object TextAnalysis {
   /** Winnowing fingerprint (the MOSS scheme, Schleimer et al. 2003):
     * hash every k-gram of the raw text, take the window-min over each
     * sliding window of w grams, keep the DISTINCT minima per doc. The
-    * retained contract here is the distinct min-hash SET (not the
+    * retained contract is the distinct min-hash SET (not the
     * positions) — set semantics make the result independent of the
     * tie-breaking order inside a window, which is what keeps the
     * DuckDB twin byte-exact. Emits the set's size and modular sum as
-    * the stable summary. One explode + one window + one aggregation —
-    * all codegen'd, grams never shuffle (the window partitions by
-    * doc_id only). */
+    * the stable summary.
+    *
+    * The whole computation is ONE native expression per document
+    * ([[graft.functions.WinnowSummary]]): a document's grams never
+    * become rows and never shuffle — the former explode + window +
+    * distinct + aggregate plan shuffled AND sorted every gram of the
+    * corpus (at 100 TB that gram stream is ~the corpus itself) and
+    * paid ~90 µs/gram in md5→hex→conv expressions. Docs with no full
+    * window (< k+w-1 chars) yield null and are filtered, matching the
+    * zero-group behavior of the former plan and the oracle. */
   def winnowFingerprint(df: DataFrame, textCol: String, idCol: String,
                         k: Int = 4, w: Int = 8): DataFrame = {
-    val grams = df
-      .select(col(idCol).as("doc_id"), col(textCol).as("__t"),
-        explode(sequence(lit(1), greatest(length(col(textCol)) - (k - 1), lit(0))))
-          .as("i"))
-      .select(col("doc_id"), col("i"),
-        Hashing.md5Mod31(col("__t").substr(col("i"), lit(k))).as("h"))
-    val winMin = grams
-      .withColumn("wmin", min(col("h")).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
-          .orderBy(col("i"))
-          .rowsBetween(-(w - 1), org.apache.spark.sql.expressions.Window.currentRow)))
-      .filter(col("i") >= w) // full windows only
-    winMin.select(col("doc_id"), col("wmin")).distinct()
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_fingerprints"),
-        (sum(col("wmin")) % lit(2147483647L)).as("fp_sum"))
+    // spread first when the scan has fewer partitions than the session
+    // parallelism (a small corpus in one row group scans as ONE task);
+    // at scan scale (many files/row groups) this is a no-op branch
+    val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val slim = df.select(col(idCol).as("doc_id"), col(textCol).as("__t"))
+    val spread = if (slim.rdd.getNumPartitions < n) slim.repartition(n) else slim
+    spread
+      .select(col("doc_id"),
+        graft.functions.WinnowSummary.winnowSummary(col("__t"), k, w).as("__ws"))
+      .filter(col("__ws").isNotNull)
+      .select(col("doc_id"), col("__ws.n_fingerprints").as("n_fingerprints"),
+        col("__ws.fp_sum").as("fp_sum"))
   }
 }
