@@ -70,25 +70,17 @@ object Similarity {
     math.max(floor, 64 - java.lang.Long.numberOfLeadingZeros(x))
   }
 
-  /** Signed projection of the embedding on hyperplane `bit`:
-    * left-associated sum over dims, so the oracle's identically
-    * associated literal sum is bit-equal (float→double casts and ±1.0
-    * multiplies are exact). */
-  private def projection(embCol: String, bit: Int, dim: Int) =
-    (0 until dim).map(d =>
-      element_at(col(embCol), d + 1).cast("double") *
-        lit(hyperplaneSign(bit, d).toDouble))
-      .reduce(_ + _)
-
   /** Sign-LSH bucket id from `nBits` Rademacher hyperplanes over all
     * `dim` dimensions. nBits scales with corpus size (adaptiveNBits) —
     * at 10^9 vectors and targetBucket 64 that is 24 bits / 16M buckets,
     * keeping the self-join O(n × targetBucket) instead of O(n²/2^k)
-    * with a fixed k. */
+    * with a fixed k. Native loop expression
+    * ([[graft.functions.HyperplaneBucket]]): the former nBits × dim
+    * Column tree generated ~1.3 MB of code at nBits=5 and grew with
+    * corpus size, straight into the Janino/JIT method-size cliff;
+    * values (left-associated per-bit projections) are unchanged. */
   def hyperplaneBucket(embCol: String, nBits: Int, dim: Int = 64) =
-    (0 until nBits).map(b =>
-      when(projection(embCol, b, dim) > 0, lit(1L << b)).otherwise(lit(0L)))
-      .reduce(_ + _)
+    graft.functions.HyperplaneBucket.hyperplaneBucket(col(embCol), nBits, dim)
 
   /** IVF-Flat ANN: inverted lists over deterministic training-free
     * centroids (the first `nCentroids` vectors by id — reproducible
