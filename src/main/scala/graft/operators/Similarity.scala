@@ -28,15 +28,25 @@ object Similarity {
     * ROUNDED cosine with an id tiebreak (both engines rank the same
     * rounded value — fp ties cannot diverge), keep top-k. One
     * definition so the rounding/tiebreak contract with the oracle
-    * cannot drift between the ANN variants. */
+    * cannot drift between the ANN variants.
+    *
+    * Top-k is a bounded native aggregate
+    * ([[graft.functions.TopKPairs]]), not a row_number window: the
+    * window form ships EVERY scored candidate to one task per query
+    * and sorts it there (20 queries × a 10⁹-vector corpus = 20
+    * reducers sorting the corpus); the aggregate's map-side combine
+    * caps each partition's contribution at k rows before the shuffle.
+    * Same (score desc, id asc) ordering contract, so results and the
+    * oracle are unchanged. */
   private def scoreTopK(pairs: DataFrame, k: Int): DataFrame = {
     val scored = pairs.filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         round(cosine("q_emb", "embedding"), 6).as("cos"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("vec_id"))
-    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
-      .select(col("query_id"), col("vec_id"), col("cos"), col("rk"))
+    scored.groupBy(col("query_id"))
+      .agg(graft.functions.TopKPairs.topKPairs(col("cos"), col("vec_id"), k).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "s")))
+      .select(col("query_id"), col("s.id").as("vec_id"), col("s.score").as("cos"),
+        (col("pos") + 1).cast("int").as("rk"))
   }
 
   /** Brute-force top-k: for each query vector, cosine against the full
@@ -95,18 +105,29 @@ object Similarity {
               nCentroids: Int = 32, nProbe: Int = 4): DataFrame = {
     val cents = broadcast(corpus.filter(col("vec_id") < nCentroids)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb")))
-    def nearest(df: DataFrame, idCol: String, embCol: String, n: Int) = {
-      val w = Window.partitionBy(col(idCol))
+    // Corpus-wide argmax assignment is an AGGREGATION (max_by with the
+    // same rounded-cos-desc, cent-id-asc tiebreak), not a row_number
+    // window: partial aggregation collapses the nCentroids× candidate
+    // blowup map-side, so the shuffle carries one row per vector
+    // instead of nCentroids rows through a per-vector sort.
+    val assigned = corpus.select(col("vec_id"), col("embedding")).crossJoin(cents)
+      .withColumn("cent_cos", round(cosine("embedding", "cent_emb"), 6))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("cent_id"), col("embedding")),
+        struct(col("cent_cos"), lit(0L) - col("cent_id"))).as("best"))
+      .select(col("vec_id"), col("best.cent_id").as("cent_id"),
+        col("best.embedding").as("embedding"))
+    // probe selection stays a window: it runs over the tiny broadcast
+    // query side (|queries| × nCentroids rows), never the corpus
+    val probes = {
+      val w = Window.partitionBy(col("query_id"))
         .orderBy(col("cent_cos").desc, col("cent_id"))
-      df.crossJoin(cents)
-        .withColumn("cent_cos", round(cosine(embCol, "cent_emb"), 6))
-        .withColumn("crn", row_number().over(w)).filter(col("crn") <= n)
+      queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+        .crossJoin(cents)
+        .withColumn("cent_cos", round(cosine("q_emb", "cent_emb"), 6))
+        .withColumn("crn", row_number().over(w)).filter(col("crn") <= nProbe)
         .drop("cent_emb", "cent_cos", "crn")
     }
-    val assigned = nearest(corpus.select(col("vec_id"), col("embedding")),
-      "vec_id", "embedding", 1)
-    val probes = nearest(queries.select(col("vec_id").as("query_id"),
-      col("embedding").as("q_emb")), "query_id", "q_emb", nProbe)
     scoreTopK(assigned.join(broadcast(probes), "cent_id"), k)
   }
 
