@@ -65,6 +65,9 @@ object SparkEntry {
     "ann_brute_force" -> ExtensionCatalog.annBruteForce,
     "ann_bucketed" -> ExtensionCatalog.annBucketed,
     "ann_ivf" -> ExtensionCatalog.annIvf,
+    "ds_sample_hash" -> ExtensionCatalog.dsSampleHash,
+    "ds_sample_stratified" -> ExtensionCatalog.dsSampleStratified,
+    "ds_split_assign" -> ExtensionCatalog.dsSplitAssign,
     "ta_langid" -> ExtensionCatalog.taLangId,
     "ta_quality" -> ExtensionCatalog.taQuality,
     "ta_tokens" -> ExtensionCatalog.taTokens,

@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Hashing
+
+/** Deterministic corpus sampling and dataset splitting — the
+  * reproducibility primitives of a training-data pipeline. Random
+  * `df.sample()` is partition-order-dependent and unrepeatable across
+  * engines/runs; hashing the record KEY makes every decision a pure
+  * function of the data, so a re-run, a different cluster size, or the
+  * DuckDB oracle all select the exact same rows, and a record keeps
+  * its train/valid/test assignment for the life of the corpus (no
+  * test-set leakage when the corpus is re-ingested or grows).
+  *
+  * All decisions derive from `md5Mod31(key || salt)` — uniform on
+  * [0, 2^31-1), cross-engine identical (see [[graft.functions.Hashing]]),
+  * fully codegen'd, no shuffle: sampling/splitting stays a narrow map
+  * regardless of corpus size.
+  */
+object Sampling {
+
+  private val P31 = 2147483647L
+
+  /** Uniform [0,1) decision value for a key: hash(key || "_" || salt) / 2^31-1. */
+  def decision(key: Column, salt: String): Column =
+    Hashing.md5Mod31(concat(key.cast("string"), lit("_" + salt)))
+      .cast("double") / lit(P31.toDouble)
+
+  /** Bernoulli(rate) sample, deterministic in (key, salt). */
+  def hashSample(df: DataFrame, keyCol: String, rate: Double,
+                 salt: String = "sample"): DataFrame =
+    df.filter(decision(col(keyCol), salt) < rate)
+
+  /** Per-stratum Bernoulli rates (e.g. downsample dominant languages,
+    * keep all of rare ones). Strata absent from `rates` get
+    * `defaultRate`. One narrow pass; the rate lookup is a constant
+    * when/otherwise chain, not a join. */
+  def stratifiedSample(df: DataFrame, keyCol: String, strataCol: String,
+                       rates: Map[String, Double], defaultRate: Double,
+                       salt: String = "strata"): DataFrame = {
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (stratum, r)) =>
+      when(col(strataCol) === stratum, lit(r)).otherwise(acc)
+    }
+    df.filter(decision(col(keyCol), salt) < rate)
+  }
+
+  /** Stable train/valid/test assignment from cumulative fractions:
+    * d < f1 → first name, d < f1+f2 → second, … remainder → last.
+    * Growing the corpus never reassigns an existing key (the decision
+    * depends only on the key), which is the leakage guarantee batch
+    * `randomSplit` cannot give. */
+  def splitAssign(df: DataFrame, keyCol: String,
+                  splits: Seq[(String, Double)], lastName: String,
+                  salt: String = "split"): DataFrame = {
+    val d = decision(col(keyCol), salt)
+    val cumulative = splits.scanLeft(0.0)(_ + _._2).tail
+    val assign = splits.zip(cumulative).foldRight(lit(lastName): Column) {
+      case (((name, _), cum), acc) => when(d < cum, lit(name)).otherwise(acc)
+    }
+    df.withColumn("split", assign)
+  }
+}

@@ -121,6 +121,29 @@ object ExtensionCatalog {
   val taWinnow: Q = (s, d) =>
     TextAnalysis.winnowFingerprint(Tables.documents(s, d), "text", "doc_id")
 
+  // ------------------------------------------- sampling / dataset splitting
+
+  /** Deterministic 10% Bernoulli sample keyed on doc_id — repeatable
+    * across runs, cluster sizes and engines (vs partition-order-
+    * dependent df.sample). */
+  val dsSampleHash: Q = (s, d) =>
+    Sampling.hashSample(Tables.documents(s, d), "doc_id", 0.1)
+      .select(col("doc_id"), col("lang"), col("source"))
+
+  /** Per-language rates: downsample dominant strata, keep rare ones. */
+  val dsSampleStratified: Q = (s, d) =>
+    Sampling.stratifiedSample(Tables.documents(s, d), "doc_id", "lang",
+      Map("en" -> 0.05, "fr" -> 0.5, "de" -> 0.8), defaultRate = 0.25)
+      .select(col("doc_id"), col("lang"))
+
+  /** Stable train/valid/test assignment (75/12.5/12.5 — exactly
+    * representable cumulative thresholds; a key's split never changes
+    * as the corpus grows). */
+  val dsSplitAssign: Q = (s, d) =>
+    Sampling.splitAssign(Tables.documents(s, d), "doc_id",
+      Seq("train" -> 0.75, "valid" -> 0.125), lastName = "test")
+      .select(col("doc_id"), col("split"), col("lang"))
+
   // ------------------------------------------------------------- multimodal
 
   /** Multimodal plumbing: text bytes stand in for an opaque media

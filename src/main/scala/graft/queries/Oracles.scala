@@ -409,6 +409,27 @@ object Oracles {
         |  CAST(strlen(text) % 1024 AS BIGINT) AS width,
         |  CAST((strlen(text) // 1024) % 1024 AS BIGINT) AS height,
         |  CASE WHEN strlen(text) % 2 = 0 THEN 'png' ELSE 'jpg' END AS format
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+    // ---- deterministic sampling / splitting (graft.operators.Sampling) ----
+    // decision value = md5Mod31(key || '_' || salt) / (2^31-1): one
+    // IEEE double division of identical integers in both engines, so
+    // every comparison selects identical rows. Split thresholds are
+    // chosen exactly representable (0.75, 0.875) — a 0.8+0.1 cumulative
+    // sum would be 0.9000000000000001 in one engine and 0.9 in the other.
+    "ds_sample_hash" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '_sample'),1,15))::BIGINT
+        |  % 2147483647) / 2147483647.0 < 0.1""".stripMargin,
+    "ds_sample_stratified" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '_strata'),1,15))::BIGINT
+        |    % 2147483647) / 2147483647.0
+        |  < (CASE lang WHEN 'en' THEN 0.05 WHEN 'fr' THEN 0.5 WHEN 'de' THEN 0.8 ELSE 0.25 END)""".stripMargin,
+    "ds_split_assign" ->
+      """SELECT doc_id, CASE WHEN d < 0.75 THEN 'train' WHEN d < 0.875 THEN 'valid'
+        |    ELSE 'test' END AS split,
+        |  lang FROM (SELECT doc_id, lang,
+        |    (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '_split'),1,15))::BIGINT
+        |      % 2147483647) / 2147483647.0 AS d FROM documents)""".stripMargin
   )
 }
