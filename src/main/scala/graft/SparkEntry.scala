@@ -41,6 +41,9 @@ object SparkEntry {
     "a7_session_window" -> QueryCatalog.a7SessionWindow,
     "agg_approx_distinct" -> QueryCatalog.aggApproxDistinct,
     "agg_kmv_distinct" -> QueryCatalog.aggKmvDistinct,
+    "agg_rollup" -> QueryCatalog.aggRollup,
+    "agg_histogram" -> QueryCatalog.aggHistogram,
+    "agg_pivot" -> QueryCatalog.aggPivot,
     // joins / two-input (§2.4) + set ops (§2.8) + routing (§2.9)
     "j_broadcast_dim" -> QueryCatalog.jBroadcastDim,
     "j_shuffle_agg" -> QueryCatalog.jShuffleAgg,

@@ -410,6 +410,26 @@ object Oracles {
         |  CAST((strlen(text) // 1024) % 1024 AS BIGINT) AS height,
         |  CASE WHEN strlen(text) % 2 = 0 THEN 'png' ELSE 'jpg' END AS format
         |FROM documents""".stripMargin,
+    // ---- OLAP aggregate shapes (rollup / histogram / pivot) ----
+    "agg_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS linestatus, count(*) AS n,
+        |  sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS total
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "agg_histogram" ->
+      """SELECT CAST(floor(value / 50.0) AS BIGINT) AS bucket, count(*) AS n,
+        |  sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total
+        |FROM events GROUP BY 1""".stripMargin,
+    // Spark pivot leaves absent cells null; nullif(count FILTER, 0)
+    // reproduces that from a filtered count
+    "agg_pivot" ->
+      """SELECT user_id % 10 AS cohort,
+        |  nullif(count(*) FILTER (WHERE event_type = 'click'), 0) AS click,
+        |  nullif(count(*) FILTER (WHERE event_type = 'error'), 0) AS error,
+        |  nullif(count(*) FILTER (WHERE event_type = 'purchase'), 0) AS purchase,
+        |  nullif(count(*) FILTER (WHERE event_type = 'signup'), 0) AS signup,
+        |  nullif(count(*) FILTER (WHERE event_type = 'view'), 0) AS view
+        |FROM events GROUP BY 1""".stripMargin,
     // ---- deterministic sampling / splitting (graft.operators.Sampling) ----
     // decision value = md5Mod31(key || '_' || salt) / (2^31-1): one
     // IEEE double division of identical integers in both engines, so

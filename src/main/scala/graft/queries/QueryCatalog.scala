@@ -205,6 +205,34 @@ object QueryCatalog {
         countDistinct(col("user_id")).as("exact_users"))
   }
 
+  /** ROLLUP: hierarchical subtotals + grand total in ONE pass (Spark
+    * expands the grouping sets before the shuffle, map-side combine
+    * per set — not N separate scans). Rollup null keys are coalesced
+    * to a sentinel in BOTH engines so the compare never sorts nulls. */
+  val aggRollup: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), moneySum(col("l_extendedprice")).as("total"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("n"), col("total"))
+
+  /** Fixed-width histogram: integer bucket arithmetic (floor of one
+    * IEEE division — identical in both engines), one hash aggregate. */
+  val aggHistogram: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(floor(col("value") / 50.0).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"), moneySum(col("value")).as("total"))
+
+  /** Pivot: per-cohort event-type counts as columns (Spark pivot with
+    * an explicit value list = one pass, no per-type scans; absent
+    * cells are null — the oracle twin nullif()s its filtered counts). */
+  val aggPivot: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy((col("user_id") % 10).as("cohort"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+
   // ---------------------------------------------------------------- joins
 
   /** Broadcast dimension join: lineitem ⋈ part (dim side broadcast —
