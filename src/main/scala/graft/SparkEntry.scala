@@ -41,6 +41,7 @@ object SparkEntry {
     "a7_session_window" -> QueryCatalog.a7SessionWindow,
     "agg_approx_distinct" -> QueryCatalog.aggApproxDistinct,
     "agg_kmv_distinct" -> QueryCatalog.aggKmvDistinct,
+    "agg_percentile_disc" -> QueryCatalog.aggPercentileDisc,
     "agg_rollup" -> QueryCatalog.aggRollup,
     "agg_histogram" -> QueryCatalog.aggHistogram,
     "agg_pivot" -> QueryCatalog.aggPivot,

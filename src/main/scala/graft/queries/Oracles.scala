@@ -410,6 +410,18 @@ object Oracles {
         |  CAST((strlen(text) // 1024) % 1024 AS BIGINT) AS height,
         |  CASE WHEN strlen(text) % 2 = 0 THEN 'png' ELSE 'jpg' END AS format
         |FROM documents""".stripMargin,
+    // ---- OLAP aggregate shapes (rollup / histogram / pivot / quantiles) ----
+    // exact discrete percentile: the ceil(q*n)-th smallest value is
+    // invariant under tie order, so no interpolation arithmetic can
+    // diverge between engines
+    "agg_percentile_disc" ->
+      """SELECT event_type,
+        |  min(CASE WHEN rn = ceil(0.5 * cnt) THEN value END) AS p50,
+        |  min(CASE WHEN rn = ceil(0.95 * cnt) THEN value END) AS p95
+        |FROM (SELECT event_type, value,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS cnt FROM events)
+        |GROUP BY 1""".stripMargin,
     // ---- OLAP aggregate shapes (rollup / histogram / pivot) ----
     "agg_rollup" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,

@@ -205,6 +205,24 @@ object QueryCatalog {
         countDistinct(col("user_id")).as("exact_users"))
   }
 
+  /** Exact discrete percentiles (p50/p95): the ceil(q·n)-th smallest
+    * value per group — deterministic regardless of tie order inside
+    * the sort, so both engines select the identical element (no
+    * interpolation arithmetic to diverge on). Exact quantiles
+    * inherently sort each group; the documented scale path for
+    * corpus-wide quantiles is approx_percentile (sketch, rows-only
+    * parity — see agg_approx_distinct for the family pattern). */
+  val aggPercentileDisc: Q = (s, d) => {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("value"))
+    Tables.events(s, d)
+      .select(col("event_type"), col("value"),
+        row_number().over(w).as("rn"),
+        count(lit(1)).over(Window.partitionBy(col("event_type"))).as("cnt"))
+      .groupBy(col("event_type"))
+      .agg(min(when(col("rn") === ceil(lit(0.5) * col("cnt")), col("value"))).as("p50"),
+        min(when(col("rn") === ceil(lit(0.95) * col("cnt")), col("value"))).as("p95"))
+  }
+
   /** ROLLUP: hierarchical subtotals + grand total in ONE pass (Spark
     * expands the grouping sets before the shuffle, map-side combine
     * per set — not N separate scans). Rollup null keys are coalesced
