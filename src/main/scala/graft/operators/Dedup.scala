@@ -116,22 +116,37 @@ object Dedup {
     // task time for 5M pairs at sf0.1, bimodal with AQE's plan
     // choice). Grouping each (band, bucket) once and emitting sorted
     // id combinations lazily is one aggregation + a tiny JIT-friendly
-    // loop, and generates each candidate pair exactly once per band.
+    // loop.
+    //
+    // FIRST-MATCH emission (the standard LSH dedup trick): a pair is
+    // emitted only in the LOWEST band where its buckets collide — each
+    // member carries its full band-key array, and the kernel skips a
+    // pair whose keys already matched in an earlier band. Each global
+    // pair therefore appears exactly once and the former corpus-wide
+    // `distinct()` — the single largest shuffle of the dedup pipeline
+    // (44 MB of pre-distinct pairs at sf0.1, linear in pair count at
+    // 100 TB) — disappears. Caveat folded into the salt recall
+    // contract: when an EARLIER band's bucket is pathological (over
+    // maxBucket, salted), a pair split across its shards is skipped
+    // here too — same documented degradation class as the salt itself.
     val spark = docs.sparkSession
     import spark.implicits._
-    val banded = sigs.select(col("doc_id"),
-      posexplode(bucketArray(bands, rowsPerBand)).as(Seq("band", "bucket")))
+    val banded = sigs
+      .select(col("doc_id"), bucketArray(bands, rowsPerBand).as("bands"))
+      .select(col("doc_id"), col("bands"),
+        posexplode(col("bands")).as(Seq("band", "bucket")))
     val n = docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    saltedBucketGroups(banded, col("doc_id"), maxBucket)
+    saltedBucketGroups(banded,
+      struct(col("doc_id").as("_1"), col("bands").as("_2")), maxBucket)
       // AQE coalesces this small aggregate to ~1 partition; the pair
       // emission below is the expensive part, so rebalance first.
-      .repartition(n).as[Seq[Long]]
+      .repartition(n).as[(Int, Seq[(Long, Seq[String])])]
       // Dedicated iterator class, not Iterator.flatMap chains: the
       // shared combinator call sites go megamorphic in a long-lived
       // session (43 bench queries in one JVM) and the kernel
       // deoptimizes 5-10x. Own class = monomorphic = stays JIT'd.
       .mapPartitions(groups => new PairIterator(groups))
-      .toDF("doc_a", "doc_b").distinct()
+      .toDF("doc_a", "doc_b")
   }
 
   /** Streaming MinHash-LSH near-dup candidates: the signature is
@@ -216,7 +231,8 @@ object Dedup {
     * not dedupe common subplans; at 100 TB that subtree dominates).
     * The groupBy reuses the window's (band,bucket) clustering — a
     * subset of its keys — so no second shuffle, and singleton buckets
-    * are dropped before any list is built. */
+    * are dropped before any list is built. Emits (band, members): the
+    * band index drives the kernels' first-match pair dedup. */
   private def saltedBucketGroups(banded: DataFrame, payload: org.apache.spark.sql.Column,
                                  maxBucket: Int): DataFrame =
     banded
@@ -227,7 +243,7 @@ object Dedup {
         pmod(xxhash64(col("doc_id")), ceil(col("bsize") / lit(maxBucket))))
       .groupBy(col("band"), col("bucket"), col("shard"))
       .agg(collect_list(payload).as("members"))
-      .select(col("members"))
+      .select(col("band"), col("members"))
 
   /** HALF_UP at 6 decimals, parity-exact with Spark round() and the
     * DuckDB oracle. The BigDecimal path (Double.toString + parse — a
@@ -243,31 +259,68 @@ object Dedup {
       BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
   }
 
-  /** Emits all sorted id pairs (a < b) of each group, lazily. */
-  private final class PairIterator(groups: Iterator[Seq[Long]])
+  /** True iff the two members' band keys already collided in a band
+    * before `band` — the pair was (or, under an earlier band's salt,
+    * would have been) emitted there, so the current band skips it. */
+  private def matchedEarlier(band: Int, a: Array[String], b: Array[String]): Boolean = {
+    var p = 0
+    while (p < band) {
+      if (a(p) == b(p)) return true
+      p += 1
+    }
+    false
+  }
+
+  /** Emits each group's sorted id pairs (a < b) whose FIRST band match
+    * is this group's band, lazily. */
+  private final class PairIterator(groups: Iterator[(Int, Seq[(Long, Seq[String])])])
       extends scala.collection.AbstractIterator[(Long, Long)] {
-    private var cur: Array[Long] = _
+    private var band = 0
+    private var ids: Array[Long] = _
+    private var bandKeys: Array[Array[String]] = _
     private var i = 0
     private var j = 1
-    loadNext()
-    private def loadNext(): Unit = {
-      cur = null
-      while (cur == null && groups.hasNext) {
-        val arr = groups.next().toArray
-        if (arr.length >= 2) {
-          java.util.Arrays.sort(arr)
-          cur = arr; i = 0; j = 1
+    private var outA = 0L
+    private var outB = 0L
+    private var ready = false
+    advance()
+    private def loadGroup(): Boolean = {
+      ids = null
+      while (ids == null && groups.hasNext) {
+        val (b, g) = groups.next()
+        if (g.length >= 2) {
+          val sorted = g.sortBy(_._1)
+          band = b
+          ids = new Array[Long](sorted.length)
+          bandKeys = new Array[Array[String]](sorted.length)
+          var m = 0
+          while (m < sorted.length) {
+            ids(m) = sorted(m)._1; bandKeys(m) = sorted(m)._2.toArray; m += 1
+          }
+          i = 0; j = 1
+        }
+      }
+      ids != null
+    }
+    private def advance(): Unit = {
+      ready = false
+      if (ids == null && !loadGroup()) return
+      while (!ready) {
+        if (j >= ids.length) {
+          i += 1; j = i + 1
+          if (j >= ids.length) { if (!loadGroup()) return }
+        } else {
+          if (!matchedEarlier(band, bandKeys(i), bandKeys(j))) {
+            outA = ids(i); outB = ids(j); ready = true
+          }
+          j += 1
         }
       }
     }
-    override def hasNext: Boolean = cur != null
+    override def hasNext: Boolean = ready
     override def next(): (Long, Long) = {
-      val out = (cur(i), cur(j))
-      j += 1
-      if (j >= cur.length) {
-        i += 1; j = i + 1
-        if (j >= cur.length) loadNext()
-      }
+      val out = (outA, outB)
+      advance()
       out
     }
   }
@@ -320,16 +373,20 @@ object Dedup {
     saltedBucketGroups(banded,
       struct(col("doc_id").as("_1"), col("simhash").as("_2")), maxBucket)
       .repartition(n)
-      .as[Seq[(Long, Long)]]
-      .mapPartitions(groups => new HammingIterator(groups, maxDist))
-      .toDF("doc_a", "doc_b", "hamming").distinct()
+      .as[(Int, Seq[(Long, Long)])]
+      .mapPartitions(groups => new HammingIterator(groups, maxDist, width))
+      .toDF("doc_a", "doc_b", "hamming")
   }
 
-  /** Per-block all-pairs hamming check, lazily (see PairIterator's
-    * megamorphism note). */
+  /** Per-block all-pairs hamming check with first-match emission (the
+    * chunk keys of earlier bands are recomputed from the signatures —
+    * zero extra payload), lazily (see PairIterator's megamorphism
+    * note). */
   private final class HammingIterator(
-      groups: Iterator[Seq[(Long, Long)]], maxDist: Int)
+      groups: Iterator[(Int, Seq[(Long, Long)])], maxDist: Int, width: Int)
       extends scala.collection.AbstractIterator[(Long, Long, Long)] {
+    private val mask = (1L << width) - 1
+    private var band = 0
     private var ids: Array[Long] = _
     private var sigs: Array[Long] = _
     private var i = 0
@@ -342,9 +399,10 @@ object Dedup {
     private def loadGroup(): Boolean = {
       ids = null
       while (ids == null && groups.hasNext) {
-        val g = groups.next()
+        val (b, g) = groups.next()
         if (g.length >= 2) {
           val sorted = g.sortBy(_._1)
+          band = b
           ids = new Array[Long](sorted.length)
           sigs = new Array[Long](sorted.length)
           var m = 0
@@ -356,6 +414,14 @@ object Dedup {
       }
       ids != null
     }
+    private def chunksMatchedEarlier(a: Long, b: Long): Boolean = {
+      var p = 0
+      while (p < band) {
+        if (((a >>> (p * width)) & mask) == ((b >>> (p * width)) & mask)) return true
+        p += 1
+      }
+      false
+    }
     private def advance(): Unit = {
       ready = false
       if (ids == null && !loadGroup()) return
@@ -365,7 +431,7 @@ object Dedup {
           if (j >= ids.length) { if (!loadGroup()) return }
         } else {
           val d = java.lang.Long.bitCount(sigs(i) ^ sigs(j))
-          if (d <= maxDist) {
+          if (d <= maxDist && !chunksMatchedEarlier(sigs(i), sigs(j))) {
             outA = ids(i); outB = ids(j); outD = d.toLong; ready = true
           }
           j += 1
@@ -406,10 +472,9 @@ object Dedup {
     // doc's array is deserialized once per band, there is no join at
     // all, and the only wide shuffle is the banded token sets
     // (bands × one fixed-width hash set per doc). A pair colliding in
-    // several bands is intersected once per band — duplicate kernel
-    // work that is ~3 orders of magnitude cheaper than the join it
-    // replaces — and collapsed by the final distinct on the identical
-    // (a, b, jaccard) triple.
+    // several bands is intersected and emitted ONLY in its lowest
+    // colliding band (first-match — each member carries its band-key
+    // array), so no corpus-wide distinct is needed downstream.
     //
     // One aggregation computes BOTH the minhash signature (banding)
     // and the exact token set (jaccard) from a single tokenize pass —
@@ -425,26 +490,33 @@ object Dedup {
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_set(col("h"))).as("toks"),
         (0 until k).map(j => min(col(s"a$j")).as(s"mh$j")): _*)
-    val banded = sigsWithToks.select(col("doc_id"), col("toks"),
-      posexplode(bucketArray(bands, rowsPerBand)).as(Seq("band", "bucket")))
-    // tuple-encoder field names: the struct must expose _1/_2
+    val banded = sigsWithToks
+      .select(col("doc_id"), col("toks"), bucketArray(bands, rowsPerBand).as("bands"))
+      .select(col("doc_id"), col("toks"), col("bands"),
+        posexplode(col("bands")).as(Seq("band", "bucket")))
+    // tuple-encoder field names: the struct must expose _1/_2/_3
     saltedBucketGroups(banded,
-      struct(col("doc_id").as("_1"), col("toks").as("_2")), maxBucket)
+      struct(col("doc_id").as("_1"), col("toks").as("_2"), col("bands").as("_3")),
+      maxBucket)
       .repartition(n)
-      .as[Seq[(Long, Seq[Long])]]
+      .as[(Int, Seq[(Long, Seq[Long], Seq[String])])]
       // dedicated iterator class — see PairIterator's megamorphism note
       .mapPartitions(groups => new GroupJaccardIterator(groups, threshold))
-      .toDF("doc_a", "doc_b", "jaccard").distinct()
+      .toDF("doc_a", "doc_b", "jaccard")
   }
 
   /** Per-group all-pairs sorted two-pointer intersect + threshold
-    * filter, lazily. Group size is bounded by the LSH salt
-    * (`maxBucket`), so the materialized arrays are O(maxBucket × set). */
+    * filter with first-match emission (a pair is intersected and
+    * emitted only in its lowest colliding band — see [[minHashLsh]]),
+    * lazily. Group size is bounded by the LSH salt (`maxBucket`), so
+    * the materialized arrays are O(maxBucket × set). */
   private final class GroupJaccardIterator(
-      groups: Iterator[Seq[(Long, Seq[Long])]], threshold: Double)
+      groups: Iterator[(Int, Seq[(Long, Seq[Long], Seq[String])])], threshold: Double)
       extends scala.collection.AbstractIterator[(Long, Long, Double)] {
+    private var band = 0
     private var ids: Array[Long] = _
     private var toks: Array[Array[Long]] = _
+    private var bandKeys: Array[Array[String]] = _
     private var i = 0
     private var j = 1
     private var nextA = 0L
@@ -455,14 +527,17 @@ object Dedup {
     private def loadGroup(): Boolean = {
       ids = null
       while (ids == null && groups.hasNext) {
-        val g = groups.next()
+        val (b, g) = groups.next()
         if (g.length >= 2) {
           val sorted = g.sortBy(_._1)
+          band = b
           ids = new Array[Long](sorted.length)
           toks = new Array[Array[Long]](sorted.length)
+          bandKeys = new Array[Array[String]](sorted.length)
           var m = 0
           while (m < sorted.length) {
-            ids(m) = sorted(m)._1; toks(m) = sorted(m)._2.toArray; m += 1
+            ids(m) = sorted(m)._1; toks(m) = sorted(m)._2.toArray
+            bandKeys(m) = sorted(m)._3.toArray; m += 1
           }
           i = 0; j = 1
         }
@@ -476,6 +551,8 @@ object Dedup {
         if (j >= ids.length) {
           i += 1; j = i + 1
           if (j >= ids.length) { if (!loadGroup()) return }
+        } else if (Dedup.matchedEarlier(band, bandKeys(i), bandKeys(j))) {
+          j += 1
         } else {
           val ta = toks(i); val tb = toks(j)
           var x = 0; var y = 0; var inter = 0
