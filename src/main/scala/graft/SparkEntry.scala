@@ -51,6 +51,8 @@ object SparkEntry {
     "j_semi" -> QueryCatalog.jSemi,
     "j_anti" -> QueryCatalog.jAnti,
     "j_asof" -> QueryCatalog.jAsOf,
+    "j_interval" -> QueryCatalog.jInterval,
+    "q_top_orders" -> QueryCatalog.qTopOrders,
     "j4_cogroup" -> QueryCatalog.j4Cogroup,
     "u1_union_tagged" -> QueryCatalog.u1UnionTagged,
     "set_except" -> QueryCatalog.setExcept,

@@ -206,6 +206,17 @@ object Oracles {
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') a
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') b
         |  ON a.user_id = b.user_id AND b.ts <= a.ts""".stripMargin,
+    "j_interval" ->
+      """SELECT p.user_id, p.event_id AS p_id, count(*) AS n_clicks,
+        |  max(c.event_id) AS last_click
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id
+        | AND c.ts >= p.ts - INTERVAL 360 MINUTE AND c.ts <= p.ts
+        |GROUP BY 1, 2""".stripMargin,
+    "q_top_orders" ->
+      """SELECT o_orderkey, round(o_totalprice, 2) AS totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 50""".stripMargin,
     "j4_cogroup" ->
       """WITH buys AS (SELECT user_id, count(*) AS n_buys, sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS spent
         |  FROM events WHERE event_type = 'purchase' GROUP BY 1),

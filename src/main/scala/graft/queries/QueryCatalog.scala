@@ -253,6 +253,34 @@ object QueryCatalog {
 
   // ---------------------------------------------------------------- joins
 
+  /** Event-time interval join: clicks within 6 hours BEFORE each
+    * purchase of the same user — equi-join on the user key plus a
+    * range predicate, the batch twin of the stream-stream watermarked
+    * interval join (`streaming.IntervalJoin`, StreamJoinSpec). The
+    * equi key carries the shuffle; the range is a post-join filter, so
+    * the plan stays a hash/sort-merge join, never a cross product. */
+  val jInterval: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"), col("ts").as("p_ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("c_id"), col("ts").as("c_ts"))
+    purchases.join(clicks, Seq("user_id"))
+      .filter(col("c_ts") >= col("p_ts") - expr("INTERVAL 360 MINUTES") &&
+        col("c_ts") <= col("p_ts"))
+      .groupBy(col("user_id"), col("p_id"))
+      .agg(count(lit(1)).as("n_clicks"), max(col("c_id")).as("last_click"))
+  }
+
+  /** Global top-N: ORDER BY + LIMIT plans as TakeOrderedAndProject —
+    * per-partition bounded heaps merged on the driver, never a full
+    * range-partitioned sort of the table. */
+  val qTopOrders: Q = (s, d) =>
+    Tables.orders(s, d)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(50)
+      .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("totalprice"))
+
   /** Broadcast dimension join: lineitem ⋈ part (dim side broadcast —
     * the 100 TB plan keeps the fact-side scan shuffle-free). */
   val jBroadcastDim: Q = (s, d) =>
