@@ -79,6 +79,7 @@ object SparkEntry {
     "ta_tokens" -> ExtensionCatalog.taTokens,
     "ta_fingerprint" -> ExtensionCatalog.taFingerprint,
     "ta_winnow" -> ExtensionCatalog.taWinnow,
+    "ta_vocab" -> ExtensionCatalog.taVocab,
     "mm_decode_meta" -> ExtensionCatalog.mmDecodeMeta,
     "mm_resize" -> ExtensionCatalog.mmResize,
     "mm_frames" -> ExtensionCatalog.mmFrames

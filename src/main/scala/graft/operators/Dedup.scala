@@ -22,11 +22,15 @@ import graft.functions.Hashing
 object Dedup {
 
   /** Exact dedup by content: one survivor (min id) per distinct text.
-    * A single hash aggregation — the groupBy key is the text itself so
-    * Spark's partial (map-side) aggregation collapses duplicates before
-    * the shuffle. */
+    * A single hash aggregation GROUPED ON THE 256-BIT CONTENT HASH,
+    * not the text: map-side combine collapses duplicates either way,
+    * but the shuffle key is then 32 bytes per distinct document
+    * instead of the document itself — at 100 TB, grouping on raw text
+    * shuffles the corpus. sha2 collisions are negligible (2^-128), so
+    * results are identical to text-grouping (the oracle still groups
+    * by text). */
   def exact(docs: DataFrame, textCol: String, idCol: String): DataFrame =
-    docs.groupBy(col(textCol))
+    docs.groupBy(sha2(col(textCol), 256).as("__h"))
       .agg(min(col(idCol)).as("survivor_id"), count(lit(1)).as("n_copies"))
       .select(col("survivor_id"), col("n_copies"))
 

@@ -121,6 +121,16 @@ object ExtensionCatalog {
   val taWinnow: Q = (s, d) =>
     TextAnalysis.winnowFingerprint(Tables.documents(s, d), "text", "doc_id")
 
+  /** Corpus vocabulary: top-100 tokens by frequency (shared tokenizer;
+    * explode → map-side-combined count → TakeOrdered — the corpus
+    * never sorts, only per-partition heaps merge). */
+  val taVocab: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(StatelessOps.explodeTokens(col("text")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok")).limit(100)
+
   // ------------------------------------------- sampling / dataset splitting
 
   /** Deterministic 10% Bernoulli sample keyed on doc_id — repeatable

@@ -382,6 +382,14 @@ object Oracles {
       s"""WITH $tokMultisetCte
          |SELECT doc_id, CAST(sum(h) % 2147483647 AS BIGINT) AS fingerprint,
          |  count(*) AS n_tokens FROM toks GROUP BY doc_id""".stripMargin,
+    // LIMIT boundary is tie-safe: rank-100 ties break on ascending
+    // token in both engines
+    "ta_vocab" ->
+      """SELECT tok, count(*) AS n FROM (
+        |  SELECT unnest(string_split(trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z \n]+', '', 'g'), '\s+', ' ', 'g')), ' ')) AS tok FROM documents)
+        |WHERE length(tok) > 0
+        |GROUP BY 1 ORDER BY n DESC, tok LIMIT 100""".stripMargin,
     // winnowing: window-min of 4-gram hashes over w=8, distinct-min
     // SET per doc (tie-order-free, so cross-engine deterministic);
     // docs shorter than k+w-1 chars have no full window in either
