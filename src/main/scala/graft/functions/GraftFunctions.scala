@@ -1,0 +1,49 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.types.IntegerType
+
+/** The engine's native functions as SQL-registrable builders — one
+  * table shared by [[graft.GraftExtensions]] (config-based,
+  * `spark.sql.extensions=graft.GraftExtensions`, for cluster deploys)
+  * and [[org.apache.spark.sql.GraftSqlBridge.registerAll]] (runtime
+  * registration on an existing session). After registration every
+  * native expression/aggregate is callable from `spark.sql(...)`
+  * exactly like a built-in — no Scala import needed to switch.
+  */
+object GraftFunctions {
+
+  private def intArg(e: Expression, fn: String, pos: Int): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: argument $pos must be an integer literal, got $other")
+  }
+
+  /** name → (builder, usage). Aggregates return the AggregateFunction;
+    * the analyzer wraps it like any built-in aggregate. */
+  val all: Seq[(String, Seq[Expression] => Expression, String)] = Seq(
+    ("cosine",
+      (args: Seq[Expression]) => CosineSimilarity(args(0), args(1)),
+      "cosine(a array<float>, b array<float>) - fused dot/norm cosine similarity"),
+    ("md5_long60",
+      (args: Seq[Expression]) => Md5Long60(args(0)),
+      "md5_long60(s string) - first 60 bits of md5(s) as bigint"),
+    ("winnow_summary",
+      (args: Seq[Expression]) => WinnowSummary(args(0),
+        if (args.length > 1) intArg(args(1), "winnow_summary", 2) else 4,
+        if (args.length > 2) intArg(args(2), "winnow_summary", 3) else 8),
+      "winnow_summary(text [, k, w]) - struct(n_fingerprints, fp_sum) of distinct window-min k-gram hashes"),
+    ("hyperplane_bucket",
+      (args: Seq[Expression]) => HyperplaneBucket(args(0),
+        intArg(args(1), "hyperplane_bucket", 2),
+        if (args.length > 2) intArg(args(2), "hyperplane_bucket", 3) else 64),
+      "hyperplane_bucket(emb array<float>, nBits [, dim]) - Rademacher sign-LSH bucket id"),
+    ("kmv_distinct",
+      (args: Seq[Expression]) => KmvDistinct(args(0),
+        if (args.length > 1) intArg(args(1), "kmv_distinct", 2) else 64),
+      "kmv_distinct(hash bigint [, k]) - KMV distinct-count sketch estimate (aggregate)"),
+    ("topk_pairs",
+      (args: Seq[Expression]) => TopKPairs(args(0), args(1),
+        intArg(args(2), "topk_pairs", 3)),
+      "topk_pairs(score double, id bigint, k) - top-k (score desc, id asc) pairs (aggregate)"))
+}

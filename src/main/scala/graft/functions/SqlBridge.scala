@@ -11,4 +11,14 @@ import org.apache.spark.sql.classic.{ExpressionColumnNode, ExpressionUtils}
 object GraftSqlBridge {
   def toColumn(e: Expression): Column = Column(ExpressionColumnNode(e))
   def toExpression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Runtime twin of [[graft.GraftExtensions]]: register every native
+    * graft function on an EXISTING session so `spark.sql(...)` can
+    * call them (the extensions class only applies at session build
+    * time; this covers notebooks/REPLs already holding a session). */
+  def registerAll(spark: SparkSession): Unit =
+    graft.functions.GraftFunctions.all.foreach { case (name, builder, _) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
 }

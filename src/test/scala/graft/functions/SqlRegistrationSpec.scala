@@ -1,0 +1,57 @@
+package graft.functions
+
+import org.apache.spark.sql.GraftSqlBridge
+import org.apache.spark.sql.functions._
+
+import graft.streaming.SparkSpec
+
+/** Native functions through plain SQL: after registration every graft
+  * expression/aggregate is callable from `spark.sql` like a built-in,
+  * and returns the same values as the Column API.
+  */
+class SqlRegistrationSpec extends SparkSpec {
+  import spark.implicits._
+
+  GraftSqlBridge.registerAll(spark)
+
+  test("scalar expressions: cosine, md5_long60, winnow_summary, hyperplane_bucket") {
+    Seq((Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)))
+      .toDF("a", "b").createOrReplaceTempView("vecs")
+    val (sqlCos, apiCos) = spark.sql(
+      "SELECT cosine(a, b), cosine(a, a) FROM vecs").as[(Double, Double)].collect().head match {
+      case (ab, aa) => (ab, aa)
+    }
+    assert(math.abs(sqlCos -
+      Seq((Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f))).toDF("a", "b")
+        .select(CosineSimilarity.cosine(col("a"), col("b"))).as[Double].collect().head) == 0.0)
+    assert(apiCos == 1.0)
+
+    val h = spark.sql("SELECT md5_long60('join')").as[Long].collect().head
+    assert(h == Seq("join").toDF("s")
+      .select(Md5Long60.md5Long60(col("s"))).as[Long].collect().head)
+
+    val ws = spark.sql(
+      "SELECT winnow_summary('the quick brown fox jumps', 4, 8).n_fingerprints")
+      .as[Long].collect().head
+    assert(ws > 0)
+
+    Seq(Tuple1(Array.fill(64)(1.0f))).toDF("e").createOrReplaceTempView("emb1")
+    val b = spark.sql("SELECT hyperplane_bucket(e, 8) FROM emb1").as[Long].collect().head
+    assert(b == Seq(Tuple1(Array.fill(64)(1.0f))).toDF("e")
+      .select(HyperplaneBucket.hyperplaneBucket(col("e"), 8, 64)).as[Long].collect().head)
+  }
+
+  test("aggregates: kmv_distinct and topk_pairs from SQL") {
+    (1 to 1000).map(i => (i % 7, (i % 40).toLong, (i % 13).toDouble))
+      .toDF("g", "id", "s").createOrReplaceTempView("agg_in")
+    val kmv = spark.sql(
+      "SELECT kmv_distinct(md5_long60(CAST(id AS STRING)) % 2147483647, 64) FROM agg_in")
+      .as[Long].collect().head
+    assert(kmv == 40L) // under k retained minima -> exact distinct count
+
+    val tk = spark.sql(
+      """SELECT g, topk_pairs(s, id, 3) AS tk FROM agg_in GROUP BY g""")
+      .selectExpr("g", "tk[0].score", "tk[0].id").as[(Int, Double, Long)].collect()
+    assert(tk.length == 7 && tk.forall(_._2 == 12.0)) // max score 12, id tiebreak
+  }
+}
