@@ -42,6 +42,7 @@ object SparkEntry {
     "agg_approx_distinct" -> QueryCatalog.aggApproxDistinct,
     "agg_kmv_distinct" -> QueryCatalog.aggKmvDistinct,
     "agg_percentile_disc" -> QueryCatalog.aggPercentileDisc,
+    "agg_hash_quantile" -> QueryCatalog.aggHashQuantile,
     "agg_rollup" -> QueryCatalog.aggRollup,
     "agg_histogram" -> QueryCatalog.aggHistogram,
     "agg_pivot" -> QueryCatalog.aggPivot,
@@ -68,6 +69,7 @@ object SparkEntry {
     "dd_simhash_pairs" -> ExtensionCatalog.ddSimhashPairs,
     "dd_jaccard" -> ExtensionCatalog.ddJaccard,
     "dd_embed_cosine" -> ExtensionCatalog.ddEmbedCosine,
+    "dd_components" -> ExtensionCatalog.ddComponents,
     "ann_brute_force" -> ExtensionCatalog.annBruteForce,
     "ann_bucketed" -> ExtensionCatalog.annBucketed,
     "ann_ivf" -> ExtensionCatalog.annIvf,

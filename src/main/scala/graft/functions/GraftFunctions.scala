@@ -45,5 +45,9 @@ object GraftFunctions {
     ("topk_pairs",
       (args: Seq[Expression]) => TopKPairs(args(0), args(1),
         intArg(args(2), "topk_pairs", 3)),
-      "topk_pairs(score double, id bigint, k) - top-k (score desc, id asc) pairs (aggregate)"))
+      "topk_pairs(score double, id bigint, k) - top-k (score desc, id asc) pairs (aggregate)"),
+    ("kmin_by_hash",
+      (args: Seq[Expression]) => KMinByHash(args(0), args(1),
+        intArg(args(2), "kmin_by_hash", 3)),
+      "kmin_by_hash(hash bigint, value double, k) - k hash-smallest (h, v) pairs (aggregate)"))
 }

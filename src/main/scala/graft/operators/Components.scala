@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over an undirected edge list, by alternating
+  * large-star / small-star rounds (Kiveris et al., "Connected
+  * Components in MapReduce and Beyond", SoCC 2014).
+  *
+  * This is the missing last step of every dedup pipeline: the pair
+  * generators ([[Dedup.minHashLsh]], [[Dedup.simHashPairs]],
+  * [[Dedup.ngramJaccard]]) emit near-duplicate PAIRS, but survivor
+  * selection needs CLUSTERS — duplicate chains (A~B, B~C, A!~C) make
+  * per-pair keep/drop decisions inconsistent without the transitive
+  * closure. The canonical representative is the minimum doc id of the
+  * component, so "keep iff id == component" is a total, deterministic
+  * survivor rule.
+  *
+  * Scale design: no driver-side graph state — each round is two
+  * key-partitioned aggregate+join passes over the edge list, and the
+  * only data reaching the driver is one (count, checksum) pair per
+  * round for the convergence test. Large-star/small-star needs
+  * O(log² n) rounds in the worst case (a long duplicate chain —
+  * exactly where naive min-label propagation needs diameter rounds and
+  * dies at scale); near-dup clusters are dense in practice and
+  * converge in ~3-4. Every intermediate edge set is bounded by the
+  * input edge count (stars only shrink it after the first round), and
+  * lineage is truncated per round so the iterated plan stays
+  * constant-size.
+  */
+object Components {
+
+  /** (node, component) for every node appearing in `edges`, where
+    * `component` is the minimum node id of its connected component.
+    * Callers left-join their full id universe to pick up singletons —
+    * including nodes that only appear in self-loops, which are dropped
+    * with the loop itself. Edge direction and duplicates don't matter.
+    */
+  def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
+                          maxRounds: Int = 64): DataFrame = {
+    var e = canon(edges.select(col(aCol).as("u"), col(bCol).as("v")))
+      .localCheckpoint()
+    var prev = checksum(e)
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxRounds) {
+      e = smallStar(largeStar(e)).localCheckpoint()
+      val cur = checksum(e)
+      converged = cur == prev
+      prev = cur
+      rounds += 1
+    }
+    require(converged, s"connectedComponents: no fixpoint after $maxRounds rounds")
+    // the fixpoint is a star forest: every edge is (child > root); the
+    // roots themselves appear only on the v side
+    e.select(col("u").as("node"), col("v").as("component"))
+      .union(e.select(col("v").as("node"), col("v").as("component")).distinct())
+  }
+
+  /** Edges as (u > v), no self-loops, no duplicates. */
+  private def canon(e: DataFrame): DataFrame =
+    e.where(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      .distinct()
+
+  /** large-star: every node's strictly-larger neighbors reconnect to
+    * the minimum of its closed neighborhood. One aggregate + one
+    * co-partitioned join (both keyed on u — the join reuses the
+    * aggregate's shuffle partitioning). */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+    val mins = sym.groupBy(col("u"))
+      .agg(min(col("v")).as("mv"))
+      .select(col("u"), least(col("u"), col("mv")).as("m"))
+    // emitted edges are (v, m) with v > u >= m, so already canonical
+    sym.join(mins, "u")
+      .where(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .distinct()
+  }
+
+  /** small-star: every node's smaller neighbors (and the node itself)
+    * reconnect to the smallest of them. Operates on the canonical
+    * (u > v) orientation directly. */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val mins = e.groupBy(col("u")).agg(min(col("v")).as("m"))
+    val nbrs = e.join(mins, "u")
+      .select(col("v").as("u"), col("m").as("v")) // v >= m; drop the v == m loop
+    val self = mins.select(col("u"), col("m").as("v")) // u > m always
+    nbrs.union(self)
+      .where(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  /** Order-insensitive edge-set signature: the loop's only driver-side
+    * data. xor (not sum — ANSI mode faults on Long overflow) of the
+    * per-edge 64-bit hashes: edges are distinct, so a changed set
+    * matching both count and xor is a 2⁻⁶⁴-per-round collision. */
+  private def checksum(e: DataFrame): (Long, Long) = {
+    val r = e.agg(count(lit(1)), bit_xor(xxhash64(col("u"), col("v")))).head()
+    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+  }
+}

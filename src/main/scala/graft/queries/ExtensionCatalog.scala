@@ -68,6 +68,24 @@ object ExtensionCatalog {
       .filter(col("cos") >= 0.2)
   }
 
+  /** Duplicate-cluster resolution: connected components over the
+    * dd_jaccard near-dup pairs (transitive closure — duplicate CHAINS
+    * collapse into one cluster), every document labeled with its
+    * cluster's minimum doc_id. `doc_id == component_id` is the
+    * deterministic survivor rule; singletons are their own component.
+    */
+  val ddComponents: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val edges = Dedup.ngramJaccard(docs, "text", "doc_id", threshold = 0.7)
+      .select(col("doc_a"), col("doc_b"))
+    val comp = Components.connectedComponents(edges, "doc_a", "doc_b")
+      .withColumnRenamed("node", "doc_id")
+    docs.select(col("doc_id"))
+      .join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("component_id"))
+  }
+
   // ------------------------------------------------------------ similarity
 
   /** Brute-force cosine top-10 for a fixed query set (vec_id < 20). */

@@ -78,6 +78,22 @@ object Oracles {
     s"bands AS (${selects.mkString(" UNION ALL ")})"
   }
 
+  /** The dd_jaccard pair pipeline (LSH candidates → exact rounded
+    * Jaccard >= 0.7) as a CTE chain ending in `jpairs` — shared by
+    * dd_jaccard and the dd_components closure over the same edges. */
+  private def jaccardCtes: String =
+    s"""${sigCte(32)}, ${bandsCte(4, 8)},
+       |cands AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+       |    AND a.doc_id < b.doc_id),
+       |arrs AS (SELECT doc_id, list(h) AS toks_l, count(*) AS sz FROM toks GROUP BY doc_id),
+       |jpairs AS (SELECT doc_a, doc_b, jaccard FROM (
+       |  SELECT doc_a, doc_b,
+       |    round(len(list_intersect(x.toks_l, y.toks_l))
+       |      / (x.sz + y.sz - len(list_intersect(x.toks_l, y.toks_l))), 6) AS jaccard
+       |  FROM cands JOIN arrs x ON doc_a = x.doc_id JOIN arrs y ON doc_b = y.doc_id)
+       |WHERE jaccard >= 0.7)""".stripMargin
+
   val all: Map[String, String] = Map(
     "p1_buy_sell" ->
       "SELECT event_id, CASE WHEN value > 100.0 THEN 'BUY' ELSE 'SELL' END AS decision FROM events",
@@ -291,17 +307,25 @@ object Oracles {
          |SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
          |FROM cands WHERE bit_count(xor(sa, sb)) <= 3""".stripMargin,
     "dd_jaccard" ->
-      s"""WITH ${sigCte(32)}, ${bandsCte(4, 8)},
-         |cands AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
-         |    AND a.doc_id < b.doc_id),
-         |arrs AS (SELECT doc_id, list(h) AS toks_l, count(*) AS sz FROM toks GROUP BY doc_id)
-         |SELECT doc_a, doc_b, jaccard FROM (
-         |  SELECT doc_a, doc_b,
-         |    round(len(list_intersect(x.toks_l, y.toks_l))
-         |      / (x.sz + y.sz - len(list_intersect(x.toks_l, y.toks_l))), 6) AS jaccard
-         |  FROM cands JOIN arrs x ON doc_a = x.doc_id JOIN arrs y ON doc_b = y.doc_id)
-         |WHERE jaccard >= 0.7""".stripMargin,
+      s"""WITH $jaccardCtes
+         |SELECT doc_a, doc_b, jaccard FROM jpairs""".stripMargin,
+    // transitive closure of the dd_jaccard edge set via recursive
+    // min-label spread: the component min m has (m, m); any smaller
+    // label l < v reaching a neighbor v is recorded, so min(label)
+    // per node is the component minimum — the same canonical
+    // representative the Spark large-star/small-star fixpoint roots at
+    "dd_components" ->
+      s"""WITH RECURSIVE $jaccardCtes,
+         |sym AS (SELECT doc_a AS u, doc_b AS v FROM jpairs
+         |  UNION SELECT doc_b, doc_a FROM jpairs),
+         |cc(node, label) AS (
+         |  SELECT u, u FROM sym
+         |  UNION
+         |  SELECT s.v, c.label FROM cc c JOIN sym s ON s.u = c.node
+         |  WHERE c.label < s.v),
+         |lab AS (SELECT node, min(label) AS component_id FROM cc GROUP BY node)
+         |SELECT d.doc_id, coalesce(l.component_id, d.doc_id) AS component_id
+         |FROM documents d LEFT JOIN lab l ON d.doc_id = l.node""".stripMargin,
     "ann_brute_force" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 20),
         |scored AS (SELECT q.query_id, e.vec_id,
@@ -433,6 +457,24 @@ object Oracles {
     // exact discrete percentile: the ceil(q*n)-th smallest value is
     // invariant under tie order, so no interpolation arithmetic can
     // diverge between engines
+    // the sample is defined by (md5-hash asc, value asc) order — the
+    // exact twin of KMinByHash's TreeSet ordering — then exact
+    // discrete percentiles over it, same ceil(q*n) rule as
+    // agg_percentile_disc
+    "agg_hash_quantile" ->
+      """WITH h AS (SELECT event_type, value,
+        |    ('0x' || substr(md5(CAST(event_id AS VARCHAR)),1,15))::BIGINT AS hk
+        |  FROM events),
+        |samp AS (SELECT event_type, value,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY hk, value) AS hrn FROM h),
+        |o AS (SELECT event_type, value,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS cnt
+        |  FROM samp WHERE hrn <= 256)
+        |SELECT event_type,
+        |  min(CASE WHEN rn = ceil(0.5 * cnt) THEN value END) AS p50_est,
+        |  min(CASE WHEN rn = ceil(0.95 * cnt) THEN value END) AS p95_est
+        |FROM o GROUP BY 1""".stripMargin,
     "agg_percentile_disc" ->
       """SELECT event_type,
         |  min(CASE WHEN rn = ceil(0.5 * cnt) THEN value END) AS p50,

@@ -197,6 +197,29 @@ object QueryCatalog {
     * md5 hashes — a native TypedImperativeAggregate with bounded O(k)
     * mergeable state whose estimate the DuckDB oracle reproduces
     * exactly (kth-smallest distinct hash), unlike HLL++ above. */
+  /** Approximate per-group quantiles over the deterministic k-min-by-
+    * hash row sample (k=256): hashing the unique event id permutes
+    * each group uniformly, so its 256 hash-smallest rows are a uniform
+    * sample — identical across runs, partition layouts and engines —
+    * and the sample's exact discrete percentiles estimate the group's.
+    * The scale contrast with [[aggPercentileDisc]]: that one
+    * shuffles + sorts every row of every group; this one's mergeable
+    * O(k) partials cap the shuffle at k rows per partition per group. */
+  val aggHashQuantile: Q = (s, d) => {
+    val sampled = Tables.events(s, d)
+      .select(col("event_type"),
+        Hashing.md5Long(col("event_id").cast("string")).as("hk"), col("value"))
+      .groupBy(col("event_type"))
+      .agg(graft.functions.KMinByHash.kMinByHash(col("hk"), col("value"), 256)
+        .as("sample"))
+    sampled
+      .select(col("event_type"),
+        array_sort(transform(col("sample"), e => e.getField("v"))).as("vals"))
+      .select(col("event_type"),
+        element_at(col("vals"), ceil(lit(0.5) * size(col("vals"))).cast("int")).as("p50_est"),
+        element_at(col("vals"), ceil(lit(0.95) * size(col("vals"))).cast("int")).as("p95_est"))
+  }
+
   val aggKmvDistinct: Q = (s, d) => {
     val ev = Tables.events(s, d).select(col("event_type"), col("user_id"),
       graft.functions.Hashing.md5Mod31(col("user_id").cast("string")).as("h"))

@@ -41,7 +41,7 @@ class SqlRegistrationSpec extends SparkSpec {
       .select(HyperplaneBucket.hyperplaneBucket(col("e"), 8, 64)).as[Long].collect().head)
   }
 
-  test("aggregates: kmv_distinct and topk_pairs from SQL") {
+  test("aggregates: kmv_distinct, topk_pairs and kmin_by_hash from SQL") {
     (1 to 1000).map(i => (i % 7, (i % 40).toLong, (i % 13).toDouble))
       .toDF("g", "id", "s").createOrReplaceTempView("agg_in")
     val kmv = spark.sql(
@@ -53,5 +53,11 @@ class SqlRegistrationSpec extends SparkSpec {
       """SELECT g, topk_pairs(s, id, 3) AS tk FROM agg_in GROUP BY g""")
       .selectExpr("g", "tk[0].score", "tk[0].id").as[(Int, Double, Long)].collect()
     assert(tk.length == 7 && tk.forall(_._2 == 12.0)) // max score 12, id tiebreak
+
+    val km = spark.sql(
+      "SELECT kmin_by_hash(id, s, 2) AS km FROM agg_in WHERE id >= 5")
+      .selectExpr("km[0].h", "km[0].v", "km[1].v").as[(Long, Double, Double)]
+      .collect().head
+    assert(km == ((5L, 0.0, 1.0))) // smallest hash, then value tiebreak
   }
 }

@@ -1,0 +1,52 @@
+package graft.operators
+
+import graft.streaming.SparkSpec
+
+/** Large-star/small-star connected components: transitive closure,
+  * chain worst case, determinism under partitioning.
+  */
+class ComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def cc(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Components.connectedComponents(
+      edges.toDF("a", "b"), "a", "b")
+      .as[(Long, Long)].collect().toMap
+
+  test("duplicate chain collapses transitively to the minimum id") {
+    // A~B, B~C, C~D but no direct A~C/A~D edge — the per-pair view
+    // can't pick consistent survivors; the closure can
+    val got = cc(Seq((2L, 1L), (2L, 3L), (3L, 4L), (9L, 8L)))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      8L -> 8L, 9L -> 8L))
+  }
+
+  test("long path converges within the round budget (log-round property)") {
+    val n = 512L
+    val path = (1L until n).map(i => (i, i + 1))
+    val got = cc(path)
+    assert(got.size == n)
+    assert(got.values.forall(_ == 1L))
+  }
+
+  test("self-loops, duplicate and reversed edges are harmless") {
+    // a node seen ONLY in a self-loop is a singleton: dropped here,
+    // restored by the caller-side left join (see ddComponents)
+    val got = cc(Seq((5L, 5L), (1L, 2L), (2L, 1L), (1L, 2L)))
+    assert(got == Map(1L -> 1L, 2L -> 1L))
+  }
+
+  test("result is independent of input partitioning") {
+    val edges = (0L until 200L).map(i => (i % 40, i % 40 + 40)) ++
+      Seq((39L, 0L), (41L, 40L))
+    val base = cc(edges)
+    val shuffled = Components.connectedComponents(
+      edges.toDF("a", "b").repartition(13), "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(base == shuffled)
+  }
+
+  test("empty edge list yields an empty assignment") {
+    assert(cc(Seq.empty) == Map.empty)
+  }
+}
