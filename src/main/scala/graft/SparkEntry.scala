@@ -61,6 +61,7 @@ object SparkEntry {
     "q1_pricing_summary" -> QueryCatalog.q1PricingSummary,
     "q3_shipping" -> QueryCatalog.q3Shipping,
     "q5_volume" -> QueryCatalog.q5Volume,
+    "q6_revenue" -> QueryCatalog.q6Revenue,
     // LLM-pipeline extensions
     "dd_exact" -> ExtensionCatalog.ddExact,
     "dd_minhash_sig" -> ExtensionCatalog.ddMinhashSig,
@@ -73,6 +74,7 @@ object SparkEntry {
     "ann_brute_force" -> ExtensionCatalog.annBruteForce,
     "ann_bucketed" -> ExtensionCatalog.annBucketed,
     "ann_ivf" -> ExtensionCatalog.annIvf,
+    "emb_centroid" -> ExtensionCatalog.embCentroid,
     "ds_sample_hash" -> ExtensionCatalog.dsSampleHash,
     "ds_sample_stratified" -> ExtensionCatalog.dsSampleStratified,
     "ds_split_assign" -> ExtensionCatalog.dsSplitAssign,
@@ -82,6 +84,7 @@ object SparkEntry {
     "ta_fingerprint" -> ExtensionCatalog.taFingerprint,
     "ta_winnow" -> ExtensionCatalog.taWinnow,
     "ta_vocab" -> ExtensionCatalog.taVocab,
+    "ta_ngrams" -> ExtensionCatalog.taNgrams,
     "mm_decode_meta" -> ExtensionCatalog.mmDecodeMeta,
     "mm_resize" -> ExtensionCatalog.mmResize,
     "mm_frames" -> ExtensionCatalog.mmFrames

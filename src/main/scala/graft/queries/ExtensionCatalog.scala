@@ -110,6 +110,23 @@ object ExtensionCatalog {
     Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 20), k = 10)
   }
 
+  /** Per-label embedding centroids (the IVF-training / cluster-
+    * diagnostics primitive), one row per (label, dimension). The
+    * posexplode widens each vector to 64 rows, but hash-agg partials
+    * map-side-combine them to (labels × dims) rows per partition
+    * before the shuffle — the shuffle is constant-size at any corpus
+    * scale. Components are summed as integer micro-units (exact,
+    * order-independent — a raw double sum's last ulp depends on
+    * partition merge order and can flip a rounded digit). */
+  val embCentroid: Q = (s, d) =>
+    Tables.embeddings(s, d)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy(col("label"), col("dim"))
+      .agg(sum(round(col("v").cast("double") * 1000000).cast("long")).as("sv"),
+        count(lit(1)).as("n"))
+      .select(col("label"), col("dim").cast("long").as("dim"),
+        round(col("sv") / (col("n") * lit(1000000.0)), 6).as("centroid"))
+
   // ---------------------------------------------------------- text analysis
 
   /** Stopword-profile language ID vs the labeled lang column. */
@@ -148,6 +165,24 @@ object ExtensionCatalog {
       .filter(length(col("tok")) > 0)
       .groupBy(col("tok")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("tok")).limit(100)
+
+  /** Top-50 corpus bigrams (adjacent token pairs in document order) —
+    * the n-gram statistics pass of a corpus profile. Bigram generation
+    * is a narrow per-document zip of the token array with its own
+    * tail (no explode-then-self-join, which would shuffle every token
+    * twice); counts map-side combine and the top-50 is TakeOrdered
+    * (per-partition heaps — the corpus never globally sorts). */
+  val taNgrams: Q = (s, d) => {
+    val toks = StatelessOps.tokenArray(col("text"))
+    Tables.documents(s, d)
+      .select(toks.as("toks")).where(size(col("toks")) >= 2)
+      .select(explode(zip_with(
+        slice(col("toks"), lit(1), size(col("toks")) - 1),
+        slice(col("toks"), lit(2), size(col("toks")) - 1),
+        (a, b) => concat_ws(" ", a, b))).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram")).limit(50)
+  }
 
   // ------------------------------------------- sampling / dataset splitting
 

@@ -248,6 +248,11 @@ object Oracles {
     "set_except" ->
       """SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
         |EXCEPT SELECT DISTINCT user_id FROM events WHERE event_type = 'error'""".stripMargin,
+    "q6_revenue" ->
+      """SELECT sum(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT)) / 100.0 AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 4) AS sum_qty,
         |  sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS sum_base,
@@ -339,6 +344,16 @@ object Oracles {
     // (i=1..nbits), mirroring Similarity.bucketedTopK's probe array;
     // fixed-bound series + WHERE because DuckDB lateral series can't
     // take a column bound
+    // centroid components accumulate as integer micro-units in BOTH
+    // engines: exact, order-independent sums (a raw double sum's last
+    // ulp depends on accumulation order)
+    "emb_centroid" ->
+      """WITH x AS (SELECT label, i - 1 AS dim,
+        |    CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS sv
+        |  FROM embeddings, generate_series(1, 64) g(i))
+        |SELECT label, CAST(dim AS BIGINT) AS dim,
+        |  round(sum(sv) / (count(*) * 1000000.0), 6) AS centroid
+        |FROM x GROUP BY 1, 2""".stripMargin,
     "ann_bucketed" ->
       s"""WITH $lshBucketsCte,
          |q AS (SELECT vec_id AS query_id, q_emb, bucket FROM (
@@ -414,6 +429,20 @@ object Oracles {
         |    '[^a-z \n]+', '', 'g'), '\s+', ' ', 'g')), ' ')) AS tok FROM documents)
         |WHERE length(tok) > 0
         |GROUP BY 1 ORDER BY n DESC, tok LIMIT 100""".stripMargin,
+    // bigrams over the ORDERED token array (no empty-token filter on
+    // either side: a doc cleaning to '' has one empty token and no
+    // bigram in both engines); fixed series bound + loud guard like
+    // p5_occurrences
+    "ta_ngrams" ->
+      """WITH arr AS (SELECT string_split(trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z \n]+', '', 'g'), '\s+', ' ', 'g')), ' ') AS toks FROM documents),
+        |bg AS (SELECT toks[i] || ' ' || toks[i + 1] AS bigram
+        |  FROM arr, generate_series(1, 4000) g(i)
+        |  WHERE i <= len(toks) - 1
+        |    AND 1 = (SELECT CASE WHEN max(len(toks)) - 1 <= 4000 THEN 1
+        |      ELSE error('ta_ngrams oracle: token series bound exceeded') END FROM arr))
+        |SELECT bigram, count(*) AS n FROM bg GROUP BY 1
+        |ORDER BY n DESC, bigram LIMIT 50""".stripMargin,
     // winnowing: window-min of 4-gram hashes over w=8, distinct-min
     // SET per doc (tie-order-free, so cross-engine deterministic);
     // docs shorter than k+w-1 chars have no full window in either

@@ -393,6 +393,19 @@ object QueryCatalog {
         round(avg(col("l_quantity")), 4).as("avg_qty"),
         count(lit(1)).as("n"))
 
+  /** TPC-H Q6-style revenue-change: the pure pushdown showcase — all
+    * four predicates and the only two needed columns reach the parquet
+    * scan, so the plan is scan → partial agg → one-row exchange. At
+    * 100 TB this is the query shape where row-group statistics prune
+    * most of the table before a byte is decoded. */
+  val q6Revenue: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1997-01-01") &&
+        col("l_discount").between(0.05, 0.07) &&
+        col("l_quantity") < 24)
+      .agg(moneySum(col("l_extendedprice") * col("l_discount")).as("revenue"))
+
   /** TPC-H Q3-style shipping priority (3-way join, group, filter). */
   val q3Shipping: Q = (s, d) =>
     Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
