@@ -78,6 +78,7 @@ object SparkEntry {
     "ds_sample_hash" -> ExtensionCatalog.dsSampleHash,
     "ds_sample_stratified" -> ExtensionCatalog.dsSampleStratified,
     "ds_split_assign" -> ExtensionCatalog.dsSplitAssign,
+    "pipe_curate" -> ExtensionCatalog.pipeCurate,
     "ta_langid" -> ExtensionCatalog.taLangId,
     "ta_quality" -> ExtensionCatalog.taQuality,
     "ta_tokens" -> ExtensionCatalog.taTokens,

@@ -38,19 +38,23 @@ object Components {
     */
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
                           maxRounds: Int = 64): DataFrame = {
+    // lazy checkpoints: the checksum action right after materializes
+    // them — one job per round instead of two
     var e = canon(edges.select(col(aCol).as("u"), col(bCol).as("v")))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     var prev = checksum(e)
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxRounds) {
-      e = smallStar(largeStar(e)).localCheckpoint()
+      e = smallStar(largeStar(e)).localCheckpoint(eager = false)
       val cur = checksum(e)
       converged = cur == prev
       prev = cur
       rounds += 1
     }
     require(converged, s"connectedComponents: no fixpoint after $maxRounds rounds")
+    System.err.println(
+      s"[components] converged in $rounds rounds (edges=${prev._1})")
     // the fixpoint is a star forest: every edge is (child > root); the
     // roots themselves appear only on the v side
     e.select(col("u").as("node"), col("v").as("component"))
@@ -73,11 +77,13 @@ object Components {
     val mins = sym.groupBy(col("u"))
       .agg(min(col("v")).as("mv"))
       .select(col("u"), least(col("u"), col("mv")).as("m"))
-    // emitted edges are (v, m) with v > u >= m, so already canonical
+    // emitted edges are (v, m) with v > u >= m, so already canonical.
+    // NOT distinct'ed: duplicates (one per co-neighbor) are absorbed
+    // by smallStar's map-side-combined min and its final distinct —
+    // dropping the dedup shuffle here is a round-latency win
     sym.join(mins, "u")
       .where(col("v") > col("u"))
       .select(col("v").as("u"), col("m").as("v"))
-      .distinct()
   }
 
   /** small-star: every node's smaller neighbors (and the node itself)

@@ -207,6 +207,27 @@ object ExtensionCatalog {
       Seq("train" -> 0.75, "valid" -> 0.125), lastName = "test")
       .select(col("doc_id"), col("split"), col("lang"))
 
+  /** The end-to-end curation pipeline the extension operators exist to
+    * COMPOSE: quality gate → language gate → exact-dedup survivor per
+    * content hash → stable train/valid/test assignment. The plan is
+    * one scored narrow scan, one fixed-width-key dedup aggregation,
+    * and one join against the shuffle-free split projection — no step
+    * adds a scan or a shuffle beyond what its standalone query costs.
+    * (On this synthetic corpus every doc scores exactly 0.7, so the
+    * quality gate is non-selective here — a data property; the gate's
+    * comparison semantics are still oracle-checked.) */
+  val pipeCurate: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val gated = TextAnalysis.qualityFeatures(docs, "text")
+      .filter(col("quality_score") >= 0.7 && col("lang").isin("en", "fr"))
+      .select(col("doc_id"), col("text"))
+    val survivors = Dedup.exact(gated, "text", "doc_id")
+    val assigned = Sampling.splitAssign(docs, "doc_id",
+      Seq("train" -> 0.75, "valid" -> 0.125), lastName = "test")
+      .select(col("doc_id").as("survivor_id"), col("split"))
+    survivors.join(assigned, "survivor_id")
+  }
+
   // ------------------------------------------------------------- multimodal
 
   /** Multimodal plumbing: text bytes stand in for an opaque media

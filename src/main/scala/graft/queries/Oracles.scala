@@ -547,6 +547,31 @@ object Oracles {
         |WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '_strata'),1,15))::BIGINT
         |    % 2147483647) / 2147483647.0
         |  < (CASE lang WHEN 'en' THEN 0.05 WHEN 'fr' THEN 0.5 WHEN 'de' THEN 0.8 ELSE 0.25 END)""".stripMargin,
+    // composition twin of pipe_curate: the ta_quality score gate, the
+    // dd_exact min-id survivor rule and the ds_split_assign threshold
+    // chain, chained exactly as the Spark pipeline chains the operators
+    "pipe_curate" ->
+      """WITH q AS (SELECT doc_id, text, lang,
+        |    round((CASE WHEN n_words >= 5 THEN 1.0 ELSE 0.0 END) * 0.4
+        |      + (CASE WHEN n_punct / n_chars_d < 0.2 THEN 1.0 ELSE 0.0 END) * 0.3
+        |      + least(n_stop / n_words * 4, 1.0) * 0.3, 6) AS quality_score
+        |  FROM (SELECT doc_id, text, lang, length(text) AS n_chars_d,
+        |      len(string_split_regex(trim(text), '\s+')) AS n_words,
+        |      length(text) - length(regexp_replace(text, '[\.,;:!\?]', '', 'g')) AS n_punct,
+        |      len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is|that)\b')) AS n_stop
+        |    FROM documents)),
+        |gated AS (SELECT doc_id, text FROM q
+        |  WHERE quality_score >= 0.7 AND lang IN ('en', 'fr')),
+        |sur AS (SELECT min(doc_id) AS survivor_id, count(*) AS n_copies
+        |  FROM gated GROUP BY text),
+        |assigned AS (SELECT doc_id AS survivor_id,
+        |    CASE WHEN d < 0.75 THEN 'train' WHEN d < 0.875 THEN 'valid'
+        |      ELSE 'test' END AS split
+        |  FROM (SELECT doc_id,
+        |      (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '_split'),1,15))::BIGINT
+        |        % 2147483647) / 2147483647.0 AS d FROM documents))
+        |SELECT survivor_id, n_copies, split
+        |FROM sur JOIN assigned USING (survivor_id)""".stripMargin,
     "ds_split_assign" ->
       """SELECT doc_id, CASE WHEN d < 0.75 THEN 'train' WHEN d < 0.875 THEN 'valid'
         |    ELSE 'test' END AS split,

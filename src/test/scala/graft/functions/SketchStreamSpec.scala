@@ -1,0 +1,39 @@
+package graft.functions
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.SparkSpec
+
+/** The native sketch aggregates are streaming-ready: their mergeable
+  * O(k) buffers update incrementally across micro-batches, and the
+  * streaming result equals the batch result over the same rows —
+  * arrival order and batch boundaries don't show through.
+  */
+class SketchStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("kmin_by_hash over micro-batches equals the batch sample") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = (1L to 300L).map(i => (i * 7919L % 1009L, i * 1.0))
+    val in = MemoryStream[(Long, Double)]
+    val agg = in.toDF().toDF("h", "v")
+      .agg(KMinByHash.kMinByHash(col("h"), col("v"), 16).as("s"))
+    val q = agg.writeStream.format("memory").queryName("kmh")
+      .outputMode("complete").start()
+    try {
+      in.addData(rows.take(100): _*)
+      q.processAllAvailable()
+      in.addData(rows.drop(100): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("kmh")
+        .select(explode(col("s")).as("e")).select(col("e.h"), col("e.v"))
+        .as[(Long, Double)].collect().toSeq
+      val batch = rows.toDF("h", "v")
+        .agg(KMinByHash.kMinByHash(col("h"), col("v"), 16).as("s"))
+        .select(explode(col("s")).as("e")).select(col("e.h"), col("e.v"))
+        .as[(Long, Double)].collect().toSeq
+      assert(streamed == batch && streamed.size == 16)
+    } finally q.stop()
+  }
+}
