@@ -53,6 +53,7 @@ object SparkEntry {
     "j_anti" -> QueryCatalog.jAnti,
     "j_asof" -> QueryCatalog.jAsOf,
     "j_interval" -> QueryCatalog.jInterval,
+    "j_band" -> QueryCatalog.jBand,
     "q_top_orders" -> QueryCatalog.qTopOrders,
     "j4_cogroup" -> QueryCatalog.j4Cogroup,
     "u1_union_tagged" -> QueryCatalog.u1UnionTagged,

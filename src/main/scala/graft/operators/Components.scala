@@ -37,16 +37,28 @@ object Components {
     * with the loop itself. Edge direction and duplicates don't matter.
     */
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
-                          maxRounds: Int = 64): DataFrame = {
-    // lazy checkpoints: the checksum action right after materializes
-    // them — one job per round instead of two
+                          maxRounds: Int = 64, numPartitions: Int = 0): DataFrame = {
+    // checkpoints are EAGER on purpose: a round's plan reads its input
+    // through several union/join branches, and with a lazy checkpoint
+    // the first job would recompute the full upstream lineage once PER
+    // BRANCH (measured 7 s → 66 s on the dd_components edge set: the
+    // whole Jaccard pipeline re-ran 4× per round) — materialize once,
+    // then every branch reads the cached blocks
+    val t0 = System.nanoTime()
     var e = canon(edges.select(col(aCol).as("u"), col(bCol).as("v")))
-      .localCheckpoint(eager = false)
+      .localCheckpoint()
     var prev = checksum(e)
+    // Size the iteration's exchanges to the EDGE SET, not the session
+    // default: the corpus-wide shuffle width (and its AQE coalescing
+    // floor, pinned high to keep explosive joins parallel) makes every
+    // tiny round shuffle pay full task-scheduling width. Rounds only
+    // shrink the set, so the width derived from the input count holds.
+    val n = if (numPartitions > 0) numPartitions
+      else math.max(8, math.min(4096, (prev._1 / 50000L).toInt + 1))
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxRounds) {
-      e = smallStar(largeStar(e)).localCheckpoint(eager = false)
+      e = smallStar(largeStar(e, n), n).localCheckpoint()
       val cur = checksum(e)
       converged = cur == prev
       prev = cur
@@ -54,7 +66,8 @@ object Components {
     }
     require(converged, s"connectedComponents: no fixpoint after $maxRounds rounds")
     System.err.println(
-      s"[components] converged in $rounds rounds (edges=${prev._1})")
+      s"[components] converged in $rounds rounds (edges=${prev._1}, " +
+        f"${(System.nanoTime() - t0) / 1e9}%.2f s)")
     // the fixpoint is a star forest: every edge is (child > root); the
     // roots themselves appear only on the v side
     e.select(col("u").as("node"), col("v").as("component"))
@@ -69,17 +82,18 @@ object Components {
       .distinct()
 
   /** large-star: every node's strictly-larger neighbors reconnect to
-    * the minimum of its closed neighborhood. One aggregate + one
-    * co-partitioned join (both keyed on u — the join reuses the
-    * aggregate's shuffle partitioning). */
-  private def largeStar(e: DataFrame): DataFrame = {
+    * the minimum of its closed neighborhood. ONE exchange: the
+    * explicit hash(u) repartition (AQE leaves user repartitions
+    * alone), which both the aggregate and the join reuse. */
+  private def largeStar(e: DataFrame, n: Int): DataFrame = {
     val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      .repartition(n, col("u"))
     val mins = sym.groupBy(col("u"))
       .agg(min(col("v")).as("mv"))
       .select(col("u"), least(col("u"), col("mv")).as("m"))
     // emitted edges are (v, m) with v > u >= m, so already canonical.
     // NOT distinct'ed: duplicates (one per co-neighbor) are absorbed
-    // by smallStar's map-side-combined min and its final distinct —
+    // by smallStar's map-side-combined min and its final dedup —
     // dropping the dedup shuffle here is a round-latency win
     sym.join(mins, "u")
       .where(col("v") > col("u"))
@@ -88,15 +102,18 @@ object Components {
 
   /** small-star: every node's smaller neighbors (and the node itself)
     * reconnect to the smallest of them. Operates on the canonical
-    * (u > v) orientation directly. */
-  private def smallStar(e: DataFrame): DataFrame = {
-    val mins = e.groupBy(col("u")).agg(min(col("v")).as("m"))
-    val nbrs = e.join(mins, "u")
+    * (u > v) orientation directly; one hash(u) exchange shared by the
+    * aggregate and join, one hash(u, v) exchange for the dedup. */
+  private def smallStar(e: DataFrame, n: Int): DataFrame = {
+    val eP = e.repartition(n, col("u"))
+    val mins = eP.groupBy(col("u")).agg(min(col("v")).as("m"))
+    val nbrs = eP.join(mins, "u")
       .select(col("v").as("u"), col("m").as("v")) // v >= m; drop the v == m loop
     val self = mins.select(col("u"), col("m").as("v")) // u > m always
     nbrs.union(self)
       .where(col("u") =!= col("v"))
-      .distinct()
+      .repartition(n, col("u"), col("v"))
+      .dropDuplicates("u", "v")
   }
 
   /** Order-insensitive edge-set signature: the loop's only driver-side

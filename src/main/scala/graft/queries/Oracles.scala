@@ -230,6 +230,12 @@ object Oracles {
         |  ON p.user_id = c.user_id
         | AND c.ts >= p.ts - INTERVAL 360 MINUTE AND c.ts <= p.ts
         |GROUP BY 1, 2""".stripMargin,
+    // the oracle states the band join as the direct theta join the
+    // bucketed form must reproduce exactly
+    "j_band" ->
+      """SELECT a.event_type, a.event_id AS id_a, b.event_id AS id_b
+        |FROM events a JOIN events b ON a.event_type = b.event_type
+        |  AND a.event_id < b.event_id AND abs(a.value - b.value) <= 0.05""".stripMargin,
     "q_top_orders" ->
       """SELECT o_orderkey, round(o_totalprice, 2) AS totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 50""".stripMargin,

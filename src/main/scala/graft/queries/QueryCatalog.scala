@@ -295,6 +295,38 @@ object QueryCatalog {
       .agg(count(lit(1)).as("n_clicks"), max(col("c_id")).as("last_click"))
   }
 
+  /** Value-band self-join — |Δvalue| ≤ w within a type — as a BUCKETED
+    * equi-join, the scalable shape for non-equi band predicates: a
+    * theta join is a per-type cross product (quadratic — the planner
+    * can only BNL it), while bucketing value into width-w cells turns
+    * the band into key equality. One side keys by its own cell, the
+    * other explodes into its three adjacent cells (a band pair's cells
+    * differ by at most 1, and covering ±1 on one side keeps every pair
+    * discoverable under the a<b tiebreak); exactly one of the three
+    * probe cells matches, so pairs emit once, and the exact |Δ| ≤ w
+    * filter runs inside the join. Shuffle is 4× the input rows —
+    * linear at any scale; the quadratic term is bounded by per-cell
+    * density (pick w accordingly). Cell width is 2w, not w: an
+    * in-band pair then sits ≤ 0.51 cells apart, so the ±1 probe
+    * covers it even at floor boundaries where the two divisions'
+    * rounding could otherwise split an exactly-w-apart pair two
+    * cells apart. */
+  val jBand: Q = (s, d) => {
+    val w = 0.05
+    val ev = Tables.events(s, d)
+      .select(col("event_type"), col("event_id"), col("value"))
+    val cell = floor(col("value") / (2 * w))
+    val a = ev.select(col("event_type"), col("event_id").as("id_a"),
+      col("value").as("v_a"), cell.as("cell"))
+    val b = ev.select(col("event_type"), col("event_id").as("id_b"),
+      col("value").as("v_b"),
+      explode(array(cell - 1, cell, cell + 1)).as("cell"))
+    a.join(b, Seq("event_type", "cell"))
+      .where(col("id_a") < col("id_b") &&
+        abs(col("v_a") - col("v_b")) <= w)
+      .select(col("event_type"), col("id_a"), col("id_b"))
+  }
+
   /** Global top-N: ORDER BY + LIMIT plans as TakeOrderedAndProject —
     * per-partition bounded heaps merged on the driver, never a full
     * range-partitioned sort of the table. */
