@@ -48,16 +48,20 @@ object Components {
     var e = canon(edges.select(col(aCol).as("u"), col(bCol).as("v")))
       .localCheckpoint()
     var prev = checksum(e)
-    // Size the iteration's exchanges to the EDGE SET, not the session
-    // default: the corpus-wide shuffle width (and its AQE coalescing
-    // floor, pinned high to keep explosive joins parallel) makes every
-    // tiny round shuffle pay full task-scheduling width. Rounds only
-    // shrink the set, so the width derived from the input count holds.
-    val n = if (numPartitions > 0) numPartitions
-      else math.max(8, math.min(4096, (prev._1 / 50000L).toInt + 1))
+    val initEdges = prev._1
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxRounds) {
+      // Size each round's exchanges to the CURRENT edge count, not the
+      // session default: the corpus-wide shuffle width (and its AQE
+      // coalescing floor, pinned high to keep explosive joins
+      // parallel) makes tiny round shuffles pay full task-scheduling
+      // width — and the first star round typically collapses a
+      // clique-heavy near-dup pair set by orders of magnitude
+      // (measured 2.7M pairs → 4.1k star edges at sf0.1), so later
+      // rounds want a far narrower width than round 1.
+      val n = if (numPartitions > 0) numPartitions
+        else math.max(8, math.min(4096, (prev._1 / 50000L).toInt + 1))
       e = smallStar(largeStar(e, n), n).localCheckpoint()
       val cur = checksum(e)
       converged = cur == prev
@@ -66,7 +70,8 @@ object Components {
     }
     require(converged, s"connectedComponents: no fixpoint after $maxRounds rounds")
     System.err.println(
-      s"[components] converged in $rounds rounds (edges=${prev._1}, " +
+      s"[components] converged in $rounds rounds " +
+        s"(edges $initEdges -> ${prev._1}, " +
         f"${(System.nanoTime() - t0) / 1e9}%.2f s)")
     // the fixpoint is a star forest: every edge is (child > root); the
     // roots themselves appear only on the v side
