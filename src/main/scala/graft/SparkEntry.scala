@@ -87,6 +87,7 @@ object SparkEntry {
     "ta_winnow" -> ExtensionCatalog.taWinnow,
     "ta_vocab" -> ExtensionCatalog.taVocab,
     "ta_ngrams" -> ExtensionCatalog.taNgrams,
+    "ta_token_ids" -> ExtensionCatalog.taTokenIds,
     "mm_decode_meta" -> ExtensionCatalog.mmDecodeMeta,
     "mm_resize" -> ExtensionCatalog.mmResize,
     "mm_frames" -> ExtensionCatalog.mmFrames

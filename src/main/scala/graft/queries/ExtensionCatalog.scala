@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -182,6 +183,30 @@ object ExtensionCatalog {
         (a, b) => concat_ws(" ", a, b))).as("bigram"))
       .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("bigram")).limit(50)
+  }
+
+  /** Document → token-id sequence (the training-prep step): rank the
+    * top-100 corpus vocabulary into ids, then map every token of every
+    * document in order, out-of-vocabulary → -1. The vocab is bounded
+    * (top-k of a map-side-combined count), so the corpus-wide mapping
+    * is a BROADCAST hash join inside whole-stage codegen — the
+    * documents never shuffle, at any corpus size. One row per (doc,
+    * position): array-free output keeps the oracle compare exact. */
+  val taTokenIds: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val vocab = docs.select(StatelessOps.explodeTokens(col("text")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok")).limit(100)
+      // global window on the post-limit 100 rows only — not the corpus
+      .select(col("tok"), (row_number().over(
+        Window.orderBy(col("n").desc, col("tok"))) - 1).cast("long").as("token_id"))
+    val toks = docs.select(col("doc_id"),
+        posexplode(StatelessOps.tokenArray(col("text"))).as(Seq("pos", "tok")))
+      .filter(length(col("tok")) > 0)
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        coalesce(col("token_id"), lit(-1L)).as("token_id"))
   }
 
   // ------------------------------------------- sampling / dataset splitting

@@ -435,6 +435,25 @@ object Oracles {
         |    '[^a-z \n]+', '', 'g'), '\s+', ' ', 'g')), ' ')) AS tok FROM documents)
         |WHERE length(tok) > 0
         |GROUP BY 1 ORDER BY n DESC, tok LIMIT 100""".stripMargin,
+    // token-id mapping: vocab ids = rank by (count desc, tok) minus
+    // one; positions from the UNFILTERED ordered array (the only
+    // empty token is a whole-empty doc, which yields no rows in both
+    // engines), OOV -> -1
+    "ta_token_ids" ->
+      """WITH tr AS (SELECT doc_id, unnest(string_split(trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z \n]+', '', 'g'), '\s+', ' ', 'g')), ' ')) AS tok FROM documents),
+        |v AS (SELECT tok, row_number() OVER (ORDER BY n DESC, tok) - 1 AS token_id
+        |  FROM (SELECT tok, count(*) AS n FROM tr WHERE length(tok) > 0
+        |    GROUP BY 1 ORDER BY n DESC, tok LIMIT 100)),
+        |arr AS (SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z \n]+', '', 'g'), '\s+', ' ', 'g')), ' ') AS toks FROM documents),
+        |toks AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, toks[i] AS tok
+        |  FROM arr, generate_series(1, 4000) g(i)
+        |  WHERE i <= len(toks) AND length(toks[i]) > 0
+        |    AND 1 = (SELECT CASE WHEN max(len(toks)) <= 4000 THEN 1
+        |      ELSE error('ta_token_ids oracle: token series bound exceeded') END FROM arr))
+        |SELECT t.doc_id, t.pos, coalesce(v.token_id, -1) AS token_id
+        |FROM toks t LEFT JOIN v USING (tok)""".stripMargin,
     // bigrams over the ORDERED token array (no empty-token filter on
     // either side: a doc cleaning to '' has one empty token and no
     // bigram in both engines); fixed series bound + loud guard like

@@ -49,4 +49,24 @@ class ComponentsSpec extends SparkSpec {
   test("empty edge list yields an empty assignment") {
     assert(cc(Seq.empty) == Map.empty)
   }
+
+  test("matches a reference union-find on a seeded random graph") {
+    val rnd = new scala.util.Random(42)
+    val edges = Seq.fill(800)((rnd.nextInt(400).toLong, rnd.nextInt(400).toLong))
+      .filter { case (a, b) => a != b }
+    // reference: plain union-find with path compression
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      // larger root attaches under smaller, so every set's root stays
+      // its minimum element — the same representative Components picks
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = parent.keys.map(x => x -> find(x)).toMap
+    assert(cc(edges) == want)
+  }
 }
