@@ -80,6 +80,7 @@ object SparkEntry {
     "ds_sample_stratified" -> ExtensionCatalog.dsSampleStratified,
     "ds_split_assign" -> ExtensionCatalog.dsSplitAssign,
     "pipe_curate" -> ExtensionCatalog.pipeCurate,
+    "pack_sequences" -> ExtensionCatalog.packSequences,
     "ta_langid" -> ExtensionCatalog.taLangId,
     "ta_quality" -> ExtensionCatalog.taQuality,
     "ta_tokens" -> ExtensionCatalog.taTokens,

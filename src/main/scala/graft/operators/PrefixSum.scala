@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed GLOBAL prefix sum — the primitive behind sequence
+  * packing (concatenate a corpus into fixed-token training sequences),
+  * global row numbering, and stream-offset assignment.
+  *
+  * The naive form, `sum(v) over (order by k)` with no partition
+  * clause, funnels the entire table through ONE reducer — the classic
+  * non-scalable window. This is the classic two-pass alternative:
+  *
+  *  1. range-partition by the order key, sort within partitions, STAMP
+  *     each row with its partition id, and materialize that layout
+  *     once (the range boundaries are sampled, so later passes must
+  *     see the same physical layout — eager checkpoint, per the
+  *     Components lineage-recompute lesson);
+  *  2. per-stamped-partition totals to the driver — numPartitions
+  *     longs, the only driver-side data;
+  *  3. broadcast the exclusive cumulative offsets; each task streams
+  *     its rows adding offset + local running sum.
+  *
+  * The partition id travels AS DATA, not via TaskContext at emit time:
+  * a downstream `coalesce` (or AQE) may fuse several stamped
+  * partitions into one task, where the task's own id would silently
+  * misalign the offsets — reading the stamp from the row and resetting
+  * the accumulator on stamp change survives any non-shuffling layout
+  * change. Results are also independent of the sampled boundaries:
+  * moving a row between partitions moves its contribution between the
+  * local sum and the broadcast offset, never its global prefix.
+  * `orderCol` must be UNIQUE — with duplicate keys the per-row prefix
+  * would depend on intra-key order, which no engine defines.
+  */
+object PrefixSum {
+
+  // public: Catalyst's generated deserializer must reach the ctors
+  final case class KV(k: Long, v: Long)
+  final case class PKV(p: Int, k: Long, v: Long)
+  final case class KVRun(k: Long, v: Long, running: Long)
+
+  /** (k, v, running) with running = inclusive prefix sum of v in
+    * ascending k order. */
+  def globalRunningSum(df: DataFrame, orderCol: String, valueCol: String,
+                       numPartitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val n = if (numPartitions > 0) numPartitions
+      else spark.sparkContext.defaultParallelism
+    val stamped = df.select(col(orderCol).cast("long").as("k"),
+        col(valueCol).cast("long").as("v"))
+      .repartitionByRange(n, col("k"))
+      .sortWithinPartitions(col("k"))
+      .as[KV]
+      .mapPartitions { it =>
+        val pid = TaskContext.getPartitionId()
+        it.map(kv => PKV(pid, kv.k, kv.v))
+      }
+      .localCheckpoint()
+    val totals = stamped.groupBy(col("p")).agg(sum(col("v")).as("t"))
+      .as[(Int, Long)].collect().toMap
+    val actualN = if (totals.isEmpty) 0 else totals.keys.max + 1
+    val offsets = (0 until actualN).scanLeft(0L)(_ + totals.getOrElse(_, 0L))
+    val bc = spark.sparkContext.broadcast(offsets.toArray)
+    stamped.mapPartitions { it =>
+      var cur = -1
+      var acc = 0L
+      it.map { r =>
+        if (r.p != cur) { cur = r.p; acc = bc.value(cur) }
+        acc += r.v
+        KVRun(r.k, r.v, acc)
+      }
+    }.toDF("k", "v", "running")
+  }
+}

@@ -253,6 +253,20 @@ object ExtensionCatalog {
     survivors.join(assigned, "survivor_id")
   }
 
+  /** Sequence packing: assign every document a global token-stream
+    * offset and a fixed-width (1024-token) training-sequence id, in
+    * doc_id order — via [[PrefixSum.globalRunningSum]], the two-pass
+    * distributed prefix sum (the naive `sum over (order by)` window
+    * funnels the corpus through ONE reducer). */
+  val packSequences: Q = (s, d) => {
+    val counts = TextAnalysis.tokenCounts(Tables.documents(s, d), "text")
+      .select(col("doc_id"), col("ws_tokens").cast("long").as("n_tokens"))
+    PrefixSum.globalRunningSum(counts, "doc_id", "n_tokens")
+      .select(col("k").as("doc_id"), col("v").as("n_tokens"),
+        (col("running") - col("v")).as("stream_offset"),
+        expr("(running - v) div 1024").as("seq_id"))
+  }
+
   // ------------------------------------------------------------- multimodal
 
   /** Multimodal plumbing: text bytes stand in for an opaque media

@@ -597,6 +597,16 @@ object Oracles {
         |        % 2147483647) / 2147483647.0 AS d FROM documents))
         |SELECT survivor_id, n_copies, split
         |FROM sur JOIN assigned USING (survivor_id)""".stripMargin,
+    // the oracle's single-reducer window IS the naive form the
+    // two-pass prefix sum replaces; same ws-token formula as ta_tokens
+    "pack_sequences" ->
+      """SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(cum - n_tokens AS BIGINT) AS stream_offset,
+        |  CAST((cum - n_tokens) // 1024 AS BIGINT) AS seq_id
+        |FROM (SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+        |    sum(len(string_split_regex(trim(text), '\s+')))
+        |      OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM documents)""".stripMargin,
     "ds_split_assign" ->
       """SELECT doc_id, CASE WHEN d < 0.75 THEN 'train' WHEN d < 0.875 THEN 'valid'
         |    ELSE 'test' END AS split,
