@@ -54,6 +54,7 @@ object SparkEntry {
     "j_asof" -> QueryCatalog.jAsOf,
     "j_interval" -> QueryCatalog.jInterval,
     "j_band" -> QueryCatalog.jBand,
+    "j_bloom_semi" -> QueryCatalog.jBloomSemi,
     "q_top_orders" -> QueryCatalog.qTopOrders,
     "j4_cogroup" -> QueryCatalog.j4Cogroup,
     "u1_union_tagged" -> QueryCatalog.u1UnionTagged,

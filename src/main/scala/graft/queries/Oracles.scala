@@ -230,6 +230,13 @@ object Oracles {
         |  ON p.user_id = c.user_id
         | AND c.ts >= p.ts - INTERVAL 360 MINUTE AND c.ts <= p.ts
         |GROUP BY 1, 2""".stripMargin,
+    // the bloom filter only sheds work (no false negatives; FPs die in
+    // the exact semi join), so the oracle is the plain semi join
+    "j_bloom_semi" ->
+      """SELECT count(*) AS n,
+        |  sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS total
+        |FROM lineitem WHERE l_orderkey IN
+        |  (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')""".stripMargin,
     // the oracle states the band join as the direct theta join the
     // bucketed form must reproduce exactly
     "j_band" ->
