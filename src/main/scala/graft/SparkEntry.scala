@@ -43,6 +43,7 @@ object SparkEntry {
     "agg_kmv_distinct" -> QueryCatalog.aggKmvDistinct,
     "agg_percentile_disc" -> QueryCatalog.aggPercentileDisc,
     "agg_hash_quantile" -> QueryCatalog.aggHashQuantile,
+    "agg_mode" -> QueryCatalog.aggMode,
     "agg_rollup" -> QueryCatalog.aggRollup,
     "agg_histogram" -> QueryCatalog.aggHistogram,
     "agg_pivot" -> QueryCatalog.aggPivot,

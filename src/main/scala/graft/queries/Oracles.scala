@@ -518,6 +518,13 @@ object Oracles {
     // exact discrete percentile: the ceil(q*n)-th smallest value is
     // invariant under tie order, so no interpolation arithmetic can
     // diverge between engines
+    "agg_mode" ->
+      """SELECT event_type, user_id AS mode_user, n FROM (
+        |  SELECT event_type, user_id, n, row_number() OVER (
+        |      PARTITION BY event_type ORDER BY n DESC, user_id) AS rk
+        |  FROM (SELECT event_type, user_id, count(*) AS n FROM events
+        |    GROUP BY 1, 2))
+        |WHERE rk = 1""".stripMargin,
     // the sample is defined by (md5-hash asc, value asc) order — the
     // exact twin of KMinByHash's TreeSet ordering — then exact
     // discrete percentiles over it, same ceil(q*n) rule as

@@ -220,6 +220,22 @@ object QueryCatalog {
         element_at(col("vals"), ceil(lit(0.95) * size(col("vals"))).cast("int")).as("p95_est"))
   }
 
+  /** Mode (most frequent value) per group: two hash aggregations —
+    * count per (group, value), then ONE max over a struct ordered by
+    * (count, -value), which both ranks and carries the winner (ties
+    * break to the smallest value, so the result is total-order
+    * deterministic). No window, no sort: both aggs map-side combine,
+    * the second's shuffle is one row per (partition, group). */
+  val aggMode: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("event_type"))
+      .agg(max(struct(col("n"), (-col("user_id")).as("neg"),
+        col("user_id").as("u"))).as("m"))
+      .select(col("event_type"), col("m.u").as("mode_user"),
+        col("m.n").as("n"))
+
   val aggKmvDistinct: Q = (s, d) => {
     val ev = Tables.events(s, d).select(col("event_type"), col("user_id"),
       graft.functions.Hashing.md5Mod31(col("user_id").cast("string")).as("h"))
