@@ -459,9 +459,19 @@ object Dedup {
     * the array form shuffles each candidate pair once and intersects
     * two bounded arrays per pair. Emits pairs with
     * similarity >= threshold. */
+  /** `spanningOnly`: emit, per (band, bucket, shard) group, only the
+    * qualifying pairs that CONNECT two group-local components (a
+    * union-find spanning forest) instead of all ≤ |group|²/2 of them —
+    * for consumers that need CONNECTIVITY, not the pair list
+    * (duplicate-cluster resolution). Exactly component-preserving:
+    * every dropped qualifying pair is already connected inside the
+    * group that examined it. On a clique-heavy corpus this collapses
+    * the edge volume by the mean qualifying-degree (measured 2.78M →
+    * 17k pairs at sf0.1) — at 100 TB, the difference between a
+    * closure over ~|pairs| and ~|docs| edges. */
   def ngramJaccard(docs: DataFrame, textCol: String, idCol: String,
                    threshold: Double, bands: Int = 4, rowsPerBand: Int = 8,
-                   maxBucket: Int = 2048): DataFrame = {
+                   maxBucket: Int = 2048, spanningOnly: Boolean = false): DataFrame = {
     // Longer bands (r=8) than the generic LSH: candidate probability
     // J^r per band keeps the pair set near the true >= threshold set
     // instead of admitting the quadratic mid-similarity bulk.
@@ -505,7 +515,7 @@ object Dedup {
       .repartition(n)
       .as[(Int, Seq[(Long, Seq[Long], Seq[String])])]
       // dedicated iterator class — see PairIterator's megamorphism note
-      .mapPartitions(groups => new GroupJaccardIterator(groups, threshold))
+      .mapPartitions(groups => new GroupJaccardIterator(groups, threshold, spanningOnly))
       .toDF("doc_a", "doc_b", "jaccard")
   }
 
@@ -515,12 +525,14 @@ object Dedup {
     * lazily. Group size is bounded by the LSH salt (`maxBucket`), so
     * the materialized arrays are O(maxBucket × set). */
   private final class GroupJaccardIterator(
-      groups: Iterator[(Int, Seq[(Long, Seq[Long], Seq[String])])], threshold: Double)
+      groups: Iterator[(Int, Seq[(Long, Seq[Long], Seq[String])])], threshold: Double,
+      spanning: Boolean = false)
       extends scala.collection.AbstractIterator[(Long, Long, Double)] {
     private var band = 0
     private var ids: Array[Long] = _
     private var toks: Array[Array[Long]] = _
     private var bandKeys: Array[Array[String]] = _
+    private var parent: Array[Int] = _
     private var i = 0
     private var j = 1
     private var nextA = 0L
@@ -538,6 +550,7 @@ object Dedup {
           ids = new Array[Long](sorted.length)
           toks = new Array[Array[Long]](sorted.length)
           bandKeys = new Array[Array[String]](sorted.length)
+          if (spanning) parent = Array.tabulate(sorted.length)(identity)
           var m = 0
           while (m < sorted.length) {
             ids(m) = sorted(m)._1; toks(m) = sorted(m)._2.toArray
@@ -547,6 +560,18 @@ object Dedup {
         }
       }
       ids != null
+    }
+    // group-local union-find (path halving): in spanning mode a
+    // qualifying pair is emitted only if it connects two components
+    private def find(x0: Int): Int = {
+      var x = x0
+      while (parent(x) != x) { parent(x) = parent(parent(x)); x = parent(x) }
+      x
+    }
+    private def unionDistinct(a: Int, b: Int): Boolean = {
+      val ra = find(a); val rb = find(b)
+      if (ra == rb) false
+      else { parent(math.max(ra, rb)) = math.min(ra, rb); true }
     }
     private def advance(): Unit = {
       ready = false
@@ -571,7 +596,9 @@ object Dedup {
           // threshold - 5e-7 can't pass. Survivors get exact HALF_UP.
           if (jac >= threshold - 5e-7) {
             val r = Dedup.round6(jac)
-            if (r >= threshold) { nextA = ids(i); nextB = ids(j); nextJ = r; ready = true }
+            if (r >= threshold && (!spanning || unionDistinct(i, j))) {
+              nextA = ids(i); nextB = ids(j); nextJ = r; ready = true
+            }
           }
           j += 1
         }

@@ -77,7 +77,12 @@ object ExtensionCatalog {
     */
   val ddComponents: Q = (s, d) => {
     val docs = Tables.documents(s, d)
-    val edges = Dedup.ngramJaccard(docs, "text", "doc_id", threshold = 0.7)
+    // spanningOnly: the closure needs connectivity, not the pair list —
+    // per-group spanning forests carry the same components with ~the
+    // qualifying-degree fewer edges (2.78M → 14k at sf0.1); the oracle
+    // computes the closure over ALL pairs and must agree exactly
+    val edges = Dedup.ngramJaccard(docs, "text", "doc_id", threshold = 0.7,
+        spanningOnly = true)
       .select(col("doc_a"), col("doc_b"))
     val comp = Components.connectedComponents(edges, "doc_a", "doc_b")
       .withColumnRenamed("node", "doc_id")

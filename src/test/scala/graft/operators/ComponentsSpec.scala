@@ -50,6 +50,26 @@ class ComponentsSpec extends SparkSpec {
     assert(cc(Seq.empty) == Map.empty)
   }
 
+  test("spanning-only jaccard edges yield the same components as the full pair set") {
+    import org.apache.spark.sql.functions.col
+    val base = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (1L, base), (2L, base), (3L, base + " iota"),
+      (10L, "one two three four five six seven eight"),
+      (11L, "one two three four five six seven nine"),
+      (20L, "totally different words completely unrelated right here now")
+    ).toDF("doc_id", "text")
+    def comps(spanning: Boolean): Map[Long, Long] = Components.connectedComponents(
+      Dedup.ngramJaccard(docs, "text", "doc_id", threshold = 0.7,
+        spanningOnly = spanning).select(col("doc_a"), col("doc_b")),
+      "doc_a", "doc_b")
+      .as[(Long, Long)].collect().toMap
+    val full = comps(false)
+    val span = comps(true)
+    assert(full == span)
+    assert(full.view.filterKeys(Set(1L, 2L, 3L)).values.toSet == Set(1L))
+  }
+
   test("matches a reference union-find on a seeded random graph") {
     val rnd = new scala.util.Random(42)
     val edges = Seq.fill(800)((rnd.nextInt(400).toLong, rnd.nextInt(400).toLong))
