@@ -39,6 +39,7 @@ object SparkEntry {
     "w_first_last" -> QueryCatalog.wFirstLast,
     "a4_ema_final" -> QueryCatalog.a4EmaFinal,
     "a7_session_window" -> QueryCatalog.a7SessionWindow,
+    "a8_hopping_window" -> QueryCatalog.a8HoppingWindow,
     "agg_approx_distinct" -> QueryCatalog.aggApproxDistinct,
     "agg_kmv_distinct" -> QueryCatalog.aggKmvDistinct,
     "agg_percentile_disc" -> QueryCatalog.aggPercentileDisc,

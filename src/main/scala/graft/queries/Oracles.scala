@@ -134,6 +134,15 @@ object Oracles {
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch, event_type,
         |  count(*) AS n, sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total
         |FROM events GROUP BY 1, 2""".stripMargin,
+    // hopping 2h/1h: an event's two windows start at its hour floor
+    // and one hour earlier — the generate_series(0,1) expansion is the
+    // oracle twin of Spark's window-membership explode
+    "a8_hopping_window" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) - 3600 * k AS BIGINT) AS start_epoch,
+        |  event_type, count(*) AS n,
+        |  sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total
+        |FROM events, generate_series(0, 1) g(k)
+        |GROUP BY 1, 2""".stripMargin,
     "a2_running_sum" ->
       """SELECT event_id, round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running FROM events""".stripMargin,

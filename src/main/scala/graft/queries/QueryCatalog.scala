@@ -107,6 +107,20 @@ object QueryCatalog {
       .select(unix_timestamp(col("w.start")).as("hour_epoch"),
         col("event_type"), col("n"), col("total"))
 
+  /** Hopping (sliding) event-time windows — width 2 h, slide 1 h, so
+    * every event lands in exactly two overlapping windows. Spark
+    * expands the window memberships BEFORE the shuffle and the
+    * aggregate map-side combines per (window, key) — the overlap
+    * factor (width/slide) multiplies map output, never reducer state.
+    * The same expression is streaming-compatible under a watermark
+    * (kata03's tumbling form generalizes unchanged). */
+  val a8HoppingWindow: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), moneySum(col("value")).as("total"))
+      .select(unix_timestamp(col("w.start")).as("start_epoch"),
+        col("event_type"), col("n"), col("total"))
+
   /** A2/A3 — running per-key sum, emitted per element
     * (SharePriceDataflow.java:121-122, MarketDataflow.java:319-339). */
   val a2RunningSum: Q = (s, d) =>
