@@ -45,6 +45,7 @@ object SparkEntry {
     "agg_percentile_disc" -> QueryCatalog.aggPercentileDisc,
     "agg_hash_quantile" -> QueryCatalog.aggHashQuantile,
     "agg_mode" -> QueryCatalog.aggMode,
+    "agg_heavy_hitters" -> ExtensionCatalog.aggHeavyHitters,
     "agg_rollup" -> QueryCatalog.aggRollup,
     "agg_histogram" -> QueryCatalog.aggHistogram,
     "agg_pivot" -> QueryCatalog.aggPivot,

@@ -49,5 +49,9 @@ object GraftFunctions {
     ("kmin_by_hash",
       (args: Seq[Expression]) => KMinByHash(args(0), args(1),
         intArg(args(2), "kmin_by_hash", 3)),
-      "kmin_by_hash(hash bigint, value double, k) - k hash-smallest (h, v) pairs (aggregate)"))
+      "kmin_by_hash(hash bigint, value double, k) - k hash-smallest (h, v) pairs (aggregate)"),
+    ("misra_gries",
+      (args: Seq[Expression]) => MisraGries(args(0),
+        if (args.length > 1) intArg(args(1), "misra_gries", 2) else 64),
+      "misra_gries(hash bigint [, k]) - heavy-hitter candidates with lower-bound counts (aggregate)"))
 }

@@ -172,6 +172,28 @@ object ExtensionCatalog {
       .groupBy(col("tok")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("tok")).limit(100)
 
+  /** Heavy-hitter tokens: Misra-Gries sketch prunes, exact count
+    * confirms — the frequency twin of the bloom-semi-join pattern.
+    * The exact form shuffles every token occurrence into a corpus-wide
+    * groupBy; here each partition reduces to ≤ 64 counters, the ≤ 64
+    * candidates broadcast back to prune the token stream, and the
+    * exact count runs over candidate occurrences only. The sketch
+    * guarantees every item above n/65 survives, the threshold is n/32,
+    * and false candidates die in the confirm — so the result equals
+    * the full groupBy exactly. */
+  val aggHeavyHitters: Q = (s, d) => {
+    val toks = Tables.documents(s, d)
+      .select(StatelessOps.explodeTokens(col("text")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .select(col("tok"), graft.functions.Hashing.md5Long(col("tok")).as("h"))
+    val total = toks.count()
+    val cand = toks.agg(graft.functions.MisraGries.misraGries(col("h"), 64).as("mg"))
+      .select(explode(col("mg")).as("e")).select(col("e.h").as("h"))
+    toks.join(broadcast(cand), Seq("h"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= lit(total / 32.0))
+  }
+
   /** Top-50 corpus bigrams (adjacent token pairs in document order) —
     * the n-gram statistics pass of a corpus profile. Bigram generation
     * is a narrow per-document zip of the token array with its own

@@ -527,6 +527,14 @@ object Oracles {
     // exact discrete percentile: the ceil(q*n)-th smallest value is
     // invariant under tie order, so no interpolation arithmetic can
     // diverge between engines
+    // the sketch only prunes (no false negatives above n/65, FPs die
+    // in the exact confirm), so the oracle is the plain count filter
+    "agg_heavy_hitters" ->
+      """WITH tr AS (SELECT unnest(string_split(trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z \n]+', '', 'g'), '\s+', ' ', 'g')), ' ')) AS tok FROM documents),
+        |t2 AS (SELECT tok FROM tr WHERE length(tok) > 0)
+        |SELECT tok, count(*) AS cnt FROM t2 GROUP BY tok
+        |HAVING count(*) >= (SELECT count(*) FROM t2) / 32.0""".stripMargin,
     "agg_mode" ->
       """SELECT event_type, user_id AS mode_user, n FROM (
         |  SELECT event_type, user_id, n, row_number() OVER (
