@@ -59,5 +59,10 @@ class SqlRegistrationSpec extends SparkSpec {
       .selectExpr("km[0].h", "km[0].v", "km[1].v").as[(Long, Double, Double)]
       .collect().head
     assert(km == ((5L, 0.0, 1.0))) // smallest hash, then value tiebreak
+
+    val mg = spark.sql(
+      "SELECT misra_gries(id % 3, 8) AS mg FROM agg_in")
+      .selectExpr("size(mg)", "mg[0].c").as[(Int, Long)].collect().head
+    assert(mg._1 == 3 && mg._2 >= 333L) // 3 distinct fit in k: exact counts
   }
 }
