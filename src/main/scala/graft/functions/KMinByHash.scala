@@ -29,71 +29,107 @@ import org.apache.spark.sql.types._
   * DuckDB oracle reproduces the sample bit-for-bit (same md5-derived
   * hash, same (hash, value) tie order).
   *
+  * The buffer is a MULTISET (pair → multiplicity): rows with identical
+  * (hash, value) — duplicate values under a shared, non-unique hash —
+  * are retained as many times as they occur, matching the oracle's
+  * row_number semantics row for row.
+  *
   * Returns `array<struct<h bigint, v double>>` sorted by (h asc,
   * v asc); null hashes or values are skipped.
   */
 case class KMinByHash(left: Expression, right: Expression, k: Int,
                       mutableAggBufferOffset: Int = 0,
                       inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[java.util.TreeSet[(Long, Double)]]
+    extends TypedImperativeAggregate[KMinByHash.Buf]
     with BinaryLike[Expression] {
 
   require(k >= 1, "k-min-by-hash needs k >= 1")
 
-  private val ord: Ordering[(Long, Double)] = Ordering.Tuple2[Long, Double]
+  import KMinByHash.{Buf, ord}
 
-  override def createAggregationBuffer(): java.util.TreeSet[(Long, Double)] =
-    new java.util.TreeSet[(Long, Double)](ord)
+  override def createAggregationBuffer(): Buf =
+    new Buf(new java.util.TreeMap[(Long, Double), Int](ord), 0)
 
-  private def add(buf: java.util.TreeSet[(Long, Double)], h: Long, v: Double): Unit = {
-    if (buf.size < k) { buf.add((h, v)); () }
-    else if (ord.compare((h, v), buf.last()) < 0) {
-      if (buf.add((h, v))) { buf.pollLast(); () }
+  private def bump(buf: Buf, key: (Long, Double), by: Int): Unit = {
+    val cur = if (buf.m.containsKey(key)) buf.m.get(key) else 0
+    buf.m.put(key, cur + by)
+  }
+
+  private def add(buf: Buf, h: Long, v: Double, times: Int): Unit = {
+    val key = (h, v)
+    if (buf.total < k) {
+      val take = math.min(times, k - buf.total)
+      bump(buf, key, take)
+      buf.total += take
+      if (times > take) add(buf, h, v, times - take) // falls into else branch
+    } else {
+      // each insert evicts one copy of the current worst pair; ties
+      // with the worst are dropped, like the oracle's rn <= k cut
+      var remaining = times
+      while (remaining > 0 && ord.compare(key, buf.m.lastKey()) < 0) {
+        bump(buf, key, 1)
+        val last = buf.m.lastEntry()
+        if (last.getValue > 1) last.setValue(last.getValue - 1)
+        else buf.m.remove(last.getKey)
+        remaining -= 1
+      }
     }
   }
 
-  override def update(buf: java.util.TreeSet[(Long, Double)],
-                      input: InternalRow): java.util.TreeSet[(Long, Double)] = {
+  override def update(buf: Buf, input: InternalRow): Buf = {
     val h = left.eval(input)
     val v = right.eval(input)
     if (h != null && v != null)
-      add(buf, h.asInstanceOf[Long], v.asInstanceOf[Double])
+      add(buf, h.asInstanceOf[Long], v.asInstanceOf[Double], 1)
     buf
   }
 
-  override def merge(buf: java.util.TreeSet[(Long, Double)],
-                     other: java.util.TreeSet[(Long, Double)]): java.util.TreeSet[(Long, Double)] = {
-    val it = other.iterator()
-    while (it.hasNext) { val (h, v) = it.next(); add(buf, h, v) }
+  override def merge(buf: Buf, other: Buf): Buf = {
+    val it = other.m.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      add(buf, e.getKey._1, e.getKey._2, e.getValue)
+    }
     buf
   }
 
-  override def eval(buf: java.util.TreeSet[(Long, Double)]): Any = {
-    val out = new Array[Any](buf.size)
-    val it = buf.iterator()
+  override def eval(buf: Buf): Any = {
+    val out = new Array[Any](buf.total)
+    val it = buf.m.entrySet().iterator()
     var i = 0
     while (it.hasNext) {
-      val (h, v) = it.next()
-      out(i) = new GenericInternalRow(Array[Any](h, v))
-      i += 1
+      val e = it.next()
+      var c = e.getValue
+      while (c > 0) {
+        out(i) = new GenericInternalRow(Array[Any](e.getKey._1, e.getKey._2))
+        i += 1; c -= 1
+      }
     }
     new GenericArrayData(out)
   }
 
-  override def serialize(buf: java.util.TreeSet[(Long, Double)]): Array[Byte] = {
-    val bb = ByteBuffer.allocate(4 + buf.size * 16)
-    bb.putInt(buf.size)
-    val it = buf.iterator()
-    while (it.hasNext) { val (h, v) = it.next(); bb.putLong(h); bb.putDouble(v) }
+  override def serialize(buf: Buf): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + buf.m.size * 20)
+    bb.putInt(buf.m.size)
+    val it = buf.m.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      bb.putLong(e.getKey._1); bb.putDouble(e.getKey._2); bb.putInt(e.getValue)
+    }
     bb.array()
   }
 
-  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[(Long, Double)] = {
+  override def deserialize(bytes: Array[Byte]): Buf = {
     val bb = ByteBuffer.wrap(bytes)
     val n = bb.getInt
     val buf = createAggregationBuffer()
     var i = 0
-    while (i < n) { buf.add((bb.getLong, bb.getDouble)); i += 1 }
+    while (i < n) {
+      val h = bb.getLong; val v = bb.getDouble; val c = bb.getInt
+      buf.m.put((h, v), c)
+      buf.total += c
+      i += 1
+    }
     buf
   }
 
@@ -112,6 +148,16 @@ case class KMinByHash(left: Expression, right: Expression, k: Int,
 }
 
 object KMinByHash {
+  /** Multiset of retained pairs: sorted map (h, v) → multiplicity,
+    * plus the total multiplicity (bounded by k). */
+  final class Buf(val m: java.util.TreeMap[(Long, Double), Int], var total: Int)
+
+  private[functions] val ord: java.util.Comparator[(Long, Double)] =
+    (a: (Long, Double), b: (Long, Double)) => {
+      val c = java.lang.Long.compare(a._1, b._1)
+      if (c != 0) c else java.lang.Double.compare(a._2, b._2)
+    }
+
   /** Column form: the k hash-smallest (h, v) pairs per group. */
   def kMinByHash(hash: Column, value: Column, k: Int): Column =
     GraftSqlBridge.toColumn(KMinByHash(

@@ -467,7 +467,7 @@ object Dedup {
     * every dropped qualifying pair is already connected inside the
     * group that examined it. On a clique-heavy corpus this collapses
     * the edge volume by the mean qualifying-degree (measured 2.78M →
-    * 17k pairs at sf0.1) — at 100 TB, the difference between a
+    * 14k pairs at sf0.1) — at 100 TB, the difference between a
     * closure over ~|pairs| and ~|docs| edges. */
   def ngramJaccard(docs: DataFrame, textCol: String, idCol: String,
                    threshold: Double, bands: Int = 4, rowsPerBand: Int = 8,

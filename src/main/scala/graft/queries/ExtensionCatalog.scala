@@ -182,13 +182,19 @@ object ExtensionCatalog {
     * and false candidates die in the confirm — so the result equals
     * the full groupBy exactly. */
   val aggHeavyHitters: Q = (s, d) => {
+    import s.implicits._
     val toks = Tables.documents(s, d)
       .select(StatelessOps.explodeTokens(col("text")).as("tok"))
       .filter(length(col("tok")) > 0)
       .select(col("tok"), graft.functions.Hashing.md5Long(col("tok")).as("h"))
-    val total = toks.count()
-    val cand = toks.agg(graft.functions.MisraGries.misraGries(col("h"), 64).as("mg"))
-      .select(explode(col("mg")).as("e")).select(col("e.h").as("h"))
+    // ONE corpus pass yields both the sketch and the total; the ≤ 64
+    // candidate hashes come back on the same driver row
+    val first = toks
+      .agg(graft.functions.MisraGries.misraGries(col("h"), 64).as("mg"),
+        count(lit(1)).as("n"))
+      .head()
+    val total = first.getLong(1)
+    val cand = first.getSeq[org.apache.spark.sql.Row](0).map(_.getLong(0)).toDF("h")
     toks.join(broadcast(cand), Seq("h"))
       .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= lit(total / 32.0))

@@ -372,7 +372,10 @@ object Oracles {
     "emb_centroid" ->
       """WITH x AS (SELECT label, i - 1 AS dim,
         |    CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS sv
-        |  FROM embeddings, generate_series(1, 64) g(i))
+        |  FROM embeddings, generate_series(1, 64) g(i)
+        |  WHERE 1 = (SELECT CASE WHEN min(len(embedding)) = 64 AND max(len(embedding)) = 64
+        |    THEN 1 ELSE error('emb_centroid oracle: embeddings are not 64-dim') END
+        |    FROM embeddings))
         |SELECT label, CAST(dim AS BIGINT) AS dim,
         |  round(sum(sv) / (count(*) * 1000000.0), 6) AS centroid
         |FROM x GROUP BY 1, 2""".stripMargin,

@@ -34,6 +34,14 @@ class KMinByHashSpec extends SparkSpec {
     assert(one.size == 64)
   }
 
+  test("identical (h, v) rows are retained as a multiset, not deduped") {
+    // non-unique hash with duplicate values: all copies count toward k
+    val df = Seq((1L, 5.0), (1L, 5.0), (1L, 5.0), (2L, 9.0), (3L, 1.0))
+      .toDF("h", "v").repartition(3)
+    assert(sample(df, 4) == Seq((1L, 5.0), (1L, 5.0), (1L, 5.0), (2L, 9.0)))
+    assert(sample(df, 2) == Seq((1L, 5.0), (1L, 5.0)))
+  }
+
   test("null hashes and values are skipped") {
     val df = Seq[(java.lang.Long, java.lang.Double)](
       (1L, 1.0), (null, 9.0), (2L, null)).toDF("h", "v")

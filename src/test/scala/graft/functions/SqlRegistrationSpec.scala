@@ -58,7 +58,9 @@ class SqlRegistrationSpec extends SparkSpec {
       "SELECT kmin_by_hash(id, s, 2) AS km FROM agg_in WHERE id >= 5")
       .selectExpr("km[0].h", "km[0].v", "km[1].v").as[(Long, Double, Double)]
       .collect().head
-    assert(km == ((5L, 0.0, 1.0))) // smallest hash, then value tiebreak
+    // (5, 0.0) occurs twice in the input (i = 325, 845) and the sample
+    // is a MULTISET, so both copies fill k = 2
+    assert(km == ((5L, 0.0, 0.0)))
 
     val mg = spark.sql(
       "SELECT misra_gries(id % 3, 8) AS mg FROM agg_in")
