@@ -67,6 +67,7 @@ object SparkEntry {
     "q3_shipping" -> QueryCatalog.q3Shipping,
     "q5_volume" -> QueryCatalog.q5Volume,
     "q6_revenue" -> QueryCatalog.q6Revenue,
+    "q18_large_orders" -> QueryCatalog.q18LargeOrders,
     // LLM-pipeline extensions
     "dd_exact" -> ExtensionCatalog.ddExact,
     "dd_minhash_sig" -> ExtensionCatalog.ddMinhashSig,

@@ -275,6 +275,14 @@ object Oracles {
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
         |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+    "q18_large_orders" ->
+      """SELECT c_name, o_orderkey, round(o_totalprice, 2) AS totalprice,
+        |  round(s, 4) AS total_qty
+        |FROM orders
+        |JOIN (SELECT l_orderkey, sum(l_quantity) AS s FROM lineitem
+        |  GROUP BY 1 HAVING sum(l_quantity) > 300) b ON o_orderkey = b.l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 4) AS sum_qty,
         |  sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS sum_base,

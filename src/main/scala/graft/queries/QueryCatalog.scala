@@ -499,6 +499,25 @@ object QueryCatalog {
       .agg(moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
         .as("revenue"))
 
+  /** TPC-H Q18-style large-volume orders: a HAVING over the fact
+    * aggregation runs FIRST, so only qualifying orders (a tiny
+    * fraction) reach the joins; the top-100 plans as
+    * TakeOrderedAndProject (per-partition heaps, no global sort). */
+  val q18LargeOrders: Q = (s, d) => {
+    val big = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).as("tq"))
+      .filter(col("tq") > 300)
+    Tables.orders(s, d)
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("totalprice"),
+        round(col("tq"), 4).as("total_qty"))
+      .orderBy(col("totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
   /** TPC-H Q5-style local-supplier volume (5-way join chain; dims
     * broadcast, fact joins shuffle on their keys). */
   val q5Volume: Q = (s, d) =>
