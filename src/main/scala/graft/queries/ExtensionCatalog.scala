@@ -74,6 +74,13 @@ object ExtensionCatalog {
     * collapse into one cluster), every document labeled with its
     * cluster's minimum doc_id. `doc_id == component_id` is the
     * deterministic survivor rule; singletons are their own component.
+    *
+    * Inherits the salted-bucket recall contract: on a pathological
+    * corpus (≫ maxBucket near-identical docs) cross-shard pairs are
+    * never examined, so one giant true cluster may surface as several
+    * shard-bounded clusters — dedup then keeps one survivor per shard
+    * instead of one overall, a bounded overcount that is the price of
+    * no bucket ever exceeding maxBucket (see [[Dedup.minHashLsh]]).
     */
   val ddComponents: Q = (s, d) => {
     val docs = Tables.documents(s, d)
