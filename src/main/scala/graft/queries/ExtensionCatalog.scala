@@ -99,6 +99,29 @@ object ExtensionCatalog {
         coalesce(col("component"), col("doc_id")).as("component_id"))
   }
 
+  /** Decontamination — the benchmark-overlap check: which training
+    * documents share 8-token shingles with an eval set (here doc_id <
+    * 20 stands in for the benchmark). The eval side's distinct shingle
+    * hashes are tiny and BROADCAST, so the training corpus never
+    * shuffles: shingling is a narrow explode, the probe a codegen hash
+    * join, and only (train, eval, overlap-count) rows come back. */
+  val ddContaminated: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val toks = StatelessOps.tokenArray(col("text"))
+    def shingles(df: DataFrame, idAs: String): DataFrame =
+      df.select(col("doc_id").as(idAs), toks.as("toks"))
+        .where(size(col("toks")) >= 8)
+        .select(col(idAs), explode(expr(
+          "transform(sequence(1, size(toks) - 7), i -> concat_ws(' ', slice(toks, i, 8)))")).as("sh"))
+        .select(col(idAs), graft.functions.Hashing.md5Long(col("sh")).as("h"))
+        .distinct()
+    val evalSide = shingles(docs.filter(col("doc_id") < 20), "eval_id")
+    val trainSide = shingles(docs.filter(col("doc_id") >= 20), "train_id")
+    trainSide.join(broadcast(evalSide), Seq("h"))
+      .groupBy(col("train_id"), col("eval_id"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   // ------------------------------------------------------------ similarity
 
   /** Brute-force cosine top-10 for a fixed query set (vec_id < 20). */

@@ -344,6 +344,22 @@ object Oracles {
     "dd_jaccard" ->
       s"""WITH $jaccardCtes
          |SELECT doc_a, doc_b, jaccard FROM jpairs""".stripMargin,
+    // 8-token shingles from the ORDERED (unfiltered) token array —
+    // toks[i:i+7] is 1-based inclusive = 8 elements, the twin of
+    // Spark's slice(toks, i, 8); per-doc DISTINCT shingle hashes
+    "dd_contaminated" ->
+      """WITH arr AS (SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z \n]+', '', 'g'), '\s+', ' ', 'g')), ' ') AS toks FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |    ('0x' || substr(md5(array_to_string(toks[i:i+7], ' ')),1,15))::BIGINT AS h
+        |  FROM arr, generate_series(1, 4000) g(i)
+        |  WHERE i + 7 <= len(toks)
+        |    AND 1 = (SELECT CASE WHEN max(len(toks)) - 7 <= 4000 THEN 1
+        |      ELSE error('dd_contaminated oracle: shingle series bound exceeded') END FROM arr))
+        |SELECT t.doc_id AS train_id, e.doc_id AS eval_id, count(*) AS n_shared
+        |FROM sh t JOIN sh e ON t.h = e.h
+        |WHERE t.doc_id >= 20 AND e.doc_id < 20
+        |GROUP BY 1, 2""".stripMargin,
     // transitive closure of the dd_jaccard edge set via recursive
     // min-label spread: the component min m has (m, m); any smaller
     // label l < v reaching a neighbor v is recorded, so min(label)
