@@ -5,7 +5,10 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (sfDir, outDir, only) = args match {
+      case Array(s, o)       => (s, o, None)
+      case Array(s, o, subset) => (s, o, Some(subset.split(',').toSet))
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -22,15 +25,36 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // ts-parity note (checked 2026-08-12): events.ts carries REAL
-    // sub-microsecond precision (max ts%1000 = 999 raw ns), yet every
-    // ts query stays parity-safe because BOTH engines truncate ns→µs —
-    // Spark via Tables.events' timestamp_micros(ts div 1000), DuckDB
-    // 1.x by reading parquet timestamp[ns] as its µs TIMESTAMP. A
-    // DuckDB upgrade that starts preserving TIMESTAMP_NS would change
-    // ts ordering/grouping in the oracle only — the check_oracle
-    // compare itself is the guard that would catch it.
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // ts-parity GUARD (was a comment through r3; now asserted): events.ts
+    // carries REAL sub-microsecond precision, and every ts query is
+    // parity-safe only because BOTH engines truncate ns→µs — Spark via
+    // Tables.events' timestamp_micros(ts div 1000), DuckDB 1.x by
+    // reading parquet timestamp[ns] as its µs TIMESTAMP. Assert the
+    // Spark half loudly: the derived ts must be the exact FLOOR of the
+    // raw ns value (a change to rounding, a lost nanosAsLong flag, or
+    // a schema drift in the fixture fails here, not forensically in a
+    // hash mismatch downstream). The DuckDB half stays guarded by the
+    // check_oracle compare itself.
+    locally {
+      import org.apache.spark.sql.functions._
+      // fingerprint = (count, decimal-exact sum, min, max) of the µs
+      // value; any per-row floor-vs-round drift moves the sum
+      def fp(df: org.apache.spark.sql.DataFrame): Seq[Any] = df.agg(
+        count(lit(1)), sum(col("us").cast("decimal(38,0)")),
+        min(col("us")), max(col("us"))).head().toSeq
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = fp(spark.read.parquet(s"$sfDir/events.parquet")
+        .select(expr("ts div 1000").as("us")))
+      val derived = fp(Tables.events(spark, sfDir)
+        .select(unix_micros(col("ts")).as("us")))
+      require(raw == derived,
+        s"ns-parity guard: events.ts is not the exact ns->us floor of the raw " +
+          s"parquet value (raw fingerprint $raw != derived $derived) — rounding " +
+          "drift or a lost nanosAsLong flag breaks oracle ts parity")
+    }
+    val selected = only.fold(SparkEntry.queries)(names =>
+      SparkEntry.queries.filter { case (n, _) => names(n) })
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -332,18 +332,21 @@ object ExtensionCatalog {
 
   // ------------------------------------------------------------- multimodal
 
-  /** Multimodal plumbing: text bytes stand in for an opaque media
-    * payload (the container has no image/audio libs — the decode step
-    * is a deterministic STUB; the Spark-side schema/partitioning/batch
-    * shape is real). See [[Multimodal.decodeStub]]. */
+  /** REAL image decode over real PNG payloads: rows become genuine
+    * PNG bytes (deterministic synth — dims from text byte length,
+    * solid fill from doc_id), then `javax.imageio` decodes actual
+    * pixels. The oracle predicts what a correct decode must report,
+    * so a mis-decode fails the hash check. See [[Multimodal]]. */
   val mmDecodeMeta: Q = (s, d) =>
-    Multimodal.decodeStub(
-      Multimodal.asBinaryPayload(Tables.documents(s, d), "text", "doc_id"))
+    Multimodal.decodeImage(
+      Multimodal.asPngPayload(Tables.documents(s, d), "text", "doc_id"))
 
-  /** Resize plumbing over the binary payload column (stubbed kernel). */
+  /** REAL `java.awt` bilinear resize to 256×256 with a pixel-sum
+    * checksum over the actual output raster (solid-fill source makes
+    * the checksum engine-predictable). */
   val mmResize: Q = (s, d) =>
-    Multimodal.resizeStub(
-      Multimodal.asBinaryPayload(Tables.documents(s, d), "text", "doc_id"))
+    Multimodal.resizeImage(
+      Multimodal.asPngPayload(Tables.documents(s, d), "text", "doc_id"))
 
   /** Frame-sampling plumbing: one narrow row per sampled frame. */
   val mmFrames: Q = (s, d) =>

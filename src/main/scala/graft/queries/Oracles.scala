@@ -179,6 +179,15 @@ object Oracles {
         |FROM s GROUP BY user_id, sid""".stripMargin,
     "agg_count_distinct" ->
       "SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n FROM events GROUP BY 1",
+    // HLL twin checks the sketch's accuracy CLAIM, not the raw
+    // estimate (engines use different HLL variants): exact count +
+    // "approx within 5% of exact" boolean, true in both engines
+    // whenever both sketches honor their documented error bound
+    "agg_approx_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+        |  abs(approx_count_distinct(user_id) - count(DISTINCT user_id))
+        |    <= count(DISTINCT user_id) * 0.05 AS approx_within_5pct
+        |FROM events GROUP BY 1""".stripMargin,
     // KMV sketch twin: rank distinct md5 hashes per group, read the
     // 64th smallest; estimate = 63 * (2^31-1) // kth (both engines
     // truncate), exact count while under k
@@ -528,10 +537,14 @@ object Oracles {
         |SELECT doc_id, count(*) AS n_fingerprints,
         |  CAST(sum(wmin) % 2147483647 AS BIGINT) AS fp_sum
         |FROM d GROUP BY doc_id""".stripMargin,
+    // real-resize twin: the Spark side bilinear-resizes a solid-color
+    // PNG (fill derived from doc_id), so every output pixel keeps that
+    // color and the checksum is 256*256*(r+g+b) mod 2^31-1
     "mm_resize" ->
       """SELECT doc_id, CAST(256 AS BIGINT) AS out_w, CAST(256 AS BIGINT) AS out_h,
         |  CAST(196608 AS BIGINT) AS out_bytes,
-        |  CAST(strlen(text) % 997 AS BIGINT) AS checksum
+        |  CAST((65536 * ((doc_id % 256) + ((doc_id * 31) % 256) + ((doc_id * 97) % 256)))
+        |    % 2147483647 AS BIGINT) AS checksum
         |FROM documents""".stripMargin,
     // one fake frame per 256 payload bytes (min 1), every 4th sampled
     // at 25 fps; fixed-bound series + guard, like p5_occurrences
@@ -543,12 +556,16 @@ object Oracles {
         |  AND 1 = (SELECT CASE WHEN max(strlen(text)) // 256 <= 8000 THEN 1
         |    ELSE error('mm_frames oracle: frame cap exceeded') END FROM documents)""".stripMargin,
     "mm_decode_meta" ->
-      // strlen = BYTE length (the stub measures UTF-8 payload bytes);
-      // length() counts characters and diverges on non-ASCII text.
-      """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS byte_len,
-        |  CAST(strlen(text) % 1024 AS BIGINT) AS width,
-        |  CAST((strlen(text) // 1024) % 1024 AS BIGINT) AS height,
-        |  CASE WHEN strlen(text) % 2 = 0 THEN 'png' ELSE 'jpg' END AS format
+      // real-decode twin: predicts what a CORRECT javax.imageio decode
+      // of the synthesized PNG must report. strlen = BYTE length (the
+      // synth measures UTF-8 payload bytes); length() counts
+      // characters and diverges on non-ASCII text.
+      """SELECT doc_id,
+        |  CAST(16 + strlen(text) % 48 AS BIGINT) AS width,
+        |  CAST(16 + (strlen(text) // 48) % 48 AS BIGINT) AS height,
+        |  'png' AS format,
+        |  CAST((16 + strlen(text) % 48) * (16 + (strlen(text) // 48) % 48) * 3
+        |    AS BIGINT) AS raster_bytes
         |FROM documents""".stripMargin,
     // ---- OLAP aggregate shapes (rollup / histogram / pivot / quantiles) ----
     // exact discrete percentile: the ceil(q*n)-th smallest value is

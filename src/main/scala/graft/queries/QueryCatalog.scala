@@ -200,12 +200,21 @@ object QueryCatalog {
       .select(col("user_id"), round(col("ema"), 6).as("ema"))
   }
 
-  /** Approximate distinct (HLL++) — sketch family, rows-only check
-    * (approx algorithms differ across engines by design). */
+  /** Approximate distinct (HLL++) — sketch family. The raw estimates
+    * differ across engines by design (different HLL variants), so the
+    * oracle-checkable contract is the sketch's *accuracy claim*: emit
+    * the exact count plus "estimate within 5% of exact" — a boolean
+    * both engines agree on whenever both sketches honor their error
+    * bound (default rsd 5%; at these cardinalities both are far
+    * inside it). Raw-estimate visibility stays in agg_kmv_distinct,
+    * whose KMV estimate IS cross-engine exact. */
   val aggApproxDistinct: Q = (s, d) =>
     Tables.events(s, d).groupBy(col("event_type"))
-      .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+      .agg(approx_count_distinct(col("user_id")).as("approx"),
         countDistinct(col("user_id")).as("exact_users"))
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("approx") - col("exact_users")) <=
+          col("exact_users") * 0.05).as("approx_within_5pct"))
 
   /** Distinct-count sketch WITH cross-engine parity: KMV(k=64) over
     * md5 hashes — a native TypedImperativeAggregate with bounded O(k)
