@@ -77,6 +77,7 @@ object SparkEntry {
     "dd_jaccard" -> ExtensionCatalog.ddJaccard,
     "dd_embed_cosine" -> ExtensionCatalog.ddEmbedCosine,
     "dd_components" -> ExtensionCatalog.ddComponents,
+    "dd_components_stats" -> ExtensionCatalog.ddClusterStats,
     "dd_contaminated" -> ExtensionCatalog.ddContaminated,
     "ann_brute_force" -> ExtensionCatalog.annBruteForce,
     "ann_bucketed" -> ExtensionCatalog.annBucketed,

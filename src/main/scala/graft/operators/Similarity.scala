@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -92,26 +92,89 @@ object Similarity {
   def hyperplaneBucket(embCol: String, nBits: Int, dim: Int = 64) =
     graft.functions.HyperplaneBucket.hyperplaneBucket(col(embCol), nBits, dim)
 
-  /** IVF-Flat ANN: inverted lists over deterministic training-free
-    * centroids (the first `nCentroids` vectors by id — reproducible
-    * and oracle-expressible; a production build would k-means these,
-    * same plumbing). Every vector joins its argmax-cosine centroid
-    * once (the standard IVF n×C assignment scan); a query probes its
-    * `nProbe` nearest centroids' lists, touching ~nProbe/nCentroids of
-    * the corpus instead of all of it. Assignment and probing rank the
-    * ROUNDED cosine with a centroid-id tiebreak — fp ties cannot
-    * diverge from the oracle. */
+  /** Double-precision cosine as a Column expression (zip_with +
+    * aggregate, left-to-right fold — the accumulation DuckDB's
+    * list_cosine_similarity performs on double lists). The native
+    * CosineSimilarity expression is float-only; this form serves the
+    * k-means centroid path, whose trained vectors are micro-unit-
+    * rounded doubles, and runs only n×C pairs (never corpus×corpus). */
+  private def cosineD(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, v) => s + v)
+    val na = sqrt(aggregate(a, lit(0.0), (s, v) => s + v * v))
+    val nb = sqrt(aggregate(b, lit(0.0), (s, v) => s + v * v))
+    dot / (na * nb)
+  }
+
+  /** Seeded deterministic k-means (Lloyd, a FIXED number of
+    * iterations, the oracle unrolls the same two): init = the
+    * nCentroids md5-smallest vectors (an order statistic —
+    * TakeOrderedAndProject — not a corpus-wide window); assignment =
+    * argmax rounded cosine with a centroid-id tiebreak; update =
+    * element-wise mean in integer micro-units (exact, order-
+    * independent sums — a raw double mean's last ulp depends on
+    * partition merge order) rounded to 6 decimals, so both engines
+    * hold bit-identical centroids between iterations. Empty clusters
+    * keep their previous centroid. Components-loop discipline: the
+    * tiny (nCentroids-row) frame is eagerly localCheckpoint'ed each
+    * iteration so no branch replays the corpus-wide assignment. */
+  def kmeansCentroids(corpus: DataFrame, nCentroids: Int = 32, iters: Int = 2,
+                      seedTag: String = "km"): DataFrame = {
+    val corpusD = corpus.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("embD"))
+    val sample = corpusD
+      .withColumn("hk", md5(concat(lit(seedTag + "_"), col("vec_id").cast("string"))))
+      .orderBy(col("hk"), col("vec_id")).limit(nCentroids)
+    // unpartitioned window is deliberate and bounded: it numbers the
+    // nCentroids-row sample (post-limit), never the corpus
+    val w = Window.orderBy(col("hk"), col("vec_id"))
+    var cents = sample
+      .select((row_number().over(w) - 1).cast("long").as("cent_id"),
+        col("embD").as("cent_emb"))
+      .localCheckpoint()
+    (1 to iters).foreach { _ =>
+      val assigned = corpusD.crossJoin(broadcast(cents))
+        .withColumn("cc", round(cosineD(col("embD"), col("cent_emb")), 6))
+        .groupBy(col("vec_id"))
+        .agg(max_by(struct(col("cent_id"), col("embD")),
+          struct(col("cc"), lit(0L) - col("cent_id"))).as("best"))
+        .select(col("best.cent_id").as("cent_id"), col("best.embD").as("embD"))
+      val means = assigned
+        .select(col("cent_id"), posexplode(col("embD")).as(Seq("dim", "v")))
+        .groupBy(col("cent_id"), col("dim"))
+        .agg(sum(round(col("v") * 1000000).cast("long")).as("sv"),
+          count(lit(1)).as("n"))
+        .select(col("cent_id"), col("dim"),
+          round(col("sv") / (col("n") * lit(1000000.0)), 6).as("cval"))
+        .groupBy(col("cent_id"))
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("cval")))),
+          s => s.getField("cval")).as("new_emb"))
+      cents = cents.join(means, Seq("cent_id"), "left")
+        .select(col("cent_id"),
+          coalesce(col("new_emb"), col("cent_emb")).as("cent_emb"))
+        .localCheckpoint()
+    }
+    cents
+  }
+
+  /** IVF-Flat ANN: inverted lists over seeded-k-means centroids
+    * ([[kmeansCentroids]] — deterministic and oracle-expressible).
+    * Every vector joins its argmax-cosine centroid once (the standard
+    * IVF n×C assignment scan); a query probes its `nProbe` nearest
+    * centroids' lists, touching ~nProbe/nCentroids of the corpus
+    * instead of all of it. Assignment and probing rank the ROUNDED
+    * cosine with a centroid-id tiebreak — fp ties cannot diverge from
+    * the oracle. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nCentroids: Int = 32, nProbe: Int = 4): DataFrame = {
-    val cents = broadcast(corpus.filter(col("vec_id") < nCentroids)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb")))
+    val cents = broadcast(kmeansCentroids(corpus, nCentroids))
     // Corpus-wide argmax assignment is an AGGREGATION (max_by with the
     // same rounded-cos-desc, cent-id-asc tiebreak), not a row_number
     // window: partial aggregation collapses the nCentroids× candidate
     // blowup map-side, so the shuffle carries one row per vector
     // instead of nCentroids rows through a per-vector sort.
     val assigned = corpus.select(col("vec_id"), col("embedding")).crossJoin(cents)
-      .withColumn("cent_cos", round(cosine("embedding", "cent_emb"), 6))
+      .withColumn("cent_cos", round(cosineD(
+        transform(col("embedding"), x => x.cast("double")), col("cent_emb")), 6))
       .groupBy(col("vec_id"))
       .agg(max_by(struct(col("cent_id"), col("embedding")),
         struct(col("cent_cos"), lit(0L) - col("cent_id"))).as("best"))
@@ -124,7 +187,8 @@ object Similarity {
         .orderBy(col("cent_cos").desc, col("cent_id"))
       queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
         .crossJoin(cents)
-        .withColumn("cent_cos", round(cosine("q_emb", "cent_emb"), 6))
+        .withColumn("cent_cos", round(cosineD(
+          transform(col("q_emb"), x => x.cast("double")), col("cent_emb")), 6))
         .withColumn("crn", row_number().over(w)).filter(col("crn") <= nProbe)
         .drop("cent_emb", "cent_cos", "crn")
     }

@@ -82,7 +82,7 @@ object ExtensionCatalog {
     * instead of one overall, a bounded overcount that is the price of
     * no bucket ever exceeding maxBucket (see [[Dedup.minHashLsh]]).
     */
-  val ddComponents: Q = (s, d) => {
+  private def computeComponents(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     // spanningOnly: the closure needs connectivity, not the pair list —
     // per-group spanning forests carry the same components with ~the
@@ -97,6 +97,54 @@ object ExtensionCatalog {
       .join(comp, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("component"), col("doc_id")).as("component_id"))
+      // eager checkpoint (one doc_id->component_id row per doc — tiny):
+      // materializes the closure once so the run's OTHER reader
+      // (dd_components_stats) costs two aggs, not a second closure
+      .localCheckpoint()
+  }
+
+  /** One labeled frame per (session, dir) run, shared between
+    * dd_components and dd_components_stats. dd_components OWNS the
+    * memo — it always recomputes and re-publishes (so its bench
+    * timing stays the honest closure cost) — while the stats readout
+    * reuses whatever the run already computed. */
+  private val componentMemo =
+    new java.util.concurrent.atomic.AtomicReference[(String, DataFrame)]()
+
+  private def memoKey(s: SparkSession, d: String): String =
+    System.identityHashCode(s) + "|" + d
+
+  val ddComponents: Q = (s, d) => {
+    val lab = computeComponents(s, d)
+    componentMemo.set((memoKey(s, d), lab))
+    lab
+  }
+
+  /** Cluster-size statistics — the survivor-rule diagnostic over the
+    * SAME closure result as dd_components (VERDICT r3 #4): one tagged
+    * frame holding the cluster-size histogram (`kind='hist'`: k =
+    * cluster size, n = how many clusters) plus the top-10 largest
+    * clusters (`kind='top'`: k = component_id, n = its size;
+    * size-desc, id-asc tie-break so both engines pick identical
+    * rows). Histogram + top-k are two map-side-combined aggs over the
+    * tiny labeled frame; top-10 plans as TakeOrderedAndProject. */
+  val ddClusterStats: Q = (s, d) => {
+    val lab = componentMemo.get() match {
+      case (k, df) if k == memoKey(s, d) => df
+      case _ =>
+        val df = computeComponents(s, d)
+        componentMemo.set((memoKey(s, d), df))
+        df
+    }
+    val sizes = lab.groupBy(col("component_id"))
+      .agg(count(lit(1)).as("csize"))
+    val hist = sizes.groupBy(col("csize"))
+      .agg(count(lit(1)).cast("long").as("n"))
+      .select(lit("hist").as("kind"), col("csize").cast("long").as("k"), col("n"))
+    val top = sizes.orderBy(col("csize").desc, col("component_id")).limit(10)
+      .select(lit("top").as("kind"), col("component_id").cast("long").as("k"),
+        col("csize").cast("long").as("n"))
+    hist.union(top)
   }
 
   /** Decontamination — the benchmark-overlap check: which training

@@ -386,6 +386,26 @@ object Oracles {
          |lab AS (SELECT node, min(label) AS component_id FROM cc GROUP BY node)
          |SELECT d.doc_id, coalesce(l.component_id, d.doc_id) AS component_id
          |FROM documents d LEFT JOIN lab l ON d.doc_id = l.node""".stripMargin,
+    // same closure as dd_components, read out as (histogram ∪ top-10):
+    // hist rows (kind, cluster size, n clusters); top rows (kind,
+    // component_id, its size) with size-desc/id-asc tie-break
+    "dd_components_stats" ->
+      s"""WITH RECURSIVE $jaccardCtes,
+         |sym AS (SELECT doc_a AS u, doc_b AS v FROM jpairs
+         |  UNION SELECT doc_b, doc_a FROM jpairs),
+         |cc(node, label) AS (
+         |  SELECT u, u FROM sym
+         |  UNION
+         |  SELECT s.v, c.label FROM cc c JOIN sym s ON s.u = c.node
+         |  WHERE c.label < s.v),
+         |lab AS (SELECT node, min(label) AS component_id FROM cc GROUP BY node),
+         |labeled AS (SELECT d.doc_id, coalesce(l.component_id, d.doc_id) AS component_id
+         |  FROM documents d LEFT JOIN lab l ON d.doc_id = l.node),
+         |sizes AS (SELECT component_id, count(*) AS csize FROM labeled GROUP BY component_id)
+         |SELECT 'hist' AS kind, csize AS k, count(*) AS n FROM sizes GROUP BY csize
+         |UNION ALL
+         |SELECT * FROM (SELECT 'top' AS kind, component_id AS k, csize AS n
+         |  FROM sizes ORDER BY csize DESC, component_id LIMIT 10)""".stripMargin,
     "ann_brute_force" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 20),
         |scored AS (SELECT q.query_id, e.vec_id,
@@ -429,14 +449,42 @@ object Oracles {
     // IVF-Flat twin: same deterministic centroids (vec_id < 32),
     // argmax-cosine assignment and 4-probe, ROUNDED-cosine ranking
     // with id tiebreaks throughout
+    // seeded k-means twin: init = 32 md5-smallest vectors, two Lloyd
+    // iterations unrolled (assign by rounded cosine w/ cent-id
+    // tiebreak; update = integer-micro-unit mean rounded to 6, the
+    // emb_centroid idiom, so centroids stay bit-identical across
+    // engines; empty clusters keep their previous centroid)
     "ann_ivf" ->
-      """WITH cents AS (SELECT vec_id AS cent_id, embedding AS cent_emb
-        |  FROM embeddings WHERE vec_id < 32),
-        |ac AS (SELECT e.vec_id, e.embedding, c.cent_id,
-        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
-        |      round(list_cosine_similarity(list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
-        |        list_transform(c.cent_emb, x -> CAST(x AS DOUBLE))), 6) DESC, c.cent_id) AS crn
-        |  FROM embeddings e, cents c),
+      """WITH seed AS (SELECT vec_id, embedding,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embD,
+        |    md5(concat('km_', CAST(vec_id AS VARCHAR))) AS hk FROM embeddings),
+        |c0 AS (SELECT row_number() OVER (ORDER BY hk, vec_id) - 1 AS cent_id,
+        |    embD AS cent_emb
+        |  FROM (SELECT * FROM seed ORDER BY hk, vec_id LIMIT 32)),
+        |a1 AS (SELECT s.vec_id, s.embD, c.cent_id,
+        |    row_number() OVER (PARTITION BY s.vec_id ORDER BY
+        |      round(list_cosine_similarity(s.embD, c.cent_emb), 6) DESC, c.cent_id) AS crn
+        |  FROM seed s, c0 c),
+        |m1 AS (SELECT cent_id, i - 1 AS dim,
+        |    round(sum(CAST(round(embD[i] * 1000000) AS BIGINT)) / (count(*) * 1000000.0), 6) AS cval
+        |  FROM a1, generate_series(1, 64) g(i) WHERE crn = 1 GROUP BY 1, 2),
+        |g1 AS (SELECT cent_id, list(cval ORDER BY dim) AS new_emb FROM m1 GROUP BY 1),
+        |c1 AS (SELECT c.cent_id, coalesce(g.new_emb, c.cent_emb) AS cent_emb
+        |  FROM c0 c LEFT JOIN g1 g ON c.cent_id = g.cent_id),
+        |a2 AS (SELECT s.vec_id, s.embD, c.cent_id,
+        |    row_number() OVER (PARTITION BY s.vec_id ORDER BY
+        |      round(list_cosine_similarity(s.embD, c.cent_emb), 6) DESC, c.cent_id) AS crn
+        |  FROM seed s, c1 c),
+        |m2 AS (SELECT cent_id, i - 1 AS dim,
+        |    round(sum(CAST(round(embD[i] * 1000000) AS BIGINT)) / (count(*) * 1000000.0), 6) AS cval
+        |  FROM a2, generate_series(1, 64) g(i) WHERE crn = 1 GROUP BY 1, 2),
+        |g2 AS (SELECT cent_id, list(cval ORDER BY dim) AS new_emb FROM m2 GROUP BY 1),
+        |c2 AS (SELECT c.cent_id, coalesce(g.new_emb, c.cent_emb) AS cent_emb
+        |  FROM c1 c LEFT JOIN g2 g ON c.cent_id = g.cent_id),
+        |ac AS (SELECT s.vec_id, s.embedding, c.cent_id,
+        |    row_number() OVER (PARTITION BY s.vec_id ORDER BY
+        |      round(list_cosine_similarity(s.embD, c.cent_emb), 6) DESC, c.cent_id) AS crn
+        |  FROM seed s, c2 c),
         |assigned AS (SELECT vec_id, embedding, cent_id FROM ac WHERE crn = 1),
         |probes AS (SELECT vec_id AS query_id, embedding AS q_emb, cent_id FROM ac
         |  WHERE vec_id < 20 AND crn <= 4),
