@@ -19,39 +19,53 @@ object GraftFunctions {
       s"$fn: argument $pos must be an integer literal, got $other")
   }
 
+  /** Arity gate shared by every builder: a wrong argument count raises
+    * the same descriptive IllegalArgumentException as intArg instead
+    * of a raw IndexOutOfBoundsException from args(i) (extra arguments
+    * are rejected, not silently ignored). */
+  private def arity(fn: String, min: Int, max: Int)(
+      build: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    args => {
+      if (args.length < min || args.length > max)
+        throw new IllegalArgumentException(
+          s"$fn expects ${if (min == max) s"$min" else s"$min to $max"} " +
+            s"argument(s), got ${args.length}")
+      build(args)
+    }
+
   /** name → (builder, usage). Aggregates return the AggregateFunction;
     * the analyzer wraps it like any built-in aggregate. */
   val all: Seq[(String, Seq[Expression] => Expression, String)] = Seq(
     ("cosine",
-      (args: Seq[Expression]) => CosineSimilarity(args(0), args(1)),
+      arity("cosine", 2, 2)(args => CosineSimilarity(args(0), args(1))),
       "cosine(a array<float>, b array<float>) - fused dot/norm cosine similarity"),
     ("md5_long60",
-      (args: Seq[Expression]) => Md5Long60(args(0)),
+      arity("md5_long60", 1, 1)(args => Md5Long60(args(0))),
       "md5_long60(s string) - first 60 bits of md5(s) as bigint"),
     ("winnow_summary",
-      (args: Seq[Expression]) => WinnowSummary(args(0),
+      arity("winnow_summary", 1, 3)(args => WinnowSummary(args(0),
         if (args.length > 1) intArg(args(1), "winnow_summary", 2) else 4,
-        if (args.length > 2) intArg(args(2), "winnow_summary", 3) else 8),
+        if (args.length > 2) intArg(args(2), "winnow_summary", 3) else 8)),
       "winnow_summary(text [, k, w]) - struct(n_fingerprints, fp_sum) of distinct window-min k-gram hashes"),
     ("hyperplane_bucket",
-      (args: Seq[Expression]) => HyperplaneBucket(args(0),
+      arity("hyperplane_bucket", 2, 3)(args => HyperplaneBucket(args(0),
         intArg(args(1), "hyperplane_bucket", 2),
-        if (args.length > 2) intArg(args(2), "hyperplane_bucket", 3) else 64),
+        if (args.length > 2) intArg(args(2), "hyperplane_bucket", 3) else 64)),
       "hyperplane_bucket(emb array<float>, nBits [, dim]) - Rademacher sign-LSH bucket id"),
     ("kmv_distinct",
-      (args: Seq[Expression]) => KmvDistinct(args(0),
-        if (args.length > 1) intArg(args(1), "kmv_distinct", 2) else 64),
+      arity("kmv_distinct", 1, 2)(args => KmvDistinct(args(0),
+        if (args.length > 1) intArg(args(1), "kmv_distinct", 2) else 64)),
       "kmv_distinct(hash bigint [, k]) - KMV distinct-count sketch estimate (aggregate)"),
     ("topk_pairs",
-      (args: Seq[Expression]) => TopKPairs(args(0), args(1),
-        intArg(args(2), "topk_pairs", 3)),
+      arity("topk_pairs", 3, 3)(args => TopKPairs(args(0), args(1),
+        intArg(args(2), "topk_pairs", 3))),
       "topk_pairs(score double, id bigint, k) - top-k (score desc, id asc) pairs (aggregate)"),
     ("kmin_by_hash",
-      (args: Seq[Expression]) => KMinByHash(args(0), args(1),
-        intArg(args(2), "kmin_by_hash", 3)),
+      arity("kmin_by_hash", 3, 3)(args => KMinByHash(args(0), args(1),
+        intArg(args(2), "kmin_by_hash", 3))),
       "kmin_by_hash(hash bigint, value double, k) - k hash-smallest (h, v) pairs (aggregate)"),
     ("misra_gries",
-      (args: Seq[Expression]) => MisraGries(args(0),
-        if (args.length > 1) intArg(args(1), "misra_gries", 2) else 64),
+      arity("misra_gries", 1, 2)(args => MisraGries(args(0),
+        if (args.length > 1) intArg(args(1), "misra_gries", 2) else 64)),
       "misra_gries(hash bigint [, k]) - heavy-hitter candidates with lower-bound counts (aggregate)"))
 }

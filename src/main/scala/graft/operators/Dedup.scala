@@ -54,6 +54,33 @@ object Dedup {
     deduped.drop("__h")
   }
 
+  /** Decontamination — the benchmark-overlap operator: which TRAIN
+    * documents share at least one `n`-token shingle (an order-sensitive
+    * token RUN, not a token set) with any EVAL document. Both sides are
+    * arbitrary DataFrames with (idCol, textCol); the eval set is a
+    * benchmark and therefore small by construction, so its distinct
+    * shingle hashes are BROADCAST and the training corpus never
+    * shuffles: shingling is a narrow explode over the train scan, the
+    * probe a codegen hash join, and only (train_id, eval_id, n_shared)
+    * rows come back. Output: one row per contaminated (train, eval)
+    * pair with the count of shared distinct shingles. */
+  def contaminationCheck(train: DataFrame, eval: DataFrame,
+                         textCol: String = "text", idCol: String = "doc_id",
+                         n: Int = 8): DataFrame = {
+    val toks = graft.operators.StatelessOps.tokenArray(col(textCol))
+    def shingles(df: DataFrame, idAs: String): DataFrame =
+      df.select(col(idCol).as(idAs), toks.as("toks"))
+        .where(size(col("toks")) >= n)
+        .select(col(idAs), explode(expr(
+          s"transform(sequence(1, size(toks) - ${n - 1}), i -> concat_ws(' ', slice(toks, i, $n)))")).as("sh"))
+        .select(col(idAs), Hashing.md5Long(col("sh")).as("h"))
+        .distinct()
+    shingles(train, "train_id")
+      .join(broadcast(shingles(eval, "eval_id")), Seq("h"))
+      .groupBy(col("train_id"), col("eval_id"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Distinct-token shingle set per doc with mod-2^31 hashes — the
     * shared front end of MinHash and Jaccard. Tokenizer is THE single
     * definition in StatelessOps.explodeTokens (oracle parity for every

@@ -154,20 +154,13 @@ object ExtensionCatalog {
     * shuffles: shingling is a narrow explode, the probe a codegen hash
     * join, and only (train, eval, overlap-count) rows come back. */
   val ddContaminated: Q = (s, d) => {
+    // thin instantiation of the first-class operator: any two
+    // (id, text) frames work; here doc_id < 20 stands in for the
+    // benchmark eval set on the shared documents table
     val docs = Tables.documents(s, d)
-    val toks = StatelessOps.tokenArray(col("text"))
-    def shingles(df: DataFrame, idAs: String): DataFrame =
-      df.select(col("doc_id").as(idAs), toks.as("toks"))
-        .where(size(col("toks")) >= 8)
-        .select(col(idAs), explode(expr(
-          "transform(sequence(1, size(toks) - 7), i -> concat_ws(' ', slice(toks, i, 8)))")).as("sh"))
-        .select(col(idAs), graft.functions.Hashing.md5Long(col("sh")).as("h"))
-        .distinct()
-    val evalSide = shingles(docs.filter(col("doc_id") < 20), "eval_id")
-    val trainSide = shingles(docs.filter(col("doc_id") >= 20), "train_id")
-    trainSide.join(broadcast(evalSide), Seq("h"))
-      .groupBy(col("train_id"), col("eval_id"))
-      .agg(count(lit(1)).as("n_shared"))
+    Dedup.contaminationCheck(
+      train = docs.filter(col("doc_id") >= 20),
+      eval = docs.filter(col("doc_id") < 20))
   }
 
   // ------------------------------------------------------------ similarity

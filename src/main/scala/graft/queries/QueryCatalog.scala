@@ -239,8 +239,12 @@ object QueryCatalog {
       .select(col("event_type"),
         array_sort(transform(col("sample"), e => e.getField("v"))).as("vals"))
       .select(col("event_type"),
-        element_at(col("vals"), ceil(lit(0.5) * size(col("vals"))).cast("int")).as("p50_est"),
-        element_at(col("vals"), ceil(lit(0.95) * size(col("vals"))).cast("int")).as("p95_est"))
+        // all-null group -> empty sample -> ceil(0)=0, and ANSI
+        // element_at is 1-based: guard instead of throwing
+        when(size(col("vals")) > 0, element_at(col("vals"),
+          ceil(lit(0.5) * size(col("vals"))).cast("int"))).as("p50_est"),
+        when(size(col("vals")) > 0, element_at(col("vals"),
+          ceil(lit(0.95) * size(col("vals"))).cast("int"))).as("p95_est"))
   }
 
   /** Mode (most frequent value) per group: two hash aggregations —
@@ -347,7 +351,11 @@ object QueryCatalog {
     val urgent = Tables.orders(s, d)
       .filter(col("o_orderpriority") === "1-URGENT")
       .select(col("o_orderkey"))
-    val bf = urgent.stat.bloomFilter("o_orderkey", 100000, 0.01)
+    // size the filter from the dim side's actual key count (one cheap
+    // pushed-filter count — the runtime-filter pattern): a hardcoded
+    // capacity silently degrades FPP toward no pruning at larger sf
+    val nUrgent = math.max(urgent.count(), 1L)
+    val bf = urgent.stat.bloomFilter("o_orderkey", nUrgent, 0.01)
     Tables.lineitem(s, d)
       .filter(graft.functions.BloomContains.bloomContains(col("l_orderkey"), bf))
       .join(urgent, col("l_orderkey") === col("o_orderkey"), "left_semi")

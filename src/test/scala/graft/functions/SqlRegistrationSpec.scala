@@ -67,4 +67,15 @@ class SqlRegistrationSpec extends SparkSpec {
       .selectExpr("size(mg)", "mg[0].c").as[(Int, Long)].collect().head
     assert(mg._1 == 3 && mg._2 >= 333L) // 3 distinct fit in k: exact counts
   }
+
+  test("wrong arity raises a descriptive error, not IndexOutOfBounds") {
+    val e1 = intercept[Exception](spark.sql("SELECT misra_gries() FROM agg_in"))
+    assert(e1.getMessage.contains("misra_gries expects 1 to 2 argument(s)"),
+      s"got: ${e1.getMessage}")
+    val e2 = intercept[Exception](spark.sql("SELECT misra_gries(id, 8, 9) FROM agg_in"))
+    assert(e2.getMessage.contains("got 3"), s"got: ${e2.getMessage}")
+    val e3 = intercept[Exception](spark.sql("SELECT cosine(array(1.0f)) AS c"))
+    assert(e3.getMessage.contains("cosine expects 2 argument(s)"),
+      s"got: ${e3.getMessage}")
+  }
 }
