@@ -1,0 +1,84 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+import graft.SparkEntry
+import graft.streaming.SparkSpec
+
+/** Plan-regression gates: the load-bearing plan properties from the
+  * COVERAGE.md audits, encoded so a future change that silently drops
+  * a pushdown, broadcast, or scan-level runtime filter FAILS here
+  * instead of surfacing as a 100× regression on a cluster
+  * (VERDICT r3 #7). Runs at sf0.001 — plan shapes, not timings.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df: DataFrame = SparkEntry.queries(name)(spark, sfDir)
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+  }
+
+  test("q6/q1: filters are pushed to the parquet scan, schema is pruned") {
+    val p6 = plan("q6_revenue")
+    assert(p6.contains("PushedFilters: ["), "q6 scan lost its pushed filters")
+    assert(!p6.contains("PushedFilters: []"), "q6 pushed-filter list is empty")
+    // projection pruning: the 16-column lineitem scan must read only
+    // the query's columns, never l_comment
+    assert(!p6.contains("l_comment"), "q6 reads l_comment — column pruning lost")
+    val p1 = plan("q1_pricing_summary")
+    assert(p1.contains("PushedFilters: [") && !p1.contains("PushedFilters: []"),
+      "q1 scan lost its pushed filter")
+  }
+
+  test("j_bloom_semi: bloom runtime filter sheds rows before the join exchange") {
+    val p = plan("j_bloom_semi")
+    assert(p.contains("bloom_contains"),
+      "bloom_contains no longer evaluated on the fact side before the semi join")
+    assert(p.contains("LeftSemi"), "exact semi join (FP removal) disappeared")
+  }
+
+  test("ta_vocab / ta_token_ids: top-k vocab, broadcast mapping, never sort-merge") {
+    // ta_vocab has no join at all: the ranked vocab is a TakeOrdered
+    // top-k over one partial-agg pass
+    val pv = plan("ta_vocab")
+    assert(pv.contains("TakeOrderedAndProject"), "ta_vocab lost its top-k plan")
+    assert(!pv.contains("SortMergeJoin") && !pv.contains("BroadcastHashJoin"),
+      "ta_vocab grew a join")
+    // ta_token_ids maps the corpus through the BROADCAST vocab
+    val pt = plan("ta_token_ids")
+    assert(pt.contains("BroadcastHashJoin"), "ta_token_ids lost its broadcast join")
+    assert(!pt.contains("SortMergeJoin"),
+      "ta_token_ids plans a SortMergeJoin — the corpus side would shuffle")
+  }
+
+  test("dd_contaminated: eval shingles broadcast so the train corpus never shuffles") {
+    val p = plan("dd_contaminated")
+    assert(p.contains("BroadcastHashJoin"), "eval-side broadcast lost")
+    assert(!p.contains("SortMergeJoin"), "train corpus would shuffle for the probe")
+  }
+
+  test("brute-force ANN is the only cartesian in the scale-sensitive catalog") {
+    def hasCartesian(p: String): Boolean =
+      p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin")
+    assert(hasCartesian(plan("ann_brute_force")),
+      "brute-force baseline should be the deliberate broadcast cross join")
+    // the scale path queries must never degrade to a cross product
+    Seq("ann_bucketed", "dd_jaccard", "dd_minhash_lsh", "dd_simhash_pairs",
+      "dd_embed_cosine", "j_band", "j_interval", "j_asof").foreach { q =>
+      assert(!hasCartesian(plan(q)), s"$q plans a cartesian/BNL join")
+    }
+  }
+
+  test("agg family keeps partial (map-side) aggregation") {
+    // partial+final pairs appear as two HashAggregate nodes; losing the
+    // partial side would shuffle raw rows
+    Seq("q1_pricing_summary", "agg_kmv_distinct", "emb_centroid").foreach { q =>
+      val p = plan(q)
+      assert("HashAggregate|ObjectHashAggregate".r.findAllIn(p).size >= 2,
+        s"$q lost its partial aggregation")
+    }
+  }
+}
