@@ -1,0 +1,126 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Components, Dedup}
+
+/** Empirical scale ladder for the dedup chain (VERDICT r3 #3): the
+  * 100 TB story for dd_jaccard → dd_components → survivor pruning was
+  * plan-audited but only sf0.1-measured; this main MEASURES how wall
+  * time grows with corpus size on a generated corpus with controlled
+  * duplicate-cluster structure.
+  *
+  * `runMain graft.tools.BenchScale [n1,n2,...]` (default
+  * 5000,10000,20000,50000 — 1× to 10× the sf0.1 document count).
+  * Prints one JSON line per rung plus a fitted log-log exponent:
+  * ~1.0 ⇒ linear, the claim under test. Also records the longest
+  * single task per rung — bounded task duration is the "no straggler
+  * blowup" half of the claim — and checks the chain's OUTPUT: the
+  * generator plants exactly 14 clusters per 20 docs (12 singletons +
+  * two 4-member near-dup clusters at Jaccard ≈ 0.84), so survivors
+  * must be ~0.7·n; >5 % drift means recall collapsed, not scaled.
+  *
+  * Corpus generation (deterministic, pure codegen expressions, no
+  * driver loop): doc r%20 ∈ [0,12) is a singleton with its own random
+  * 80-word text; r ∈ [12,16) and [16,20) form two 4-member clusters
+  * per block sharing a cluster-seeded base text with ~1.7 member-
+  * specific word replacements (pairwise J ≈ 0.9 — safely above the
+  * 0.7 threshold, where the 4/8 band config holds per-pair recall
+  * ≈ 0.89 and 4-member cluster connectivity ≈ 0.999). Words are
+  * 4 a-z letters from a seeded hash (~457k vocab, so cross-cluster
+  * token overlap is noise).
+  */
+object BenchScale {
+
+  private def word(seed: String): String = {
+    val h = s"pmod(xxhash64(concat_ws('_', '$seed', ck, cast(p AS STRING))), 456976)"
+    s"concat(char(97 + pmod($h, 26)), char(97 + pmod($h div 26, 26)), " +
+      s"char(97 + pmod($h div 676, 26)), char(97 + pmod($h div 17576, 26)))"
+  }
+
+  def genCorpus(spark: SparkSession, nDocs: Long): DataFrame = {
+    val memberWord = word("m").replace("', ck,", "', ck, cast(r AS STRING),")
+    spark.range(nDocs)
+      .selectExpr("id AS doc_id", "id div 20 AS b", "id % 20 AS r")
+      .selectExpr("doc_id", "r",
+        // singletons seed by doc id; cluster members share the block's
+        // cluster key, so their base word stream is identical
+        """CASE WHEN r < 12 THEN concat('s', cast(doc_id AS STRING))
+          |  WHEN r < 16 THEN concat('a', cast(b AS STRING))
+          |  ELSE concat('b', cast(b AS STRING)) END AS ck""".stripMargin)
+      .selectExpr("doc_id",
+        s"""concat_ws(' ', transform(sequence(0, 79), p ->
+           |  CASE WHEN r >= 12 AND pmod(p * 7 + r, 46) = 0
+           |    THEN $memberWord ELSE ${word("t")} END)) AS text""".stripMargin)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sizes =
+      if (args.nonEmpty) args(0).split(",").map(_.trim.toLong).toSeq
+      else Seq(5000L, 10000L, 20000L, 50000L)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionNum", cpus)
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // longest single task per timed window — the straggler bound
+    val maxTaskMs = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskInfo != null) {
+          val d = te.taskInfo.duration
+          var cur = maxTaskMs.get()
+          while (d > cur && !maxTaskMs.compareAndSet(cur, d)) cur = maxTaskMs.get()
+        }
+    })
+
+    val rungs = sizes.map { n =>
+      val dir = s"/tmp/graft_scale/docs_$n"
+      genCorpus(spark, n).write.mode("overwrite").parquet(dir) // untimed setup
+      val docs = spark.read.parquet(dir)
+      maxTaskMs.set(0)
+      val t0 = System.nanoTime()
+      val edges = Dedup.ngramJaccard(docs, "text", "doc_id", threshold = 0.7,
+          spanningOnly = true)
+        .select(col("doc_a"), col("doc_b"))
+      val comp = Components.connectedComponents(edges, "doc_a", "doc_b")
+        .withColumnRenamed("node", "doc_id")
+      val survivors = docs.select(col("doc_id"))
+        .join(comp, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("component_id"))
+        .filter(col("doc_id") === col("component_id"))
+        .count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      // planted clusters: 14 per full 20-block, plus the partial tail
+      val tail = (n % 20).toInt
+      val expected = n / 20 * 14 + math.min(tail, 12) +
+        (if (tail > 12) 1 else 0) + (if (tail > 16) 1 else 0)
+      (n, sec, survivors, expected, maxTaskMs.get() / 1e3)
+    }
+
+    // least-squares slope of ln(t) on ln(n): the measured exponent
+    val xs = rungs.map(r => math.log(r._1.toDouble))
+    val ys = rungs.map(r => math.log(r._2))
+    val (mx, my) = (xs.sum / xs.size, ys.sum / ys.size)
+    val exponent = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum /
+      xs.map(x => (x - mx) * (x - mx)).sum
+
+    val rungJson = rungs.map { case (n, sec, got, exp, mt) =>
+      f"""{"n_docs":$n,"sec":$sec%.2f,"survivors":$got,"expected":$exp,"max_task_sec":$mt%.2f}"""
+    }.mkString("[", ",", "]")
+    println(f"""{"metric":"dedup_chain_scale","rungs":$rungJson,"exponent":$exponent%.3f}""")
+    rungs.foreach { case (n, _, got, exp, _) =>
+      require(math.abs(got - exp) <= 0.05 * exp,
+        s"recall collapsed at n=$n: survivors $got vs planted $exp")
+    }
+    spark.stop()
+  }
+}
