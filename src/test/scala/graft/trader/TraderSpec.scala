@@ -84,4 +84,57 @@ class TraderSpec extends SparkSpec {
     // forecasts {1.1} -> BUY 1; price3 fire sees {1.1, 0.9} -> none
     assert(out4.map(o => (o.orderType, o.shares)).toSeq == Seq(("BUY", 1)))
   }
+
+  test("J4 champion streaming e2e: interleaved sides across micro-batches match the batch twin") {
+    def res(t: Long, coins: Double, shares: Int) =
+      ("A_a", ts(t), TxnResult(s"r$t", "MARKET",
+        TraderState(ts(t), coins, shares, 0, 0, 0), TxnResultType.ACCEPTED))
+    def price(t: Long, coins: Double, forecast: Double) =
+      ("A_a", ts(t), SharePriceInfo(ts(t), coins, forecast))
+
+    // four micro-batches walking the reference decision table
+    // (MonkeyStockChampion.java:172-232) with cross-batch state:
+    //  b1: price only (no result yet -> no fire)
+    //  b2: modest result -> allGt1 fires BUY 1
+    //  b3: rich result + falling-forecast price -> BUY 3 + INVEST +
+    //      FEED on the result fire; the price fire breaks allGt1 and
+    //      (rich still) fires the rich triple again
+    //  b4: poor result with shares -> SELL 2; txn ids keep counting
+    val batches = Seq(
+      (Seq.empty[(String, java.sql.Timestamp, TxnResult)], Seq(price(t0 + 1, 2.0, 1.1))),
+      (Seq(res(t0 + 2, 8.0, 5)), Seq.empty[(String, java.sql.Timestamp, SharePriceInfo)]),
+      (Seq(res(t0 + 3, 50.0, 5)), Seq(price(t0 + 4, 2.0, 0.9))),
+      (Seq(res(t0 + 5, 3.0, 4)), Seq.empty[(String, java.sql.Timestamp, SharePriceInfo)]))
+
+    implicit val sqlCtx = spark.sqlContext
+    val resIn = MemoryStream[(String, java.sql.Timestamp, TxnResult)]
+    val priceIn = MemoryStream[(String, java.sql.Timestamp, SharePriceInfo)]
+    val q = TraderJobs.champion(spark, resIn.toDS(), priceIn.toDS()).writeStream
+      .format("memory").queryName("champ_e2e").outputMode("append").start()
+    try {
+      batches.foreach { case (rs, ps) =>
+        if (rs.nonEmpty) resIn.addData(rs)
+        if (ps.nonEmpty) priceIn.addData(ps)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("champ_e2e").as[TraderJobs.ChampOp].collect()
+        .sortBy(o => (o.time.getTime, o.txnId))
+
+      // batch twin over the SAME total input must produce the same ops
+      val batch = TraderJobs.champion(spark,
+          batches.flatMap(_._1).toDS(), batches.flatMap(_._2).toDS())
+        .collect().sortBy(o => (o.time.getTime, o.txnId))
+      assert(streamed.toSeq == batch.toSeq)
+
+      // the golden sequence from the reference decision table
+      assert(streamed.map(o => (o.kind, o.orderType, o.shares, o.invested, o.monkeys)).toSeq ==
+        Seq(("MARKET", "BUY", 1, 0.0, 0),                       // b2 result fire (allGt1)
+          ("MARKET", "BUY", 3, 0.0, 0), ("INVEST", "", 0, 25.0, 0), ("FEED", "", 0, 0.0, 1),
+          ("MARKET", "BUY", 3, 0.0, 0), ("INVEST", "", 0, 25.0, 0), ("FEED", "", 0, 0.0, 1),
+          ("MARKET", "SELL", 2, 0.0, 0)))                       // b4 poor rule
+      // txn ids are monotone ACROSS micro-batches
+      assert(streamed.map(_.txnId).toSeq ==
+        (0 to 7).map(i => s"champ_txn_$i"))
+    } finally q.stop()
+  }
 }
