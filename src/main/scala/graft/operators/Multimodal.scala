@@ -55,6 +55,13 @@ object Multimodal {
     df.select(col(idCol).cast("long").as("doc_id"),
         octet_length(col(textCol)).cast("long").as("byte_len"))
       .as[(Long, Long)]
+      // the scan of a small fixture file yields 1-2 splits, which
+      // would run the CPU-heavy encode/decode/resize chain on 1-2
+      // cores; spread the NARROW 2-column frame across the executor
+      // width BEFORE synthesis, so the heavy kernels downstream stay
+      // payload-colocated (payload bytes themselves never shuffle —
+      // the real-ingest property this fixture stands in for)
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .mapPartitions { it =>
         val buf = new ByteArrayOutputStream(4096)
         it.map { case (docId, byteLen) =>
@@ -122,26 +129,27 @@ object Multimodal {
     val spark = payloads.sparkSession
     import spark.implicits._
     payloads.as[MediaPayload].mapPartitions { it =>
+      // canvas + pixel buffer allocated ONCE per partition (the
+      // decoder-init-amortization shape; a per-row 256 KB canvas is
+      // pure GC churn at corpus scale)
+      val out = new BufferedImage(targetW, targetH, BufferedImage.TYPE_INT_RGB)
+      val px = new Array[Int](targetW * targetH)
       it.map { p =>
         val src = ImageIO.read(new ByteArrayInputStream(p.payload))
         require(src != null, s"undecodable payload for doc ${p.doc_id}")
-        val out = new BufferedImage(targetW, targetH, BufferedImage.TYPE_INT_RGB)
         val g2 = out.createGraphics()
         try {
           g2.setRenderingHint(RenderingHints.KEY_INTERPOLATION,
             RenderingHints.VALUE_INTERPOLATION_BILINEAR)
           g2.drawImage(src, 0, 0, targetW, targetH, null)
         } finally g2.dispose()
+        out.getRGB(0, 0, targetW, targetH, px, 0, targetW)
         var sum = 0L
-        var y = 0
-        while (y < targetH) {
-          var x = 0
-          while (x < targetW) {
-            val rgb = out.getRGB(x, y)
-            sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
-            x += 1
-          }
-          y += 1
+        var i = 0
+        while (i < px.length) {
+          val rgb = px(i)
+          sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+          i += 1
         }
         ResizedMedia(p.doc_id, targetW.toLong, targetH.toLong,
           targetW.toLong * targetH * 3, sum % 2147483647L)

@@ -114,11 +114,19 @@ object Similarity {
     * independent sums — a raw double mean's last ulp depends on
     * partition merge order) rounded to 6 decimals, so both engines
     * hold bit-identical centroids between iterations. Empty clusters
-    * keep their previous centroid. Components-loop discipline: the
-    * tiny (nCentroids-row) frame is eagerly localCheckpoint'ed each
-    * iteration so no branch replays the corpus-wide assignment. */
+    * keep their previous centroid.
+    *
+    * Loop-lineage discipline (the eager-checkpoint rule applies only
+    * to frames RE-READ within a round): each iteration reads the
+    * previous centroids exactly once, so the chain builds lazily and
+    * materializes in ONE job; only the FINAL centroid frame — which
+    * the caller reads twice (corpus assignment + query probes) — is
+    * eagerly localCheckpoint'ed. The per-dimension mean is 64 sum
+    * columns re-assembled with array() — one aggregation over
+    * nCentroids groups, no posexplode row blowup, no second shuffle,
+    * no collect_list sort. */
   def kmeansCentroids(corpus: DataFrame, nCentroids: Int = 32, iters: Int = 2,
-                      seedTag: String = "km"): DataFrame = {
+                      seedTag: String = "km", dim: Int = 64): DataFrame = {
     val corpusD = corpus.select(col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("embD"))
     val sample = corpusD
@@ -130,7 +138,6 @@ object Similarity {
     var cents = sample
       .select((row_number().over(w) - 1).cast("long").as("cent_id"),
         col("embD").as("cent_emb"))
-      .localCheckpoint()
     (1 to iters).foreach { _ =>
       val assigned = corpusD.crossJoin(broadcast(cents))
         .withColumn("cc", round(cosineD(col("embD"), col("cent_emb")), 6))
@@ -138,22 +145,17 @@ object Similarity {
         .agg(max_by(struct(col("cent_id"), col("embD")),
           struct(col("cc"), lit(0L) - col("cent_id"))).as("best"))
         .select(col("best.cent_id").as("cent_id"), col("best.embD").as("embD"))
-      val means = assigned
-        .select(col("cent_id"), posexplode(col("embD")).as(Seq("dim", "v")))
-        .groupBy(col("cent_id"), col("dim"))
-        .agg(sum(round(col("v") * 1000000).cast("long")).as("sv"),
-          count(lit(1)).as("n"))
-        .select(col("cent_id"), col("dim"),
-          round(col("sv") / (col("n") * lit(1000000.0)), 6).as("cval"))
-        .groupBy(col("cent_id"))
-        .agg(transform(array_sort(collect_list(struct(col("dim"), col("cval")))),
-          s => s.getField("cval")).as("new_emb"))
+      val sums = (0 until dim).map(d =>
+        sum(round(element_at(col("embD"), d + 1) * 1000000).cast("long")).as(s"s$d"))
+      val means = assigned.groupBy(col("cent_id"))
+        .agg(count(lit(1)).as("n"), sums: _*)
+        .select(col("cent_id"), array((0 until dim).map(d =>
+          round(col(s"s$d") / (col("n") * lit(1000000.0)), 6)): _*).as("new_emb"))
       cents = cents.join(means, Seq("cent_id"), "left")
         .select(col("cent_id"),
           coalesce(col("new_emb"), col("cent_emb")).as("cent_emb"))
-        .localCheckpoint()
     }
-    cents
+    cents.localCheckpoint()
   }
 
   /** IVF-Flat ANN: inverted lists over seeded-k-means centroids
