@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.streaming.SparkSpec
+
+/** Seeded k-means centroid training: deterministic across runs and
+  * partition layouts (the cross-engine-parity property the ann_ivf
+  * oracle depends on), micro-unit means, empty-cluster carry-over.
+  */
+class KMeansSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus(n: Int, dim: Int = 64) =
+    spark.range(n).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(dim - 1)),
+        d => ((pmod(xxhash64(col("id") * lit(1000) + d), lit(2000)) - 1000) / 1000.0)
+          .cast("float")).as("embedding"))
+
+  test("centroids are identical across partition layouts") {
+    val base = corpus(200)
+    val a = Similarity.kmeansCentroids(base, nCentroids = 8)
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+    val b = Similarity.kmeansCentroids(base.repartition(13), nCentroids = 8)
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+    assert(a.length == 8)
+    assert(a.toSeq == b.toSeq) // bit-identical: integer micro-unit means
+  }
+
+  test("micro-unit means match a driver-side replica on a tiny corpus") {
+    val tiny = corpus(12)
+    val cents = Similarity.kmeansCentroids(tiny, nCentroids = 2, iters = 1)
+      .as[(Long, Seq[Double])].collect().toMap
+    // replicate: same init (md5-smallest), one assignment by rounded
+    // double cosine w/ cent-id tiebreak, micro-unit mean rounded to 6
+    val vecs = tiny.as[(Long, Seq[Float])].collect().toMap
+      .map { case (k, v) => k -> v.map(_.toDouble) }
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val init = vecs.keys.toSeq.sortBy(id => (md5hex(s"km_$id"), id)).take(2)
+    val cent0 = init.zipWithIndex.map { case (id, i) => i.toLong -> vecs(id) }.toMap
+    def cos(a: Seq[Double], b: Seq[Double]) = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val r = dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+      BigDecimal(r).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val assigned = vecs.toSeq.map { case (id, v) =>
+      val best = cent0.toSeq.map { case (c, ce) => (c, cos(v, ce)) }
+        .maxBy { case (c, s) => (s, -c) }._1
+      (best, v)
+    }
+    val expect = assigned.groupBy(_._1).map { case (c, rows) =>
+      val n = rows.size
+      c -> (0 until 64).map { d =>
+        val sv = rows.map(r => math.round(r._2(d) * 1e6)).sum
+        BigDecimal(sv / (n * 1e6)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+    }
+    expect.foreach { case (c, e) =>
+      assert(cents(c).zip(e).forall { case (x, y) => math.abs(x - y) < 1e-9 },
+        s"centroid $c drifted from the replica")
+    }
+  }
+
+  test("a centroid that captures no vectors keeps its previous value") {
+    // 3 centroids over a 3-vector corpus where two vectors coincide:
+    // at most 2 distinct assignment targets, so >=1 centroid starves
+    val docs = Seq(
+      (0L, Seq.fill(64)(1.0f)),
+      (1L, Seq.fill(64)(1.0f)),
+      (2L, (Seq.fill(32)(1.0f) ++ Seq.fill(32)(-1.0f)))
+    ).toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansCentroids(docs, nCentroids = 3)
+      .as[(Long, Seq[Double])].collect()
+    assert(cents.length == 3) // starved centroid carried, not dropped
+    assert(cents.forall(_._2.length == 64))
+  }
+}
