@@ -205,12 +205,15 @@ object QueryCatalog {
     * oracle-checkable contract is the sketch's *accuracy claim*: emit
     * the exact count plus "estimate within 5% of exact" — a boolean
     * both engines agree on whenever both sketches honor their error
-    * bound (default rsd 5%; at these cardinalities both are far
-    * inside it). Raw-estimate visibility stays in agg_kmv_distinct,
-    * whose KMV estimate IS cross-engine exact. */
+    * bound. Spark's sketch runs at rsd=0.01 so the 5% tolerance is a
+    * ~5-sigma margin — the DEFAULT rsd=0.05 actually FAILED the claim
+    * at sf0.1's 1500-distinct groups (a 1-sigma bound is a coin flip;
+    * measured, not assumed). DuckDB's fixed-precision HLL sits at ~1%
+    * typical error, same margin. Raw-estimate visibility stays in
+    * agg_kmv_distinct, whose KMV estimate IS cross-engine exact. */
   val aggApproxDistinct: Q = (s, d) =>
     Tables.events(s, d).groupBy(col("event_type"))
-      .agg(approx_count_distinct(col("user_id")).as("approx"),
+      .agg(approx_count_distinct(col("user_id"), 0.01).as("approx"),
         countDistinct(col("user_id")).as("exact_users"))
       .select(col("event_type"), col("exact_users"),
         (abs(col("approx") - col("exact_users")) <=
