@@ -1,5 +1,7 @@
 package graft.operators
 
+import java.sql.Timestamp
+
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -194,8 +196,9 @@ object Dedup {
     * retained — a mass-duplicated template document can grow neither
     * the state nor the output quadratically. A pair colliding in
     * several bands is emitted once per band; downstream consumers
-    * dedup as needed (a streaming distinct would need its own
-    * watermark state). */
+    * dedup as needed, or use [[minHashLshStreamDeduped]] (event-time
+    * input), whose watermarked dedup stage closes the divergence with
+    * horizon-bounded state. */
   def minHashLshStream(docs: DataFrame, textCol: String, idCol: String,
                        bands: Int = 4, rowsPerBand: Int = 4,
                        maxBucket: Int = 2048): Dataset[(Long, Long)] = {
@@ -224,6 +227,48 @@ object Dedup {
       }
   }
 
+  /** [[minHashLshStream]] with the per-band duplicate emission CLOSED
+    * in-engine: Spark 4 accepts a dedup stage chained after the keyed
+    * state stage (feasibility pinned in DedupStreamSpec), so pairs are
+    * watermark-deduped on (doc_a, doc_b) within `horizon`. Each pair
+    * carries the event time of the arrival that produced it; the dedup
+    * stage's state is bounded by the horizon's pair-arrival volume —
+    * the same eviction contract as [[exactStream]]. Output
+    * (doc_a, doc_b, ts). */
+  def minHashLshStreamDeduped(docs: DataFrame, textCol: String, idCol: String,
+                              tsCol: String, horizon: String = "10 minutes",
+                              bands: Int = 4, rowsPerBand: Int = 4,
+                              maxBucket: Int = 2048): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sigs = rowMinHashSignatures(docs, textCol, idCol, bands * rowsPerBand,
+      extra = Seq(tsCol))
+    sigs.select(col("doc_id"), col(tsCol).as("ts"),
+        posexplode(bucketArray(bands, rowsPerBand)).as(Seq("band", "bucket")))
+      .select(col("band"), col("bucket"), col("doc_id"), col("ts"))
+      .as[(Int, String, Long, Timestamp)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState[Seq[Long], (Long, Long, Timestamp)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: (Int, String), it: Iterator[(Int, String, Long, Timestamp)],
+         gs: org.apache.spark.sql.streaming.GroupState[Seq[Long]]) =>
+          var members = gs.getOption.getOrElse(Seq.empty).toVector
+          val out = Vector.newBuilder[(Long, Long, Timestamp)]
+          it.foreach { case (_, _, id, ts) =>
+            members.foreach { m =>
+              if (m != id) out += ((math.min(m, id), math.max(m, id), ts))
+            }
+            if (members.length < maxBucket && !members.contains(id))
+              members = members :+ id
+          }
+          gs.update(members)
+          out.result().iterator
+      }
+      .toDF("doc_a", "doc_b", "ts")
+      .withWatermark("ts", horizon)
+      .dropDuplicatesWithinWatermark("doc_a", "doc_b")
+  }
+
   /** Per-row MinHash signatures via array expressions — identical
     * values to [[minHashSignatures]] (same tokenizer, same hashes,
     * same permutations; DedupStreamSpec pins the equality) but with
@@ -232,14 +277,14 @@ object Dedup {
     * aggregates with map-side combine, which beats per-row array
     * allocation at scan scale. */
   def rowMinHashSignatures(docs: DataFrame, textCol: String, idCol: String,
-                           k: Int): DataFrame = {
+                           k: Int, extra: Seq[String] = Nil): DataFrame = {
     val toks = array_distinct(filter(
       StatelessOps.tokenArray(col(textCol)), t => length(t) > 0))
     docs
-      .select(col(idCol).cast("long").as("doc_id"),
-        transform(toks, t => Hashing.md5Mod31(t)).as("hs"))
+      .select(col(idCol).cast("long").as("doc_id") +: extra.map(col) :+
+        transform(toks, t => Hashing.md5Mod31(t)).as("hs"): _*)
       .filter(size(col("hs")) > 0)
-      .select(col("doc_id") +: (0 until k).map(j =>
+      .select((col("doc_id") +: extra.map(col)) ++ (0 until k).map(j =>
         array_min(transform(col("hs"), h => Hashing.affine(h, j))).as(s"mh$j")): _*)
   }
 

@@ -82,4 +82,85 @@ class DedupStreamSpec extends SparkSpec {
       assert(ids.toSeq == Seq(1L, 3L, 4L))
     } finally q.stop()
   }
+
+  test("streaming contamination: static eval broadcast probes a streaming train corpus") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val run8 = "alpha bravo charlie delta echo foxtrot golf hotel"
+    // the operator is stateless on the train side (narrow shingle
+    // explode + broadcast hash probe + per-batch agg), so the SAME
+    // plan runs on a stream: eval stays a static frame
+    val evalDf = Seq((1L, s"benchmark row with $run8 inside")).toDF("doc_id", "text")
+    val in = MemoryStream[(Long, String)]
+    val out = Dedup.contaminationCheck(in.toDF().toDF("doc_id", "text"), evalDf)
+    val q = out.writeStream.format("memory").queryName("contam_s")
+      .outputMode("complete").start()
+    try {
+      in.addData((100L, s"train doc sharing $run8 run"), (101L, "clean doc"))
+      q.processAllAvailable()
+      in.addData((102L, s"another leak $run8 here"))
+      q.processAllAvailable()
+      val rows = spark.table("contam_s").as[(Long, Long, Long)].collect().sortBy(_._1)
+      assert(rows.toSeq == Seq((100L, 1L, 1L), (102L, 1L, 1L)))
+    } finally q.stop()
+  }
+
+  test("pair-dedup after the LSH state stage: Spark's multi-stateful support, verified") {
+    // minHashLshStream emits a pair once per colliding band (documented
+    // divergence from the batch first-match form). This pins the
+    // FEASIBILITY fact behind that API shape: chaining a second
+    // stateful dedup after flatMapGroupsWithState either works (then
+    // the divergence is closable in-engine) or is rejected by Spark's
+    // unsupported-operations check (then consumers must dedup
+    // downstream, as the scaladoc says).
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val pairs = Dedup.minHashLshStream(in.toDF().toDF("doc_id", "text"), "text", "doc_id")
+      .toDF("doc_a", "doc_b").dropDuplicates("doc_a", "doc_b")
+    val attempt = scala.util.Try {
+      val q = pairs.writeStream.format("memory").queryName("lsh_dedup_chain")
+        .outputMode("append").start()
+      try {
+        in.addData((1L, "alpha bravo charlie delta"), (2L, "alpha bravo charlie delta"))
+        q.processAllAvailable()
+        spark.table("lsh_dedup_chain").as[(Long, Long)].collect().toSeq
+      } finally q.stop()
+    }
+    attempt match {
+      case scala.util.Success(rows) =>
+        info(s"chain ACCEPTED by the engine: ${rows.size} deduped pairs")
+        // engine accepts the chain: every pair must now be unique
+        assert(rows.distinct.size == rows.size)
+        assert(rows.contains((1L, 2L)))
+      case scala.util.Failure(e) =>
+        info(s"chain REJECTED by the engine: ${e.getClass.getSimpleName}: " +
+          s"${Option(e.getMessage).getOrElse("").take(120)}")
+        // engine rejects multi-stateful chaining here: the documented
+        // "consumers dedup downstream" contract is load-bearing
+        assert(e.isInstanceOf[org.apache.spark.sql.AnalysisException] ||
+          e.getMessage != null, s"unexpected failure class: $e")
+    }
+  }
+
+  test("minHashLshStreamDeduped: one row per pair even across colliding bands and batches") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val out = Dedup.minHashLshStreamDeduped(
+      in.toDF().toDF("doc_id", "ts", "text"), "text", "doc_id", "ts")
+    val q = out.writeStream.format("memory").queryName("lsh_dd")
+      .outputMode("append").start()
+    try {
+      val t0 = 1700000000000L
+      // identical docs: every band's bucket collides -> the raw form
+      // emits the pair once PER BAND; the deduped form exactly once
+      in.addData((1L, ts(t0 + 1), "alpha bravo charlie delta"),
+        (2L, ts(t0 + 2), "alpha bravo charlie delta"))
+      q.processAllAvailable()
+      // re-arrival in a later batch inside the horizon: still no new row
+      in.addData((2L, ts(t0 + 3), "alpha bravo charlie delta"))
+      q.processAllAvailable()
+      val rows = spark.table("lsh_dd")
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSeq
+      assert(rows == Seq((1L, 2L)), s"got $rows")
+    } finally q.stop()
+  }
 }
