@@ -116,46 +116,63 @@ object Similarity {
     * hold bit-identical centroids between iterations. Empty clusters
     * keep their previous centroid.
     *
-    * Loop-lineage discipline (the eager-checkpoint rule applies only
-    * to frames RE-READ within a round): each iteration reads the
-    * previous centroids exactly once, so the chain builds lazily and
-    * materializes in ONE job; only the FINAL centroid frame — which
-    * the caller reads twice (corpus assignment + query probes) — is
-    * eagerly localCheckpoint'ed. The per-dimension mean is 64 sum
-    * columns re-assembled with array() — one aggregation over
-    * nCentroids groups, no posexplode row blowup, no second shuffle,
-    * no collect_list sort. */
+    * Training topology: centroids live ON THE DRIVER between
+    * iterations — nCentroids×dim doubles, BOUNDED data, the same
+    * adjudicated runtime-filter shape as the heavy-hitter confirm
+    * pass (and how MLlib's own k-means trains). Each iteration is
+    * then exactly ONE distributed job (assignment + per-dimension
+    * micro-unit sums, collapsing to ≤ nCentroids rows map-side) over
+    * a LITERAL centroid relation: no broadcast of a live plan, so no
+    * upstream-lineage recompute per broadcast (the all-DataFrame
+    * form re-ran the full training chain once per downstream read —
+    * measured 3.5 s of recompute at sf0.1 for 32 centroids). The
+    * per-dimension mean is computed driver-side from exact integer
+    * micro-unit sums with the same BigDecimal HALF_UP rounding as
+    * Spark's round(), so results are bit-identical to the
+    * distributed form (KMeansSpec pins the replica equality). */
   def kmeansCentroids(corpus: DataFrame, nCentroids: Int = 32, iters: Int = 2,
                       seedTag: String = "km", dim: Int = 64): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
     val corpusD = corpus.select(col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("embD"))
-    val sample = corpusD
+    // init: nCentroids md5-smallest vectors (TakeOrderedAndProject —
+    // an order statistic, never a corpus-wide window), numbered in
+    // hash order on the driver
+    val initRows = corpusD
       .withColumn("hk", md5(concat(lit(seedTag + "_"), col("vec_id").cast("string"))))
       .orderBy(col("hk"), col("vec_id")).limit(nCentroids)
-    // unpartitioned window is deliberate and bounded: it numbers the
-    // nCentroids-row sample (post-limit), never the corpus
-    val w = Window.orderBy(col("hk"), col("vec_id"))
-    var cents = sample
-      .select((row_number().over(w) - 1).cast("long").as("cent_id"),
-        col("embD").as("cent_emb"))
+      .select(col("hk"), col("vec_id"), col("embD"))
+      .as[(String, Long, Seq[Double])].collect()
+      .sortBy(r => (r._1, r._2))
+    var cents: Seq[(Long, Seq[Double])] =
+      initRows.zipWithIndex.map { case ((_, _, emb), i) => (i.toLong, emb) }.toSeq
+    def centsDf = spark.createDataset(cents).toDF("cent_id", "cent_emb")
+    def round6(v: Double): Double =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     (1 to iters).foreach { _ =>
-      val assigned = corpusD.crossJoin(broadcast(cents))
+      val sums = (0 until dim).map(d =>
+        sum(round(element_at(col("embD"), d + 1) * 1000000).cast("long")).as(s"s$d"))
+      // one job: argmax-cosine assignment + micro-unit sums, ≤
+      // nCentroids rows back to the driver
+      val stats = corpusD.crossJoin(broadcast(centsDf))
         .withColumn("cc", round(cosineD(col("embD"), col("cent_emb")), 6))
         .groupBy(col("vec_id"))
         .agg(max_by(struct(col("cent_id"), col("embD")),
           struct(col("cc"), lit(0L) - col("cent_id"))).as("best"))
         .select(col("best.cent_id").as("cent_id"), col("best.embD").as("embD"))
-      val sums = (0 until dim).map(d =>
-        sum(round(element_at(col("embD"), d + 1) * 1000000).cast("long")).as(s"s$d"))
-      val means = assigned.groupBy(col("cent_id"))
+        .groupBy(col("cent_id"))
         .agg(count(lit(1)).as("n"), sums: _*)
-        .select(col("cent_id"), array((0 until dim).map(d =>
-          round(col(s"s$d") / (col("n") * lit(1000000.0)), 6)): _*).as("new_emb"))
-      cents = cents.join(means, Seq("cent_id"), "left")
-        .select(col("cent_id"),
-          coalesce(col("new_emb"), col("cent_emb")).as("cent_emb"))
+        .collect()
+      val means = stats.map { r =>
+        val n = r.getLong(1)
+        r.getLong(0) -> (0 until dim).map(d =>
+          round6(r.getLong(d + 2) / (n * 1000000.0)))
+      }.toMap
+      // empty clusters keep their previous centroid
+      cents = cents.map { case (c, emb) => (c, means.getOrElse(c, emb)) }
     }
-    cents.localCheckpoint()
+    centsDf
   }
 
   /** IVF-Flat ANN: inverted lists over seeded-k-means centroids
