@@ -83,10 +83,12 @@ object SparkEntry {
     "ann_bucketed" -> ExtensionCatalog.annBucketed,
     "ann_ivf" -> ExtensionCatalog.annIvf,
     "emb_centroid" -> ExtensionCatalog.embCentroid,
+    "emb_quantize" -> ExtensionCatalog.embQuantize,
     "ds_sample_hash" -> ExtensionCatalog.dsSampleHash,
     "ds_sample_stratified" -> ExtensionCatalog.dsSampleStratified,
     "ds_split_assign" -> ExtensionCatalog.dsSplitAssign,
     "pipe_curate" -> ExtensionCatalog.pipeCurate,
+    "pipe_pretrain" -> ExtensionCatalog.pipePretrain,
     "pack_sequences" -> ExtensionCatalog.packSequences,
     "ta_langid" -> ExtensionCatalog.taLangId,
     "ta_quality" -> ExtensionCatalog.taQuality,

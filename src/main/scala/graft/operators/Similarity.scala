@@ -214,6 +214,35 @@ object Similarity {
     scoreTopK(assigned.join(broadcast(probes), "cent_id"), k)
   }
 
+  /** Symmetric int8 quantization of an embedding column — the
+    * standard 4× memory/bandwidth reduction before ANN at corpus
+    * scale (a 100 TB float corpus becomes 25 TB of int8 + one scale
+    * per vector). Pure narrow projection: no shuffle at any scale.
+    * scale = max|x|/127 (1.0 for the zero vector), q = clamped
+    * round(x/scale) — every step is element-local double arithmetic
+    * both engines execute identically, and the exact integer q_sum +
+    * saturation count + order-independent max reconstruction error
+    * are the oracle witnesses (array outputs stay array-free in the
+    * compare, like ta_token_ids). */
+  def quantizeInt8(emb: DataFrame, idCol: String = "vec_id",
+                   embCol: String = "embedding"): DataFrame = {
+    val embD = transform(col(embCol), x => x.cast("double"))
+    val clamped = (x: Column, scale: Column) =>
+      greatest(least(round(x / scale), lit(127)), lit(-127))
+    emb.select(col(idCol), embD.as("embD"))
+      .withColumn("max_abs", array_max(transform(col("embD"), x => abs(x))))
+      .withColumn("scale",
+        when(col("max_abs") === 0.0, lit(1.0)).otherwise(col("max_abs") / 127.0))
+      .select(col(idCol), col("scale"),
+        transform(col("embD"), x => clamped(x, col("scale")).cast("int")).as("q"),
+        aggregate(transform(col("embD"), x => clamped(x, col("scale")).cast("long")),
+          lit(0L), (s, v) => s + v).as("q_sum"),
+        size(filter(transform(col("embD"), x => clamped(x, col("scale")).cast("int")),
+          v => abs(v) === 127)).as("n_sat"),
+        array_max(transform(col("embD"),
+          x => abs(x - clamped(x, col("scale")) * col("scale")))).as("max_abs_err"))
+  }
+
   /** Bucketed ANN: queries join only their probe buckets — the 100 TB
     * path (bucket-partitioned join instead of cross product). Recall
     * is partial by construction; multi-probe (the exact bucket plus

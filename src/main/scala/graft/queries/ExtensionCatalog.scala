@@ -371,6 +371,44 @@ object ExtensionCatalog {
         expr("(running - v) div 1024").as("seq_id"))
   }
 
+  /** The full pretraining data chain as ONE plan — the composition
+    * the extension operators exist for: quality+language gate →
+    * exact-dedup survivor → global token-stream offsets / fixed-width
+    * (1024-token) sequence ids over the CURATED corpus in doc_id
+    * order → stable split assignment. Every stage reuses the
+    * standalone operator and adds no scan/shuffle beyond its
+    * standalone cost: narrow scoring scan, fixed-width-key dedup agg,
+    * two-pass prefix sum over survivor token counts, shuffle-free
+    * split projection joined on the survivor id. */
+  val pipePretrain: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val gated = TextAnalysis.qualityFeatures(docs, "text")
+      .filter(col("quality_score") >= 0.7 && col("lang").isin("en", "fr"))
+      .select(col("doc_id"), col("text"))
+    val survivors = Dedup.exact(gated, "text", "doc_id")
+      .select(col("survivor_id").as("doc_id"))
+    val counts = TextAnalysis.tokenCounts(gated.join(survivors, "doc_id"), "text")
+      .select(col("doc_id"), col("ws_tokens").cast("long").as("n_tokens"))
+    val packed = PrefixSum.globalRunningSum(counts, "doc_id", "n_tokens")
+      .select(col("k").as("doc_id"), col("v").as("n_tokens"),
+        (col("running") - col("v")).as("stream_offset"),
+        expr("(running - v) div 1024").as("seq_id"))
+    val assigned = Sampling.splitAssign(docs, "doc_id",
+      Seq("train" -> 0.75, "valid" -> 0.125), lastName = "test")
+      .select(col("doc_id"), col("split"))
+    packed.join(assigned, "doc_id")
+  }
+
+  /** Int8 embedding quantization readout: scale + exact integer q_sum
+    * + saturation count + max reconstruction error per vector (the
+    * full q array stays in [[Similarity.quantizeInt8]]'s output; the
+    * compare stays array-free like ta_token_ids). */
+  val embQuantize: Q = (s, d) =>
+    Similarity.quantizeInt8(Tables.embeddings(s, d))
+      .select(col("vec_id"), round(col("scale"), 6).as("scale"),
+        col("q_sum"), col("n_sat").cast("long").as("n_sat"),
+        round(col("max_abs_err"), 6).as("max_abs_err"))
+
   // ------------------------------------------------------------- multimodal
 
   /** REAL image decode over real PNG payloads: rows become genuine

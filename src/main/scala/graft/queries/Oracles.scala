@@ -432,6 +432,27 @@ object Oracles {
         |SELECT label, CAST(dim AS BIGINT) AS dim,
         |  round(sum(sv) / (count(*) * 1000000.0), 6) AS centroid
         |FROM x GROUP BY 1, 2""".stripMargin,
+    // int8 quantization twin: same element-local double arithmetic
+    // (scale = max|x|/127, q = clamped round(x/scale)); witnesses are
+    // the exact integer q_sum, saturation count, and the
+    // order-independent max reconstruction error
+    "emb_quantize" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embD
+        |  FROM embeddings),
+        |m AS (SELECT vec_id, embD,
+        |    list_max(list_transform(embD, x -> abs(x))) AS max_abs FROM e),
+        |s AS (SELECT vec_id, embD,
+        |    CASE WHEN max_abs = 0 THEN 1.0 ELSE max_abs / 127.0 END AS scale FROM m)
+        |SELECT vec_id, round(scale, 6) AS scale,
+        |  CAST(list_sum(list_transform(embD,
+        |    x -> CAST(greatest(least(round(x / scale), 127), -127) AS BIGINT))) AS BIGINT) AS q_sum,
+        |  CAST(len(list_filter(list_transform(embD,
+        |    x -> greatest(least(round(x / scale), 127), -127)),
+        |    v -> abs(v) = 127)) AS BIGINT) AS n_sat,
+        |  round(list_max(list_transform(embD,
+        |    x -> abs(x - greatest(least(round(x / scale), 127), -127) * scale))), 6) AS max_abs_err
+        |FROM s""".stripMargin,
     "ann_bucketed" ->
       s"""WITH $lshBucketsCte,
          |q AS (SELECT vec_id AS query_id, q_emb, bucket FROM (
@@ -720,6 +741,35 @@ object Oracles {
         |        % 2147483647) / 2147483647.0 AS d FROM documents))
         |SELECT survivor_id, n_copies, split
         |FROM sur JOIN assigned USING (survivor_id)""".stripMargin,
+    // pipe_curate's gate+survivor CTEs -> pack_sequences' window
+    // prefix sum over the CURATED stream -> split assignment
+    "pipe_pretrain" ->
+      """WITH q AS (SELECT doc_id, text, lang,
+        |    round((CASE WHEN n_words >= 5 THEN 1.0 ELSE 0.0 END) * 0.4
+        |      + (CASE WHEN n_punct / n_chars_d < 0.2 THEN 1.0 ELSE 0.0 END) * 0.3
+        |      + least(n_stop / n_words * 4, 1.0) * 0.3, 6) AS quality_score
+        |  FROM (SELECT doc_id, text, lang, length(text) AS n_chars_d,
+        |      len(string_split_regex(trim(text), '\s+')) AS n_words,
+        |      length(text) - length(regexp_replace(text, '[\.,;:!\?]', '', 'g')) AS n_punct,
+        |      len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is|that)\b')) AS n_stop
+        |    FROM documents)),
+        |gated AS (SELECT doc_id, text FROM q
+        |  WHERE quality_score >= 0.7 AND lang IN ('en', 'fr')),
+        |sur AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY text),
+        |p AS (SELECT g.doc_id,
+        |    len(string_split_regex(trim(g.text), '\s+')) AS n_tokens,
+        |    sum(len(string_split_regex(trim(g.text), '\s+')))
+        |      OVER (ORDER BY g.doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM gated g JOIN sur USING (doc_id)),
+        |a AS (SELECT doc_id, CASE WHEN d < 0.75 THEN 'train' WHEN d < 0.875 THEN 'valid'
+        |    ELSE 'test' END AS split
+        |  FROM (SELECT doc_id,
+        |      (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '_split'),1,15))::BIGINT
+        |        % 2147483647) / 2147483647.0 AS d FROM documents))
+        |SELECT p.doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(cum - n_tokens AS BIGINT) AS stream_offset,
+        |  CAST((cum - n_tokens) // 1024 AS BIGINT) AS seq_id, a.split
+        |FROM p JOIN a ON p.doc_id = a.doc_id""".stripMargin,
     // the oracle's single-reducer window IS the naive form the
     // two-pass prefix sum replaces; same ws-token formula as ta_tokens
     "pack_sequences" ->
