@@ -98,6 +98,7 @@ object SparkEntry {
     "ta_vocab" -> ExtensionCatalog.taVocab,
     "ta_ngrams" -> ExtensionCatalog.taNgrams,
     "ta_token_ids" -> ExtensionCatalog.taTokenIds,
+    "ta_repetition" -> ExtensionCatalog.taRepetition,
     "mm_decode_meta" -> ExtensionCatalog.mmDecodeMeta,
     "mm_resize" -> ExtensionCatalog.mmResize,
     "mm_frames" -> ExtensionCatalog.mmFrames

@@ -57,6 +57,29 @@ object TextAnalysis {
           + least(nStop.cast("double") / nWords * 4, lit(1.0)) * lit(0.3), 6))
   }
 
+  /** Gopher-style repetition signals: the duplicate-n-gram fraction
+    * (1 − distinct/total over contiguous token 2-/3-grams) — the
+    * quality-filter rule that catches boilerplate and looping text
+    * which per-token stats miss. Every column is a per-row narrow
+    * expression (shared tokenizer, sequence/slice n-grams,
+    * array_distinct): zero shuffle at any corpus scale. */
+  def repetition(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    def grams(k: Int) =
+      when(size(col("toks")) >= k, expr(
+        s"transform(sequence(1, size(toks) - ${k - 1}), i -> concat_ws(' ', slice(toks, i, $k)))"))
+        .otherwise(array().cast("array<string>"))
+    def dupFrac(g: org.apache.spark.sql.Column) =
+      round(when(size(g) === 0, 0.0).otherwise(
+        lit(1.0) - size(array_distinct(g)).cast("double") / size(g)), 6)
+    df.select(col(idCol).as("doc_id"),
+        StatelessOps.tokenArray(col(textCol)).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
+        grams(2).as("g2"), grams(3).as("g3"))
+      .select(col("doc_id"), col("n_tokens"),
+        dupFrac(col("g2")).as("dup_2gram_frac"),
+        dupFrac(col("g3")).as("dup_3gram_frac"))
+  }
+
   /** Token counts: whitespace tokens and a BPE-ish regex token count
     * (letter runs + digit runs + single punctuation marks). */
   def tokenCounts(df: DataFrame, textCol: String): DataFrame =

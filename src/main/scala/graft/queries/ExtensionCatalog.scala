@@ -399,6 +399,10 @@ object ExtensionCatalog {
     packed.join(assigned, "doc_id")
   }
 
+  /** Gopher-rule repetition metric over the documents table. */
+  val taRepetition: Q = (s, d) =>
+    TextAnalysis.repetition(Tables.documents(s, d), "text", "doc_id")
+
   /** Int8 embedding quantization readout: scale + exact integer q_sum
     * + saturation count + max reconstruction error per vector (the
     * full q array stays in [[Similarity.quantizeInt8]]'s output; the

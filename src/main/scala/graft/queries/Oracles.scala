@@ -780,6 +780,25 @@ object Oracles {
         |    sum(len(string_split_regex(trim(text), '\s+')))
         |      OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
         |  FROM documents)""".stripMargin,
+    // repetition twin: same tokenizer, list-built n-grams, same
+    // 1 - distinct/total double arithmetic
+    "ta_repetition" ->
+      """WITH t AS (SELECT doc_id,
+        |    string_split(trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^a-z \n]+', '', 'g'), '\s+', ' ', 'g')), ' ') AS toks
+        |  FROM documents),
+        |g AS (SELECT doc_id, len(toks) AS n,
+        |    CASE WHEN len(toks) >= 2 THEN list_transform(generate_series(1, len(toks) - 1),
+        |      i -> toks[i] || ' ' || toks[i + 1]) ELSE [] END AS g2,
+        |    CASE WHEN len(toks) >= 3 THEN list_transform(generate_series(1, len(toks) - 2),
+        |      i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]) ELSE [] END AS g3
+        |  FROM t)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+        |  round(CASE WHEN len(g2) = 0 THEN 0.0
+        |    ELSE 1.0 - len(list_distinct(g2)) * 1.0 / len(g2) END, 6) AS dup_2gram_frac,
+        |  round(CASE WHEN len(g3) = 0 THEN 0.0
+        |    ELSE 1.0 - len(list_distinct(g3)) * 1.0 / len(g3) END, 6) AS dup_3gram_frac
+        |FROM g""".stripMargin,
     "ds_split_assign" ->
       """SELECT doc_id, CASE WHEN d < 0.75 THEN 'train' WHEN d < 0.875 THEN 'valid'
         |    ELSE 'test' END AS split,
