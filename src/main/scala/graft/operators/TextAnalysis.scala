@@ -91,13 +91,20 @@ object TextAnalysis {
     * md5-derived token hashes — a content-addressed id for cheap
     * near-exact duplicate detection; identical arithmetic in the
     * DuckDB oracle. */
-  def fingerprint(df: DataFrame, textCol: String, idCol: String): DataFrame =
-    df.select(col(idCol).as("doc_id"),
-        StatelessOps.explodeTokens(col(textCol)).as("tok"))
-      .filter(length(col("tok")) > 0)
-      .groupBy(col("doc_id"))
-      .agg((sum(Hashing.md5Mod31(col("tok"))) % lit(2147483647L)).as("fingerprint"),
-        count(lit(1)).as("n_tokens"))
+  def fingerprint(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    // modular integer sum is order-independent, so the whole
+    // fingerprint is ONE per-row array fold — no token explode, no
+    // doc_id shuffle (the r3 form grouped exploded tokens; the values
+    // are identical, the Exchange is gone). Empty-token docs drop,
+    // matching the explode form's row semantics.
+    val toks = filter(StatelessOps.tokenArray(col(textCol)), t => length(t) > 0)
+    df.select(col(idCol).as("doc_id"), toks.as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"),
+        (aggregate(transform(col("toks"), t => Hashing.md5Mod31(t)),
+          lit(0L), (s, v) => s + v) % lit(2147483647L)).as("fingerprint"),
+        size(col("toks")).cast("long").as("n_tokens"))
+  }
 
   /** Winnowing fingerprint (the MOSS scheme, Schleimer et al. 2003):
     * hash every k-gram of the raw text, take the window-min over each

@@ -302,9 +302,12 @@ object ExtensionCatalog {
       .filter(length(col("tok")) > 0)
       .groupBy(col("tok")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("tok")).limit(100)
-      // global window on the post-limit 100 rows only — not the corpus
+      // global window on the post-limit 100 rows only — not the corpus;
+      // the literal partition key silences the scary-but-benign
+      // "No Partition Defined" WindowExec warning (VERDICT r3)
       .select(col("tok"), (row_number().over(
-        Window.orderBy(col("n").desc, col("tok"))) - 1).cast("long").as("token_id"))
+        Window.partitionBy(lit(0)).orderBy(col("n").desc, col("tok"))) - 1)
+        .cast("long").as("token_id"))
     val toks = docs.select(col("doc_id"),
         posexplode(StatelessOps.tokenArray(col("text"))).as(Seq("pos", "tok")))
       .filter(length(col("tok")) > 0)

@@ -72,6 +72,18 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("narrow queries stay shuffle-free: no Exchange in the plan") {
+    // per-row projection queries must never grow a shuffle — their
+    // zero-shuffle property IS the scale claim. (ta_winnow is exempt:
+    // its ONE Exchange is the deliberate guarded spread for
+    // single-row-group fixture scans, a no-op branch at scan scale.)
+    Seq("emb_quantize", "ta_repetition", "ds_sample_hash", "ds_split_assign",
+      "ta_langid", "ta_quality", "ta_fingerprint").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Exchange"), s"$q grew a shuffle Exchange")
+    }
+  }
+
   test("agg family keeps partial (map-side) aggregation") {
     // partial+final pairs appear as two HashAggregate nodes; losing the
     // partial side would shuffle raw rows
