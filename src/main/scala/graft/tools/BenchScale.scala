@@ -79,6 +79,19 @@ object BenchScale {
           var cur = maxTaskMs.get()
           while (d > cur && !maxTaskMs.compareAndSet(cur, d)) cur = maxTaskMs.get()
         }
+      // SPARK_GRAFT_SCALE_STAGES=1: per-stage breakdown to stderr for
+      // straggler hunts (which stage owns the max task)
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        if (sys.env.contains("SPARK_GRAFT_SCALE_STAGES")) {
+          val si = sc.stageInfo
+          val m = si.taskMetrics
+          System.err.println(f"[stage] id=${si.stageId} tasks=${si.numTasks} " +
+            f"run=${m.executorRunTime / 1e3}%.1fs cpu=${m.executorCpuTime / 1e9}%.1fs " +
+            f"shufR=${m.shuffleReadMetrics.totalBytesRead} " +
+            f"shufW=${m.shuffleWriteMetrics.bytesWritten} " +
+            si.name.takeWhile(_ != '\n').take(70))
+        }
     })
 
     val rungs = sizes.map { n =>
