@@ -55,9 +55,62 @@ object BenchScale {
            |    THEN $memberWord ELSE ${word("t")} END)) AS text""".stripMargin)
   }
 
+  /** Planted-cluster embeddings for the ANN ladder: 1000 seeded
+    * centers, each vector = its center plus ±5 % hash noise, so true
+    * nearest neighbors are in-cluster and recall is meaningful (on
+    * uniform random vectors every index scores ~0 — no structure to
+    * find). Pure codegen expressions, no driver loop. */
+  def genEmbeddings(spark: SparkSession, n: Long, dim: Int = 64): DataFrame =
+    spark.range(n).selectExpr("id AS vec_id", "id % 1000 AS c")
+      .selectExpr("vec_id",
+        s"""transform(sequence(0, ${dim - 1}), d -> CAST(
+           |  (pmod(xxhash64(c * 7777 + d), 2000) - 1000) / 1000.0 +
+           |  (pmod(xxhash64(vec_id * 31 + d), 200) - 100) / 2000.0 AS FLOAT)) AS embedding
+           |""".stripMargin)
+
+  private def annLadder(spark: SparkSession, sizes: Seq[Long],
+                        maxTaskMs: java.util.concurrent.atomic.AtomicLong): Unit = {
+    import org.apache.spark.sql.functions.col
+    val rungs = sizes.map { n =>
+      val dir = s"/tmp/graft_scale/emb_$n"
+      genEmbeddings(spark, n).write.mode("overwrite").parquet(dir) // untimed
+      val corpus = spark.read.parquet(dir)
+      val queries = corpus.filter(col("vec_id") < 20)
+      maxTaskMs.set(0)
+      val t0 = System.nanoTime()
+      val approx = graft.operators.Similarity
+        .bucketedTopK(corpus, queries, k = 10)
+        .select(col("query_id"), col("vec_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val sec = (System.nanoTime() - t0) / 1e9
+      val mt = maxTaskMs.get() / 1e3
+      // ground truth + cost contrast: brute-force top-10 on the same
+      // data (timed separately — it grows linearly with the corpus,
+      // the bucketed index must not)
+      val tb = System.nanoTime()
+      val exact = graft.operators.Similarity
+        .bruteForceTopK(corpus, queries, k = 10)
+        .select(col("query_id"), col("vec_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val bruteSec = (System.nanoTime() - tb) / 1e9
+      val recall = if (exact.isEmpty) 0.0 else (approx & exact).size.toDouble / exact.size
+      (n, sec, bruteSec, recall, mt)
+    }
+    val rungJson = rungs.map { case (n, sec, bs, r, mt) =>
+      f"""{"n_vecs":$n,"sec":$sec%.2f,"brute_sec":$bs%.2f,"recall":$r%.3f,"max_task_sec":$mt%.2f}"""
+    }.mkString("[", ",", "]")
+    println(s"""{"metric":"ann_scale","rungs":$rungJson}""")
+    rungs.foreach { case (n, _, _, r, _) =>
+      require(r >= 0.8, s"ANN recall collapsed at n=$n: $r < 0.8 on clustered data")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
+    val annMode = args.headOption.contains("ann")
+    val sizeArgs = if (annMode) args.drop(1) else args
     val sizes =
-      if (args.nonEmpty) args(0).split(",").map(_.trim.toLong).toSeq
+      if (sizeArgs.nonEmpty) sizeArgs(0).split(",").map(_.trim.toLong).toSeq
+      else if (annMode) Seq(20000L, 100000L, 500000L)
       else Seq(5000L, 10000L, 20000L, 50000L)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -93,6 +146,8 @@ object BenchScale {
             si.name.takeWhile(_ != '\n').take(70))
         }
     })
+
+    if (annMode) { annLadder(spark, sizes, maxTaskMs); spark.stop(); return }
 
     val rungs = sizes.map { n =>
       val dir = s"/tmp/graft_scale/docs_$n"
