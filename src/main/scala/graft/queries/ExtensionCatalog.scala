@@ -103,20 +103,47 @@ object ExtensionCatalog {
       .localCheckpoint()
   }
 
-  /** One labeled frame per (session, dir) run, shared between
-    * dd_components and dd_components_stats. dd_components OWNS the
-    * memo — it always recomputes and re-publishes (so its bench
-    * timing stays the honest closure cost) — while the stats readout
-    * reuses whatever the run already computed. */
+  /** One labeled frame per (session, dir, data-fingerprint) run,
+    * shared between dd_components and dd_components_stats.
+    * dd_components OWNS the memo — it always recomputes and
+    * re-publishes (so its bench timing stays the honest closure cost)
+    * — while the stats readout reuses whatever the run already
+    * computed. Session-global mutable state, single-slot: holds at
+    * most one tiny labeled frame; re-publishing explicitly frees the
+    * replaced frame's checkpoint blocks (ADVICE r4). */
   private val componentMemo =
     new java.util.concurrent.atomic.AtomicReference[(String, DataFrame)]()
 
-  private def memoKey(s: SparkSession, d: String): String =
-    System.identityHashCode(s) + "|" + d
+  /** Driver-side data fingerprint — (name, size, mtime) of the table
+    * file(s). Keying memos on it means data changing under the same
+    * path within one session cannot serve a stale result (ADVICE r4);
+    * listing a local directory is driver-only metadata work. */
+  private def dataFingerprint(d: String, table: String): String = {
+    val f = new java.io.File(s"$d/$table.parquet")
+    def one(g: java.io.File) = s"${g.getName}:${g.length}:${g.lastModified}"
+    val files = if (f.isDirectory) f.listFiles().sortBy(_.getName).toSeq else Seq(f)
+    files.map(one).mkString(",")
+  }
+
+  private def memoKey(s: SparkSession, d: String, table: String): String =
+    System.identityHashCode(s) + "|" + d + "|" + dataFingerprint(d, table)
+
+  /** Explicitly free a replaced memo frame's localCheckpoint blocks:
+    * the checkpointed plan is a LogicalRDD over the persisted internal
+    * row RDD — unpersisting it releases executor storage now instead
+    * of waiting for the ContextCleaner to notice the dropped reference
+    * (ADVICE r4). The replaced frame becomes unusable, which is the
+    * point: readers always fetch the current slot. */
+  private def unpersistCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.logical match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
+      case _ => ()
+    }
 
   val ddComponents: Q = (s, d) => {
     val lab = computeComponents(s, d)
-    componentMemo.set((memoKey(s, d), lab))
+    val prev = componentMemo.getAndSet((memoKey(s, d, "documents"), lab))
+    if (prev != null) unpersistCheckpoint(prev._2)
     lab
   }
 
@@ -129,11 +156,13 @@ object ExtensionCatalog {
     * rows). Histogram + top-k are two map-side-combined aggs over the
     * tiny labeled frame; top-10 plans as TakeOrderedAndProject. */
   val ddClusterStats: Q = (s, d) => {
+    val key = memoKey(s, d, "documents")
     val lab = componentMemo.get() match {
-      case (k, df) if k == memoKey(s, d) => df
+      case (k, df) if k == key => df
       case _ =>
         val df = computeComponents(s, d)
-        componentMemo.set((memoKey(s, d), df))
+        val prev = componentMemo.getAndSet((key, df))
+        if (prev != null && !(prev._2 eq df)) unpersistCheckpoint(prev._2)
         df
     }
     val sizes = lab.groupBy(col("component_id"))
@@ -179,12 +208,36 @@ object ExtensionCatalog {
     Similarity.bucketedTopK(emb, emb.filter(col("vec_id") < 20), k = 10)
   }
 
+  /** Trained IVF centroids per (session, dir, data-fingerprint) —
+    * DRIVER-HELD values (nCentroids × dim doubles, no Spark storage,
+    * nothing to unpersist). Train-once/probe-many is the 100 TB shape:
+    * the index is built once and probed millions of times, so the
+    * training jobs must not re-run per query (VERDICT r4 #1 — ann_ivf
+    * went 0.65 s → 4.69 s retraining per invocation). The fingerprint
+    * key makes data changing under the same path retrain. */
+  private val centroidMemo =
+    new java.util.concurrent.atomic.AtomicReference[(String, Seq[(Long, Seq[Double])])]()
+
+  private def trainedCentroids(s: SparkSession, d: String): Seq[(Long, Seq[Double])] = {
+    val key = memoKey(s, d, "embeddings")
+    centroidMemo.get() match {
+      case (k, c) if k == key => c
+      case _ =>
+        val c = Similarity.kmeansTrain(Tables.embeddings(s, d))
+        centroidMemo.set((key, c))
+        c
+    }
+  }
+
   /** IVF-Flat ANN: inverted lists over deterministic centroids, probe
     * the 4 nearest of 32 (partial recall by design — the third ANN
-    * shape next to brute-force and sign-LSH). */
+    * shape next to brute-force and sign-LSH). Centroid values are
+    * identical whether trained fresh or served from the memo, so the
+    * oracle contract is unchanged. */
   val annIvf: Q = (s, d) => {
     val emb = Tables.embeddings(s, d)
-    Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 20), k = 10)
+    Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 20), k = 10,
+      centroids = Some(trainedCentroids(s, d)))
   }
 
   /** Per-label embedding centroids (the IVF-training / cluster-
