@@ -234,7 +234,8 @@ object Oracles {
         |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) GROUP BY 1""".stripMargin,
     "j_anti" ->
       """SELECT c_mktsegment, count(*) AS n FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) GROUP BY 1""".stripMargin,
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 300000) GROUP BY 1""".stripMargin,
     "j_asof" ->
       """SELECT a.event_id, a.user_id, b.value AS prior_click_value
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') a
@@ -277,8 +278,8 @@ object Oracles {
       """SELECT event_id, 'buy' AS tag FROM events WHERE event_type = 'purchase'
         |UNION ALL SELECT event_id, 'err' AS tag FROM events WHERE event_type = 'error'""".stripMargin,
     "set_except" ->
-      """SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
-        |EXCEPT SELECT DISTINCT user_id FROM events WHERE event_type = 'error'""".stripMargin,
+      """SELECT user_id, date_trunc('day', ts) AS day FROM events WHERE event_type = 'purchase'
+        |EXCEPT SELECT user_id, date_trunc('day', ts) AS day FROM events WHERE event_type = 'error'""".stripMargin,
     "q6_revenue" ->
       """SELECT sum(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT)) / 100.0 AS revenue
         |FROM lineitem

@@ -430,10 +430,15 @@ object QueryCatalog {
       .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_semi")
       .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
 
-  /** Left-anti: customers without orders (NOT EXISTS). */
+  /** Left-anti: customers without any HIGH-VALUE (>300k) order
+    * (NOT EXISTS). The unfiltered form was vacuously green — every
+    * fixture customer has orders, so 0 rows would also "pass" for an
+    * always-empty implementation (VERDICT r4 #4); the threshold makes
+    * the witness non-empty at every SF. */
   val jAnti: Q = (s, d) =>
     Tables.customer(s, d)
-      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(Tables.orders(s, d).filter(col("o_totalprice") > 300000),
+        col("c_custkey") === col("o_custkey"), "left_anti")
       .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
 
   /** J1/J2/J3 batch analog — as-of join: each purchase priced at the
@@ -475,11 +480,18 @@ object QueryCatalog {
         .select(col("event_id"), lit("err").as("tag")))
   }
 
-  /** except/intersect (absent in the reference; Spark built-ins). */
+  /** except/intersect (absent in the reference; Spark built-ins) —
+    * user-days with a purchase but no error. Plain user_id sets were
+    * vacuously equal on the fixture (every user eventually errors), so
+    * the old witness was 0 rows (VERDICT r4 #4); (user_id, day) pairs
+    * are non-empty at every SF while keeping EXCEPT's distinct
+    * semantics under test. */
   val setExcept: Q = (s, d) => {
     val ev = Tables.events(s, d)
-    ev.filter(col("event_type") === "purchase").select(col("user_id")).distinct()
-      .except(ev.filter(col("event_type") === "error").select(col("user_id")).distinct())
+    ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .except(ev.filter(col("event_type") === "error")
+        .select(col("user_id"), date_trunc("day", col("ts")).as("day")))
   }
 
   // -------------------------------------------------------------- headline
