@@ -20,9 +20,11 @@ import org.apache.spark.sql.functions._
   * Determinism contract for the DuckDB oracle: dimensions derive from
   * the text byte length and the fill color from doc_id, so the oracle
   * can predict what a CORRECT decode/resize must output — if the real
-  * kernel mis-decoded, the hash check fails. Only the video
-  * frame-sampler remains a clearly-marked stub (no video codec in the
-  * JDK).
+  * kernel mis-decoded, the hash check fails. The video path stands on
+  * multi-frame animated GIF (the one multi-frame container the JDK
+  * both writes and reads): frame counts, per-frame rasters and
+  * checksums are REAL decodes, with per-frame solid fills making the
+  * checksums oracle-predictable.
   *
   * Scale shape (100 TB): payloads never shuffle — every kernel is a
   * narrow `mapPartitions` directly over the scan, outputs carry no
@@ -35,12 +37,50 @@ object Multimodal {
   final case class MediaMeta(doc_id: Long, width: Long, height: Long,
                              format: String, raster_bytes: Long)
 
-  /** Wrap a text column as an opaque binary payload column (raw text
-    * bytes; used by the video-frame stub whose fake container length
-    * is the oracle contract). */
-  def asBinaryPayload(df: DataFrame, textCol: String, idCol: String): DataFrame =
+  /** Synthesize a REAL multi-frame animated GIF per row — the video
+    * stand-in (the JDK ships no video codec, but its GIF plugin reads
+    * and writes multi-frame images): one frame per `bytesPerFrame`
+    * payload bytes (minimum one), each frame a solid fill derived from
+    * (doc_id, frame index). Frames use an EXPLICIT single-entry
+    * IndexColorModel, so the GIF palette holds the exact synthesized
+    * color — no writer-side quantization can perturb the pixels the
+    * decode checksum predicts. Writer init amortized per partition. */
+  def asGifPayload(df: DataFrame, textCol: String, idCol: String,
+                   bytesPerFrame: Int = 32): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
     df.select(col(idCol).cast("long").as("doc_id"),
-      col(textCol).cast("binary").as("payload"))
+        octet_length(col(textCol)).cast("long").as("byte_len"))
+      .as[(Long, Long)]
+      // same split-width note as asPngPayload: spread the narrow frame
+      // across the executor width before the CPU-heavy encode
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .mapPartitions { it =>
+        val buf = new ByteArrayOutputStream(8192)
+        val writer = ImageIO.getImageWritersByFormatName("gif").next()
+        it.map { case (docId, byteLen) =>
+          val (w, h) = synthDims(byteLen)
+          val nFrames = math.max(1L, byteLen / bytesPerFrame).toInt
+          buf.reset()
+          val ios = ImageIO.createImageOutputStream(buf)
+          writer.setOutput(ios)
+          writer.prepareWriteSequence(null)
+          var f = 0
+          while (f < nFrames) {
+            val rgb = synthFrameColor(docId, f)
+            val icm = new java.awt.image.IndexColorModel(8, 1, Array(rgb), 0,
+              false, -1, java.awt.image.DataBuffer.TYPE_BYTE)
+            // fresh raster is all index 0 = the frame color
+            val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_INDEXED, icm)
+            writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+            f += 1
+          }
+          writer.endWriteSequence()
+          ios.close()
+          MediaPayload(docId, buf.toByteArray)
+        }
+      }.toDF()
+  }
 
   /** Synthesize a REAL (decodable) PNG payload per row: width/height
     * derived from the text's UTF-8 byte length, solid RGB fill derived
@@ -92,9 +132,20 @@ object Multimodal {
     (r << 16) | (g << 8) | b
   }
 
+  /** Per-frame solid fill: distinct across frame indices so a decode
+    * that returned the wrong frame (or re-read frame 0) fails the
+    * checksum. Oracle-shared arithmetic (Oracles.scala mm_frames). */
+  private[graft] def synthFrameColor(docId: Long, frame: Int): Int = {
+    val r = ((docId + 11L * frame) % 256).toInt
+    val g = ((docId * 31 + 13L * frame) % 256).toInt
+    val b = ((docId * 97 + 29L * frame) % 256).toInt
+    (r << 16) | (g << 8) | b
+  }
+
   final case class ResizedMedia(doc_id: Long, out_w: Long, out_h: Long,
                                 out_bytes: Long, checksum: Long)
-  final case class FrameSample(doc_id: Long, frame_idx: Long, frame_ts_ms: Long)
+  final case class FrameSample(doc_id: Long, frame_idx: Long, frame_ts_ms: Long,
+                               checksum: Long)
 
   /** REAL image decode: `javax.imageio` reads the PNG header + pixels
     * and reports actual width/height/format. Narrow map over the scan;
@@ -157,20 +208,45 @@ object Multimodal {
     }.toDF()
   }
 
-  /** FRAME-SAMPLE STUB — deterministic fake of video frame sampling
-    * (the JDK has no video codec): the fake container holds one
-    * "frame" per 256 payload bytes (minimum one); every `stride`-th
-    * frame is emitted with a 25 fps timestamp. One output row per
-    * sampled frame — the explode stays narrow (no payload in the
-    * output), which is the property that matters at 100 TB. */
-  def frameSampleStub(payloads: DataFrame, stride: Int = 4): DataFrame = {
+  /** REAL video-style frame sampling over animated-GIF payloads:
+    * `javax.imageio`'s GIF reader counts the container's actual frames
+    * (`getNumImages(true)`), decodes every `stride`-th frame's raster,
+    * and checksums its real pixels; timestamps assume 25 fps. One
+    * output row per sampled frame — the explode stays narrow (no
+    * payload bytes in the output), which is the property that matters
+    * at 100 TB; frames NOT sampled are never pixel-decoded (the reader
+    * seeks by frame index), which is what makes stride sampling
+    * cheaper than full decode on real footage too. */
+  def sampleFrames(payloads: DataFrame, stride: Int = 4): DataFrame = {
     val spark = payloads.sparkSession
     import spark.implicits._
     payloads.as[MediaPayload].mapPartitions { it =>
       it.flatMap { p =>
-        val total = math.max(1L, p.payload.length.toLong / 256L)
-        (0L until total by stride.toLong).iterator
-          .map(f => FrameSample(p.doc_id, f, f * 40L))
+        val in = ImageIO.createImageInputStream(new ByteArrayInputStream(p.payload))
+        try {
+          val readers = ImageIO.getImageReaders(in)
+          require(readers.hasNext, s"undecodable payload for doc ${p.doc_id}")
+          val reader = readers.next()
+          try {
+            reader.setInput(in)
+            val nFrames = reader.getNumImages(true)
+            (0 until nFrames by stride).map { f =>
+              val img = reader.read(f) // real raster decode of THIS frame
+              var sum = 0L
+              var y = 0
+              while (y < img.getHeight) {
+                var x = 0
+                while (x < img.getWidth) {
+                  val rgb = img.getRGB(x, y)
+                  sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+                  x += 1
+                }
+                y += 1
+              }
+              FrameSample(p.doc_id, f.toLong, f * 40L, sum % 2147483647L)
+            }.toVector
+          } finally reader.dispose()
+        } finally in.close()
       }
     }.toDF()
   }

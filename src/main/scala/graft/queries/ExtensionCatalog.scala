@@ -492,8 +492,13 @@ object ExtensionCatalog {
     Multimodal.resizeImage(
       Multimodal.asPngPayload(Tables.documents(s, d), "text", "doc_id"))
 
-  /** Frame-sampling plumbing: one narrow row per sampled frame. */
+  /** REAL frame sampling over synthesized multi-frame animated GIFs
+    * (one frame per 32 payload bytes, per-frame solid fills): the GIF
+    * reader counts actual container frames and pixel-decodes every 4th
+    * — frame index, 25 fps timestamp AND raster checksum are all real
+    * decode outputs the oracle predicts. One narrow row per sampled
+    * frame. */
   val mmFrames: Q = (s, d) =>
-    Multimodal.frameSampleStub(
-      Multimodal.asBinaryPayload(Tables.documents(s, d), "text", "doc_id"))
+    Multimodal.sampleFrames(
+      Multimodal.asGifPayload(Tables.documents(s, d), "text", "doc_id"))
 }

@@ -616,14 +616,21 @@ object Oracles {
         |  CAST((65536 * ((doc_id % 256) + ((doc_id * 31) % 256) + ((doc_id * 97) % 256)))
         |    % 2147483647 AS BIGINT) AS checksum
         |FROM documents""".stripMargin,
-    // one fake frame per 256 payload bytes (min 1), every 4th sampled
-    // at 25 fps; fixed-bound series + guard, like p5_occurrences
+    // real-GIF twin: one frame per 32 payload bytes (min 1), every 4th
+    // pixel-decoded at 25 fps; the checksum predicts what a correct
+    // raster decode of THAT frame must sum — dims from byte length,
+    // per-frame solid fill from (doc_id, frame_idx), so checksum =
+    // w*h*(r+g+b) mod 2^31-1. Fixed-bound series + loud guard, like
+    // p5_occurrences.
     "mm_frames" ->
       """SELECT doc_id, CAST(i * 4 AS BIGINT) AS frame_idx,
-        |  CAST(i * 4 * 40 AS BIGINT) AS frame_ts_ms
+        |  CAST(i * 4 * 40 AS BIGINT) AS frame_ts_ms,
+        |  CAST((16 + strlen(text) % 48) * (16 + (strlen(text) // 48) % 48)
+        |    * (((doc_id + 11 * i * 4) % 256) + ((doc_id * 31 + 13 * i * 4) % 256)
+        |       + ((doc_id * 97 + 29 * i * 4) % 256)) % 2147483647 AS BIGINT) AS checksum
         |FROM documents, generate_series(0, 2000) g(i)
-        |WHERE i * 4 < greatest(strlen(text) // 256, 1)
-        |  AND 1 = (SELECT CASE WHEN max(strlen(text)) // 256 <= 8000 THEN 1
+        |WHERE i * 4 < greatest(strlen(text) // 32, 1)
+        |  AND 1 = (SELECT CASE WHEN max(strlen(text)) // 32 <= 8000 THEN 1
         |    ELSE error('mm_frames oracle: frame cap exceeded') END FROM documents)""".stripMargin,
     "mm_decode_meta" ->
       // real-decode twin: predicts what a CORRECT javax.imageio decode

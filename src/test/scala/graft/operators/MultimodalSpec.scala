@@ -59,16 +59,48 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
-  test("frame-sample stub emits every 4th fake frame at 25 fps") {
-    val frames = Multimodal.frameSampleStub(
-        Multimodal.asBinaryPayload(docs, "text", "doc_id"))
+  test("asGifPayload emits a real multi-frame GIF (magic + frame count)") {
+    val rows = Multimodal.asGifPayload(docs, "text", "doc_id")
+      .as[Multimodal.MediaPayload].collect().map(p => p.doc_id -> p).toMap
+    rows.values.foreach { p =>
+      val magic = new String(p.payload.take(6), "US-ASCII")
+      assert(magic == "GIF89a" || magic == "GIF87a",
+        s"doc ${p.doc_id} payload is not a GIF")
+    }
+    // doc 7: 49-byte seed * 20 = 980 bytes -> 30 frames; count them
+    // with an independent reader
+    val in = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(rows(7L).payload))
+    val reader = javax.imageio.ImageIO.getImageReaders(in).next()
+    reader.setInput(in)
+    assert(reader.getNumImages(true) == 980 / 32)
+    reader.dispose(); in.close()
+  }
+
+  test("sampleFrames decodes real per-frame rasters: every 4th frame, 25 fps, per-frame checksum") {
+    val frames = Multimodal.sampleFrames(
+        Multimodal.asGifPayload(docs, "text", "doc_id"))
       .as[Multimodal.FrameSample].collect()
-    // doc 7: 50-char seed * 20 = 1000 bytes -> 3 frames (0,4 not: 1000/256=3 -> idx 0 only? )
     val byDoc = frames.groupBy(_.doc_id)
     // every doc has at least frame 0 at ts 0
     docs.select("doc_id").as[Long].collect().foreach { id =>
       assert(byDoc(id).exists(f => f.frame_idx == 0 && f.frame_ts_ms == 0))
     }
     frames.foreach(f => assert(f.frame_idx % 4 == 0 && f.frame_ts_ms == f.frame_idx * 40))
+    // doc 7 (980 bytes): 30 frames -> sampled 0,4,...,28
+    assert(byDoc(7L).map(_.frame_idx).sorted.toSeq == (0L to 28L by 4))
+    // checksums come from the REAL decoded rasters and must match the
+    // synthesis contract w*h*(r+g+b) per frame — distinct across
+    // frames (a decoder that re-served frame 0 would fail here)
+    def expected(docId: Long, byteLen: Long, f: Long): Long = {
+      val w = 16 + byteLen % 48; val h = 16 + (byteLen / 48) % 48
+      val c = ((docId + 11 * f) % 256) + ((docId * 31 + 13 * f) % 256) +
+        ((docId * 97 + 29 * f) % 256)
+      (w * h * c) % 2147483647L
+    }
+    byDoc(7L).foreach(fr =>
+      assert(fr.checksum == expected(7L, 980L, fr.frame_idx),
+        s"frame ${fr.frame_idx}: real checksum ${fr.checksum} != predicted"))
+    assert(byDoc(7L).map(_.checksum).distinct.length == byDoc(7L).length)
   }
 }
