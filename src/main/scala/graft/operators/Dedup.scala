@@ -214,12 +214,17 @@ object Dedup {
         (_: (Int, String), it: Iterator[(Int, String, Long)],
          gs: org.apache.spark.sql.streaming.GroupState[Seq[Long]]) =>
           var members = gs.getOption.getOrElse(Seq.empty).toVector
+          // membership Set beside the insertion-ordered Vector: the
+          // Vector is the stored/emission order, the Set makes the
+          // per-arrival duplicate check O(1) instead of a linear scan
+          // over a hot bucket (ADVICE r4)
+          val seen = scala.collection.mutable.HashSet.from(members)
           val out = Vector.newBuilder[(Long, Long)]
           it.foreach { case (_, _, id) =>
             members.foreach { m =>
               if (m != id) out += ((math.min(m, id), math.max(m, id)))
             }
-            if (members.length < maxBucket && !members.contains(id))
+            if (members.length < maxBucket && seen.add(id))
               members = members :+ id
           }
           gs.update(members)
@@ -253,12 +258,14 @@ object Dedup {
         (_: (Int, String), it: Iterator[(Int, String, Long, Timestamp)],
          gs: org.apache.spark.sql.streaming.GroupState[Seq[Long]]) =>
           var members = gs.getOption.getOrElse(Seq.empty).toVector
+          // same O(1)-membership shape as minHashLshStream (ADVICE r4)
+          val seen = scala.collection.mutable.HashSet.from(members)
           val out = Vector.newBuilder[(Long, Long, Timestamp)]
           it.foreach { case (_, _, id, ts) =>
             members.foreach { m =>
               if (m != id) out += ((math.min(m, id), math.max(m, id), ts))
             }
-            if (members.length < maxBucket && !members.contains(id))
+            if (members.length < maxBucket && seen.add(id))
               members = members :+ id
           }
           gs.update(members)

@@ -73,4 +73,38 @@ object PrefixSum {
       }
     }.toDF("k", "v", "running")
   }
+
+  /** Streaming twin — the A2 constant-key pattern: ONE global state
+    * cell carries the running offset across micro-batches; within a
+    * micro-batch rows are ordered by `orderCol`, so a stream whose
+    * batches arrive in ascending-key order reproduces the batch twin
+    * exactly (the spec pins this equality).
+    *
+    * Contract, stated rather than hidden: a GLOBAL sequential counter
+    * is inherently a serial point — every row routes through the one
+    * state task, and offsets follow ARRIVAL order across batches (a
+    * stream cannot order against keys it has not seen). That is the
+    * honest streaming form of sequence packing: at scale you keep the
+    * serialized path thin by routing only the (key, count) pair
+    * through it — exactly this operator's input — while payloads stay
+    * on their partitions and re-join by key downstream. The per-batch
+    * sort buffer is bounded by the micro-batch, not the stream. */
+  def runningSumStream(df: DataFrame, orderCol: String, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(orderCol).cast("long").as("k"), col(valueCol).cast("long").as("v"))
+      .as[KV]
+      .groupByKey(_ => 0)
+      .flatMapGroupsWithState[Long, KVRun](OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_, rows, state) =>
+          var acc = state.getOption.getOrElse(0L)
+          val out = rows.toVector.sortBy(_.k).map { kv =>
+            acc += kv.v
+            KVRun(kv.k, kv.v, acc)
+          }
+          state.update(acc)
+          out.iterator
+      }.toDF("k", "v", "running")
+  }
 }

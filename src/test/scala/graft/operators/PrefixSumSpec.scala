@@ -46,4 +46,30 @@ class PrefixSumSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
     assert(coalesced == direct)
   }
+
+  test("streaming twin: offsets continue across micro-batches and equal the batch form in-order") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long)]
+    val out = PrefixSum.runningSumStream(in.toDF().toDF("doc", "cnt"), "doc", "cnt")
+    val q = out.writeStream.format("memory").queryName("psum_s")
+      .outputMode("append").start()
+    try {
+      // batches arrive in ascending doc order (out of order WITHIN a
+      // batch — the per-batch sort owns that)
+      in.addData((2L, 5L), (0L, 10L), (1L, 7L))
+      q.processAllAvailable()
+      in.addData((4L, 2L), (3L, 1L))
+      q.processAllAvailable()
+      val got = spark.table("psum_s").as[(Long, Long, Long)]
+        .collect().sortBy(_._1).toSeq
+      // equals the batch two-pass over the same rows in doc order
+      val want = PrefixSum.globalRunningSum(
+        Seq((0L, 10L), (1L, 7L), (2L, 5L), (3L, 1L), (4L, 2L)).toDF("doc", "cnt"),
+        "doc", "cnt", 4)
+        .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+      assert(got == want)
+      // the cross-batch carry is real: batch-2 offsets start at 22
+      assert(got.find(_._1 == 3L).get._3 == 23L)
+    } finally q.stop()
+  }
 }
