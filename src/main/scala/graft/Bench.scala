@@ -29,6 +29,20 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    def loadAvg(): Double = try {
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .getSystemLoadAverage
+    } catch { case _: Throwable => -1.0 }
+
+    // quiet-window gate (VERDICT r4 #8): the box is co-tenant; if the
+    // 1-min load is already high at start, every per-query number is
+    // noise. Sleep-retry once, then proceed and let the recorded load
+    // field contextualize whatever window we got.
+    if (loadAvg() > 8.0) {
+      System.err.println(f"[bench] load ${loadAvg()}%.1f > 8 at start - waiting 60s for a quieter window")
+      Thread.sleep(60000)
+    }
+
     // JVM + parquet-footer warmup so per-query timings measure the plan,
     // not first-touch class loading.
     SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
@@ -68,10 +82,7 @@ object Bench {
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     // co-tenant box: record the 1-min load average so an outlier run
     // can be read against external steal (VERDICT r3 #10)
-    val load = try {
-      java.lang.management.ManagementFactory.getOperatingSystemMXBean
-        .getSystemLoadAverage
-    } catch { case _: Throwable => -1.0 }
+    val load = loadAvg()
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"load":$load%.2f,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)

@@ -214,12 +214,20 @@ object Similarity {
               centroids: Option[Seq[(Long, Seq[Double])]] = None): DataFrame = {
     val cents = broadcast(centroidsDf(corpus.sparkSession,
       centroids.getOrElse(kmeansTrain(corpus, nCentroids))))
-    // Corpus-wide argmax assignment is an AGGREGATION (max_by with the
-    // same rounded-cos-desc, cent-id-asc tiebreak), not a row_number
-    // window: partial aggregation collapses the nCentroids× candidate
-    // blowup map-side, so the shuffle carries one row per vector
-    // instead of nCentroids rows through a per-vector sort.
-    val assigned = corpus.select(col("vec_id"), col("embedding")).crossJoin(cents)
+    ivfProbe(ivfAssign(corpus, cents), cents, queries, k, nProbe)
+  }
+
+  /** IVF index build — every vector joins its argmax-cosine centroid
+    * (the inverted lists). The assignment is an AGGREGATION (max_by
+    * with the same rounded-cos-desc, cent-id-asc tiebreak), not a
+    * row_number window: partial aggregation collapses the nCentroids×
+    * candidate blowup map-side, so the shuffle carries one row per
+    * vector instead of nCentroids rows through a per-vector sort.
+    * Built once and probed many (memoize or persist the result —
+    * ExtensionCatalog checkpoints it per data fingerprint; at real
+    * scale this is the written index table). */
+  def ivfAssign(corpus: DataFrame, cents: DataFrame): DataFrame =
+    corpus.select(col("vec_id"), col("embedding")).crossJoin(cents)
       .withColumn("cent_cos", round(cosineD(
         transform(col("embedding"), x => x.cast("double")), col("cent_emb")), 6))
       .groupBy(col("vec_id"))
@@ -227,8 +235,13 @@ object Similarity {
         struct(col("cent_cos"), lit(0L) - col("cent_id"))).as("best"))
       .select(col("vec_id"), col("best.cent_id").as("cent_id"),
         col("best.embedding").as("embedding"))
-    // probe selection stays a window: it runs over the tiny broadcast
-    // query side (|queries| × nCentroids rows), never the corpus
+
+  /** IVF probe: a query touches only its `nProbe` nearest centroids'
+    * lists (~nProbe/nCentroids of the corpus). Probe selection stays a
+    * window — it runs over the tiny broadcast query side (|queries| ×
+    * nCentroids rows), never the corpus. */
+  def ivfProbe(assigned: DataFrame, cents: DataFrame, queries: DataFrame,
+               k: Int, nProbe: Int = 4): DataFrame = {
     val probes = {
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("cent_cos").desc, col("cent_id"))

@@ -228,15 +228,34 @@ object ExtensionCatalog {
     }
   }
 
+  /** The built IVF index (inverted lists = per-vector centroid
+    * assignment), checkpointed once per data fingerprint — the second
+    * half of train-once/probe-many: at 100 TB this is a written index
+    * table, not a per-query recompute. Same single-slot + explicit
+    * unpersist discipline as componentMemo. */
+  private val ivfIndexMemo =
+    new java.util.concurrent.atomic.AtomicReference[(String, DataFrame)]()
+
   /** IVF-Flat ANN: inverted lists over deterministic centroids, probe
     * the 4 nearest of 32 (partial recall by design — the third ANN
-    * shape next to brute-force and sign-LSH). Centroid values are
-    * identical whether trained fresh or served from the memo, so the
-    * oracle contract is unchanged. */
+    * shape next to brute-force and sign-LSH). Centroid and assignment
+    * values are identical whether built fresh or served from the
+    * memos, so the oracle contract is unchanged. */
   val annIvf: Q = (s, d) => {
-    val emb = Tables.embeddings(s, d)
-    Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 20), k = 10,
-      centroids = Some(trainedCentroids(s, d)))
+    val key = memoKey(s, d, "embeddings")
+    val cents = broadcast(
+      Similarity.centroidsDf(s, trainedCentroids(s, d)))
+    val assigned = ivfIndexMemo.get() match {
+      case (k, df) if k == key => df
+      case _ =>
+        val df = Similarity.ivfAssign(Tables.embeddings(s, d), cents)
+          .localCheckpoint()
+        val prev = ivfIndexMemo.getAndSet((key, df))
+        if (prev != null && !(prev._2 eq df)) unpersistCheckpoint(prev._2)
+        df
+    }
+    Similarity.ivfProbe(assigned, cents,
+      Tables.embeddings(s, d).filter(col("vec_id") < 20), k = 10)
   }
 
   /** Per-label embedding centroids (the IVF-training / cluster-
