@@ -68,14 +68,21 @@ object BenchScale {
            |  (pmod(xxhash64(vec_id * 31 + d), 200) - 100) / 2000.0 AS FLOAT)) AS embedding
            |""".stripMargin)
 
+  /** `nQueries` scales the probe workload: brute force pays
+    * |queries| × corpus cosines, the bucketed index |queries| × its
+    * probe buckets — the serving-shaped contrast (an ANN index exists
+    * because queries outnumber corpus rebuilds) only becomes visible
+    * past a handful of queries, since at dim 64 the codegen'd
+    * brute-force scan is itself fast. */
   private def annLadder(spark: SparkSession, sizes: Seq[Long],
-                        maxTaskMs: java.util.concurrent.atomic.AtomicLong): Unit = {
+                        maxTaskMs: java.util.concurrent.atomic.AtomicLong,
+                        nQueries: Int = 20): Unit = {
     import org.apache.spark.sql.functions.col
     val rungs = sizes.map { n =>
       val dir = s"/tmp/graft_scale/emb_$n"
       genEmbeddings(spark, n).write.mode("overwrite").parquet(dir) // untimed
       val corpus = spark.read.parquet(dir)
-      val queries = corpus.filter(col("vec_id") < 20)
+      val queries = corpus.filter(col("vec_id") < nQueries)
       maxTaskMs.set(0)
       val t0 = System.nanoTime()
       val approx = graft.operators.Similarity
@@ -97,9 +104,9 @@ object BenchScale {
       (n, sec, bruteSec, recall, mt)
     }
     val rungJson = rungs.map { case (n, sec, bs, r, mt) =>
-      f"""{"n_vecs":$n,"sec":$sec%.2f,"brute_sec":$bs%.2f,"recall":$r%.3f,"max_task_sec":$mt%.2f}"""
+      f"""{"n_vecs":$n,"sec":$sec%.2f,"brute_sec":$bs%.2f,"speedup":${bs / sec}%.1f,"recall":$r%.3f,"max_task_sec":$mt%.2f}"""
     }.mkString("[", ",", "]")
-    println(s"""{"metric":"ann_scale","rungs":$rungJson}""")
+    println(s"""{"metric":"ann_scale","n_queries":$nQueries,"rungs":$rungJson}""")
     rungs.foreach { case (n, _, _, r, _) =>
       require(r >= 0.8, s"ANN recall collapsed at n=$n: $r < 0.8 on clustered data")
     }
@@ -147,7 +154,10 @@ object BenchScale {
         }
     })
 
-    if (annMode) { annLadder(spark, sizes, maxTaskMs); spark.stop(); return }
+    if (annMode) {
+      val nQueries = if (sizeArgs.length > 1) sizeArgs(1).trim.toInt else 20
+      annLadder(spark, sizes, maxTaskMs, nQueries); spark.stop(); return
+    }
 
     val rungs = sizes.map { n =>
       val dir = s"/tmp/graft_scale/docs_$n"
