@@ -87,6 +87,7 @@ object SparkEntry {
     "ds_sample_hash" -> ExtensionCatalog.dsSampleHash,
     "ds_sample_stratified" -> ExtensionCatalog.dsSampleStratified,
     "ds_split_assign" -> ExtensionCatalog.dsSplitAssign,
+    "ds_mixture" -> ExtensionCatalog.dsMixture,
     "pipe_curate" -> ExtensionCatalog.pipeCurate,
     "pipe_pretrain" -> ExtensionCatalog.pipePretrain,
     "pack_sequences" -> ExtensionCatalog.packSequences,
@@ -99,6 +100,8 @@ object SparkEntry {
     "ta_ngrams" -> ExtensionCatalog.taNgrams,
     "ta_token_ids" -> ExtensionCatalog.taTokenIds,
     "ta_repetition" -> ExtensionCatalog.taRepetition,
+    "ta_chunks" -> ExtensionCatalog.taChunks,
+    "ta_tfidf" -> ExtensionCatalog.taTfidf,
     "mm_decode_meta" -> ExtensionCatalog.mmDecodeMeta,
     "mm_resize" -> ExtensionCatalog.mmResize,
     "mm_frames" -> ExtensionCatalog.mmFrames

@@ -46,6 +46,31 @@ object Sampling {
     df.filter(decision(col(keyCol), salt) < rate)
   }
 
+  /** Domain-mixture sampling — the corpus-mixing step of a pretraining
+    * pipeline (hit per-source TARGET SHARES of a token/doc budget
+    * regardless of how skewed the raw corpus is): rate(src) =
+    * min(1, budget·weight(src) / n(src)), then the usual deterministic
+    * hash-Bernoulli per row. Sources absent from `weights` share
+    * `defaultWeight` each. Per-source counts are ONE map-side-combined
+    * agg collapsing to |sources| rows on the driver (bounded — the
+    * adjudicated runtime-filter shape); the rates then compile into a
+    * literal when/otherwise chain, so the sampling pass itself stays a
+    * narrow shuffle-free map like [[stratifiedSample]]. Oversampled
+    * sources cap at rate 1.0 (no replication), undersampling is exact
+    * in expectation — both deterministic in (key, salt). */
+  def mixtureSample(df: DataFrame, keyCol: String, sourceCol: String,
+                    weights: Map[String, Double], defaultWeight: Double,
+                    budget: Double, salt: String = "mix"): DataFrame = {
+    val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rate = counts.foldLeft(lit(0.0)) { case (acc, (src, n)) =>
+      val w = weights.getOrElse(src, defaultWeight)
+      when(col(sourceCol) === src,
+        lit(math.min(1.0, budget * w / n))).otherwise(acc)
+    }
+    df.filter(decision(col(keyCol), salt) < rate)
+  }
+
   /** Stable train/valid/test assignment from cumulative fractions:
     * d < f1 → first name, d < f1+f2 → second, … remainder → last.
     * Growing the corpus never reassigns an existing key (the decision

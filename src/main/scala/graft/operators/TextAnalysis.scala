@@ -106,6 +106,66 @@ object TextAnalysis {
         size(col("toks")).cast("long").as("n_tokens"))
   }
 
+  /** Sliding-window token chunking — the RAG/pretraining segmentation
+    * step: overlapping windows of `chunkSize` tokens starting every
+    * `stride` tokens (stride < chunkSize ⇒ overlap, so no boundary
+    * context is lost). One row per chunk with exact integer/string
+    * witnesses (start, width, first/last token); a narrow explode of
+    * a per-row sequence — no shuffle at any corpus scale, and the
+    * output carries no chunk text (downstream re-slices by position,
+    * so chunking never duplicates the corpus ~chunkSize/stride×). */
+  def chunk(df: DataFrame, textCol: String, idCol: String,
+            chunkSize: Int = 32, stride: Int = 24): DataFrame = {
+    require(stride > 0 && chunkSize >= stride,
+      "chunkSize >= stride > 0 (stride > chunkSize would skip tokens)")
+    val toks = filter(StatelessOps.tokenArray(col(textCol)), t => length(t) > 0)
+    df.select(col(idCol).cast("long").as("doc_id"), toks.as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), col("toks"),
+        posexplode(sequence(lit(0), expr(s"(size(toks) - 1) div $stride")))
+          .as(Seq("chunk_idx", "_s")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        (col("chunk_idx") * stride).cast("long").as("start_pos"),
+        least(lit(chunkSize), size(col("toks")) - col("chunk_idx") * stride)
+          .cast("long").as("n_toks"),
+        element_at(col("toks"), col("chunk_idx") * stride + 1).as("first_tok"),
+        element_at(col("toks"), col("chunk_idx") * stride +
+          least(lit(chunkSize), size(col("toks")) - col("chunk_idx") * stride))
+          .as("last_tok"))
+  }
+
+  /** Per-document distinctive terms by tf·idf: tf = in-doc term count,
+    * df = documents containing the term, score = tf · ln(N/df) rounded
+    * to 6 (the rounding is the cross-engine ranking contract — both
+    * engines rank the same rounded value with a token tiebreak, so fp
+    * ties cannot diverge). Plan shape: one token explode feeding two
+    * hash aggs; tf and df emerge token-partitioned from the same
+    * exchange, so their join is co-partitioned (no extra corpus
+    * shuffle); the per-doc top-k window is keyed by doc_id —
+    * key-parallel, never a global sort. N is a literal (count pushed
+    * to parquet metadata). */
+  def tfidfTopTerms(df: DataFrame, textCol: String, idCol: String,
+                    k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nDocs = df.count() // metadata count on a bare scan
+    val toks = df.select(col(idCol).cast("long").as("doc_id"),
+        StatelessOps.explodeTokens(col(textCol)).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val tf = toks.groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = toks.select(col("doc_id"), col("tok")).distinct()
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(dfreq, "tok")
+      .withColumn("score",
+        round(col("tf") * log(lit(nDocs.toDouble) / col("df")), 6))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("tok"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("rk"), col("tok"), col("tf"), col("df"),
+        col("score"))
+  }
+
   /** Winnowing fingerprint (the MOSS scheme, Schleimer et al. 2003):
     * hash every k-gram of the raw text, take the window-min over each
     * sliding window of w grams, keep the DISTINCT minima per doc. The

@@ -416,6 +416,28 @@ object ExtensionCatalog {
       Seq("train" -> 0.75, "valid" -> 0.125), lastName = "test")
       .select(col("doc_id"), col("split"), col("lang"))
 
+  /** Domain-mixture sampling: hit target source shares of a 100-doc
+    * budget (src0 30 %, src1 20 %, src2 10 %, the rest sharing 40 %)
+    * against the actual per-source counts — the corpus-mixing step of
+    * a pretraining pipeline. Bounded per-source count agg → literal
+    * rate chain → shuffle-free hash-Bernoulli pass. */
+  val dsMixture: Q = (s, d) =>
+    Sampling.mixtureSample(Tables.documents(s, d), "doc_id", "source",
+      Map("src0" -> 0.3, "src1" -> 0.2, "src2" -> 0.1),
+      defaultWeight = 0.4 / 17, budget = 100.0)
+      .select(col("doc_id"), col("source"))
+
+  /** Sliding-window token chunking (32-token chunks every 24): the
+    * RAG/pretraining segmentation step, exact positional witnesses,
+    * narrow explode — no shuffle, no chunk-text duplication. */
+  val taChunks: Q = (s, d) =>
+    TextAnalysis.chunk(Tables.documents(s, d), "text", "doc_id")
+
+  /** Per-document distinctive terms: top-3 by tf·idf with the
+    * rounded-score + token tiebreak ranking contract. */
+  val taTfidf: Q = (s, d) =>
+    TextAnalysis.tfidfTopTerms(Tables.documents(s, d), "text", "doc_id")
+
   /** The end-to-end curation pipeline the extension operators exist to
     * COMPOSE: quality gate → language gate → exact-dedup survivor per
     * content hash → stable train/valid/test assignment. The plan is

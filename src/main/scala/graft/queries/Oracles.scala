@@ -724,6 +724,17 @@ object Oracles {
         |WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '_strata'),1,15))::BIGINT
         |    % 2147483647) / 2147483647.0
         |  < (CASE lang WHEN 'en' THEN 0.05 WHEN 'fr' THEN 0.5 WHEN 'de' THEN 0.8 ELSE 0.25 END)""".stripMargin,
+    // mixture twin: identical rate arithmetic — (100.0 * w) / cnt with
+    // the same literal weights and left association, least(1.0, …),
+    // then the shared md5 decision idiom
+    "ds_mixture" ->
+      """WITH n AS (SELECT source, count(*) AS cnt FROM documents GROUP BY 1),
+        |r AS (SELECT source, least(1.0, 100.0 *
+        |    (CASE source WHEN 'src0' THEN 0.3 WHEN 'src1' THEN 0.2
+        |      WHEN 'src2' THEN 0.1 ELSE 0.4 / 17 END) / cnt) AS rate FROM n)
+        |SELECT d.doc_id, d.source FROM documents d JOIN r USING (source)
+        |WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '_mix'),1,15))::BIGINT
+        |  % 2147483647) / 2147483647.0 < rate""".stripMargin,
     // composition twin of pipe_curate: the ta_quality score gate, the
     // dd_exact min-id survivor rule and the ds_split_assign threshold
     // chain, chained exactly as the Spark pipeline chains the operators
@@ -807,6 +818,40 @@ object Oracles {
         |  round(CASE WHEN len(g3) = 0 THEN 0.0
         |    ELSE 1.0 - len(list_distinct(g3)) * 1.0 / len(g3) END, 6) AS dup_3gram_frac
         |FROM g""".stripMargin,
+    // chunking twin: same filtered token array, chunk starts every 24
+    // while < len, width least(32, remainder); fixed-bound series +
+    // loud guard like ta_token_ids
+    "ta_chunks" ->
+      """WITH arr AS (SELECT doc_id,
+        |    list_filter(string_split(trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^a-z \n]+', '', 'g'), '\s+', ' ', 'g')), ' '),
+        |      t -> length(t) > 0) AS toks
+        |  FROM documents)
+        |SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+        |  CAST(i * 24 AS BIGINT) AS start_pos,
+        |  CAST(least(32, len(toks) - i * 24) AS BIGINT) AS n_toks,
+        |  toks[i * 24 + 1] AS first_tok,
+        |  toks[i * 24 + least(32, len(toks) - i * 24)] AS last_tok
+        |FROM arr, generate_series(0, 200) g(i)
+        |WHERE len(toks) > 0 AND i * 24 < len(toks)
+        |  AND 1 = (SELECT CASE WHEN (max(len(toks)) - 1) // 24 <= 200 THEN 1
+        |    ELSE error('ta_chunks oracle: chunk series bound exceeded') END FROM arr)""".stripMargin,
+    // tf·idf twin: same explode, same tf/df aggs, score = tf *
+    // ln(N/df) rounded to 6, rank on the ROUNDED score with a token
+    // tiebreak (the cross-engine ranking contract)
+    "ta_tfidf" ->
+      """WITH tr AS (SELECT doc_id, unnest(string_split(trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z \n]+', '', 'g'), '\s+', ' ', 'g')), ' ')) AS tok FROM documents),
+        |t2 AS (SELECT doc_id, tok FROM tr WHERE length(tok) > 0),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM t2 GROUP BY 1, 2),
+        |dfq AS (SELECT tok, count(DISTINCT doc_id) AS df FROM t2 GROUP BY 1),
+        |scored AS (SELECT tf.doc_id, tf.tok, tf.tf, dfq.df,
+        |    round(tf.tf * ln((SELECT count(*) FROM documents) * 1.0 / dfq.df), 6) AS score
+        |  FROM tf JOIN dfq USING (tok))
+        |SELECT doc_id, CAST(rk AS BIGINT) AS rk, tok, tf, df, score FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score DESC, tok) AS rk FROM scored)
+        |WHERE rk <= 3""".stripMargin,
     "ds_split_assign" ->
       """SELECT doc_id, CASE WHEN d < 0.75 THEN 'train' WHEN d < 0.875 THEN 'valid'
         |    ELSE 'test' END AS split,

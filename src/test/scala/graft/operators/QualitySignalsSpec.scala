@@ -2,9 +2,10 @@ package graft.operators
 
 import graft.streaming.SparkSpec
 
-/** Edge semantics of the round-4 quality/embedding additions that the
-  * synthetic corpus cannot exercise: repetition extremes and
-  * zero-vector quantization.
+/** Edge semantics of the round-4/5 quality/embedding/segmentation
+  * additions that the synthetic corpus cannot exercise: repetition
+  * extremes, zero-vector quantization, chunk boundaries, tf·idf
+  * ranking.
   */
 class QualitySignalsSpec extends SparkSpec {
   import spark.implicits._
@@ -45,5 +46,42 @@ class QualitySignalsSpec extends SparkSpec {
     assert(v._6 <= v._2 / 2 + 1e-12)
     // q_sum is the exact integer witness of the whole array
     assert(v._4 == v._3.map(_.toLong).sum)
+  }
+
+  test("chunk: overlap coverage, tail width, single-chunk and empty docs") {
+    // 10 tokens a..j; chunkSize 4, stride 3 -> starts 0,3,6,9
+    val text10 = "a b c d e f g h i j"
+    val docs = Seq((1L, text10), (2L, "one"), (3L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.chunk(docs, "text", "doc_id", chunkSize = 4, stride = 3)
+      .as[(Long, Long, Long, Long, String, String)].collect()
+      .groupBy(_._1)
+    val d1 = got(1L).sortBy(_._2).toSeq
+    assert(d1.map(c => (c._2, c._3, c._4, c._5, c._6)) == Seq(
+      (0L, 0L, 4L, "a", "d"), (1L, 3L, 4L, "d", "g"),
+      (2L, 6L, 4L, "g", "j"), (3L, 9L, 1L, "j", "j")))
+    // every token position is covered by at least one chunk
+    val covered = d1.flatMap(c => c._3 until (c._3 + c._4)).toSet
+    assert(covered == (0L until 10L).toSet)
+    assert(got(2L).toSeq == Seq((2L, 0L, 0L, 1L, "one", "one")))
+    assert(!got.contains(3L)) // empty text: no tokens, no chunks
+  }
+
+  test("tfidf: corpus-wide terms score zero, rare terms rank first") {
+    // 'common' in all 4 docs -> idf ln(1) = 0; each doc's unique term
+    // has df 1 -> idf ln(4), the top term
+    val docs = Seq(
+      (1L, "common alpha alpha"), (2L, "common bravo"),
+      (3L, "common charlie"), (4L, "common delta")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.tfidfTopTerms(docs, "text", "doc_id", k = 2)
+      .as[(Long, Long, String, Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).toSeq).toMap
+    assert(got(1L).head._3 == "alpha" &&
+      got(1L).head._6 == BigDecimal(2 * math.log(4.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    Seq(2L, 3L, 4L).foreach { d =>
+      assert(got(d).head._4 == 1L && got(d).head._5 == 1L) // rare term first
+      assert(got(d)(1)._3 == "common" && got(d)(1)._6 == 0.0)
+    }
   }
 }

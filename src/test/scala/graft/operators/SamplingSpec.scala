@@ -44,4 +44,27 @@ class SamplingSpec extends SparkSpec {
     assert(got("lang1") == 1000L)            // rate 1 keeps all of it
     assert(math.abs(got("lang2") / 1000.0 - 0.5) < 0.1)
   }
+
+  test("mixture sampling hits target shares against skewed source counts") {
+    // skewed corpus: srcA 2400 rows, srcB 300, srcC 300
+    val df = ((0 until 2400).map(i => (i.toLong, "srcA")) ++
+      (2400 until 2700).map(i => (i.toLong, "srcB")) ++
+      (2700 until 3000).map(i => (i.toLong, "srcC"))).toDF("id", "src")
+    // budget 600 at weights .5/.5/0: srcA rate 600*.5/2400 = .125
+    // (downsampled), srcB rate 600*.5/300 = 1.0 (kept whole), srcC 0
+    val got = Sampling.mixtureSample(df, "id", "src",
+      Map("srcA" -> 0.5, "srcB" -> 0.5), defaultWeight = 0.0, budget = 600.0)
+      .groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(got("srcB") == 300L)            // rate capped at 1.0: all kept
+    assert(!got.contains("srcC"))          // weight 0 drops the source
+    assert(math.abs(got("srcA") / 2400.0 - 0.125) < 0.05) // downsampled to share
+    // deterministic: same selection on a different partitioning
+    val again = Sampling.mixtureSample(df.repartition(13), "id", "src",
+      Map("srcA" -> 0.5, "srcB" -> 0.5), defaultWeight = 0.0, budget = 600.0)
+      .select("id").as[Long].collect().toSet
+    val first = Sampling.mixtureSample(df, "id", "src",
+      Map("srcA" -> 0.5, "srcB" -> 0.5), defaultWeight = 0.0, budget = 600.0)
+      .select("id").as[Long].collect().toSet
+    assert(first == again && first.nonEmpty)
+  }
 }
