@@ -77,11 +77,26 @@ class PlanAuditSpec extends SparkSpec {
     // zero-shuffle property IS the scale claim. (ta_winnow is exempt:
     // its ONE Exchange is the deliberate guarded spread for
     // single-row-group fixture scans, a no-op branch at scan scale.)
+    // ds_mixture's per-source counts run at CONSTRUCTION (bounded agg
+    // to the driver); the returned sampling pass itself must stay a
+    // narrow filter. ta_chunks' explode is per-row.
     Seq("emb_quantize", "ta_repetition", "ds_sample_hash", "ds_split_assign",
-      "ta_langid", "ta_quality", "ta_fingerprint").foreach { q =>
+      "ta_langid", "ta_quality", "ta_fingerprint", "ds_mixture",
+      "ta_chunks").foreach { q =>
       val p = plan(q)
       assert(!p.contains("Exchange"), s"$q grew a shuffle Exchange")
     }
+  }
+
+  test("ta_tfidf: co-partitioned tf/df join, key-parallel window, no cartesian") {
+    val p = plan("ta_tfidf")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "ta_tfidf plans a cartesian/BNL join")
+    // the per-doc top-k window must stay PARTITIONED by doc_id — a
+    // global (empty-partition) window would funnel the corpus through
+    // one task
+    assert(p.contains("Window"), "ta_tfidf lost its ranking window")
+    assert(!p.contains("No Partition"), "ta_tfidf window lost its doc_id partitioning")
   }
 
   test("agg family keeps partial (map-side) aggregation") {
