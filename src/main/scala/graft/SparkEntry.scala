@@ -84,6 +84,8 @@ object SparkEntry {
     "ann_ivf" -> ExtensionCatalog.annIvf,
     "emb_centroid" -> ExtensionCatalog.embCentroid,
     "emb_quantize" -> ExtensionCatalog.embQuantize,
+    "emb_gram" -> ExtensionCatalog.embGram,
+    "j_skew_salted" -> ExtensionCatalog.jSkewSalted,
     "ds_sample_hash" -> ExtensionCatalog.dsSampleHash,
     "ds_sample_stratified" -> ExtensionCatalog.dsSampleStratified,
     "ds_split_assign" -> ExtensionCatalog.dsSplitAssign,

@@ -275,6 +275,40 @@ object ExtensionCatalog {
       .select(col("label"), col("dim").cast("long").as("dim"),
         round(col("sv") / (col("n") * lit(1000000.0)), 6).as("centroid"))
 
+  /** Embedding gram matrix G[i][j] = Σ_vectors qᵢ·qⱼ over milli-unit
+    * integer components — the exact-arithmetic covariance/whitening
+    * prep step (PCA, ZCA, mean-centering all start here). The d²
+    * explode per vector collapses map-side to ≤ d(d+1)/2 = 2080 rows
+    * per partition, so the shuffle is CONSTANT-size at any corpus
+    * scale; the work is the inherent O(n·d²) of a gram matrix.
+    * Integer milli-unit products are exact and order-independent —
+    * no fp summation order can diverge from the oracle. */
+  val embGram: Q = (s, d) => {
+    val q = transform(col("embedding"),
+      x => round(x.cast("double") * 1000).cast("long"))
+    Tables.embeddings(s, d).select(q.as("q"))
+      .select(col("q"), posexplode(col("q")).as(Seq("i", "qi")))
+      .select(col("i"), col("qi"), posexplode(col("q")).as(Seq("j", "qj")))
+      .filter(col("j") >= col("i"))
+      .groupBy(col("i"), col("j"))
+      .agg(sum(col("qi") * col("qj")).as("g"))
+      .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
+        col("g"))
+  }
+
+  /** Salted skew join as a first-class catalog query: every events row
+    * joins the 5-row per-type dim — 5 keys for 100k+ rows is exactly
+    * the hot-key shape [[SkewTools.saltedJoin]] splits across
+    * reducers. The oracle is the PLAIN join: the salt must be
+    * row-invisible (identical output), which the hash compare proves. */
+  val jSkewSalted: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val dim = ev.groupBy(col("event_type")).agg(count(lit(1)).as("type_n"))
+    SkewTools.saltedJoin(ev.select(col("event_id"), col("event_type")),
+        dim, "event_type", salts = 8)
+      .select(col("event_id"), col("event_type"), col("type_n"))
+  }
+
   // ---------------------------------------------------------- text analysis
 
   /** Stopword-profile language ID vs the labeled lang column. */

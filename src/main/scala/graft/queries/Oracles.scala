@@ -236,6 +236,19 @@ object Oracles {
       """SELECT c_mktsegment, count(*) AS n FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders
         |  WHERE o_custkey = c_custkey AND o_totalprice > 300000) GROUP BY 1""".stripMargin,
+    // the salt must be row-invisible: the oracle is the PLAIN join
+    "j_skew_salted" ->
+      """WITH dim AS (SELECT event_type, count(*) AS type_n FROM events GROUP BY 1)
+        |SELECT event_id, event_type, type_n FROM events JOIN dim USING (event_type)""".stripMargin,
+    // exact integer gram matrix over milli-unit components (1-based
+    // list index -> 0-based output like ta_token_ids positions)
+    "emb_gram" ->
+      """WITH q AS (SELECT list_transform(embedding,
+        |    x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q FROM embeddings)
+        |SELECT CAST(i - 1 AS BIGINT) AS i, CAST(j - 1 AS BIGINT) AS j,
+        |  CAST(sum(q[i] * q[j]) AS BIGINT) AS g
+        |FROM q, generate_series(1, 64) gi(i), generate_series(1, 64) gj(j)
+        |WHERE j >= i GROUP BY 1, 2""".stripMargin,
     "j_asof" ->
       """SELECT a.event_id, a.user_id, b.value AS prior_click_value
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') a
