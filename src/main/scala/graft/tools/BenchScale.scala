@@ -112,12 +112,46 @@ object BenchScale {
     }
   }
 
+  /** Multimodal-kernel throughput ladder: synth + full-pixel decode +
+    * bilinear resize (PNG) and synth + per-frame decode (animated GIF)
+    * over n generated docs — the docs/s of the imageio chain, plus the
+    * straggler bound. The kernels are partition-local; throughput must
+    * scale with cores and stay flat per doc as n grows. */
+  private def mmLadder(spark: SparkSession, sizes: Seq[Long],
+                       maxTaskMs: java.util.concurrent.atomic.AtomicLong): Unit = {
+    import org.apache.spark.sql.functions.col
+    val rungs = sizes.map { n =>
+      val dir = s"/tmp/graft_scale/docs_$n"
+      genCorpus(spark, n).write.mode("overwrite").parquet(dir) // untimed
+      val docs = spark.read.parquet(dir)
+      maxTaskMs.set(0)
+      val t0 = System.nanoTime()
+      val png = graft.operators.Multimodal.resizeImage(
+        graft.operators.Multimodal.asPngPayload(docs, "text", "doc_id"))
+        .agg(org.apache.spark.sql.functions.sum(col("checksum"))).head().getLong(0)
+      val pngSec = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val frames = graft.operators.Multimodal.sampleFrames(
+        graft.operators.Multimodal.asGifPayload(docs, "text", "doc_id"))
+        .count()
+      val gifSec = (System.nanoTime() - t1) / 1e9
+      require(png != 0L && frames >= n, s"mm ladder sanity failed at n=$n")
+      (n, pngSec, gifSec, frames, maxTaskMs.get() / 1e3)
+    }
+    val rungJson = rungs.map { case (n, ps, gs, fr, mt) =>
+      f"""{"n_docs":$n,"png_sec":$ps%.2f,"png_docs_per_sec":${n / ps}%.0f,"gif_sec":$gs%.2f,"frames":$fr,"max_task_sec":$mt%.2f}"""
+    }.mkString("[", ",", "]")
+    println(s"""{"metric":"mm_scale","rungs":$rungJson}""")
+  }
+
   def main(args: Array[String]): Unit = {
     val annMode = args.headOption.contains("ann")
-    val sizeArgs = if (annMode) args.drop(1) else args
+    val mmMode = args.headOption.contains("mm")
+    val sizeArgs = if (annMode || mmMode) args.drop(1) else args
     val sizes =
       if (sizeArgs.nonEmpty) sizeArgs(0).split(",").map(_.trim.toLong).toSeq
       else if (annMode) Seq(20000L, 100000L, 500000L)
+      else if (mmMode) Seq(10000L, 50000L)
       else Seq(5000L, 10000L, 20000L, 50000L)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -158,6 +192,7 @@ object BenchScale {
       val nQueries = if (sizeArgs.length > 1) sizeArgs(1).trim.toInt else 20
       annLadder(spark, sizes, maxTaskMs, nQueries); spark.stop(); return
     }
+    if (mmMode) { mmLadder(spark, sizes, maxTaskMs); spark.stop(); return }
 
     val rungs = sizes.map { n =>
       val dir = s"/tmp/graft_scale/docs_$n"

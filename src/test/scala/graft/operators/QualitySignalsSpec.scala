@@ -91,6 +91,28 @@ class QualitySignalsSpec extends SparkSpec {
     assert(g.size == 6) // upper triangle of a 3x3
   }
 
+  test("chunk is stateless: the SAME code runs on a stream, batch-equal per row") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val out = TextAnalysis.chunk(in.toDF().toDF("doc_id", "text"),
+      "text", "doc_id", chunkSize = 4, stride = 3)
+    val q = out.writeStream.format("memory").queryName("chunks_s")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, "a b c d e f g h i j"))
+      q.processAllAvailable()
+      in.addData((2L, "k l m"))
+      q.processAllAvailable()
+      val got = spark.table("chunks_s")
+        .as[(Long, Long, Long, Long, String, String)].collect().sortBy(r => (r._1, r._2))
+      val want = TextAnalysis.chunk(
+        Seq((1L, "a b c d e f g h i j"), (2L, "k l m")).toDF("doc_id", "text"),
+        "text", "doc_id", chunkSize = 4, stride = 3)
+        .as[(Long, Long, Long, Long, String, String)].collect().sortBy(r => (r._1, r._2))
+      assert(got.toSeq == want.toSeq)
+    } finally q.stop()
+  }
+
   test("tfidf: corpus-wide terms score zero, rare terms rank first") {
     // 'common' in all 4 docs -> idf ln(1) = 0; each doc's unique term
     // has df 1 -> idf ln(4), the top term
