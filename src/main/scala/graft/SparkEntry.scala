@@ -92,6 +92,7 @@ object SparkEntry {
     "ds_mixture" -> ExtensionCatalog.dsMixture,
     "pipe_curate" -> ExtensionCatalog.pipeCurate,
     "pipe_pretrain" -> ExtensionCatalog.pipePretrain,
+    "pipe_rag" -> ExtensionCatalog.pipeRag,
     "pack_sequences" -> ExtensionCatalog.packSequences,
     "ta_langid" -> ExtensionCatalog.taLangId,
     "ta_quality" -> ExtensionCatalog.taQuality,

@@ -535,6 +535,27 @@ object ExtensionCatalog {
     packed.join(assigned, "doc_id")
   }
 
+  /** The RAG-ingest composition: quality+language gate → exact-dedup
+    * survivor → sliding-window CHUNKS of the curated corpus → stable
+    * split assignment. The retrieval-index twin of [[pipePretrain]]
+    * (which packs; this segments): same gate and dedup stages, then
+    * the narrow chunk explode and the shuffle-free split projection —
+    * chunking adds no scan or shuffle beyond its standalone cost. */
+  val pipeRag: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val gated = TextAnalysis.qualityFeatures(docs, "text")
+      .filter(col("quality_score") >= 0.7 && col("lang").isin("en", "fr"))
+      .select(col("doc_id"), col("text"))
+    val survivors = Dedup.exact(gated, "text", "doc_id")
+      .select(col("survivor_id").as("doc_id"))
+    val chunks = TextAnalysis.chunk(gated.join(survivors, "doc_id"),
+      "text", "doc_id")
+    val assigned = Sampling.splitAssign(docs, "doc_id",
+      Seq("train" -> 0.75, "valid" -> 0.125), lastName = "test")
+      .select(col("doc_id"), col("split"))
+    chunks.join(assigned, "doc_id")
+  }
+
   /** Gopher-rule repetition metric over the documents table. */
   val taRepetition: Q = (s, d) =>
     TextAnalysis.repetition(Tables.documents(s, d), "text", "doc_id")

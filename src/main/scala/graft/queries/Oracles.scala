@@ -802,6 +802,44 @@ object Oracles {
         |  CAST(cum - n_tokens AS BIGINT) AS stream_offset,
         |  CAST((cum - n_tokens) // 1024 AS BIGINT) AS seq_id, a.split
         |FROM p JOIN a ON p.doc_id = a.doc_id""".stripMargin,
+    // RAG composition twin: pipe_pretrain's gate+survivor CTEs, then
+    // the ta_chunks arr/series pattern over the CURATED docs, then the
+    // split join
+    "pipe_rag" ->
+      """WITH q AS (SELECT doc_id, text, lang,
+        |    round((CASE WHEN n_words >= 5 THEN 1.0 ELSE 0.0 END) * 0.4
+        |      + (CASE WHEN n_punct / n_chars_d < 0.2 THEN 1.0 ELSE 0.0 END) * 0.3
+        |      + least(n_stop / n_words * 4, 1.0) * 0.3, 6) AS quality_score
+        |  FROM (SELECT doc_id, text, lang, length(text) AS n_chars_d,
+        |      len(string_split_regex(trim(text), '\s+')) AS n_words,
+        |      length(text) - length(regexp_replace(text, '[\.,;:!\?]', '', 'g')) AS n_punct,
+        |      len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is|that)\b')) AS n_stop
+        |    FROM documents)),
+        |gated AS (SELECT doc_id, text FROM q
+        |  WHERE quality_score >= 0.7 AND lang IN ('en', 'fr')),
+        |sur AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY text),
+        |arr AS (SELECT g.doc_id,
+        |    list_filter(string_split(trim(regexp_replace(regexp_replace(lower(g.text),
+        |      '[^a-z \n]+', '', 'g'), '\s+', ' ', 'g')), ' '),
+        |      t -> length(t) > 0) AS toks
+        |  FROM gated g JOIN sur USING (doc_id)),
+        |ch AS (SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+        |    CAST(i * 24 AS BIGINT) AS start_pos,
+        |    CAST(least(32, len(toks) - i * 24) AS BIGINT) AS n_toks,
+        |    toks[i * 24 + 1] AS first_tok,
+        |    toks[i * 24 + least(32, len(toks) - i * 24)] AS last_tok
+        |  FROM arr, generate_series(0, 200) g(i)
+        |  WHERE len(toks) > 0 AND i * 24 < len(toks)
+        |    AND 1 = (SELECT CASE WHEN (max(len(toks)) - 1) // 24 <= 200 THEN 1
+        |      ELSE error('pipe_rag oracle: chunk series bound exceeded') END FROM arr)),
+        |a AS (SELECT doc_id, CASE WHEN d < 0.75 THEN 'train' WHEN d < 0.875 THEN 'valid'
+        |    ELSE 'test' END AS split
+        |  FROM (SELECT doc_id,
+        |      (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '_split'),1,15))::BIGINT
+        |        % 2147483647) / 2147483647.0 AS d FROM documents))
+        |SELECT ch.doc_id, ch.chunk_idx, ch.start_pos, ch.n_toks,
+        |  ch.first_tok, ch.last_tok, a.split
+        |FROM ch JOIN a ON ch.doc_id = a.doc_id""".stripMargin,
     // the oracle's single-reducer window IS the naive form the
     // two-pass prefix sum replaces; same ws-token formula as ta_tokens
     "pack_sequences" ->

@@ -34,4 +34,27 @@ class PipelineSpec extends SparkSpec {
     assert(rows.map(_._1).toSet == curated,
       "pipe_pretrain packs a different document set than pipe_curate survives")
   }
+
+  test("pipe_rag: chunks cover exactly the curated survivor set, contiguously") {
+    val rows = ExtensionCatalog.pipeRag(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(6))).sortBy(r => (r._1, r._2))
+    assert(rows.nonEmpty)
+    // chunked docs == curated survivors (same gate+dedup stages)
+    val curated = ExtensionCatalog.pipeCurate(spark, sfDir)
+      .select("survivor_id").collect().map(_.getLong(0)).toSet
+    assert(rows.map(_._1).toSet == curated,
+      "pipe_rag chunks a different document set than pipe_curate survives")
+    // per doc: chunk indices are 0..k contiguous, starts every 24, every
+    // chunk non-empty, and one split label per doc
+    rows.groupBy(_._1).foreach { case (id, cs) =>
+      val sorted = cs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (0L until sorted.length.toLong),
+        s"doc $id chunk indices not contiguous")
+      sorted.foreach { case (_, idx, start, n, _) =>
+        assert(start == idx * 24 && n >= 1 && n <= 32)
+      }
+      assert(cs.map(_._5).toSet.size == 1, s"doc $id has multiple splits")
+    }
+  }
 }
