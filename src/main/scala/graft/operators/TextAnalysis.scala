@@ -138,12 +138,16 @@ object TextAnalysis {
     * df = documents containing the term, score = tf · ln(N/df) rounded
     * to 6 (the rounding is the cross-engine ranking contract — both
     * engines rank the same rounded value with a token tiebreak, so fp
-    * ties cannot diverge). Plan shape: one token explode feeding two
-    * hash aggs; tf and df emerge token-partitioned from the same
-    * exchange, so their join is co-partitioned (no extra corpus
-    * shuffle); the per-doc top-k window is keyed by doc_id —
-    * key-parallel, never a global sort. N is a literal (count pushed
-    * to parquet metadata). */
+    * ties cannot diverge). Plan shape: ONE corpus explode feeds the
+    * (doc, tok) tf aggregate; df is a COUNT WINDOW over tf partitioned
+    * by the token (one row per (doc, tok) ⇒ the partition size IS the
+    * document frequency) — no join and no second corpus scan (a
+    * two-branch tf⋈df join re-explodes the corpus for df: the pruned
+    * branches differ in schema, so ReuseExchange cannot unify them).
+    * Every post-explode exchange moves only aggregated (doc, tok)
+    * rows; both windows are key-parallel (token / doc_id partitions),
+    * never a global sort. N is a literal (count pushed to parquet
+    * metadata). */
   def tfidfTopTerms(df: DataFrame, textCol: String, idCol: String,
                     k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -153,9 +157,8 @@ object TextAnalysis {
       .filter(length(col("tok")) > 0)
     val tf = toks.groupBy(col("doc_id"), col("tok"))
       .agg(count(lit(1)).as("tf"))
-    val dfreq = toks.select(col("doc_id"), col("tok")).distinct()
-      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    val scored = tf.join(dfreq, "tok")
+    val scored = tf
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("tok"))))
       .withColumn("score",
         round(col("tf") * log(lit(nDocs.toDouble) / col("df")), 6))
     val w = Window.partitionBy(col("doc_id"))

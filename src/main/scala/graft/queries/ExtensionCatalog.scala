@@ -125,7 +125,7 @@ object ExtensionCatalog {
   }
 
   private def memoKey(s: SparkSession, d: String, table: String): String =
-    System.identityHashCode(s) + "|" + d + "|" + dataFingerprint(d, table)
+    s"${System.identityHashCode(s)}|$d|${dataFingerprint(d, table)}"
 
   /** Explicitly free a replaced memo frame's localCheckpoint blocks:
     * the checkpointed plan is a LogicalRDD over the persisted internal
