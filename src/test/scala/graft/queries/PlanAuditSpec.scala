@@ -88,15 +88,19 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
-  test("ta_tfidf: co-partitioned tf/df join, key-parallel window, no cartesian") {
+  test("ta_tfidf: ONE corpus scan, key-parallel windows, no cartesian") {
     val p = plan("ta_tfidf")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       "ta_tfidf plans a cartesian/BNL join")
-    // the per-doc top-k window must stay PARTITIONED by doc_id — a
-    // global (empty-partition) window would funnel the corpus through
-    // one task
-    assert(p.contains("Window"), "ta_tfidf lost its ranking window")
-    assert(!p.contains("No Partition"), "ta_tfidf window lost its doc_id partitioning")
+    // df comes from a count window over the tf aggregate — the corpus
+    // must be scanned and exploded exactly ONCE (the tf⋈df join form
+    // re-explodes it: pruned branches defeat ReuseExchange)
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).size == 1,
+      "ta_tfidf scans the corpus more than once — df regressed to a join branch")
+    // both windows must stay PARTITIONED (tok / doc_id) — a global
+    // (empty-partition) window would funnel the table through one task
+    assert(p.contains("Window"), "ta_tfidf lost its windows")
+    assert(!p.contains("No Partition"), "ta_tfidf window lost its partitioning")
   }
 
   test("agg family keeps partial (map-side) aggregation") {
