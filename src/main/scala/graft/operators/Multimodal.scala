@@ -58,11 +58,19 @@ object Multimodal {
       .mapPartitions { it =>
         val buf = new ByteArrayOutputStream(8192)
         val writer = ImageIO.getImageWritersByFormatName("gif").next()
+        org.apache.spark.TaskContext.get() match {
+          case null => ()
+          case tc => tc.addTaskCompletionListener[Unit](_ => writer.dispose())
+        }
         it.map { case (docId, byteLen) =>
           val (w, h) = synthDims(byteLen)
           val nFrames = math.max(1L, byteLen / bytesPerFrame).toInt
           buf.reset()
-          val ios = ImageIO.createImageOutputStream(buf)
+          // MemoryCache, NOT ImageIO.createImageOutputStream: the
+          // factory defaults to a FileCache stream, which would create
+          // and delete a disk temp file PER DOCUMENT inside a kernel
+          // whose cost model is CPU-only
+          val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(buf)
           writer.setOutput(ios)
           writer.prepareWriteSequence(null)
           var f = 0
@@ -115,7 +123,11 @@ object Multimodal {
             y += 1
           }
           buf.reset()
-          ImageIO.write(img, "png", buf)
+          // MemoryCache stream: ImageIO.write(…, OutputStream) routes
+          // through a per-row FileCache disk temp file by default
+          val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(buf)
+          ImageIO.write(img, "png", ios)
+          ios.close()
           MediaPayload(docId, buf.toByteArray)
         }
       }.toDF()
@@ -155,7 +167,11 @@ object Multimodal {
     import spark.implicits._
     payloads.as[MediaPayload].mapPartitions { it =>
       it.map { p =>
-        val in = ImageIO.createImageInputStream(new ByteArrayInputStream(p.payload))
+        // MemoryCache, not the createImageInputStream factory — the
+        // factory defaults to a FileCache stream (a disk temp file per
+        // row) for InputStream inputs
+        val in = new javax.imageio.stream.MemoryCacheImageInputStream(
+          new ByteArrayInputStream(p.payload))
         try {
           val readers = ImageIO.getImageReaders(in)
           require(readers.hasNext, s"undecodable payload for doc ${p.doc_id}")
@@ -186,7 +202,10 @@ object Multimodal {
       val out = new BufferedImage(targetW, targetH, BufferedImage.TYPE_INT_RGB)
       val px = new Array[Int](targetW * targetH)
       it.map { p =>
-        val src = ImageIO.read(new ByteArrayInputStream(p.payload))
+        // same MemoryCache note as decodeImage: ImageIO.read(InputStream)
+        // would route through a per-row FileCache temp file
+        val src = ImageIO.read(new javax.imageio.stream.MemoryCacheImageInputStream(
+          new ByteArrayInputStream(p.payload)))
         require(src != null, s"undecodable payload for doc ${p.doc_id}")
         val g2 = out.createGraphics()
         try {
@@ -222,7 +241,8 @@ object Multimodal {
     import spark.implicits._
     payloads.as[MediaPayload].mapPartitions { it =>
       it.flatMap { p =>
-        val in = ImageIO.createImageInputStream(new ByteArrayInputStream(p.payload))
+        val in = new javax.imageio.stream.MemoryCacheImageInputStream(
+          new ByteArrayInputStream(p.payload)) // MemoryCache: see decodeImage
         try {
           val readers = ImageIO.getImageReaders(in)
           require(readers.hasNext, s"undecodable payload for doc ${p.doc_id}")

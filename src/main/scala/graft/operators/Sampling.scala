@@ -63,12 +63,28 @@ object Sampling {
                     budget: Double, salt: String = "mix"): DataFrame = {
     val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val rate = counts.foldLeft(lit(0.0)) { case (acc, (src, n)) =>
-      val w = weights.getOrElse(src, defaultWeight)
-      when(col(sourceCol) === src,
-        lit(math.min(1.0, budget * w / n))).otherwise(acc)
+    val rates = counts.map { case (src, n) =>
+      src -> math.min(1.0, budget * weights.getOrElse(src, defaultWeight) / n)
     }
-    df.filter(decision(col(keyCol), salt) < rate)
+    if (rates.size <= 64) {
+      // bounded source count: compile the rates into a literal
+      // when/otherwise chain — no join, narrow shuffle-free pass
+      val rate = rates.foldLeft(lit(0.0)) { case (acc, (src, r)) =>
+        when(col(sourceCol) === src, lit(r)).otherwise(acc)
+      }
+      df.filter(decision(col(keyCol), salt) < rate)
+    } else {
+      // web-corpus source counts (thousands of domains) would build a
+      // thousands-deep when-chain — the codegen method-size cliff this
+      // repo documents for wide Column trees. Broadcast the (source,
+      // rate) table instead: same rows, one hash-join lookup per row.
+      val spark = df.sparkSession
+      import spark.implicits._
+      val rateDf = broadcast(rates.toSeq.toDF(sourceCol, "__rate"))
+      df.join(rateDf, sourceCol)
+        .filter(decision(col(keyCol), salt) < col("__rate"))
+        .drop("__rate")
+    }
   }
 
   /** Stable train/valid/test assignment from cumulative fractions:

@@ -255,6 +255,25 @@ object Similarity {
     scoreTopK(assigned.join(broadcast(probes), "cent_id"), k)
   }
 
+  /** Exact integer gram matrix G[i][j] = Σ_vectors qᵢ·qⱼ (upper
+    * triangle) over milli-unit components — the covariance/whitening
+    * prep step (PCA/ZCA/mean-centering start here). The d² explode per
+    * vector collapses map-side to ≤ d(d+1)/2 rows per partition, so
+    * the shuffle is CONSTANT-size at any corpus scale; integer
+    * products are exact and order-independent, so no fp summation
+    * order can diverge from the oracle. */
+  def gramMatrix(emb: DataFrame, embCol: String = "embedding"): DataFrame = {
+    val q = transform(col(embCol), x => round(x.cast("double") * 1000).cast("long"))
+    emb.select(q.as("q"))
+      .select(col("q"), posexplode(col("q")).as(Seq("i", "qi")))
+      .select(col("i"), col("qi"), posexplode(col("q")).as(Seq("j", "qj")))
+      .filter(col("j") >= col("i"))
+      .groupBy(col("i"), col("j"))
+      .agg(sum(col("qi") * col("qj")).as("g"))
+      .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
+        col("g"))
+  }
+
   /** Symmetric int8 quantization of an embedding column — the
     * standard 4× memory/bandwidth reduction before ANN at corpus
     * scale (a 100 TB float corpus becomes 25 TB of int8 + one scale

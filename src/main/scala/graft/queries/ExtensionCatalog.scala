@@ -134,9 +134,15 @@ object ExtensionCatalog {
     * (ADVICE r4). The replaced frame becomes unusable, which is the
     * point: readers always fetch the current slot. */
   private def unpersistCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.logical match {
+    try df.queryExecution.logical match {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
       case _ => ()
+    } catch {
+      // best-effort release: the replaced frame may belong to an
+      // already-STOPPED SparkSession (memos are JVM-global, keys are
+      // per-session) — its blocks died with that context, and a
+      // failed unpersist must not fail the replacing query
+      case _: Throwable => ()
     }
 
   val ddComponents: Q = (s, d) => {
@@ -283,18 +289,8 @@ object ExtensionCatalog {
     * scale; the work is the inherent O(n·d²) of a gram matrix.
     * Integer milli-unit products are exact and order-independent —
     * no fp summation order can diverge from the oracle. */
-  val embGram: Q = (s, d) => {
-    val q = transform(col("embedding"),
-      x => round(x.cast("double") * 1000).cast("long"))
-    Tables.embeddings(s, d).select(q.as("q"))
-      .select(col("q"), posexplode(col("q")).as(Seq("i", "qi")))
-      .select(col("i"), col("qi"), posexplode(col("q")).as(Seq("j", "qj")))
-      .filter(col("j") >= col("i"))
-      .groupBy(col("i"), col("j"))
-      .agg(sum(col("qi") * col("qj")).as("g"))
-      .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
-        col("g"))
-  }
+  val embGram: Q = (s, d) =>
+    Similarity.gramMatrix(Tables.embeddings(s, d))
 
   /** Salted skew join as a first-class catalog query: every events row
     * joins the 5-row per-type dim — 5 keys for 100k+ rows is exactly

@@ -130,16 +130,19 @@ object BenchScale {
         graft.operators.Multimodal.asPngPayload(docs, "text", "doc_id"))
         .agg(org.apache.spark.sql.functions.sum(col("checksum"))).head().getLong(0)
       val pngSec = (System.nanoTime() - t0) / 1e9
+      val pngMt = maxTaskMs.get() / 1e3
+      maxTaskMs.set(0) // per-stage straggler attribution
       val t1 = System.nanoTime()
       val frames = graft.operators.Multimodal.sampleFrames(
         graft.operators.Multimodal.asGifPayload(docs, "text", "doc_id"))
         .count()
       val gifSec = (System.nanoTime() - t1) / 1e9
+      val gifMt = maxTaskMs.get() / 1e3
       require(png != 0L && frames >= n, s"mm ladder sanity failed at n=$n")
-      (n, pngSec, gifSec, frames, maxTaskMs.get() / 1e3)
+      (n, pngSec, gifSec, frames, pngMt, gifMt)
     }
-    val rungJson = rungs.map { case (n, ps, gs, fr, mt) =>
-      f"""{"n_docs":$n,"png_sec":$ps%.2f,"png_docs_per_sec":${n / ps}%.0f,"gif_sec":$gs%.2f,"frames":$fr,"max_task_sec":$mt%.2f}"""
+    val rungJson = rungs.map { case (n, ps, gs, fr, pmt, gmt) =>
+      f"""{"n_docs":$n,"png_sec":$ps%.2f,"png_docs_per_sec":${n / ps}%.0f,"gif_sec":$gs%.2f,"frames":$fr,"png_max_task_sec":$pmt%.2f,"gif_max_task_sec":$gmt%.2f}"""
     }.mkString("[", ",", "]")
     println(s"""{"metric":"mm_scale","rungs":$rungJson}""")
   }

@@ -73,21 +73,15 @@ class QualitySignalsSpec extends SparkSpec {
       (1L, Seq(1.0f, 2.0f, 0.5f)),
       (2L, Seq(-1.0f, 0.0f, 2.0f))
     ).toDF("vec_id", "embedding")
-    // milli-units: v1 = (1000, 2000, 500), v2 = (-1000, 0, 2000).
-    // embGram reads Tables.embeddings from a dir; test the kernel by
-    // running the same expression chain over the local frame
-    val q = transform(col("embedding"), x => round(x.cast("double") * 1000).cast("long"))
-    val g = emb.select(q.as("q"))
-      .select(col("q"), posexplode(col("q")).as(Seq("i", "qi")))
-      .select(col("i"), col("qi"), posexplode(col("q")).as(Seq("j", "qj")))
-      .filter(col("j") >= col("i"))
-      .groupBy(col("i"), col("j")).agg(sum(col("qi") * col("qj")).as("g"))
-      .as[(Int, Int, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
-    assert(g((0, 0)) == 1000L * 1000 + 1000L * 1000)         // 2e6
-    assert(g((0, 1)) == 1000L * 2000 + -1000L * 0)           // 2e6
-    assert(g((0, 2)) == 1000L * 500 + -1000L * 2000)         // -1.5e6
-    assert(g((1, 2)) == 2000L * 500 + 0L * 2000)             // 1e6
-    assert(g((2, 2)) == 500L * 500 + 2000L * 2000)           // 4.25e6
+    // milli-units: v1 = (1000, 2000, 500), v2 = (-1000, 0, 2000);
+    // the SAME operator the catalog query calls
+    val g = Similarity.gramMatrix(emb)
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(g((0L, 0L)) == 1000L * 1000 + 1000L * 1000)       // 2e6
+    assert(g((0L, 1L)) == 1000L * 2000 + -1000L * 0)         // 2e6
+    assert(g((0L, 2L)) == 1000L * 500 + -1000L * 2000)       // -1.5e6
+    assert(g((1L, 2L)) == 2000L * 500 + 0L * 2000)           // 1e6
+    assert(g((2L, 2L)) == 500L * 500 + 2000L * 2000)         // 4.25e6
     assert(g.size == 6) // upper triangle of a 3x3
   }
 
