@@ -67,4 +67,26 @@ class SamplingSpec extends SparkSpec {
       .select("id").as[Long].collect().toSet
     assert(first == again && first.nonEmpty)
   }
+
+  test("mixture broadcast-join fallback (>64 sources) selects the same rows as the formula") {
+    // 100 sources x 30 rows: past the when-chain bound, so the
+    // broadcast (source, rate) join branch runs
+    val df = (0 until 3000).map(i => (i.toLong, s"dom${i % 100}")).toDF("id", "src")
+    val got = Sampling.mixtureSample(df, "id", "src",
+      Map("dom0" -> 0.5), defaultWeight = 0.5 / 99, budget = 300.0)
+      .select("id").as[Long].collect().toSet
+    // driver-side replica of the selection rule: decision(key,'mix') <
+    // min(1, budget * w / n) with the same md5-derived decision value
+    def decision(id: Long): Double = {
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"${id}_mix".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      (java.lang.Long.parseLong(md5, 16) % 2147483647L) / 2147483647.0
+    }
+    val want = (0 until 3000).filter { i =>
+      val w = if (i % 100 == 0) 0.5 else 0.5 / 99
+      decision(i.toLong) < math.min(1.0, 300.0 * w / 30)
+    }.map(_.toLong).toSet
+    assert(got == want && got.nonEmpty)
+  }
 }
