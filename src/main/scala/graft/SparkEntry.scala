@@ -79,6 +79,7 @@ object SparkEntry {
     "dd_components" -> ExtensionCatalog.ddComponents,
     "dd_components_stats" -> ExtensionCatalog.ddClusterStats,
     "dd_contaminated" -> ExtensionCatalog.ddContaminated,
+    "dd_crossdoc" -> ExtensionCatalog.ddCrossdoc,
     "ann_brute_force" -> ExtensionCatalog.annBruteForce,
     "ann_bucketed" -> ExtensionCatalog.annBucketed,
     "ann_ivf" -> ExtensionCatalog.annIvf,
@@ -90,6 +91,7 @@ object SparkEntry {
     "ds_sample_stratified" -> ExtensionCatalog.dsSampleStratified,
     "ds_split_assign" -> ExtensionCatalog.dsSplitAssign,
     "ds_mixture" -> ExtensionCatalog.dsMixture,
+    "ds_shuffle_rank" -> ExtensionCatalog.dsShuffleRank,
     "pipe_curate" -> ExtensionCatalog.pipeCurate,
     "pipe_pretrain" -> ExtensionCatalog.pipePretrain,
     "pipe_rag" -> ExtensionCatalog.pipeRag,
@@ -105,6 +107,7 @@ object SparkEntry {
     "ta_repetition" -> ExtensionCatalog.taRepetition,
     "ta_chunks" -> ExtensionCatalog.taChunks,
     "ta_tfidf" -> ExtensionCatalog.taTfidf,
+    "ta_entropy" -> ExtensionCatalog.taEntropy,
     "mm_decode_meta" -> ExtensionCatalog.mmDecodeMeta,
     "mm_resize" -> ExtensionCatalog.mmResize,
     "mm_frames" -> ExtensionCatalog.mmFrames

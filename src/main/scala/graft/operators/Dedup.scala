@@ -548,6 +548,48 @@ object Dedup {
     * the edge volume by the mean qualifying-degree (measured 2.78M →
     * 14k pairs at sf0.1) — at 100 TB, the difference between a
     * closure over ~|pairs| and ~|docs| edges. */
+  /** Cross-document duplicated-span fraction: for each document, the
+    * share of its DISTINCT token n-grams that also occur in at least
+    * one OTHER document — the corpus-level complement of
+    * [[TextAnalysis.repetition]]'s within-doc signal (catches
+    * boilerplate shared across pages, the span-level signal behind
+    * C4/RefinedWeb-style cross-doc span dedup rules).
+    *
+    * Plan shape mirrors ta_tfidf: ONE corpus scan and explode feeds a
+    * distinct-(doc, gram) stream; the gram's document frequency is a
+    * COUNT WINDOW over it partitioned by the gram (one row per
+    * (doc, gram) ⇒ the partition size IS the doc frequency) — no
+    * self-join, no second scan. Grams are reduced to 60-bit md5 hashes
+    * BEFORE the explode (`array_distinct` over the hashed gram array),
+    * so the wide exchange carries 8-byte keys, never gram text — at
+    * corpus scale the gram stream is ~n× the corpus, and shuffling it
+    * as strings is the difference between a pass and a re-shuffle of
+    * the whole corpus. Collisions (2^-60) would merge two grams'
+    * frequencies; the oracle hashes identically, so the contract is
+    * exact. Docs with fewer than `n` tokens have no grams and yield no
+    * row (the oracle agrees). Like [[graft.operators.TextAnalysis]]'s
+    * ta_ngrams, grams run over the raw ordered token array with no
+    * empty-token filter (only a whole-empty doc cleans to one empty
+    * token, and it has no n-gram). */
+  def crossDocNgrams(docs: DataFrame, textCol: String, idCol: String,
+                     n: Int = 3): DataFrame = {
+    require(n >= 2, "n >= 2 (a 1-gram fraction is just token overlap)")
+    val toksDf = docs.select(col(idCol).cast("long").as("doc_id"),
+        StatelessOps.tokenArray(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= n)
+    val gramsCol = expr(
+      s"transform(sequence(1, size(toks) - ${n - 1}), i -> concat_ws(' ', slice(toks, i, $n)))")
+    val gd = toksDf.select(col("doc_id"),
+      explode(array_distinct(transform(gramsCol, g => Hashing.md5Long(g)))).as("gh"))
+    val w = Window.partitionBy(col("gh"))
+    gd.withColumn("dfreq", count(lit(1)).over(w))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("dfreq") > 1, 1L).otherwise(0L)).as("dup_grams"))
+      .select(col("doc_id"), col("n_grams"), col("dup_grams"),
+        round(col("dup_grams").cast("double") / col("n_grams"), 6).as("dup_frac"))
+  }
+
   def ngramJaccard(docs: DataFrame, textCol: String, idCol: String,
                    threshold: Double, bands: Int = 4, rowsPerBand: Int = 8,
                    maxBucket: Int = 2048, spanningOnly: Boolean = false): DataFrame = {

@@ -102,4 +102,30 @@ object Sampling {
     }
     df.withColumn("split", assign)
   }
+
+  /** Deterministic global training order — the epoch-shuffle step of a
+    * pretraining pipeline: every row gets a pseudorandom but
+    * reproducible global rank (its position in ascending order of a
+    * salted md5 order key; a new `salt` is a new epoch permutation).
+    * Composes the salted-hash idiom with
+    * [[PrefixSum.globalRunningSum]]: the naive
+    * `row_number() over (order by key)` funnels the corpus through ONE
+    * reducer, while the range-partitioned two-pass prefix sum assigns
+    * the same ranks with no global sort — numPartitions longs to the
+    * driver, nothing else.
+    *
+    * The order key packs the salted 36-bit md5 hash above the id
+    * (`h·2^24 + id`), making it UNIQUE (PrefixSum's stated contract)
+    * whenever `id < 2^24` while staying pseudorandom in the high bits;
+    * ids colliding in the hash order among themselves by id, exactly
+    * the oracle's tiebreak-free `ORDER BY key` total order. Corpora
+    * with wider ids raise the shift — the hash/id bit split is a
+    * contract knob, not a structural limit. */
+  def shuffleRank(df: DataFrame, idCol: String, salt: String = "shuf"): DataFrame = {
+    val key = (Hashing.md5Long(concat(lit(salt + "_"), col(idCol).cast("string")))
+      % lit(1L << 36)) * lit(1L << 24) + col(idCol).cast("long")
+    PrefixSum.globalRunningSum(df.select(key.as("k"), lit(1L).as("v")), "k", "v")
+      .select((col("k") % lit(1L << 24)).as("doc_id"),
+        col("k").as("shuffle_key"), col("running").as("rank"))
+  }
 }

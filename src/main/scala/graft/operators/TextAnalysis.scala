@@ -87,6 +87,42 @@ object TextAnalysis {
       .withColumn("bpe_tokens", size(regexp_extract_all(col(textCol),
         lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"), lit(0))))
 
+  /** Per-document token-distribution signals: Shannon entropy of the
+    * token frequency distribution (in nats) and the type-token ratio —
+    * the information-density quality filters that catch low-diversity
+    * boilerplate (low entropy) which length/punctuation stats miss.
+    *
+    * Entirely per-row narrow expressions — no token explode, no
+    * shuffle at any corpus scale: sort the doc's token array, derive
+    * run lengths from group-start positions (a position starts a run
+    * iff it differs from its predecessor; counts = gaps between
+    * consecutive starts), then fold. Entropy terms accumulate as
+    * integer MICRO-NATS (round(1e6 · p·ln p) per distinct token, exact
+    * order-independent integer sum — the emb_centroid idiom; a raw
+    * double sum's last ulp depends on accumulation order, which the
+    * DuckDB twin's GROUP BY cannot reproduce). Docs with no tokens
+    * after cleaning yield no row, matching the oracle's group-of-zero
+    * behavior. */
+  def entropy(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = filter(StatelessOps.tokenArray(col(textCol)), t => length(t) > 0)
+    df.select(col(idCol).cast("long").as("doc_id"), toks.as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), array_sort(col("toks")).as("s"),
+        size(col("toks")).as("n"))
+      .withColumn("starts", expr(
+        "filter(sequence(1, n), i -> i = 1 OR element_at(s, i) != element_at(s, i - 1))"))
+      .withColumn("ent_micro", expr(
+        """aggregate(
+          |  zip_with(starts, concat(slice(starts, 2, size(starts)), array(n + 1)),
+          |           (a, b) -> b - a),
+          |  0L, (acc, c) -> acc - cast(round(1000000 * (c / n) * ln(c / n)) as long))"""
+          .stripMargin))
+      .select(col("doc_id"), col("n").cast("long").as("n_tokens"),
+        size(col("starts")).cast("long").as("n_distinct"),
+        round(col("ent_micro") / lit(1000000.0), 6).as("entropy"),
+        round(size(col("starts")).cast("double") / col("n"), 6).as("ttr"))
+  }
+
   /** Order-insensitive document fingerprint: modular sum of
     * md5-derived token hashes — a content-addressed id for cheap
     * near-exact duplicate detection; identical arithmetic in the

@@ -468,6 +468,25 @@ object ExtensionCatalog {
   val taTfidf: Q = (s, d) =>
     TextAnalysis.tfidfTopTerms(Tables.documents(s, d), "text", "doc_id")
 
+  /** Token-distribution entropy + type-token ratio per document —
+    * information-density quality signals; per-row narrow, zero
+    * shuffle (micro-nat integer accumulation for oracle parity). */
+  val taEntropy: Q = (s, d) =>
+    TextAnalysis.entropy(Tables.documents(s, d), "text", "doc_id")
+
+  /** Cross-document duplicated-span fraction: share of each doc's
+    * distinct 3-grams that occur in at least one other document
+    * (span-level boilerplate signal; one scan, hashed-gram shuffle,
+    * count-window doc frequency — the ta_tfidf plan shape). */
+  val ddCrossdoc: Q = (s, d) =>
+    Dedup.crossDocNgrams(Tables.documents(s, d), "text", "doc_id")
+
+  /** Deterministic global training order (epoch shuffle): pseudorandom
+    * md5-keyed global rank via the two-pass prefix sum — no global
+    * sort, numPartitions longs to the driver. */
+  val dsShuffleRank: Q = (s, d) =>
+    Sampling.shuffleRank(Tables.documents(s, d), "doc_id")
+
   /** The end-to-end curation pipeline the extension operators exist to
     * COMPOSE: quality gate → language gate → exact-dedup survivor per
     * content hash → stable train/valid/test assignment. The plan is

@@ -903,6 +903,48 @@ object Oracles {
         |  SELECT *, row_number() OVER (PARTITION BY doc_id
         |    ORDER BY score DESC, tok) AS rk FROM scored)
         |WHERE rk <= 3""".stripMargin,
+    // entropy twin: same tokenizer, per-token counts via GROUP BY
+    // instead of the sorted-array fold — terms meet in integer
+    // MICRO-NATS (round(1e6·p·ln p) per distinct token), so the
+    // order-dependent double sum never crosses engines
+    "ta_entropy" ->
+      """WITH tr AS (SELECT doc_id, unnest(string_split(trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z \n]+', '', 'g'), '\s+', ' ', 'g')), ' ')) AS tok FROM documents),
+        |t2 AS (SELECT doc_id, tok FROM tr WHERE length(tok) > 0),
+        |cnt AS (SELECT doc_id, tok, count(*) AS c FROM t2 GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n, count(*) AS nd FROM cnt GROUP BY 1)
+        |SELECT c.doc_id, max(t.n) AS n_tokens, CAST(max(t.nd) AS BIGINT) AS n_distinct,
+        |  round(-sum(CAST(round(1000000 * (c.c / t.n) * ln(c.c / t.n)) AS BIGINT))
+        |    / 1000000.0, 6) AS entropy,
+        |  round(max(t.nd) / max(t.n), 6) AS ttr
+        |FROM cnt c JOIN tot t USING (doc_id) GROUP BY 1""".stripMargin,
+    // cross-doc span twin: same raw-ordered-array 3-grams as
+    // ta_ngrams, same 60-bit md5 gram hash as the Spark explode, doc
+    // frequency as a count window over distinct (doc, gram-hash)
+    "dd_crossdoc" ->
+      """WITH arr AS (SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z \n]+', '', 'g'), '\s+', ' ', 'g')), ' ') AS toks FROM documents),
+        |g AS (SELECT DISTINCT doc_id,
+        |    ('0x' || substr(md5(toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]),1,15))::BIGINT AS gh
+        |  FROM arr, generate_series(1, 4000) s(i)
+        |  WHERE i <= len(toks) - 2
+        |    AND 1 = (SELECT CASE WHEN max(len(toks)) - 2 <= 4000 THEN 1
+        |      ELSE error('dd_crossdoc oracle: token series bound exceeded') END FROM arr)),
+        |d AS (SELECT doc_id, gh, count(*) OVER (PARTITION BY gh) AS dfreq FROM g)
+        |SELECT doc_id, count(*) AS n_grams,
+        |  CAST(sum(CASE WHEN dfreq > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_grams,
+        |  round(sum(CASE WHEN dfreq > 1 THEN 1 ELSE 0 END) / count(*), 6) AS dup_frac
+        |FROM d GROUP BY doc_id""".stripMargin,
+    // epoch-shuffle twin: identical packed order key (36-bit salted
+    // md5 above the id), global row_number — the single-reducer form
+    // the Spark side exists to avoid
+    "ds_shuffle_rank" ->
+      """WITH k AS (SELECT doc_id,
+        |    (('0x' || substr(md5('shuf_' || CAST(doc_id AS VARCHAR)),1,15))::BIGINT
+        |      % 68719476736) * 16777216 + doc_id AS shuffle_key
+        |  FROM documents)
+        |SELECT doc_id, shuffle_key, row_number() OVER (ORDER BY shuffle_key) AS rank
+        |FROM k""".stripMargin,
     "ds_split_assign" ->
       """SELECT doc_id, CASE WHEN d < 0.75 THEN 'train' WHEN d < 0.875 THEN 'valid'
         |    ELSE 'test' END AS split,

@@ -28,6 +28,41 @@ class QualitySignalsSpec extends SparkSpec {
     assert(got(4L)._3 == 0.0 && got(4L)._4 == 0.0)
   }
 
+  test("entropy: hand-checked micro-nat sums, uniform/degenerate/empty docs") {
+    val docs = Seq(
+      (1L, "a a b"),     // p = (2/3, 1/3): terms -270310, -366204 micro-nats
+      (2L, "a b c d"),   // uniform: 4 × round(1e6·(1/4)ln(1/4)) = 4 × -346574
+      (3L, "x x x x"),   // single type: entropy exactly 0
+      (4L, "")           // no tokens after cleaning: no row
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.entropy(docs, "text", "doc_id")
+      .as[(Long, Long, Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 3L, 2L, 0.636514, 0.666667)))
+    // micro-rounding contract: 1.386296, not ln(4) rounded (1.386294)
+    assert(got(2L) == ((2L, 4L, 4L, 1.386296, 1.0)))
+    assert(got(3L) == ((3L, 4L, 1L, 0.0, 0.25)))
+    assert(!got.contains(4L))
+  }
+
+  test("crossDocNgrams: shared spans across docs, within-doc repeats count once") {
+    val docs = Seq(
+      (1L, "a b c d"),         // grams: "a b c", "b c d"
+      (2L, "z a b c"),         // grams: "z a b", "a b c" (shared with 1 and 5)
+      (3L, "p q r"),           // unique gram
+      (4L, "a b"),             // too short: no grams, no row
+      (5L, "a b c a b c")      // distinct grams: "a b c", "b c a", "c a b"
+    ).toDF("doc_id", "text")
+    val got = Dedup.crossDocNgrams(docs, "text", "doc_id")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 2L, 1L, 0.5)))
+    assert(got(2L) == ((2L, 2L, 1L, 0.5)))
+    assert(got(3L) == ((3L, 1L, 0L, 0.0)))
+    assert(!got.contains(4L))
+    // "a b c" appears twice in doc 5 but is ONE distinct gram; the
+    // other two grams are unique to it
+    assert(got(5L) == ((5L, 3L, 1L, 0.333333)))
+  }
+
   test("quantizeInt8: zero vector yields scale 1, all-zero q, zero error") {
     val emb = Seq(
       (1L, Seq.fill(8)(0.0f)),

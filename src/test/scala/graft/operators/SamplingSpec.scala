@@ -89,4 +89,23 @@ class SamplingSpec extends SparkSpec {
     }.map(_.toLong).toSet
     assert(got == want && got.nonEmpty)
   }
+
+  test("shuffleRank: an exact permutation, deterministic, salt changes the order") {
+    val df = corpus(500)
+    val got = Sampling.shuffleRank(df, "id")
+      .as[(Long, Long, Long)].collect()
+    // every id appears once with ranks exactly 1..n
+    assert(got.map(_._1).toSet == (0L until 500L).toSet)
+    assert(got.map(_._3).sorted.toSeq == (1L to 500L))
+    // rank order is exactly ascending shuffle_key order
+    assert(got.sortBy(_._2).map(_._3).toSeq == (1L to 500L))
+    // repartitioning the input does not move a single rank
+    val again = Sampling.shuffleRank(df.repartition(17), "id")
+      .as[(Long, Long, Long)].collect()
+    assert(got.map(r => r._1 -> r._3).toMap == again.map(r => r._1 -> r._3).toMap)
+    // a different salt is a different epoch permutation
+    val epoch2 = Sampling.shuffleRank(df, "id", salt = "epoch2")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(got.map(r => r._1 -> r._3).toMap != epoch2)
+  }
 }

@@ -82,10 +82,24 @@ class PlanAuditSpec extends SparkSpec {
     // narrow filter. ta_chunks' explode is per-row.
     Seq("emb_quantize", "ta_repetition", "ds_sample_hash", "ds_split_assign",
       "ta_langid", "ta_quality", "ta_fingerprint", "ds_mixture",
-      "ta_chunks").foreach { q =>
+      "ta_chunks", "ta_entropy").foreach { q =>
       val p = plan(q)
       assert(!p.contains("Exchange"), s"$q grew a shuffle Exchange")
     }
+  }
+
+  test("dd_crossdoc: ONE corpus scan, hashed-gram keys, key-parallel window") {
+    val p = plan("dd_crossdoc")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "dd_crossdoc plans a cartesian/BNL join")
+    // doc frequency is a count window over the distinct (doc, gram-hash)
+    // stream — the corpus must scan and explode exactly ONCE (a df join
+    // branch would re-explode it, the ta_tfidf lesson)
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).size == 1,
+      "dd_crossdoc scans the corpus more than once — df regressed to a join branch")
+    // the wide exchanges must carry the 60-bit gram hash, never gram text
+    assert(p.contains("md5_long60"),
+      "gram hashing left the explode — the shuffle would carry gram strings")
   }
 
   test("ta_tfidf: ONE corpus scan, key-parallel windows, no cartesian") {
