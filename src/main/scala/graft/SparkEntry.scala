@@ -86,6 +86,7 @@ object SparkEntry {
     "emb_centroid" -> ExtensionCatalog.embCentroid,
     "emb_quantize" -> ExtensionCatalog.embQuantize,
     "emb_gram" -> ExtensionCatalog.embGram,
+    "emb_pq" -> ExtensionCatalog.embPq,
     "j_skew_salted" -> ExtensionCatalog.jSkewSalted,
     "ds_sample_hash" -> ExtensionCatalog.dsSampleHash,
     "ds_sample_stratified" -> ExtensionCatalog.dsSampleStratified,

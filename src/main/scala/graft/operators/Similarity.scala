@@ -328,4 +328,119 @@ object Similarity {
     // vector can match a query at most once — no pair dedup needed
     scoreTopK(c.join(broadcast(probes), "bucket"), k)
   }
+
+  /** Product-quantization codebooks (Jégou et al. 2011): split each
+    * `dim`-vector into `m` contiguous subvectors of dim/m, and train
+    * an independent `ksub`-centroid L2 k-means per subspace. The PQ
+    * code (m small ints per vector) replaces the float vector for
+    * distance estimation — dim·4 bytes → m bytes per vector, the
+    * memory-bounded ANN representation at corpus scale (int8
+    * [[quantizeInt8]] is 4×; PQ here is 32×).
+    *
+    * Same determinism contract as [[kmeansTrain]], hardened to PURE
+    * INTEGER arithmetic: init = the ksub md5-smallest vectors' slices
+    * (ONE shared order statistic seeds all m subspaces) quantized to
+    * micro-units, assignment = argmin integer micro-unit L2² with a
+    * centroid-id tiebreak, update = integer half-away-from-zero mean
+    * of the members' micro components. Centroids never exist as
+    * rounded doubles — a round(mean, 6) double carried between
+    * iterations measurably split the engines at exact-half
+    * boundaries (power-of-two cluster sizes make s/n binary-exact,
+    * and BigDecimal-vs-float rounding of the SAME true value then
+    * disagrees); integer division has no such boundary. Empty
+    * clusters keep their centroid. All m subspaces train in the SAME
+    * distributed pass: one job per Lloyd iteration computes every
+    * (subspace, centroid) statistic — m·ksub rows to the driver,
+    * never per-subspace job fan-out. Returns driver-held (subspace,
+    * cent_id, micro-unit values) rows — m·ksub·(dim/m) longs,
+    * bounded. */
+  def pqTrain(corpus: DataFrame, m: Int = 8, ksub: Int = 16, iters: Int = 2,
+              dim: Int = 64, seedTag: String = "pq"): Seq[(Int, Long, Seq[Long])] = {
+    require(dim % m == 0, s"dim=$dim must split into m=$m equal subvectors")
+    val dSub = dim / m
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val corpusD = corpus.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("embD"))
+    val initRows = corpusD
+      .withColumn("hk", md5(concat(lit(seedTag + "_"), col("vec_id").cast("string"))))
+      .orderBy(col("hk"), col("vec_id")).limit(ksub)
+      .select(col("hk"), col("vec_id"),
+        transform(col("embD"), x => round(x * 1000000).cast("long")).as("embM"))
+      .as[(String, Long, Seq[Long])].collect()
+      .sortBy(r => (r._1, r._2))
+    var books: Seq[(Int, Long, Seq[Long])] = for {
+      sub <- 0 until m
+      ((_, _, emb), i) <- initRows.zipWithIndex
+    } yield (sub, i.toLong, emb.slice(sub * dSub, (sub + 1) * dSub))
+    // half-away-from-zero integer mean — the integer twin of round()
+    def meanHalfUp(s: Long, n: Long): Long =
+      if (s >= 0) (2 * s + n) / (2 * n) else -((2 * -s + n) / (2 * n))
+    (1 to iters).foreach { _ =>
+      val sums = (0 until dSub).map(j =>
+        sum(element_at(col("sub_m"), j + 1)).as(s"s$j"))
+      // ONE job: per-(vector, subspace) argmin-L2 assignment + micro-
+      // unit sums, collapsing to ≤ m·ksub rows on the driver
+      val stats = corpusD
+        .crossJoin(broadcast(spark.createDataset(books).toDF("sub", "cent_id", "cent_m")))
+        .withColumn("sub_m", expr(
+          s"transform(slice(embD, sub * $dSub + 1, $dSub), x -> cast(round(x * 1000000) as long))"))
+        .withColumn("d2", microL2(col("sub_m"), col("cent_m")))
+        .groupBy(col("vec_id"), col("sub"))
+        .agg(min_by(struct(col("cent_id"), col("sub_m")),
+          struct(col("d2"), col("cent_id"))).as("best"))
+        .select(col("sub"), col("best.cent_id").as("cent_id"),
+          col("best.sub_m").as("sub_m"))
+        .groupBy(col("sub"), col("cent_id"))
+        .agg(count(lit(1)).as("n"), sums: _*)
+        .collect()
+      val means = stats.map { r =>
+        val n = r.getLong(2)
+        (r.getInt(0), r.getLong(1)) -> (0 until dSub).map(j =>
+          meanHalfUp(r.getLong(j + 3), n))
+      }.toMap
+      books = books.map { case (sub, c, emb) =>
+        (sub, c, means.getOrElse((sub, c), emb)) }
+    }
+    books
+  }
+
+  /** Exact integer micro-unit L2² over two already-quantized long
+    * arrays. Order-independent, boundary-free: the assignment ranking
+    * and the error witness share one integer value. */
+  private def microL2(aMicro: Column, bMicro: Column): Column =
+    aggregate(zip_with(aMicro, bMicro, (x, y) => (x - y) * (x - y)),
+      lit(0L), (s, v) => s + v)
+
+  /** PQ encoding: each vector's per-subspace argmin-L2 code plus the
+    * exact integer micro²-unit quantization error Σ_sub d²_micro
+    * — the reconstruction-quality witness. One broadcast of the m·ksub
+    * codebook rows, one narrow pass over the corpus, one bounded
+    * aggregation per vector: no corpus shuffle beyond the m-way
+    * in-row explode (the wide exchange carries (vec, sub, code)
+    * triples, never embeddings). At serving scale the emitted codes
+    * ARE the compressed corpus. */
+  def pqAssign(corpus: DataFrame, books: Seq[(Int, Long, Seq[Long])],
+               m: Int = 8, dim: Int = 64): DataFrame = {
+    val dSub = dim / m
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val bookDf = broadcast(spark.createDataset(books).toDF("sub", "cent_id", "cent_m"))
+    corpus.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("embD"))
+      .crossJoin(bookDf)
+      .withColumn("sub_m", expr(
+        s"transform(slice(embD, sub * $dSub + 1, $dSub), x -> cast(round(x * 1000000) as long))"))
+      .withColumn("d2", microL2(col("sub_m"), col("cent_m")))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min_by(struct(col("cent_id"), col("d2")),
+        struct(col("d2"), col("cent_id"))).as("best"))
+      .select(col("vec_id"), col("sub"), col("best.cent_id").as("code"),
+        col("best.d2").as("errm"))
+      .groupBy(col("vec_id"))
+      .agg(max(when(col("sub") === 0, col("code"))).as("c0"),
+        (1 until m).map(j =>
+          max(when(col("sub") === j, col("code"))).as(s"c$j")) :+
+          sum(col("errm")).as("err_micro2"): _*)
+  }
 }

@@ -264,6 +264,30 @@ object ExtensionCatalog {
       Tables.embeddings(s, d).filter(col("vec_id") < 20), k = 10)
   }
 
+  /** Trained PQ codebooks per (session, dir, fingerprint) —
+    * driver-held like centroidMemo (m·ksub·dSub doubles, no Spark
+    * storage). Codebooks build once; encodings probe many. */
+  private val pqMemo = new java.util.concurrent.atomic.AtomicReference[
+    (String, Seq[(Int, Long, Seq[Long])])]()
+
+  private def trainedBooks(s: SparkSession, d: String): Seq[(Int, Long, Seq[Long])] = {
+    val key = memoKey(s, d, "embeddings")
+    pqMemo.get() match {
+      case (k, b) if k == key => b
+      case _ =>
+        val b = Similarity.pqTrain(Tables.embeddings(s, d))
+        pqMemo.set((key, b))
+        b
+    }
+  }
+
+  /** Product quantization: 8 subspaces × 16 L2-k-means centroids
+    * (trained once per data fingerprint), per-vector 8-byte codes +
+    * the exact micro-unit reconstruction-error witness — the 32×
+    * memory-bounded ANN representation at corpus scale. */
+  val embPq: Q = (s, d) =>
+    Similarity.pqAssign(Tables.embeddings(s, d), trainedBooks(s, d))
+
   /** Per-label embedding centroids (the IVF-training / cluster-
     * diagnostics primitive), one row per (label, dimension). The
     * posexplode widens each vector to 64 rows, but hash-agg partials

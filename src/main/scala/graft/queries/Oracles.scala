@@ -65,6 +65,65 @@ object Oracles {
     s"""$nbitsCte,
        |b AS (SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings, nb)""".stripMargin
 
+  // ---- product-quantization twin (emb_pq) ----
+  // Per-subspace unrolled two-iteration L2 k-means mirroring
+  // Similarity.pqTrain/pqAssign exactly, in PURE INTEGER micro-units:
+  // shared md5-smallest init quantized once, argmin integer L2² with
+  // cent-id tiebreak, half-away-from-zero integer means (a rounded
+  // DOUBLE mean diverges at exact-half boundaries — power-of-two
+  // cluster sizes make s/n binary-exact and the engines' round()
+  // implementations then disagree), empty clusters carry over; the
+  // final encode emits the code and the integer error witness.
+  private def pqSubCtes(j: Int): String = {
+    val lo = j * 8 + 1
+    val hi = j * 8 + 8
+    // exact integer micro-unit L2² — Similarity.microL2's SQL twin
+    def dist(cents: String, tag: String) =
+      s"""d$j$tag AS (SELECT s.vec_id, s.sv, c.cent_id,
+         |    list_sum(list_transform(generate_series(1, 8),
+         |      i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]))) AS d2
+         |  FROM s$j s, $cents c)""".stripMargin
+    def iter(n: Int, prev: String) =
+      s"""${dist(prev, n.toString)},
+         |a$j$n AS (SELECT vec_id, sv, cent_id,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS crn FROM d$j$n),
+         |m$j$n AS (SELECT cent_id, dimi,
+         |    CAST(CASE WHEN s >= 0 THEN (2 * s + cnt) // (2 * cnt)
+         |      ELSE -((2 * -s + cnt) // (2 * cnt)) END AS BIGINT) AS cval
+         |  FROM (SELECT cent_id, i AS dimi, sum(sv[i]) AS s, count(*) AS cnt
+         |    FROM a$j$n, generate_series(1, 8) g(i) WHERE crn = 1 GROUP BY 1, 2)),
+         |g$j$n AS (SELECT cent_id, list(cval ORDER BY dimi) AS cv FROM m$j$n GROUP BY 1),
+         |c$j$n AS (SELECT c.cent_id, coalesce(g.cv, c.cv) AS cv
+         |  FROM $prev c LEFT JOIN g$j$n g USING (cent_id))""".stripMargin
+    s"""s$j AS (SELECT vec_id,
+       |    list_transform(embD[$lo:$hi], x -> CAST(round(x * 1000000) AS BIGINT)) AS sv
+       |  FROM seedpq),
+       |c${j}0 AS (SELECT cent_id,
+       |    list_transform(embD[$lo:$hi], x -> CAST(round(x * 1000000) AS BIGINT)) AS cv
+       |  FROM initpq),
+       |${iter(1, s"c${j}0")},
+       |${iter(2, s"c${j}1")},
+       |${dist(s"c${j}2", "f")},
+       |f$j AS (SELECT vec_id, cent_id AS c$j, CAST(d2 AS BIGINT) AS errm$j
+       |  FROM (SELECT vec_id, cent_id, d2,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS crn FROM d${j}f)
+       |  WHERE crn = 1)""".stripMargin
+  }
+
+  private def pqOracle: String = {
+    val subs = (0 until 8).map(pqSubCtes).mkString(",\n")
+    val joins = (1 until 8).map(j => s"JOIN f$j USING (vec_id)").mkString(" ")
+    val codes = (0 until 8).map(j => s"f$j.c$j").mkString(", ")
+    val errs = (0 until 8).map(j => s"f$j.errm$j").mkString(" + ")
+    s"""WITH seedpq AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embD,
+       |    md5('pq_' || CAST(vec_id AS VARCHAR)) AS hk FROM embeddings),
+       |initpq AS (SELECT row_number() OVER (ORDER BY hk, vec_id) - 1 AS cent_id, embD
+       |  FROM (SELECT * FROM seedpq ORDER BY hk, vec_id LIMIT 16)),
+       |$subs
+       |SELECT f0.vec_id, $codes, CAST($errs AS BIGINT) AS err_micro2
+       |FROM f0 $joins""".stripMargin
+  }
+
   private def sigCte(k: Int): String =
     s"""$tokCte,
        |sig AS (SELECT doc_id, ${(0 until k).map(mh).mkString(", ")}
@@ -935,6 +994,8 @@ object Oracles {
         |  CAST(sum(CASE WHEN dfreq > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_grams,
         |  round(sum(CASE WHEN dfreq > 1 THEN 1 ELSE 0 END) / count(*), 6) AS dup_frac
         |FROM d GROUP BY doc_id""".stripMargin,
+    // PQ twin: 8 generated per-subspace k-means chains (see pqSubCtes)
+    "emb_pq" -> pqOracle,
     // epoch-shuffle twin: identical packed order key (36-bit salted
     // md5 above the id), global row_number — the single-reducer form
     // the Spark side exists to avoid

@@ -75,4 +75,23 @@ class KMeansSpec extends SparkSpec {
     assert(cents.length == 3) // starved centroid carried, not dropped
     assert(cents.forall(_._2.length == 64))
   }
+
+  test("PQ: codebooks deterministic across layouts; ksub-point corpus encodes exactly") {
+    val base = corpus(100)
+    val a = Similarity.pqTrain(base)
+    val b = Similarity.pqTrain(base.repartition(7))
+    assert(a == b) // pure integer training: bit-identical
+    assert(a.size == 8 * 16 && a.forall(_._3.length == 8))
+    // a corpus of exactly ksub vectors seeds every vector as its own
+    // subspace centroid; one-member means reproduce it — every vector
+    // must encode with ZERO micro-unit reconstruction error
+    val tiny = corpus(16)
+    val codes = Similarity.pqAssign(tiny, Similarity.pqTrain(tiny))
+    val got = codes.selectExpr("vec_id", "err_micro2",
+        "least(c0,c1,c2,c3,c4,c5,c6,c7)", "greatest(c0,c1,c2,c3,c4,c5,c6,c7)")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.length == 16)
+    assert(got.forall(_._2 == 0L), "self-codebook must reconstruct exactly")
+    assert(got.forall(r => r._3 >= 0 && r._4 <= 15), "codes out of [0, ksub)")
+  }
 }

@@ -88,6 +88,14 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("emb_pq: codebook broadcast against the corpus, never a sort-merge join") {
+    val p = plan("emb_pq")
+    // the m·ksub codebook rows must broadcast (the deliberate tiny
+    // cross join); a SortMergeJoin would shuffle the embedding corpus
+    assert(p.contains("BroadcastExchange"), "PQ codebook lost its broadcast")
+    assert(!p.contains("SortMergeJoin"), "emb_pq shuffles the corpus to meet the codebook")
+  }
+
   test("dd_crossdoc: ONE corpus scan, hashed-gram keys, key-parallel window") {
     val p = plan("dd_crossdoc")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
