@@ -83,6 +83,7 @@ object SparkEntry {
     "ann_brute_force" -> ExtensionCatalog.annBruteForce,
     "ann_bucketed" -> ExtensionCatalog.annBucketed,
     "ann_ivf" -> ExtensionCatalog.annIvf,
+    "ann_pq" -> ExtensionCatalog.annPq,
     "emb_centroid" -> ExtensionCatalog.embCentroid,
     "emb_quantize" -> ExtensionCatalog.embQuantize,
     "emb_gram" -> ExtensionCatalog.embGram,

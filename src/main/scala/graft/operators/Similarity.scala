@@ -443,4 +443,50 @@ object Similarity {
           max(when(col("sub") === j, col("code"))).as(s"c$j")) :+
           sum(col("errm")).as("err_micro2"): _*)
   }
+
+  /** PQ asymmetric-distance search (ADC, the serving half of product
+    * quantization): rank the ENCODED corpus against float queries.
+    * Each query pre-computes its integer micro-unit L2² to every
+    * (subspace, centroid) — a q·m·ksub-row lookup table — and a corpus
+    * vector's approximate distance is the 8-entry LUT sum selected by
+    * its stored code: the corpus is scanned as m-byte codes, never as
+    * floats. The LUT joins are all BROADCAST (bounded by the query
+    * batch), the scan is one narrow pass over codes × queries (the
+    * inherent O(n·q) ADC work), and top-k is the bounded mergeable
+    * [[graft.functions.TopKPairs]] aggregate — map-side combine caps
+    * each partition at k rows per query, so nothing corpus-sized
+    * shuffles. Distances stay exact integers end to end (< 2^53, so
+    * the aggregate's double score ranks them exactly); ties break on
+    * vec_id, the cross-engine contract. */
+  def pqSearch(encoded: DataFrame, books: Seq[(Int, Long, Seq[Long])],
+               queries: DataFrame, k: Int, m: Int = 8, dim: Int = 64): DataFrame = {
+    val dSub = dim / m
+    val spark = encoded.sparkSession
+    import spark.implicits._
+    val bookDf = spark.createDataset(books).toDF("sub", "cent_id", "cent_m")
+    val lut = queries.select(col("vec_id").as("query_id"),
+        transform(col("embedding"), x => x.cast("double")).as("embD"))
+      .crossJoin(bookDf)
+      .withColumn("sub_m", expr(
+        s"transform(slice(embD, sub * $dSub + 1, $dSub), x -> cast(round(x * 1000000) as long))"))
+      .select(col("query_id"), col("sub"), col("cent_id"),
+        microL2(col("sub_m"), col("cent_m")).as("d2"))
+    val qids = queries.select(col("vec_id").as("query_id"))
+    var scored = encoded.crossJoin(broadcast(qids))
+    (0 until m).foreach { j =>
+      val lj = lut.filter(col("sub") === j)
+        .select(col("query_id"), col("cent_id").as(s"c$j"), col("d2").as(s"d$j"))
+      scored = scored.join(broadcast(lj), Seq("query_id", s"c$j"))
+    }
+    val adist = (0 until m).map(j => col(s"d$j")).reduce(_ + _)
+    scored.filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), adist.as("adist"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKPairs.topKPairs(
+        (-col("adist")).cast("double"), col("vec_id"), k).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "s")))
+      .select(col("query_id"), col("s.id").as("vec_id"),
+        (-col("s.score")).cast("long").as("adist"),
+        (col("pos") + 1).cast("int").as("rk"))
+  }
 }

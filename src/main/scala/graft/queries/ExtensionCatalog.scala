@@ -288,6 +288,32 @@ object ExtensionCatalog {
   val embPq: Q = (s, d) =>
     Similarity.pqAssign(Tables.embeddings(s, d), trainedBooks(s, d))
 
+  /** The encoded PQ corpus, checkpointed once per data fingerprint —
+    * at serving scale the codes ARE the written index (same
+    * train-once/encode-once/probe-many discipline as ivfIndexMemo). */
+  private val pqIndexMemo =
+    new java.util.concurrent.atomic.AtomicReference[(String, DataFrame)]()
+
+  /** PQ asymmetric-distance ANN: the fourth search shape (brute /
+    * sign-LSH / IVF / PQ-ADC) — queries rank the 8-byte-encoded corpus
+    * through broadcast integer lookup tables; codes and codebooks are
+    * served from the per-fingerprint memos. */
+  val annPq: Q = (s, d) => {
+    val key = memoKey(s, d, "embeddings")
+    val books = trainedBooks(s, d)
+    val encoded = pqIndexMemo.get() match {
+      case (k, df) if k == key => df
+      case _ =>
+        val df = Similarity.pqAssign(Tables.embeddings(s, d), books)
+          .localCheckpoint()
+        val prev = pqIndexMemo.getAndSet((key, df))
+        if (prev != null && !(prev._2 eq df)) unpersistCheckpoint(prev._2)
+        df
+    }
+    Similarity.pqSearch(encoded, books,
+      Tables.embeddings(s, d).filter(col("vec_id") < 20), k = 10)
+  }
+
   /** Per-label embedding centroids (the IVF-training / cluster-
     * diagnostics primitive), one row per (label, dimension). The
     * posexplode widens each vector to 64 rows, but hash-agg partials

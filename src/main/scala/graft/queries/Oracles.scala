@@ -110,7 +110,15 @@ object Oracles {
        |  WHERE crn = 1)""".stripMargin
   }
 
-  private def pqOracle: String = {
+  /** Force DuckDB to materialize every CTE of the generated PQ
+    * queries: the training chains are referenced more than once (code
+    * chain + query LUTs), and default CTE inlining re-evaluates each
+    * reference — the ann_pq tree ran > 7 min inlined vs 1.5 s
+    * materialized at sf0.01. */
+  private def materializeCtes(sql: String): String =
+    sql.replace("AS (SELECT", "AS MATERIALIZED (SELECT")
+
+  private def pqOracle: String = materializeCtes {
     val subs = (0 until 8).map(pqSubCtes).mkString(",\n")
     val joins = (1 until 8).map(j => s"JOIN f$j USING (vec_id)").mkString(" ")
     val codes = (0 until 8).map(j => s"f$j.c$j").mkString(", ")
@@ -122,6 +130,38 @@ object Oracles {
        |$subs
        |SELECT f0.vec_id, $codes, CAST($errs AS BIGINT) AS err_micro2
        |FROM f0 $joins""".stripMargin
+  }
+
+  /** ADC search twin: same generated per-subspace chains, then each
+    * query's integer LUT against the final codebooks and the 8-way
+    * LUT-sum ranking with the vec_id tiebreak. */
+  private def annPqOracle: String = materializeCtes {
+    val subs = (0 until 8).map(pqSubCtes).mkString(",\n")
+    val joins = (1 until 8).map(j => s"JOIN f$j USING (vec_id)").mkString(" ")
+    val codeCols = (0 until 8).map(j => s"f$j.c$j").mkString(", ")
+    val luts = (0 until 8).map { j =>
+      s"""qs$j AS (SELECT vec_id AS query_id, sv FROM s$j WHERE vec_id < 20),
+         |l$j AS (SELECT q.query_id, c.cent_id,
+         |    list_sum(list_transform(generate_series(1, 8),
+         |      i -> (q.sv[i] - c.cv[i]) * (q.sv[i] - c.cv[i]))) AS d2
+         |  FROM qs$j q, c${j}2 c)""".stripMargin
+    }.mkString(",\n")
+    val lutJoins = (1 until 8).map(j =>
+      s"JOIN l$j ON l$j.query_id = l0.query_id AND l$j.cent_id = c.c$j").mkString(" ")
+    val distSum = (0 until 8).map(j => s"l$j.d2").mkString(" + ")
+    s"""WITH seedpq AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embD,
+       |    md5('pq_' || CAST(vec_id AS VARCHAR)) AS hk FROM embeddings),
+       |initpq AS (SELECT row_number() OVER (ORDER BY hk, vec_id) - 1 AS cent_id, embD
+       |  FROM (SELECT * FROM seedpq ORDER BY hk, vec_id LIMIT 16)),
+       |$subs,
+       |codes AS (SELECT f0.vec_id, $codeCols FROM f0 $joins),
+       |$luts,
+       |adc AS (SELECT l0.query_id, c.vec_id, ($distSum) AS adist
+       |  FROM codes c JOIN l0 ON l0.cent_id = c.c0 $lutJoins
+       |  WHERE c.vec_id <> l0.query_id)
+       |SELECT query_id, vec_id, CAST(adist AS BIGINT) AS adist, rk FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adist, vec_id) AS rk
+       |  FROM adc) WHERE rk <= 10""".stripMargin
   }
 
   private def sigCte(k: Int): String =
@@ -996,6 +1036,8 @@ object Oracles {
         |FROM d GROUP BY doc_id""".stripMargin,
     // PQ twin: 8 generated per-subspace k-means chains (see pqSubCtes)
     "emb_pq" -> pqOracle,
+    // PQ-ADC search twin: codes + per-query integer LUTs (annPqOracle)
+    "ann_pq" -> annPqOracle,
     // epoch-shuffle twin: identical packed order key (36-bit salted
     // md5 above the id), global row_number — the single-reducer form
     // the Spark side exists to avoid

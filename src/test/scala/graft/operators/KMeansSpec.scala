@@ -94,4 +94,33 @@ class KMeansSpec extends SparkSpec {
     assert(got.forall(_._2 == 0L), "self-codebook must reconstruct exactly")
     assert(got.forall(r => r._3 >= 0 && r._4 <= 15), "codes out of [0, ksub)")
   }
+
+  test("pqSearch: ADC ranking matches a driver-side integer replica") {
+    val base = corpus(60)
+    val books = Similarity.pqTrain(base)
+    val enc = Similarity.pqAssign(base, books)
+    val got = Similarity.pqSearch(enc, books, base.filter(col("vec_id") < 3), k = 5)
+      .as[(Long, Long, Long, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._4).map(r => (r._2, r._3)).toSeq).toMap
+    // driver replica: micro-quantize each vector (HALF_UP, the round()
+    // twin), look its stored code's centroid up per subspace, rank by
+    // (integer LUT-sum asc, vec_id asc)
+    def micro(x: Double): Long =
+      BigDecimal(x * 1000000).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val vecs = base.as[(Long, Seq[Float])].collect().toMap
+      .map { case (k, v) => k -> v.map(x => micro(x.toDouble)) }
+    val codes = enc.selectExpr("vec_id", "array(c0,c1,c2,c3,c4,c5,c6,c7)")
+      .as[(Long, Seq[Long])].collect().toMap
+    val bookMap = books.map { case (s, c, emb) => (s, c) -> emb }.toMap
+    def adist(q: Long, v: Long): Long = (0 until 8).map { j =>
+      val qs = vecs(q).slice(j * 8, j * 8 + 8)
+      val cv = bookMap((j, codes(v)(j)))
+      qs.zip(cv).map { case (a, b) => (a - b) * (a - b) }.sum
+    }.sum
+    (0L until 3L).foreach { q =>
+      val want = vecs.keys.filter(_ != q).toSeq
+        .map(v => (v, adist(q, v))).sortBy { case (v, d) => (d, v) }.take(5)
+      assert(got(q) == want, s"query $q ADC ranking diverged from the replica")
+    }
+  }
 }

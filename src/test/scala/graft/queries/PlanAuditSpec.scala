@@ -96,6 +96,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), "emb_pq shuffles the corpus to meet the codebook")
   }
 
+  test("ann_pq: every LUT join broadcasts; the encoded corpus never sort-merges") {
+    val p = plan("ann_pq")
+    assert(p.contains("BroadcastHashJoin"), "ann_pq LUT joins lost their broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "ann_pq shuffles the encoded corpus to meet a query LUT")
+  }
+
   test("dd_crossdoc: ONE corpus scan, hashed-gram keys, key-parallel window") {
     val p = plan("dd_crossdoc")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
