@@ -376,33 +376,58 @@ object Similarity {
     // half-away-from-zero integer mean — the integer twin of round()
     def meanHalfUp(s: Long, n: Long): Long =
       if (s >= 0) (2 * s + n) / (2 * n) else -((2 * -s + n) / (2 * n))
-    (1 to iters).foreach { _ =>
-      val sums = (0 until dSub).map(j =>
-        sum(element_at(col("sub_m"), j + 1)).as(s"s$j"))
-      // ONE job: per-(vector, subspace) argmin-L2 assignment + micro-
-      // unit sums, collapsing to ≤ m·ksub rows on the driver
-      val stats = corpusD
-        .crossJoin(broadcast(spark.createDataset(books).toDF("sub", "cent_id", "cent_m")))
-        .withColumn("sub_m", expr(
-          s"transform(slice(embD, sub * $dSub + 1, $dSub), x -> cast(round(x * 1000000) as long))"))
-        .withColumn("d2", microL2(col("sub_m"), col("cent_m")))
-        .groupBy(col("vec_id"), col("sub"))
-        .agg(min_by(struct(col("cent_id"), col("sub_m")),
-          struct(col("d2"), col("cent_id"))).as("best"))
-        .select(col("sub"), col("best.cent_id").as("cent_id"),
-          col("best.sub_m").as("sub_m"))
-        .groupBy(col("sub"), col("cent_id"))
-        .agg(count(lit(1)).as("n"), sums: _*)
-        .collect()
-      val means = stats.map { r =>
-        val n = r.getLong(2)
-        (r.getInt(0), r.getLong(1)) -> (0 until dSub).map(j =>
-          meanHalfUp(r.getLong(j + 3), n))
-      }.toMap
-      books = books.map { case (sub, c, emb) =>
-        (sub, c, means.getOrElse((sub, c), emb)) }
+    // Quantize + slice each vector ONCE into (vec_id, sub, sub_m) —
+    // m short rows per vector, instead of re-slicing 64 doubles per
+    // (vector × m·ksub codebook row) pair inside the loop. The frame
+    // is repartitioned to executor width because the downstream join
+    // is narrow and otherwise inherits the input's file-split count
+    // (a bin-packed small-file scan runs the whole expansion in 1-2
+    // tasks), and eagerly checkpointed because every Lloyd iteration
+    // re-reads it. Callers train on a bounded/sampled corpus at real
+    // scale, so the checkpoint footprint is the caller's sample size.
+    val subRows = corpusD
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("vec_id"), posexplode(expr(
+        s"""transform(sequence(0, ${m - 1}), s ->
+           |  transform(slice(embD, s * $dSub + 1, $dSub),
+           |            x -> cast(round(x * 1000000) as long)))""".stripMargin))
+        .as(Seq("sub", "sub_m")))
+      .localCheckpoint()
+    try {
+      (1 to iters).foreach { _ =>
+        val sums = (0 until dSub).map(j =>
+          sum(element_at(col("sub_m"), j + 1)).as(s"s$j"))
+        // ONE job: the current codebooks ship as a LITERAL inside the
+        // argmin expression (they are driver-held anyway), so each
+        // (vector, subspace) row scans its ksub candidates in-place —
+        // no join, no per-pair intermediate — and the single groupBy
+        // map-side-combines to ≤ m·ksub rows before the shuffle
+        val bkLit = typedLit((0 until m).map(s =>
+          books.filter(_._1 == s).sortBy(_._2).map(_._3)))
+        val stats = subRows
+          .withColumn("cent_id",
+            pqArgmin(col("sub_m"), element_at(bkLit, col("sub") + 1), ksub)
+              .getField("c"))
+          .groupBy(col("sub"), col("cent_id"))
+          .agg(count(lit(1)).as("n"), sums: _*)
+          .collect()
+        val means = stats.map { r =>
+          val n = r.getLong(2)
+          (r.getInt(0), r.getLong(1)) -> (0 until dSub).map(j =>
+            meanHalfUp(r.getLong(j + 3), n))
+        }.toMap
+        books = books.map { case (sub, c, emb) =>
+          (sub, c, means.getOrElse((sub, c), emb)) }
+      }
+      books
+    } finally {
+      // training-scoped storage: release the checkpoint blocks before
+      // returning the (driver-held) codebooks
+      try subRows.queryExecution.logical match {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
+        case _ => ()
+      } catch { case _: Throwable => () }
     }
-    books
   }
 
   /** Exact integer micro-unit L2² over two already-quantized long
@@ -412,36 +437,58 @@ object Similarity {
     aggregate(zip_with(aMicro, bMicro, (x, y) => (x - y) * (x - y)),
       lit(0L), (s, v) => s + v)
 
+  /** Argmin-L2 of one micro-unit subvector against `ksub` candidate
+    * centroids held in a (literal) array-of-arrays column: folds the
+    * candidates to struct(c = code, d = micro-L2²), strict `<` so
+    * ties keep the LOWER code — the same contract as ranking by
+    * struct(d2, cent_id). Shared by training assignment and encoding,
+    * so the two can never disagree on a boundary. */
+  private def pqArgmin(subMicro: Column, cents: Column, ksub: Int): Column =
+    aggregate(
+      sequence(lit(0), lit(ksub - 1)),
+      struct(lit(-1L).as("c"), lit(Long.MaxValue).as("d")),
+      (acc, c) => {
+        val d2 = microL2(subMicro, element_at(cents, c + 1))
+        when(d2 < acc.getField("d"),
+          struct(c.cast("long").as("c"), d2.as("d"))).otherwise(acc)
+      })
+
   /** PQ encoding: each vector's per-subspace argmin-L2 code plus the
     * exact integer micro²-unit quantization error Σ_sub d²_micro
-    * — the reconstruction-quality witness. One broadcast of the m·ksub
-    * codebook rows, one narrow pass over the corpus, one bounded
-    * aggregation per vector: no corpus shuffle beyond the m-way
-    * in-row explode (the wide exchange carries (vec, sub, code)
-    * triples, never embeddings). At serving scale the emitted codes
-    * ARE the compressed corpus. */
+    * — the reconstruction-quality witness. The codebooks are DRIVER-
+    * HELD (m·ksub·dSub longs, bounded), so the whole encode is one
+    * NARROW pass: the codebook ships as a literal inside the argmin
+    * expression and each row quantizes its slices and scans the ksub
+    * candidates in-place — no join, no shuffle, no corpus-sized
+    * intermediate at any scale. At serving scale the emitted codes
+    * ARE the compressed corpus, and encode cost is a map over it.
+    * Ties break on the lower cent_id (strict `<` keeps the earlier
+    * candidate), the same contract as training's min_by struct. */
   def pqAssign(corpus: DataFrame, books: Seq[(Int, Long, Seq[Long])],
                m: Int = 8, dim: Int = 64): DataFrame = {
     val dSub = dim / m
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    val bookDf = broadcast(spark.createDataset(books).toDF("sub", "cent_id", "cent_m"))
+    val ksub = books.count(_._1 == 0)
+    require(books.size == m * ksub, s"codebook shape ${books.size} != $m x $ksub")
+    // bk(sub)(cent) = the centroid's dSub micro-unit components
+    val bk = typedLit((0 until m).map(s =>
+      books.filter(_._1 == s).sortBy(_._2).map(_._3)))
+    val subM = expr(
+      s"""transform(sequence(0, ${m - 1}), s ->
+         |  transform(slice(embD, s * $dSub + 1, $dSub),
+         |            x -> cast(round(x * 1000000) as long)))""".stripMargin)
+    // per subspace: fold the ksub candidates to struct(code, d2) by
+    // strict-< argmin on the exact integer micro-unit L2²
+    val bests = transform(sequence(lit(0), lit(m - 1)), s =>
+      pqArgmin(element_at(col("subs"), s + 1), element_at(bk, s + 1), ksub))
     corpus.select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("embD"))
-      .crossJoin(bookDf)
-      .withColumn("sub_m", expr(
-        s"transform(slice(embD, sub * $dSub + 1, $dSub), x -> cast(round(x * 1000000) as long))"))
-      .withColumn("d2", microL2(col("sub_m"), col("cent_m")))
-      .groupBy(col("vec_id"), col("sub"))
-      .agg(min_by(struct(col("cent_id"), col("d2")),
-        struct(col("d2"), col("cent_id"))).as("best"))
-      .select(col("vec_id"), col("sub"), col("best.cent_id").as("code"),
-        col("best.d2").as("errm"))
-      .groupBy(col("vec_id"))
-      .agg(max(when(col("sub") === 0, col("code"))).as("c0"),
-        (1 until m).map(j =>
-          max(when(col("sub") === j, col("code"))).as(s"c$j")) :+
-          sum(col("errm")).as("err_micro2"): _*)
+      .withColumn("subs", subM)
+      .withColumn("bests", bests)
+      .select(col("vec_id") +:
+        (0 until m).map(j =>
+          element_at(col("bests"), j + 1).getField("c").as(s"c$j")) :+
+        aggregate(col("bests"), lit(0L), (a, b) => a + b.getField("d"))
+          .as("err_micro2"): _*)
   }
 
   /** PQ asymmetric-distance search (ADC, the serving half of product

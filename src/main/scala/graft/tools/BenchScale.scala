@@ -112,6 +112,65 @@ object BenchScale {
     }
   }
 
+  /** PQ ladder: codebook training, corpus encoding and ADC search
+    * timed per rung on the planted-cluster embeddings. The honest PQ
+    * quality claim is CELL-level: all of a cluster's members quantize
+    * to (nearly) the same code, so ADC reliably returns in-cluster
+    * vectors but cannot fine-rank inside a cell (same code ⇒ same
+    * distance — re-ranking on true vectors is the standard second
+    * stage). The ladder therefore scores in-cluster precision of the
+    * top-10 (require ≥ 0.9), not exact-NN recall. Brute-force cosine
+    * over the same queries is timed as the serving-cost contrast up to
+    * 500k vectors (beyond that the ann ladder already measured it:
+    * 106-186 s at 2M-5M). */
+  private def pqLadder(spark: SparkSession, sizes: Seq[Long],
+                       maxTaskMs: java.util.concurrent.atomic.AtomicLong,
+                       nQueries: Int = 200): Unit = {
+    import org.apache.spark.sql.functions.col
+    val rungs = sizes.map { n =>
+      val dir = s"/tmp/graft_scale/emb_$n"
+      genEmbeddings(spark, n).write.mode("overwrite").parquet(dir) // untimed
+      val corpus = spark.read.parquet(dir)
+      val queries = corpus.filter(col("vec_id") < nQueries)
+      maxTaskMs.set(0)
+      val t0 = System.nanoTime()
+      val books = graft.operators.Similarity.pqTrain(corpus)
+      val trainSec = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      // encode is narrow, so the materialized index would inherit the
+      // scan's (bin-packed) split count; balance it to executor width
+      // once at index-build time so ADC scans it wide
+      val enc = graft.operators.Similarity.pqAssign(corpus, books)
+        .repartition(spark.sparkContext.defaultParallelism).localCheckpoint()
+      val nEnc = enc.count()
+      val encSec = (System.nanoTime() - t1) / 1e9
+      val t2 = System.nanoTime()
+      val hits = graft.operators.Similarity.pqSearch(enc, books, queries, k = 10)
+        .select(col("query_id"), col("vec_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val adcSec = (System.nanoTime() - t2) / 1e9
+      val mt = maxTaskMs.get() / 1e3
+      // planted structure: cluster id = vec_id % 1000 (genEmbeddings)
+      val inCluster = hits.count { case (q, v) => q % 1000 == v % 1000 }
+        .toDouble / hits.length
+      val bruteSec = if (n <= 500000L) {
+        val tb = System.nanoTime()
+        graft.operators.Similarity.bruteForceTopK(corpus, queries, k = 10)
+          .select(col("query_id")).count()
+        (System.nanoTime() - tb) / 1e9
+      } else -1.0
+      require(nEnc == n && hits.nonEmpty, s"pq ladder sanity failed at n=$n")
+      (n, trainSec, encSec, adcSec, bruteSec, inCluster, mt)
+    }
+    val rungJson = rungs.map { case (n, ts, es, as_, bs, ic, mt) =>
+      f"""{"n_vecs":$n,"train_sec":$ts%.2f,"encode_sec":$es%.2f,"encode_vecs_per_sec":${n / es}%.0f,"adc_sec":$as_%.2f,"brute_sec":$bs%.2f,"in_cluster":$ic%.3f,"max_task_sec":$mt%.2f}"""
+    }.mkString("[", ",", "]")
+    println(s"""{"metric":"pq_scale","n_queries":$nQueries,"rungs":$rungJson}""")
+    rungs.foreach { case (n, _, _, _, _, ic, _) =>
+      require(ic >= 0.9, s"PQ in-cluster precision collapsed at n=$n: $ic < 0.9")
+    }
+  }
+
   /** Multimodal-kernel throughput ladder: synth + full-pixel decode +
     * bilinear resize (PNG) and synth + per-frame decode (animated GIF)
     * over n generated docs — the docs/s of the imageio chain, plus the
@@ -150,11 +209,13 @@ object BenchScale {
   def main(args: Array[String]): Unit = {
     val annMode = args.headOption.contains("ann")
     val mmMode = args.headOption.contains("mm")
-    val sizeArgs = if (annMode || mmMode) args.drop(1) else args
+    val pqMode = args.headOption.contains("pq")
+    val sizeArgs = if (annMode || mmMode || pqMode) args.drop(1) else args
     val sizes =
       if (sizeArgs.nonEmpty) sizeArgs(0).split(",").map(_.trim.toLong).toSeq
       else if (annMode) Seq(20000L, 100000L, 500000L)
       else if (mmMode) Seq(10000L, 50000L)
+      else if (pqMode) Seq(100000L, 500000L, 2000000L)
       else Seq(5000L, 10000L, 20000L, 50000L)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -196,6 +257,10 @@ object BenchScale {
       annLadder(spark, sizes, maxTaskMs, nQueries); spark.stop(); return
     }
     if (mmMode) { mmLadder(spark, sizes, maxTaskMs); spark.stop(); return }
+    if (pqMode) {
+      val nQueries = if (sizeArgs.length > 1) sizeArgs(1).trim.toInt else 200
+      pqLadder(spark, sizes, maxTaskMs, nQueries); spark.stop(); return
+    }
 
     val rungs = sizes.map { n =>
       val dir = s"/tmp/graft_scale/docs_$n"

@@ -88,12 +88,12 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
-  test("emb_pq: codebook broadcast against the corpus, never a sort-merge join") {
+  test("emb_pq: encode is one narrow pass — no shuffle, no join at all") {
     val p = plan("emb_pq")
-    // the m·ksub codebook rows must broadcast (the deliberate tiny
-    // cross join); a SortMergeJoin would shuffle the embedding corpus
-    assert(p.contains("BroadcastExchange"), "PQ codebook lost its broadcast")
-    assert(!p.contains("SortMergeJoin"), "emb_pq shuffles the corpus to meet the codebook")
+    // the codebook is a driver-held literal inside the argmin
+    // expression, so the encode plan must be scan → project only
+    assert(!p.contains("Exchange"), "emb_pq encode grew a shuffle/broadcast Exchange")
+    assert(!p.contains("Join"), "emb_pq encode grew a join against the codebook")
   }
 
   test("ann_pq: every LUT join broadcasts; the encoded corpus never sort-merges") {
