@@ -100,6 +100,7 @@ object SparkEntry {
     "pack_sequences" -> ExtensionCatalog.packSequences,
     "ta_langid" -> ExtensionCatalog.taLangId,
     "ta_quality" -> ExtensionCatalog.taQuality,
+    "ta_pii" -> ExtensionCatalog.taPii,
     "ta_tokens" -> ExtensionCatalog.taTokens,
     "ta_fingerprint" -> ExtensionCatalog.taFingerprint,
     "ta_winnow" -> ExtensionCatalog.taWinnow,

@@ -123,6 +123,37 @@ object TextAnalysis {
         round(size(col("starts")).cast("double") / col("n"), 6).as("ttr"))
   }
 
+  /** PII detection + redaction — the scrubbing gate every shared
+    * training corpus passes before release. Three detector classes
+    * (email, NANP-style 555 phone, dotted-quad IPv4) are counted and
+    * then redacted IN ORDER (email → phone → IP, so an earlier
+    * replacement can never manufacture or destroy a later match —
+    * the order is part of the contract and the oracle mirrors it).
+    * Pure narrow per-row regex work over codegen'd string
+    * expressions: no shuffle, no UDF, linear in corpus bytes at any
+    * scale. Patterns are RE2-compatible (no backtracking
+    * constructs), so the Java-regex engine and the DuckDB oracle's
+    * RE2 match identical spans — and redaction cost is bounded by
+    * input length, never pathological. Returns one row per input
+    * row: detector counts, the redacted length, and an md5
+    * fingerprint of the redacted text (the receipt that both
+    * engines produced byte-identical scrubbed output). */
+  def redactPii(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val email = "[a-z0-9._-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val phone = "\\b555-[0-9]{4}\\b"
+    val ip = "\\b[0-9]{1,3}(\\.[0-9]{1,3}){3}\\b"
+    df.select(col(idCol).as("doc_id"), col(textCol).as("t"))
+      .select(col("doc_id"),
+        regexp_count(col("t"), lit(email)).cast("long").as("n_emails"),
+        regexp_count(col("t"), lit(phone)).cast("long").as("n_phones"),
+        regexp_count(col("t"), lit(ip)).cast("long").as("n_ips"),
+        regexp_replace(regexp_replace(regexp_replace(col("t"),
+          email, "<EMAIL>"), phone, "<PHONE>"), ip, "<IP>").as("red"))
+      .select(col("doc_id"), col("n_emails"), col("n_phones"), col("n_ips"),
+        length(col("red")).cast("long").as("red_len"),
+        md5(col("red")).as("red_fp"))
+  }
+
   /** Order-insensitive document fingerprint: modular sum of
     * md5-derived token hashes — a content-addressed id for cheap
     * near-exact duplicate detection; identical arithmetic in the

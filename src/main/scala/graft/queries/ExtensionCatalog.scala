@@ -369,6 +369,26 @@ object ExtensionCatalog {
         col("punct_ratio"), col("stopword_ratio"), col("mean_word_len"),
         col("quality_score"))
 
+  /** PII scrub gate over the documents corpus. The word-salad fixture
+    * contains no PII, so deterministic spans are planted first (email
+    * on doc_id%3=0, 555-phone on %4=0, dotted-quad IP on %5=0 — the
+    * same synthesize-then-process pattern as the multimodal payloads),
+    * making every detector's count column NON-vacuous; the md5 receipt
+    * proves both engines produced byte-identical scrubbed text. */
+  val taPii: Q = (s, d) =>
+    TextAnalysis.redactPii(
+      Tables.documents(s, d).select(col("doc_id"), expr(
+        """concat(text,
+          |  CASE WHEN doc_id % 3 = 0 THEN concat(' contact u',
+          |    CAST(doc_id AS STRING), '@mail-', CAST(doc_id % 7 AS STRING), '.com')
+          |    ELSE '' END,
+          |  CASE WHEN doc_id % 4 = 0 THEN concat(' call 555-',
+          |    lpad(CAST(doc_id % 10000 AS STRING), 4, '0')) ELSE '' END,
+          |  CASE WHEN doc_id % 5 = 0 THEN concat(' host 10.',
+          |    CAST(doc_id % 256 AS STRING), '.', CAST(doc_id % 200 AS STRING),
+          |    '.', CAST(doc_id % 250 AS STRING)) ELSE '' END)""".stripMargin)
+        .as("rich")), "rich", "doc_id")
+
   /** Whitespace + BPE-ish token counts. */
   val taTokens: Q = (s, d) =>
     TextAnalysis.tokenCounts(Tables.documents(s, d), "text")

@@ -653,6 +653,30 @@ object Oracles {
         |    len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is|that)\b')) AS n_stop,
         |    length(regexp_replace(text, '\s+', '', 'g')) AS n_nonspace
         |  FROM documents)""".stripMargin,
+    // same planting CASEs as the catalog; counts run on the planted
+    // text, redaction applies email -> phone -> IP in that order, and
+    // md5 receipts must agree byte-for-byte
+    "ta_pii" ->
+      """WITH rich AS (SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 3 = 0 THEN ' contact u' || CAST(doc_id AS VARCHAR)
+        |      || '@mail-' || CAST(doc_id % 7 AS VARCHAR) || '.com' ELSE '' END ||
+        |    CASE WHEN doc_id % 4 = 0 THEN ' call 555-'
+        |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END ||
+        |    CASE WHEN doc_id % 5 = 0 THEN ' host 10.' || CAST(doc_id % 256 AS VARCHAR)
+        |      || '.' || CAST(doc_id % 200 AS VARCHAR)
+        |      || '.' || CAST(doc_id % 250 AS VARCHAR) ELSE '' END AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t, '[a-z0-9._-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(t, '\b555-[0-9]{4}\b')) AS BIGINT) AS n_phones,
+        |  CAST(len(regexp_extract_all(t, '\b[0-9]{1,3}(\.[0-9]{1,3}){3}\b')) AS BIGINT) AS n_ips,
+        |  CAST(length(red) AS BIGINT) AS red_len, md5(red) AS red_fp
+        |FROM (SELECT doc_id,
+        |    regexp_replace(regexp_replace(regexp_replace(t,
+        |      '[a-z0-9._-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |      '\b555-[0-9]{4}\b', '<PHONE>', 'g'),
+        |      '\b[0-9]{1,3}(\.[0-9]{1,3}){3}\b', '<IP>', 'g') AS red, t
+        |  FROM rich)""".stripMargin,
     "ta_tokens" ->
       """SELECT doc_id, CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS ws_tokens,
         |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS BIGINT) AS bpe_tokens

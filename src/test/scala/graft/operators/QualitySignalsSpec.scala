@@ -28,6 +28,29 @@ class QualitySignalsSpec extends SparkSpec {
     assert(got(4L)._3 == 0.0 && got(4L)._4 == 0.0)
   }
 
+  test("redactPii: counts on raw text, ordered redaction, md5 receipt") {
+    val docs = Seq(
+      (1L, "mail me at bob.smith@corp-x.io now"),
+      (2L, "call 555-0199 or 555-12345 maybe"),     // 2nd: 5 digits, \b fails
+      (3L, "node 10.0.3.200 and 999.1.1.1 up"),     // 999 still 1-3 digits
+      (4L, "a@1.2.3.4.com overlap"),                // email consumes the quad
+      (5L, "")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.redactPii(docs, "text", "doc_id")
+      .as[(Long, Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L)._2 == 1 && got(1L)._5 == "mail me at <EMAIL> now".length)
+    // "555-12345": no word boundary between the 4th and 5th digit
+    assert(got(2L)._3 == 1 && got(2L)._5 == "call <PHONE> or 555-12345 maybe".length)
+    assert(got(3L)._4 == 2, "dotted quads are syntactic: 999.1.1.1 counts")
+    // counts are per-detector on the RAW text (the quad inside the
+    // email counts), but redaction is ordered: email eats it first
+    assert(got(4L)._2 == 1 && got(4L)._4 == 1
+      && got(4L)._5 == "<EMAIL> overlap".length)
+    assert(got(5L)._2 == 0 && got(5L)._5 == 0
+      && got(5L)._6 == "d41d8cd98f00b204e9800998ecf8427e") // md5("")
+  }
+
   test("entropy: hand-checked micro-nat sums, uniform/degenerate/empty docs") {
     val docs = Seq(
       (1L, "a a b"),     // p = (2/3, 1/3): terms -270310, -366204 micro-nats

@@ -82,7 +82,7 @@ class PlanAuditSpec extends SparkSpec {
     // narrow filter. ta_chunks' explode is per-row.
     Seq("emb_quantize", "ta_repetition", "ds_sample_hash", "ds_split_assign",
       "ta_langid", "ta_quality", "ta_fingerprint", "ds_mixture",
-      "ta_chunks", "ta_entropy").foreach { q =>
+      "ta_chunks", "ta_entropy", "ta_pii").foreach { q =>
       val p = plan(q)
       assert(!p.contains("Exchange"), s"$q grew a shuffle Exchange")
     }
