@@ -34,13 +34,17 @@ object Bench {
         .getSystemLoadAverage
     } catch { case _: Throwable => -1.0 }
 
-    // quiet-window gate (VERDICT r4 #8): the box is co-tenant; if the
+    // quiet-window gate (VERDICT r5 #1): the box is co-tenant; if the
     // 1-min load is already high at start, every per-query number is
-    // noise. Sleep-retry once, then proceed and let the recorded load
-    // field contextualize whatever window we got.
-    if (loadAvg() > 8.0) {
-      System.err.println(f"[bench] load ${loadAvg()}%.1f > 8 at start - waiting 60s for a quieter window")
+    // noise. r5's gate of 8 let a 4.7-load window through and the
+    // committed artifact showed q1 6x inflated — gate at 2 and retry
+    // up to 5 minutes before proceeding with whatever window we got
+    // (the recorded load field contextualizes a dirty run).
+    var waits = 0
+    while (loadAvg() > 2.0 && waits < 5) {
+      System.err.println(f"[bench] load ${loadAvg()}%.1f > 2 at start - waiting 60s for a quieter window")
       Thread.sleep(60000)
+      waits += 1
     }
 
     // JVM + parquet-footer warmup so per-query timings measure the plan,
@@ -68,12 +72,13 @@ object Bench {
       val first = once()
       var best = if (first < 0) first else math.min(first, once())
       // co-tenant box: external steal inflates runs 2-5x. Every query
-      // plan is measured under ~4s warm on a quiet box, so a best-of-2
-      // still above 2.5s is likely a dirty window — retry up to twice
-      // more while it keeps reading heavy; the minimum is the plan's
-      // honest cost.
+      // plan except dd_components measures under ~1.7s warm on a quiet
+      // box, so a best-of-2 still above 1.5s is likely a dirty window —
+      // retry up to twice more while it keeps reading heavy; the
+      // minimum is the plan's honest cost. (r5's 2.5s threshold let a
+      // 2.19s-inflated q1 through unretried; true cost 0.38s.)
       var extra = 0
-      while (best > 2.5 && extra < 2) { best = math.min(best, once()); extra += 1 }
+      while (best > 1.5 && extra < 2) { best = math.min(best, once()); extra += 1 }
       name -> best
     }
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }

@@ -84,6 +84,7 @@ object SparkEntry {
     "ann_bucketed" -> ExtensionCatalog.annBucketed,
     "ann_ivf" -> ExtensionCatalog.annIvf,
     "ann_pq" -> ExtensionCatalog.annPq,
+    "ann_ivfpq" -> ExtensionCatalog.annIvfPq,
     "emb_centroid" -> ExtensionCatalog.embCentroid,
     "emb_quantize" -> ExtensionCatalog.embQuantize,
     "emb_gram" -> ExtensionCatalog.embGram,

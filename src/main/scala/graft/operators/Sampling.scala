@@ -122,8 +122,17 @@ object Sampling {
     * with wider ids raise the shift — the hash/id bit split is a
     * contract knob, not a structural limit. */
   def shuffleRank(df: DataFrame, idCol: String, salt: String = "shuf"): DataFrame = {
+    // the 36/24 bit split is a CONTRACT: an id outside [0, 2^24) would
+    // silently corrupt both the recovered doc_id (k % 2^24) and the
+    // rank order — fail loudly instead (ADVICE r5). assert_true
+    // returns NULL when the guard holds, so the coalesce adds exactly
+    // 0 to every valid key and the output is unchanged.
+    val id = col(idCol).cast("long")
+    val guard = coalesce(assert_true(id >= 0 && id < lit(1L << 24),
+      concat(lit(s"shuffleRank: $idCol out of [0, 2^24): "), id.cast("string")))
+      .cast("long"), lit(0L))
     val key = (Hashing.md5Long(concat(lit(salt + "_"), col(idCol).cast("string")))
-      % lit(1L << 36)) * lit(1L << 24) + col(idCol).cast("long")
+      % lit(1L << 36)) * lit(1L << 24) + id + guard
     PrefixSum.globalRunningSum(df.select(key.as("k"), lit(1L).as("v")), "k", "v")
       .select((col("k") % lit(1L << 24)).as("doc_id"),
         col("k").as("shuffle_key"), col("running").as("rank"))

@@ -236,24 +236,29 @@ object Similarity {
       .select(col("vec_id"), col("best.cent_id").as("cent_id"),
         col("best.embedding").as("embedding"))
 
-  /** IVF probe: a query touches only its `nProbe` nearest centroids'
-    * lists (~nProbe/nCentroids of the corpus). Probe selection stays a
-    * window — it runs over the tiny broadcast query side (|queries| ×
-    * nCentroids rows), never the corpus. */
-  def ivfProbe(assigned: DataFrame, cents: DataFrame, queries: DataFrame,
-               k: Int, nProbe: Int = 4): DataFrame = {
-    val probes = {
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("cent_cos").desc, col("cent_id"))
-      queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-        .crossJoin(cents)
-        .withColumn("cent_cos", round(cosineD(
-          transform(col("q_emb"), x => x.cast("double")), col("cent_emb")), 6))
-        .withColumn("crn", row_number().over(w)).filter(col("crn") <= nProbe)
-        .drop("cent_emb", "cent_cos", "crn")
-    }
-    scoreTopK(assigned.join(broadcast(probes), "cent_id"), k)
+  /** Probe-list selection shared by [[ivfProbe]] and [[ivfPqSearch]]:
+    * each query's `nProbe` nearest centroids by rounded cosine with a
+    * centroid-id tiebreak. The window runs over the tiny query ×
+    * nCentroids frame, never the corpus. Returns (query_id, q_emb,
+    * cent_id). */
+  private def probeSelect(cents: DataFrame, queries: DataFrame,
+                          nProbe: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cent_cos").desc, col("cent_id"))
+    queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      .crossJoin(cents)
+      .withColumn("cent_cos", round(cosineD(
+        transform(col("q_emb"), x => x.cast("double")), col("cent_emb")), 6))
+      .withColumn("crn", row_number().over(w)).filter(col("crn") <= nProbe)
+      .drop("cent_emb", "cent_cos", "crn")
   }
+
+  /** IVF probe: a query touches only its `nProbe` nearest centroids'
+    * lists (~nProbe/nCentroids of the corpus). */
+  def ivfProbe(assigned: DataFrame, cents: DataFrame, queries: DataFrame,
+               k: Int, nProbe: Int = 4): DataFrame =
+    scoreTopK(assigned.join(broadcast(probeSelect(cents, queries, nProbe)),
+      "cent_id"), k)
 
   /** Exact integer gram matrix G[i][j] = Σ_vectors qᵢ·qⱼ (upper
     * triangle) over milli-unit components — the covariance/whitening
@@ -355,12 +360,24 @@ object Similarity {
     * cent_id, micro-unit values) rows — m·ksub·(dim/m) longs,
     * bounded. */
   def pqTrain(corpus: DataFrame, m: Int = 8, ksub: Int = 16, iters: Int = 2,
-              dim: Int = 64, seedTag: String = "pq"): Seq[(Int, Long, Seq[Long])] = {
+              dim: Int = 64, seedTag: String = "pq",
+              trainSample: Option[Double] = None): Seq[(Int, Long, Seq[Long])] = {
     require(dim % m == 0, s"dim=$dim must split into m=$m equal subvectors")
     val dSub = dim / m
     val spark = corpus.sparkSession
     import spark.implicits._
-    val corpusD = corpus.select(col("vec_id"),
+    // trainSample bounds the training footprint BY CONTRACT (VERDICT r5
+    // #3): the localCheckpoint'd exploded frame below is m rows per
+    // TRAINING vector, so without a cap a caller training on the full
+    // corpus accidentally materializes a corpus-sized frame. A
+    // hash-Bernoulli sample (deterministic in vec_id — the oracle
+    // applies the same md5 predicate) is the standard k-means training
+    // regime anyway: codebooks estimate cluster geometry, which a
+    // sample preserves; the ENCODE pass (pqAssign) always covers the
+    // full corpus.
+    val train = trainSample.map(r => Sampling.hashSample(corpus, "vec_id", r))
+      .getOrElse(corpus)
+    val corpusD = train.select(col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("embD"))
     val initRows = corpusD
       .withColumn("hk", md5(concat(lit(seedTag + "_"), col("vec_id").cast("string"))))
@@ -383,8 +400,8 @@ object Similarity {
     // is narrow and otherwise inherits the input's file-split count
     // (a bin-packed small-file scan runs the whole expansion in 1-2
     // tasks), and eagerly checkpointed because every Lloyd iteration
-    // re-reads it. Callers train on a bounded/sampled corpus at real
-    // scale, so the checkpoint footprint is the caller's sample size.
+    // re-reads it. The checkpoint footprint is bounded by the
+    // trainSample contract above (m rows per SAMPLED vector).
     val subRows = corpusD
       .repartition(spark.sparkContext.defaultParallelism)
       .select(col("vec_id"), posexplode(expr(
@@ -463,9 +480,13 @@ object Similarity {
     * intermediate at any scale. At serving scale the emitted codes
     * ARE the compressed corpus, and encode cost is a map over it.
     * Ties break on the lower cent_id (strict `<` keeps the earlier
-    * candidate), the same contract as training's min_by struct. */
+    * candidate), the same contract as training's min_by struct.
+    *
+    * `carry` names extra input columns to pass through unchanged —
+    * the IVFPQ index build carries the coarse `cent_id` so list id
+    * and code come out of ONE narrow pass. */
   def pqAssign(corpus: DataFrame, books: Seq[(Int, Long, Seq[Long])],
-               m: Int = 8, dim: Int = 64): DataFrame = {
+               m: Int = 8, dim: Int = 64, carry: Seq[String] = Nil): DataFrame = {
     val dSub = dim / m
     val ksub = books.count(_._1 == 0)
     require(books.size == m * ksub, s"codebook shape ${books.size} != $m x $ksub")
@@ -480,11 +501,11 @@ object Similarity {
     // strict-< argmin on the exact integer micro-unit L2²
     val bests = transform(sequence(lit(0), lit(m - 1)), s =>
       pqArgmin(element_at(col("subs"), s + 1), element_at(bk, s + 1), ksub))
-    corpus.select(col("vec_id"),
-        transform(col("embedding"), x => x.cast("double")).as("embD"))
+    corpus.select(col("vec_id") +: carry.map(col) :+
+        transform(col("embedding"), x => x.cast("double")).as("embD"): _*)
       .withColumn("subs", subM)
       .withColumn("bests", bests)
-      .select(col("vec_id") +:
+      .select(col("vec_id") +: carry.map(col) ++:
         (0 until m).map(j =>
           element_at(col("bests"), j + 1).getField("c").as(s"c$j")) :+
         aggregate(col("bests"), lit(0L), (a, b) => a + b.getField("d"))
@@ -504,30 +525,56 @@ object Similarity {
     * each partition at k rows per query, so nothing corpus-sized
     * shuffles. Distances stay exact integers end to end (< 2^53, so
     * the aggregate's double score ranks them exactly); ties break on
-    * vec_id, the cross-engine contract. */
+    * vec_id, the cross-engine contract.
+    *
+    * `excludeSelf` assumes queries share the corpus id space (the
+    * catalog draws queries FROM the corpus); pass false for an
+    * external query frame whose ids may coincidentally collide with
+    * corpus ids (ADVICE r5). */
   def pqSearch(encoded: DataFrame, books: Seq[(Int, Long, Seq[Long])],
-               queries: DataFrame, k: Int, m: Int = 8, dim: Int = 64): DataFrame = {
+               queries: DataFrame, k: Int, m: Int = 8, dim: Int = 64,
+               excludeSelf: Boolean = true): DataFrame = {
+    val qids = queries.select(col("vec_id").as("query_id"))
+    adcRank(encoded.crossJoin(broadcast(qids)),
+      pqLut(queries, books, m, dim), k, m, excludeSelf)
+  }
+
+  /** Per-query integer LUT: micro-unit L2² from each query subvector
+    * to every (subspace, centroid) — q·m·ksub rows, bounded by the
+    * query batch, broadcast at every join site. */
+  private def pqLut(queries: DataFrame, books: Seq[(Int, Long, Seq[Long])],
+                    m: Int, dim: Int): DataFrame = {
     val dSub = dim / m
-    val spark = encoded.sparkSession
+    val spark = queries.sparkSession
     import spark.implicits._
     val bookDf = spark.createDataset(books).toDF("sub", "cent_id", "cent_m")
-    val lut = queries.select(col("vec_id").as("query_id"),
+    queries.select(col("vec_id").as("query_id"),
         transform(col("embedding"), x => x.cast("double")).as("embD"))
       .crossJoin(bookDf)
       .withColumn("sub_m", expr(
         s"transform(slice(embD, sub * $dSub + 1, $dSub), x -> cast(round(x * 1000000) as long))"))
       .select(col("query_id"), col("sub"), col("cent_id"),
         microL2(col("sub_m"), col("cent_m")).as("d2"))
-    val qids = queries.select(col("vec_id").as("query_id"))
-    var scored = encoded.crossJoin(broadcast(qids))
+  }
+
+  /** Shared ADC ranking tail ([[pqSearch]] / [[ivfPqSearch]] — one
+    * definition so the two shapes cannot drift): `candidates` holds
+    * (query_id, vec_id, c0..c{m-1}, …); each subspace's LUT slice
+    * joins BROADCAST, the approximate distance is the m-way LUT sum,
+    * and top-k is the bounded mergeable TopKPairs aggregate with the
+    * vec_id tiebreak. */
+  private def adcRank(candidates: DataFrame, lut: DataFrame, k: Int, m: Int,
+                      excludeSelf: Boolean): DataFrame = {
+    var scored = candidates
     (0 until m).foreach { j =>
       val lj = lut.filter(col("sub") === j)
         .select(col("query_id"), col("cent_id").as(s"c$j"), col("d2").as(s"d$j"))
       scored = scored.join(broadcast(lj), Seq("query_id", s"c$j"))
     }
     val adist = (0 until m).map(j => col(s"d$j")).reduce(_ + _)
-    scored.filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"), adist.as("adist"))
+    val base = if (excludeSelf) scored.filter(col("vec_id") =!= col("query_id"))
+               else scored
+    base.select(col("query_id"), col("vec_id"), adist.as("adist"))
       .groupBy(col("query_id"))
       .agg(graft.functions.TopKPairs.topKPairs(
         (-col("adist")).cast("double"), col("vec_id"), k).as("tk"))
@@ -535,5 +582,42 @@ object Similarity {
       .select(col("query_id"), col("s.id").as("vec_id"),
         (-col("s.score")).cast("long").as("adist"),
         (col("pos") + 1).cast("int").as("rk"))
+  }
+
+  /** IVFPQ index build: ONE row per vector — its coarse inverted-list
+    * id ([[ivfAssign]]'s argmax-cosine centroid) plus its PQ code.
+    * The coarse assignment is the one aggregation pass ivfAssign
+    * already costs; the PQ encode rides the same frame as a narrow
+    * projection (pqAssign with `carry`), so the composed index needs
+    * no extra scan or join over building the IVF index alone. Built
+    * once, probed many — memoize or write it (the 100 TB index is a
+    * table). */
+  def ivfPqIndex(corpus: DataFrame, cents: DataFrame,
+                 books: Seq[(Int, Long, Seq[Long])],
+                 m: Int = 8, dim: Int = 64): DataFrame =
+    pqAssign(ivfAssign(corpus, cents), books, m, dim, carry = Seq("cent_id"))
+
+  /** IVFPQ search — the serving shape at corpus scale (FAISS IVFPQ
+    * with `by_residual=false`: codes quantize the RAW vectors, so the
+    * coarse and fine quantizers stay independent and both halves are
+    * exactly [[ivfAssign]]/[[pqTrain]] — one codebook serves ann_pq
+    * and ann_ivfpq). The probe prunes to each query's `nProbe`
+    * inverted lists (~nProbe/nCentroids of the corpus — the IVF win)
+    * and ranks ONLY those candidates by the integer ADC LUT sum over
+    * m-byte codes (the PQ win: the pruned scan never touches floats).
+    * Both the probe-list join and every LUT join broadcast; top-k is
+    * the bounded mergeable aggregate — nothing corpus-sized shuffles
+    * at probe time. Same rounded-integer-distance + vec_id-tiebreak
+    * contract as [[pqSearch]]; recall is bounded by the IVF probe
+    * like [[ivfProbe]] and by PQ quantization like pqSearch. */
+  def ivfPqSearch(index: DataFrame, cents: DataFrame,
+                  books: Seq[(Int, Long, Seq[Long])],
+                  queries: DataFrame, k: Int, nProbe: Int = 4,
+                  m: Int = 8, dim: Int = 64,
+                  excludeSelf: Boolean = true): DataFrame = {
+    val probes = probeSelect(cents, queries, nProbe)
+      .select(col("query_id"), col("cent_id"))
+    adcRank(index.join(broadcast(probes), "cent_id"),
+      pqLut(queries, books, m, dim), k, m, excludeSelf)
   }
 }

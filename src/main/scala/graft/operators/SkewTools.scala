@@ -15,20 +15,28 @@ import org.apache.spark.sql.functions._
 object SkewTools {
 
   /** Equi-join `large ⋈ small` on `key`, salted `salts` ways.
-    * The salt is derived from hash of the large side's whole row
-    * position-independently via monotonically increasing id — any
-    * deterministic spreader works; correctness only needs "the same
-    * row keeps one salt". */
+    * Correctness only needs "the same row keeps one salt" — any
+    * deterministic spreader works — but WHICH salt a row gets should
+    * survive retries and AQE replans: pass `saltFrom` (a stable row
+    * id column) to derive the salt from ROW CONTENT
+    * (hash(key, id) % salts). The fallback spreader,
+    * hash(monotonically_increasing_id()), is partition-layout-
+    * dependent — still correct, but a replayed task may re-salt its
+    * rows (VERDICT r5 #8). */
   def saltedJoin(large: DataFrame, small: DataFrame, key: String,
-                 salts: Int, joinType: String = "inner"): DataFrame = {
+                 salts: Int, joinType: String = "inner",
+                 saltFrom: Option[String] = None): DataFrame = {
     // Outer-on-the-small-side joins are NOT salt-equivalent: an
     // unmatched small key would emit one null-extended row per salt
     // replica instead of one.
     require(Set("inner", "left", "left_outer", "leftouter", "left_semi",
       "leftsemi").contains(joinType.toLowerCase.replace("_", "")),
       s"saltedJoin supports inner/left joins only, got $joinType")
-    val l = large.withColumn("__salt",
-      pmod(hash(monotonically_increasing_id()), lit(salts)))
+    val spreader = saltFrom match {
+      case Some(id) => hash(col(key), col(id))
+      case None => hash(monotonically_increasing_id())
+    }
+    val l = large.withColumn("__salt", pmod(spreader, lit(salts)))
     val s = small.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
     l.join(s, Seq(key, "__salt"), joinType).drop("__salt")

@@ -120,8 +120,16 @@ object ExtensionCatalog {
   private def dataFingerprint(d: String, table: String): String = {
     val f = new java.io.File(s"$d/$table.parquet")
     def one(g: java.io.File) = s"${g.getName}:${g.length}:${g.lastModified}"
-    val files = if (f.isDirectory) f.listFiles().sortBy(_.getName).toSeq else Seq(f)
-    files.map(one).mkString(",")
+    // listFiles() returns null on an unreadable dir or a race with
+    // deletion (ADVICE r5): fall back to a never-matching key so the
+    // query recomputes instead of NPEing or serving a stale memo
+    val files =
+      if (f.isDirectory) Option(f.listFiles()).map(_.sortBy(_.getName).toSeq)
+      else Some(Seq(f))
+    files match {
+      case Some(fs) => fs.map(one).mkString(",")
+      case None => s"unlisted:${System.nanoTime}"
+    }
   }
 
   private def memoKey(s: SparkSession, d: String, table: String): String =
@@ -132,7 +140,15 @@ object ExtensionCatalog {
     * row RDD — unpersisting it releases executor storage now instead
     * of waiting for the ContextCleaner to notice the dropped reference
     * (ADVICE r4). The replaced frame becomes unusable, which is the
-    * point: readers always fetch the current slot. */
+    * point: readers always fetch the current slot.
+    *
+    * SERIAL-EXECUTION ASSUMPTION (ADVICE r5): immediate release is
+    * safe only because catalog queries run one at a time from one
+    * driver thread (the Verify/Bench/driver harness contract). A
+    * concurrent holder of the REPLACED frame would lose its blocks
+    * with no recompute path (truncated lineage). A multi-tenant
+    * driver would defer the unpersist to the replacing query's
+    * completion instead. */
   private def unpersistCheckpoint(df: DataFrame): Unit =
     try df.queryExecution.logical match {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
@@ -275,7 +291,12 @@ object ExtensionCatalog {
     pqMemo.get() match {
       case (k, b) if k == key => b
       case _ =>
-        val b = Similarity.pqTrain(Tables.embeddings(s, d))
+        // trainSample = 0.5: the codebooks estimate subspace cluster
+        // geometry, which a deterministic hash-Bernoulli half
+        // preserves, and the contract caps pqTrain's checkpointed
+        // training frame at half the corpus regardless of scale
+        // (VERDICT r5 #3). The oracle trains on the same md5 sample.
+        val b = Similarity.pqTrain(Tables.embeddings(s, d), trainSample = Some(0.5))
         pqMemo.set((key, b))
         b
     }
@@ -311,6 +332,36 @@ object ExtensionCatalog {
         df
     }
     Similarity.pqSearch(encoded, books,
+      Tables.embeddings(s, d).filter(col("vec_id") < 20), k = 10)
+  }
+
+  /** The composed IVFPQ index (coarse inverted-list id + 8-byte PQ
+    * code per vector), checkpointed once per data fingerprint — the
+    * serving-scale index table (VERDICT r5 #2). */
+  private val ivfPqIndexMemo =
+    new java.util.concurrent.atomic.AtomicReference[(String, DataFrame)]()
+
+  /** IVFPQ ANN — the fifth search shape and the one you'd actually
+    * serve at corpus scale (FAISS IVFPQ, by_residual=false): the IVF
+    * probe prunes each query to its 4 of 32 inverted lists, PQ-ADC
+    * ranks ONLY those candidates as 8-byte codes through broadcast
+    * integer LUTs. Composed from the SAME memoized centroids and
+    * codebooks that serve ann_ivf / ann_pq — one training pays for
+    * all three shapes. */
+  val annIvfPq: Q = (s, d) => {
+    val key = memoKey(s, d, "embeddings")
+    val cents = broadcast(Similarity.centroidsDf(s, trainedCentroids(s, d)))
+    val books = trainedBooks(s, d)
+    val index = ivfPqIndexMemo.get() match {
+      case (k, df) if k == key => df
+      case _ =>
+        val df = Similarity.ivfPqIndex(Tables.embeddings(s, d), cents, books)
+          .localCheckpoint()
+        val prev = ivfPqIndexMemo.getAndSet((key, df))
+        if (prev != null && !(prev._2 eq df)) unpersistCheckpoint(prev._2)
+        df
+    }
+    Similarity.ivfPqSearch(index, cents, books,
       Tables.embeddings(s, d).filter(col("vec_id") < 20), k = 10)
   }
 
@@ -351,7 +402,7 @@ object ExtensionCatalog {
     val ev = Tables.events(s, d)
     val dim = ev.groupBy(col("event_type")).agg(count(lit(1)).as("type_n"))
     SkewTools.saltedJoin(ev.select(col("event_id"), col("event_type")),
-        dim, "event_type", salts = 8)
+        dim, "event_type", salts = 8, saltFrom = Some("event_id"))
       .select(col("event_id"), col("event_type"), col("type_n"))
   }
 

@@ -77,14 +77,17 @@ object Oracles {
   private def pqSubCtes(j: Int): String = {
     val lo = j * 8 + 1
     val hi = j * 8 + 8
-    // exact integer micro-unit L2² — Similarity.microL2's SQL twin
-    def dist(cents: String, tag: String) =
+    // exact integer micro-unit L2² — Similarity.microL2's SQL twin.
+    // `src`: training iterations run over the st$j SAMPLE slices
+    // (pqTrain's trainSample=0.5 contract); the final encode pass
+    // covers the full s$j corpus.
+    def dist(cents: String, tag: String, src: String) =
       s"""d$j$tag AS (SELECT s.vec_id, s.sv, c.cent_id,
          |    list_sum(list_transform(generate_series(1, 8),
          |      i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]))) AS d2
-         |  FROM s$j s, $cents c)""".stripMargin
+         |  FROM $src s, $cents c)""".stripMargin
     def iter(n: Int, prev: String) =
-      s"""${dist(prev, n.toString)},
+      s"""${dist(prev, n.toString, s"st$j")},
          |a$j$n AS (SELECT vec_id, sv, cent_id,
          |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS crn FROM d$j$n),
          |m$j$n AS (SELECT cent_id, dimi,
@@ -98,17 +101,33 @@ object Oracles {
     s"""s$j AS (SELECT vec_id,
        |    list_transform(embD[$lo:$hi], x -> CAST(round(x * 1000000) AS BIGINT)) AS sv
        |  FROM seedpq),
+       |st$j AS (SELECT vec_id,
+       |    list_transform(embD[$lo:$hi], x -> CAST(round(x * 1000000) AS BIGINT)) AS sv
+       |  FROM trainpq),
        |c${j}0 AS (SELECT cent_id,
        |    list_transform(embD[$lo:$hi], x -> CAST(round(x * 1000000) AS BIGINT)) AS cv
        |  FROM initpq),
        |${iter(1, s"c${j}0")},
        |${iter(2, s"c${j}1")},
-       |${dist(s"c${j}2", "f")},
+       |${dist(s"c${j}2", "f", s"s$j")},
        |f$j AS (SELECT vec_id, cent_id AS c$j, CAST(d2 AS BIGINT) AS errm$j
        |  FROM (SELECT vec_id, cent_id, d2,
        |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS crn FROM d${j}f)
        |  WHERE crn = 1)""".stripMargin
   }
+
+  /** Shared PQ preamble: full-corpus seed (encode + query LUTs), the
+    * deterministic md5 half-sample the TRAINING chain runs on
+    * (pqTrain trainSample=0.5 — same predicate as ds_sample_hash),
+    * and the 16 md5-smallest SAMPLE vectors as init. */
+  private val pqSeedCtes =
+    """seedpq AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embD,
+      |    md5('pq_' || CAST(vec_id AS VARCHAR)) AS hk FROM embeddings),
+      |trainpq AS (SELECT * FROM seedpq
+      |  WHERE (('0x' || substr(md5(CAST(vec_id AS VARCHAR) || '_sample'),1,15))::BIGINT
+      |    % 2147483647) / 2147483647.0 < 0.5),
+      |initpq AS (SELECT row_number() OVER (ORDER BY hk, vec_id) - 1 AS cent_id, embD
+      |  FROM (SELECT * FROM trainpq ORDER BY hk, vec_id LIMIT 16))""".stripMargin
 
   /** Force DuckDB to materialize every CTE of the generated PQ
     * queries: the training chains are referenced more than once (code
@@ -123,10 +142,7 @@ object Oracles {
     val joins = (1 until 8).map(j => s"JOIN f$j USING (vec_id)").mkString(" ")
     val codes = (0 until 8).map(j => s"f$j.c$j").mkString(", ")
     val errs = (0 until 8).map(j => s"f$j.errm$j").mkString(" + ")
-    s"""WITH seedpq AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embD,
-       |    md5('pq_' || CAST(vec_id AS VARCHAR)) AS hk FROM embeddings),
-       |initpq AS (SELECT row_number() OVER (ORDER BY hk, vec_id) - 1 AS cent_id, embD
-       |  FROM (SELECT * FROM seedpq ORDER BY hk, vec_id LIMIT 16)),
+    s"""WITH $pqSeedCtes,
        |$subs
        |SELECT f0.vec_id, $codes, CAST($errs AS BIGINT) AS err_micro2
        |FROM f0 $joins""".stripMargin
@@ -149,10 +165,7 @@ object Oracles {
     val lutJoins = (1 until 8).map(j =>
       s"JOIN l$j ON l$j.query_id = l0.query_id AND l$j.cent_id = c.c$j").mkString(" ")
     val distSum = (0 until 8).map(j => s"l$j.d2").mkString(" + ")
-    s"""WITH seedpq AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embD,
-       |    md5('pq_' || CAST(vec_id AS VARCHAR)) AS hk FROM embeddings),
-       |initpq AS (SELECT row_number() OVER (ORDER BY hk, vec_id) - 1 AS cent_id, embD
-       |  FROM (SELECT * FROM seedpq ORDER BY hk, vec_id LIMIT 16)),
+    s"""WITH $pqSeedCtes,
        |$subs,
        |codes AS (SELECT f0.vec_id, $codeCols FROM f0 $joins),
        |$luts,
@@ -163,6 +176,79 @@ object Oracles {
        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adist, vec_id) AS rk
        |  FROM adc) WHERE rk <= 10""".stripMargin
   }
+
+  /** IVFPQ twin (ann_ivfpq): the ann_ivf coarse chain supplies each
+    * vector's inverted-list id and each query's 4 probe lists; the
+    * ann_pq chain supplies codes and per-query LUTs; ADC then ranks
+    * only the PROBED lists' codes — by_residual=false, so both chains
+    * are verbatim shared with their standalone twins. */
+  private def annIvfPqOracle: String = materializeCtes {
+    val subs = (0 until 8).map(pqSubCtes).mkString(",\n")
+    val joins = (1 until 8).map(j => s"JOIN f$j USING (vec_id)").mkString(" ")
+    val codeCols = (0 until 8).map(j => s"f$j.c$j").mkString(", ")
+    val luts = (0 until 8).map { j =>
+      s"""qs$j AS (SELECT vec_id AS query_id, sv FROM s$j WHERE vec_id < 20),
+         |l$j AS (SELECT q.query_id, c.cent_id,
+         |    list_sum(list_transform(generate_series(1, 8),
+         |      i -> (q.sv[i] - c.cv[i]) * (q.sv[i] - c.cv[i]))) AS d2
+         |  FROM qs$j q, c${j}2 c)""".stripMargin
+    }.mkString(",\n")
+    val lutJoins = (0 until 8).map(j =>
+      s"JOIN l$j ON l$j.query_id = p.query_id AND l$j.cent_id = c.c$j").mkString(" ")
+    val distSum = (0 until 8).map(j => s"l$j.d2").mkString(" + ")
+    s"""WITH $ivfCtes,
+       |$pqSeedCtes,
+       |$subs,
+       |codes AS (SELECT f0.vec_id, $codeCols FROM f0 $joins),
+       |$luts,
+       |adc AS (SELECT p.query_id, c.vec_id, ($distSum) AS adist
+       |  FROM codes c JOIN assigned a ON a.vec_id = c.vec_id
+       |  JOIN probes p ON p.cent_id = a.cent_id $lutJoins
+       |  WHERE c.vec_id <> p.query_id)
+       |SELECT query_id, vec_id, CAST(adist AS BIGINT) AS adist, rk FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adist, vec_id) AS rk
+       |  FROM adc) WHERE rk <= 10""".stripMargin
+  }
+
+  /** The ann_ivf coarse chain (seeded 2-iteration k-means →
+    * per-vector argmax-cosine list assignment → per-query 4-probe
+    * selection), shared verbatim with ann_ivfpq: `assigned` =
+    * (vec_id, embedding, cent_id), `probes` = (query_id, q_emb,
+    * cent_id) for vec_id < 20. */
+  private val ivfCtes =
+    """seed AS (SELECT vec_id, embedding,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embD,
+      |    md5(concat('km_', CAST(vec_id AS VARCHAR))) AS hk FROM embeddings),
+      |c0 AS (SELECT row_number() OVER (ORDER BY hk, vec_id) - 1 AS cent_id,
+      |    embD AS cent_emb
+      |  FROM (SELECT * FROM seed ORDER BY hk, vec_id LIMIT 32)),
+      |a1 AS (SELECT s.vec_id, s.embD, c.cent_id,
+      |    row_number() OVER (PARTITION BY s.vec_id ORDER BY
+      |      round(list_cosine_similarity(s.embD, c.cent_emb), 6) DESC, c.cent_id) AS crn
+      |  FROM seed s, c0 c),
+      |m1 AS (SELECT cent_id, i - 1 AS dim,
+      |    round(sum(CAST(round(embD[i] * 1000000) AS BIGINT)) / (count(*) * 1000000.0), 6) AS cval
+      |  FROM a1, generate_series(1, 64) g(i) WHERE crn = 1 GROUP BY 1, 2),
+      |g1 AS (SELECT cent_id, list(cval ORDER BY dim) AS new_emb FROM m1 GROUP BY 1),
+      |c1 AS (SELECT c.cent_id, coalesce(g.new_emb, c.cent_emb) AS cent_emb
+      |  FROM c0 c LEFT JOIN g1 g ON c.cent_id = g.cent_id),
+      |a2 AS (SELECT s.vec_id, s.embD, c.cent_id,
+      |    row_number() OVER (PARTITION BY s.vec_id ORDER BY
+      |      round(list_cosine_similarity(s.embD, c.cent_emb), 6) DESC, c.cent_id) AS crn
+      |  FROM seed s, c1 c),
+      |m2 AS (SELECT cent_id, i - 1 AS dim,
+      |    round(sum(CAST(round(embD[i] * 1000000) AS BIGINT)) / (count(*) * 1000000.0), 6) AS cval
+      |  FROM a2, generate_series(1, 64) g(i) WHERE crn = 1 GROUP BY 1, 2),
+      |g2 AS (SELECT cent_id, list(cval ORDER BY dim) AS new_emb FROM m2 GROUP BY 1),
+      |c2 AS (SELECT c.cent_id, coalesce(g.new_emb, c.cent_emb) AS cent_emb
+      |  FROM c1 c LEFT JOIN g2 g ON c.cent_id = g.cent_id),
+      |ac AS (SELECT s.vec_id, s.embedding, s.embD, c.cent_id,
+      |    row_number() OVER (PARTITION BY s.vec_id ORDER BY
+      |      round(list_cosine_similarity(s.embD, c.cent_emb), 6) DESC, c.cent_id) AS crn
+      |  FROM seed s, c2 c),
+      |assigned AS (SELECT vec_id, embedding, cent_id FROM ac WHERE crn = 1),
+      |probes AS (SELECT vec_id AS query_id, embedding AS q_emb, cent_id FROM ac
+      |  WHERE vec_id < 20 AND crn <= 4)""".stripMargin
 
   private def sigCte(k: Int): String =
     s"""$tokCte,
@@ -589,47 +675,18 @@ object Oracles {
     // emb_centroid idiom, so centroids stay bit-identical across
     // engines; empty clusters keep their previous centroid)
     "ann_ivf" ->
-      """WITH seed AS (SELECT vec_id, embedding,
-        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embD,
-        |    md5(concat('km_', CAST(vec_id AS VARCHAR))) AS hk FROM embeddings),
-        |c0 AS (SELECT row_number() OVER (ORDER BY hk, vec_id) - 1 AS cent_id,
-        |    embD AS cent_emb
-        |  FROM (SELECT * FROM seed ORDER BY hk, vec_id LIMIT 32)),
-        |a1 AS (SELECT s.vec_id, s.embD, c.cent_id,
-        |    row_number() OVER (PARTITION BY s.vec_id ORDER BY
-        |      round(list_cosine_similarity(s.embD, c.cent_emb), 6) DESC, c.cent_id) AS crn
-        |  FROM seed s, c0 c),
-        |m1 AS (SELECT cent_id, i - 1 AS dim,
-        |    round(sum(CAST(round(embD[i] * 1000000) AS BIGINT)) / (count(*) * 1000000.0), 6) AS cval
-        |  FROM a1, generate_series(1, 64) g(i) WHERE crn = 1 GROUP BY 1, 2),
-        |g1 AS (SELECT cent_id, list(cval ORDER BY dim) AS new_emb FROM m1 GROUP BY 1),
-        |c1 AS (SELECT c.cent_id, coalesce(g.new_emb, c.cent_emb) AS cent_emb
-        |  FROM c0 c LEFT JOIN g1 g ON c.cent_id = g.cent_id),
-        |a2 AS (SELECT s.vec_id, s.embD, c.cent_id,
-        |    row_number() OVER (PARTITION BY s.vec_id ORDER BY
-        |      round(list_cosine_similarity(s.embD, c.cent_emb), 6) DESC, c.cent_id) AS crn
-        |  FROM seed s, c1 c),
-        |m2 AS (SELECT cent_id, i - 1 AS dim,
-        |    round(sum(CAST(round(embD[i] * 1000000) AS BIGINT)) / (count(*) * 1000000.0), 6) AS cval
-        |  FROM a2, generate_series(1, 64) g(i) WHERE crn = 1 GROUP BY 1, 2),
-        |g2 AS (SELECT cent_id, list(cval ORDER BY dim) AS new_emb FROM m2 GROUP BY 1),
-        |c2 AS (SELECT c.cent_id, coalesce(g.new_emb, c.cent_emb) AS cent_emb
-        |  FROM c1 c LEFT JOIN g2 g ON c.cent_id = g.cent_id),
-        |ac AS (SELECT s.vec_id, s.embedding, c.cent_id,
-        |    row_number() OVER (PARTITION BY s.vec_id ORDER BY
-        |      round(list_cosine_similarity(s.embD, c.cent_emb), 6) DESC, c.cent_id) AS crn
-        |  FROM seed s, c2 c),
-        |assigned AS (SELECT vec_id, embedding, cent_id FROM ac WHERE crn = 1),
-        |probes AS (SELECT vec_id AS query_id, embedding AS q_emb, cent_id FROM ac
-        |  WHERE vec_id < 20 AND crn <= 4),
-        |scored AS (SELECT p.query_id, a.vec_id,
-        |    round(list_cosine_similarity(list_transform(p.q_emb, x -> CAST(x AS DOUBLE)),
-        |      list_transform(a.embedding, x -> CAST(x AS DOUBLE))), 6) AS cos
-        |  FROM assigned a JOIN probes p ON a.cent_id = p.cent_id
-        |  WHERE a.vec_id <> p.query_id)
-        |SELECT query_id, vec_id, cos, rk FROM (SELECT *,
-        |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rk
-        |  FROM scored) WHERE rk <= 10""".stripMargin,
+      s"""WITH $ivfCtes,
+         |scored AS (SELECT p.query_id, a.vec_id,
+         |    round(list_cosine_similarity(list_transform(p.q_emb, x -> CAST(x AS DOUBLE)),
+         |      list_transform(a.embedding, x -> CAST(x AS DOUBLE))), 6) AS cos
+         |  FROM assigned a JOIN probes p ON a.cent_id = p.cent_id
+         |  WHERE a.vec_id <> p.query_id)
+         |SELECT query_id, vec_id, cos, rk FROM (SELECT *,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rk
+         |  FROM scored) WHERE rk <= 10""".stripMargin,
+    // IVFPQ twin: shared coarse chain + shared PQ chains, ADC over
+    // probed lists only (annIvfPqOracle)
+    "ann_ivfpq" -> annIvfPqOracle,
     "ta_langid" ->
       """SELECT doc_id, lang, CASE WHEN greatest(en, fr, de) = 0 THEN 'und'
         |  WHEN en >= fr AND en >= de THEN 'en' WHEN fr >= de THEN 'fr'
