@@ -117,19 +117,16 @@ object ExtensionCatalog {
     * file(s). Keying memos on it means data changing under the same
     * path within one session cannot serve a stale result (ADVICE r4);
     * listing a local directory is driver-only metadata work. */
-  private def dataFingerprint(d: String, table: String): String = {
-    val f = new java.io.File(s"$d/$table.parquet")
-    def one(g: java.io.File) = s"${g.getName}:${g.length}:${g.lastModified}"
-    // listFiles() returns null on an unreadable dir or a race with
-    // deletion (ADVICE r5): fall back to a never-matching key so the
-    // query recomputes instead of NPEing or serving a stale memo
-    val files =
-      if (f.isDirectory) Option(f.listFiles()).map(_.sortBy(_.getName).toSeq)
-      else Some(Seq(f))
-    files match {
-      case Some(fs) => fs.map(one).mkString(",")
-      case None => s"unlisted:${System.nanoTime}"
-    }
+  private def dataFingerprint(d: String, table: String): String =
+    graft.tools.IndexStore.dataFingerprint(d, table)
+
+  /** The written index directory for this (dir, fingerprint) — the
+    * PRIMARY index source when [[graft.tools.IndexBuild]] has run
+    * (VERDICT r5 #4: at 100 TB the index is a table that outlives the
+    * driver); session memos below are a cache in front of it. */
+  private def writtenIndex(d: String): Option[String] = {
+    val p = graft.tools.IndexStore.path(d, dataFingerprint(d, "embeddings"))
+    if (graft.tools.IndexStore.ready(p)) Some(p) else None
   }
 
   private def memoKey(s: SparkSession, d: String, table: String): String =
@@ -244,7 +241,12 @@ object ExtensionCatalog {
     centroidMemo.get() match {
       case (k, c) if k == key => c
       case _ =>
-        val c = Similarity.kmeansTrain(Tables.embeddings(s, d))
+        // memo miss: a WRITTEN index (IndexBuild) beats retraining —
+        // centroids are nCentroids rows, one tiny parquet read
+        val c = writtenIndex(d) match {
+          case Some(p) => graft.tools.IndexStore.readCentroids(s, p)
+          case None => Similarity.kmeansTrain(Tables.embeddings(s, d))
+        }
         centroidMemo.set((key, c))
         c
     }
@@ -270,8 +272,13 @@ object ExtensionCatalog {
     val assigned = ivfIndexMemo.get() match {
       case (k, df) if k == key => df
       case _ =>
-        val df = Similarity.ivfAssign(Tables.embeddings(s, d), cents)
-          .localCheckpoint()
+        // written table first (durable — scans per probe, no driver
+        // storage); else build + checkpoint in-session
+        val df = writtenIndex(d) match {
+          case Some(p) => graft.tools.IndexStore.readIvfIndex(s, p)
+          case None => Similarity.ivfAssign(Tables.embeddings(s, d), cents)
+            .localCheckpoint()
+        }
         val prev = ivfIndexMemo.getAndSet((key, df))
         if (prev != null && !(prev._2 eq df)) unpersistCheckpoint(prev._2)
         df
@@ -295,8 +302,14 @@ object ExtensionCatalog {
         // geometry, which a deterministic hash-Bernoulli half
         // preserves, and the contract caps pqTrain's checkpointed
         // training frame at half the corpus regardless of scale
-        // (VERDICT r5 #3). The oracle trains on the same md5 sample.
-        val b = Similarity.pqTrain(Tables.embeddings(s, d), trainSample = Some(0.5))
+        // (VERDICT r5 #3). The oracle trains on the same md5 sample;
+        // IndexStore.writeAll uses the same default, so a written
+        // codebook is bit-identical to an in-session one.
+        val b = writtenIndex(d) match {
+          case Some(p) => graft.tools.IndexStore.readBooks(s, p)
+          case None =>
+            Similarity.pqTrain(Tables.embeddings(s, d), trainSample = Some(0.5))
+        }
         pqMemo.set((key, b))
         b
     }
@@ -325,8 +338,11 @@ object ExtensionCatalog {
     val encoded = pqIndexMemo.get() match {
       case (k, df) if k == key => df
       case _ =>
-        val df = Similarity.pqAssign(Tables.embeddings(s, d), books)
-          .localCheckpoint()
+        val df = writtenIndex(d) match {
+          case Some(p) => graft.tools.IndexStore.readPqIndex(s, p)
+          case None => Similarity.pqAssign(Tables.embeddings(s, d), books)
+            .localCheckpoint()
+        }
         val prev = pqIndexMemo.getAndSet((key, df))
         if (prev != null && !(prev._2 eq df)) unpersistCheckpoint(prev._2)
         df
@@ -355,8 +371,11 @@ object ExtensionCatalog {
     val index = ivfPqIndexMemo.get() match {
       case (k, df) if k == key => df
       case _ =>
-        val df = Similarity.ivfPqIndex(Tables.embeddings(s, d), cents, books)
-          .localCheckpoint()
+        val df = writtenIndex(d) match {
+          case Some(p) => graft.tools.IndexStore.readIvfPqIndex(s, p)
+          case None => Similarity.ivfPqIndex(Tables.embeddings(s, d), cents, books)
+            .localCheckpoint()
+        }
         val prev = ivfPqIndexMemo.getAndSet((key, df))
         if (prev != null && !(prev._2 eq df)) unpersistCheckpoint(prev._2)
         df

@@ -1,0 +1,111 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+/** Written ANN index tables — the train-once/probe-many discipline at
+  * its 100 TB shape (VERDICT r5 #4): at corpus scale the index
+  * OUTLIVES the driver, so centroids, PQ codebooks, and the per-vector
+  * assignment/code tables are parquet TABLES keyed by a fingerprint of
+  * the source data, not session-local memory. The session memos in
+  * [[graft.queries.ExtensionCatalog]] remain as a cache in front of
+  * this store: probe order is memo → written table → in-session build.
+  *
+  * Layout under `path(dir, fingerprint)`:
+  *   centroids.parquet    (cent_id, cent_emb)        — nCentroids rows
+  *   pq_books.parquet     (sub, cent_id, cent_m)     — m·ksub rows
+  *   ivf_index.parquet    (vec_id, cent_id, embedding)
+  *   pq_index.parquet     (vec_id, c0..c7, err_micro2)
+  *   ivfpq_index.parquet  (vec_id, cent_id, c0..c7, err_micro2)
+  *   _GRAFT_INDEX_READY   — atomic publish marker, written LAST
+  */
+object IndexStore {
+
+  /** Root for written index tables. `graft.index.dir` (system
+    * property, test-settable) > `GRAFT_INDEX_DIR` (env) > java tmpdir.
+    * At real scale this is a warehouse path, not a tmpdir. */
+  def root: String = sys.props.get("graft.index.dir")
+    .orElse(sys.env.get("GRAFT_INDEX_DIR"))
+    .getOrElse(sys.props("java.io.tmpdir") + "/graft-index")
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** One directory per (source dir, data fingerprint): data changing
+    * under the same path gets a NEW index directory, so a written
+    * index can never serve stale results. */
+  def path(dir: String, fingerprint: String): String =
+    s"$root/${md5hex(dir + "|" + fingerprint)}"
+
+  /** Driver-side (name, size, mtime) fingerprint of a table's files —
+    * shared with ExtensionCatalog's memo keys. listFiles() returning
+    * null (unreadable dir / deletion race) falls back to a
+    * never-matching key so callers rebuild instead of NPEing. */
+  def dataFingerprint(d: String, table: String): String = {
+    val f = new java.io.File(s"$d/$table.parquet")
+    def one(g: java.io.File) = s"${g.getName}:${g.length}:${g.lastModified}"
+    val files =
+      if (f.isDirectory) Option(f.listFiles()).map(_.sortBy(_.getName).toSeq)
+      else Some(Seq(f))
+    files match {
+      case Some(fs) => fs.map(one).mkString(",")
+      case None => s"unlisted:${System.nanoTime}"
+    }
+  }
+
+  private val ReadyMarker = "_GRAFT_INDEX_READY"
+
+  /** A written index is visible only once the marker exists — the
+    * marker is written AFTER every table, so a crashed build is
+    * invisible and gets rebuilt, never half-read. */
+  def ready(p: String): Boolean = new java.io.File(p, ReadyMarker).isFile
+
+  /** Build and write the full index set for an embedding corpus.
+    * Training is the same deterministic kmeansTrain / pqTrain
+    * (half-sample contract) the catalog uses, so probes through the
+    * written tables return bit-identical results to in-session
+    * builds. */
+  def writeAll(spark: SparkSession, corpus: DataFrame, p: String,
+               nCentroids: Int = 32, trainSample: Option[Double] = Some(0.5)): Unit = {
+    import spark.implicits._
+    val cents = Similarity.kmeansTrain(corpus, nCentroids)
+    val books = Similarity.pqTrain(corpus, trainSample = trainSample)
+    spark.createDataset(cents).toDF("cent_id", "cent_emb")
+      .coalesce(1).write.mode("overwrite").parquet(s"$p/centroids.parquet")
+    spark.createDataset(books).toDF("sub", "cent_id", "cent_m")
+      .coalesce(1).write.mode("overwrite").parquet(s"$p/pq_books.parquet")
+    val centsB = broadcast(Similarity.centroidsDf(spark, cents))
+    Similarity.ivfAssign(corpus, centsB)
+      .write.mode("overwrite").parquet(s"$p/ivf_index.parquet")
+    Similarity.pqAssign(corpus, books)
+      .write.mode("overwrite").parquet(s"$p/pq_index.parquet")
+    Similarity.ivfPqIndex(corpus, centsB, books)
+      .write.mode("overwrite").parquet(s"$p/ivfpq_index.parquet")
+    // publish atomically-enough for a local fs: marker last
+    new java.io.File(p, ReadyMarker).createNewFile()
+  }
+
+  def readCentroids(spark: SparkSession, p: String): Seq[(Long, Seq[Double])] = {
+    import spark.implicits._
+    spark.read.parquet(s"$p/centroids.parquet")
+      .as[(Long, Seq[Double])].collect().sortBy(_._1).toSeq
+  }
+
+  def readBooks(spark: SparkSession, p: String): Seq[(Int, Long, Seq[Long])] = {
+    import spark.implicits._
+    spark.read.parquet(s"$p/pq_books.parquet")
+      .as[(Int, Long, Seq[Long])].collect().sortBy(b => (b._1, b._2)).toSeq
+  }
+
+  def readIvfIndex(spark: SparkSession, p: String): DataFrame =
+    spark.read.parquet(s"$p/ivf_index.parquet")
+
+  def readPqIndex(spark: SparkSession, p: String): DataFrame =
+    spark.read.parquet(s"$p/pq_index.parquet")
+
+  def readIvfPqIndex(spark: SparkSession, p: String): DataFrame =
+    spark.read.parquet(s"$p/ivfpq_index.parquet")
+}

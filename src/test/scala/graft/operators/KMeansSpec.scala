@@ -95,6 +95,63 @@ class KMeansSpec extends SparkSpec {
     assert(got.forall(r => r._3 >= 0 && r._4 <= 15), "codes out of [0, ksub)")
   }
 
+  test("PQ: trainSample trains on the deterministic md5 half, layout-stable") {
+    val base = corpus(200)
+    val a = Similarity.pqTrain(base, trainSample = Some(0.5))
+    val b = Similarity.pqTrain(base.repartition(11), trainSample = Some(0.5))
+    assert(a == b) // sampled training stays bit-identical across layouts
+    // the sample IS Sampling.hashSample: pre-filtering the corpus with
+    // the same predicate must yield identical codebooks (the oracle
+    // relies on exactly this equivalence)
+    val pre = Sampling.hashSample(base, "vec_id", 0.5)
+    assert(Similarity.pqTrain(pre) == a)
+    // and it genuinely bounds the training set
+    val n = pre.count()
+    assert(n > 50 && n < 150, s"half-sample of 200 out of range: $n")
+    assert(a != Similarity.pqTrain(base), "sampled training should differ from full")
+  }
+
+  test("ivfPqSearch: equals the ADC replica restricted to the probed lists") {
+    val base = corpus(80)
+    val books = Similarity.pqTrain(base)
+    val centVals = Similarity.kmeansTrain(base, nCentroids = 8)
+    val cents = broadcast(Similarity.centroidsDf(spark, centVals))
+    val index = Similarity.ivfPqIndex(base, cents, books)
+    val got = Similarity.ivfPqSearch(index, cents, books,
+        base.filter(col("vec_id") < 3), k = 5, nProbe = 2)
+      .as[(Long, Long, Long, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._4).map(r => (r._2, r._3)).toSeq).toMap
+    // replica: probe lists by rounded double cosine vs the driver-held
+    // centroids (cent-id tiebreak), then the integer ADC ranking of
+    // pqSearch's replica over ONLY those lists' members
+    def micro(x: Double): Long =
+      BigDecimal(x * 1000000).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val vecsD = base.as[(Long, Seq[Float])].collect().toMap
+      .map { case (k, v) => k -> v.map(_.toDouble) }
+    val vecsM = vecsD.map { case (k, v) => k -> v.map(micro) }
+    val codes = index.selectExpr("vec_id", "array(c0,c1,c2,c3,c4,c5,c6,c7)")
+      .as[(Long, Seq[Long])].collect().toMap
+    val lists = index.selectExpr("vec_id", "cent_id").as[(Long, Long)].collect().toMap
+    val bookMap = books.map { case (s, c, emb) => (s, c) -> emb }.toMap
+    def cosR(a: Seq[Double], b: Seq[Double]) = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val r = dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+      BigDecimal(r).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    def adist(q: Long, v: Long): Long = (0 until 8).map { j =>
+      val qs = vecsM(q).slice(j * 8, j * 8 + 8)
+      val cv = bookMap((j, codes(v)(j)))
+      qs.zip(cv).map { case (a, b) => (a - b) * (a - b) }.sum
+    }.sum
+    (0L until 3L).foreach { q =>
+      val probed = centVals.map { case (c, ce) => (c, cosR(vecsD(q), ce)) }
+        .sortBy { case (c, s) => (-s, c) }.take(2).map(_._1).toSet
+      val want = vecsD.keys.filter(v => v != q && probed(lists(v))).toSeq
+        .map(v => (v, adist(q, v))).sortBy { case (v, d) => (d, v) }.take(5)
+      assert(got(q) == want, s"query $q IVFPQ ranking diverged from the replica")
+    }
+  }
+
   test("pqSearch: ADC ranking matches a driver-side integer replica") {
     val base = corpus(60)
     val books = Similarity.pqTrain(base)

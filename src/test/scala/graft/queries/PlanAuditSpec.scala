@@ -103,6 +103,19 @@ class PlanAuditSpec extends SparkSpec {
       "ann_pq shuffles the encoded corpus to meet a query LUT")
   }
 
+  test("ann_ivfpq: probe-list join and every LUT join broadcast; no shuffle of the code table") {
+    val p = plan("ann_ivfpq")
+    // the serving contract: the checkpointed code table is pruned by a
+    // BROADCAST probe-list join and ranked through BROADCAST LUT joins
+    // — if any of them degrade to SortMergeJoin the corpus-sized code
+    // table shuffles per query batch
+    assert(p.contains("BroadcastHashJoin"), "ann_ivfpq lost its broadcast joins")
+    assert(!p.contains("SortMergeJoin"),
+      "ann_ivfpq shuffles the code table to meet the probe list or a LUT")
+    assert(!p.contains("CartesianProduct"),
+      "ann_ivfpq degraded to a cartesian join")
+  }
+
   test("dd_crossdoc: ONE corpus scan, hashed-gram keys, key-parallel window") {
     val p = plan("dd_crossdoc")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

@@ -1,0 +1,76 @@
+package graft.tools
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Similarity
+import graft.queries.ExtensionCatalog
+import graft.streaming.SparkSpec
+
+/** Written-index persistence (VERDICT r5 #4): IndexBuild's tables are
+  * bit-faithful round-trips of the driver-held training values, and
+  * catalog probes READ the written tables (plan witness) with results
+  * identical to in-session builds. A fresh data dir guarantees the
+  * memo misses, so the written-table branch is the one under test.
+  */
+class IndexPersistSpec extends SparkSpec {
+
+  test("probes read the written index tables and match in-session builds") {
+    val tmp = Files.createTempDirectory("graft-idx-spec")
+    sys.props("graft.index.dir") = tmp.resolve("idxroot").toString
+    try {
+      // corpus copy under a fresh dir → fresh fingerprint → memo miss
+      val dataDir = tmp.resolve("data").toString
+      spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").coalesce(1)
+        .write.parquet(s"$dataDir/embeddings.parquet")
+      val corpus = Tables.embeddings(spark, dataDir)
+      val p = IndexStore.path(dataDir, IndexStore.dataFingerprint(dataDir, "embeddings"))
+      assert(!IndexStore.ready(p), "index must not pre-exist")
+      IndexStore.writeAll(spark, corpus, p)
+      assert(IndexStore.ready(p), "ready marker missing after writeAll")
+
+      // round-trip exactness: written centroids/codebooks == retrained
+      val cents = Similarity.kmeansTrain(corpus)
+      val books = Similarity.pqTrain(corpus, trainSample = Some(0.5))
+      assert(IndexStore.readCentroids(spark, p) == cents.sortBy(_._1))
+      assert(IndexStore.readBooks(spark, p) == books.sortBy(b => (b._1, b._2)))
+
+      // catalog probes: the written table is among the probe's INPUT
+      // FILES (primary path), and results equal a fresh in-session
+      // build (explain strings truncate long paths, so inputFiles is
+      // the reliable witness)
+      def planOf(df: org.apache.spark.sql.DataFrame) =
+        df.inputFiles.mkString("\n")
+      val queries = corpus.filter(col("vec_id") < 20)
+      val centsB = broadcast(Similarity.centroidsDf(spark, cents))
+
+      val ivfpq = ExtensionCatalog.annIvfPq(spark, dataDir)
+      assert(planOf(ivfpq).contains("ivfpq_index.parquet"),
+        "ann_ivfpq probe did not read the written ivfpq index")
+      val freshIvfPq = Similarity.ivfPqSearch(
+        Similarity.ivfPqIndex(corpus, centsB, books), centsB, books, queries, k = 10)
+      assert(ivfpq.collect().toSet == freshIvfPq.collect().toSet,
+        "written-index ivfpq probe diverged from the in-session build")
+
+      val ivf = ExtensionCatalog.annIvf(spark, dataDir)
+      assert(planOf(ivf).contains("ivf_index.parquet"),
+        "ann_ivf probe did not read the written ivf index")
+      val freshIvf = Similarity.ivfProbe(
+        Similarity.ivfAssign(corpus, centsB), centsB, queries, k = 10)
+      assert(ivf.collect().toSet == freshIvf.collect().toSet,
+        "written-index ivf probe diverged from the in-session build")
+
+      val pq = ExtensionCatalog.annPq(spark, dataDir)
+      assert(planOf(pq).contains("pq_index.parquet"),
+        "ann_pq probe did not read the written pq index")
+      val freshPq = Similarity.pqSearch(
+        Similarity.pqAssign(corpus, books), books, queries, k = 10)
+      assert(pq.collect().toSet == freshPq.collect().toSet,
+        "written-index pq probe diverged from the in-session build")
+    } finally {
+      sys.props.remove("graft.index.dir")
+    }
+  }
+}
