@@ -570,7 +570,15 @@ object Dedup {
     * row (the oracle agrees). Like [[graft.operators.TextAnalysis]]'s
     * ta_ngrams, grams run over the raw ordered token array with no
     * empty-token filter (only a whole-empty doc cleans to one empty
-    * token, and it has no n-gram). */
+    * token, and it has no n-gram).
+    *
+    * BATCH-ONLY by contract (the PrefixSum.globalRunningSum
+    * precedent): a gram's document frequency is CORPUS-WIDE — on an
+    * unbounded stream every arriving doc can retroactively flip any
+    * earlier doc's grams from unique to duplicated, so an append-mode
+    * emission is structurally wrong (it would need unbounded
+    * retraction). Run it as periodic batch passes over the
+    * accumulated corpus. */
   def crossDocNgrams(docs: DataFrame, textCol: String, idCol: String,
                      n: Int = 3): DataFrame = {
     require(n >= 2, "n >= 2 (a 1-gram fraction is just token overlap)")

@@ -214,7 +214,15 @@ object TextAnalysis {
     * Every post-explode exchange moves only aggregated (doc, tok)
     * rows; both windows are key-parallel (token / doc_id partitions),
     * never a global sort. N is a literal (count pushed to parquet
-    * metadata). */
+    * metadata).
+    *
+    * BATCH-ONLY by contract (the [[PrefixSum.globalRunningSum]]
+    * precedent): idf needs the CORPUS-WIDE document frequency and
+    * total N — on an unbounded stream both are moving targets, so any
+    * incremental emission would score early documents against a
+    * partial df and never retract. Periodic re-runs over the
+    * accumulated corpus are the streaming-era answer, not a
+    * continuous query. */
   def tfidfTopTerms(df: DataFrame, textCol: String, idCol: String,
                     k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
