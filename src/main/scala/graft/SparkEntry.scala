@@ -37,6 +37,8 @@ object SparkEntry {
     "w_rank_topk" -> QueryCatalog.wRankTopK,
     "w_lag_delta" -> QueryCatalog.wLagDelta,
     "w_first_last" -> QueryCatalog.wFirstLast,
+    "w_moving_avg" -> QueryCatalog.wMovingAvg,
+    "agg_corr" -> QueryCatalog.aggCorr,
     "a4_ema_final" -> QueryCatalog.a4EmaFinal,
     "a7_session_window" -> QueryCatalog.a7SessionWindow,
     "a8_hopping_window" -> QueryCatalog.a8HoppingWindow,

@@ -400,6 +400,26 @@ object Oracles {
     "w_first_last" ->
       """SELECT user_id, arg_min(event_id, ts) AS first_event,
         |  arg_max(event_id, ts) AS last_event FROM events GROUP BY 1""".stripMargin,
+    // exact integer micro-units inside the sliding frame: DuckDB's
+    // segment-tree frame aggregation and Spark's frame re-scan sum
+    // doubles in different orders; integers make order irrelevant
+    "w_moving_avg" ->
+      """SELECT event_id, round(sum(CAST(round(value * 1000000) AS BIGINT)) OVER w
+        |  / (count(*) OVER w * 1000000.0), 6) AS mavg FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)""".stripMargin,
+    // six exact mergeable moments in centi-unit HUGEINTs, coefficient
+    // derived once from exact integers (QueryCatalog.aggCorr twin)
+    "agg_corr" ->
+      """WITH c AS (SELECT l_returnflag,
+        |    CAST(round(l_quantity * 100) AS HUGEINT) AS x,
+        |    CAST(round(l_extendedprice * 100) AS HUGEINT) AS y FROM lineitem),
+        |m AS (SELECT l_returnflag, CAST(count(*) AS HUGEINT) AS n,
+        |    sum(x) AS sx, sum(y) AS sy, sum(x*x) AS sxx, sum(y*y) AS syy,
+        |    sum(x*y) AS sxy FROM c GROUP BY 1)
+        |SELECT l_returnflag, round(CAST(n*sxy - sx*sy AS DOUBLE)
+        |  / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) * sqrt(CAST(n*syy - sy*sy AS DOUBLE))), 6)
+        |  AS corr_qty_price FROM m""".stripMargin,
     "dd_embed_cosine" ->
       s"""WITH $lshBucketsCte
          |SELECT vec_a, vec_b, cos FROM (

@@ -182,6 +182,45 @@ object QueryCatalog {
       round(col("value") - lag(col("value"), 1).over(w), 4).as("delta"))
   }
 
+  /** §2.6 — trailing moving average per key (10-row sliding frame over
+    * event time). The frame sum accumulates EXACT INTEGER micro-units
+    * with one final double division: a raw double sliding sum is
+    * engine-implementation-dependent (DuckDB aggregates sliding frames
+    * with a segment tree, Spark re-scans the frame — different
+    * summation orders, different last ulp), so the only cross-engine-
+    * stable contract is integer-exact arithmetic. Scale shape: one
+    * hash-partitioned sort per key group, same as every analytic
+    * window here. */
+  val wMovingAvg: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id")).rowsBetween(-9, Window.currentRow)
+    Tables.events(s, d).select(col("event_id"),
+      round(sum(round(col("value") * 1000000).cast("long")).over(w)
+        / (count(lit(1)).over(w) * lit(1000000.0)), 6).as("mavg"))
+  }
+
+  /** Pearson correlation per group from EXACT integer sums — the
+    * distributed-correlation shape: each partition contributes the six
+    * mergeable moments (n, Σx, Σy, Σx², Σy², Σxy) via map-side partial
+    * aggregation, and the final coefficient is derived once from exact
+    * integers, so no fp merge order can split the engines. Values are
+    * centi-unit decimals (38,0) — quantities and 2-decimal prices are
+    * exact, and decimal sums stay exact where a double Σxy loses ulps
+    * at corpus scale. */
+  val aggCorr: Q = (s, d) => {
+    val x = round(col("l_quantity") * 100).cast("decimal(38,0)")
+    val y = round(col("l_extendedprice") * 100).cast("decimal(38,0)")
+    Tables.lineitem(s, d).groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * x).as("sxx"), sum(y * y).as("syy"), sum(x * y).as("sxy"))
+      .select(col("l_returnflag"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+          / (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+            * sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))), 6)
+          .as("corr_qty_price"))
+  }
+
   /** §2.6 — first/last value per key by event time (min_by/max_by). */
   val wFirstLast: Q = (s, d) =>
     Tables.events(s, d).groupBy(col("user_id"))

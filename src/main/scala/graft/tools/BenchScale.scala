@@ -160,6 +160,14 @@ object BenchScale {
         (System.nanoTime() - tb) / 1e9
       } else -1.0
       require(nEnc == n && hits.nonEmpty, s"pq ladder sanity failed at n=$n")
+      // rung-scoped storage: free this rung's encoded-corpus checkpoint
+      // blocks before the next rung sizes up — accumulated blocks
+      // pressure executor storage memory and bias later rung timings
+      // (ADVICE r5). Same LogicalRDD idiom as pqTrain's finally block.
+      try enc.queryExecution.logical match {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
+        case _ => ()
+      } catch { case _: Throwable => () }
       (n, trainSec, encSec, adcSec, bruteSec, inCluster, mt)
     }
     val rungJson = rungs.map { case (n, ts, es, as_, bs, ic, mt) =>
