@@ -72,6 +72,7 @@ object SparkEntry {
     "q18_large_orders" -> QueryCatalog.q18LargeOrders,
     // LLM-pipeline extensions
     "dd_exact" -> ExtensionCatalog.ddExact,
+    "dd_lines" -> ExtensionCatalog.ddLines,
     "dd_minhash_sig" -> ExtensionCatalog.ddMinhashSig,
     "dd_minhash_lsh" -> ExtensionCatalog.ddMinhashLsh,
     "dd_simhash" -> ExtensionCatalog.ddSimhash,

@@ -56,6 +56,43 @@ object Dedup {
     deduped.drop("__h")
   }
 
+  /** Line-level boilerplate removal (the CCNet/RefinedWeb curation
+    * step — Wenzek et al. 2020 §4.1): a LINE that recurs across at
+    * least `minDf` distinct documents (nav bars, cookie banners,
+    * copyright footers) is boilerplate and is dropped from every
+    * document; the per-document remainder is re-assembled in original
+    * line order. Per doc: surviving text, total and dropped line
+    * counts.
+    *
+    * Scale shape (batch-only — document frequency is a corpus-wide
+    * aggregate, like [[TextAnalysis]] tf-idf):
+    *  - the df aggregate groups on the 60-bit line HASH and ships only
+    *    (hash, doc_id) pairs — raw line text never enters that shuffle;
+    *  - the boilerplate set is small BY CONSTRUCTION (at most
+    *    totalLines / minDf distinct lines can reach df >= minDf), so
+    *    it broadcast-joins back against the line stream;
+    *  - document text shuffles exactly once, on the final doc_id
+    *    regroup that re-assembles surviving lines. */
+  def boilerplateLines(docs: DataFrame, textCol: String, idCol: String,
+                       minDf: Int): DataFrame = {
+    val id = col(idCol)
+    val lines = docs.select(id,
+      posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+      .withColumn("__lh", Hashing.md5Long(col("line")))
+    val boiler = lines.select(col("__lh"), id).distinct()
+      .groupBy(col("__lh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .withColumn("boiler", lit(true))
+    lines.join(broadcast(boiler.select(col("__lh"), col("boiler"))), Seq("__lh"), "left")
+      .groupBy(id).agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("boiler"), 1L).otherwise(0L)).as("n_dropped"),
+        array_join(transform(
+          array_sort(collect_list(when(col("boiler").isNull,
+            struct(col("pos"), col("line"))))),
+          x => x.getField("line")), "\n").as("clean_text"))
+  }
+
   /** Decontamination — the benchmark-overlap operator: which TRAIN
     * documents share at least one `n`-token shingle (an order-sensitive
     * token RUN, not a token set) with any EVAL document. Both sides are

@@ -68,6 +68,26 @@ object ExtensionCatalog {
       .filter(col("cos") >= 0.2)
   }
 
+  /** Line-level boilerplate dedup (CCNet-style). The fixture corpus
+    * has no newlines, so boilerplate lines are PLANTED deterministically
+    * (the ta_pii precedent): three footer templates appended by doc_id
+    * residue, each recurring across ~1/3–1/5 of the corpus — far above
+    * minDf=20 at sf0.01+ — while every original content line stays
+    * unique (df=1). The oracle predicts the exact cleaned text, so the
+    * hash match proves byte-identical line removal and re-assembly. */
+  val ddLines: Q = (s, d) =>
+    Dedup.boilerplateLines(
+      Tables.documents(s, d).select(col("doc_id"), expr(
+        """concat(text,
+          |  CASE WHEN doc_id % 3 = 0 THEN concat(chr(10),
+          |    'subscribe to our newsletter for updates') ELSE '' END,
+          |  CASE WHEN doc_id % 4 = 1 THEN concat(chr(10),
+          |    'all rights reserved worldwide') ELSE '' END,
+          |  CASE WHEN doc_id % 5 = 2 THEN concat(chr(10),
+          |    'share this article with code ', CAST(doc_id % 2 AS STRING))
+          |    ELSE '' END)""".stripMargin).as("rich")),
+      "rich", "doc_id", minDf = 20)
+
   /** Duplicate-cluster resolution: connected components over the
     * dd_jaccard near-dup pairs (transitive closure — duplicate CHAINS
     * collapse into one cluster), every document labeled with its

@@ -536,6 +536,25 @@ object Oracles {
     // ------------------------------------------------------------ extensions
     "dd_exact" ->
       "SELECT min(doc_id) AS survivor_id, count(*) AS n_copies FROM documents GROUP BY text",
+    // line-level boilerplate removal: same planted footers as ddLines;
+    // df groups by raw line text where Spark groups by its 60-bit hash
+    // (the dd_exact precedent — identical results, smaller shuffle key)
+    "dd_lines" ->
+      """WITH planted AS (SELECT doc_id, text
+        |    || CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'subscribe to our newsletter for updates' ELSE '' END
+        |    || CASE WHEN doc_id % 4 = 1 THEN chr(10) || 'all rights reserved worldwide' ELSE '' END
+        |    || CASE WHEN doc_id % 5 = 2 THEN chr(10) || 'share this article with code ' || CAST(doc_id % 2 AS VARCHAR) ELSE '' END
+        |    AS rich FROM documents),
+        |ls AS (SELECT doc_id, string_split(rich, chr(10)) AS la FROM planted),
+        |lines AS (SELECT doc_id, unnest(range(1, len(la) + 1)) AS pos,
+        |  unnest(la) AS line FROM ls),
+        |df AS (SELECT line, count(DISTINCT doc_id) AS df FROM lines GROUP BY 1),
+        |flagged AS (SELECT l.doc_id, l.pos, l.line, (df.df >= 20) AS boiler
+        |  FROM lines l JOIN df USING (line))
+        |SELECT doc_id, count(*) AS n_lines,
+        |  CAST(sum(CASE WHEN boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+        |  coalesce(string_agg(CASE WHEN NOT boiler THEN line END, chr(10) ORDER BY pos), '') AS clean_text
+        |FROM flagged GROUP BY 1""".stripMargin,
     "dd_minhash_sig" ->
       s"WITH ${sigCte(16)} SELECT * FROM sig",
     "dd_minhash_lsh" ->

@@ -12,6 +12,27 @@ import graft.streaming.SparkSpec
 class QualitySignalsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("boilerplateLines: recurring lines drop, order survives, unique lines stay") {
+    // "footer" recurs in 3 of 4 docs (minDf=3); every content line unique;
+    // doc 4 is boilerplate-only and must survive as an empty document
+    val docs = Seq(
+      (1L, "alpha one\nfooter\nalpha two"),
+      (2L, "beta one\nfooter"),
+      (3L, "footer\ngamma one\ngamma two"),
+      (4L, "footer")
+    ).toDF("doc_id", "text")
+    val got = Dedup.boilerplateLines(docs, "text", "doc_id", minDf = 3)
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 3L, 1L, "alpha one\nalpha two")))  // order kept
+    assert(got(2L) == ((2L, 2L, 1L, "beta one")))
+    assert(got(3L) == ((3L, 3L, 1L, "gamma one\ngamma two")))
+    assert(got(4L) == ((4L, 1L, 1L, "")))                      // fully scrubbed
+    // below threshold nothing drops and text round-trips byte-identical
+    val loose = Dedup.boilerplateLines(docs, "text", "doc_id", minDf = 5)
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r._4).toMap
+    assert(loose(1L) == "alpha one\nfooter\nalpha two")
+  }
+
   test("repetition: looping text scores high, unique text zero, short text safe") {
     val docs = Seq(
       (1L, "spam spam spam spam spam spam"),        // one distinct 2-gram
