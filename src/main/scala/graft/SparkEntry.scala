@@ -98,6 +98,7 @@ object SparkEntry {
     "ds_split_assign" -> ExtensionCatalog.dsSplitAssign,
     "ds_mixture" -> ExtensionCatalog.dsMixture,
     "ds_shuffle_rank" -> ExtensionCatalog.dsShuffleRank,
+    "ds_interleave" -> ExtensionCatalog.dsInterleave,
     "pipe_curate" -> ExtensionCatalog.pipeCurate,
     "pipe_pretrain" -> ExtensionCatalog.pipePretrain,
     "pipe_rag" -> ExtensionCatalog.pipeRag,

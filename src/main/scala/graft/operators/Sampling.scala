@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Hashing
@@ -121,6 +122,43 @@ object Sampling {
     * the oracle's tiebreak-free `ORDER BY key` total order. Corpora
     * with wider ids raise the shift — the hash/id bit split is a
     * contract knob, not a structural limit. */
+  /** Deterministic weighted source interleave — the training-order
+    * scheduler for multi-source mixtures: source `s` with integer
+    * weight `w` emits its r-th item at virtual time `(2r−1)·(L/w)`
+    * (stride scheduling, Waldspurger & Weihl 1995, with `L` a common
+    * multiple of all weights), so a weight-3 source appears 3× as
+    * often as a weight-1 source at every prefix of the schedule —
+    * unlike probabilistic mixing, the ratio holds EXACTLY, batch
+    * after batch, and is fully reproducible.
+    *
+    * The global position is assigned by [[PrefixSum.globalRunningSum]]
+    * over the packed key `stride·2²⁹ + srcNum·2²⁴ + id` — the same
+    * no-single-reducer two-pass rank as [[shuffleRank]], with the same
+    * loud bit-budget guards (id < 2²⁴, srcNum < 32, stride < 2³⁴ —
+    * contract knobs, widened together with the pack). Per-source
+    * ordinals come from one hash-partitioned window; with a bounded
+    * source count each partition carries one source's ids — the sort
+    * the schedule inherently needs. */
+  def interleave(df: DataFrame, idCol: String, srcNumCol: String,
+                 weightCol: String, lcm: Long): DataFrame = {
+    val id = col(idCol).cast("long")
+    val sn = col(srcNumCol).cast("long")
+    val rk = row_number().over(
+      Window.partitionBy(col(srcNumCol)).orderBy(col(idCol))).cast("long")
+    val stride = (rk * 2 - 1) * (lit(lcm) / col(weightCol)).cast("long")
+    val guard = coalesce(assert_true(
+      id >= 0 && id < lit(1L << 24) && sn >= 0 && sn < 32 &&
+        stride >= 0 && stride < lit(1L << 34),
+      concat(lit("interleave: pack overflow (id/src/stride): "),
+        id.cast("string"), lit("/"), sn.cast("string"), lit("/"),
+        stride.cast("string"))).cast("long"), lit(0L))
+    val key = (stride * lit(1L << 29) + sn * lit(1L << 24) + id + guard).as("k")
+    PrefixSum.globalRunningSum(df.select(key, lit(1L).as("v")), "k", "v")
+      .select((col("k") % lit(1L << 24)).as(idCol),
+        ((col("k") / lit(1L << 24)).cast("long") % 32).as(srcNumCol),
+        col("running").as("pos"))
+  }
+
   def shuffleRank(df: DataFrame, idCol: String, salt: String = "shuf"): DataFrame = {
     // the 36/24 bit split is a CONTRACT: an id outside [0, 2^24) would
     // silently corrupt both the recovered doc_id (k % 2^24) and the

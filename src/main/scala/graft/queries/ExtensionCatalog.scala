@@ -647,6 +647,22 @@ object ExtensionCatalog {
   val dsShuffleRank: Q = (s, d) =>
     Sampling.shuffleRank(Tables.documents(s, d), "doc_id")
 
+  /** Deterministic weighted interleave of the 20 fixture sources —
+    * weight (srcNum % 3) + 1 ∈ {1,2,3}, L = lcm = 6: at every prefix
+    * of the schedule a weight-3 source has emitted exactly 3× the
+    * items of a weight-1 source (stride scheduling; see
+    * [[Sampling.interleave]]). Source name reconstructs from the
+    * recovered source number — no join back to the corpus. */
+  val dsInterleave: Q = (s, d) =>
+    Sampling.interleave(
+      Tables.documents(s, d).select(col("doc_id"),
+        regexp_extract(col("source"), "src(\\d+)", 1).cast("long").as("src_num"))
+        .withColumn("w", col("src_num") % 3 + 1),
+      "doc_id", "src_num", "w", lcm = 6)
+      .select(col("doc_id"),
+        concat(lit("src"), col("src_num").cast("string")).as("source"),
+        col("pos"))
+
   /** The end-to-end curation pipeline the extension operators exist to
     * COMPOSE: quality gate → language gate → exact-dedup survivor per
     * content hash → stable train/valid/test assignment. The plan is

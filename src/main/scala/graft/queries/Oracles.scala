@@ -1168,6 +1168,18 @@ object Oracles {
         |  FROM documents)
         |SELECT doc_id, shuffle_key, row_number() OVER (ORDER BY shuffle_key) AS rank
         |FROM k""".stripMargin,
+    // stride scheduling: source s (weight w) emits item r at virtual
+    // time (2r-1)*(6/w); global order = (stride, src, id) — the exact
+    // total order Sampling.interleave packs into its prefix-sum key
+    "ds_interleave" ->
+      """WITH s AS (SELECT doc_id,
+        |    CAST(regexp_extract(source, 'src(\d+)', 1) AS BIGINT) AS sn
+        |  FROM documents),
+        |r AS (SELECT doc_id, sn, (sn % 3) + 1 AS w,
+        |    row_number() OVER (PARTITION BY sn ORDER BY doc_id) AS rk FROM s)
+        |SELECT doc_id, 'src' || CAST(sn AS VARCHAR) AS source,
+        |  row_number() OVER (ORDER BY (2*rk - 1) * (6 // w), sn, doc_id) AS pos
+        |FROM r""".stripMargin,
     "ds_split_assign" ->
       """SELECT doc_id, CASE WHEN d < 0.75 THEN 'train' WHEN d < 0.875 THEN 'valid'
         |    ELSE 'test' END AS split,

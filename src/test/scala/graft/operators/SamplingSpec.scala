@@ -108,4 +108,27 @@ class SamplingSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
     assert(got.map(r => r._1 -> r._3).toMap != epoch2)
   }
+
+  test("interleave: exact weighted ratios at every schedule prefix") {
+    // source 0 weight 1 (ids 0..9), source 1 weight 2 (ids 100..119):
+    // virtual times 2,6,10,… vs 1,3,5,… — pattern (s1 s0 s1) repeating
+    val df = ((0L until 10L).map(i => (i, 0L, 1L)) ++
+      (100L until 120L).map(i => (i, 1L, 2L)))
+      .toDF("id", "src_num", "w").repartition(5)
+    val got = Sampling.interleave(df, "id", "src_num", "w", lcm = 2)
+      .as[(Long, Long, Long)].collect().sortBy(_._3)
+    assert(got.map(_._3).toSeq == (1L to 30L))               // dense permutation
+    // every prefix holds the 2:1 ratio within one item per source
+    got.scanLeft((0, 0)) { case ((a, b), r) =>
+      if (r._2 == 0L) (a + 1, b) else (a, b + 1)
+    }.tail.foreach { case (n0, n1) =>
+      assert(n1 >= 2 * n0 - 1 && n1 <= 2 * (n0 + 1),
+        s"prefix ratio broken: $n0 vs $n1")
+    }
+    // ids recover exactly and the schedule is deterministic
+    assert(got.filter(_._2 == 0L).map(_._1).toSeq == (0L until 10L))
+    val again = Sampling.interleave(df.repartition(3), "id", "src_num", "w", 2)
+      .as[(Long, Long, Long)].collect().sortBy(_._3)
+    assert(again.toSeq == got.toSeq)
+  }
 }
