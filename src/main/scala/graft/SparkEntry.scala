@@ -83,6 +83,7 @@ object SparkEntry {
     "dd_components_stats" -> ExtensionCatalog.ddClusterStats,
     "dd_contaminated" -> ExtensionCatalog.ddContaminated,
     "dd_crossdoc" -> ExtensionCatalog.ddCrossdoc,
+    "dd_semantic" -> ExtensionCatalog.ddSemantic,
     "ann_brute_force" -> ExtensionCatalog.annBruteForce,
     "ann_bucketed" -> ExtensionCatalog.annBucketed,
     "ann_ivf" -> ExtensionCatalog.annIvf,
@@ -106,6 +107,7 @@ object SparkEntry {
     "ta_langid" -> ExtensionCatalog.taLangId,
     "ta_quality" -> ExtensionCatalog.taQuality,
     "ta_pii" -> ExtensionCatalog.taPii,
+    "ta_urls" -> ExtensionCatalog.taUrls,
     "ta_tokens" -> ExtensionCatalog.taTokens,
     "ta_fingerprint" -> ExtensionCatalog.taFingerprint,
     "ta_winnow" -> ExtensionCatalog.taWinnow,

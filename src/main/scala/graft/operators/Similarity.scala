@@ -260,6 +260,37 @@ object Similarity {
     scoreTopK(assigned.join(broadcast(probeSelect(cents, queries, nProbe)),
       "cent_id"), k)
 
+  /** SemDeDup (Abbas et al. 2023): semantic dedup over a CLUSTERED
+    * embedding corpus — a vector is a duplicate iff some smaller-id
+    * vector in its k-means cluster has rounded cosine ≥ `threshold`
+    * (the deterministic keep-the-min-id form of the paper's
+    * keep-one-per-near-dup-group rule). Every vector is labeled
+    * (vec_id, cluster_id, kept).
+    *
+    * Scale shape: the pair search self-joins ONLY within a cluster —
+    * the k-means partition IS the candidate blocking (that is the
+    * point of SemDeDup: nCentroids grows with the corpus, so expected
+    * cluster size — and with it the quadratic in-cluster term — stays
+    * bounded). The join shuffles on cent_id; a pathologically hot
+    * cluster salts like any hot key ([[graft.operators.SkewTools]]).
+    * `assigned` is the train-once ivfAssign index (memoized /
+    * written-table, same as the ANN probes). */
+  def semanticDedup(assigned: DataFrame, threshold: Double): DataFrame = {
+    val a = assigned.select(col("cent_id"), col("vec_id").as("a_id"),
+      col("embedding").as("a_emb"))
+    val b = assigned.select(col("cent_id"), col("vec_id").as("b_id"),
+      col("embedding").as("b_emb"))
+    val dups = a.join(b, Seq("cent_id"))
+      .filter(col("b_id") < col("a_id") &&
+        round(cosineD(transform(col("a_emb"), x => x.cast("double")),
+          transform(col("b_emb"), x => x.cast("double"))), 6) >= threshold)
+      .select(col("a_id").as("vec_id")).distinct()
+      .withColumn("dup", lit(true))
+    assigned.join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cent_id").as("cluster_id"),
+        col("dup").isNull.as("kept"))
+  }
+
   /** Exact integer gram matrix G[i][j] = Σ_vectors qᵢ·qⱼ (upper
     * triangle) over milli-unit components — the covariance/whitening
     * prep step (PCA/ZCA/mean-centering start here). The d² explode per

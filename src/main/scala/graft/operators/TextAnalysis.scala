@@ -154,6 +154,19 @@ object TextAnalysis {
         md5(col("red")).as("red_fp"))
   }
 
+  /** URL extraction + domain histogram — the provenance/robots-audit
+    * step of web-corpus curation (which hosts feed the corpus, and how
+    * heavily). Per domain: distinct referencing documents and total
+    * URL mentions. The extract is a narrow per-row regexp; the
+    * histogram is a hash aggregate on the (small) domain key with
+    * map-side partials — nothing document-sized shuffles. */
+  def urlDomains(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        explode(expr(s"regexp_extract_all($textCol, 'https?://[^ ]+', 0)")).as("url"))
+      .select(col("doc_id"), regexp_extract(col("url"), "https?://([^/ ]+)", 1).as("domain"))
+      .groupBy(col("domain"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"), count(lit(1)).as("n_urls"))
+
   /** Order-insensitive document fingerprint: modular sum of
     * md5-derived token hashes — a content-addressed id for cheap
     * near-exact duplicate detection; identical arithmetic in the

@@ -285,15 +285,17 @@ object ExtensionCatalog {
     * shape next to brute-force and sign-LSH). Centroid and assignment
     * values are identical whether built fresh or served from the
     * memos, so the oracle contract is unchanged. */
-  val annIvf: Q = (s, d) => {
+  /** The memoized (vec_id, cent_id, embedding) inverted-list index —
+    * written table first (durable), else built + checkpointed
+    * in-session. Shared by ann_ivf's probe and dd_semantic's
+    * in-cluster pair search: both are probe-many consumers of the
+    * same train-once index. */
+  private def assignedIndex(s: SparkSession, d: String,
+                            cents: DataFrame): DataFrame = {
     val key = memoKey(s, d, "embeddings")
-    val cents = broadcast(
-      Similarity.centroidsDf(s, trainedCentroids(s, d)))
-    val assigned = ivfIndexMemo.get() match {
+    ivfIndexMemo.get() match {
       case (k, df) if k == key => df
       case _ =>
-        // written table first (durable — scans per probe, no driver
-        // storage); else build + checkpoint in-session
         val df = writtenIndex(d) match {
           case Some(p) => graft.tools.IndexStore.readIvfIndex(s, p)
           case None => Similarity.ivfAssign(Tables.embeddings(s, d), cents)
@@ -303,8 +305,24 @@ object ExtensionCatalog {
         if (prev != null && !(prev._2 eq df)) unpersistCheckpoint(prev._2)
         df
     }
-    Similarity.ivfProbe(assigned, cents,
+  }
+
+  val annIvf: Q = (s, d) => {
+    val cents = broadcast(
+      Similarity.centroidsDf(s, trainedCentroids(s, d)))
+    Similarity.ivfProbe(assignedIndex(s, d, cents), cents,
       Tables.embeddings(s, d).filter(col("vec_id") < 20), k = 10)
+  }
+
+  /** SemDeDup over the fixture embeddings: the shared k-means
+    * assignment supplies the clusters; a vector with a smaller-id
+    * in-cluster neighbor at rounded cosine ≥ 0.3 is a duplicate.
+    * The candidate search is blocked BY the clustering — no pair
+    * forms across clusters (see [[Similarity.semanticDedup]]). */
+  val ddSemantic: Q = (s, d) => {
+    val cents = broadcast(
+      Similarity.centroidsDf(s, trainedCentroids(s, d)))
+    Similarity.semanticDedup(assignedIndex(s, d, cents), threshold = 0.3)
   }
 
   /** Trained PQ codebooks per (session, dir, fingerprint) —
@@ -465,6 +483,23 @@ object ExtensionCatalog {
     * same synthesize-then-process pattern as the multimodal payloads),
     * making every detector's count column NON-vacuous; the md5 receipt
     * proves both engines produced byte-identical scrubbed text. */
+  /** URL/domain provenance histogram. The corpus has no URLs, so they
+    * are PLANTED deterministically (the ta_pii precedent): three host
+    * families keyed on doc_id residues — 5 news subdomains, 3 cdn
+    * hosts, 1 wiki host — giving 9 domains with predictable doc and
+    * mention counts. */
+  val taUrls: Q = (s, d) =>
+    TextAnalysis.urlDomains(
+      Tables.documents(s, d).select(col("doc_id"), expr(
+        """concat(text,
+          |  CASE WHEN doc_id % 4 = 1 THEN concat(' visit https://news-',
+          |    CAST(doc_id % 5 AS STRING), '.example.com/story/',
+          |    CAST(doc_id AS STRING)) ELSE '' END,
+          |  CASE WHEN doc_id % 6 = 2 THEN concat(' mirror http://cdn',
+          |    CAST(doc_id % 3 AS STRING), '.example.net/asset') ELSE '' END,
+          |  CASE WHEN doc_id % 10 = 3 THEN ' docs at https://wiki.example.org'
+          |    ELSE '' END)""".stripMargin).as("rich")), "rich", "doc_id")
+
   val taPii: Q = (s, d) =>
     TextAnalysis.redactPii(
       Tables.documents(s, d).select(col("doc_id"), expr(

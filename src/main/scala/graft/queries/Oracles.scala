@@ -713,6 +713,17 @@ object Oracles {
     // tiebreak; update = integer-micro-unit mean rounded to 6, the
     // emb_centroid idiom, so centroids stay bit-identical across
     // engines; empty clusters keep their previous centroid)
+    // SemDeDup twin: same coarse k-means chain; a vector with a
+    // smaller-id in-cluster neighbor at rounded cosine >= 0.3 is a dup
+    "dd_semantic" -> materializeCtes {
+      s"""WITH $ivfCtes,
+         |dups AS (SELECT DISTINCT a.vec_id FROM assigned a JOIN assigned b
+         |  ON a.cent_id = b.cent_id AND b.vec_id < a.vec_id
+         |  AND round(list_cosine_similarity(list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+         |    list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 6) >= 0.3)
+         |SELECT s.vec_id, s.cent_id AS cluster_id, (dp.vec_id IS NULL) AS kept
+         |FROM assigned s LEFT JOIN dups dp ON s.vec_id = dp.vec_id""".stripMargin
+    },
     "ann_ivf" ->
       s"""WITH $ivfCtes,
          |scored AS (SELECT p.query_id, a.vec_id,
@@ -752,6 +763,20 @@ object Oracles {
     // same planting CASEs as the catalog; counts run on the planted
     // text, redaction applies email -> phone -> IP in that order, and
     // md5 receipts must agree byte-for-byte
+    // planted URL families (taUrls twin); domain = host part of every
+    // https?:// mention, histogram over distinct docs + total mentions
+    "ta_urls" ->
+      """WITH rich AS (SELECT doc_id, text
+        |    || CASE WHEN doc_id % 4 = 1 THEN ' visit https://news-' || CAST(doc_id % 5 AS VARCHAR)
+        |      || '.example.com/story/' || CAST(doc_id AS VARCHAR) ELSE '' END
+        |    || CASE WHEN doc_id % 6 = 2 THEN ' mirror http://cdn' || CAST(doc_id % 3 AS VARCHAR)
+        |      || '.example.net/asset' ELSE '' END
+        |    || CASE WHEN doc_id % 10 = 3 THEN ' docs at https://wiki.example.org' ELSE '' END
+        |    AS t FROM documents),
+        |u AS (SELECT doc_id, unnest(regexp_extract_all(t, 'https?://[^ ]+')) AS url FROM rich),
+        |dom AS (SELECT doc_id, regexp_extract(url, 'https?://([^/ ]+)', 1) AS domain FROM u)
+        |SELECT domain, count(DISTINCT doc_id) AS n_docs, count(*) AS n_urls
+        |FROM dom GROUP BY 1""".stripMargin,
     "ta_pii" ->
       """WITH rich AS (SELECT doc_id, text ||
         |    CASE WHEN doc_id % 3 = 0 THEN ' contact u' || CAST(doc_id AS VARCHAR)

@@ -76,6 +76,22 @@ class KMeansSpec extends SparkSpec {
     assert(cents.forall(_._2.length == 64))
   }
 
+  test("semanticDedup: in-cluster near-dups drop to min id, clusters block pairs") {
+    // hand-built assignment: cluster blocking must prevent the
+    // identical v1/v50 pair (different clusters) from ever forming
+    val assigned = Seq(
+      (1L, 0L, Seq(1f, 0f)),      // kept (min id of its near-dup set)
+      (2L, 0L, Seq(0.99f, 0.01f)),// dup of 1 (cos ~ 1)
+      (3L, 0L, Seq(-1f, 0.05f)),  // kept (cos < 0 to both)
+      (50L, 1L, Seq(1f, 0f)),     // identical to v1 but other cluster: kept
+      (60L, 1L, Seq(0.5f, 0.5f))  // cos(v50, v60) = .707 >= .3 -> dup
+    ).toDF("vec_id", "cent_id", "embedding")
+    val got = Similarity.semanticDedup(assigned, threshold = 0.3)
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got == Map(1L -> (0L, true), 2L -> (0L, false), 3L -> (0L, true),
+      50L -> (1L, true), 60L -> (1L, false)))
+  }
+
   test("PQ: codebooks deterministic across layouts; ksub-point corpus encodes exactly") {
     val base = corpus(100)
     val a = Similarity.pqTrain(base)
