@@ -23,22 +23,28 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings")
 
-  /** `events.ts` is INT64 TIMESTAMP(NANOS) parquet, which Spark 4
-    * rejects by default (PARQUET_TYPE_ILLEGAL). With
-    * `spark.sql.legacy.parquet.nanosAsLong=true` it reads as LongType
-    * nanos; we floor-convert to a microsecond TimestampType column.
-    * NOTE for oracle parity: never output raw `ts` from a query —
-    * DuckDB keeps nanosecond precision, Spark sees floored micros.
-    * Emit `event_id` or a `date_trunc` of second-or-coarser instead.
+  /** `events.ts` has shipped in two physical forms across testdata
+    * generations: INT64 TIMESTAMP(NANOS) (Spark 4 rejects it by
+    * default; `nanosAsLong=true` reads it as LongType nanos, floored
+    * to micros here) and native `timestamp[us]` (reads as
+    * TIMESTAMP_NTZ). Both normalize to a microsecond TimestampType
+    * column — with the UTC session timezone every build pins, the
+    * NTZ→LTZ cast is epoch-identity, so every downstream window /
+    * date_trunc / sort behaves identically for either input form.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     catch { case _: Throwable => () }
-    // `div` = integer division: ns epochs (~1.7e18) exceed double's
-    // 2^53 exact range, so `col / 1000` loses the low microsecond on
-    // ~12% of rows (measured) — enough to flip a window bucket or a
-    // per-user sort order vs the oracle's exact-ns arithmetic.
-    read(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = read(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // `div` = integer division: ns epochs (~1.7e18) exceed
+        // double's 2^53 exact range, so `col / 1000` loses the low
+        // microsecond on ~12% of rows — enough to flip a window
+        // bucket or a per-user sort order vs the oracle.
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 }

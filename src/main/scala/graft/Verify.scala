@@ -28,16 +28,17 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // ts-parity GUARD (was a comment through r3; now asserted): events.ts
-    // carries REAL sub-microsecond precision, and every ts query is
-    // parity-safe only because BOTH engines truncate ns→µs — Spark via
-    // Tables.events' timestamp_micros(ts div 1000), DuckDB 1.x by
-    // reading parquet timestamp[ns] as its µs TIMESTAMP. Assert the
-    // Spark half loudly: the derived ts must be the exact FLOOR of the
-    // raw ns value (a change to rounding, a lost nanosAsLong flag, or
-    // a schema drift in the fixture fails here, not forensically in a
-    // hash mismatch downstream). The DuckDB half stays guarded by the
-    // check_oracle compare itself.
+    // ts-parity GUARD (was a comment through r3; now asserted): every ts
+    // query is parity-safe only because BOTH engines agree on the µs
+    // value of events.ts. The fixture has shipped in two physical forms
+    // (see Tables.events): INT64 TIMESTAMP(NANOS) — both engines must
+    // truncate ns→µs, Spark via timestamp_micros(ts div 1000) — and
+    // native timestamp[us], where parity is identity. Assert the Spark
+    // half loudly for whichever form this fixture carries: the derived
+    // ts must be the exact µs value implied by the raw parquet bits (a
+    // change to rounding, a lost nanosAsLong flag, or a schema drift
+    // fails here, not forensically in a hash mismatch downstream). The
+    // DuckDB half stays guarded by the check_oracle compare itself.
     locally {
       import org.apache.spark.sql.functions._
       // fingerprint = (count, decimal-exact sum, min, max) of the µs
@@ -46,14 +47,20 @@ object Verify {
         count(lit(1)), sum(col("us").cast("decimal(38,0)")),
         min(col("us")), max(col("us"))).head().toSeq
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val raw = fp(spark.read.parquet(s"$sfDir/events.parquet")
-        .select(expr("ts div 1000").as("us")))
+      val rawDf = spark.read.parquet(s"$sfDir/events.parquet")
+      val rawUs = rawDf.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => // INT64 ns → floor to µs
+          rawDf.select(expr("ts div 1000").as("us"))
+        case _ => // native timestamp[us] (NTZ) → identity under UTC session tz
+          rawDf.select(unix_micros(col("ts").cast("timestamp")).as("us"))
+      }
+      val raw = fp(rawUs)
       val derived = fp(Tables.events(spark, sfDir)
         .select(unix_micros(col("ts")).as("us")))
       require(raw == derived,
-        s"ns-parity guard: events.ts is not the exact ns->us floor of the raw " +
-          s"parquet value (raw fingerprint $raw != derived $derived) — rounding " +
-          "drift or a lost nanosAsLong flag breaks oracle ts parity")
+        s"ts-parity guard: events.ts is not the exact µs value of the raw " +
+          s"parquet column (raw fingerprint $raw != derived $derived) — rounding " +
+          "drift or a schema-form mismatch breaks oracle ts parity")
     }
     val selected = only.fold(SparkEntry.queries)(names =>
       SparkEntry.queries.filter { case (n, _) => names(n) })
