@@ -567,7 +567,7 @@ object Similarity {
                excludeSelf: Boolean = true): DataFrame = {
     val qids = queries.select(col("vec_id").as("query_id"))
     adcRank(encoded.crossJoin(broadcast(qids)),
-      pqLut(queries, books, m, dim), k, m, excludeSelf)
+      pqLut(queries, books, m, dim), k, m, books.count(_._1 == 0), excludeSelf)
   }
 
   /** Per-query integer LUT: micro-unit L2² from each query subvector
@@ -590,19 +590,28 @@ object Similarity {
 
   /** Shared ADC ranking tail ([[pqSearch]] / [[ivfPqSearch]] — one
     * definition so the two shapes cannot drift): `candidates` holds
-    * (query_id, vec_id, c0..c{m-1}, …); each subspace's LUT slice
-    * joins BROADCAST, the approximate distance is the m-way LUT sum,
-    * and top-k is the bounded mergeable TopKPairs aggregate with the
+    * (query_id, vec_id, c0..c{m-1}, …). The per-query LUT collapses
+    * to ONE row per query — an m·ksub long array indexed [sub·ksub +
+    * cent] — so the candidate scan pays a single broadcast hash join
+    * on query_id plus m in-row `element_at` lookups per candidate
+    * (the classic ADC inner loop), instead of m separate broadcast
+    * join probes (the r5 shape — measured ~2.5× slower per candidate
+    * on the ivfpq ladder). The approximate distance is the m-way LUT
+    * sum; top-k is the bounded mergeable TopKPairs aggregate with the
     * vec_id tiebreak. */
   private def adcRank(candidates: DataFrame, lut: DataFrame, k: Int, m: Int,
-                      excludeSelf: Boolean): DataFrame = {
-    var scored = candidates
-    (0 until m).foreach { j =>
-      val lj = lut.filter(col("sub") === j)
-        .select(col("query_id"), col("cent_id").as(s"c$j"), col("d2").as(s"d$j"))
-      scored = scored.join(broadcast(lj), Seq("query_id", s"c$j"))
-    }
-    val adist = (0 until m).map(j => col(s"d$j")).reduce(_ + _)
+                      ksub: Int, excludeSelf: Boolean): DataFrame = {
+    // (sub, cent_id) is unique per query, so the sort_array order is
+    // total and the packed array is deterministic
+    val lutArr = lut
+      .groupBy(col("query_id"))
+      .agg(transform(
+        sort_array(collect_list(struct(col("sub"), col("cent_id"), col("d2")))),
+        x => x.getField("d2")).as("lutv"))
+    val scored = candidates.join(broadcast(lutArr), "query_id")
+    val adist = (0 until m).map(j =>
+      element_at(col("lutv"),
+        (col(s"c$j") + lit(j.toLong * ksub + 1)).cast("int"))).reduce(_ + _)
     val base = if (excludeSelf) scored.filter(col("vec_id") =!= col("query_id"))
                else scored
     base.select(col("query_id"), col("vec_id"), adist.as("adist"))
@@ -649,6 +658,6 @@ object Similarity {
     val probes = probeSelect(cents, queries, nProbe)
       .select(col("query_id"), col("cent_id"))
     adcRank(index.join(broadcast(probes), "cent_id"),
-      pqLut(queries, books, m, dim), k, m, excludeSelf)
+      pqLut(queries, books, m, dim), k, m, books.count(_._1 == 0), excludeSelf)
   }
 }

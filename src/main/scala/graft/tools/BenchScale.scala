@@ -179,6 +179,99 @@ object BenchScale {
     }
   }
 
+  /** IVFPQ ladder (VERDICT r5 #2): the three serving shapes head-to-head
+    * on the same planted-cluster corpus, same trained halves —
+    * plain IVF-flat probe (prunes to nProbe lists, ranks float
+    * cosines), full-scan PQ-ADC (every vector, 8-byte codes), and the
+    * IVFPQ composition (pruned lists scanned as codes). Train + index
+    * build are timed separately from search: the serving claim is
+    * about the probe path (built once, probed many). Search timings
+    * are best-of-2 (co-tenant box). Quality gate is the same honest
+    * cell-level metric as the PQ ladder: in-cluster precision of the
+    * top-10 ≥ 0.8 for every shape (planted cluster = vec_id % 1000).
+    * The scale claim under test: at the top rung ivfpq search beats
+    * BOTH plain shapes — it scans the same fraction as IVF but as
+    * integer codes, and the same representation as PQ but ~nProbe/
+    * nCentroids of the corpus. */
+  private def ivfPqLadder(spark: SparkSession, sizes: Seq[Long],
+                          maxTaskMs: java.util.concurrent.atomic.AtomicLong,
+                          nQueries: Int = 200): Unit = {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.{Sampling, Similarity}
+    val (k, nCentroids, nProbe) = (10, 128, 8)
+    def unpersistCp(df: DataFrame): Unit =
+      try df.queryExecution.logical match {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
+        case _ => ()
+      } catch { case _: Throwable => () }
+    def bestOf2(f: () => Double): Double = { val a = f(); math.min(a, f()) }
+    def timed(body: => Long): Double = {
+      val t0 = System.nanoTime(); val n = body
+      require(n > 0, "empty result"); (System.nanoTime() - t0) / 1e9
+    }
+    val rungs = sizes.map { n =>
+      val dir = s"/tmp/graft_scale/emb_$n"
+      genEmbeddings(spark, n).write.mode("overwrite").parquet(dir) // untimed
+      val corpus = spark.read.parquet(dir)
+      val queries = corpus.filter(col("vec_id") < nQueries)
+      // train both halves ONCE on a bounded hash-sample (the contract
+      // knob from pqTrain, applied to the coarse quantizer too)
+      val sampleRate = math.min(1.0, 200000.0 / n)
+      val tTrain = System.nanoTime()
+      val cents = Similarity.kmeansTrain(
+        Sampling.hashSample(corpus, "vec_id", sampleRate), nCentroids)
+      val centsDf = org.apache.spark.sql.functions.broadcast(
+        Similarity.centroidsDf(spark, cents))
+      val books = Similarity.pqTrain(corpus,
+        trainSample = Some(sampleRate).filter(_ < 1.0))
+      val trainSec = (System.nanoTime() - tTrain) / 1e9
+      val wide = spark.sparkContext.defaultParallelism
+      val tBuild = System.nanoTime()
+      val ivfIdx = Similarity.ivfAssign(corpus, centsDf)
+        .repartition(wide).localCheckpoint()
+      val pqIdx = Similarity.pqAssign(corpus, books)
+        .repartition(wide).localCheckpoint()
+      val ivfpqIdx = Similarity.ivfPqIndex(corpus, centsDf, books)
+        .repartition(wide).localCheckpoint()
+      require(ivfIdx.count() == n && pqIdx.count() == n && ivfpqIdx.count() == n,
+        s"index build sanity failed at n=$n")
+      val buildSec = (System.nanoTime() - tBuild) / 1e9
+      maxTaskMs.set(0)
+      var hits: Array[(Long, Long)] = Array.empty
+      def grab(df: DataFrame): Long = {
+        hits = df.select(col("query_id"), col("vec_id"))
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+        hits.length.toLong
+      }
+      def inCluster = hits.count { case (q, v) => q % 1000 == v % 1000 }
+        .toDouble / hits.length
+      val ivfSec = bestOf2(() => timed(grab(
+        Similarity.ivfProbe(ivfIdx, centsDf, queries, k, nProbe))))
+      val ivfIc = inCluster
+      val pqSec = bestOf2(() => timed(grab(
+        Similarity.pqSearch(pqIdx, books, queries, k))))
+      val pqIc = inCluster
+      val ivfpqSec = bestOf2(() => timed(grab(
+        Similarity.ivfPqSearch(ivfpqIdx, centsDf, books, queries, k, nProbe))))
+      val ivfpqIc = inCluster
+      val mt = maxTaskMs.get() / 1e3
+      Seq(ivfIdx, pqIdx, ivfpqIdx).foreach(unpersistCp)
+      (n, trainSec, buildSec, ivfSec, ivfIc, pqSec, pqIc, ivfpqSec, ivfpqIc, mt)
+    }
+    val rungJson = rungs.map { case (n, ts, bs, is, ii, ps, pi, xs, xi, mt) =>
+      f"""{"n_vecs":$n,"train_sec":$ts%.2f,"build_sec":$bs%.2f,"ivf_sec":$is%.2f,"ivf_in_cluster":$ii%.3f,"pq_sec":$ps%.2f,"pq_in_cluster":$pi%.3f,"ivfpq_sec":$xs%.2f,"ivfpq_in_cluster":$xi%.3f,"max_task_sec":$mt%.2f}"""
+    }.mkString("[", ",", "]")
+    println(s"""{"metric":"ivfpq_scale","n_queries":$nQueries,"k":$k,"n_centroids":$nCentroids,"n_probe":$nProbe,"rungs":$rungJson}""")
+    rungs.foreach { case (n, _, _, _, ii, _, pi, _, xi, _) =>
+      require(ii >= 0.8 && pi >= 0.8 && xi >= 0.8,
+        s"in-cluster precision collapsed at n=$n: ivf=$ii pq=$pi ivfpq=$xi")
+    }
+    val top = rungs.last
+    require(top._8 < top._4 && top._8 < top._6,
+      f"ivfpq did not win at n=${top._1}: ivfpq=${top._8}%.2fs vs " +
+        f"ivf=${top._4}%.2fs pq=${top._6}%.2fs")
+  }
+
   /** Multimodal-kernel throughput ladder: synth + full-pixel decode +
     * bilinear resize (PNG) and synth + per-frame decode (animated GIF)
     * over n generated docs — the docs/s of the imageio chain, plus the
@@ -218,11 +311,13 @@ object BenchScale {
     val annMode = args.headOption.contains("ann")
     val mmMode = args.headOption.contains("mm")
     val pqMode = args.headOption.contains("pq")
-    val sizeArgs = if (annMode || mmMode || pqMode) args.drop(1) else args
+    val ivfPqMode = args.headOption.contains("ivfpq")
+    val sizeArgs = if (annMode || mmMode || pqMode || ivfPqMode) args.drop(1) else args
     val sizes =
       if (sizeArgs.nonEmpty) sizeArgs(0).split(",").map(_.trim.toLong).toSeq
       else if (annMode) Seq(20000L, 100000L, 500000L)
       else if (mmMode) Seq(10000L, 50000L)
+      else if (ivfPqMode) Seq(2000000L, 5000000L)
       else if (pqMode) Seq(100000L, 500000L, 2000000L)
       else Seq(5000L, 10000L, 20000L, 50000L)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -268,6 +363,10 @@ object BenchScale {
     if (pqMode) {
       val nQueries = if (sizeArgs.length > 1) sizeArgs(1).trim.toInt else 200
       pqLadder(spark, sizes, maxTaskMs, nQueries); spark.stop(); return
+    }
+    if (ivfPqMode) {
+      val nQueries = if (sizeArgs.length > 1) sizeArgs(1).trim.toInt else 200
+      ivfPqLadder(spark, sizes, maxTaskMs, nQueries); spark.stop(); return
     }
 
     val rungs = sizes.map { n =>
