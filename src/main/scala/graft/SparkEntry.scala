@@ -84,6 +84,8 @@ object SparkEntry {
     "dd_contaminated" -> ExtensionCatalog.ddContaminated,
     "dd_crossdoc" -> ExtensionCatalog.ddCrossdoc,
     "dd_semantic" -> ExtensionCatalog.ddSemantic,
+    "dd_containment" -> ExtensionCatalog.ddContainment,
+    "dd_edit" -> ExtensionCatalog.ddEdit,
     "ann_brute_force" -> ExtensionCatalog.annBruteForce,
     "ann_bucketed" -> ExtensionCatalog.annBucketed,
     "ann_ivf" -> ExtensionCatalog.annIvf,
@@ -118,6 +120,8 @@ object SparkEntry {
     "ta_chunks" -> ExtensionCatalog.taChunks,
     "ta_tfidf" -> ExtensionCatalog.taTfidf,
     "ta_entropy" -> ExtensionCatalog.taEntropy,
+    "ta_unigram" -> ExtensionCatalog.taUnigram,
+    "emb_standardize" -> ExtensionCatalog.embStandardize,
     "mm_decode_meta" -> ExtensionCatalog.mmDecodeMeta,
     "mm_resize" -> ExtensionCatalog.mmResize,
     "mm_frames" -> ExtensionCatalog.mmFrames

@@ -120,6 +120,93 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Directional containment near-dup pairs: C(A→B) = |sh(A) ∩ sh(B)|
+    * / |sh(A)| over distinct `n`-token shingles — the asymmetric
+    * signal Jaccard misses when one document CONTAINS another (quote
+    * inclusion, concat crawls, versioned pages: a small doc embedded
+    * in a big one keeps C(small→big) ≈ 1 while J collapses toward
+    * |small|/|big|). Emits (doc_a, doc_b, n_inter, containment) for
+    * ordered pairs doc_a ≠ doc_b with C(doc_a→doc_b) ≥ `threshold`.
+    *
+    * Scale shape: candidate pairs generate through the standard
+    * shared-shingle equi-join (shuffle on the shingle, never an
+    * all-pairs cross), and the quadratic hot-shingle term is CAPPED
+    * by `maxDf`: a shingle present in more than `maxDf` documents is
+    * boilerplate (it contributes pairs quadratically but evidence of
+    * containment weakly) and is dropped from BOTH the intersection
+    * and each doc's denominator — the df-cap is part of the operator
+    * contract, applied identically by the oracle, and bounds the
+    * per-shingle join fan-out at any corpus size. Shingles join as
+    * md5 longs (bounded shuffle width, collision odds ~n²/2⁶⁴). */
+  def containmentPairs(docs: DataFrame, textCol: String, idCol: String,
+                       n: Int = 8, threshold: Double = 0.5,
+                       maxDf: Int = 50): DataFrame = {
+    val toks = graft.operators.StatelessOps.tokenArray(col(textCol))
+    val sh = docs.select(col(idCol).cast("long").as("doc_id"), toks.as("toks"))
+      .where(size(col("toks")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(toks) - ${n - 1}), i -> concat_ws(' ', slice(toks, i, $n)))")).as("sh"))
+      .select(col("doc_id"), Hashing.md5Long(col("sh")).as("h"))
+      .distinct()
+    val kept = sh.groupBy(col("h"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select(col("h"))
+    val shKept = sh.join(kept, "h")
+    val sizes = shKept.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val a = shKept.select(col("h"), col("doc_id").as("doc_a"))
+    val b = shKept.select(col("h"), col("doc_id").as("doc_b"))
+    a.join(b, Seq("h")).filter(col("doc_a") =!= col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+      .withColumn("containment",
+        round(col("n_inter").cast("double") / col("n_sh"), 6))
+      .filter(col("containment") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("containment"))
+  }
+
+  /** Bucketed edit-distance near-dup pairs — the character-level
+    * modality (OCR noise, typo variants, whitespace-mangled copies)
+    * that token-set measures miss entirely: a doc with every word
+    * slightly corrupted shares few exact shingles but small
+    * Levenshtein distance. Emits (doc_a, doc_b, dist) for pairs with
+    * doc_b < doc_a, same block, and levenshtein of the `prefixLen`-
+    * char prefixes ≤ `maxDist`.
+    *
+    * Scale shape: NEVER all-pairs — candidates block on (token-count
+    * bucket of width `lenBucket`, first token), so only docs of
+    * similar length sharing an opening token meet, and the DP cost
+    * per met pair is hard-bounded by comparing `prefixLen`-char
+    * PREFIXES (O(prefixLen²) cells, independent of document length —
+    * full-text Levenshtein at corpus scale is the plan you'd never
+    * run). Both the blocking and the prefix bound are recall
+    * contracts, stated and mirrored by the oracle: a near-dup pair
+    * differing in its first token, or length by > lenBucket, or only
+    * beyond the prefix, is out of scope for this detector (the
+    * shingle family covers those). The block join shuffles on the
+    * block key; a hot block (many same-length docs opening with the
+    * same word) salts like any hot key ([[SkewTools]]). */
+  def editDistancePairs(docs: DataFrame, textCol: String, idCol: String,
+                        maxDist: Int = 12, prefixLen: Int = 64,
+                        lenBucket: Int = 16): DataFrame = {
+    val toks = graft.operators.StatelessOps.tokenArray(col(textCol))
+    val base = docs.select(col(idCol).cast("long").as("id"),
+        substring(col(textCol), 1, prefixLen).as("pfx"), toks.as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("id"), col("pfx"),
+        floor(size(col("toks")).cast("double") / lenBucket).cast("long").as("lb"),
+        element_at(col("toks"), 1).as("t1"))
+    val a = base.select(col("lb"), col("t1"), col("id").as("doc_a"),
+      col("pfx").as("pfx_a"))
+    val b = base.select(col("lb"), col("t1"), col("id").as("doc_b"),
+      col("pfx").as("pfx_b"))
+    a.join(b, Seq("lb", "t1")).filter(col("doc_b") < col("doc_a"))
+      .withColumn("dist", levenshtein(col("pfx_a"), col("pfx_b")))
+      .filter(col("dist") <= maxDist)
+      .select(col("doc_a"), col("doc_b"), col("dist").cast("long").as("dist"))
+  }
+
   /** Distinct-token shingle set per doc with mod-2^31 hashes — the
     * shared front end of MinHash and Jaccard. Tokenizer is THE single
     * definition in StatelessOps.explodeTokens (oracle parity for every

@@ -291,6 +291,40 @@ object Similarity {
         col("dup").isNull.as("kept"))
   }
 
+  /** Per-dimension z-score standardization across the corpus — the
+    * feature-scaling pass (whitening prep, distance-metric
+    * conditioning) training pipelines run before clustering or
+    * quantizing embeddings. Output is exploded (vec_id, dim, z) with
+    * z = (x − mean_d)/std_d rounded to 6.
+    *
+    * Parity: moments accumulate as exact integer micro-units —
+    * sum(x_micro) and sum(x_micro²) per dimension (components ≤ ~1 ⇒
+    * micro² sums stay far under 2⁶³ up to ~10⁹ rows per dimension) —
+    * and the double formula is evaluated in ONE fixed expression
+    * order mirrored by the oracle, so no accumulation-order drift can
+    * cross engines.
+    *
+    * Scale shape: two passes. Pass 1 explodes n·d component rows into
+    * a d-row aggregate — map-side partial aggregation collapses each
+    * partition to d rows before the shuffle, so the exchange is
+    * CONSTANT-width at any corpus size (the gramMatrix idiom). Pass 2
+    * broadcasts those d rows back over a narrow re-scan. */
+  def standardize(emb: DataFrame, idCol: String = "vec_id",
+                  embCol: String = "embedding"): DataFrame = {
+    val comp = emb.select(col(idCol).cast("long").as("vec_id"),
+        posexplode(transform(col(embCol),
+          x => round(x.cast("double") * 1000000).cast("long"))).as(Seq("dim", "xm")))
+    val stats = comp.groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("xm")).as("s"),
+        sum(col("xm") * col("xm")).as("s2"))
+    comp.join(broadcast(stats), "dim")
+      .select(col("vec_id"), col("dim").cast("long").as("dim"),
+        round((col("xm") - col("s").cast("double") / col("n")) /
+          sqrt(col("s2").cast("double") / col("n") -
+            (col("s").cast("double") / col("n")) * (col("s").cast("double") / col("n"))),
+          6).as("z"))
+  }
+
   /** Exact integer gram matrix G[i][j] = Σ_vectors qᵢ·qⱼ (upper
     * triangle) over milli-unit components — the covariance/whitening
     * prep step (PCA/ZCA/mean-centering start here). The d² explode per

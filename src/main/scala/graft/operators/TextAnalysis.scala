@@ -123,6 +123,44 @@ object TextAnalysis {
         round(size(col("starts")).cast("double") / col("n"), 6).as("ttr"))
   }
 
+  /** Self-trained unigram cross-entropy per document — the CCNet-style
+    * LM quality signal: docs whose tokens are IMPROBABLE under the
+    * corpus's own unigram distribution (gibberish, wrong-language
+    * spans, encoding noise) score high; formulaic boilerplate scores
+    * low. For each document: xent = (1/n) Σ_occurrences −ln p(tok),
+    * p(tok) = corpus count / corpus total. A real CCNet gate swaps the
+    * self-trained table for a reference LM's — the operator shape
+    * (train token stats corpus-wide, score per doc) is identical.
+    *
+    * Parity: each occurrence contributes integer MICRO-NATS
+    * (round(1e6·ln(N/c)) — N, c exact integers, so both engines ln the
+    * same double), summed exactly, rounded once at the end — the
+    * ta_entropy idiom.
+    *
+    * Scale shape: one token explode feeds BOTH aggregates (per-token
+    * corpus counts; per-doc totals join back) — map-side partial
+    * aggregation collapses the frequency shuffle to |vocab| rows per
+    * partition, and the scoring join shuffles on the token. Hot
+    * stopword tokens are exactly the AQE skew-join case (or broadcast
+    * the head of the frequency table and shuffle only the tail);
+    * corpus total N rides a 1-row broadcast, never a driver collect. */
+  def unigramXent(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val occ = df.select(col(idCol).cast("long").as("doc_id"),
+      explode(filter(StatelessOps.tokenArray(col(textCol)),
+        t => length(t) > 0)).as("tok"))
+    val freq = occ.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val total = freq.agg(sum(col("c")).as("n_total"))
+    occ.join(freq, "tok")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        round(lit(1000000) * log(col("n_total").cast("double") / col("c")))
+          .cast("long").as("surprisal_micro"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("surprisal_micro")).as("sm"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("sm") / (col("n_tokens") * lit(1000000.0)), 6).as("xent"))
+  }
+
   /** PII detection + redaction — the scrubbing gate every shared
     * training corpus passes before release. Three detector classes
     * (email, NANP-style 555 phone, dotted-quad IPv4) are counted and

@@ -21,6 +21,16 @@ object ExtensionCatalog {
   val ddExact: Q = (s, d) =>
     Dedup.exact(Tables.documents(s, d), "text", "doc_id")
 
+  /** Directional shingle-containment near-dup pairs (df-capped
+    * shared-shingle join — the asymmetric doc-inclusion signal). */
+  val ddContainment: Q = (s, d) =>
+    Dedup.containmentPairs(Tables.documents(s, d), "text", "doc_id")
+
+  /** Bucketed prefix-Levenshtein near-dup pairs (character-level
+    * modality; (length-bucket, first-token) blocking). */
+  val ddEdit: Q = (s, d) =>
+    Dedup.editDistancePairs(Tables.documents(s, d), "text", "doc_id")
+
   /** MinHash signatures (16 permutations) per document. */
   val ddMinhashSig: Q = (s, d) =>
     Dedup.minHashSignatures(Tables.documents(s, d), "text", "doc_id", k = 16)
@@ -785,6 +795,16 @@ object ExtensionCatalog {
   /** Gopher-rule repetition metric over the documents table. */
   val taRepetition: Q = (s, d) =>
     TextAnalysis.repetition(Tables.documents(s, d), "text", "doc_id")
+
+  /** Self-trained unigram cross-entropy per document (CCNet-style LM
+    * quality signal; micro-nat integer accumulation). */
+  val taUnigram: Q = (s, d) =>
+    TextAnalysis.unigramXent(Tables.documents(s, d), "text", "doc_id")
+
+  /** Per-dimension z-score standardization of the embedding corpus
+    * (constant-width moment shuffle + broadcast-back). */
+  val embStandardize: Q = (s, d) =>
+    Similarity.standardize(Tables.embeddings(s, d))
 
   /** Int8 embedding quantization readout: scale + exact integer q_sum
     * + saturation count + max reconstruction error per vector (the

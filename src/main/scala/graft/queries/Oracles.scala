@@ -1210,6 +1210,71 @@ object Oracles {
         |    ELSE 'test' END AS split,
         |  lang FROM (SELECT doc_id, lang,
         |    (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '_split'),1,15))::BIGINT
-        |      % 2147483647) / 2147483647.0 AS d FROM documents)""".stripMargin
+        |      % 2147483647) / 2147483647.0 AS d FROM documents)""".stripMargin,
+    // containment twin: same tokenizer, same 8-token string shingles
+    // (the Spark side distincts md5-hashed shingles — set-equal to
+    // distinct strings), same df<=50 cap applied to intersection AND
+    // denominator, threshold on the ROUNDED ratio
+    "dd_containment" ->
+      """WITH t AS (SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z \n]+', '', 'g'), '\s+', ' ', 'g')), ' ') AS toks FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, sh FROM (
+        |  SELECT doc_id, array_to_string(toks[i:i+7], ' ') AS sh
+        |  FROM t, generate_series(1, 4000) g(i)
+        |  WHERE len(toks) >= 8 AND i <= len(toks) - 7
+        |    AND 1 = (SELECT CASE WHEN max(len(toks)) - 7 <= 4000 THEN 1
+        |      ELSE error('dd_containment oracle: series bound exceeded') END FROM t))),
+        |d AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= 50),
+        |k AS (SELECT s.doc_id, s.sh FROM sh s JOIN d USING (sh)),
+        |sz AS (SELECT doc_id, count(*) AS n_sh FROM k GROUP BY 1),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+        |  FROM k a JOIN k b USING (sh) WHERE a.doc_id <> b.doc_id GROUP BY 1, 2)
+        |SELECT p.doc_a, p.doc_b, p.n_inter,
+        |  round(p.n_inter * 1.0 / s.n_sh, 6) AS containment
+        |FROM p JOIN sz s ON p.doc_a = s.doc_id
+        |WHERE round(p.n_inter * 1.0 / s.n_sh, 6) >= 0.5""".stripMargin,
+    // edit-distance twin: same (len//16, first-token) blocking, same
+    // 64-char raw-text prefixes, same levenshtein DP in both engines
+    "dd_edit" ->
+      """WITH t AS (SELECT doc_id, substr(text, 1, 64) AS pfx,
+        |    string_split(trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^a-z \n]+', '', 'g'), '\s+', ' ', 'g')), ' ') AS toks FROM documents),
+        |b AS (SELECT doc_id, pfx, len(toks) // 16 AS lb, toks[1] AS t1
+        |  FROM t WHERE len(toks) > 0)
+        |SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+        |  CAST(levenshtein(a.pfx, b2.pfx) AS BIGINT) AS dist
+        |FROM b a JOIN b b2 ON a.lb = b2.lb AND a.t1 = b2.t1
+        |  AND b2.doc_id < a.doc_id
+        |WHERE levenshtein(a.pfx, b2.pfx) <= 12""".stripMargin,
+    // unigram cross-entropy twin: corpus frequency table from the same
+    // filtered tokens; each occurrence meets in integer micro-nats
+    // (round(1e6*ln(N/c)) — N, c exact integers in both engines)
+    "ta_unigram" ->
+      """WITH tr AS (SELECT doc_id, unnest(string_split(trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z \n]+', '', 'g'), '\s+', ' ', 'g')), ' ')) AS tok FROM documents),
+        |t2 AS (SELECT doc_id, tok FROM tr WHERE length(tok) > 0),
+        |f AS (SELECT tok, count(*) AS c FROM t2 GROUP BY 1),
+        |n AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM f)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  round(sum(CAST(round(1000000 * ln((SELECT n_total FROM n) * 1.0 / f.c)) AS BIGINT))
+        |    / (count(*) * 1000000.0), 6) AS xent
+        |FROM t2 JOIN f USING (tok)
+        |GROUP BY doc_id""".stripMargin,
+    // z-score twin: micro-unit integer moments per dimension, the
+    // double formula in the IDENTICAL expression order (s*1.0/n etc.)
+    "emb_standardize" ->
+      """WITH c AS (SELECT vec_id, i - 1 AS dim,
+        |    CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS xm
+        |  FROM embeddings, generate_series(1, 256) g(i)
+        |  WHERE i <= len(embedding)
+        |    AND 1 = (SELECT CASE WHEN max(len(embedding)) <= 256 THEN 1
+        |      ELSE error('emb_standardize oracle: dim series bound exceeded') END
+        |      FROM embeddings)),
+        |s AS (SELECT dim, count(*) AS n, sum(xm) AS s, sum(xm * xm) AS s2
+        |  FROM c GROUP BY 1)
+        |SELECT c.vec_id, c.dim,
+        |  round((c.xm - s.s * 1.0 / s.n) /
+        |    sqrt(s.s2 * 1.0 / s.n - (s.s * 1.0 / s.n) * (s.s * 1.0 / s.n)), 6) AS z
+        |FROM c JOIN s USING (dim)""".stripMargin
   )
 }

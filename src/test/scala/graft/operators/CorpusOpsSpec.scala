@@ -1,0 +1,73 @@
+package graft.operators
+
+import graft.streaming.SparkSpec
+
+/** Edge semantics of the round-6 corpus operators: directional
+  * containment (the asymmetry Jaccard can't express), bucketed
+  * prefix-Levenshtein (blocking + distance cap), unigram
+  * cross-entropy (micro-nat arithmetic), and per-dimension
+  * standardization (exact moments).
+  */
+class CorpusOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("containmentPairs: direction matters — contained doc scores 1, container does not") {
+    val docs = Seq(
+      (1L, "a b c d e f g h"),                 // 8 toks -> 1 shingle, subset of doc 2
+      (2L, "a b c d e f g h i j"),             // 10 toks -> 3 shingles
+      (3L, "z y x w v u t s")                  // unrelated
+    ).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, "text", "doc_id")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    // C(1->2) = 1/1 = 1.0 passes; C(2->1) = 1/3 < 0.5 does not
+    assert(got == Set((1L, 2L, 1L, 1.0)))
+  }
+
+  test("containmentPairs: the df cap drops boilerplate shingles from both sides") {
+    val docs = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "a b c d e f g h i j")
+    ).toDF("doc_id", "text")
+    // shared shingle has df = 2 > maxDf = 1 -> no kept shingles, no pairs
+    val got = Dedup.containmentPairs(docs, "text", "doc_id", maxDf = 1)
+    assert(got.count() == 0)
+  }
+
+  test("editDistancePairs: blocked pairs meet, distance caps and blocks exclude") {
+    val docs = Seq(
+      (1L, "hello world foo bar"),
+      (2L, "hello world foo baz"),             // same block, dist 1
+      (3L, "differs world foo bar"),           // first token differs -> unblocked
+      (4L, "hello " + Seq.fill(20)("pad").mkString(" ")), // length bucket 1
+      (5L, "hello aaaaaaaaaa bbbbbbbbbb cccc") // same block, dist > 12
+    ).toDF("doc_id", "text")
+    val got = Dedup.editDistancePairs(docs, "text", "doc_id")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((2L, 1L, 1L)))
+  }
+
+  test("unigramXent: corpus-frequency surprisal in exact micro-nats") {
+    val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    // N = 5; c(a) = 2, c(b) = 2, c(c) = 1
+    val sa = math.round(1e6 * math.log(5.0 / 2))  // a and b
+    val sc = math.round(1e6 * math.log(5.0 / 1))
+    val got = TextAnalysis.unigramXent(docs, "text", "doc_id")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L)._2 == 3L &&
+      got(1L)._3 == Dedup.round6((3 * sa) / 3000000.0))
+    assert(got(2L)._2 == 2L &&
+      got(2L)._3 == Dedup.round6((sa + sc) / 2000000.0))
+  }
+
+  test("standardize: hand-checked z-scores per dimension") {
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f)),
+      (2L, Seq(3.0f, 4.0f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.standardize(emb)
+      .as[(Long, Long, Double)].collect().toSet
+    // dim 0: mean 2, std 1 -> z = -1, 1; dim 1: mean 2, std 2 -> z = -1, 1
+    assert(got == Set((1L, 0L, -1.0), (2L, 0L, 1.0),
+      (1L, 1L, -1.0), (2L, 1L, 1.0)))
+  }
+}
