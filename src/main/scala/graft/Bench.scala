@@ -46,6 +46,10 @@ object Bench {
       Thread.sleep(60000)
       waits += 1
     }
+    // the window-cleanliness signal is the POST-GATE START load: the
+    // end-of-run 1-min average mostly reads back our own 32 threads
+    // (measured: a 0.5-load start reads ~4.5 at end of a 68 s run)
+    val loadStart = loadAvg()
 
     // JVM + parquet-footer warmup so per-query timings measure the plan,
     // not first-touch class loading.
@@ -86,9 +90,11 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     // co-tenant box: record the 1-min load average so an outlier run
-    // can be read against external steal (VERDICT r3 #10)
-    val load = loadAvg()
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"load":$load%.2f,"sf":"$sfDir"}""")
+    // can be read against external steal (VERDICT r3 #10). "load" =
+    // post-gate start load (the window signal); "load_end" includes
+    // our own threads' tail.
+    val loadEnd = loadAvg()
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"load":$loadStart%.2f,"load_end":$loadEnd%.2f,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

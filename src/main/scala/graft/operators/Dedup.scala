@@ -142,24 +142,34 @@ object Dedup {
                        n: Int = 8, threshold: Double = 0.5,
                        maxDf: Int = 50): DataFrame = {
     val toks = graft.operators.StatelessOps.tokenArray(col(textCol))
-    val sh = docs.select(col(idCol).cast("long").as("doc_id"), toks.as("toks"))
+    // ONE tokenize+shingle pass: group each shingle's doc list (≤
+    // maxDf elements by the cap — boilerplate shingles drop HERE, so
+    // no array is ever unbounded), then derive both the per-doc
+    // denominator and the ordered candidate pairs from that single
+    // grouped frame — both branches share the identical grouped
+    // subtree, so ReuseExchange materializes the corpus scan +
+    // shingle shuffle once (vs 5 scans in the join formulation), and
+    // per-shingle pair fan-out is hard-bounded by maxDf·(maxDf−1).
+    val byShingle = docs
+      .select(col(idCol).cast("long").as("doc_id"), toks.as("toks"))
       .where(size(col("toks")) >= n)
       .select(col("doc_id"), explode(expr(
         s"transform(sequence(1, size(toks) - ${n - 1}), i -> concat_ws(' ', slice(toks, i, $n)))")).as("sh"))
       .select(col("doc_id"), Hashing.md5Long(col("sh")).as("h"))
       .distinct()
-    val kept = sh.groupBy(col("h"))
-      .agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf)
-      .select(col("h"))
-    val shKept = sh.join(kept, "h")
-    val sizes = shKept.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val a = shKept.select(col("h"), col("doc_id").as("doc_a"))
-    val b = shKept.select(col("h"), col("doc_id").as("doc_b"))
-    a.join(b, Seq("h")).filter(col("doc_a") =!= col("doc_b"))
+      .groupBy(col("h"))
+      .agg(collect_list(col("doc_id")).as("ds"))
+      .filter(size(col("ds")) <= maxDf)
+    val sizes = byShingle.select(explode(col("ds")).as("doc_a"))
+      .groupBy(col("doc_a")).agg(count(lit(1)).as("n_sh"))
+    val pairs = byShingle.select(explode(expr(
+        "flatten(transform(ds, a -> transform(ds, b -> struct(a AS doc_a, b AS doc_b))))"))
+        .as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
+      .filter(col("doc_a") =!= col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_inter"))
-      .join(sizes.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+    pairs.join(sizes, "doc_a")
       .withColumn("containment",
         round(col("n_inter").cast("double") / col("n_sh"), 6))
       .filter(col("containment") >= threshold)
@@ -184,27 +194,39 @@ object Dedup {
     * contracts, stated and mirrored by the oracle: a near-dup pair
     * differing in its first token, or length by > lenBucket, or only
     * beyond the prefix, is out of scope for this detector (the
-    * shingle family covers those). The block join shuffles on the
-    * block key; a hot block (many same-length docs opening with the
-    * same word) salts like any hot key ([[SkewTools]]). */
+    * shingle family covers those). Block pair-count is QUADRATIC in
+    * block size, so a `maxBlock` cap bounds the worst case: a block
+    * holding more than `maxBlock` docs (a corpus of same-length
+    * templates all opening with the same word) is dropped entirely —
+    * template-dup populations that extreme belong to the exact/
+    * shingle detectors, and the cap is what makes the operator's
+    * cost ceiling O(blocks · maxBlock² · prefixLen²) instead of
+    * corpus-quadratic. Applied identically by the oracle. */
   def editDistancePairs(docs: DataFrame, textCol: String, idCol: String,
                         maxDist: Int = 12, prefixLen: Int = 64,
-                        lenBucket: Int = 16): DataFrame = {
+                        lenBucket: Int = 16, maxBlock: Int = 1000): DataFrame = {
     val toks = graft.operators.StatelessOps.tokenArray(col(textCol))
-    val base = docs.select(col(idCol).cast("long").as("id"),
+    // one scan: group the block's (id, prefix) members, cap the block,
+    // explode ordered pairs from the grouped array (the containment
+    // idiom — pair fan-out bounded by maxBlock·(maxBlock−1)/2)
+    val blocks = docs.select(col(idCol).cast("long").as("id"),
         substring(col(textCol), 1, prefixLen).as("pfx"), toks.as("toks"))
       .filter(size(col("toks")) > 0)
       .select(col("id"), col("pfx"),
         floor(size(col("toks")).cast("double") / lenBucket).cast("long").as("lb"),
         element_at(col("toks"), 1).as("t1"))
-    val a = base.select(col("lb"), col("t1"), col("id").as("doc_a"),
-      col("pfx").as("pfx_a"))
-    val b = base.select(col("lb"), col("t1"), col("id").as("doc_b"),
-      col("pfx").as("pfx_b"))
-    a.join(b, Seq("lb", "t1")).filter(col("doc_b") < col("doc_a"))
-      .withColumn("dist", levenshtein(col("pfx_a"), col("pfx_b")))
+      .groupBy(col("lb"), col("t1"))
+      .agg(collect_list(struct(col("id"), col("pfx"))).as("ms"))
+      .filter(size(col("ms")) between (2, maxBlock))
+    blocks.select(explode(expr(
+        """flatten(transform(ms, a -> transform(ms, b ->
+          |  struct(a.id AS doc_a, a.pfx AS pfx_a, b.id AS doc_b, b.pfx AS pfx_b))))"""
+          .stripMargin)).as("p"))
+      .filter(col("p.doc_b") < col("p.doc_a"))
+      .withColumn("dist", levenshtein(col("p.pfx_a"), col("p.pfx_b")))
       .filter(col("dist") <= maxDist)
-      .select(col("doc_a"), col("doc_b"), col("dist").cast("long").as("dist"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+        col("dist").cast("long").as("dist"))
   }
 
   /** Distinct-token shingle set per doc with mod-2^31 hashes — the

@@ -1234,17 +1234,20 @@ object Oracles {
         |FROM p JOIN sz s ON p.doc_a = s.doc_id
         |WHERE round(p.n_inter * 1.0 / s.n_sh, 6) >= 0.5""".stripMargin,
     // edit-distance twin: same (len//16, first-token) blocking, same
-    // 64-char raw-text prefixes, same levenshtein DP in both engines
+    // maxBlock=1000 block cap, same 64-char raw-text prefixes, same
+    // levenshtein DP in both engines
     "dd_edit" ->
       """WITH t AS (SELECT doc_id, substr(text, 1, 64) AS pfx,
         |    string_split(trim(regexp_replace(regexp_replace(lower(text),
         |      '[^a-z \n]+', '', 'g'), '\s+', ' ', 'g')), ' ') AS toks FROM documents),
         |b AS (SELECT doc_id, pfx, len(toks) // 16 AS lb, toks[1] AS t1
-        |  FROM t WHERE len(toks) > 0)
+        |  FROM t WHERE len(toks) > 0),
+        |bs AS (SELECT lb, t1 FROM b GROUP BY 1, 2
+        |  HAVING count(*) BETWEEN 2 AND 1000)
         |SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
         |  CAST(levenshtein(a.pfx, b2.pfx) AS BIGINT) AS dist
-        |FROM b a JOIN b b2 ON a.lb = b2.lb AND a.t1 = b2.t1
-        |  AND b2.doc_id < a.doc_id
+        |FROM b a JOIN bs ON a.lb = bs.lb AND a.t1 = bs.t1 JOIN b b2
+        |  ON a.lb = b2.lb AND a.t1 = b2.t1 AND b2.doc_id < a.doc_id
         |WHERE levenshtein(a.pfx, b2.pfx) <= 12""".stripMargin,
     // unigram cross-entropy twin: corpus frequency table from the same
     // filtered tokens; each occurrence meets in integer micro-nats

@@ -46,6 +46,19 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got == Set((2L, 1L, 1L)))
   }
 
+  test("editDistancePairs: an over-capacity block drops entirely") {
+    val docs = Seq(
+      (1L, "same text here one"),
+      (2L, "same text here two"),
+      (3L, "same text here tri")
+    ).toDF("doc_id", "text")
+    // block of 3 > maxBlock = 2 -> no pairs from it
+    assert(Dedup.editDistancePairs(docs, "text", "doc_id", maxBlock = 2)
+      .count() == 0)
+    // at the default cap all three pairs emit
+    assert(Dedup.editDistancePairs(docs, "text", "doc_id").count() == 3)
+  }
+
   test("unigramXent: corpus-frequency surprisal in exact micro-nats") {
     val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
     // N = 5; c(a) = 2, c(b) = 2, c(c) = 1
