@@ -86,6 +86,7 @@ object SparkEntry {
     "dd_semantic" -> ExtensionCatalog.ddSemantic,
     "dd_containment" -> ExtensionCatalog.ddContainment,
     "dd_edit" -> ExtensionCatalog.ddEdit,
+    "dd_urls" -> ExtensionCatalog.ddUrls,
     "ann_brute_force" -> ExtensionCatalog.annBruteForce,
     "ann_bucketed" -> ExtensionCatalog.annBucketed,
     "ann_ivf" -> ExtensionCatalog.annIvf,

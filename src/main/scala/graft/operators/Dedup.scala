@@ -137,7 +137,13 @@ object Dedup {
     * and each doc's denominator — the df-cap is part of the operator
     * contract, applied identically by the oracle, and bounds the
     * per-shingle join fan-out at any corpus size. Shingles join as
-    * md5 longs (bounded shuffle width, collision odds ~n²/2⁶⁴). */
+    * md5 longs (bounded shuffle width, collision odds ~n²/2⁶⁴).
+    *
+    * Batch-only by contract (the boilerplateLines/tf-idf precedent):
+    * the df cap and each doc's denominator are corpus-wide facts — a
+    * streaming variant would have to re-pair every epoch against all
+    * history, which is a periodic batch job, not an incremental
+    * state machine. */
   def containmentPairs(docs: DataFrame, textCol: String, idCol: String,
                        n: Int = 8, threshold: Double = 0.5,
                        maxDf: Int = 50): DataFrame = {
@@ -201,7 +207,12 @@ object Dedup {
     * template-dup populations that extreme belong to the exact/
     * shingle detectors, and the cap is what makes the operator's
     * cost ceiling O(blocks · maxBlock² · prefixLen²) instead of
-    * corpus-quadratic. Applied identically by the oracle. */
+    * corpus-quadratic. Applied identically by the oracle.
+    *
+    * Batch-only by contract: block membership (and the cap) is a
+    * corpus-wide fact; the streaming-adjacent shape is
+    * dropDuplicatesWithinWatermark on the exact hash ([[exactStream]])
+    * with this detector as the periodic batch sweep. */
   def editDistancePairs(docs: DataFrame, textCol: String, idCol: String,
                         maxDist: Int = 12, prefixLen: Int = 64,
                         lenBucket: Int = 16, maxBlock: Int = 1000): DataFrame = {
@@ -227,6 +238,32 @@ object Dedup {
       .filter(col("dist") <= maxDist)
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
         col("dist").cast("long").as("dist"))
+  }
+
+  /** Canonical-URL dedup — the crawl-frontier/provenance dedup every
+    * web-scale corpus runs BEFORE content dedup: the same page
+    * arrives as case-variant hosts, tracking-query variants
+    * (`?utm_…`), fragment variants (`#…`) and trailing-slash
+    * variants. Canonicalization policy (stated, mirrored by the
+    * oracle): scheme+host lowercase (DNS is case-insensitive), path
+    * case PRESERVED (paths are not), query and fragment stripped
+    * entirely (the aggressive crawl-dedup default — a pipeline that
+    * needs param-sensitive identity keeps a allowlist upstream),
+    * trailing slashes stripped. Emits one row per canonical URL:
+    * the min-doc_id keeper plus occurrence/document counts.
+    *
+    * Scale shape: two narrow regexes per row (RE2-compatible, no
+    * backtracking) and ONE groupBy on the canonical string — linear
+    * in corpus rows, map-side combinable, no join anywhere. */
+  def urlDedup(urls: DataFrame, urlCol: String, idCol: String): DataFrame = {
+    val host = lower(regexp_extract(col(urlCol), "(?i)^(https?://[^/?#]+)", 1))
+    val path = regexp_replace(
+      regexp_extract(col(urlCol), "(?i)^https?://[^/?#]+([^?#]*)", 1), "/+$", "")
+    urls.select(col(idCol).cast("long").as("doc_id"),
+        concat(host, path).as("canon_url"))
+      .groupBy(col("canon_url"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_urls"),
+        countDistinct(col("doc_id")).as("n_docs"))
   }
 
   /** Distinct-token shingle set per doc with mod-2^31 hashes — the

@@ -308,7 +308,12 @@ object Similarity {
     * a d-row aggregate — map-side partial aggregation collapses each
     * partition to d rows before the shuffle, so the exchange is
     * CONSTANT-width at any corpus size (the gramMatrix idiom). Pass 2
-    * broadcasts those d rows back over a narrow re-scan. */
+    * broadcasts those d rows back over a narrow re-scan.
+    *
+    * Moment fitting is batch by contract (corpus-wide aggregate);
+    * applying frozen moments to new vectors is a narrow per-row map
+    * that streams trivially — fit-batch / transform-stream, the
+    * standard scaler deployment. */
   def standardize(emb: DataFrame, idCol: String = "vec_id",
                   embCol: String = "embedding"): DataFrame = {
     val comp = emb.select(col(idCol).cast("long").as("vec_id"),

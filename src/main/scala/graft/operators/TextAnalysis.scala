@@ -143,7 +143,13 @@ object TextAnalysis {
     * partition, and the scoring join shuffles on the token. Hot
     * stopword tokens are exactly the AQE skew-join case (or broadcast
     * the head of the frequency table and shuffle only the tail);
-    * corpus total N rides a 1-row broadcast, never a driver collect. */
+    * corpus total N rides a 1-row broadcast, never a driver collect.
+    *
+    * Training is batch by contract (the frequency table is a
+    * corpus-wide aggregate); the SCORING half streams naturally —
+    * join incoming docs against a frozen/periodically-retrained
+    * frequency table, the standard deployment of any LM quality
+    * gate. */
   def unigramXent(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val occ = df.select(col(idCol).cast("long").as("doc_id"),
       explode(filter(StatelessOps.tokenArray(col(textCol)),

@@ -21,6 +21,21 @@ object ExtensionCatalog {
   val ddExact: Q = (s, d) =>
     Dedup.exact(Tables.documents(s, d), "text", "doc_id")
 
+  /** Canonical-URL dedup over a deterministically synthesized URL
+    * per document (the fixture corpus carries no URLs — the enriched
+    * frame is the same expression in both engines, with case /
+    * tracking-query / fragment / trailing-slash variants that must
+    * collapse): one row per canonical URL with keeper + counts. */
+  val ddUrls: Q = (s, d) =>
+    Dedup.urlDedup(
+      Tables.documents(s, d).select(col("doc_id"), expr(
+        """concat('HTTPS://Site-', CAST(doc_id % 7 AS STRING),
+          |  '.Example.COM/Page/', CAST(doc_id % 25 AS STRING),
+          |  CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END,
+          |  CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed' ELSE '' END,
+          |  CASE WHEN doc_id % 3 = 0 THEN '#section' ELSE '' END)"""
+          .stripMargin).as("url")), "url", "doc_id")
+
   /** Directional shingle-containment near-dup pairs (df-capped
     * shared-shingle join — the asymmetric doc-inclusion signal). */
   val ddContainment: Q = (s, d) =>

@@ -1211,6 +1211,24 @@ object Oracles {
         |  lang FROM (SELECT doc_id, lang,
         |    (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '_split'),1,15))::BIGINT
         |      % 2147483647) / 2147483647.0 AS d FROM documents)""".stripMargin,
+    // canonical-URL dedup twin: same synthesized URL variants, same
+    // canonicalization regexes (RE2-compatible, (?i) scheme+host)
+    "dd_urls" ->
+      """WITH u AS (SELECT doc_id,
+        |    'HTTPS://Site-' || CAST(doc_id % 7 AS VARCHAR)
+        |    || '.Example.COM/Page/' || CAST(doc_id % 25 AS VARCHAR)
+        |    || CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END
+        |    || CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed' ELSE '' END
+        |    || CASE WHEN doc_id % 3 = 0 THEN '#section' ELSE '' END AS url
+        |  FROM documents),
+        |c AS (SELECT doc_id,
+        |    lower(regexp_extract(url, '(?i)^(https?://[^/?#]+)', 1))
+        |    || regexp_replace(regexp_extract(url, '(?i)^https?://[^/?#]+([^?#]*)', 1),
+        |         '/+$', '') AS canon_url
+        |  FROM u)
+        |SELECT canon_url, min(doc_id) AS keeper, count(*) AS n_urls,
+        |  count(DISTINCT doc_id) AS n_docs
+        |FROM c GROUP BY 1""".stripMargin,
     // containment twin: same tokenizer, same 8-token string shingles
     // (the Spark side distincts md5-hashed shingles — set-equal to
     // distinct strings), same df<=50 cap applied to intersection AND

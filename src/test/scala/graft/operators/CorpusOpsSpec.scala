@@ -59,6 +59,22 @@ class CorpusOpsSpec extends SparkSpec {
     assert(Dedup.editDistancePairs(docs, "text", "doc_id").count() == 3)
   }
 
+  test("urlDedup: case/query/fragment/slash variants collapse, paths stay distinct") {
+    val urls = Seq(
+      (5L, "HTTPS://WWW.Example.COM/Docs/Intro?utm_source=a#top"),
+      (3L, "https://www.example.com/Docs/Intro/"),
+      (7L, "https://www.example.com/Docs/Intro"),
+      (2L, "https://www.example.com/docs/intro"),   // path case differs -> distinct
+      (9L, "http://other.net")                      // no path at all
+    ).toDF("doc_id", "url")
+    val got = Dedup.urlDedup(urls, "url", "doc_id")
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got("https://www.example.com/Docs/Intro") == (("https://www.example.com/Docs/Intro", 3L, 3L, 3L)))
+    assert(got("https://www.example.com/docs/intro")._3 == 1L)
+    assert(got("http://other.net") == (("http://other.net", 9L, 1L, 1L)))
+    assert(got.size == 3)
+  }
+
   test("unigramXent: corpus-frequency surprisal in exact micro-nats") {
     val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
     // N = 5; c(a) = 2, c(b) = 2, c(c) = 1
