@@ -44,6 +44,7 @@ object SparkEntry {
     "a8_hopping_window" -> QueryCatalog.a8HoppingWindow,
     "agg_approx_distinct" -> QueryCatalog.aggApproxDistinct,
     "agg_kmv_distinct" -> QueryCatalog.aggKmvDistinct,
+    "agg_cms" -> QueryCatalog.aggCms,
     "agg_percentile_disc" -> QueryCatalog.aggPercentileDisc,
     "agg_hash_quantile" -> QueryCatalog.aggHashQuantile,
     "agg_mode" -> QueryCatalog.aggMode,

@@ -67,5 +67,10 @@ object GraftFunctions {
     ("misra_gries",
       arity("misra_gries", 1, 2)(args => MisraGries(args(0),
         if (args.length > 1) intArg(args(1), "misra_gries", 2) else 64)),
-      "misra_gries(hash bigint [, k]) - heavy-hitter candidates with lower-bound counts (aggregate)"))
+      "misra_gries(hash bigint [, k]) - heavy-hitter candidates with lower-bound counts (aggregate)"),
+    ("cms_sketch",
+      arity("cms_sketch", 1, 3)(args => CmsSketch(args(0),
+        if (args.length > 1) intArg(args(1), "cms_sketch", 2) else 4,
+        if (args.length > 2) intArg(args(2), "cms_sketch", 3) else 256)),
+      "cms_sketch(hash bigint [, depth, width]) - count-min counter array, row-major depth x width (aggregate)"))
 }

@@ -389,6 +389,26 @@ object Oracles {
         |x AS (SELECT event_type, count(DISTINCT user_id) AS exact_users
         |  FROM events GROUP BY event_type)
         |SELECT k.event_type, kmv_users, exact_users FROM k JOIN x USING (event_type)""".stripMargin,
+    // CMS twin: rebuild every depth×width counter with a GROUP BY
+    // over the same md5-affine bucket hashes, probe with the same
+    // row-wise min — point estimates match EXACTLY (same arithmetic),
+    // not within tolerance
+    "agg_cms" ->
+      """WITH h AS (SELECT user_id,
+        |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)),1,15))::BIGINT
+        |      % 2147483647 AS hm FROM events),
+        |b AS (SELECT j, ((2*j+1) * hm + 12345*(j+1)) % 2147483647 % 256 AS bk,
+        |    count(*) AS c
+        |  FROM h, generate_series(0, 3) g(j) GROUP BY 1, 2),
+        |p AS (SELECT DISTINCT user_id, hm FROM h WHERE user_id < 20),
+        |pe AS (SELECT p.user_id, j,
+        |    ((2*j+1) * hm + 12345*(j+1)) % 2147483647 % 256 AS bk
+        |  FROM p, generate_series(0, 3) g(j)),
+        |est AS (SELECT pe.user_id, CAST(min(coalesce(b.c, 0)) AS BIGINT) AS cms_n
+        |  FROM pe LEFT JOIN b USING (j, bk) GROUP BY 1),
+        |x AS (SELECT user_id, count(*) AS exact_n FROM events
+        |  WHERE user_id < 20 GROUP BY 1)
+        |SELECT est.user_id, cms_n, exact_n FROM est JOIN x USING (user_id)""".stripMargin,
     "w_rank_topk" ->
       """SELECT p_brand, p_partkey, round(p_retailprice, 2) AS price, rk FROM (
         |  SELECT p_brand, p_partkey, p_retailprice,

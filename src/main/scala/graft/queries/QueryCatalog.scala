@@ -313,6 +313,29 @@ object QueryCatalog {
         countDistinct(col("user_id")).as("exact_users"))
   }
 
+  /** Count-Min point-frequency estimates: ONE global 4×256 sketch
+    * over the event stream's user ids (bounded mergeable counters,
+    * map-side combined), then the probe set (user_id < 20) reads
+    * estimates from the BROADCAST counter array — the serving shape:
+    * sketch once, probe cheaply. cms_n ≥ exact_n always (CMS never
+    * underestimates); both engines rebuild identical counters from
+    * the shared md5-affine bucket hashes, so the oracle matches the
+    * estimates exactly, not just within tolerance. */
+  val aggCms: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val sk = ev.select(
+        graft.functions.Hashing.md5Mod31(col("user_id").cast("string")).as("hm"))
+      .agg(graft.functions.CmsSketch.cmsSketch(col("hm")).as("sk"))
+    val probes = ev.filter(col("user_id") < 20)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("exact_n"))
+      .withColumn("hm",
+        graft.functions.Hashing.md5Mod31(col("user_id").cast("string")))
+    probes.crossJoin(broadcast(sk))
+      .select(col("user_id"),
+        graft.functions.CmsSketch.cmsEstimate(col("sk"), col("hm")).as("cms_n"),
+        col("exact_n"))
+  }
+
   /** Exact discrete percentiles (p50/p95): the ceil(q·n)-th smallest
     * value per group — deterministic regardless of tie order inside
     * the sort, so both engines select the identical element (no
