@@ -148,34 +148,37 @@ object Dedup {
                        n: Int = 8, threshold: Double = 0.5,
                        maxDf: Int = 50): DataFrame = {
     val toks = graft.operators.StatelessOps.tokenArray(col(textCol))
-    // ONE tokenize+shingle pass: group each shingle's doc list (≤
-    // maxDf elements by the cap — boilerplate shingles drop HERE, so
-    // no array is ever unbounded), then derive both the per-doc
-    // denominator and the ordered candidate pairs from that single
-    // grouped frame — both branches share the identical grouped
-    // subtree, so ReuseExchange materializes the corpus scan +
-    // shingle shuffle once (vs 5 scans in the join formulation), and
-    // per-shingle pair fan-out is hard-bounded by maxDf·(maxDf−1).
-    val byShingle = docs
+    // ONE tokenize+shingle pass, ZERO joins (the ta_tfidf lesson —
+    // computing df/denominators as separate agg branches re-scans the
+    // corpus: pruned branches defeat ReuseExchange). The df cap and
+    // each doc's denominator are key-partitioned COUNT WINDOWS over
+    // the same distinct (doc, shingle) stream; each shingle's
+    // survivors then group into a ≤-maxDf array CARRYING the
+    // denominator, so the ordered pair explode needs no join back —
+    // per-shingle fan-out is hard-bounded by maxDf·(maxDf−1), and
+    // every exchange after the scan carries only (h, doc_id, counts)
+    // longs, never text.
+    val w = Window.partitionBy(col("h"))
+    val wd = Window.partitionBy(col("doc_id"))
+    val kept = docs
       .select(col(idCol).cast("long").as("doc_id"), toks.as("toks"))
       .where(size(col("toks")) >= n)
       .select(col("doc_id"), explode(expr(
         s"transform(sequence(1, size(toks) - ${n - 1}), i -> concat_ws(' ', slice(toks, i, $n)))")).as("sh"))
       .select(col("doc_id"), Hashing.md5Long(col("sh")).as("h"))
       .distinct()
-      .groupBy(col("h"))
-      .agg(collect_list(col("doc_id")).as("ds"))
-      .filter(size(col("ds")) <= maxDf)
-    val sizes = byShingle.select(explode(col("ds")).as("doc_a"))
-      .groupBy(col("doc_a")).agg(count(lit(1)).as("n_sh"))
-    val pairs = byShingle.select(explode(expr(
-        "flatten(transform(ds, a -> transform(ds, b -> struct(a AS doc_a, b AS doc_b))))"))
-        .as("p"))
-      .select(col("p.doc_a"), col("p.doc_b"))
-      .filter(col("doc_a") =!= col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("n_inter"))
-    pairs.join(sizes, "doc_a")
+      .withColumn("df", count(lit(1)).over(w))
+      .filter(col("df") <= maxDf)
+      .withColumn("n_sh", count(lit(1)).over(wd))
+    kept.groupBy(col("h"))
+      .agg(collect_list(struct(col("doc_id"), col("n_sh"))).as("ds"))
+      .select(explode(expr(
+        """flatten(transform(ds, a -> transform(ds, b ->
+          |  struct(a.doc_id AS doc_a, a.n_sh AS n_sh, b.doc_id AS doc_b))))"""
+          .stripMargin)).as("p"))
+      .filter(col("p.doc_a") =!= col("p.doc_b"))
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .agg(count(lit(1)).as("n_inter"), first(col("p.n_sh")).as("n_sh"))
       .withColumn("containment",
         round(col("n_inter").cast("double") / col("n_sh"), 6))
       .filter(col("containment") >= threshold)

@@ -145,6 +145,44 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("No Partition"), "ta_tfidf window lost its partitioning")
   }
 
+  test("dd_containment / dd_edit: ONE corpus scan, zero joins") {
+    // both r6 pair generators group candidates into bounded per-key
+    // arrays and explode pairs from the grouped frame — a join
+    // formulation re-scans the corpus (pruned branches defeat
+    // ReuseExchange, the ta_tfidf lesson, re-measured here: the
+    // sizes⋈pairs form planned TWO full tokenize scans)
+    Seq("dd_containment", "dd_edit").foreach { q =>
+      val p = plan(q)
+      assert("""\(\d+\) Scan parquet""".r.findAllIn(p).size == 1,
+        s"$q scans the corpus more than once")
+      assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin")
+        && !p.contains("CartesianProduct"), s"$q grew a join")
+    }
+    // containment's df cap and denominator are key-partitioned windows
+    val pc = plan("dd_containment")
+    assert(pc.contains("Window") && !pc.contains("No Partition"),
+      "dd_containment windows lost their partitioning")
+  }
+
+  test("dd_urls: narrow regex + one map-side-combinable groupBy, no join") {
+    val p = plan("dd_urls")
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).size == 1,
+      "dd_urls scans the corpus more than once")
+    assert(!p.contains("Join"), "dd_urls grew a join")
+    assert("""\(\d+\) HashAggregate""".r.findAllIn(p).size >= 2,
+      "dd_urls lost its partial (map-side) aggregation")
+  }
+
+  test("agg_cms: sketch aggregate keeps map-side partials; probe side broadcasts") {
+    val p = plan("agg_cms")
+    // partial+final ObjectHashAggregate pair for the typed sketch
+    assert("""\(\d+\) ObjectHashAggregate""".r.findAllIn(p).size >= 2,
+      "agg_cms lost the partial (map-side) sketch combine")
+    assert(p.contains("Broadcast"),
+      "agg_cms probe no longer reads the sketch via broadcast")
+    assert(!p.contains("SortMergeJoin"), "agg_cms shuffles to meet the sketch")
+  }
+
   test("agg family keeps partial (map-side) aggregation") {
     // partial+final pairs appear as two HashAggregate nodes; losing the
     // partial side would shuffle raw rows
