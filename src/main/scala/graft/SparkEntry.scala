@@ -124,6 +124,7 @@ object SparkEntry {
     "ta_entropy" -> ExtensionCatalog.taEntropy,
     "ta_unigram" -> ExtensionCatalog.taUnigram,
     "emb_standardize" -> ExtensionCatalog.embStandardize,
+    "emb_knn_graph" -> ExtensionCatalog.embKnnGraph,
     "mm_decode_meta" -> ExtensionCatalog.mmDecodeMeta,
     "mm_resize" -> ExtensionCatalog.mmResize,
     "mm_frames" -> ExtensionCatalog.mmFrames

@@ -260,6 +260,38 @@ object Similarity {
     scoreTopK(assigned.join(broadcast(probeSelect(cents, queries, nProbe)),
       "cent_id"), k)
 
+  /** Clustered exact kNN graph over the inverted-list index — the
+    * all-corpus neighbor structure downstream graph work consumes
+    * (SemDeDup-style cluster pruning, label propagation, diversity
+    * sampling all start from a kNN graph). Every vector ranks its
+    * `k` nearest IN-CLUSTER neighbors by rounded cosine with the
+    * nb_id tiebreak; neighbors outside the coarse cluster are out of
+    * scope by the same blocking contract as [[semanticDedup]] (the
+    * clustering IS the candidate blocking — that is what makes an
+    * all-corpus graph tractable: nCentroids grows with the corpus,
+    * the quadratic in-cluster term stays bounded, a hot cluster
+    * salts like any hot key).
+    *
+    * One self-join on cent_id, then the bounded mergeable
+    * [[graft.functions.TopKPairs]] aggregate — per-vector state is k
+    * pairs regardless of cluster size, so nothing cluster-sized ever
+    * sits in an aggregation buffer. `assigned` is the train-once
+    * ivfAssign index (memoized / written-table). */
+  def knnGraph(assigned: DataFrame, k: Int): DataFrame = {
+    val a = assigned.select(col("cent_id"), col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("aD"))
+    val b = assigned.select(col("cent_id"), col("vec_id").as("nb_id"),
+      transform(col("embedding"), x => x.cast("double")).as("bD"))
+    a.join(b, Seq("cent_id")).filter(col("vec_id") =!= col("nb_id"))
+      .select(col("vec_id"), col("nb_id"),
+        round(cosineD(col("aD"), col("bD")), 6).as("cos"))
+      .groupBy(col("vec_id"))
+      .agg(graft.functions.TopKPairs.topKPairs(col("cos"), col("nb_id"), k).as("tk"))
+      .select(col("vec_id"), posexplode(col("tk")).as(Seq("pos", "s")))
+      .select(col("vec_id"), col("s.id").as("nb_id"),
+        col("s.score").as("cos"), (col("pos") + 1).cast("int").as("rk"))
+  }
+
   /** SemDeDup (Abbas et al. 2023): semantic dedup over a CLUSTERED
     * embedding corpus — a vector is a duplicate iff some smaller-id
     * vector in its k-means cluster has rounded cosine ≥ `threshold`

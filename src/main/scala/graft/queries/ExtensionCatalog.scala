@@ -350,6 +350,15 @@ object ExtensionCatalog {
     Similarity.semanticDedup(assignedIndex(s, d, cents), threshold = 0.3)
   }
 
+  /** All-corpus clustered kNN graph (top-5 in-cluster neighbors per
+    * vector) from the SAME train-once inverted-list index — the graph
+    * consumers (cluster pruning, diversity sampling) start from. */
+  val embKnnGraph: Q = (s, d) => {
+    val cents = broadcast(
+      Similarity.centroidsDf(s, trainedCentroids(s, d)))
+    Similarity.knnGraph(assignedIndex(s, d, cents), k = 5)
+  }
+
   /** Trained PQ codebooks per (session, dir, fingerprint) —
     * driver-held like centroidMemo (m·ksub·dSub doubles, no Spark
     * storage). Codebooks build once; encodings probe many. */

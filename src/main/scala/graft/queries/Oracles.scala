@@ -754,6 +754,19 @@ object Oracles {
          |SELECT query_id, vec_id, cos, rk FROM (SELECT *,
          |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rk
          |  FROM scored) WHERE rk <= 10""".stripMargin,
+    // kNN-graph twin: the shared coarse chain's assignment blocks the
+    // exact in-cluster neighbor ranking (cos DESC, nb_id tiebreak)
+    "emb_knn_graph" -> materializeCtes {
+      s"""WITH $ivfCtes,
+         |e AS (SELECT a.vec_id, b.vec_id AS nb_id,
+         |    round(list_cosine_similarity(list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+         |      list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 6) AS cos
+         |  FROM assigned a JOIN assigned b
+         |    ON a.cent_id = b.cent_id AND a.vec_id <> b.vec_id)
+         |SELECT vec_id, nb_id, cos, rk FROM (SELECT *,
+         |  row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nb_id) AS rk
+         |  FROM e) WHERE rk <= 5""".stripMargin
+    },
     // IVFPQ twin: shared coarse chain + shared PQ chains, ADC over
     // probed lists only (annIvfPqOracle)
     "ann_ivfpq" -> annIvfPqOracle,

@@ -36,4 +36,28 @@ class SketchStreamSpec extends SparkSpec {
       assert(streamed == batch && streamed.size == 16)
     } finally q.stop()
   }
+
+  test("cms_sketch over micro-batches equals the batch sketch") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // skewed keys so several counters accumulate across batches
+    val rows = (1L to 400L).map(i => i % 37L)
+    val in = MemoryStream[Long]
+    val hashed = in.toDF().toDF("k")
+      .select(Hashing.md5Mod31(col("k").cast("string")).as("hm"))
+    val agg = hashed.agg(CmsSketch.cmsSketch(col("hm"), 4, 64).as("sk"))
+    val q = agg.writeStream.format("memory").queryName("cms")
+      .outputMode("complete").start()
+    try {
+      in.addData(rows.take(150): _*)
+      q.processAllAvailable()
+      in.addData(rows.drop(150): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("cms").head().getSeq[Long](0)
+      val batch = rows.toDF("k")
+        .select(Hashing.md5Mod31(col("k").cast("string")).as("hm"))
+        .agg(CmsSketch.cmsSketch(col("hm"), 4, 64).as("sk"))
+        .head().getSeq[Long](0)
+      assert(streamed == batch && streamed.sum == 4L * 400)
+    } finally q.stop()
+  }
 }

@@ -88,6 +88,20 @@ class CorpusOpsSpec extends SparkSpec {
       got(2L)._3 == Dedup.round6((sa + sc) / 2000000.0))
   }
 
+  test("knnGraph: in-cluster neighbors ranked by cosine, singleton clusters emit nothing") {
+    val assigned = Seq(
+      (1L, 0L, Seq(1.0f, 0.0f)),
+      (2L, 0L, Seq(1.0f, 0.0f)),
+      (3L, 0L, Seq(0.0f, 1.0f)),
+      (4L, 1L, Seq(1.0f, 1.0f))                 // alone in its cluster
+    ).toDF("vec_id", "cent_id", "embedding")
+    val got = Similarity.knnGraph(assigned, k = 2)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(got.filter(_._1 == 1L) == Set((1L, 2L, 1.0, 1), (1L, 3L, 0.0, 2)))
+    assert(!got.exists(_._1 == 4L))             // no cross-cluster edges
+    assert(got.size == 6)                       // 3 vectors x 2 neighbors
+  }
+
   test("standardize: hand-checked z-scores per dimension") {
     val emb = Seq(
       (1L, Seq(1.0f, 0.0f)),
