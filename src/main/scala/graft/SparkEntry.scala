@@ -38,6 +38,7 @@ object SparkEntry {
     "w_lag_delta" -> QueryCatalog.wLagDelta,
     "w_first_last" -> QueryCatalog.wFirstLast,
     "w_moving_avg" -> QueryCatalog.wMovingAvg,
+    "w_ntile" -> QueryCatalog.wNtile,
     "agg_corr" -> QueryCatalog.aggCorr,
     "a4_ema_final" -> QueryCatalog.a4EmaFinal,
     "a7_session_window" -> QueryCatalog.a7SessionWindow,

@@ -428,6 +428,13 @@ object Oracles {
         |  / (count(*) OVER w * 1000000.0), 6) AS mavg FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
         |  ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)""".stripMargin,
+    // ntile twin: same (n_chars, doc_id) deterministic tiebreak, so
+    // both engines cut identical decile boundaries
+    "w_ntile" ->
+      """SELECT doc_id, lang, n_chars,
+        |  CAST(ntile(10) OVER (PARTITION BY lang
+        |    ORDER BY n_chars, doc_id) AS INT) AS decile
+        |FROM documents""".stripMargin,
     // six exact mergeable moments in centi-unit HUGEINTs, coefficient
     // derived once from exact integers (QueryCatalog.aggCorr twin)
     "agg_corr" ->

@@ -199,6 +199,19 @@ object QueryCatalog {
         / (count(lit(1)).over(w) * lit(1000000.0)), 6).as("mavg"))
   }
 
+  /** §2.6 — decile bucketing (ntile) per language over document
+    * length: the curriculum/filtering primitive (train on the top-k
+    * deciles of a quality signal, stratify evals by length bucket).
+    * Deterministic tiebreak (n_chars, doc_id) so both engines cut
+    * identical bucket boundaries; one hash-partitioned sort per
+    * language group, the standard analytic-window scale shape. */
+  val wNtile: Q = (s, d) => {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("n_chars"), col("doc_id"))
+    Tables.documents(s, d).select(col("doc_id"), col("lang"),
+      col("n_chars"), ntile(10).over(w).as("decile"))
+  }
+
   /** Pearson correlation per group from EXACT integer sums — the
     * distributed-correlation shape: each partition contributes the six
     * mergeable moments (n, Σx, Σy, Σx², Σy², Σxy) via map-side partial
