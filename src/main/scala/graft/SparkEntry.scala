@@ -105,6 +105,7 @@ object SparkEntry {
     "ds_mixture" -> ExtensionCatalog.dsMixture,
     "ds_shuffle_rank" -> ExtensionCatalog.dsShuffleRank,
     "ds_interleave" -> ExtensionCatalog.dsInterleave,
+    "ds_temperature" -> ExtensionCatalog.dsTemperature,
     "pipe_curate" -> ExtensionCatalog.pipeCurate,
     "pipe_pretrain" -> ExtensionCatalog.pipePretrain,
     "pipe_rag" -> ExtensionCatalog.pipeRag,

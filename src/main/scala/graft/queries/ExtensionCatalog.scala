@@ -716,6 +716,27 @@ object ExtensionCatalog {
   val dsShuffleRank: Q = (s, d) =>
     Sampling.shuffleRank(Tables.documents(s, d), "doc_id")
 
+  /** Temperature-scaled source sampling weights (α = 0.7 — the
+    * multilingual rebalancing knob from XLM-R-style
+    * pipelines): p_lang ∝ n_lang^α flattens the head and boosts the
+    * tail versus proportional sampling. Weights round to exact
+    * integer MICRO-units before summing (n^0.7 is irrational; a raw
+    * double Σ is accumulation-order-dependent across engines), so
+    * p and the 10k-budget targets derive from exact integers in one
+    * fixed expression order. One groupBy + a 1-row broadcast total —
+    * nothing scales with corpus rows but the count scan. */
+  val dsTemperature: Q = (s, d) => {
+    val counts = Tables.documents(s, d).groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("wm",
+        round(pow(col("n").cast("double"), lit(0.7)) * 1000000).cast("long"))
+    val tot = counts.agg(sum(col("wm")).as("tw"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("lang"), col("n"),
+        round(col("wm") * lit(1.0) / col("tw"), 6).as("p"),
+        round(col("wm") * lit(10000.0) / col("tw")).cast("long").as("target_10k"))
+  }
+
   /** Deterministic weighted interleave of the 20 fixture sources —
     * weight (srcNum % 3) + 1 ∈ {1,2,3}, L = lcm = 6: at every prefix
     * of the schedule a weight-3 source has emitted exactly 3× the

@@ -1233,6 +1233,16 @@ object Oracles {
         |  FROM documents)
         |SELECT doc_id, shuffle_key, row_number() OVER (ORDER BY shuffle_key) AS rank
         |FROM k""".stripMargin,
+    // temperature-sampling twin: micro-unit integer weights (exact
+    // sum), p and 10k targets in the identical expression order
+    "ds_temperature" ->
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+        |w AS (SELECT lang, n,
+        |    CAST(round(pow(n, 0.7) * 1000000) AS BIGINT) AS wm FROM c),
+        |t AS (SELECT CAST(sum(wm) AS BIGINT) AS tw FROM w)
+        |SELECT lang, n, round(wm * 1.0 / (SELECT tw FROM t), 6) AS p,
+        |  CAST(round(wm * 10000.0 / (SELECT tw FROM t)) AS BIGINT) AS target_10k
+        |FROM w""".stripMargin,
     // stride scheduling: source s (weight w) emits item r at virtual
     // time (2r-1)*(6/w); global order = (stride, src, id) — the exact
     // total order Sampling.interleave packs into its prefix-sum key
