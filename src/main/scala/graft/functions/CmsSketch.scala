@@ -106,15 +106,29 @@ object CmsSketch {
 
   /** Point estimate of `hashed`'s frequency from a sketch ARRAY built
     * with the same (depth, width): min over the depth rows of the
-    * probed counters — a narrow expression over the array column. */
+    * probed counters — a narrow expression over the array column.
+    *
+    * CONTRACT (ADVICE r6): (depth, width) here must equal the
+    * (depth, width) the sketch was built with — the flat array
+    * carries no shape header. A mismatch is a loud runtime error
+    * (size(sketch) guard below), never a silent wrong estimate: with
+    * no guard, out-of-range element_at returns NULL and least()
+    * SKIPS nulls, so a misaligned probe would return a min over
+    * fewer/wrong counters and look plausible. */
   def cmsEstimate(sketch: Column, hashed: Column,
                   depth: Int = 4, width: Int = 256): Column = {
     import org.apache.spark.sql.functions._
+    // assert_true returns NULL when the guard holds, so coalesce adds
+    // exactly 0 to every valid estimate (the shuffleRank idiom)
+    val guard = coalesce(assert_true(size(sketch) === depth * width,
+      concat(lit(s"cmsEstimate: sketch size "), size(sketch).cast("string"),
+        lit(s" != depth*width = ${depth * width} — probe (depth,width) must match the build")))
+      .cast("long"), lit(0L))
     val perRow = (0 until depth).map { j =>
       val bucket = (hashed * lit(2L * j + 1) + lit(12345L * (j + 1))) %
         lit(2147483647L) % lit(width.toLong)
       element_at(sketch, (lit(j.toLong * width) + bucket + 1).cast("int"))
     }
-    least(perRow: _*)
+    least(perRow: _*) + guard
   }
 }

@@ -215,7 +215,16 @@ object Dedup {
     * Batch-only by contract: block membership (and the cap) is a
     * corpus-wide fact; the streaming-adjacent shape is
     * dropDuplicatesWithinWatermark on the exact hash ([[exactStream]])
-    * with this detector as the periodic batch sweep. */
+    * with this detector as the periodic batch sweep.
+    *
+    * ASCII-prefix contract (ADVICE r6): cross-engine parity holds for
+    * ASCII prefixes, where Spark's and DuckDB's levenshtein agree by
+    * construction. For multi-byte text the engines may count edit
+    * units differently (codepoints vs bytes), so non-ASCII corpora
+    * are OUT OF CONTRACT for the oracle comparison — the operator
+    * itself remains well-defined (Spark counts codepoints); a
+    * deployment needing byte-exact parity normalizes prefixes to the
+    * tokenized alphabet first. */
   def editDistancePairs(docs: DataFrame, textCol: String, idCol: String,
                         maxDist: Int = 12, prefixLen: Int = 64,
                         lenBucket: Int = 16, maxBlock: Int = 1000): DataFrame = {
@@ -254,6 +263,12 @@ object Dedup {
     * needs param-sensitive identity keeps a allowlist upstream),
     * trailing slashes stripped. Emits one row per canonical URL:
     * the min-doc_id keeper plus occurrence/document counts.
+    * Malformed/schemeless rows (no `http(s)://host` prefix) pass
+    * through with canon_url = the ORIGINAL string — identity
+    * canonicalization, so only well-formed URLs collapse (ADVICE r6:
+    * both extraction regexes returning '' previously merged every
+    * malformed row into one '' group and elected a keeper across
+    * unrelated strings).
     *
     * Scale shape: two narrow regexes per row (RE2-compatible, no
     * backtracking) and ONE groupBy on the canonical string — linear
@@ -262,8 +277,9 @@ object Dedup {
     val host = lower(regexp_extract(col(urlCol), "(?i)^(https?://[^/?#]+)", 1))
     val path = regexp_replace(
       regexp_extract(col(urlCol), "(?i)^https?://[^/?#]+([^?#]*)", 1), "/+$", "")
+    val canon = when(host === "", col(urlCol)).otherwise(concat(host, path))
     urls.select(col(idCol).cast("long").as("doc_id"),
-        concat(host, path).as("canon_url"))
+        canon.as("canon_url"))
       .groupBy(col("canon_url"))
       .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_urls"),
         countDistinct(col("doc_id")).as("n_docs"))

@@ -330,11 +330,18 @@ object Similarity {
     * z = (x − mean_d)/std_d rounded to 6.
     *
     * Parity: moments accumulate as exact integer micro-units —
-    * sum(x_micro) and sum(x_micro²) per dimension (components ≤ ~1 ⇒
-    * micro² sums stay far under 2⁶³ up to ~10⁹ rows per dimension) —
-    * and the double formula is evaluated in ONE fixed expression
-    * order mirrored by the oracle, so no accumulation-order drift can
-    * cross engines.
+    * sum(x_micro) as long (|x_micro| ≤ 1e6 ⇒ overflow needs ~9.2e12
+    * rows per dimension) and sum(x_micro²) as decimal(38,0), because
+    * x_micro² reaches 1e12 and a LONG sum would wrap silently at
+    * ~9.2e6 WORST-CASE rows (ADVICE r6 — the previous "~1e9 rows"
+    * headroom held only for typical ~1/√d components; DuckDB's
+    * BIGINT sum widens to HUGEINT, so past overflow the engines would
+    * diverge silently, not fail). The double formula is evaluated in
+    * ONE fixed expression order mirrored by the oracle, so no
+    * accumulation-order drift can cross engines. A zero-variance
+    * (constant) dimension yields z = NULL by contract in both engines
+    * (ADVICE r6 — previously 0/0 NaN with untested cross-engine hash
+    * behavior).
     *
     * Scale shape: two passes. Pass 1 explodes n·d component rows into
     * a d-row aggregate — map-side partial aggregation collapses each
@@ -353,13 +360,14 @@ object Similarity {
           x => round(x.cast("double") * 1000000).cast("long"))).as(Seq("dim", "xm")))
     val stats = comp.groupBy(col("dim"))
       .agg(count(lit(1)).as("n"), sum(col("xm")).as("s"),
-        sum(col("xm") * col("xm")).as("s2"))
+        sum((col("xm") * col("xm")).cast("decimal(38,0)")).as("s2"))
+    val variance = col("s2").cast("double") / col("n") -
+      (col("s").cast("double") / col("n")) * (col("s").cast("double") / col("n"))
     comp.join(broadcast(stats), "dim")
       .select(col("vec_id"), col("dim").cast("long").as("dim"),
-        round((col("xm") - col("s").cast("double") / col("n")) /
-          sqrt(col("s2").cast("double") / col("n") -
-            (col("s").cast("double") / col("n")) * (col("s").cast("double") / col("n"))),
-          6).as("z"))
+        when(variance <= 0.0, lit(null).cast("double")).otherwise(
+          round((col("xm") - col("s").cast("double") / col("n")) / sqrt(variance),
+            6)).as("z"))
   }
 
   /** Exact integer gram matrix G[i][j] = Σ_vectors qᵢ·qⱼ (upper

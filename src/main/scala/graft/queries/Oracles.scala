@@ -1262,7 +1262,9 @@ object Oracles {
         |    (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '_split'),1,15))::BIGINT
         |      % 2147483647) / 2147483647.0 AS d FROM documents)""".stripMargin,
     // canonical-URL dedup twin: same synthesized URL variants, same
-    // canonicalization regexes (RE2-compatible, (?i) scheme+host)
+    // canonicalization regexes (RE2-compatible, (?i) scheme+host),
+    // same malformed-row pass-through (empty host extract → the
+    // original string is its own canon key, ADVICE r6)
     "dd_urls" ->
       """WITH u AS (SELECT doc_id,
         |    'HTTPS://Site-' || CAST(doc_id % 7 AS VARCHAR)
@@ -1272,9 +1274,11 @@ object Oracles {
         |    || CASE WHEN doc_id % 3 = 0 THEN '#section' ELSE '' END AS url
         |  FROM documents),
         |c AS (SELECT doc_id,
-        |    lower(regexp_extract(url, '(?i)^(https?://[^/?#]+)', 1))
-        |    || regexp_replace(regexp_extract(url, '(?i)^https?://[^/?#]+([^?#]*)', 1),
-        |         '/+$', '') AS canon_url
+        |    CASE WHEN lower(regexp_extract(url, '(?i)^(https?://[^/?#]+)', 1)) = ''
+        |      THEN url
+        |      ELSE lower(regexp_extract(url, '(?i)^(https?://[^/?#]+)', 1))
+        |        || regexp_replace(regexp_extract(url, '(?i)^https?://[^/?#]+([^?#]*)', 1),
+        |             '/+$', '') END AS canon_url
         |  FROM u)
         |SELECT canon_url, min(doc_id) AS keeper, count(*) AS n_urls,
         |  count(DISTINCT doc_id) AS n_docs
@@ -1332,7 +1336,11 @@ object Oracles {
         |FROM t2 JOIN f USING (tok)
         |GROUP BY doc_id""".stripMargin,
     // z-score twin: micro-unit integer moments per dimension, the
-    // double formula in the IDENTICAL expression order (s*1.0/n etc.)
+    // double formula in the IDENTICAL expression order (s*1.0/n etc.).
+    // s2 sums exactly on both sides (Spark decimal(38,0), DuckDB
+    // BIGINT→HUGEINT widening), and a zero-variance dimension yields
+    // NULL z by contract — the same double `<= 0` branch both engines
+    // evaluate on identical exact-integer moments (ADVICE r6).
     "emb_standardize" ->
       """WITH c AS (SELECT vec_id, i - 1 AS dim,
         |    CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS xm
@@ -1344,8 +1352,11 @@ object Oracles {
         |s AS (SELECT dim, count(*) AS n, sum(xm) AS s, sum(xm * xm) AS s2
         |  FROM c GROUP BY 1)
         |SELECT c.vec_id, c.dim,
-        |  round((c.xm - s.s * 1.0 / s.n) /
-        |    sqrt(s.s2 * 1.0 / s.n - (s.s * 1.0 / s.n) * (s.s * 1.0 / s.n)), 6) AS z
+        |  CASE WHEN s.s2 * 1.0 / s.n - (s.s * 1.0 / s.n) * (s.s * 1.0 / s.n) <= 0
+        |    THEN NULL
+        |    ELSE round((c.xm - s.s * 1.0 / s.n) /
+        |      sqrt(s.s2 * 1.0 / s.n - (s.s * 1.0 / s.n) * (s.s * 1.0 / s.n)), 6)
+        |  END AS z
         |FROM c JOIN s USING (dim)""".stripMargin
   )
 }

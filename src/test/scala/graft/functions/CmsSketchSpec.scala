@@ -39,6 +39,24 @@ class CmsSketchSpec extends SparkSpec {
     assert(estimates(1) == estimates(13) && estimates(13) == estimates(32))
   }
 
+  test("estimate with mismatched (depth,width) fails loudly, never silently wrong (ADVICE r6)") {
+    val sk = skewed.agg(CmsSketch.cmsSketch(col("hm"), depth = 4, width = 256).as("sk"))
+    val probe = skewed.select(col("hm")).distinct().limit(1)
+      .crossJoin(broadcast(sk))
+    val e = intercept[Exception] {
+      probe.select(CmsSketch.cmsEstimate(col("sk"), col("hm"),
+        depth = 4, width = 128).as("est")).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null && m.contains("cmsEstimate")),
+      s"expected the loud size-guard error, got: $e")
+    // and the matching shape still estimates fine through the guard
+    val ok = probe.select(CmsSketch.cmsEstimate(col("sk"), col("hm")).as("est"))
+      .head().getLong(0)
+    assert(ok >= 1L)
+  }
+
   test("callable from SQL after registration") {
     org.apache.spark.sql.GraftSqlBridge.registerAll(spark)
     skewed.createOrReplaceTempView("cms_in")

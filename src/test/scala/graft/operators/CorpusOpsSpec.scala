@@ -75,6 +75,37 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got.size == 3)
   }
 
+  test("urlDedup: malformed/schemeless rows pass through as their own keys (ADVICE r6)") {
+    val urls = Seq(
+      (1L, "not a url at all"),
+      (2L, "ftp://files.example.com/a"),          // non-http scheme -> pass-through
+      (3L, "example.com/schemeless"),
+      (4L, "https://ok.example.com/x"),
+      (5L, "HTTPS://OK.Example.COM/x?utm=1")
+    ).toDF("doc_id", "url")
+    val got = Dedup.urlDedup(urls, "url", "doc_id")
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // the three malformed rows each keep their ORIGINAL string as the
+    // canon key — no shared '' group, no cross-row keeper election
+    assert(got.size == 4)
+    assert(got("not a url at all")._2 == 1L && got("not a url at all")._3 == 1L)
+    assert(got("ftp://files.example.com/a")._2 == 2L)
+    assert(got("example.com/schemeless")._2 == 3L)
+    assert(got("https://ok.example.com/x") == (("https://ok.example.com/x", 4L, 2L, 2L)))
+  }
+
+  test("standardize: zero-variance dimension yields NULL z by contract (ADVICE r6)") {
+    val emb = Seq(
+      (1L, Seq(1.0f, 5.0f)),
+      (2L, Seq(3.0f, 5.0f))                       // dim 1 constant
+    ).toDF("vec_id", "embedding")
+    val rows = Similarity.standardize(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(rows((1L, 0L)) == Some(-1.0) && rows((2L, 0L)) == Some(1.0))
+    assert(rows((1L, 1L)).isEmpty && rows((2L, 1L)).isEmpty)
+  }
+
   test("unigramXent: corpus-frequency surprisal in exact micro-nats") {
     val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
     // N = 5; c(a) = 2, c(b) = 2, c(c) = 1
