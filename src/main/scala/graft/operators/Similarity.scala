@@ -92,6 +92,28 @@ object Similarity {
   def hyperplaneBucket(embCol: String, nBits: Int, dim: Int = 64) =
     graft.functions.HyperplaneBucket.hyperplaneBucket(col(embCol), nBits, dim)
 
+  /** Corpus-adaptive coarse-quantizer width: k = max(floor, ⌈√n⌉) —
+    * the FAISS nlist convention (VERDICT r6 #1). √n balances the two
+    * corpus-scale cost terms that a FIXED k cannot: training/assign
+    * cost is n·k (so k must not grow linearly) while the in-cluster
+    * pair kernels ([[semanticDedup]], [[knnGraph]]) cost Θ(n²/k) (so
+    * k must not stay constant — fixed k=32 made them corpus-quadratic
+    * /32, the r6 scale-killer). At k=√n both terms are n^1.5 and
+    * expected cluster size √n stays bounded relative to the corpus;
+    * ANN probe selectivity nProbe/k improves as the corpus grows
+    * (4/32 = 12.5 % frozen before; 4/√n → 0.3 % at 2M vectors).
+    *
+    * Integer-exact parity: IEEE sqrt is correctly rounded and n <
+    * 2^53, so ceil(sqrt(n)) is bit-identical across engines — the
+    * oracle computes greatest(32, ceil(sqrt(count(*)))) in SQL from
+    * the same count. */
+  def adaptiveNCentroids(n: Long, floor: Int = 32): Int =
+    math.max(floor, math.ceil(math.sqrt(n.toDouble)).toInt)
+
+  /** Sentinel default for `nCentroids` params: resolve k from the
+    * corpus size via [[adaptiveNCentroids]] at train time. */
+  val AdaptiveK = 0
+
   /** Double-precision cosine as a Column expression (zip_with +
     * aggregate, left-to-right fold — the accumulation DuckDB's
     * list_cosine_similarity performs on double lists). The native
@@ -130,7 +152,7 @@ object Similarity {
     * micro-unit sums with the same BigDecimal HALF_UP rounding as
     * Spark's round(), so results are bit-identical to the
     * distributed form (KMeansSpec pins the replica equality). */
-  def kmeansCentroids(corpus: DataFrame, nCentroids: Int = 32, iters: Int = 2,
+  def kmeansCentroids(corpus: DataFrame, nCentroids: Int = AdaptiveK, iters: Int = 2,
                       seedTag: String = "km", dim: Int = 64): DataFrame =
     centroidsDf(corpus.sparkSession,
       kmeansTrain(corpus, nCentroids, iters, seedTag, dim))
@@ -152,18 +174,24 @@ object Similarity {
     * #1). Training is eager by nature (each Lloyd iteration is a
     * collect); keeping it out of [[ivfTopK]]'s default path means plan
     * construction with precomputed centroids stays lazy (ADVICE r4). */
-  def kmeansTrain(corpus: DataFrame, nCentroids: Int = 32, iters: Int = 2,
+  def kmeansTrain(corpus: DataFrame, nCentroids: Int = AdaptiveK, iters: Int = 2,
                   seedTag: String = "km", dim: Int = 64): Seq[(Long, Seq[Double])] = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    // AdaptiveK: derive k from the corpus size (metadata count on a
+    // plain parquet scan — no data pass) so cluster width scales with
+    // the corpus instead of freezing at a fixture-sized constant
+    // (VERDICT r6 #1). Callers with an externally-sized index (the
+    // BenchScale ladders) pass k explicitly.
+    val k = if (nCentroids > 0) nCentroids else adaptiveNCentroids(corpus.count())
     val corpusD = corpus.select(col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("embD"))
-    // init: nCentroids md5-smallest vectors (TakeOrderedAndProject —
-    // an order statistic, never a corpus-wide window), numbered in
-    // hash order on the driver
+    // init: k md5-smallest vectors (TakeOrderedAndProject — an order
+    // statistic, never a corpus-wide window), numbered in hash order
+    // on the driver
     val initRows = corpusD
       .withColumn("hk", md5(concat(lit(seedTag + "_"), col("vec_id").cast("string"))))
-      .orderBy(col("hk"), col("vec_id")).limit(nCentroids)
+      .orderBy(col("hk"), col("vec_id")).limit(k)
       .select(col("hk"), col("vec_id"), col("embD"))
       .as[(String, Long, Seq[Double])].collect()
       .sortBy(r => (r._1, r._2))
@@ -210,7 +238,7 @@ object Similarity {
     * probe an already-trained index; the default trains in place —
     * convenient for one-shot use, wrong for repeated probing. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              nCentroids: Int = 32, nProbe: Int = 4,
+              nCentroids: Int = AdaptiveK, nProbe: Int = 4,
               centroids: Option[Seq[(Long, Seq[Double])]] = None): DataFrame = {
     val cents = broadcast(centroidsDf(corpus.sparkSession,
       centroids.getOrElse(kmeansTrain(corpus, nCentroids))))
@@ -268,9 +296,10 @@ object Similarity {
     * nb_id tiebreak; neighbors outside the coarse cluster are out of
     * scope by the same blocking contract as [[semanticDedup]] (the
     * clustering IS the candidate blocking — that is what makes an
-    * all-corpus graph tractable: nCentroids grows with the corpus,
-    * the quadratic in-cluster term stays bounded, a hot cluster
-    * salts like any hot key).
+    * all-corpus graph tractable: nCentroids grows with the corpus
+    * — ENFORCED by [[adaptiveNCentroids]], the train-time default,
+    * k = ⌈√n⌉ so the in-cluster quadratic term is n^1.5 not n²/const
+    * — a hot cluster salts like any hot key).
     *
     * One self-join on cent_id, then the bounded mergeable
     * [[graft.functions.TopKPairs]] aggregate — per-vector state is k
@@ -301,9 +330,11 @@ object Similarity {
     *
     * Scale shape: the pair search self-joins ONLY within a cluster —
     * the k-means partition IS the candidate blocking (that is the
-    * point of SemDeDup: nCentroids grows with the corpus, so expected
-    * cluster size — and with it the quadratic in-cluster term — stays
-    * bounded). The join shuffles on cent_id; a pathologically hot
+    * point of SemDeDup: nCentroids grows with the corpus — ENFORCED
+    * by [[adaptiveNCentroids]] as the train-time default, k = ⌈√n⌉ —
+    * so expected cluster size √n, and with it the in-cluster pair
+    * term n²/k = n^1.5, stays sublinear-per-row rather than
+    * corpus-quadratic). The join shuffles on cent_id; a pathologically hot
     * cluster salts like any hot key ([[graft.operators.SkewTools]]).
     * `assigned` is the train-once ivfAssign index (memoized /
     * written-table, same as the ANN probes). */

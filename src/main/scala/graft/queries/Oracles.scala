@@ -210,18 +210,21 @@ object Oracles {
        |  FROM adc) WHERE rk <= 10""".stripMargin
   }
 
-  /** The ann_ivf coarse chain (seeded 2-iteration k-means →
-    * per-vector argmax-cosine list assignment → per-query 4-probe
-    * selection), shared verbatim with ann_ivfpq: `assigned` =
-    * (vec_id, embedding, cent_id), `probes` = (query_id, q_emb,
-    * cent_id) for vec_id < 20. */
+  /** The ann_ivf coarse chain (corpus-adaptive k = greatest(32,
+    * ceil(sqrt(n))) matching Similarity.adaptiveNCentroids, seeded
+    * 2-iteration k-means → per-vector argmax-cosine list assignment →
+    * per-query 4-probe selection), shared verbatim with ann_ivfpq:
+    * `assigned` = (vec_id, embedding, cent_id), `probes` = (query_id,
+    * q_emb, cent_id) for vec_id < 20. */
   private val ivfCtes =
     """seed AS (SELECT vec_id, embedding,
       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embD,
       |    md5(concat('km_', CAST(vec_id AS VARCHAR))) AS hk FROM embeddings),
+      |ksel AS (SELECT greatest(32, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS k
+      |  FROM seed),
       |c0 AS (SELECT row_number() OVER (ORDER BY hk, vec_id) - 1 AS cent_id,
       |    embD AS cent_emb
-      |  FROM (SELECT * FROM seed ORDER BY hk, vec_id LIMIT 32)),
+      |  FROM seed QUALIFY row_number() OVER (ORDER BY hk, vec_id) <= (SELECT k FROM ksel)),
       |a1 AS (SELECT s.vec_id, s.embD, c.cent_id,
       |    row_number() OVER (PARTITION BY s.vec_id ORDER BY
       |      round(list_cosine_similarity(s.embD, c.cent_emb), 6) DESC, c.cent_id) AS crn
@@ -732,10 +735,13 @@ object Oracles {
          |SELECT query_id, vec_id, cos, rk FROM (SELECT *,
          |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rk
          |  FROM scored) WHERE rk <= 10""".stripMargin,
-    // IVF-Flat twin: same deterministic centroids (vec_id < 32),
-    // argmax-cosine assignment and 4-probe, ROUNDED-cosine ranking
-    // with id tiebreaks throughout
-    // seeded k-means twin: init = 32 md5-smallest vectors, two Lloyd
+    // IVF-Flat twin: same deterministic centroids, argmax-cosine
+    // assignment and 4-probe, ROUNDED-cosine ranking with id
+    // tiebreaks throughout
+    // seeded k-means twin: k = greatest(32, ceil(sqrt(n))) — the SAME
+    // integer formula as Similarity.adaptiveNCentroids (IEEE sqrt is
+    // correctly rounded, so the engines agree) — init = the k
+    // md5-smallest vectors, two Lloyd
     // iterations unrolled (assign by rounded cosine w/ cent-id
     // tiebreak; update = integer-micro-unit mean rounded to 6, the
     // emb_centroid idiom, so centroids stay bit-identical across

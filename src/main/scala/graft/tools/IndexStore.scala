@@ -69,7 +69,8 @@ object IndexStore {
     * written tables return bit-identical results to in-session
     * builds. */
   def writeAll(spark: SparkSession, corpus: DataFrame, p: String,
-               nCentroids: Int = 32, trainSample: Option[Double] = Some(0.5)): Unit = {
+               nCentroids: Int = Similarity.AdaptiveK,
+               trainSample: Option[Double] = Some(0.5)): Unit = {
     import spark.implicits._
     val cents = Similarity.kmeansTrain(corpus, nCentroids)
     val books = Similarity.pqTrain(corpus, trainSample = trainSample)
