@@ -55,9 +55,17 @@ object Bench {
     // not first-touch class loading.
     SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
 
-    // best-of-2 per query: the box is co-tenant (load swings 1-5 from
-    // outside) and a single shot can land 5-10x off; the minimum of two
-    // runs is the honest throughput of the plan itself.
+    // Corroborated-minimum per query (VERDICT r6 #2/#5): the box is
+    // co-tenant (load swings 1-5 from outside) and a single shot can
+    // land 5-10x off. A number is accepted only when the two SMALLEST
+    // runs agree within 1.5x — per-query and self-calibrating, unlike
+    // the old global "best > 1.5 s" threshold, which quadruple-ran
+    // every legitimately-slow query (dd_containment, dd_jaccard, …)
+    // while leaving mid-run steal on fast queries unconfirmed
+    // (r6's committed q3 read 0.899 s vs the true 0.627 s).
+    // Disagreement adds up to two more runs, the last after a 20 s
+    // sleep so a live steal window can pass; agreement costs exactly
+    // two runs. Worst case 4 runs + one sleep per query.
     val failed = scala.collection.mutable.LinkedHashSet[String]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // a failed query reports the -1.0 sentinel, joins "failed", and
@@ -73,17 +81,23 @@ object Bench {
           -1.0
         }
       }
-      val first = once()
-      var best = if (first < 0) first else math.min(first, once())
-      // co-tenant box: external steal inflates runs 2-5x. Every query
-      // plan except dd_components measures under ~1.7s warm on a quiet
-      // box, so a best-of-2 still above 1.5s is likely a dirty window —
-      // retry up to twice more while it keeps reading heavy; the
-      // minimum is the plan's honest cost. (r5's 2.5s threshold let a
-      // 2.19s-inflated q1 through unretried; true cost 0.38s.)
-      var extra = 0
-      while (best > 1.5 && extra < 2) { best = math.min(best, once()); extra += 1 }
-      name -> best
+      def settled(): Double = {
+        var runs = List(once(), once())
+        var extra = 0
+        while (runs.forall(_ >= 0) && extra < 2 && {
+          val s = runs.sorted; s(1) > 1.5 * s(0)
+        }) {
+          if (extra == 1) {
+            System.err.println(
+              f"[bench] $name unsettled after 3 runs (load ${loadAvg()}%.1f) - sleeping 20s for the steal window to pass")
+            Thread.sleep(20000)
+          }
+          runs ::= once()
+          extra += 1
+        }
+        if (runs.exists(_ < 0)) -1.0 else runs.min
+      }
+      name -> settled()
     }
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")

@@ -94,6 +94,7 @@ object SparkEntry {
     "ann_ivf" -> ExtensionCatalog.annIvf,
     "ann_pq" -> ExtensionCatalog.annPq,
     "ann_ivfpq" -> ExtensionCatalog.annIvfPq,
+    "ann_external" -> ExtensionCatalog.annExternal,
     "emb_centroid" -> ExtensionCatalog.embCentroid,
     "emb_quantize" -> ExtensionCatalog.embQuantize,
     "emb_gram" -> ExtensionCatalog.embGram,

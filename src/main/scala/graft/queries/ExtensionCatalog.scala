@@ -436,11 +436,13 @@ object ExtensionCatalog {
     * integer LUTs. Composed from the SAME memoized centroids and
     * codebooks that serve ann_ivf / ann_pq — one training pays for
     * all three shapes. */
-  val annIvfPq: Q = (s, d) => {
+  /** The memoized composed index — written table first, else built +
+    * checkpointed in-session (same discipline as assignedIndex).
+    * Shared by the corpus-query and external-query probes. */
+  private def ivfPqIndexOf(s: SparkSession, d: String, cents: DataFrame,
+                           books: Seq[(Int, Long, Seq[Long])]): DataFrame = {
     val key = memoKey(s, d, "embeddings")
-    val cents = broadcast(Similarity.centroidsDf(s, trainedCentroids(s, d)))
-    val books = trainedBooks(s, d)
-    val index = ivfPqIndexMemo.get() match {
+    ivfPqIndexMemo.get() match {
       case (k, df) if k == key => df
       case _ =>
         val df = writtenIndex(d) match {
@@ -452,8 +454,32 @@ object ExtensionCatalog {
         if (prev != null && !(prev._2 eq df)) unpersistCheckpoint(prev._2)
         df
     }
-    Similarity.ivfPqSearch(index, cents, books,
+  }
+
+  val annIvfPq: Q = (s, d) => {
+    val cents = broadcast(Similarity.centroidsDf(s, trainedCentroids(s, d)))
+    val books = trainedBooks(s, d)
+    Similarity.ivfPqSearch(ivfPqIndexOf(s, d, cents, books), cents, books,
       Tables.embeddings(s, d).filter(col("vec_id") < 20), k = 10)
+  }
+
+  /** IVFPQ probe from an EXTERNAL query frame (VERDICT r6 #7) — the
+    * serving reality: queries are new vectors arriving from outside,
+    * not corpus members, so their ids live OUTSIDE the corpus id
+    * space and `excludeSelf = false` keeps every candidate (an id
+    * collision would be coincidence, not a self-match; the default
+    * true is for catalog queries drawn FROM the corpus). The fixture
+    * external set re-identifies the first 20 corpus vectors past the
+    * corpus id range; each query's top hit is therefore its corpus
+    * twin at ADC distance = its own quantization error — the
+    * round-trip witness that no candidate row was excluded. */
+  val annExternal: Q = (s, d) => {
+    val cents = broadcast(Similarity.centroidsDf(s, trainedCentroids(s, d)))
+    val books = trainedBooks(s, d)
+    val external = Tables.embeddings(s, d).filter(col("vec_id") < 20)
+      .select((col("vec_id") + lit(1000000L)).as("vec_id"), col("embedding"))
+    Similarity.ivfPqSearch(ivfPqIndexOf(s, d, cents, books), cents, books,
+      external, k = 10, excludeSelf = false)
   }
 
   /** Per-label embedding centroids (the IVF-training / cluster-
@@ -724,7 +750,14 @@ object ExtensionCatalog {
     * double Σ is accumulation-order-dependent across engines), so
     * p and the 10k-budget targets derive from exact integers in one
     * fixed expression order. One groupBy + a 1-row broadcast total —
-    * nothing scales with corpus rows but the count scan. */
+    * nothing scales with corpus rows but the count scan.
+    *
+    * Batch-only BY CONTRACT (VERDICT r6 #6): the weights are a
+    * corpus-wide aggregate (every language's count enters every p),
+    * so there is no incremental form — the streaming deployment
+    * recomputes the tiny (lang, n) aggregate per epoch/snapshot and
+    * broadcasts frozen weights to the samplers, the same
+    * fit-batch/apply-stream split as standardize's moments. */
   val dsTemperature: Q = (s, d) => {
     val counts = Tables.documents(s, d).groupBy(col("lang"))
       .agg(count(lit(1)).as("n"))

@@ -177,17 +177,25 @@ object Oracles {
        |  FROM adc) WHERE rk <= 10""".stripMargin
   }
 
-  /** IVFPQ twin (ann_ivfpq): the ann_ivf coarse chain supplies each
-    * vector's inverted-list id and each query's 4 probe lists; the
-    * ann_pq chain supplies codes and per-query LUTs; ADC then ranks
-    * only the PROBED lists' codes — by_residual=false, so both chains
-    * are verbatim shared with their standalone twins. */
-  private def annIvfPqOracle: String = materializeCtes {
+  /** IVFPQ twin (ann_ivfpq / ann_external): the ann_ivf coarse chain
+    * supplies each vector's inverted-list id and each query's 4 probe
+    * lists; the ann_pq chain supplies codes and per-query LUTs; ADC
+    * then ranks only the PROBED lists' codes — by_residual=false, so
+    * both chains are verbatim shared with their standalone twins.
+    *
+    * `idShift` re-identifies the query frame OUTSIDE the corpus id
+    * space (the ann_external serving shape — queries are new vectors,
+    * not corpus members) and `excludeSelf=false` then keeps every
+    * candidate: an id collision would be coincidence, not a
+    * self-match. Defaults reproduce ann_ivfpq byte-for-byte. */
+  private def annIvfPqOracle(idShift: Long = 0L,
+                             excludeSelf: Boolean = true): String = materializeCtes {
     val subs = (0 until 8).map(pqSubCtes).mkString(",\n")
     val joins = (1 until 8).map(j => s"JOIN f$j USING (vec_id)").mkString(" ")
     val codeCols = (0 until 8).map(j => s"f$j.c$j").mkString(", ")
+    val qid = if (idShift == 0L) "vec_id" else s"vec_id + $idShift"
     val luts = (0 until 8).map { j =>
-      s"""qs$j AS (SELECT vec_id AS query_id, sv FROM s$j WHERE vec_id < 20),
+      s"""qs$j AS (SELECT $qid AS query_id, sv FROM s$j WHERE vec_id < 20),
          |l$j AS (SELECT q.query_id, c.cent_id,
          |    list_sum(list_transform(generate_series(1, 8),
          |      i -> (q.sv[i] - c.cv[i]) * (q.sv[i] - c.cv[i]))) AS d2
@@ -196,15 +204,18 @@ object Oracles {
     val lutJoins = (0 until 8).map(j =>
       s"JOIN l$j ON l$j.query_id = p.query_id AND l$j.cent_id = c.c$j").mkString(" ")
     val distSum = (0 until 8).map(j => s"l$j.d2").mkString(" + ")
+    val probesRef = if (idShift == 0L) "" else
+      s",\nprobesx AS (SELECT query_id + $idShift AS query_id, cent_id FROM probes)"
+    val probesName = if (idShift == 0L) "probes" else "probesx"
+    val selfFilter = if (excludeSelf) "\n  WHERE c.vec_id <> p.query_id" else ""
     s"""WITH $ivfCtes,
        |$pqSeedCtes,
        |$subs,
-       |codes AS (SELECT f0.vec_id, $codeCols FROM f0 $joins),
+       |codes AS (SELECT f0.vec_id, $codeCols FROM f0 $joins)$probesRef,
        |$luts,
        |adc AS (SELECT p.query_id, c.vec_id, ($distSum) AS adist
        |  FROM codes c JOIN assigned a ON a.vec_id = c.vec_id
-       |  JOIN probes p ON p.cent_id = a.cent_id $lutJoins
-       |  WHERE c.vec_id <> p.query_id)
+       |  JOIN $probesName p ON p.cent_id = a.cent_id $lutJoins$selfFilter)
        |SELECT query_id, vec_id, CAST(adist AS BIGINT) AS adist, rk FROM (
        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adist, vec_id) AS rk
        |  FROM adc) WHERE rk <= 10""".stripMargin
@@ -782,7 +793,12 @@ object Oracles {
     },
     // IVFPQ twin: shared coarse chain + shared PQ chains, ADC over
     // probed lists only (annIvfPqOracle)
-    "ann_ivfpq" -> annIvfPqOracle,
+    "ann_ivfpq" -> annIvfPqOracle(),
+    // external-query twin: same chains, query ids shifted past the
+    // corpus id space, NO self-exclusion (each query's top hit is its
+    // corpus twin at its own quantization error — the round-trip
+    // witness that nothing was excluded)
+    "ann_external" -> annIvfPqOracle(idShift = 1000000L, excludeSelf = false),
     "ta_langid" ->
       """SELECT doc_id, lang, CASE WHEN greatest(en, fr, de) = 0 THEN 'und'
         |  WHEN en >= fr AND en >= de THEN 'en' WHEN fr >= de THEN 'fr'

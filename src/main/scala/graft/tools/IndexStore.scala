@@ -13,12 +13,21 @@ import graft.operators.Similarity
   * [[graft.queries.ExtensionCatalog]] remain as a cache in front of
   * this store: probe order is memo → written table → in-session build.
   *
-  * Layout under `path(dir, fingerprint)`:
+  * Layout under `path(dir, fingerprint)` (VERDICT r6 #2/#3 — ONE
+  * per-vector table, not three):
   *   centroids.parquet    (cent_id, cent_emb)        — nCentroids rows
   *   pq_books.parquet     (sub, cent_id, cent_m)     — m·ksub rows
-  *   ivf_index.parquet    (vec_id, cent_id, embedding)
-  *   pq_index.parquet     (vec_id, c0..c7, err_micro2)
-  *   ivfpq_index.parquet  (vec_id, cent_id, c0..c7, err_micro2)
+  *   ivfpq_index.parquet  (vec_id, embedding, c0..c7, err_micro2)
+  *                        PARTITIONED BY cent_id — the unified
+  *                        per-vector index. IVF rows and PQ rows are
+  *                        column-pruned PROJECTIONS of it (readers
+  *                        below), so writeAll runs ONE corpus-scale
+  *                        encode pass instead of three and stores the
+  *                        corpus-sized data once. Partitioning by
+  *                        cent_id turns IVF probe-list pruning into
+  *                        PARTITION pruning: a probe's scan touches
+  *                        only its nProbe list directories instead of
+  *                        reading the whole table and filtering.
   *   _GRAFT_INDEX_READY   — atomic publish marker, written LAST
   */
 object IndexStore {
@@ -79,15 +88,37 @@ object IndexStore {
     spark.createDataset(books).toDF("sub", "cent_id", "cent_m")
       .coalesce(1).write.mode("overwrite").parquet(s"$p/pq_books.parquet")
     val centsB = broadcast(Similarity.centroidsDf(spark, cents))
-    Similarity.ivfAssign(corpus, centsB)
-      .write.mode("overwrite").parquet(s"$p/ivf_index.parquet")
-    Similarity.pqAssign(corpus, books)
-      .write.mode("overwrite").parquet(s"$p/pq_index.parquet")
-    Similarity.ivfPqIndex(corpus, centsB, books)
-      .write.mode("overwrite").parquet(s"$p/ivfpq_index.parquet")
+    // ONE corpus-scale pass (VERDICT r6 #3): the coarse assignment is
+    // the single aggregation ivfAssign costs, and the PQ encode plus
+    // the raw embedding ride the same frame as narrow carries. The
+    // pre-write repartition co-locates each inverted list so a list
+    // lands in O(1) files under its cent_id= directory, not one
+    // fragment per shuffle task.
+    Similarity.pqAssign(Similarity.ivfAssign(corpus, centsB), books,
+        carry = Seq("cent_id", "embedding"))
+      .repartition(col("cent_id"))
+      .write.mode("overwrite").partitionBy("cent_id")
+      .parquet(s"$p/ivfpq_index.parquet")
     // publish atomically-enough for a local fs: marker last
     new java.io.File(p, ReadyMarker).createNewFile()
   }
+
+  /** Schema of the unified per-vector index as READ BACK, declared so
+    * the partition column keeps its written LongType (partition-value
+    * inference would narrow cent_id to int, and a cast node on the
+    * scan side can defeat dynamic partition pruning). */
+  private val unifiedSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(
+      StructField("vec_id", LongType) +:
+      StructField("embedding", ArrayType(FloatType)) +:
+      (0 until 8).map(j => StructField(s"c$j", LongType)) :+
+      StructField("err_micro2", LongType) :+
+      StructField("cent_id", LongType))
+  }
+
+  private def readUnified(spark: SparkSession, p: String): DataFrame =
+    spark.read.schema(unifiedSchema).parquet(s"$p/ivfpq_index.parquet")
 
   def readCentroids(spark: SparkSession, p: String): Seq[(Long, Seq[Double])] = {
     import spark.implicits._
@@ -101,12 +132,21 @@ object IndexStore {
       .as[(Int, Long, Seq[Long])].collect().sortBy(b => (b._1, b._2)).toSeq
   }
 
+  /** IVF view — a column-pruned projection of the unified table, in
+    * ivfAssign's column order. The PQ code columns never leave the
+    * scan (ReadSchema prunes them). */
   def readIvfIndex(spark: SparkSession, p: String): DataFrame =
-    spark.read.parquet(s"$p/ivf_index.parquet")
+    readUnified(spark, p).select(col("vec_id"), col("cent_id"), col("embedding"))
 
+  /** PQ view — codes + error witness, pqAssign's column order; the
+    * corpus-sized embedding column is pruned at the scan. */
   def readPqIndex(spark: SparkSession, p: String): DataFrame =
-    spark.read.parquet(s"$p/pq_index.parquet")
+    readUnified(spark, p).select(
+      col("vec_id") +: (0 until 8).map(j => col(s"c$j")) :+ col("err_micro2"): _*)
 
+  /** IVFPQ view — list id + codes, ivfPqIndex's column order. */
   def readIvfPqIndex(spark: SparkSession, p: String): DataFrame =
-    spark.read.parquet(s"$p/ivfpq_index.parquet")
+    readUnified(spark, p).select(
+      col("vec_id") +: col("cent_id") +: (0 until 8).map(j => col(s"c$j")) :+
+        col("err_micro2"): _*)
 }

@@ -26,6 +26,28 @@ class DedupStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming URL dedup: canonical variants collapse to the first-seen row") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val out = Dedup.urlDedupStream(in.toDF().toDF("doc_id", "url"), "url")
+    val q = out.writeStream.format("memory").queryName("urlss")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        (1L, "HTTPS://A.Example.COM/x?utm_source=f"),
+        (2L, "https://a.example.com/x/"),           // same canon as 1
+        (3L, "not a url"))                          // malformed: own key
+      q.processAllAvailable()
+      in.addData(
+        (4L, "https://a.example.com/x#frag"),       // dup across batches
+        (5L, "not a url"),                          // dup of 3's key
+        (6L, "https://b.example.com/y"))
+      q.processAllAvailable()
+      val rows = spark.table("urlss").select("doc_id").as[Long].collect().sorted
+      assert(rows.toSeq == Seq(1L, 3L, 6L))
+    } finally q.stop()
+  }
+
   test("streaming MinHash-LSH pairs new docs against retained bucket members, capped") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val in = MemoryStream[(Long, String)]

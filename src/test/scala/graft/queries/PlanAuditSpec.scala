@@ -192,4 +192,17 @@ class PlanAuditSpec extends SparkSpec {
         s"$q lost its partial aggregation")
     }
   }
+
+  test("emb_knn_graph: top-k aggregate map-side-combines the in-cluster pair stream") {
+    // the TopKPairs TypedImperativeAggregate must plan as a
+    // partial+final ObjectHashAggregate pair so each partition's
+    // contribution caps at k pairs per vector BEFORE the shuffle —
+    // losing the partial side would shuffle the full pair fan-out
+    // (VERDICT r6 #5)
+    val p = plan("emb_knn_graph")
+    assert("""ObjectHashAggregate""".r.findAllIn(p).size >= 2,
+      "emb_knn_graph lost its partial (map-side) top-k combine")
+    assert(!p.contains("CartesianProduct"),
+      "emb_knn_graph pairs must form via the cent_id join, never a cross join")
+  }
 }
