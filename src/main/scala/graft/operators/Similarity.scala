@@ -184,8 +184,19 @@ object Similarity {
     // (VERDICT r6 #1). Callers with an externally-sized index (the
     // BenchScale ladders) pass k explicitly.
     val k = if (nCentroids > 0) nCentroids else adaptiveNCentroids(corpus.count())
-    val corpusD = corpus.select(col("vec_id"),
-      transform(col("embedding"), x => x.cast("double")).as("embD"))
+    // Assignment parallelism = input parallelism, and a mid-size
+    // corpus in a few parquet row groups scans as 1-4 tasks — the n×k
+    // cosine job then runs nearly serial (measured 10× on the
+    // semdedup ladder). Spread the narrow (vec_id, embD) projection
+    // to executor width when the scan is narrower; a corpus-scale
+    // scan (thousands of row groups — the 100 TB case) skips the
+    // shuffle entirely. The tokenHashes idiom.
+    val wide = spark.sparkContext.defaultParallelism
+    val corpusD = {
+      val slim = corpus.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("embD"))
+      if (slim.rdd.getNumPartitions < wide) slim.repartition(wide) else slim
+    }
     // init: k md5-smallest vectors (TakeOrderedAndProject — an order
     // statistic, never a corpus-wide window), numbered in hash order
     // on the driver
@@ -254,8 +265,13 @@ object Similarity {
     * Built once and probed many (memoize or persist the result —
     * ExtensionCatalog checkpoints it per data fingerprint; at real
     * scale this is the written index table). */
-  def ivfAssign(corpus: DataFrame, cents: DataFrame): DataFrame =
-    corpus.select(col("vec_id"), col("embedding")).crossJoin(cents)
+  def ivfAssign(corpus: DataFrame, cents: DataFrame): DataFrame = {
+    // spread a narrow scan to executor width before the n×k cosine
+    // work (same rationale as kmeansTrain; no-op on wide scans)
+    val wide = corpus.sparkSession.sparkContext.defaultParallelism
+    val slim = corpus.select(col("vec_id"), col("embedding"))
+    val spread = if (slim.rdd.getNumPartitions < wide) slim.repartition(wide) else slim
+    spread.crossJoin(cents)
       .withColumn("cent_cos", round(cosineD(
         transform(col("embedding"), x => x.cast("double")), col("cent_emb")), 6))
       .groupBy(col("vec_id"))
@@ -263,6 +279,7 @@ object Similarity {
         struct(col("cent_cos"), lit(0L) - col("cent_id"))).as("best"))
       .select(col("vec_id"), col("best.cent_id").as("cent_id"),
         col("best.embedding").as("embedding"))
+  }
 
   /** Probe-list selection shared by [[ivfProbe]] and [[ivfPqSearch]]:
     * each query's `nProbe` nearest centroids by rounded cosine with a

@@ -272,6 +272,96 @@ object BenchScale {
         f"ivf=${top._4}%.2fs pq=${top._6}%.2fs")
   }
 
+  /** SemDeDup honesty ladder (VERDICT r6 #4, with the adaptive-k fix
+    * from #1 under test): planted-center corpus → adaptive-k coarse
+    * clustering (k = adaptiveNCentroids(n), trained on a bounded
+    * hash-sample — the production regime) → [[graft.operators.
+    * Similarity.semanticDedup]]; score detected duplicates against
+    * PLANTED truth and measure the in-cluster candidate-pair budget
+    * as the corpus grows.
+    *
+    * Planted truth (genEmbeddings): center = vec_id % 1000 and the
+    * min-id member of center c is c itself, so a vector is a TRUE
+    * semantic duplicate iff vec_id >= 1000. Same-center cosine is
+    * ~0.99 (±5 % noise), cross-center ~0 — threshold 0.9 separates
+    * cleanly, so misses are CLUSTER-BOUNDARY misses (two members of
+    * one planted center split across coarse clusters), exactly
+    * SemDeDup's stated recall limitation.
+    *
+    * Gates: recall ≥ 0.8 and precision ≥ 0.95 at every rung, and the
+    * fitted log-log exponent of candidate-pair count vs n ≤ 1.75 —
+    * with k = ⌈√n⌉ expected cluster size is √n and pair work is
+    * ~n^1.5 (measured ~1.5); a frozen k would read 2.0, the r6
+    * scale defect this rung exists to keep dead. */
+  private def semDedupLadder(spark: SparkSession, sizes: Seq[Long],
+                             maxTaskMs: java.util.concurrent.atomic.AtomicLong): Unit = {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.{Sampling, Similarity}
+    def unpersistCp(df: DataFrame): Unit =
+      try df.queryExecution.logical match {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
+        case _ => ()
+      } catch { case _: Throwable => () }
+    val rungs = sizes.map { n =>
+      val dir = s"/tmp/graft_scale/emb_$n"
+      genEmbeddings(spark, n).write.mode("overwrite").parquet(dir) // untimed
+      val corpus = spark.read.parquet(dir)
+      val kAdapt = Similarity.adaptiveNCentroids(n)
+      val sampleRate = math.min(1.0, 200000.0 / n)
+      val tTrain = System.nanoTime()
+      // k derives from the FULL corpus size; training estimates the
+      // centroids from a bounded sample (the ivfPqLadder regime)
+      val cents = Similarity.kmeansTrain(
+        Sampling.hashSample(corpus, "vec_id", sampleRate), kAdapt)
+      val centsDf = org.apache.spark.sql.functions.broadcast(
+        Similarity.centroidsDf(spark, cents))
+      val trainSec = (System.nanoTime() - tTrain) / 1e9
+      val tAssign = System.nanoTime()
+      val assigned = Similarity.ivfAssign(corpus, centsDf)
+        .repartition(spark.sparkContext.defaultParallelism).localCheckpoint()
+      require(assigned.count() == n, s"assign sanity failed at n=$n")
+      val assignSec = (System.nanoTime() - tAssign) / 1e9
+      // the in-cluster candidate-pair budget the dedup pass will scan:
+      // sum over clusters of c*(c-1)/2 — THE quantity adaptive k bounds
+      val pairs = assigned.groupBy(col("cent_id"))
+        .agg(count(lit(1)).as("c"))
+        .agg(sum(col("c") * (col("c") - 1) / 2).cast("long").as("p"))
+        .head().getLong(0)
+      maxTaskMs.set(0)
+      val t0 = System.nanoTime()
+      val sd = Similarity.semanticDedup(assigned, threshold = 0.9)
+      // flagged = !kept; true duplicate = vec_id >= 1000 (planted)
+      val row = sd.agg(
+        sum(when(!col("kept"), 1L).otherwise(0L)).as("flagged"),
+        sum(when(!col("kept") && col("vec_id") >= 1000, 1L).otherwise(0L)).as("hits"))
+        .head()
+      val (flagged, hits) = (row.getLong(0), row.getLong(1))
+      val sec = (System.nanoTime() - t0) / 1e9
+      val mt = maxTaskMs.get() / 1e3
+      unpersistCp(assigned)
+      val trueDups = n - 1000
+      val recall = hits.toDouble / trueDups
+      val precision = if (flagged == 0) 0.0 else hits.toDouble / flagged
+      (n, kAdapt, trainSec, assignSec, pairs, sec, recall, precision, mt)
+    }
+    // fitted log-log exponent of pair count vs n — the scale claim
+    val xs = rungs.map(r => math.log(r._1.toDouble))
+    val ys = rungs.map(r => math.log(math.max(r._5, 1L).toDouble))
+    val (mx, my) = (xs.sum / xs.size, ys.sum / ys.size)
+    val exponent = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum /
+      xs.map(x => (x - mx) * (x - mx)).sum
+    val rungJson = rungs.map { case (n, k, ts, as_, p, s, r, pr, mt) =>
+      f"""{"n_vecs":$n,"k":$k,"train_sec":$ts%.2f,"assign_sec":$as_%.2f,"cand_pairs":$p,"pairs_per_vec":${p.toDouble / n}%.1f,"dedup_sec":$s%.2f,"recall":$r%.3f,"precision":$pr%.3f,"max_task_sec":$mt%.2f}"""
+    }.mkString("[", ",", "]")
+    println(f"""{"metric":"semdedup_scale","rungs":$rungJson,"pair_exponent":$exponent%.3f}""")
+    rungs.foreach { case (n, _, _, _, _, _, r, pr, _) =>
+      require(r >= 0.8, s"SemDeDup recall collapsed at n=$n: $r < 0.8")
+      require(pr >= 0.95, s"SemDeDup precision collapsed at n=$n: $pr < 0.95")
+    }
+    require(sizes.size < 2 || exponent <= 1.75,
+      f"in-cluster pair growth reads corpus-quadratic: exponent $exponent%.3f > 1.75")
+  }
+
   /** Multimodal-kernel throughput ladder: synth + full-pixel decode +
     * bilinear resize (PNG) and synth + per-frame decode (animated GIF)
     * over n generated docs — the docs/s of the imageio chain, plus the
@@ -312,13 +402,16 @@ object BenchScale {
     val mmMode = args.headOption.contains("mm")
     val pqMode = args.headOption.contains("pq")
     val ivfPqMode = args.headOption.contains("ivfpq")
-    val sizeArgs = if (annMode || mmMode || pqMode || ivfPqMode) args.drop(1) else args
+    val semMode = args.headOption.contains("semdedup")
+    val sizeArgs =
+      if (annMode || mmMode || pqMode || ivfPqMode || semMode) args.drop(1) else args
     val sizes =
       if (sizeArgs.nonEmpty) sizeArgs(0).split(",").map(_.trim.toLong).toSeq
       else if (annMode) Seq(20000L, 100000L, 500000L)
       else if (mmMode) Seq(10000L, 50000L)
       else if (ivfPqMode) Seq(2000000L, 5000000L)
       else if (pqMode) Seq(100000L, 500000L, 2000000L)
+      else if (semMode) Seq(500000L, 1000000L, 2000000L)
       else Seq(5000L, 10000L, 20000L, 50000L)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -368,6 +461,7 @@ object BenchScale {
       val nQueries = if (sizeArgs.length > 1) sizeArgs(1).trim.toInt else 200
       ivfPqLadder(spark, sizes, maxTaskMs, nQueries); spark.stop(); return
     }
+    if (semMode) { semDedupLadder(spark, sizes, maxTaskMs); spark.stop(); return }
 
     val rungs = sizes.map { n =>
       val dir = s"/tmp/graft_scale/docs_$n"
