@@ -208,7 +208,11 @@ object Similarity {
       .sortBy(r => (r._1, r._2))
     var cents: Seq[(Long, Seq[Double])] =
       initRows.zipWithIndex.map { case ((_, _, emb), i) => (i.toLong, emb) }.toSeq
+    // centroid norm rides the broadcast (k evals); row norm is a
+    // per-row projection — the ivfAssign hoist, bit-identical values
     def centsDf = spark.createDataset(cents).toDF("cent_id", "cent_emb")
+      .withColumn("cnorm",
+        sqrt(aggregate(col("cent_emb"), lit(0.0), (s, v) => s + v * v)))
     def round6(v: Double): Double =
       BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     (1 to iters).foreach { _ =>
@@ -216,8 +220,13 @@ object Similarity {
         sum(round(element_at(col("embD"), d + 1) * 1000000).cast("long")).as(s"s$d"))
       // one job: argmax-cosine assignment + micro-unit sums, ≤
       // nCentroids rows back to the driver
-      val stats = corpusD.crossJoin(broadcast(centsDf))
-        .withColumn("cc", round(cosineD(col("embD"), col("cent_emb")), 6))
+      val stats = corpusD
+        .withColumn("vnorm",
+          sqrt(aggregate(col("embD"), lit(0.0), (s, v) => s + v * v)))
+        .crossJoin(broadcast(centsDf))
+        .withColumn("cc", round(
+          aggregate(zip_with(col("embD"), col("cent_emb"), (x, y) => x * y),
+            lit(0.0), (s, v) => s + v) / (col("vnorm") * col("cnorm")), 6))
         .groupBy(col("vec_id"))
         .agg(max_by(struct(col("cent_id"), col("embD")),
           struct(col("cc"), lit(0L) - col("cent_id"))).as("best"))
@@ -271,9 +280,22 @@ object Similarity {
     val wide = corpus.sparkSession.sparkContext.defaultParallelism
     val slim = corpus.select(col("vec_id"), col("embedding"))
     val spread = if (slim.rdd.getNumPartitions < wide) slim.repartition(wide) else slim
-    spread.crossJoin(cents)
-      .withColumn("cent_cos", round(cosineD(
-        transform(col("embedding"), x => x.cast("double")), col("cent_emb")), 6))
+    // pair-INVARIANT work hoisted out of the n×k inner loop: the
+    // float→double cast and |v| fold happen once per corpus row, |c|
+    // once per centroid — only the dot product is inherent per-pair
+    // cost. The hoisted expressions are textually the ones cosineD
+    // evaluated inline, so every double (and the rounded ranking the
+    // oracle mirrors) is bit-identical.
+    val withD = spread
+      .withColumn("embD", transform(col("embedding"), x => x.cast("double")))
+      .withColumn("vnorm",
+        sqrt(aggregate(col("embD"), lit(0.0), (s, v) => s + v * v)))
+    val centsN = cents.withColumn("cnorm",
+      sqrt(aggregate(col("cent_emb"), lit(0.0), (s, v) => s + v * v)))
+    withD.crossJoin(centsN)
+      .withColumn("cent_cos", round(
+        aggregate(zip_with(col("embD"), col("cent_emb"), (x, y) => x * y),
+          lit(0.0), (s, v) => s + v) / (col("vnorm") * col("cnorm")), 6))
       .groupBy(col("vec_id"))
       .agg(max_by(struct(col("cent_id"), col("embedding")),
         struct(col("cent_cos"), lit(0L) - col("cent_id"))).as("best"))
@@ -324,13 +346,20 @@ object Similarity {
     * sits in an aggregation buffer. `assigned` is the train-once
     * ivfAssign index (memoized / written-table). */
   def knnGraph(assigned: DataFrame, k: Int): DataFrame = {
+    // norms hoisted to per-row projections below the join — the
+    // in-cluster pair count is n·√n, so per-pair work must be the
+    // dot product alone (the ivfAssign hoist, same bit-identical
+    // expressions)
     val a = assigned.select(col("cent_id"), col("vec_id"),
-      transform(col("embedding"), x => x.cast("double")).as("aD"))
+        transform(col("embedding"), x => x.cast("double")).as("aD"))
+      .withColumn("an", sqrt(aggregate(col("aD"), lit(0.0), (s, v) => s + v * v)))
     val b = assigned.select(col("cent_id"), col("vec_id").as("nb_id"),
-      transform(col("embedding"), x => x.cast("double")).as("bD"))
+        transform(col("embedding"), x => x.cast("double")).as("bD"))
+      .withColumn("bn", sqrt(aggregate(col("bD"), lit(0.0), (s, v) => s + v * v)))
     a.join(b, Seq("cent_id")).filter(col("vec_id") =!= col("nb_id"))
       .select(col("vec_id"), col("nb_id"),
-        round(cosineD(col("aD"), col("bD")), 6).as("cos"))
+        round(aggregate(zip_with(col("aD"), col("bD"), (x, y) => x * y),
+          lit(0.0), (s, v) => s + v) / (col("an") * col("bn")), 6).as("cos"))
       .groupBy(col("vec_id"))
       .agg(graft.functions.TopKPairs.topKPairs(col("cos"), col("nb_id"), k).as("tk"))
       .select(col("vec_id"), posexplode(col("tk")).as(Seq("pos", "s")))
@@ -356,14 +385,21 @@ object Similarity {
     * `assigned` is the train-once ivfAssign index (memoized /
     * written-table, same as the ANN probes). */
   def semanticDedup(assigned: DataFrame, threshold: Double): DataFrame = {
+    // cast + norm hoisted below the join (the knnGraph/ivfAssign
+    // hoist): the previous form re-cast BOTH float arrays and re-ran
+    // both norm folds per PAIR — n^1.5 pairs × 4 redundant array
+    // passes. Values are bit-identical (same expressions, same
+    // rounding), so the kept/dup labels and the oracle are unchanged.
     val a = assigned.select(col("cent_id"), col("vec_id").as("a_id"),
-      col("embedding").as("a_emb"))
+        transform(col("embedding"), x => x.cast("double")).as("aD"))
+      .withColumn("an", sqrt(aggregate(col("aD"), lit(0.0), (s, v) => s + v * v)))
     val b = assigned.select(col("cent_id"), col("vec_id").as("b_id"),
-      col("embedding").as("b_emb"))
+        transform(col("embedding"), x => x.cast("double")).as("bD"))
+      .withColumn("bn", sqrt(aggregate(col("bD"), lit(0.0), (s, v) => s + v * v)))
     val dups = a.join(b, Seq("cent_id"))
       .filter(col("b_id") < col("a_id") &&
-        round(cosineD(transform(col("a_emb"), x => x.cast("double")),
-          transform(col("b_emb"), x => x.cast("double"))), 6) >= threshold)
+        round(aggregate(zip_with(col("aD"), col("bD"), (x, y) => x * y),
+          lit(0.0), (s, v) => s + v) / (col("an") * col("bn")), 6) >= threshold)
       .select(col("a_id").as("vec_id")).distinct()
       .withColumn("dup", lit(true))
     assigned.join(dups, Seq("vec_id"), "left")
