@@ -126,7 +126,9 @@ object SparkEntry {
     "ta_tfidf" -> ExtensionCatalog.taTfidf,
     "ta_entropy" -> ExtensionCatalog.taEntropy,
     "ta_unigram" -> ExtensionCatalog.taUnigram,
+    "ta_bigram" -> ExtensionCatalog.taBigram,
     "emb_standardize" -> ExtensionCatalog.embStandardize,
+    "emb_project" -> ExtensionCatalog.embProject,
     "emb_knn_graph" -> ExtensionCatalog.embKnnGraph,
     "mm_decode_meta" -> ExtensionCatalog.mmDecodeMeta,
     "mm_resize" -> ExtensionCatalog.mmResize,

@@ -454,6 +454,29 @@ object Similarity {
             6)).as("z"))
   }
 
+  /** Johnson-Lindenstrauss random projection of the embedding corpus
+    * to `outDims` dimensions via deterministic Rademacher ±1 planes —
+    * the dimensionality-reduction step before ANN/clustering at corpus
+    * scale (64→16 dims is 4× less shuffle/index bytes for bounded
+    * pairwise-distance distortion; Achlioptas 2003's database-friendly
+    * JL construction). The projection is
+    * [[graft.functions.HyperplaneProject]]: one narrow native
+    * expression, no shuffle, exact integer micro-unit sums (long
+    * addition is order-independent, so the DuckDB twin summing the
+    * same inlined [[hyperplaneSign]] constants is bit-equal).
+    *
+    * Output is array-free (vec_id, out_dim, y_micro) rows — the
+    * ta_token_ids compare idiom. Trivially streamable (stateless
+    * per-row map); the batch entry is the contract. */
+  def randomProject(emb: DataFrame, outDims: Int = 16, dim: Int = 64,
+                    idCol: String = "vec_id",
+                    embCol: String = "embedding"): DataFrame =
+    emb.select(col(idCol).cast("long").as("vec_id"),
+        posexplode(graft.functions.HyperplaneProject.hyperplaneProject(
+          col(embCol), outDims, dim)).as(Seq("out_dim", "y_micro")))
+      .select(col("vec_id"), col("out_dim").cast("long").as("out_dim"),
+        col("y_micro"))
+
   /** Exact integer gram matrix G[i][j] = Σ_vectors qᵢ·qⱼ (upper
     * triangle) over milli-unit components — the covariance/whitening
     * prep step (PCA/ZCA/mean-centering start here). The d² explode per

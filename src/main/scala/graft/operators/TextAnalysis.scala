@@ -167,6 +167,50 @@ object TextAnalysis {
         round(col("sm") / (col("n_tokens") * lit(1000000.0)), 6).as("xent"))
   }
 
+  /** Self-trained BIGRAM cross-entropy per document — the next LM
+    * order up from [[unigramXent]]: fluency, not just vocabulary.
+    * Token-salad text (scraper noise, shuffled boilerplate) can score
+    * LOW unigram xent (every token common) while its bigram xent is
+    * high (the transitions never co-occur); a real CCNet/KenLM gate is
+    * an n-gram model for exactly this reason. For each document:
+    * xent = (1/m) Σ_bigrams −ln p(tok | prev),
+    * p(tok | prev) = c(prev, tok) / c(prev, ·), both counts from the
+    * corpus itself (self-trained → every scored bigram was seen, so
+    * p ≤ 1 and surprisal ≥ 0; no smoothing term to diverge on).
+    *
+    * Parity: integer MICRO-NATS per occurrence
+    * (round(1e6·ln(cp/cb)) — cp, cb exact integers, both engines ln
+    * the same double), summed exactly, rounded once — the unigramXent
+    * idiom. Bigrams form over the length-filtered token array, so
+    * adjacency is defined on the SAME sequence in both engines.
+    *
+    * Scale shape: one tokenize pass feeds occurrences; the bigram
+    * frequency table map-side-combines to |bigram vocab| rows per
+    * partition and the prefix table folds from it (no second corpus
+    * scan); scoring joins shuffle on the bigram/prefix keys — hot
+    * prefixes ("the …") are the AQE skew-join case. Training is batch
+    * by contract; scoring streams against a frozen table (the
+    * unigramXent deployment note). */
+  def bigramXent(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = df.select(col(idCol).cast("long").as("doc_id"),
+        filter(StatelessOps.tokenArray(col(textCol)),
+          t => length(t) > 0).as("toks"))
+      .filter(size(col("toks")) >= 2)
+    val occ = toks.select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks) - 1), i -> struct(toks[i-1] AS prev, toks[i] AS tok))")).as("bg"))
+      .select(col("doc_id"), col("bg.prev").as("prev"), col("bg.tok").as("tok"))
+    val freq = occ.groupBy(col("prev"), col("tok")).agg(count(lit(1)).as("cb"))
+    val pf = freq.groupBy(col("prev")).agg(sum(col("cb")).as("cp"))
+    occ.join(freq, Seq("prev", "tok")).join(pf, Seq("prev"))
+      .select(col("doc_id"),
+        round(lit(1000000) * log(col("cp").cast("double") / col("cb")))
+          .cast("long").as("sm"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("sm")).as("s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("s") / (col("n_bigrams") * lit(1000000.0)), 6).as("xent"))
+  }
+
   /** PII detection + redaction — the scrubbing gate every shared
     * training corpus passes before release. Three detector classes
     * (email, NANP-style 555 phone, dotted-quad IPv4) are counted and

@@ -879,10 +879,21 @@ object ExtensionCatalog {
   val taUnigram: Q = (s, d) =>
     TextAnalysis.unigramXent(Tables.documents(s, d), "text", "doc_id")
 
+  /** Self-trained bigram cross-entropy per document (fluency signal —
+    * the LM order above ta_unigram; micro-nat integer accumulation). */
+  val taBigram: Q = (s, d) =>
+    TextAnalysis.bigramXent(Tables.documents(s, d), "text", "doc_id")
+
   /** Per-dimension z-score standardization of the embedding corpus
     * (constant-width moment shuffle + broadcast-back). */
   val embStandardize: Q = (s, d) =>
     Similarity.standardize(Tables.embeddings(s, d))
+
+  /** Johnson-Lindenstrauss 64→16 random projection of the embedding
+    * corpus (narrow native expression, zero shuffle; exact integer
+    * micro-unit sums — see [[Similarity.randomProject]]). */
+  val embProject: Q = (s, d) =>
+    Similarity.randomProject(Tables.embeddings(s, d))
 
   /** Int8 embedding quantization readout: scale + exact integer q_sum
     * + saturation count + max reconstruction error per vector (the

@@ -56,6 +56,16 @@ object Oracles {
       s"CAST(embedding[${d + 1}] AS DOUBLE) * $s.0"
     }.mkString("(", " + ", ")")
 
+  // emb_project twin: the same hyperplane family at row offset 16
+  // (= MaxBits, past every bucket bit), over micro-unit INTEGER
+  // components — long sums are order-independent, so association
+  // doesn't matter here, only the shared sign constants
+  private def projMicroSql(j: Int): String =
+    (0 until EmbDim).map { d =>
+      val s = graft.operators.Similarity.hyperplaneSign(MaxBits + j, d)
+      s"($s) * CAST(round(CAST(embedding[${d + 1}] AS DOUBLE) * 1000000) AS BIGINT)"
+    }.mkString("(", " + ", ")")
+
   private def bucketSql: String =
     (0 until MaxBits).map { b =>
       s"(CASE WHEN $b < nbits AND ${projSql(b)} > 0 THEN ${1L << b} ELSE 0 END)"
@@ -1357,12 +1367,36 @@ object Oracles {
         |    / (count(*) * 1000000.0), 6) AS xent
         |FROM t2 JOIN f USING (tok)
         |GROUP BY doc_id""".stripMargin,
+    // bigram cross-entropy twin: adjacency over the SAME length-
+    // filtered token list; conditional surprisal in integer micro-nats
+    // (round(1e6*ln(cp/cb)) — cp, cb exact integers in both engines)
+    "ta_bigram" ->
+      """WITH arr AS (SELECT doc_id, list_filter(string_split(trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z \n]+', '', 'g'), '\s+', ' ', 'g')), ' '), t -> len(t) > 0) AS toks FROM documents),
+        |o AS (SELECT doc_id, toks[i] AS prev, toks[i + 1] AS tok
+        |  FROM arr, generate_series(1, 4000) s(i)
+        |  WHERE i <= len(toks) - 1
+        |    AND 1 = (SELECT CASE WHEN max(len(toks)) - 1 <= 4000 THEN 1
+        |      ELSE error('ta_bigram oracle: token series bound exceeded') END FROM arr)),
+        |f AS (SELECT prev, tok, count(*) AS cb FROM o GROUP BY 1, 2),
+        |p AS (SELECT prev, CAST(sum(cb) AS BIGINT) AS cp FROM f GROUP BY 1)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  round(sum(CAST(round(1000000 * ln(cp * 1.0 / cb)) AS BIGINT))
+        |    / (count(*) * 1000000.0), 6) AS xent
+        |FROM o JOIN f USING (prev, tok) JOIN p USING (prev)
+        |GROUP BY doc_id""".stripMargin,
     // z-score twin: micro-unit integer moments per dimension, the
     // double formula in the IDENTICAL expression order (s*1.0/n etc.).
     // s2 sums exactly on both sides (Spark decimal(38,0), DuckDB
     // BIGINT→HUGEINT widening), and a zero-variance dimension yields
     // NULL z by contract — the same double `<= 0` branch both engines
     // evaluate on identical exact-integer moments (ADVICE r6).
+    // JL projection twin: 16 per-out-dim selects over the inlined
+    // Rademacher constants (rows 16..31 of the hyperplane family)
+    "emb_project" ->
+      (0 until 16).map { j =>
+        s"SELECT vec_id, CAST($j AS BIGINT) AS out_dim, ${projMicroSql(j)} AS y_micro FROM embeddings"
+      }.mkString("", "\nUNION ALL\n", ""),
     "emb_standardize" ->
       """WITH c AS (SELECT vec_id, i - 1 AS dim,
         |    CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS xm

@@ -119,6 +119,21 @@ class CorpusOpsSpec extends SparkSpec {
       got(2L)._3 == Dedup.round6((sa + sc) / 2000000.0))
   }
 
+  test("bigramXent: conditional surprisal in exact micro-nats; 1-token docs drop") {
+    val docs = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "x")).toDF("doc_id", "text")
+    // bigram counts: (a,b)=3, (b,a)=1, (b,c)=1 → cp(a)=3, cp(b)=2
+    val sAb = math.round(1e6 * math.log(3.0 / 3))   // = 0
+    val sBa = math.round(1e6 * math.log(2.0 / 1))
+    val sBc = math.round(1e6 * math.log(2.0 / 1))
+    val got = TextAnalysis.bigramXent(docs, "text", "doc_id")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L)._2 == 3L &&
+      got(1L)._3 == Dedup.round6((2 * sAb + sBa) / 3000000.0))
+    assert(got(2L)._2 == 2L &&
+      got(2L)._3 == Dedup.round6((sAb + sBc) / 2000000.0))
+    assert(!got.contains(3L))                       // no bigram to score
+  }
+
   test("knnGraph: in-cluster neighbors ranked by cosine, singleton clusters emit nothing") {
     val assigned = Seq(
       (1L, 0L, Seq(1.0f, 0.0f)),
@@ -131,6 +146,29 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got.filter(_._1 == 1L) == Set((1L, 2L, 1.0, 1), (1L, 3L, 0.0, 2)))
     assert(!got.exists(_._1 == 4L))             // no cross-cluster edges
     assert(got.size == 6)                       // 3 vectors x 2 neighbors
+  }
+
+  test("randomProject: exact signed micro-unit sums, short vectors null out") {
+    val emb = Seq(
+      (1L, Seq(1.0f, -0.5f)),
+      (2L, Seq(0.0f, 2.0f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.randomProject(emb, outDims = 3, dim = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    // driver replica over the same sign family (rows 16..18)
+    val want = (for {
+      (id, xs) <- Seq(1L -> Seq(1.0, -0.5), 2L -> Seq(0.0, 2.0))
+      j <- 0 until 3
+    } yield {
+      val y = xs.zipWithIndex.map { case (x, d) =>
+        Similarity.hyperplaneSign(16 + j, d) * math.round(x * 1e6)
+      }.sum
+      (id, j.toLong, y)
+    }).toSet
+    assert(got == want)
+    // a vector shorter than dim yields NO rows (null array -> no posexplode)
+    val short = Seq((9L, Seq(1.0f))).toDF("vec_id", "embedding")
+    assert(Similarity.randomProject(short, outDims = 3, dim = 2).count() == 0)
   }
 
   test("standardize: hand-checked z-scores per dimension") {
