@@ -85,6 +85,7 @@ object SparkEntry {
     "dd_components_stats" -> ExtensionCatalog.ddClusterStats,
     "dd_contaminated" -> ExtensionCatalog.ddContaminated,
     "dd_crossdoc" -> ExtensionCatalog.ddCrossdoc,
+    "dd_spans" -> ExtensionCatalog.ddSpans,
     "dd_semantic" -> ExtensionCatalog.ddSemantic,
     "dd_containment" -> ExtensionCatalog.ddContainment,
     "dd_edit" -> ExtensionCatalog.ddEdit,

@@ -828,6 +828,58 @@ object Dedup {
         round(col("dup_grams").cast("double") / col("n_grams"), 6).as("dup_frac"))
   }
 
+  /** Duplicated-SPAN extraction (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better"): find, per document,
+    * the maximal runs of consecutive token positions whose n-grams
+    * occur MORE THAN ONCE in the whole corpus (any document, any
+    * position — cross-doc boilerplate and within-doc loops both
+    * count), and emit each run of ≥ `minRun` grams as a span
+    * (start_pos, run_grams, span_tokens = run + n − 1). This is the
+    * REMOVER'S view — where [[crossDocNgrams]] scores documents, this
+    * locates the byte ranges a span-level dedup pass would cut, which
+    * is what the reference Lee et al. pipeline does with suffix
+    * arrays.
+    *
+    * Distributed approximation contract: a suffix array finds exact
+    * duplicated substrings; a run of k consecutive corpus-duplicated
+    * n-grams is a SUPERSET witness (each gram recurs somewhere, but
+    * the whole span need not recur contiguously elsewhere). That makes
+    * this the cheap candidate-span phase of the standard two-phase
+    * shape — overapproximate with hashes, confirm survivors exactly —
+    * and the overapproximation is one-sided: every true duplicated
+    * span of ≥ minRun+n−1 tokens IS emitted.
+    *
+    * Plan shape: ONE tokenize+gram scan (the dd_containment contract —
+    * zero joins, plan-gated); corpus-wide gram multiplicity is a count
+    * window over the positioned gram stream partitioned by the 60-bit
+    * gram hash (8-byte shuffle keys, never gram text); the
+    * gaps-and-islands pass (pos − row_number) shuffles only the
+    * DUPLICATED positions per doc. BATCH-ONLY by contract (the
+    * crossDocNgrams retraction argument: any arriving doc can flip any
+    * earlier position from unique to duplicated). */
+  def duplicatedSpans(docs: DataFrame, textCol: String, idCol: String,
+                      n: Int = 3, minRun: Int = 2): DataFrame = {
+    require(n >= 2 && minRun >= 1, "need n >= 2 and minRun >= 1")
+    val toksDf = docs.select(col(idCol).cast("long").as("doc_id"),
+        StatelessOps.tokenArray(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= n)
+    val gramsCol = expr(
+      s"transform(sequence(1, size(toks) - ${n - 1}), i -> concat_ws(' ', slice(toks, i, $n)))")
+    val pos = toksDf.select(col("doc_id"),
+      posexplode(transform(gramsCol, g => Hashing.md5Long(g))).as(Seq("pos", "gh")))
+    val dup = pos.withColumn("cfreq",
+        count(lit(1)).over(Window.partitionBy(col("gh"))))
+      .filter(col("cfreq") > 1)
+    val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    dup.withColumn("grp", col("pos") - row_number().over(wd))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).cast("long").as("start_pos"),
+        count(lit(1)).as("run_grams"))
+      .filter(col("run_grams") >= minRun)
+      .select(col("doc_id"), col("start_pos"), col("run_grams"),
+        (col("run_grams") + lit(n - 1).cast("long")).as("span_tokens"))
+  }
+
   def ngramJaccard(docs: DataFrame, textCol: String, idCol: String,
                    threshold: Double, bands: Int = 4, rowsPerBand: Int = 8,
                    maxBucket: Int = 2048, spanningOnly: Boolean = false): DataFrame = {

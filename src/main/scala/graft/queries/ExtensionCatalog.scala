@@ -736,6 +736,13 @@ object ExtensionCatalog {
   val ddCrossdoc: Q = (s, d) =>
     Dedup.crossDocNgrams(Tables.documents(s, d), "text", "doc_id")
 
+  /** Duplicated-span extraction (Lee et al. 2022): maximal runs of
+    * corpus-duplicated 3-grams, ≥ 2 grams long — the remover's span
+    * list where dd_crossdoc is the scorer's fraction. One scan, zero
+    * joins (plan-gated with dd_containment). */
+  val ddSpans: Q = (s, d) =>
+    Dedup.duplicatedSpans(Tables.documents(s, d), "text", "doc_id")
+
   /** Deterministic global training order (epoch shuffle): pseudorandom
     * md5-keyed global rank via the two-pass prefix sum — no global
     * sort, numPartitions longs to the driver. */

@@ -1251,6 +1251,26 @@ object Oracles {
         |  CAST(sum(CASE WHEN dfreq > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_grams,
         |  round(sum(CASE WHEN dfreq > 1 THEN 1 ELSE 0 END) / count(*), 6) AS dup_frac
         |FROM d GROUP BY doc_id""".stripMargin,
+    // duplicated-span twin: positioned gram stream (NO per-doc
+    // distinct — multiplicity counts every occurrence), corpus
+    // multiplicity window, then the gaps-and-islands run grouping
+    "dd_spans" ->
+      """WITH arr AS (SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z \n]+', '', 'g'), '\s+', ' ', 'g')), ' ') AS toks FROM documents),
+        |g AS (SELECT doc_id, i - 1 AS pos,
+        |    ('0x' || substr(md5(toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]),1,15))::BIGINT AS gh
+        |  FROM arr, generate_series(1, 4000) s(i)
+        |  WHERE i <= len(toks) - 2
+        |    AND 1 = (SELECT CASE WHEN max(len(toks)) - 2 <= 4000 THEN 1
+        |      ELSE error('dd_spans oracle: token series bound exceeded') END FROM arr)),
+        |d AS (SELECT doc_id, pos, count(*) OVER (PARTITION BY gh) AS cfreq FROM g),
+        |r AS (SELECT doc_id, pos,
+        |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |  FROM d WHERE cfreq > 1)
+        |SELECT doc_id, CAST(min(pos) AS BIGINT) AS start_pos,
+        |  count(*) AS run_grams, count(*) + 2 AS span_tokens
+        |FROM r GROUP BY doc_id, grp
+        |HAVING count(*) >= 2""".stripMargin,
     // PQ twin: 8 generated per-subspace k-means chains (see pqSubCtes)
     "emb_pq" -> pqOracle,
     // PQ-ADC search twin: codes + per-query integer LUTs (annPqOracle)

@@ -119,6 +119,22 @@ class CorpusOpsSpec extends SparkSpec {
       got(2L)._3 == Dedup.round6((sa + sc) / 2000000.0))
   }
 
+  test("duplicatedSpans: cross-doc and intra-doc runs emit, singletons and unique text do not") {
+    val docs = Seq(
+      (1L, "p q r s t u"),                    // shares "p q r s" with doc 2
+      (2L, "x p q r s y"),
+      (3L, "a b a b a b"),                    // intra-doc loop: every gram x2
+      (4L, "unique tokens only here now"),    // nothing duplicated
+      (5L, "z1 q r s z2")                     // one duplicated gram < minRun
+    ).toDF("doc_id", "text")
+    val got = Dedup.duplicatedSpans(docs, "text", "doc_id")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (1L, 0L, 2L, 4L),                       // "p q r","q r s" at pos 0,1
+      (2L, 1L, 2L, 4L),                       // same grams at pos 1,2
+      (3L, 0L, 4L, 6L)))                      // all 4 grams duplicated
+  }
+
   test("bigramXent: conditional surprisal in exact micro-nats; 1-token docs drop") {
     val docs = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "x")).toDF("doc_id", "text")
     // bigram counts: (a,b)=3, (b,a)=1, (b,c)=1 → cp(a)=3, cp(b)=2

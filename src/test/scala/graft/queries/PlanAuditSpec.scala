@@ -164,6 +164,20 @@ class PlanAuditSpec extends SparkSpec {
       "dd_containment windows lost their partitioning")
   }
 
+  test("dd_spans: ONE corpus scan, zero joins, partitioned windows") {
+    // the span extractor is the positioned twin of dd_crossdoc: gram
+    // multiplicity is a count window over the hashed gram stream and
+    // the islands pass a per-doc window — a join formulation would
+    // re-scan/re-explode the corpus
+    val p = plan("dd_spans")
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).size == 1,
+      "dd_spans scans the corpus more than once")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin")
+      && !p.contains("CartesianProduct"), "dd_spans grew a join")
+    assert(p.contains("Window") && !p.contains("No Partition"),
+      "dd_spans windows lost their partitioning")
+  }
+
   test("dd_urls: narrow regex + one map-side-combinable groupBy, no join") {
     val p = plan("dd_urls")
     assert("""\(\d+\) Scan parquet""".r.findAllIn(p).size == 1,
