@@ -46,6 +46,7 @@ object SparkEntry {
     "agg_approx_distinct" -> QueryCatalog.aggApproxDistinct,
     "agg_kmv_distinct" -> QueryCatalog.aggKmvDistinct,
     "agg_cms" -> QueryCatalog.aggCms,
+    "agg_bloom" -> QueryCatalog.aggBloom,
     "agg_percentile_disc" -> QueryCatalog.aggPercentileDisc,
     "agg_hash_quantile" -> QueryCatalog.aggHashQuantile,
     "agg_mode" -> QueryCatalog.aggMode,

@@ -72,5 +72,21 @@ object GraftFunctions {
       arity("cms_sketch", 1, 3)(args => CmsSketch(args(0),
         if (args.length > 1) intArg(args(1), "cms_sketch", 2) else 4,
         if (args.length > 2) intArg(args(2), "cms_sketch", 3) else 256)),
-      "cms_sketch(hash bigint [, depth, width]) - count-min counter array, row-major depth x width (aggregate)"))
+      "cms_sketch(hash bigint [, depth, width]) - count-min counter array, row-major depth x width (aggregate)"),
+    ("bloom_sketch",
+      arity("bloom_sketch", 1, 3)(args => BloomSketch(args(0),
+        if (args.length > 1) intArg(args(1), "bloom_sketch", 2) else 4096,
+        if (args.length > 2) intArg(args(2), "bloom_sketch", 3) else 3)),
+      "bloom_sketch(hash bigint [, numBits, numHashes]) - Bloom filter word array, numBits/64 longs (aggregate)"),
+    ("bloom_maybe",
+      arity("bloom_maybe", 2, 4)(args => BloomMaybe(args(0), args(1),
+        if (args.length > 2) intArg(args(2), "bloom_maybe", 3) else 4096,
+        if (args.length > 3) intArg(args(3), "bloom_maybe", 4) else 3)),
+      "bloom_maybe(sketch array<bigint>, hash bigint [, numBits, numHashes]) - Bloom membership probe"),
+    ("hyperplane_project",
+      arity("hyperplane_project", 2, 4)(args => HyperplaneProject(args(0),
+        intArg(args(1), "hyperplane_project", 2),
+        if (args.length > 2) intArg(args(2), "hyperplane_project", 3) else 64,
+        if (args.length > 3) intArg(args(3), "hyperplane_project", 4) else 16)),
+      "hyperplane_project(emb array<float>, outDims [, dim, signRow0]) - JL Rademacher projection, micro-unit integer sums"))
 }

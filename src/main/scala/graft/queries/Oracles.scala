@@ -433,6 +433,28 @@ object Oracles {
         |x AS (SELECT user_id, count(*) AS exact_n FROM events
         |  WHERE user_id < 20 GROUP BY 1)
         |SELECT est.user_id, cms_n, exact_n FROM est JOIN x USING (user_id)""".stripMargin,
+    // Bloom twin: rebuild the set-bit SET from the same md5-affine
+    // positions (16384 bits, 3 hashes), answer membership as bool_and
+    // over each probe's positions — bools match exactly, fp included
+    "agg_bloom" ->
+      """WITH h AS (SELECT user_id,
+        |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)),1,15))::BIGINT
+        |      % 2147483647 AS hm FROM events),
+        |b AS (SELECT DISTINCT ((2*j+1) * hm + 12345*(j+1)) % 2147483647 % 16384 AS pos
+        |  FROM h, generate_series(0, 2) g(j)),
+        |pr AS (SELECT i AS user_id FROM generate_series(0, 19) s(i)
+        |  UNION ALL SELECT i FROM generate_series(1000000, 1000019) s(i)),
+        |ph AS (SELECT user_id,
+        |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)),1,15))::BIGINT
+        |      % 2147483647 AS hm FROM pr),
+        |pe AS (SELECT user_id, ((2*j+1) * hm + 12345*(j+1)) % 2147483647 % 16384 AS pos
+        |  FROM ph, generate_series(0, 2) g(j)),
+        |m AS (SELECT pe.user_id, bool_and(b.pos IS NOT NULL) AS might
+        |  FROM pe LEFT JOIN b USING (pos) GROUP BY 1),
+        |x AS (SELECT user_id, count(*) AS exact_n FROM events
+        |  WHERE user_id < 20 GROUP BY 1)
+        |SELECT m.user_id, might, coalesce(exact_n, 0) AS exact_n
+        |FROM m LEFT JOIN x USING (user_id)""".stripMargin,
     "w_rank_topk" ->
       """SELECT p_brand, p_partkey, round(p_retailprice, 2) AS price, rk FROM (
         |  SELECT p_brand, p_partkey, p_retailprice,

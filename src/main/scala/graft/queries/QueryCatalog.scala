@@ -349,6 +349,36 @@ object QueryCatalog {
         col("exact_n"))
   }
 
+  /** Portable Bloom membership (Bloom 1970): ONE global 16384-bit /
+    * 3-hash filter over the event stream's user ids — constant 256
+    * longs of OR-merged, map-side-combined state at any corpus size —
+    * probed by 20 PRESENT ids (no-false-negative witness: every one
+    * must read true) and 20 ABSENT ids (the deterministic
+    * false-positive residue, measured against exact counts). Both
+    * engines set the identical md5-affine bit positions, so membership
+    * bools match EXACTLY — the portable/serving complement of
+    * j_bloom_semi's engine-internal row-shedding filter. Sizing is the
+    * standard ~10 bits/key for ~1 % fp: at 10⁹ keys the filter is
+    * ~1.2 GB, still one OR-merge tree + a broadcast at serve time. */
+  val aggBloom: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val hm = (c: org.apache.spark.sql.Column) =>
+      graft.functions.Hashing.md5Mod31(c.cast("string"))
+    val sk = ev.select(hm(col("user_id")).as("hm"))
+      .agg(graft.functions.BloomSketch
+        .bloomSketch(col("hm"), numBits = 16384).as("sk"))
+    val probes = s.range(0, 20).union(s.range(1000000, 1000020))
+      .select(col("id").as("user_id"), hm(col("id")).as("hm"))
+    val exact = ev.filter(col("user_id") < 20)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("exact_n"))
+    probes.crossJoin(broadcast(sk))
+      .join(exact, Seq("user_id"), "left")
+      .select(col("user_id"),
+        graft.functions.BloomSketch
+          .bloomMaybe(col("sk"), col("hm"), numBits = 16384).as("might"),
+        coalesce(col("exact_n"), lit(0L)).as("exact_n"))
+  }
+
   /** Exact discrete percentiles (p50/p95): the ceil(q·n)-th smallest
     * value per group — deterministic regardless of tie order inside
     * the sort, so both engines select the identical element (no

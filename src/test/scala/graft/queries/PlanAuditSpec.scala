@@ -197,6 +197,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), "agg_cms shuffles to meet the sketch")
   }
 
+  test("agg_bloom: filter aggregate keeps map-side partials; probe side broadcasts") {
+    val p = plan("agg_bloom")
+    assert("""\(\d+\) ObjectHashAggregate""".r.findAllIn(p).size >= 2,
+      "agg_bloom lost the partial (map-side) OR-combine")
+    assert(p.contains("Broadcast"),
+      "agg_bloom probe no longer reads the filter via broadcast")
+    assert(!p.contains("SortMergeJoin"), "agg_bloom shuffles to meet the filter")
+  }
+
   test("agg family keeps partial (map-side) aggregation") {
     // partial+final pairs appear as two HashAggregate nodes; losing the
     // partial side would shuffle raw rows
