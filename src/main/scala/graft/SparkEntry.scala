@@ -134,7 +134,9 @@ object SparkEntry {
     "emb_knn_graph" -> ExtensionCatalog.embKnnGraph,
     "mm_decode_meta" -> ExtensionCatalog.mmDecodeMeta,
     "mm_resize" -> ExtensionCatalog.mmResize,
-    "mm_frames" -> ExtensionCatalog.mmFrames
+    "mm_frames" -> ExtensionCatalog.mmFrames,
+    "mm_audio_meta" -> ExtensionCatalog.mmAudioMeta,
+    "mm_audio_windows" -> ExtensionCatalog.mmAudioWindows
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -227,6 +227,138 @@ object Multimodal {
     }.toDF()
   }
 
+  final case class AudioMeta(doc_id: Long, channels: Long, sample_rate: Long,
+                             bits: Long, n_samples: Long, duration_ms: Long)
+  final case class AudioWindow(doc_id: Long, win_idx: Long, energy: Long,
+                               peak: Long)
+
+  /** Synthesize a REAL RIFF/WAVE payload per row (PCM16LE mono @ 8 kHz
+    * — the one audio container whose writer is ~20 lines of spec and
+    * whose READER ships in the JDK as `javax.sound.sampled`): sample
+    * count derives from the text byte length and each 16-bit sample
+    * from (doc_id, sample index), so the oracle can predict what a
+    * correct decode must report — the asPngPayload determinism
+    * contract applied to audio. Same split-width note: spread the
+    * narrow frame before the synthesis kernel. */
+  def asWavPayload(df: DataFrame, textCol: String, idCol: String,
+                   sampleRate: Int = 8000): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("doc_id"),
+        octet_length(col(textCol)).cast("long").as("byte_len"))
+      .as[(Long, Long)]
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .mapPartitions { it =>
+        it.map { case (docId, byteLen) =>
+          val n = synthSampleCount(byteLen)
+          val dataBytes = n * 2
+          val bb = java.nio.ByteBuffer.allocate(44 + dataBytes)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataBytes)
+            .put("WAVE".getBytes("US-ASCII"))
+          bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+            .putShort(1)                                   // PCM
+            .putShort(1)                                   // mono
+            .putInt(sampleRate)
+            .putInt(sampleRate * 2)                        // byte rate
+            .putShort(2)                                   // block align
+            .putShort(16)                                  // bits/sample
+          bb.put("data".getBytes("US-ASCII")).putInt(dataBytes)
+          var i = 0
+          while (i < n) {
+            bb.putShort(synthSample(docId, i))
+            i += 1
+          }
+          MediaPayload(docId, bb.array())
+        }
+      }.toDF()
+  }
+
+  /** Oracle-shared audio synthesis rules (Oracles.scala mm_audio_*). */
+  private[graft] def synthSampleCount(byteLen: Long): Int =
+    (256 + byteLen % 1024).toInt
+
+  private[graft] def synthSample(docId: Long, i: Int): Short =
+    (((docId * 31 + i.toLong * 17) % 65536) - 32768).toShort
+
+  /** REAL audio decode via `javax.sound.sampled.AudioSystem`: the
+    * JDK's WAV reader parses the RIFF header and streams the PCM
+    * frames; channels/rate/bits/frame-count are what the container
+    * actually says, not what the synth intended. Narrow map, no
+    * payload bytes in the output. */
+  def decodeAudio(payloads: DataFrame): DataFrame = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.as[MediaPayload].mapPartitions { it =>
+      it.map { p =>
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new ByteArrayInputStream(p.payload))
+        try {
+          val f = in.getFormat
+          val frames = in.getFrameLength
+          AudioMeta(p.doc_id, f.getChannels.toLong,
+            f.getSampleRate.toLong, f.getSampleSizeInBits.toLong, frames,
+            frames * 1000L / f.getSampleRate.toLong)
+        } finally in.close()
+      }
+    }.toDF()
+  }
+
+  /** REAL windowed audio features over decoded PCM: fixed
+    * `windowSamples`-wide non-overlapping frames (trailing partial
+    * window DROPPED by contract — a VAD/feature pipeline wants
+    * constant-width frames), integer energy Σ s² and peak max|s| per
+    * window — both exact in int64 (400 · 32768² < 2⁴⁰), so the oracle
+    * predicts them to the bit. The pipeline shape is the mm rule:
+    * decode partition-local, output narrow rows (one per window, no
+    * payload), payloads never shuffle. */
+  def audioWindows(payloads: DataFrame, windowSamples: Int = 400): DataFrame = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.as[MediaPayload].mapPartitions { it =>
+      val buf = new Array[Byte](windowSamples * 2)
+      it.flatMap { p =>
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new ByteArrayInputStream(p.payload))
+        try {
+          require(in.getFormat.getSampleSizeInBits == 16 &&
+            in.getFormat.getChannels == 1, s"expected PCM16 mono for doc ${p.doc_id}")
+          val out = Vector.newBuilder[AudioWindow]
+          var winIdx = 0L
+          var read = readFully(in, buf)
+          while (read == buf.length) {           // full windows only
+            var energy = 0L
+            var peak = 0L
+            var i = 0
+            while (i < windowSamples) {
+              // PCM16LE frame -> signed short
+              val s = ((buf(2 * i) & 0xff) | (buf(2 * i + 1) << 8)).toShort.toLong
+              energy += s * s
+              val a = math.abs(s)
+              if (a > peak) peak = a
+              i += 1
+            }
+            out += AudioWindow(p.doc_id, winIdx, energy, peak)
+            winIdx += 1
+            read = readFully(in, buf)
+          }
+          out.result()
+        } finally in.close()
+      }
+    }.toDF()
+  }
+
+  private def readFully(in: java.io.InputStream, buf: Array[Byte]): Int = {
+    var off = 0
+    var n = in.read(buf, 0, buf.length)
+    while (n > 0) {
+      off += n
+      if (off == buf.length) return off
+      n = in.read(buf, off, buf.length - off)
+    }
+    off
+  }
+
   /** REAL video-style frame sampling over animated-GIF payloads:
     * `javax.imageio`'s GIF reader counts the container's actual frames
     * (`getNumImages(true)`), decodes every `stride`-th frame's raster,

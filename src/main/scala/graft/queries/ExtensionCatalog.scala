@@ -939,4 +939,21 @@ object ExtensionCatalog {
   val mmFrames: Q = (s, d) =>
     Multimodal.sampleFrames(
       Multimodal.asGifPayload(Tables.documents(s, d), "text", "doc_id"))
+
+  /** REAL audio decode over synthesized RIFF/WAVE payloads (PCM16LE
+    * mono @ 8 kHz, sample count from text byte length): the JDK's
+    * `javax.sound.sampled` WAV reader reports what the container
+    * actually says; the oracle predicts what a correct decode must
+    * report. */
+  val mmAudioMeta: Q = (s, d) =>
+    Multimodal.decodeAudio(
+      Multimodal.asWavPayload(Tables.documents(s, d), "text", "doc_id"))
+
+  /** REAL windowed audio features (400-sample non-overlapping frames,
+    * trailing partial dropped): integer energy Σs² and peak |s| per
+    * window over the actually-decoded PCM — exact int64, oracle-
+    * predicted to the bit from the (doc_id, i) sample rule. */
+  val mmAudioWindows: Q = (s, d) =>
+    Multimodal.audioWindows(
+      Multimodal.asWavPayload(Tables.documents(s, d), "text", "doc_id"))
 }

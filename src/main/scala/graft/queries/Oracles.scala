@@ -995,6 +995,29 @@ object Oracles {
         |  CAST((16 + strlen(text) % 48) * (16 + (strlen(text) // 48) % 48) * 3
         |    AS BIGINT) AS raster_bytes
         |FROM documents""".stripMargin,
+    // real-audio-decode twin: predicts what a correct javax.sound WAV
+    // decode of the synthesized PCM16LE/mono/8kHz container must say
+    "mm_audio_meta" ->
+      """SELECT doc_id, CAST(1 AS BIGINT) AS channels,
+        |  CAST(8000 AS BIGINT) AS sample_rate, CAST(16 AS BIGINT) AS bits,
+        |  CAST(256 + strlen(text) % 1024 AS BIGINT) AS n_samples,
+        |  CAST((256 + strlen(text) % 1024) * 1000 // 8000 AS BIGINT) AS duration_ms
+        |FROM documents""".stripMargin,
+    // windowed-audio twin: rebuild every 400-sample window's exact
+    // integer energy/peak from the (doc_id, i) sample rule. k ≤ 2 is
+    // structural: n_samples = 256 + len%1024 < 1280 → at most 3 full
+    // windows, so the series bound needs no runtime guard
+    "mm_audio_windows" ->
+      """WITH w AS (SELECT doc_id, k
+        |  FROM documents, generate_series(0, 2) g(k)
+        |  WHERE k < (256 + strlen(text) % 1024) // 400),
+        |s AS (SELECT doc_id, k,
+        |    ((doc_id * 31 + (k * 400 + i) * 17) % 65536) - 32768 AS smp
+        |  FROM w, generate_series(0, 399) g(i))
+        |SELECT doc_id, CAST(k AS BIGINT) AS win_idx,
+        |  CAST(sum(smp * smp) AS BIGINT) AS energy,
+        |  CAST(max(abs(smp)) AS BIGINT) AS peak
+        |FROM s GROUP BY doc_id, k""".stripMargin,
     // ---- OLAP aggregate shapes (rollup / histogram / pivot / quantiles) ----
     // exact discrete percentile: the ceil(q*n)-th smallest value is
     // invariant under tie order, so no interpolation arithmetic can

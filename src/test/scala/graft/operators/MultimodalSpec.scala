@@ -103,4 +103,42 @@ class MultimodalSpec extends SparkSpec {
         s"frame ${fr.frame_idx}: real checksum ${fr.checksum} != predicted"))
     assert(byDoc(7L).map(_.checksum).distinct.length == byDoc(7L).length)
   }
+
+  test("asWavPayload emits a real RIFF/WAVE container javax.sound decodes") {
+    val meta = Multimodal.decodeAudio(
+        Multimodal.asWavPayload(docs, "text", "doc_id"))
+      .as[Multimodal.AudioMeta].collect().map(m => m.doc_id -> m).toMap
+    // "a"*10 -> byte len 10 -> 266 samples; real decode must say so
+    assert(meta(0L) == Multimodal.AudioMeta(0L, 1, 8000, 16, 266, 266 * 1000 / 8000))
+    // 2-byte chars: 50 BYTES -> 306 samples
+    assert(meta(256L).n_samples == 306)
+    meta.values.foreach { m =>
+      assert(m.channels == 1 && m.sample_rate == 8000 && m.bits == 16)
+    }
+  }
+
+  test("audioWindows: exact integer energy/peak per full window, partial dropped") {
+    val wins = Multimodal.audioWindows(
+        Multimodal.asWavPayload(docs, "text", "doc_id"))
+      .as[Multimodal.AudioWindow].collect()
+    val byDoc = wins.groupBy(_.doc_id)
+    // doc 0: 266 samples < 400 -> no full window
+    assert(!byDoc.contains(0L))
+    // doc 7: 980 bytes -> 256 + 980%1024 = 1236 samples -> 3 full windows
+    assert(byDoc(7L).map(_.win_idx).sorted.toSeq == Seq(0L, 1L, 2L))
+    // driver replica of the synth rule over the REAL decoded samples
+    def predicted(docId: Long, k: Long): (Long, Long) = {
+      var energy = 0L; var peak = 0L
+      (0 until 400).foreach { i =>
+        val s = ((docId * 31 + (k * 400 + i) * 17) % 65536) - 32768
+        energy += s * s; peak = math.max(peak, math.abs(s))
+      }
+      (energy, peak)
+    }
+    byDoc(7L).foreach { w =>
+      val (e, p) = predicted(7L, w.win_idx)
+      assert(w.energy == e && w.peak == p,
+        s"window ${w.win_idx}: real ($w) != predicted ($e, $p)")
+    }
+  }
 }
