@@ -60,4 +60,27 @@ class SketchStreamSpec extends SparkSpec {
       assert(streamed == batch && streamed.sum == 4L * 400)
     } finally q.stop()
   }
+
+  test("bloom_sketch over micro-batches equals the batch filter") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = (1L to 300L)
+    val in = MemoryStream[Long]
+    val hashed = in.toDF().toDF("k")
+      .select(Hashing.md5Mod31(col("k").cast("string")).as("hm"))
+    val agg = hashed.agg(BloomSketch.bloomSketch(col("hm"), 4096, 3).as("sk"))
+    val q = agg.writeStream.format("memory").queryName("bloomstream")
+      .outputMode("complete").start()
+    try {
+      in.addData(rows.take(120): _*)
+      q.processAllAvailable()
+      in.addData(rows.drop(120): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("bloomstream").head().getSeq[Long](0)
+      val batch = rows.toDF("k")
+        .select(Hashing.md5Mod31(col("k").cast("string")).as("hm"))
+        .agg(BloomSketch.bloomSketch(col("hm"), 4096, 3).as("sk"))
+        .head().getSeq[Long](0)
+      assert(streamed == batch && streamed.exists(_ != 0L))
+    } finally q.stop()
+  }
 }
