@@ -104,6 +104,7 @@ object SparkEntry {
     "j_skew_salted" -> ExtensionCatalog.jSkewSalted,
     "ds_sample_hash" -> ExtensionCatalog.dsSampleHash,
     "ds_sample_stratified" -> ExtensionCatalog.dsSampleStratified,
+    "ds_sample_topk" -> ExtensionCatalog.dsSampleTopk,
     "ds_split_assign" -> ExtensionCatalog.dsSplitAssign,
     "ds_mixture" -> ExtensionCatalog.dsMixture,
     "ds_shuffle_rank" -> ExtensionCatalog.dsShuffleRank,

@@ -693,6 +693,28 @@ object ExtensionCatalog {
       Map("en" -> 0.05, "fr" -> 0.5, "de" -> 0.8), defaultRate = 0.25)
       .select(col("doc_id"), col("lang"))
 
+  /** EXACT-k per-stratum sample (eval-set construction wants exact
+    * sizes, not Bernoulli fractions): the k = 16 hash-smallest docs
+    * per language via the bounded [[graft.functions.KMinByHash]]
+    * aggregate — a uniform, repeatable choice (hashing permutes the
+    * stratum) whose map-side partials cap each partition's shuffle
+    * contribution at k rows per stratum, where the naive row_number
+    * window funnels every stratum through ONE reducer (5 langs = 5
+    * tasks sorting the corpus at 100 TB). Rank rides along (h asc
+    * position), so the consumer can take any prefix j ≤ k. */
+  val dsSampleTopk: Q = (s, d) => {
+    val docs = Tables.documents(s, d).select(col("lang"),
+      col("doc_id").cast("long").as("doc_id"),
+      graft.functions.Hashing.md5Mod31(
+        concat(lit("topk_"), col("doc_id").cast("string"))).as("h"))
+    docs.groupBy(col("lang"))
+      .agg(graft.functions.KMinByHash.kMinByHash(col("h"),
+        col("doc_id").cast("double"), 16).as("sm"))
+      .select(col("lang"), posexplode(col("sm")).as(Seq("pos", "e")))
+      .select(col("lang"), col("e.v").cast("long").as("doc_id"),
+        (col("pos") + 1).cast("int").as("rk"))
+  }
+
   /** Stable train/valid/test assignment (75/12.5/12.5 — exactly
     * representable cumulative thresholds; a key's split never changes
     * as the corpus grows). */

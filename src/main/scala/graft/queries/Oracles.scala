@@ -1098,6 +1098,16 @@ object Oracles {
         |WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '_strata'),1,15))::BIGINT
         |    % 2147483647) / 2147483647.0
         |  < (CASE lang WHEN 'en' THEN 0.05 WHEN 'fr' THEN 0.5 WHEN 'de' THEN 0.8 ELSE 0.25 END)""".stripMargin,
+    // exact-k stratified twin: the k hash-smallest per stratum is the
+    // row_number form the aggregate exists to avoid at scale — rank
+    // order (h asc, doc_id asc) matches the (h, v) sort contract
+    "ds_sample_topk" ->
+      """WITH h AS (SELECT lang, doc_id,
+        |    ('0x' || substr(md5('topk_' || CAST(doc_id AS VARCHAR)),1,15))::BIGINT
+        |      % 2147483647 AS h FROM documents),
+        |r AS (SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rk FROM h)
+        |SELECT lang, doc_id, rk FROM r WHERE rk <= 16""".stripMargin,
     // mixture twin: identical rate arithmetic — (100.0 * w) / cnt with
     // the same literal weights and left association, least(1.0, …),
     // then the shared md5 decision idiom
