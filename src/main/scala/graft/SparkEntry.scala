@@ -97,6 +97,7 @@ object SparkEntry {
     "ann_pq" -> ExtensionCatalog.annPq,
     "ann_ivfpq" -> ExtensionCatalog.annIvfPq,
     "ann_external" -> ExtensionCatalog.annExternal,
+    "ann_ivfpq_rerank" -> ExtensionCatalog.annIvfPqRerank,
     "emb_centroid" -> ExtensionCatalog.embCentroid,
     "emb_quantize" -> ExtensionCatalog.embQuantize,
     "emb_gram" -> ExtensionCatalog.embGram,

@@ -846,4 +846,38 @@ object Similarity {
     adcRank(index.join(broadcast(probes), "cent_id"),
       pqLut(queries, books, m, dim), k, m, books.count(_._1 == 0), excludeSelf)
   }
+
+  /** Two-stage IVFPQ serving (the standard FAISS refinement step):
+    * the ADC pass SHORTLISTS `shortlist` candidates per query from the
+    * pruned inverted lists — cheap 8-byte-code arithmetic over
+    * ~nProbe/nCentroids of the corpus — then ONLY those candidates'
+    * float vectors are fetched and re-ranked by exact cosine for the
+    * final top-k. Quantization error caps the SHORTLIST's recall, not
+    * the final ordering: any true neighbor the codes rank within
+    * `shortlist` (≫ k) surfaces at its exact-cosine position, which is
+    * why serving stacks refine rather than widen k.
+    *
+    * Scale shape: the shortlist is |queries| × shortlist rows — it
+    * BROADCASTS into a hash join that prunes the corpus scan to
+    * matching vec_ids (the candidate fetch touches ~|shortlist| rows
+    * of float data, never the corpus), the query side broadcasts as
+    * in [[bruteForceTopK]], and the final rank is the bounded
+    * [[graft.functions.TopKPairs]] aggregate. Same rounded-cosine +
+    * vec_id-tiebreak contract as every ANN shape. */
+  def ivfPqRerank(index: DataFrame, cents: DataFrame,
+                  books: Seq[(Int, Long, Seq[Long])],
+                  corpus: DataFrame, queries: DataFrame, k: Int,
+                  shortlist: Int = 50, nProbe: Int = 4,
+                  m: Int = 8, dim: Int = 64,
+                  excludeSelf: Boolean = true): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
+    val cand = ivfPqSearch(index, cents, books, queries, shortlist, nProbe,
+        m, dim, excludeSelf)
+      .select(col("query_id"), col("vec_id"))
+    val q = broadcast(queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb")))
+    scoreTopK(corpus.select(col("vec_id"), col("embedding"))
+      .join(broadcast(cand), "vec_id")
+      .join(q, "query_id"), k)
+  }
 }

@@ -463,6 +463,20 @@ object ExtensionCatalog {
       Tables.embeddings(s, d).filter(col("vec_id") < 20), k = 10)
   }
 
+  /** Two-stage IVFPQ + exact re-rank (the FAISS refine step): ADC
+    * shortlists 50 candidates per query from the pruned lists, then
+    * exact float cosine re-ranks ONLY those 50 for the final top-10 —
+    * quantization error caps shortlist recall, not final ordering.
+    * Same memoized halves as ann_ivfpq; the candidate fetch broadcasts
+    * the |queries|×50 shortlist so the corpus never shuffles. */
+  val annIvfPqRerank: Q = (s, d) => {
+    val cents = broadcast(Similarity.centroidsDf(s, trainedCentroids(s, d)))
+    val books = trainedBooks(s, d)
+    Similarity.ivfPqRerank(ivfPqIndexOf(s, d, cents, books), cents, books,
+      Tables.embeddings(s, d),
+      Tables.embeddings(s, d).filter(col("vec_id") < 20), k = 10)
+  }
+
   /** IVFPQ probe from an EXTERNAL query frame (VERDICT r6 #7) — the
     * serving reality: queries are new vectors arriving from outside,
     * not corpus members, so their ids live OUTSIDE the corpus id

@@ -199,7 +199,9 @@ object Oracles {
     * candidate: an id collision would be coincidence, not a
     * self-match. Defaults reproduce ann_ivfpq byte-for-byte. */
   private def annIvfPqOracle(idShift: Long = 0L,
-                             excludeSelf: Boolean = true): String = materializeCtes {
+                             excludeSelf: Boolean = true,
+                             rerank: Option[(Int, Int)] = None): String =
+    materializeCtes {
     val subs = (0 until 8).map(pqSubCtes).mkString(",\n")
     val joins = (1 until 8).map(j => s"JOIN f$j USING (vec_id)").mkString(" ")
     val codeCols = (0 until 8).map(j => s"f$j.c$j").mkString(", ")
@@ -218,6 +220,30 @@ object Oracles {
       s",\nprobesx AS (SELECT query_id + $idShift AS query_id, cent_id FROM probes)"
     val probesName = if (idShift == 0L) "probes" else "probesx"
     val selfFilter = if (excludeSelf) "\n  WHERE c.vec_id <> p.query_id" else ""
+    // default tail: rank by ADC; rerank tail: shortlist by ADC, then
+    // exact-cosine re-rank of the shortlist (queries are corpus
+    // members here, so q_emb reads back from embeddings by query_id)
+    val tail = rerank match {
+      case None =>
+        """SELECT query_id, vec_id, CAST(adist AS BIGINT) AS adist, rk FROM (
+          |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adist, vec_id) AS rk
+          |  FROM adc) WHERE rk <= 10""".stripMargin
+      case Some((shortlist, k)) =>
+        require(idShift == 0L, "rerank oracle assumes corpus-member queries")
+        s""",
+           |sl AS (SELECT query_id, vec_id FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adist, vec_id) AS rk0
+           |  FROM adc) WHERE rk0 <= $shortlist),
+           |rr AS (SELECT s.query_id, s.vec_id,
+           |    round(list_cosine_similarity(list_transform(q.embedding, x -> CAST(x AS DOUBLE)),
+           |      list_transform(e.embedding, x -> CAST(x AS DOUBLE))), 6) AS cos
+           |  FROM sl s JOIN embeddings e ON e.vec_id = s.vec_id
+           |  JOIN embeddings q ON q.vec_id = s.query_id)
+           |SELECT query_id, vec_id, cos, rk FROM (SELECT *,
+           |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rk
+           |  FROM rr) WHERE rk <= $k""".stripMargin
+    }
+    val adcSep = if (rerank.isEmpty) "\n" else ""
     s"""WITH $ivfCtes,
        |$pqSeedCtes,
        |$subs,
@@ -225,10 +251,7 @@ object Oracles {
        |$luts,
        |adc AS (SELECT p.query_id, c.vec_id, ($distSum) AS adist
        |  FROM codes c JOIN assigned a ON a.vec_id = c.vec_id
-       |  JOIN $probesName p ON p.cent_id = a.cent_id $lutJoins$selfFilter)
-       |SELECT query_id, vec_id, CAST(adist AS BIGINT) AS adist, rk FROM (
-       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adist, vec_id) AS rk
-       |  FROM adc) WHERE rk <= 10""".stripMargin
+       |  JOIN $probesName p ON p.cent_id = a.cent_id $lutJoins$selfFilter)$adcSep$tail""".stripMargin
   }
 
   /** The ann_ivf coarse chain (corpus-adaptive k = greatest(32,
@@ -831,6 +854,8 @@ object Oracles {
     // corpus twin at its own quantization error — the round-trip
     // witness that nothing was excluded)
     "ann_external" -> annIvfPqOracle(idShift = 1000000L, excludeSelf = false),
+    // two-stage refine twin: ADC top-50 shortlist, exact-cosine top-10
+    "ann_ivfpq_rerank" -> annIvfPqOracle(rerank = Some((50, 10))),
     "ta_langid" ->
       """SELECT doc_id, lang, CASE WHEN greatest(en, fr, de) = 0 THEN 'und'
         |  WHEN en >= fr AND en >= de THEN 'en' WHEN fr >= de THEN 'fr'

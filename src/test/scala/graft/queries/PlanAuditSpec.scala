@@ -116,6 +116,21 @@ class PlanAuditSpec extends SparkSpec {
       "ann_ivfpq degraded to a cartesian join")
   }
 
+  test("ann_ivfpq_rerank: shortlist fetch broadcasts — the corpus never shuffles") {
+    // the refine stage joins the |queries|x50 ADC shortlist back to the
+    // float corpus: the shortlist must BROADCAST into the fetch join
+    // (an SMJ would shuffle the corpus per query batch) and the final
+    // exact rank must stay the bounded TopKPairs aggregate
+    val p = plan("ann_ivfpq_rerank")
+    assert(p.contains("BroadcastHashJoin"), "ann_ivfpq_rerank lost its broadcast joins")
+    assert(!p.contains("SortMergeJoin"),
+      "ann_ivfpq_rerank shuffles the corpus to meet the shortlist")
+    assert(!p.contains("CartesianProduct"),
+      "ann_ivfpq_rerank degraded to a cartesian join")
+    assert("""ObjectHashAggregate""".r.findAllIn(p).size >= 2,
+      "ann_ivfpq_rerank lost its partial (map-side) top-k combine")
+  }
+
   test("dd_crossdoc: ONE corpus scan, hashed-gram keys, key-parallel window") {
     val p = plan("dd_crossdoc")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
