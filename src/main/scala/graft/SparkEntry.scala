@@ -87,6 +87,7 @@ object SparkEntry {
     "dd_contaminated" -> ExtensionCatalog.ddContaminated,
     "dd_crossdoc" -> ExtensionCatalog.ddCrossdoc,
     "dd_spans" -> ExtensionCatalog.ddSpans,
+    "dd_spans_scrub" -> ExtensionCatalog.ddSpansScrub,
     "dd_semantic" -> ExtensionCatalog.ddSemantic,
     "dd_containment" -> ExtensionCatalog.ddContainment,
     "dd_edit" -> ExtensionCatalog.ddEdit,

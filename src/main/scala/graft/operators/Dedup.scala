@@ -880,6 +880,43 @@ object Dedup {
         (col("run_grams") + lit(n - 1).cast("long")).as("span_tokens"))
   }
 
+  /** Apply [[duplicatedSpans]]: REMOVE every token covered by a
+    * qualifying duplicated span and emit the scrubbed document's
+    * witnesses — token count, removed count, and an md5 fingerprint of
+    * the kept tokens joined by ' ' (the boilerplateLines receipt
+    * idiom: both engines must produce byte-identical scrubbed text).
+    * A span of `run` grams covers token positions
+    * [start, start + run + n − 2]; overlapping coverage from nearby
+    * runs dedups positionally. Docs with no qualifying span (or fewer
+    * than n tokens) pass through with n_removed = 0 and the fingerprint
+    * of their full token join.
+    *
+    * Plan shape: TWO corpus scans by design — the span pass reduces to
+    * 8-byte gram keys immediately (the dd_spans single-scan kernel),
+    * and the apply pass re-reads the corpus ONCE to join the tiny
+    * per-doc coverage sets back on doc_id (carrying token text through
+    * the gram explode instead would shuffle corpus × n_grams bytes —
+    * the exact payload blow-up the hashed-key discipline exists to
+    * avoid). Coverage rows are proportional to DUPLICATED spans, not
+    * the corpus. BATCH-ONLY by contract (inherits the dd_spans
+    * retraction argument). */
+  def scrubSpans(docs: DataFrame, textCol: String, idCol: String,
+                 n: Int = 3, minRun: Int = 2): DataFrame = {
+    val cov = duplicatedSpans(docs, textCol, idCol, n, minRun)
+      .select(col("doc_id"), explode(sequence(col("start_pos"),
+        col("start_pos") + col("run_grams") + lit(n - 2).cast("long"))).as("cpos"))
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("cpos").cast("int")).as("cov"))
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        StatelessOps.tokenArray(col(textCol)).as("toks"))
+      .join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        coalesce(size(col("cov")), lit(0)).cast("long").as("n_removed"),
+        md5(concat_ws(" ", expr(
+          "filter(toks, (t, i) -> cov IS NULL OR NOT array_contains(cov, i))"))).as("scrub_fp"))
+  }
+
   def ngramJaccard(docs: DataFrame, textCol: String, idCol: String,
                    threshold: Double, bands: Int = 4, rowsPerBand: Int = 8,
                    maxBucket: Int = 2048, spanningOnly: Boolean = false): DataFrame = {

@@ -779,6 +779,12 @@ object ExtensionCatalog {
   val ddSpans: Q = (s, d) =>
     Dedup.duplicatedSpans(Tables.documents(s, d), "text", "doc_id")
 
+  /** Span REMOVAL applied: every token covered by a qualifying
+    * duplicated span scrubbed, with byte-identical-output fingerprints
+    * as the cross-engine receipt (see [[Dedup.scrubSpans]]). */
+  val ddSpansScrub: Q = (s, d) =>
+    Dedup.scrubSpans(Tables.documents(s, d), "text", "doc_id")
+
   /** Deterministic global training order (epoch shuffle): pseudorandom
     * md5-keyed global rank via the two-pass prefix sum — no global
     * sort, numPartitions longs to the driver. */

@@ -1351,6 +1351,37 @@ object Oracles {
         |  count(*) AS run_grams, count(*) + 2 AS span_tokens
         |FROM r GROUP BY doc_id, grp
         |HAVING count(*) >= 2""".stripMargin,
+    // span-removal twin: same run CTEs, then positional coverage
+    // ([start, start+run+1] for 3-grams, dedup'd), kept tokens
+    // re-joined in order, md5 receipt of the byte-identical scrub
+    "dd_spans_scrub" ->
+      """WITH arr AS (SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z \n]+', '', 'g'), '\s+', ' ', 'g')), ' ') AS toks FROM documents),
+        |g AS (SELECT doc_id, i - 1 AS pos,
+        |    ('0x' || substr(md5(toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]),1,15))::BIGINT AS gh
+        |  FROM arr, generate_series(1, 4000) s(i)
+        |  WHERE i <= len(toks) - 2
+        |    AND 1 = (SELECT CASE WHEN max(len(toks)) - 2 <= 4000 THEN 1
+        |      ELSE error('dd_spans_scrub oracle: token series bound exceeded') END FROM arr)),
+        |d AS (SELECT doc_id, pos, count(*) OVER (PARTITION BY gh) AS cfreq FROM g),
+        |r AS (SELECT doc_id, pos,
+        |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |  FROM d WHERE cfreq > 1),
+        |runs AS (SELECT doc_id, min(pos) AS sp, count(*) AS rg
+        |  FROM r GROUP BY doc_id, grp HAVING count(*) >= 2),
+        |cov AS (SELECT DISTINCT doc_id, sp + i AS cpos
+        |  FROM runs, generate_series(0, 4001) cg(i) WHERE i <= rg + 1),
+        |t AS (SELECT doc_id, i - 1 AS pos, toks[i] AS tok
+        |  FROM arr, generate_series(1, 4002) s(i) WHERE i <= len(toks)),
+        |k AS (SELECT t.doc_id, t.pos, t.tok FROM t LEFT JOIN cov c
+        |  ON c.doc_id = t.doc_id AND c.cpos = t.pos WHERE c.cpos IS NULL),
+        |s2 AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS scrub
+        |  FROM k GROUP BY doc_id),
+        |nr AS (SELECT doc_id, count(*) AS n_removed FROM cov GROUP BY doc_id)
+        |SELECT a.doc_id, CAST(len(a.toks) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(nr.n_removed, 0) AS BIGINT) AS n_removed,
+        |  md5(coalesce(s2.scrub, '')) AS scrub_fp
+        |FROM arr a LEFT JOIN nr USING (doc_id) LEFT JOIN s2 USING (doc_id)""".stripMargin,
     // PQ twin: 8 generated per-subspace k-means chains (see pqSubCtes)
     "emb_pq" -> pqOracle,
     // PQ-ADC search twin: codes + per-query integer LUTs (annPqOracle)

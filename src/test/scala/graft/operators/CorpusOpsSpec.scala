@@ -135,6 +135,24 @@ class CorpusOpsSpec extends SparkSpec {
       (3L, 0L, 4L, 6L)))                      // all 4 grams duplicated
   }
 
+  test("scrubSpans: covered tokens removed, untouched docs keep their full fingerprint") {
+    def fp(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val docs = Seq(
+      (1L, "p q r s t u"),                    // span covers tokens 0..3 ("p q r s")
+      (2L, "x p q r s y"),                    // span covers tokens 1..4
+      (3L, "a b a b a b"),                    // run of 4 grams covers ALL 6 tokens
+      (4L, "unique tokens only here now")     // untouched
+    ).toDF("doc_id", "text")
+    val got = Dedup.scrubSpans(docs, "text", "doc_id")
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 6L, 4L, fp("t u"))))
+    assert(got(2L) == ((2L, 6L, 4L, fp("x y"))))
+    assert(got(3L) == ((3L, 6L, 6L, fp(""))))
+    assert(got(4L) == ((4L, 5L, 0L, fp("unique tokens only here now"))))
+  }
+
   test("bigramXent: conditional surprisal in exact micro-nats; 1-token docs drop") {
     val docs = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "x")).toDF("doc_id", "text")
     // bigram counts: (a,b)=3, (b,a)=1, (b,c)=1 → cp(a)=3, cp(b)=2
