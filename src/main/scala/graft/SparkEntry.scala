@@ -39,6 +39,7 @@ object SparkEntry {
     "w_first_last" -> QueryCatalog.wFirstLast,
     "w_moving_avg" -> QueryCatalog.wMovingAvg,
     "w_ntile" -> QueryCatalog.wNtile,
+    "w_cume_dist" -> QueryCatalog.wCumeDist,
     "agg_corr" -> QueryCatalog.aggCorr,
     "a4_ema_final" -> QueryCatalog.a4EmaFinal,
     "a7_session_window" -> QueryCatalog.a7SessionWindow,

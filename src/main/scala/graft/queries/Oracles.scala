@@ -504,6 +504,15 @@ object Oracles {
         |  CAST(ntile(10) OVER (PARTITION BY lang
         |    ORDER BY n_chars, doc_id) AS INT) AS decile
         |FROM documents""".stripMargin,
+    // unique (n_chars, doc_id) order makes both fractions single
+    // divisions of identical integers — round(…, 6) cannot diverge
+    "w_cume_dist" ->
+      """SELECT doc_id, lang, n_chars,
+        |  round(cume_dist() OVER (PARTITION BY lang
+        |    ORDER BY n_chars, doc_id), 6) AS cd,
+        |  round(percent_rank() OVER (PARTITION BY lang
+        |    ORDER BY n_chars, doc_id), 6) AS pr
+        |FROM documents""".stripMargin,
     // six exact mergeable moments in centi-unit HUGEINTs, coefficient
     // derived once from exact integers (QueryCatalog.aggCorr twin)
     "agg_corr" ->

@@ -212,6 +212,21 @@ object QueryCatalog {
       col("n_chars"), ntile(10).over(w).as("decile"))
   }
 
+  /** Distribution-position analytics (cume_dist / percent_rank) per
+    * language over the (n_chars, doc_id) total order — the
+    * percentile-gate primitive (keep docs above the p40 quality mark,
+    * drop the longest 1 %). The unique tiebreak makes both fractions
+    * single exact divisions (rn/n, (rn−1)/(n−1)) of identical
+    * integers, so round(…, 6) cannot diverge; same hash-partitioned
+    * one-sort-per-group scale shape as w_ntile. */
+  val wCumeDist: Q = (s, d) => {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("n_chars"), col("doc_id"))
+    Tables.documents(s, d).select(col("doc_id"), col("lang"), col("n_chars"),
+      round(cume_dist().over(w), 6).as("cd"),
+      round(percent_rank().over(w), 6).as("pr"))
+  }
+
   /** Pearson correlation per group from EXACT integer sums — the
     * distributed-correlation shape: each partition contributes the six
     * mergeable moments (n, Σx, Σy, Σx², Σy², Σxy) via map-side partial

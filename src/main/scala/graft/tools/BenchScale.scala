@@ -254,17 +254,28 @@ object BenchScale {
       val ivfpqSec = bestOf2(() => timed(grab(
         Similarity.ivfPqSearch(ivfpqIdx, centsDf, books, queries, k, nProbe))))
       val ivfpqIc = inCluster
+      // the refine step (ann_ivfpq_rerank): ADC top-50 shortlist,
+      // exact-cosine top-10 — times the full two-stage probe path
+      val rerankSec = bestOf2(() => timed(grab(
+        Similarity.ivfPqRerank(ivfpqIdx, centsDf, books, corpus, queries,
+          k, shortlist = 50, nProbe = nProbe))))
+      val rerankIc = inCluster
       val mt = maxTaskMs.get() / 1e3
       Seq(ivfIdx, pqIdx, ivfpqIdx).foreach(unpersistCp)
-      (n, trainSec, buildSec, ivfSec, ivfIc, pqSec, pqIc, ivfpqSec, ivfpqIc, mt)
+      (n, trainSec, buildSec, ivfSec, ivfIc, pqSec, pqIc, ivfpqSec, ivfpqIc,
+        rerankSec, rerankIc, mt)
     }
-    val rungJson = rungs.map { case (n, ts, bs, is, ii, ps, pi, xs, xi, mt) =>
-      f"""{"n_vecs":$n,"train_sec":$ts%.2f,"build_sec":$bs%.2f,"ivf_sec":$is%.2f,"ivf_in_cluster":$ii%.3f,"pq_sec":$ps%.2f,"pq_in_cluster":$pi%.3f,"ivfpq_sec":$xs%.2f,"ivfpq_in_cluster":$xi%.3f,"max_task_sec":$mt%.2f}"""
+    val rungJson = rungs.map { case (n, ts, bs, is, ii, ps, pi, xs, xi, rs, ri, mt) =>
+      f"""{"n_vecs":$n,"train_sec":$ts%.2f,"build_sec":$bs%.2f,"ivf_sec":$is%.2f,"ivf_in_cluster":$ii%.3f,"pq_sec":$ps%.2f,"pq_in_cluster":$pi%.3f,"ivfpq_sec":$xs%.2f,"ivfpq_in_cluster":$xi%.3f,"rerank_sec":$rs%.2f,"rerank_in_cluster":$ri%.3f,"max_task_sec":$mt%.2f}"""
     }.mkString("[", ",", "]")
     println(s"""{"metric":"ivfpq_scale","n_queries":$nQueries,"k":$k,"n_centroids":$nCentroids,"n_probe":$nProbe,"rungs":$rungJson}""")
-    rungs.foreach { case (n, _, _, _, ii, _, pi, _, xi, _) =>
+    rungs.foreach { case (n, _, _, _, ii, _, pi, _, xi, _, ri, _) =>
       require(ii >= 0.8 && pi >= 0.8 && xi >= 0.8,
         s"in-cluster precision collapsed at n=$n: ivf=$ii pq=$pi ivfpq=$xi")
+      // refinement re-ranks the shortlist by exact cosine — the cell
+      // metric must never drop below the unrefined ADC ranking's
+      require(ri >= xi - 1e-9,
+        s"rerank degraded in-cluster precision at n=$n: $ri < $xi")
     }
     val top = rungs.last
     require(top._8 < top._4 && top._8 < top._6,
