@@ -139,6 +139,7 @@ object SparkEntry {
     "mm_decode_meta" -> ExtensionCatalog.mmDecodeMeta,
     "mm_resize" -> ExtensionCatalog.mmResize,
     "mm_frames" -> ExtensionCatalog.mmFrames,
+    "mm_phash" -> ExtensionCatalog.mmPhash,
     "mm_audio_meta" -> ExtensionCatalog.mmAudioMeta,
     "mm_audio_windows" -> ExtensionCatalog.mmAudioWindows
   )

@@ -227,6 +227,111 @@ object Multimodal {
     }.toDF()
   }
 
+  final case class PHash(doc_id: Long, phash_hi: Long, phash_lo: Long)
+
+  /** Synthesize a two-tone PNG per row — left vertical band (width
+    * w/2, integer division) in color A, right band in color B, both
+    * derived from doc_id MOD 32 so distinct documents can genuinely
+    * COLLIDE (same dims + same palette bucket → same image → same
+    * perceptual hash): the fixture property an image-dedup operator
+    * needs. Non-uniform content is what makes [[perceptualHash]]'s
+    * grid bits informative — a solid fill (asPngPayload) hashes every
+    * image to the same degenerate pattern. */
+  def asTwoTonePayload(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("doc_id"),
+        octet_length(col(textCol)).cast("long").as("byte_len"))
+      .as[(Long, Long)]
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .mapPartitions { it =>
+        val buf = new ByteArrayOutputStream(4096)
+        it.map { case (docId, byteLen) =>
+          val (w, h) = synthDims(byteLen)
+          val halfW = w / 2
+          val a = synthColor(docId % 32)
+          val b = synthColor(docId % 32 + 131)
+          val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { img.setRGB(x, y, if (x < halfW) a else b); x += 1 }
+            y += 1
+          }
+          buf.reset()
+          val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(buf)
+          ImageIO.write(img, "png", ios)
+          ios.close()
+          MediaPayload(docId, buf.toByteArray)
+        }
+      }.toDF()
+  }
+
+  /** Perceptual (average) hash over the REAL decoded raster — the
+    * image near-dup primitive (aHash; pHash/dHash are the same grid
+    * pipeline with a different per-cell statistic): partition the
+    * image into an 8×8 grid of integer-boundary cells
+    * (x ∈ [i·w/8, (i+1)·w/8)), sum (r+g+b) over each cell's ACTUAL
+    * pixels, and set bit (8i+j) iff the cell's MEAN luma ≥ the global
+    * mean — compared exactly via integer cross-multiplication
+    * (cellSum · totalPx ≥ totalSum · cellPx), so no fp division can
+    * diverge from the oracle, which predicts every bit analytically
+    * from the two-tone geometry. Emitted as two 32-bit halves
+    * (phash_hi = bits 32..63) — a single 64-bit value would need the
+    * sign bit. Narrow partition-local kernel; payloads never shuffle;
+    * downstream dedup is a groupBy on the hash (or a hamming-ball
+    * pigeonhole join, the dd_simhash_pairs machinery verbatim —
+    * phash IS an image simhash). */
+  def perceptualHash(payloads: DataFrame): DataFrame = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.as[MediaPayload].mapPartitions { it =>
+      it.map { p =>
+        val img = ImageIO.read(new javax.imageio.stream.MemoryCacheImageInputStream(
+          new ByteArrayInputStream(p.payload)))
+        require(img != null, s"undecodable payload for doc ${p.doc_id}")
+        val (w, h) = (img.getWidth, img.getHeight)
+        val cellSum = new Array[Long](64)
+        val cellPx = new Array[Long](64)
+        var totalSum = 0L
+        var j = 0
+        while (j < 8) {
+          val y0 = j * h / 8; val y1 = (j + 1) * h / 8
+          var i = 0
+          while (i < 8) {
+            val x0 = i * w / 8; val x1 = (i + 1) * w / 8
+            var s = 0L
+            var y = y0
+            while (y < y1) {
+              var x = x0
+              while (x < x1) {
+                val rgb = img.getRGB(x, y)
+                s += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+                x += 1
+              }
+              y += 1
+            }
+            cellSum(j * 8 + i) = s
+            cellPx(j * 8 + i) = (x1 - x0).toLong * (y1 - y0)
+            totalSum += s
+            i += 1
+          }
+          j += 1
+        }
+        val totalPx = w.toLong * h
+        var hi = 0L; var lo = 0L
+        var b = 0
+        while (b < 64) {
+          if (cellSum(b) * totalPx >= totalSum * cellPx(b)) {
+            if (b < 32) lo |= 1L << b else hi |= 1L << (b - 32)
+          }
+          b += 1
+        }
+        PHash(p.doc_id, hi, lo)
+      }
+    }.toDF()
+  }
+
   final case class AudioMeta(doc_id: Long, channels: Long, sample_rate: Long,
                              bits: Long, n_samples: Long, duration_ms: Long)
   final case class AudioWindow(doc_id: Long, win_idx: Long, energy: Long,

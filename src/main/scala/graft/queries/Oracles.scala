@@ -1029,6 +1029,37 @@ object Oracles {
         |  CAST((16 + strlen(text) % 48) * (16 + (strlen(text) // 48) % 48) * 3
         |    AS BIGINT) AS raster_bytes
         |FROM documents""".stripMargin,
+    // perceptual-hash twin: every aHash bit predicted ANALYTICALLY
+    // from the two-tone geometry (cell luma sums from band overlap
+    // counts; the same integer cross-multiplication threshold), then
+    // the same hash-identical grouping
+    "mm_phash" ->
+      """WITH p AS (SELECT doc_id,
+        |    16 + strlen(text) % 48 AS w, 16 + (strlen(text) // 48) % 48 AS h,
+        |    doc_id % 32 AS m FROM documents),
+        |c AS (SELECT doc_id, w, h, w // 2 AS halfw,
+        |    (m % 256) + ((m * 31) % 256) + ((m * 97) % 256) AS sa,
+        |    ((m + 131) % 256) + (((m + 131) * 31) % 256) + (((m + 131) * 97) % 256) AS sb
+        |  FROM p),
+        |cells AS (SELECT doc_id, w, h, halfw, sa, sb, i, j,
+        |    (i * w) // 8 AS x0, ((i + 1) * w) // 8 AS x1,
+        |    (j * h) // 8 AS y0, ((j + 1) * h) // 8 AS y1
+        |  FROM c, generate_series(0, 7) gi(i), generate_series(0, 7) gj(j)),
+        |bits AS (SELECT doc_id, i, j,
+        |    CASE WHEN (sa * nxa + sb * (nx - nxa)) * ny * (w * h)
+        |      >= (sa * halfw + sb * (w - halfw)) * h * (nx * ny)
+        |    THEN 1 ELSE 0 END AS bit
+        |  FROM (SELECT *, x1 - x0 AS nx, y1 - y0 AS ny,
+        |      greatest(0, least(x1, halfw) - least(x0, halfw)) AS nxa FROM cells)),
+        |hs AS (SELECT doc_id,
+        |    CAST(sum(CASE WHEN j * 8 + i >= 32
+        |      THEN bit * (CAST(1 AS BIGINT) << (j * 8 + i - 32)) ELSE 0 END) AS BIGINT) AS phash_hi,
+        |    CAST(sum(CASE WHEN j * 8 + i < 32
+        |      THEN bit * (CAST(1 AS BIGINT) << (j * 8 + i)) ELSE 0 END) AS BIGINT) AS phash_lo
+        |  FROM bits GROUP BY doc_id)
+        |SELECT doc_id, phash_hi, phash_lo,
+        |  count(*) OVER (PARTITION BY phash_hi, phash_lo) AS n_same
+        |FROM hs""".stripMargin,
     // real-audio-decode twin: predicts what a correct javax.sound WAV
     // decode of the synthesized PCM16LE/mono/8kHz container must say
     "mm_audio_meta" ->

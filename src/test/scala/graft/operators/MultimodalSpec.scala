@@ -104,6 +104,46 @@ class MultimodalSpec extends SparkSpec {
     assert(byDoc(7L).map(_.checksum).distinct.length == byDoc(7L).length)
   }
 
+  test("perceptualHash: real-raster aHash bits match the geometric prediction; equal images collide") {
+    // docs 1 and 33 share doc_id % 32 = 1; give them equal byte length
+    // so their two-tone images are pixel-identical -> hashes collide
+    val twoTone = Seq(
+      (1L, "z" * 40), (33L, "w" * 40), (7L, "hello multimodal " * 10)
+    ).toDF("doc_id", "text")
+    val got = Multimodal.perceptualHash(
+        Multimodal.asTwoTonePayload(twoTone, "text", "doc_id"))
+      .as[Multimodal.PHash].collect().map(p => p.doc_id -> p).toMap
+    assert(got(1L).phash_hi == got(33L).phash_hi &&
+      got(1L).phash_lo == got(33L).phash_lo, "identical images must collide")
+    // driver replica of the analytic bit rule for doc 7 (byteLen 170)
+    def predicted(docId: Long, byteLen: Long): (Long, Long) = {
+      val w = (16 + byteLen % 48).toInt; val h = (16 + (byteLen / 48) % 48).toInt
+      val halfW = w / 2
+      def luma(m: Long) = (m % 256) + (m * 31 % 256) + (m * 97 % 256)
+      val sa = luma(docId % 32); val sb = luma(docId % 32 + 131)
+      val totalSum = (sa * halfW + sb * (w - halfW)).toLong * h
+      var hi = 0L; var lo = 0L
+      for (j <- 0 until 8; i <- 0 until 8) {
+        val x0 = i * w / 8; val x1 = (i + 1) * w / 8
+        val ny = ((j + 1) * h / 8) - (j * h / 8)
+        val nx = x1 - x0
+        val nxa = math.max(0, math.min(x1, halfW) - math.min(x0, halfW))
+        val cellSum = (sa * nxa + sb * (nx - nxa)).toLong * ny
+        if (cellSum * w * h >= totalSum * nx * ny) {
+          val b = j * 8 + i
+          if (b < 32) lo |= 1L << b else hi |= 1L << (b - 32)
+        }
+      }
+      (hi, lo)
+    }
+    val (hi7, lo7) = predicted(7L, 170L)
+    assert(got(7L).phash_hi == hi7 && got(7L).phash_lo == lo7,
+      s"real decode hash ${got(7L)} != predicted ($hi7, $lo7)")
+    // a genuinely two-tone image is neither all-zeros nor all-ones
+    assert(got(7L).phash_lo != 0L || got(7L).phash_hi != 0L)
+    assert((got(7L).phash_lo, got(7L).phash_hi) != (0xffffffffL, 0xffffffffL))
+  }
+
   test("asWavPayload emits a real RIFF/WAVE container javax.sound decodes") {
     val meta = Multimodal.decodeAudio(
         Multimodal.asWavPayload(docs, "text", "doc_id"))
