@@ -53,6 +53,7 @@ object SparkEntry {
     "agg_mode" -> QueryCatalog.aggMode,
     "agg_heavy_hitters" -> ExtensionCatalog.aggHeavyHitters,
     "agg_rollup" -> QueryCatalog.aggRollup,
+    "agg_cube" -> QueryCatalog.aggCube,
     "agg_histogram" -> QueryCatalog.aggHistogram,
     "agg_pivot" -> QueryCatalog.aggPivot,
     // joins / two-input (§2.4) + set ops (§2.8) + routing (§2.9)
@@ -68,6 +69,7 @@ object SparkEntry {
     "j4_cogroup" -> QueryCatalog.j4Cogroup,
     "u1_union_tagged" -> QueryCatalog.u1UnionTagged,
     "set_except" -> QueryCatalog.setExcept,
+    "set_intersect" -> QueryCatalog.setIntersect,
     // headline scan/join/agg queries
     "q1_pricing_summary" -> QueryCatalog.q1PricingSummary,
     "q3_shipping" -> QueryCatalog.q3Shipping,

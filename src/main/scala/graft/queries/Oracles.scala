@@ -603,6 +603,9 @@ object Oracles {
     "set_except" ->
       """SELECT user_id, date_trunc('day', ts) AS day FROM events WHERE event_type = 'purchase'
         |EXCEPT SELECT user_id, date_trunc('day', ts) AS day FROM events WHERE event_type = 'error'""".stripMargin,
+    "set_intersect" ->
+      """SELECT user_id, date_trunc('day', ts) AS day FROM events WHERE event_type = 'purchase'
+        |INTERSECT SELECT user_id, date_trunc('day', ts) AS day FROM events WHERE event_type = 'view'""".stripMargin,
     "q6_revenue" ->
       """SELECT sum(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT)) / 100.0 AS revenue
         |FROM lineitem
@@ -1134,6 +1137,11 @@ object Oracles {
         |  coalesce(l_linestatus, 'ALL') AS linestatus, count(*) AS n,
         |  sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS total
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "agg_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS linestatus, count(*) AS n,
+        |  sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS total
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
     "agg_histogram" ->
       """SELECT CAST(floor(value / 50.0) AS BIGINT) AS bucket, count(*) AS n,
         |  sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total

@@ -424,6 +424,17 @@ object QueryCatalog {
         coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
         col("n"), col("total"))
 
+  /** Full CUBE over (returnflag, linestatus) — all four grouping
+    * sets in ONE Expand-before-shuffle pass (rollup's lattice
+    * completed); same null-sentinel compare contract. */
+  val aggCube: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), moneySum(col("l_extendedprice")).as("total"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("n"), col("total"))
+
   /** Fixed-width histogram: integer bucket arithmetic (floor of one
     * IEEE division — identical in both engines), one hash aggregate. */
   val aggHistogram: Q = (s, d) =>
@@ -611,6 +622,16 @@ object QueryCatalog {
     ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
       .except(ev.filter(col("event_type") === "error")
+        .select(col("user_id"), date_trunc("day", col("ts")).as("day")))
+  }
+
+  /** INTERSECT twin of set_except (distinct semantics): user-days with
+    * BOTH a purchase and a view — the funnel-overlap shape. */
+  val setIntersect: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .intersect(ev.filter(col("event_type") === "view")
         .select(col("user_id"), date_trunc("day", col("ts")).as("day")))
   }
 
