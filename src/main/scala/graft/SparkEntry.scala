@@ -137,6 +137,7 @@ object SparkEntry {
     "ta_bigram" -> ExtensionCatalog.taBigram,
     "emb_standardize" -> ExtensionCatalog.embStandardize,
     "emb_project" -> ExtensionCatalog.embProject,
+    "emb_pca" -> ExtensionCatalog.embPca,
     "emb_knn_graph" -> ExtensionCatalog.embKnnGraph,
     "mm_decode_meta" -> ExtensionCatalog.mmDecodeMeta,
     "mm_resize" -> ExtensionCatalog.mmResize,

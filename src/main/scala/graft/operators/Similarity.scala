@@ -525,6 +525,50 @@ object Similarity {
           x => abs(x - clamped(x, col("scale")) * col("scale")))).as("max_abs_err"))
   }
 
+  /** Dominant principal direction + corpus projection via EXACT-
+    * INTEGER power iteration over the gram matrix — the PCA step the
+    * gramMatrix scaladoc promises (top-component projection before
+    * visualization/whitening/coarse indexing). The d×d gram collects
+    * to the driver (≤ d(d+1)/2 = 2080 longs — bounded at ANY corpus
+    * size; the corpus-scale work already happened in gramMatrix's
+    * map-side-combined pass), then `iters` BigInt power steps
+    * v ← G·v, each NORMALIZED to micro-units by exact integer
+    * rounding (sign·((|w|·2e6 + m) / (2m)), m = max|w| — half-up on
+    * positive integers, so floor-vs-truncate division semantics
+    * cannot split the engines, and every intermediate stays ≤ 64 ·
+    * maxG · 1e6, inside 128-bit range at 10¹² vectors). The DuckDB
+    * twin runs the SAME recurrence in HUGEINTs from the same gram
+    * rows — bit-identical direction, deterministic sign (all-ones
+    * start). The projection is then a narrow per-row map: y = Σ_d
+    * round(1e6·x_d) · v_d, an exact long. One corpus scan for the
+    * gram + one for the projection; nothing else scales with n. */
+  def pcaPowerProject(emb: DataFrame, iters: Int = 3,
+                      dim: Int = 64, idCol: String = "vec_id",
+                      embCol: String = "embedding"): DataFrame = {
+    require(iters >= 1 && iters <= 8, "need 1 <= iters <= 8")
+    val gRows = gramMatrix(emb, embCol).collect()
+    val g = Array.ofDim[BigInt](dim, dim)
+    for (i <- 0 until dim; j <- 0 until dim) g(i)(j) = BigInt(0)
+    gRows.foreach { r =>
+      val (i, j, v) = (r.getLong(0).toInt, r.getLong(1).toInt, BigInt(r.getLong(2)))
+      g(i)(j) = v
+      g(j)(i) = v
+    }
+    var v = Array.fill(dim)(BigInt(1000000))
+    (0 until iters).foreach { _ =>
+      val w = Array.tabulate(dim)(i =>
+        (0 until dim).map(j => g(i)(j) * v(j)).sum)
+      val m = w.map(_.abs).max
+      require(m > 0, "pcaPowerProject: zero gram matrix")
+      v = w.map(x => x.sign * ((x.abs * 2000000 + m) / (m * 2)))
+    }
+    val vm = v.map(_.toLong)
+    val proj = (0 until dim).map(d =>
+      round(element_at(col(embCol), d + 1).cast("double") * 1000000).cast("long") *
+        lit(vm(d))).reduce(_ + _)
+    emb.select(col(idCol).cast("long").as("vec_id"), proj.as("proj_micro2"))
+  }
+
   /** Bucketed ANN: queries join only their probe buckets — the 100 TB
     * path (bucket-partitioned join instead of cross product). Recall
     * is partial by construction; multi-probe (the exact bucket plus

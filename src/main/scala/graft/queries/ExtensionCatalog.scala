@@ -938,6 +938,14 @@ object ExtensionCatalog {
   val embStandardize: Q = (s, d) =>
     Similarity.standardize(Tables.embeddings(s, d))
 
+  /** Dominant-principal-direction projection: exact-integer power
+    * iteration on the driver-collected 64×64 gram (bounded at any
+    * corpus size), then one narrow projection pass — see
+    * [[Similarity.pcaPowerProject]]. Bit-identical direction in both
+    * engines (same HUGEINT/BigInt recurrence from the same gram). */
+  val embPca: Q = (s, d) =>
+    Similarity.pcaPowerProject(Tables.embeddings(s, d))
+
   /** Johnson-Lindenstrauss 64→16 random projection of the embedding
     * corpus (narrow native expression, zero shuffle; exact integer
     * micro-unit sums — see [[Similarity.randomProject]]). */

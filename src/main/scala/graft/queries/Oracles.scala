@@ -1570,6 +1570,35 @@ object Oracles {
     // BIGINT→HUGEINT widening), and a zero-variance dimension yields
     // NULL z by contract — the same double `<= 0` branch both engines
     // evaluate on identical exact-integer moments (ADVICE r6).
+    // PCA power-iteration twin: the SAME exact-integer recurrence in
+    // HUGEINTs — full gram from a self-join over milli-unit
+    // components, three normalized v <- G·v steps (half-up on
+    // positives: (|w|*2e6 + m) // (2m)), then the micro-unit
+    // projection — bit-identical direction and sign
+    "emb_pca" ->
+      """WITH c AS (SELECT vec_id, i - 1 AS dim,
+        |    CAST(round(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS qm
+        |  FROM embeddings, generate_series(1, 64) g(i)
+        |  WHERE 1 = (SELECT CASE WHEN min(len(embedding)) = 64 AND max(len(embedding)) = 64
+        |    THEN 1 ELSE error('emb_pca oracle: embeddings are not 64-dim') END FROM embeddings)),
+        |gm AS (SELECT a.dim AS i, b.dim AS j,
+        |    CAST(sum(CAST(a.qm AS HUGEINT) * b.qm) AS HUGEINT) AS gv
+        |  FROM c a JOIN c b USING (vec_id) GROUP BY 1, 2),
+        |v0 AS (SELECT i AS dim, CAST(1000000 AS HUGEINT) AS v FROM generate_series(0, 63) s(i)),
+        |w1 AS (SELECT gm.i AS dim, sum(gv * v0.v) AS w FROM gm JOIN v0 ON v0.dim = gm.j GROUP BY 1),
+        |m1 AS (SELECT max(abs(w)) AS m FROM w1),
+        |v1 AS (SELECT dim, sign(w) * ((abs(w) * 2000000 + m) // (2 * m)) AS v FROM w1, m1),
+        |w2 AS (SELECT gm.i AS dim, sum(gv * v1.v) AS w FROM gm JOIN v1 ON v1.dim = gm.j GROUP BY 1),
+        |m2 AS (SELECT max(abs(w)) AS m FROM w2),
+        |v2 AS (SELECT dim, sign(w) * ((abs(w) * 2000000 + m) // (2 * m)) AS v FROM w2, m2),
+        |w3 AS (SELECT gm.i AS dim, sum(gv * v2.v) AS w FROM gm JOIN v2 ON v2.dim = gm.j GROUP BY 1),
+        |m3 AS (SELECT max(abs(w)) AS m FROM w3),
+        |v3 AS (SELECT dim, sign(w) * ((abs(w) * 2000000 + m) // (2 * m)) AS v FROM w3, m3)
+        |SELECT e.vec_id,
+        |  CAST(sum(CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) * v3.v) AS BIGINT) AS proj_micro2
+        |FROM embeddings e, generate_series(1, 64) g(i), v3
+        |WHERE v3.dim = i - 1
+        |GROUP BY e.vec_id""".stripMargin,
     // JL projection twin: 16 per-out-dim selects over the inlined
     // Rademacher constants (rows 16..31 of the hyperplane family)
     "emb_project" ->

@@ -205,6 +205,21 @@ class CorpusOpsSpec extends SparkSpec {
     assert(Similarity.randomProject(short, outDims = 3, dim = 2).count() == 0)
   }
 
+  test("pcaPowerProject: dominant direction extracted exactly on a rank-1 corpus") {
+    // all vectors along (3,4): direction converges to (0.75, 1.0) in
+    // micro-units after one normalized step; projections are exact
+    // integer dot products xm · vm
+    val emb = Seq(
+      (1L, Seq(3.0f, 4.0f)), (2L, Seq(6.0f, 8.0f)), (3L, Seq(-3.0f, -4.0f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.pcaPowerProject(emb, dim = 2)
+      .as[(Long, Long)].collect().toMap
+    // vm = (750000, 1000000); proj(3,4) = 3e6*750000 + 4e6*1e6
+    assert(got(1L) == 6250000000000L)
+    assert(got(2L) == 12500000000000L)
+    assert(got(3L) == -6250000000000L)
+  }
+
   test("standardize: hand-checked z-scores per dimension") {
     val emb = Seq(
       (1L, Seq(1.0f, 0.0f)),
