@@ -143,6 +143,7 @@ object SparkEntry {
     "mm_resize" -> ExtensionCatalog.mmResize,
     "mm_frames" -> ExtensionCatalog.mmFrames,
     "mm_phash" -> ExtensionCatalog.mmPhash,
+    "mm_phash_pairs" -> ExtensionCatalog.mmPhashPairs,
     "mm_audio_meta" -> ExtensionCatalog.mmAudioMeta,
     "mm_audio_windows" -> ExtensionCatalog.mmAudioWindows
   )

@@ -917,6 +917,48 @@ object Dedup {
           "filter(toks, (t, i) -> cov IS NULL OR NOT array_contains(cov, i))"))).as("scrub_fp"))
   }
 
+  /** Hamming near-dup pairs over a 64-bit hash carried as two 32-bit
+    * halves — the [[simHashPairs]] pigeonhole applied to ANY
+    * precomputed fingerprint (perceptual image hashes, audio
+    * fingerprints): split the 64 bits into 8 8-bit chunks; two hashes
+    * within hamming distance ≤ maxDist < 8 MUST agree on at least one
+    * chunk (pigeonhole — lossless blocking, unlike LSH), so candidates
+    * only form inside (chunk index, chunk value) buckets and the exact
+    * popcount filter runs per candidate. A pair colliding in several
+    * chunks is emitted ONLY at its lowest agreeing chunk (the
+    * first-match rule — no corpus-wide pair distinct). Hot buckets
+    * (many identical fingerprints) are the salted-shard case
+    * documented at [[simHashPairs]]; apply [[Dedup]]'s salting there
+    * if a fingerprint family degenerates. */
+  def hammingPairs64(hashes: DataFrame, idCol: String,
+                     hiCol: String, loCol: String,
+                     maxDist: Int = 6): DataFrame = {
+    require(maxDist >= 0 && maxDist < 8, "pigeonhole over 8 chunks needs maxDist < 8")
+    def chunk(hi: org.apache.spark.sql.Column, lo: org.apache.spark.sql.Column,
+              c: Int): org.apache.spark.sql.Column =
+      (if (c < 4) shiftrightunsigned(lo, c * 8)
+       else shiftrightunsigned(hi, (c - 4) * 8)).bitwiseAND(lit(255L))
+    val full = hashes.select(col(idCol).cast("long").as("id"),
+      col(hiCol).as("hi"), col(loCol).as("lo"))
+    val ch = full.select(col("id"), col("hi"), col("lo"),
+      posexplode(array((0 until 8).map(c =>
+        chunk(col("hi"), col("lo"), c)): _*)).as(Seq("cidx", "cval")))
+    val a = ch.select(col("id").as("id_a"), col("hi").as("ha"),
+      col("lo").as("la"), col("cidx"), col("cval"))
+    val b = ch.select(col("id").as("id_b"), col("hi").as("hb"),
+      col("lo").as("lb"), col("cidx"), col("cval"))
+    val earlierMatches = (0 until 8).map { c =>
+      when(lit(c) < col("cidx") &&
+        chunk(col("ha"), col("la"), c) === chunk(col("hb"), col("lb"), c),
+        1).otherwise(0)
+    }.reduce(_ + _)
+    a.join(b, Seq("cidx", "cval")).filter(col("id_a") < col("id_b"))
+      .filter(earlierMatches === 0)
+      .select(col("id_a"), col("id_b"),
+        expr("bit_count(ha ^ hb) + bit_count(la ^ lb)").cast("long").as("dist"))
+      .filter(col("dist") <= maxDist)
+  }
+
   def ngramJaccard(docs: DataFrame, textCol: String, idCol: String,
                    threshold: Double, bands: Int = 4, rowsPerBand: Int = 8,
                    maxBucket: Int = 2048, spanningOnly: Boolean = false): DataFrame = {

@@ -229,15 +229,20 @@ object Multimodal {
 
   final case class PHash(doc_id: Long, phash_hi: Long, phash_lo: Long)
 
-  /** Synthesize a two-tone PNG per row — left vertical band (width
-    * w/2, integer division) in color A, right band in color B, both
-    * derived from doc_id MOD 32 so distinct documents can genuinely
-    * COLLIDE (same dims + same palette bucket → same image → same
-    * perceptual hash): the fixture property an image-dedup operator
-    * needs. Non-uniform content is what makes [[perceptualHash]]'s
-    * grid bits informative — a solid fill (asPngPayload) hashes every
-    * image to the same degenerate pattern. */
-  def asTwoTonePayload(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+  /** Synthesize a cell-grid PNG per row — each of the 8×8 aHash grid
+    * cells (x ∈ [i·w/8, (i+1)·w/8), pixel → cell via i = 8x/w exact
+    * integer division) filled with a color derived from (doc_id MOD
+    * 32, cell index). The palette bucket gives the fixture the two
+    * properties an image-dedup operator needs: documents in the SAME
+    * bucket render the same pattern — identical at equal dims (exact
+    * dups), near-identical hash at different dims (the
+    * same-image-resized robustness perceptual hashing exists for,
+    * since each cell's MEAN luma is dimension-independent and only
+    * near-global-mean cells flip) — while different buckets are
+    * ~32/64 bits apart (true negatives). A two-tone or solid fill
+    * instead hashes every image to a handful of patterns and
+    * degenerates the hamming join to all-pairs. */
+  def asCellGridPayload(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long").as("doc_id"),
@@ -248,14 +253,31 @@ object Multimodal {
         val buf = new ByteArrayOutputStream(4096)
         it.map { case (docId, byteLen) =>
           val (w, h) = synthDims(byteLen)
-          val halfW = w / 2
-          val a = synthColor(docId % 32)
-          val b = synthColor(docId % 32 + 131)
+          val m = docId % 32
+          // cell-of-pixel from the SAME floor boundaries the hash grid
+          // uses (x0_i = i*w/8) — a naive 8x/w inverse disagrees at
+          // non-divisible widths and would split a cell across colors
+          def cellIndex(n: Int): Array[Int] = {
+            val idx = new Array[Int](n)
+            var i = 0
+            while (i < 8) {
+              var p = i * n / 8
+              val end = (i + 1) * n / 8
+              while (p < end) { idx(p) = i; p += 1 }
+              i += 1
+            }
+            idx
+          }
+          val (ci, cj) = (cellIndex(w), cellIndex(h))
           val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
           var y = 0
           while (y < h) {
+            val j = cj(y)
             var x = 0
-            while (x < w) { img.setRGB(x, y, if (x < halfW) a else b); x += 1 }
+            while (x < w) {
+              img.setRGB(x, y, synthColor(m * 977 + (j * 8 + ci(x))))
+              x += 1
+            }
             y += 1
           }
           buf.reset()
@@ -276,7 +298,7 @@ object Multimodal {
     * mean — compared exactly via integer cross-multiplication
     * (cellSum · totalPx ≥ totalSum · cellPx), so no fp division can
     * diverge from the oracle, which predicts every bit analytically
-    * from the two-tone geometry. Emitted as two 32-bit halves
+    * from the cell-grid geometry. Emitted as two 32-bit halves
     * (phash_hi = bits 32..63) — a single 64-bit value would need the
     * sign bit. Narrow partition-local kernel; payloads never shuffle;
     * downstream dedup is a groupBy on the hash (or a hamming-ball

@@ -991,18 +991,28 @@ object ExtensionCatalog {
       Multimodal.asGifPayload(Tables.documents(s, d), "text", "doc_id"))
 
   /** Perceptual image hash + dup grouping over REAL decoded rasters
-    * (two-tone synth, palette bucketed mod 32 so distinct docs
+    * (cell-grid synth, palette bucketed mod 32 so distinct docs
     * genuinely collide): the image near-dup primitive — aHash bits
     * from exact integer cross-multiplication, every bit
     * oracle-predicted from the geometry; n_same counts hash-identical
     * images. See [[Multimodal.perceptualHash]]. */
   val mmPhash: Q = (s, d) => {
     val ph = Multimodal.perceptualHash(
-      Multimodal.asTwoTonePayload(Tables.documents(s, d), "text", "doc_id"))
+      Multimodal.asCellGridPayload(Tables.documents(s, d), "text", "doc_id"))
     ph.withColumn("n_same", count(lit(1)).over(
       org.apache.spark.sql.expressions.Window
         .partitionBy(col("phash_hi"), col("phash_lo"))))
   }
+
+  /** Image near-dup PAIRS: the pigeonhole hamming join
+    * ([[Dedup.hammingPairs64]]) over the real-decode perceptual
+    * hashes — phash is an image simhash, so the text machinery
+    * composes unchanged. Distance ≤ 6 of 64 bits. */
+  val mmPhashPairs: Q = (s, d) =>
+    Dedup.hammingPairs64(
+      Multimodal.perceptualHash(
+        Multimodal.asCellGridPayload(Tables.documents(s, d), "text", "doc_id")),
+      "doc_id", "phash_hi", "phash_lo")
 
   /** REAL audio decode over synthesized RIFF/WAVE payloads (PCM16LE
     * mono @ 8 kHz, sample count from text byte length): the JDK's

@@ -56,6 +56,32 @@ object Oracles {
       s"CAST(embedding[${d + 1}] AS DOUBLE) * $s.0"
     }.mkString("(", " + ", ")")
 
+  // mm_phash shared CTEs: the analytic cell-grid aHash (`hs` =
+  // (doc_id, phash_hi, phash_lo)) — reused by the hamming-pair twin.
+  // Each grid cell is uniformly synthColor(m*64 + b), so its MEAN
+  // luma is the cell's luma and bit b reduces to
+  // luma_b * (w*h) >= Σ_b luma_b · px_b (px cancels)
+  private val phashCtes =
+    """p AS (SELECT doc_id,
+      |    16 + strlen(text) % 48 AS w, 16 + (strlen(text) // 48) % 48 AS h,
+      |    doc_id % 32 AS m FROM documents),
+      |cl AS (SELECT doc_id, w, h, b,
+      |    ((m * 977 + b) % 256) + (((m * 977 + b) * 31) % 256)
+      |      + (((m * 977 + b) * 97) % 256) AS luma,
+      |    (((b % 8) + 1) * w // 8 - (b % 8) * w // 8)
+      |      * (((b // 8) + 1) * h // 8 - (b // 8) * h // 8) AS px
+      |  FROM p, generate_series(0, 63) g(b)),
+      |t AS (SELECT doc_id, sum(luma * px) AS totalsum FROM cl GROUP BY 1),
+      |bits AS (SELECT cl.doc_id, b,
+      |    CASE WHEN luma * (w * h) >= totalsum THEN 1 ELSE 0 END AS bit
+      |  FROM cl JOIN t USING (doc_id)),
+      |hs AS (SELECT doc_id,
+      |    CAST(sum(CASE WHEN b >= 32
+      |      THEN bit * (CAST(1 AS BIGINT) << (b - 32)) ELSE 0 END) AS BIGINT) AS phash_hi,
+      |    CAST(sum(CASE WHEN b < 32
+      |      THEN bit * (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS phash_lo
+      |  FROM bits GROUP BY doc_id)""".stripMargin
+
   // emb_project twin: the same hyperplane family at row offset 16
   // (= MaxBits, past every bucket bit), over micro-unit INTEGER
   // components — long sums are order-independent, so association
@@ -1037,32 +1063,32 @@ object Oracles {
     // counts; the same integer cross-multiplication threshold), then
     // the same hash-identical grouping
     "mm_phash" ->
-      """WITH p AS (SELECT doc_id,
-        |    16 + strlen(text) % 48 AS w, 16 + (strlen(text) // 48) % 48 AS h,
-        |    doc_id % 32 AS m FROM documents),
-        |c AS (SELECT doc_id, w, h, w // 2 AS halfw,
-        |    (m % 256) + ((m * 31) % 256) + ((m * 97) % 256) AS sa,
-        |    ((m + 131) % 256) + (((m + 131) * 31) % 256) + (((m + 131) * 97) % 256) AS sb
-        |  FROM p),
-        |cells AS (SELECT doc_id, w, h, halfw, sa, sb, i, j,
-        |    (i * w) // 8 AS x0, ((i + 1) * w) // 8 AS x1,
-        |    (j * h) // 8 AS y0, ((j + 1) * h) // 8 AS y1
-        |  FROM c, generate_series(0, 7) gi(i), generate_series(0, 7) gj(j)),
-        |bits AS (SELECT doc_id, i, j,
-        |    CASE WHEN (sa * nxa + sb * (nx - nxa)) * ny * (w * h)
-        |      >= (sa * halfw + sb * (w - halfw)) * h * (nx * ny)
-        |    THEN 1 ELSE 0 END AS bit
-        |  FROM (SELECT *, x1 - x0 AS nx, y1 - y0 AS ny,
-        |      greatest(0, least(x1, halfw) - least(x0, halfw)) AS nxa FROM cells)),
-        |hs AS (SELECT doc_id,
-        |    CAST(sum(CASE WHEN j * 8 + i >= 32
-        |      THEN bit * (CAST(1 AS BIGINT) << (j * 8 + i - 32)) ELSE 0 END) AS BIGINT) AS phash_hi,
-        |    CAST(sum(CASE WHEN j * 8 + i < 32
-        |      THEN bit * (CAST(1 AS BIGINT) << (j * 8 + i)) ELSE 0 END) AS BIGINT) AS phash_lo
-        |  FROM bits GROUP BY doc_id)
+      s"""WITH $phashCtes
         |SELECT doc_id, phash_hi, phash_lo,
         |  count(*) OVER (PARTITION BY phash_hi, phash_lo) AS n_same
         |FROM hs""".stripMargin,
+    // hamming-pair twin: same predicted hashes, same 8-chunk
+    // pigeonhole blocking with first-match emission, exact popcount
+    "mm_phash_pairs" ->
+      s"""WITH $phashCtes,
+        |ch AS (SELECT doc_id, phash_hi AS hi, phash_lo AS lo, c,
+        |    CASE WHEN c < 4 THEN (phash_lo >> (c * 8)) & 255
+        |      ELSE (phash_hi >> ((c - 4) * 8)) & 255 END AS cval
+        |  FROM hs, generate_series(0, 7) g(c)),
+        |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.c,
+        |    a.hi AS ha, a.lo AS la, b.hi AS hb, b.lo AS lb
+        |  FROM ch a JOIN ch b ON a.c = b.c AND a.cval = b.cval
+        |    AND a.doc_id < b.doc_id),
+        |fm AS (SELECT * FROM cand x WHERE NOT EXISTS (
+        |  SELECT 1 FROM generate_series(0, 7) g(c2) WHERE c2 < x.c AND
+        |    (CASE WHEN c2 < 4 THEN (x.la >> (c2 * 8)) & 255
+        |      ELSE (x.ha >> ((c2 - 4) * 8)) & 255 END)
+        |    = (CASE WHEN c2 < 4 THEN (x.lb >> (c2 * 8)) & 255
+        |      ELSE (x.hb >> ((c2 - 4) * 8)) & 255 END)))
+        |SELECT id_a, id_b,
+        |  CAST(bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) AS BIGINT) AS dist
+        |FROM fm
+        |WHERE bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) <= 6""".stripMargin,
     // real-audio-decode twin: predicts what a correct javax.sound WAV
     // decode of the synthesized PCM16LE/mono/8kHz container must say
     "mm_audio_meta" ->

@@ -106,40 +106,48 @@ class MultimodalSpec extends SparkSpec {
 
   test("perceptualHash: real-raster aHash bits match the geometric prediction; equal images collide") {
     // docs 1 and 33 share doc_id % 32 = 1; give them equal byte length
-    // so their two-tone images are pixel-identical -> hashes collide
-    val twoTone = Seq(
-      (1L, "z" * 40), (33L, "w" * 40), (7L, "hello multimodal " * 10)
+    // so their cell-grid images are pixel-identical -> hashes collide;
+    // doc 65 shares the palette at DIFFERENT dims -> near (not equal)
+    val grid = Seq(
+      (1L, "z" * 40), (33L, "w" * 40), (65L, "v" * 45),
+      (7L, "hello multimodal " * 10)
     ).toDF("doc_id", "text")
     val got = Multimodal.perceptualHash(
-        Multimodal.asTwoTonePayload(twoTone, "text", "doc_id"))
+        Multimodal.asCellGridPayload(grid, "text", "doc_id"))
       .as[Multimodal.PHash].collect().map(p => p.doc_id -> p).toMap
     assert(got(1L).phash_hi == got(33L).phash_hi &&
       got(1L).phash_lo == got(33L).phash_lo, "identical images must collide")
-    // driver replica of the analytic bit rule for doc 7 (byteLen 170)
+    // driver replica of the analytic bit rule: cell mean luma is
+    // dimension-independent, so bit b = [luma_b * w*h >= totalSum]
     def predicted(docId: Long, byteLen: Long): (Long, Long) = {
       val w = (16 + byteLen % 48).toInt; val h = (16 + (byteLen / 48) % 48).toInt
-      val halfW = w / 2
-      def luma(m: Long) = (m % 256) + (m * 31 % 256) + (m * 97 % 256)
-      val sa = luma(docId % 32); val sb = luma(docId % 32 + 131)
-      val totalSum = (sa * halfW + sb * (w - halfW)).toLong * h
+      val m = docId % 32
+      def luma(v: Long) = (v % 256) + (v * 31 % 256) + (v * 97 % 256)
+      val lumas = Array.tabulate(64)(b => luma(m * 977 + b))
+      val px = Array.tabulate(64) { b =>
+        val i = b % 8; val j = b / 8
+        (((i + 1) * w / 8) - (i * w / 8)).toLong *
+          (((j + 1) * h / 8) - (j * h / 8))
+      }
+      val totalSum = (0 until 64).map(b => lumas(b) * px(b)).sum
+      val totalPx = w.toLong * h
       var hi = 0L; var lo = 0L
-      for (j <- 0 until 8; i <- 0 until 8) {
-        val x0 = i * w / 8; val x1 = (i + 1) * w / 8
-        val ny = ((j + 1) * h / 8) - (j * h / 8)
-        val nx = x1 - x0
-        val nxa = math.max(0, math.min(x1, halfW) - math.min(x0, halfW))
-        val cellSum = (sa * nxa + sb * (nx - nxa)).toLong * ny
-        if (cellSum * w * h >= totalSum * nx * ny) {
-          val b = j * 8 + i
-          if (b < 32) lo |= 1L << b else hi |= 1L << (b - 32)
-        }
+      for (b <- 0 until 64) if (lumas(b) * totalPx >= totalSum) {
+        if (b < 32) lo |= 1L << b else hi |= 1L << (b - 32)
       }
       (hi, lo)
     }
-    val (hi7, lo7) = predicted(7L, 170L)
-    assert(got(7L).phash_hi == hi7 && got(7L).phash_lo == lo7,
-      s"real decode hash ${got(7L)} != predicted ($hi7, $lo7)")
-    // a genuinely two-tone image is neither all-zeros nor all-ones
+    Seq(1L -> 40L, 7L -> 170L).foreach { case (id, len) =>
+      val (hi, lo) = predicted(id, len)
+      assert(got(id).phash_hi == hi && got(id).phash_lo == lo,
+        s"doc $id: real decode hash ${got(id)} != predicted ($hi, $lo)")
+    }
+    // same palette, different dims: small hamming distance, not zero-
+    // distance in general, never the cross-palette ~32
+    val dist = java.lang.Long.bitCount(got(1L).phash_hi ^ got(65L).phash_hi) +
+      java.lang.Long.bitCount(got(1L).phash_lo ^ got(65L).phash_lo)
+    assert(dist <= 6, s"same-palette resized image drifted too far: $dist")
+    // a genuine grid image is neither all-zeros nor all-ones
     assert(got(7L).phash_lo != 0L || got(7L).phash_hi != 0L)
     assert((got(7L).phash_lo, got(7L).phash_hi) != (0xffffffffL, 0xffffffffL))
   }
