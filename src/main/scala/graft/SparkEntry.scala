@@ -145,7 +145,8 @@ object SparkEntry {
     "mm_phash" -> ExtensionCatalog.mmPhash,
     "mm_phash_pairs" -> ExtensionCatalog.mmPhashPairs,
     "mm_audio_meta" -> ExtensionCatalog.mmAudioMeta,
-    "mm_audio_windows" -> ExtensionCatalog.mmAudioWindows
+    "mm_audio_windows" -> ExtensionCatalog.mmAudioWindows,
+    "mm_audio_pairs" -> ExtensionCatalog.mmAudioPairs
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -368,7 +368,7 @@ object Multimodal {
     * contract applied to audio. Same split-width note: spread the
     * narrow frame before the synthesis kernel. */
   def asWavPayload(df: DataFrame, textCol: String, idCol: String,
-                   sampleRate: Int = 8000): DataFrame = {
+                   sampleRate: Int = 8000, seedMod: Long = 0L): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long").as("doc_id"),
@@ -376,8 +376,26 @@ object Multimodal {
       .as[(Long, Long)]
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .mapPartitions { it =>
-        it.map { case (docId, byteLen) =>
+        it.map { case (docId0, byteLen) =>
+          // seedMod > 0 buckets the PCM seed (the asCellGridPayload
+          // palette idea applied to audio) AND switches to a stepped-
+          // amplitude signal — per-64th-chunk amplitude from the
+          // palette, alternating sign — so chunk MEAN energy carries
+          // the palette (a plain LCG sweep has uniform energy and
+          // degenerates every fingerprint to one pattern)
+          val docId = if (seedMod > 0) docId0 % seedMod else docId0
           val n = synthSampleCount(byteLen)
+          val chunkOf: Array[Int] = if (seedMod > 0) {
+            val idx = new Array[Int](n)
+            var b = 0
+            while (b < 64) {
+              var p = b * n / 64
+              val end = (b + 1) * n / 64
+              while (p < end) { idx(p) = b; p += 1 }
+              b += 1
+            }
+            idx
+          } else null
           val dataBytes = n * 2
           val bb = java.nio.ByteBuffer.allocate(44 + dataBytes)
             .order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -393,10 +411,15 @@ object Multimodal {
           bb.put("data".getBytes("US-ASCII")).putInt(dataBytes)
           var i = 0
           while (i < n) {
-            bb.putShort(synthSample(docId, i))
+            val s =
+              if (seedMod > 0) {
+                val amp = ((docId * 977 + chunkOf(i) * 53L) % 256) * 128
+                (if ((i & 1) == 1) -amp else amp).toShort
+              } else synthSample(docId, i)
+            bb.putShort(s)
             i += 1
           }
-          MediaPayload(docId, bb.array())
+          MediaPayload(docId0, bb.array())
         }
       }.toDF()
   }
@@ -429,6 +452,60 @@ object Multimodal {
         } finally in.close()
       }
     }.toDF()
+  }
+
+  /** 64-bit audio fingerprint over the REAL decoded PCM — the phash
+    * idea on the time axis (Shazam-family fingerprints are the same
+    * grid pipeline over a spectrogram; energy-per-chunk is the
+    * codec-independent baseline): split the n samples into 64
+    * integer-boundary chunks (i ∈ [b·n/64, (b+1)·n/64)), sum s² per
+    * chunk, set bit b iff the chunk's MEAN energy ≥ the global mean —
+    * exact integer cross-multiplication (e_b · n ≥ totalE · n_b), so
+    * the oracle predicts every bit from the synthesis rule. Emitted
+    * as 32-bit halves for [[graft.operators.Dedup.hammingPairs64]].
+    * Narrow partition-local kernel; payloads never shuffle. */
+  def audioFingerprint(payloads: DataFrame): DataFrame = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.as[MediaPayload].mapPartitions { it =>
+      it.map { p =>
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new ByteArrayInputStream(p.payload))
+        try {
+          require(in.getFormat.getSampleSizeInBits == 16 &&
+            in.getFormat.getChannels == 1, s"expected PCM16 mono for doc ${p.doc_id}")
+          val n = in.getFrameLength.toInt
+          val bytes = new Array[Byte](n * 2)
+          readFully(in, bytes)
+          val e = new Array[Long](64)
+          val nb = new Array[Long](64)
+          var b = 0
+          while (b < 64) {
+            val i0 = b * n / 64; val i1 = (b + 1) * n / 64
+            var s = 0L
+            var i = i0
+            while (i < i1) {
+              val v = ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)).toShort.toLong
+              s += v * v
+              i += 1
+            }
+            e(b) = s; nb(b) = (i1 - i0).toLong
+            b += 1
+          }
+          val totalE = e.sum
+          var hi = 0L; var lo = 0L
+          b = 0
+          while (b < 64) {
+            if (e(b) * n >= totalE * nb(b)) {
+              if (b < 32) lo |= 1L << b else hi |= 1L << (b - 32)
+            }
+            b += 1
+          }
+          PHash(p.doc_id, hi, lo)
+        } finally in.close()
+      }
+    }.toDF().withColumnRenamed("phash_hi", "fp_hi")
+      .withColumnRenamed("phash_lo", "fp_lo")
   }
 
   /** REAL windowed audio features over decoded PCM: fixed

@@ -1014,6 +1014,17 @@ object ExtensionCatalog {
         Multimodal.asCellGridPayload(Tables.documents(s, d), "text", "doc_id")),
       "doc_id", "phash_hi", "phash_lo")
 
+  /** Audio near-dup PAIRS — the third leg of the multimodal dedup
+    * triad (text simhash, image phash, audio fingerprint): 64-chunk
+    * energy fingerprints over real decoded PCM (seed bucketed mod 32
+    * so true dups exist), then the same pigeonhole hamming join. */
+  val mmAudioPairs: Q = (s, d) =>
+    Dedup.hammingPairs64(
+      Multimodal.audioFingerprint(
+        Multimodal.asWavPayload(Tables.documents(s, d), "text", "doc_id",
+          seedMod = 32)),
+      "doc_id", "fp_hi", "fp_lo")
+
   /** REAL audio decode over synthesized RIFF/WAVE payloads (PCM16LE
     * mono @ 8 kHz, sample count from text byte length): the JDK's
     * `javax.sound.sampled` WAV reader reports what the container

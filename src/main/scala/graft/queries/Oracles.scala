@@ -1089,6 +1089,44 @@ object Oracles {
         |  CAST(bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) AS BIGINT) AS dist
         |FROM fm
         |WHERE bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) <= 6""".stripMargin,
+    // audio-fingerprint-pair twin: rebuild each mod-32-seeded PCM's
+    // 64-chunk energy bits analytically (e_b·n >= totalE·n_b), then
+    // the same 8-chunk pigeonhole with first-match emission
+    "mm_audio_pairs" ->
+      """WITH p AS (SELECT doc_id, 256 + strlen(text) % 1024 AS n,
+        |    doc_id % 32 AS m FROM documents),
+        |e AS (SELECT doc_id, n, b, (b + 1) * n // 64 - b * n // 64 AS nb,
+        |    CAST((b + 1) * n // 64 - b * n // 64 AS BIGINT)
+        |      * (((m * 977 + b * 53) % 256) * 128) * (((m * 977 + b * 53) % 256) * 128) AS eb
+        |  FROM p, generate_series(0, 63) g(b)),
+        |t AS (SELECT doc_id, CAST(sum(eb) AS BIGINT) AS te FROM e GROUP BY 1),
+        |bits AS (SELECT e.doc_id, b,
+        |    CASE WHEN eb * n >= te * nb THEN 1 ELSE 0 END AS bit
+        |  FROM e JOIN t USING (doc_id)),
+        |hs AS (SELECT doc_id,
+        |    CAST(sum(CASE WHEN b >= 32
+        |      THEN bit * (CAST(1 AS BIGINT) << (b - 32)) ELSE 0 END) AS BIGINT) AS hi,
+        |    CAST(sum(CASE WHEN b < 32
+        |      THEN bit * (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS lo
+        |  FROM bits GROUP BY doc_id),
+        |ch AS (SELECT doc_id, hi, lo, c,
+        |    CASE WHEN c < 4 THEN (lo >> (c * 8)) & 255
+        |      ELSE (hi >> ((c - 4) * 8)) & 255 END AS cval
+        |  FROM hs, generate_series(0, 7) g(c)),
+        |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.c,
+        |    a.hi AS ha, a.lo AS la, b.hi AS hb, b.lo AS lb
+        |  FROM ch a JOIN ch b ON a.c = b.c AND a.cval = b.cval
+        |    AND a.doc_id < b.doc_id),
+        |fm AS (SELECT * FROM cand x WHERE NOT EXISTS (
+        |  SELECT 1 FROM generate_series(0, 7) g(c2) WHERE c2 < x.c AND
+        |    (CASE WHEN c2 < 4 THEN (x.la >> (c2 * 8)) & 255
+        |      ELSE (x.ha >> ((c2 - 4) * 8)) & 255 END)
+        |    = (CASE WHEN c2 < 4 THEN (x.lb >> (c2 * 8)) & 255
+        |      ELSE (x.hb >> ((c2 - 4) * 8)) & 255 END)))
+        |SELECT id_a, id_b,
+        |  CAST(bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) AS BIGINT) AS dist
+        |FROM fm
+        |WHERE bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) <= 6""".stripMargin,
     // real-audio-decode twin: predicts what a correct javax.sound WAV
     // decode of the synthesized PCM16LE/mono/8kHz container must say
     "mm_audio_meta" ->

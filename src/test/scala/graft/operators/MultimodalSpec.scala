@@ -152,6 +152,37 @@ class MultimodalSpec extends SparkSpec {
     assert((got(7L).phash_lo, got(7L).phash_hi) != (0xffffffffL, 0xffffffffL))
   }
 
+  test("audioFingerprint: real-PCM energy bits match the analytic rule; same-bucket audio collides") {
+    // docs 2 and 34 share doc_id % 32 = 2 at equal byte length ->
+    // identical stepped-amplitude PCM -> identical fingerprints
+    val aud = Seq((2L, "q" * 30), (34L, "r" * 30), (9L, "abc " * 60))
+      .toDF("doc_id", "text")
+    val got = Multimodal.audioFingerprint(
+        Multimodal.asWavPayload(aud, "text", "doc_id", seedMod = 32))
+      .as[(Long, Long, Long)].collect().map(p => p._1 -> (p._2, p._3)).toMap
+    assert(got(2L) == got(34L), "identical audio must collide")
+    // analytic replica: e_b = nb * (A_b*128)^2, A_b = (m*977+b*53)%256
+    def predicted(docId: Long, byteLen: Long): (Long, Long) = {
+      val n = (256 + byteLen % 1024).toInt
+      val m = docId % 32
+      val nb = Array.tabulate(64)(b => ((b + 1) * n / 64 - b * n / 64).toLong)
+      val e = Array.tabulate(64) { b =>
+        val a = ((m * 977 + b * 53) % 256) * 128
+        nb(b) * a * a
+      }
+      val te = e.sum
+      var hi = 0L; var lo = 0L
+      for (b <- 0 until 64) if (e(b) * n >= te * nb(b)) {
+        if (b < 32) lo |= 1L << b else hi |= 1L << (b - 32)
+      }
+      (hi, lo)
+    }
+    Seq(2L -> 30L, 9L -> 240L).foreach { case (id, len) =>
+      assert(got(id) == predicted(id, len),
+        s"doc $id: real fingerprint ${got(id)} != predicted ${predicted(id, len)}")
+    }
+  }
+
   test("asWavPayload emits a real RIFF/WAVE container javax.sound decodes") {
     val meta = Multimodal.decodeAudio(
         Multimodal.asWavPayload(docs, "text", "doc_id"))
