@@ -163,7 +163,9 @@ object SparkEntry {
     "mm_phash_pairs" -> ExtensionCatalog.mmPhashPairs,
     "mm_audio_meta" -> ExtensionCatalog.mmAudioMeta,
     "mm_audio_windows" -> ExtensionCatalog.mmAudioWindows,
-    "mm_audio_pairs" -> ExtensionCatalog.mmAudioPairs
+    "mm_audio_pairs" -> ExtensionCatalog.mmAudioPairs,
+    // iterative graph analytics
+    "g_pagerank" -> ExtensionCatalog.gPagerank
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

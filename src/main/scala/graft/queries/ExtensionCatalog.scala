@@ -1041,4 +1041,27 @@ object ExtensionCatalog {
   val mmAudioWindows: Q = (s, d) =>
     Multimodal.audioWindows(
       Multimodal.asWavPayload(Tables.documents(s, d), "text", "doc_id"))
+
+  // ----------------------------------------------------------------- graph
+
+  /** Integer-exact PageRank over the customer↔supplier trade graph
+    * (who trades with well-connected counterparties): the distinct
+    * (customer, supplier) pairs observed through orders+lineitem,
+    * both directions, with customers and suppliers disambiguated into
+    * one node space as 2k / 2k+1. Five rounds of
+    * [[graft.operators.Graph.pageRankMicro]] — each one edge-
+    * partitioned join + one map-side-combinable sum, rank values exact
+    * integer micro-units, so the DuckDB twin (the same five rounds as
+    * unrolled CTEs) matches to the bit. */
+  val gPagerank: Q = (s, d) => {
+    val pairs = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+      .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("sn"))
+      .distinct()
+    val edges = pairs.select(col("c").as("src"), col("sn").as("dst"))
+      .union(pairs.select(col("sn").as("src"), col("c").as("dst")))
+    graft.operators.Graph.pageRankMicro(edges, "src", "dst", iterations = 5)
+      .select(col("node"), col("r").as("rank_micro"))
+  }
 }

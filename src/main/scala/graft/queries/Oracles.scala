@@ -502,7 +502,33 @@ object Oracles {
         |  JOIN nation ON s_nationkey = n_nationkey""".stripMargin
   )
 
+  /** g_pagerank twin: the same five integer-exact rounds as unrolled
+    * CTEs (standard SQL forbids aggregation in a recursive CTE member,
+    * so the fixed iteration count unrolls mechanically). `//` is
+    * DuckDB's floor division — the twin of Spark's `div` for the
+    * all-positive rank/degree operands. */
+  private def prRound(i: Int): String =
+    s"""r$i AS (SELECT n.node,
+       |  CAST(150000 + coalesce(sum(q.c), 0) AS BIGINT) AS r
+       |  FROM nodes n LEFT JOIN (
+       |    SELECT e.dst, (85 * r.r) // (100 * d.outdeg) AS c
+       |    FROM edges e JOIN deg d ON e.src = d.src
+       |      JOIN r${i - 1} r ON e.src = r.node) q ON q.dst = n.node
+       |  GROUP BY 1)""".stripMargin
+
+  private val pagerankSql: String =
+    s"""WITH pairs AS (SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS sn
+       |    FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |edges AS (SELECT c AS src, sn AS dst FROM pairs
+       |  UNION ALL SELECT sn AS src, c AS dst FROM pairs),
+       |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1),
+       |nodes AS (SELECT DISTINCT src AS node FROM edges),
+       |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+       |${(1 to 5).map(prRound).mkString(",\n")}
+       |SELECT node, r AS rank_micro FROM r5""".stripMargin
+
   val all: Map[String, String] = tpchSql ++ Map(
+    "g_pagerank" -> pagerankSql,
     "p1_buy_sell" ->
       "SELECT event_id, CASE WHEN value > 100.0 THEN 'BUY' ELSE 'SELL' END AS decision FROM events",
     "p2_contains_all" ->
