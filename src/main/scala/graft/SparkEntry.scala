@@ -165,7 +165,8 @@ object SparkEntry {
     "mm_audio_windows" -> ExtensionCatalog.mmAudioWindows,
     "mm_audio_pairs" -> ExtensionCatalog.mmAudioPairs,
     // iterative graph analytics
-    "g_pagerank" -> ExtensionCatalog.gPagerank
+    "g_pagerank" -> ExtensionCatalog.gPagerank,
+    "g_bfs" -> ExtensionCatalog.gBfs
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -59,4 +59,37 @@ object Graph {
     }
     ranks
   }
+
+  /** Bounded multi-source BFS: minimum hop distance from `seeds`
+    * (a one-column node frame) along directed `edges`, up to
+    * `maxHops` rounds. Frontier-based — each round expands ONLY the
+    * nodes first discovered in the previous round (an anti join
+    * against the settled set), so per-round cost tracks the frontier,
+    * not the reached set: the naive re-propagate-everything form does
+    * Θ(reached · degree) work per round and loses by the hop count at
+    * scale. First discovery IS the minimum hop distance (BFS
+    * invariant), so the settled set never needs revisiting. Nodes
+    * unreached within `maxHops` are absent from the result (callers
+    * left-join their universe for ∞ semantics). */
+  def shortestHops(edges: DataFrame, srcCol: String, dstCol: String,
+                   seeds: DataFrame, maxHops: Int = 4): DataFrame = {
+    require(maxHops >= 1)
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")).localCheckpoint()
+    var dist = seeds.toDF("node").select(col("node").cast("long"))
+      .distinct().withColumn("d", lit(0L)).localCheckpoint()
+    var frontier = dist
+    var hop = 1
+    while (hop <= maxHops && !frontier.isEmpty) {
+      frontier = e.join(frontier, col("src") === col("node"))
+        .select(col("dst").as("node"), (col("d") + 1).as("d"))
+        .groupBy(col("node")).agg(min(col("d")).as("d"))
+        .join(dist.select(col("node").as("seen")),
+          col("node") === col("seen"), "left_anti")
+        .localCheckpoint()
+      dist = dist.union(frontier).localCheckpoint()
+      hop += 1
+    }
+    dist
+  }
 }

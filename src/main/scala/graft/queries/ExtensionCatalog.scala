@@ -1053,15 +1053,33 @@ object ExtensionCatalog {
     * partitioned join + one map-side-combinable sum, rank values exact
     * integer micro-units, so the DuckDB twin (the same five rounds as
     * unrolled CTEs) matches to the bit. */
-  val gPagerank: Q = (s, d) => {
+  /** The customer↔supplier trade graph: distinct (customer, supplier)
+    * pairs observed through orders+lineitem, both directions, the two
+    * id spaces disambiguated into one node space as 2k / 2k+1. */
+  private def tradeEdges(s: SparkSession, d: String): DataFrame = {
     val pairs = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
       .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
         col("l_orderkey") === col("o_orderkey"))
       .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("sn"))
       .distinct()
-    val edges = pairs.select(col("c").as("src"), col("sn").as("dst"))
+    pairs.select(col("c").as("src"), col("sn").as("dst"))
       .union(pairs.select(col("sn").as("src"), col("c").as("dst")))
-    graft.operators.Graph.pageRankMicro(edges, "src", "dst", iterations = 5)
+  }
+
+  val gPagerank: Q = (s, d) =>
+    graft.operators.Graph.pageRankMicro(tradeEdges(s, d), "src", "dst",
+        iterations = 5)
       .select(col("node"), col("r").as("rank_micro"))
+
+  /** Bounded multi-source BFS over the trade graph: minimum hop
+    * distance from NATION_0's suppliers (frontier-based — per-round
+    * cost tracks the newly-discovered set, see
+    * [[graft.operators.Graph.shortestHops]]); nodes unreached within
+    * 4 hops are absent, exactly as in the unrolled-CTE oracle. */
+  val gBfs: Q = (s, d) => {
+    val seeds = Tables.supplier(s, d).filter(col("s_nationkey") === 0)
+      .select((col("s_suppkey") * 2 + 1).as("node"))
+    graft.operators.Graph.shortestHops(tradeEdges(s, d), "src", "dst",
+      seeds, maxHops = 4)
   }
 }

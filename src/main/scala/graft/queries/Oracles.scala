@@ -527,8 +527,29 @@ object Oracles {
        |${(1 to 5).map(prRound).mkString(",\n")}
        |SELECT node, r AS rank_micro FROM r5""".stripMargin
 
+  /** g_bfs twin: min-hop from NATION_0 suppliers as four unrolled
+    * min-union rounds (the naive form — the Spark side's frontier
+    * optimization must be invisible in the result). */
+  private def bfsRound(i: Int): String =
+    s"""d$i AS (SELECT node, min(d) AS d FROM (
+       |  SELECT node, d FROM d${i - 1}
+       |  UNION ALL
+       |  SELECT e.dst AS node, p.d + 1 AS d
+       |  FROM edges e JOIN d${i - 1} p ON e.src = p.node) GROUP BY 1)""".stripMargin
+
+  private val bfsSql: String =
+    s"""WITH pairs AS (SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS sn
+       |    FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |edges AS (SELECT c AS src, sn AS dst FROM pairs
+       |  UNION ALL SELECT sn AS src, c AS dst FROM pairs),
+       |d0 AS (SELECT DISTINCT s_suppkey * 2 + 1 AS node, CAST(0 AS BIGINT) AS d
+       |  FROM supplier WHERE s_nationkey = 0),
+       |${(1 to 4).map(bfsRound).mkString(",\n")}
+       |SELECT node, CAST(d AS BIGINT) AS d FROM d4""".stripMargin
+
   val all: Map[String, String] = tpchSql ++ Map(
     "g_pagerank" -> pagerankSql,
+    "g_bfs" -> bfsSql,
     "p1_buy_sell" ->
       "SELECT event_id, CASE WHEN value > 100.0 THEN 'BUY' ELSE 'SELL' END AS decision FROM events",
     "p2_contains_all" ->

@@ -44,4 +44,23 @@ class GraphSpec extends SparkSpec {
     assert(a(1L) > a(2L) * 4, "the hub must dominate the spokes")
     assert((2L to 9L).map(a).distinct.size == 1, "symmetric spokes must tie exactly")
   }
+
+  test("shortestHops: bounded BFS on a path, unreached nodes absent") {
+    import spark.implicits._
+    val path = (1L to 5L).flatMap(i => Seq((i, i + 1), (i + 1, i)))
+    val got = Graph.shortestHops(path.toDF("src", "dst"), "src", "dst",
+        Seq(1L).toDF("node"), maxHops = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L),
+      s"nodes 5,6 lie beyond 3 hops and must be absent: $got")
+  }
+
+  test("shortestHops: multi-source takes the minimum over seeds") {
+    import spark.implicits._
+    val path = (1L to 5L).flatMap(i => Seq((i, i + 1), (i + 1, i)))
+    val got = Graph.shortestHops(path.toDF("src", "dst"), "src", "dst",
+        Seq(1L, 6L).toDF("node"), maxHops = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 2L, 5L -> 1L, 6L -> 0L))
+  }
 }
