@@ -36,14 +36,37 @@ object Graph {
     * contract). Returns (node, r) with r in micro-units after
     * `iterations` rounds from a uniform 1 000 000 start.
     */
+  /** Pins `canChangeCachedPlanOutputPartitioning=false` around `body`:
+    * a cached frame's partitioning is usable by the outer planner only
+    * when AQE is barred from re-shaping the cached plan's output
+    * (Spark 4 default allows it), AND the cache is materialized before
+    * the consuming join is planned — both halves handled by callers
+    * building their edge cache through this. */
+  private def withStableCachePartitioning[T](spark: org.apache.spark.sql.SparkSession)
+                                            (body: => T): T = {
+    val key = "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try body finally spark.conf.set(key, prev)
+  }
+
   def pageRankMicro(edges: DataFrame, srcCol: String, dstCol: String,
                     iterations: Int = 5, dampingPct: Int = 85): DataFrame = {
     require(iterations >= 1 && dampingPct > 0 && dampingPct < 100)
+    withStableCachePartitioning(edges.sparkSession) {
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    // (src, dst, outdeg) computed once, reused every iteration
-    val ed = e.join(deg, "src").localCheckpoint()
+    // (src, dst, outdeg) computed once, HASH-PARTITIONED ON src once,
+    // cached and MATERIALIZED before any round is planned: the rounds'
+    // edges⋈ranks joins then see the cache's HashPartitioning(src) and
+    // exchange ONLY the rank vector (|V| rows) — never the edge list
+    // (|E| rows). localCheckpoint would NOT work here: under AQE it
+    // snapshots UnknownPartitioning before the plan finalizes, and
+    // every round re-shuffles the static edges (plan-gated in
+    // GraphSpec; the nodes checkpoint below doubles as the
+    // materializing action).
+    val ed = e.join(deg, "src").repartition(col("src")).persist()
     val nodes = ed.select(col("src").as("node")).distinct().localCheckpoint()
     val teleportMicro = (100L - dampingPct) * 10000L
     var ranks = nodes.withColumn("r", lit(1000000L))
@@ -57,7 +80,11 @@ object Graph {
           (lit(teleportMicro) + coalesce(col("cs"), lit(0L))).as("r"))
         .localCheckpoint()
     }
+    // the returned ranks are checkpoint-materialized — the cached
+    // edge frame is no longer referenced
+    ed.unpersist()
     ranks
+    }
   }
 
   /** Bounded multi-source BFS: minimum hop distance from `seeds`
@@ -74,8 +101,14 @@ object Graph {
   def shortestHops(edges: DataFrame, srcCol: String, dstCol: String,
                    seeds: DataFrame, maxHops: Int = 4): DataFrame = {
     require(maxHops >= 1)
+    withStableCachePartitioning(edges.sparkSession) {
+    // partitioned on src once, cached and materialized before round 1
+    // is planned (see pageRankMicro), so each round's frontier
+    // expansion exchanges only the frontier
     val e = edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst")).localCheckpoint()
+      col(dstCol).cast("long").as("dst"))
+      .repartition(col("src")).persist()
+    e.count()
     var dist = seeds.toDF("node").select(col("node").cast("long"))
       .distinct().withColumn("d", lit(0L)).localCheckpoint()
     var frontier = dist
@@ -90,6 +123,8 @@ object Graph {
       dist = dist.union(frontier).localCheckpoint()
       hop += 1
     }
+    e.unpersist()
     dist
+    }
   }
 }

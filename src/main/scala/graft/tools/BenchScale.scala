@@ -408,14 +408,79 @@ object BenchScale {
     println(s"""{"metric":"mm_scale","rungs":$rungJson}""")
   }
 
+  /** Graph-family ladder: PageRank (5 rounds) + bounded BFS on a
+    * generated graph whose edge count scales while average degree
+    * stays fixed (~16 after symmetrization) — per-round PageRank work
+    * is Θ(|E|), so wall time must grow ~linearly in edges; the fitted
+    * log-log exponent hard-gates at 1.4. 10 % of edges re-target a
+    * √n hub set, planting the degree skew a uniform graph wouldn't
+    * have (the map-side combine must absorb it — hub contributions
+    * partial-aggregate before the shuffle). BFS from 10 seeds must
+    * settle ≥ 95 % of nodes within 4 hops (supercritical uniform
+    * graph at degree 16 — a frontier bug shows up as coverage
+    * collapse, not just slowness). */
+  private def graphLadder(spark: SparkSession, sizes: Seq[Long],
+                          maxTaskMs: java.util.concurrent.atomic.AtomicLong): Unit = {
+    val rungs = sizes.map { m =>
+      val n = math.max(m / 8, 100L)
+      val hubs = math.max(math.sqrt(n.toDouble).toLong, 1L)
+      // deterministic edge list: uniform src, 90% uniform dst / 10%
+      // hub dst, symmetrized; self-loops harmless (PageRank keeps
+      // them as mass retention, BFS ignores them)
+      val half = spark.range(m).selectExpr(
+        s"pmod(xxhash64('s', id), $n) AS src",
+        s"""CASE WHEN id % 10 = 0 THEN pmod(xxhash64('h', id), $hubs)
+           |  ELSE pmod(xxhash64('d', id), $n) END AS dst""".stripMargin)
+      val dir = s"/tmp/graft_scale/graph_$m"
+      half.union(half.selectExpr("dst AS src", "src AS dst"))
+        .write.mode("overwrite").parquet(dir) // untimed setup
+      val edges = spark.read.parquet(dir)
+      maxTaskMs.set(0)
+      val t0 = System.nanoTime()
+      val ranks = graft.operators.Graph.pageRankMicro(edges, "src", "dst",
+        iterations = 5)
+      val (nNodes, totalMass) = {
+        val r = ranks.agg(count(lit(1)), sum(col("r"))).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      val prSec = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val seeds = spark.range(10).select(col("id").as("node"))
+      val reached = graft.operators.Graph.shortestHops(edges, "src", "dst",
+        seeds, maxHops = 4).count()
+      val bfsSec = (System.nanoTime() - t1) / 1e9
+      val coverage = reached.toDouble / nNodes
+      println(f"""{"edges":${2 * m},"nodes":$nNodes,"pagerank_sec":$prSec%.2f,"bfs_sec":$bfsSec%.2f,"bfs_coverage":$coverage%.4f,"max_task_sec":${maxTaskMs.get() / 1e3}%.2f,"mass":$totalMass}""")
+      require(coverage >= 0.95,
+        f"BFS settled only $coverage%.3f of nodes in 4 hops — frontier bug")
+      // floor-truncated mass only leaks: per-round bounds are
+      // teleport·n ≤ mass ≤ n·10⁶
+      require(totalMass >= 150000L * nNodes && totalMass <= 1000000L * nNodes,
+        s"rank mass $totalMass outside [0.15n, n] micro-units — arithmetic bug")
+      (m, prSec)
+    }
+    if (sizes.size >= 2) {
+      val xs = rungs.map { case (m, _) => math.log(m.toDouble) }
+      val ys = rungs.map { case (_, s) => math.log(s) }
+      val (mx, my) = (xs.sum / xs.size, ys.sum / ys.size)
+      val exponent = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum /
+        xs.map(x => (x - mx) * (x - mx)).sum
+      println(f"""{"metric":"graph_scale","pagerank_exponent":$exponent%.3f}""")
+      require(exponent <= 1.4,
+        f"PageRank wall grows super-linearly in edges: exponent $exponent%.3f > 1.4")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val annMode = args.headOption.contains("ann")
     val mmMode = args.headOption.contains("mm")
     val pqMode = args.headOption.contains("pq")
     val ivfPqMode = args.headOption.contains("ivfpq")
     val semMode = args.headOption.contains("semdedup")
+    val graphMode = args.headOption.contains("graph")
     val sizeArgs =
-      if (annMode || mmMode || pqMode || ivfPqMode || semMode) args.drop(1) else args
+      if (annMode || mmMode || pqMode || ivfPqMode || semMode || graphMode)
+        args.drop(1) else args
     val sizes =
       if (sizeArgs.nonEmpty) sizeArgs(0).split(",").map(_.trim.toLong).toSeq
       else if (annMode) Seq(20000L, 100000L, 500000L)
@@ -423,6 +488,7 @@ object BenchScale {
       else if (ivfPqMode) Seq(2000000L, 5000000L)
       else if (pqMode) Seq(100000L, 500000L, 2000000L)
       else if (semMode) Seq(500000L, 1000000L, 2000000L)
+      else if (graphMode) Seq(1000000L, 4000000L, 16000000L)
       else Seq(5000L, 10000L, 20000L, 50000L)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -473,6 +539,7 @@ object BenchScale {
       ivfPqLadder(spark, sizes, maxTaskMs, nQueries); spark.stop(); return
     }
     if (semMode) { semDedupLadder(spark, sizes, maxTaskMs); spark.stop(); return }
+    if (graphMode) { graphLadder(spark, sizes, maxTaskMs); spark.stop(); return }
 
     val rungs = sizes.map { n =>
       val dir = s"/tmp/graft_scale/docs_$n"

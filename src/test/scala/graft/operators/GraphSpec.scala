@@ -1,5 +1,7 @@
 package graft.operators
 
+import org.apache.spark.sql.functions.col
+
 import graft.streaming.SparkSpec
 
 /** [[Graph.pageRankMicro]] against an independent in-memory reference
@@ -43,6 +45,46 @@ class GraphSpec extends SparkSpec {
     assert(a == b, "reruns must be bit-identical")
     assert(a(1L) > a(2L) * 4, "the hub must dominate the spokes")
     assert((2L to 9L).map(a).distinct.size == 1, "symmetric spokes must tie exactly")
+  }
+
+  test("checkpointed edge partitioning survives: per-round join exchanges only the rank side") {
+    import spark.implicits._
+    // the mechanism pageRankMicro/shortestHops lean on: repartition on
+    // the join key + localCheckpoint yields a frame whose
+    // outputPartitioning satisfies the join's requirement, so joining
+    // a small frame against it shuffles ONLY the small frame
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevCache = spark.conf
+      .get("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning")
+    try {
+      // disable broadcast so the join REQUIRES hash partitioning —
+      // the question under test is whether the cached side already
+      // satisfies it. Spark 4 runs AQE on cached plans by default,
+      // which hides their partitioning from the outer planner; pin it
+      // off (the same pin pageRankMicro applies for its rounds)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set(
+        "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "false")
+      val edges = (1L to 1000L).map(i => (i % 50, i)).toDF("src", "dst")
+        .repartition(col("src")).persist()
+      edges.count() // materialize: partitioning is knowable only once the cached AQE plan is final
+      val ranks = (0L to 49L).map(n => (n, n * 100)).toDF("node", "r")
+      val joined = edges.join(ranks, col("src") === col("node"))
+      val plan = joined.queryExecution.executedPlan.toString
+      // the cached plan's own one-time REPARTITION_BY_COL prints as
+      // part of the InMemoryRelation subtree — the gate is on
+      // JOIN-TIME exchanges (ENSURE_REQUIREMENTS): the rank side gets
+      // one, the edge side must get none
+      assert("Exchange hashpartitioning\\(node[^\n]*ENSURE_REQUIREMENTS".r
+        .findAllIn(plan).nonEmpty
+        && "Exchange hashpartitioning\\(src[^\n]*ENSURE_REQUIREMENTS".r
+          .findAllIn(plan).isEmpty,
+        s"edge side re-shuffled at join time — cache lost its partitioning:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.set(
+        "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", prevCache)
+    }
   }
 
   test("shortestHops: bounded BFS on a path, unreached nodes absent") {
