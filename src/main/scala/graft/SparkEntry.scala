@@ -40,6 +40,7 @@ object SparkEntry {
     "w_moving_avg" -> QueryCatalog.wMovingAvg,
     "w_ntile" -> QueryCatalog.wNtile,
     "w_cume_dist" -> QueryCatalog.wCumeDist,
+    "w_range_frame" -> QueryCatalog.wRangeFrame,
     "agg_corr" -> QueryCatalog.aggCorr,
     "a4_ema_final" -> QueryCatalog.a4EmaFinal,
     "a7_session_window" -> QueryCatalog.a7SessionWindow,

@@ -550,6 +550,16 @@ object Oracles {
   val all: Map[String, String] = tpchSql ++ Map(
     "g_pagerank" -> pagerankSql,
     "g_bfs" -> bfsSql,
+    // trailing event-time RANGE frame: same integer epoch-micros
+    // order key and bounds as the Spark window ((t-1h, t] via the
+    // 3599999999-preceding integer bound)
+    "w_range_frame" ->
+      """SELECT event_id,
+        |  count(*) OVER w AS n_hour,
+        |  sum(CAST(round(value * 100) AS BIGINT)) OVER w / 100.0 AS total_hour
+        |FROM (SELECT event_id, user_id, epoch_us(ts) AS us, value FROM events)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY us
+        |  RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW)""".stripMargin,
     "p1_buy_sell" ->
       "SELECT event_id, CASE WHEN value > 100.0 THEN 'BUY' ELSE 'SELL' END AS decision FROM events",
     "p2_contains_all" ->

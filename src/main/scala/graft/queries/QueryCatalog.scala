@@ -212,6 +212,25 @@ object QueryCatalog {
       col("n_chars"), ntile(10).over(w).as("decile"))
   }
 
+  /** §2.6 — trailing RANGE frame: per-user totals over the last hour
+    * of EVENT TIME (all rows whose timestamp falls in (t−1h, t]) —
+    * the value-bounded frame ROWS BETWEEN cannot express when event
+    * spacing varies. Ordered by the exact integer epoch-micros, so
+    * the frame bound arithmetic is integer on both engines, and
+    * RANGE semantics include ALL tied timestamps regardless of
+    * tiebreak — deterministic by construction. Same one-sort-per-key
+    * scale shape as every analytic window here. */
+  val wRangeFrame: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+      .rangeBetween(-3600000000L + 1, Window.currentRow)
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .select(col("event_id"),
+        count(lit(1)).over(w).as("n_hour"),
+        (sum(col("cents")).over(w) / 100.0).as("total_hour"))
+  }
+
   /** Distribution-position analytics (cume_dist / percent_rank) per
     * language over the (n_chars, doc_id) total order — the
     * percentile-gate primitive (keep docs above the p40 quality mark,
