@@ -25,6 +25,12 @@ import org.apache.spark.sql.functions._
   * iteration's rank frame is truncated too, so the iterated plan stays
   * constant-size. Rank magnitudes are bounded by 0.85 × total mass ≈
   * 0.85·n·10⁶ — a long overflows only past ~10¹² nodes.
+  *
+  * BATCH-ONLY by contract: both kernels are multi-pass fixpoints over
+  * a static edge set, which Structured Streaming's single-pass
+  * incremental model cannot express — the streaming analog is a
+  * periodic re-run over an edge-table snapshot (foreachBatch), not an
+  * operator twin.
   */
 object Graph {
 

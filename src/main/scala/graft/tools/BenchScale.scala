@@ -471,6 +471,84 @@ object BenchScale {
     }
   }
 
+  /** Headline-query throughput ladder: the three canonical TPC-H plan
+    * shapes (scan→agg q1, fact⋈fact join+agg q18-having, semi q4) on
+    * GENERATED lineitem/orders at multiples of the sf0.1 row count —
+    * the direct measurement behind "would this survive a 100×
+    * scale-up": wall must grow ~linearly in rows (fitted exponent
+    * hard-gated ≤ 1.3 per shape). Synthesis is uniform (throughput is
+    * the question, not selectivity), deterministic, and written to
+    * parquet untimed so every rung measures scan→execute, not
+    * generation. */
+  private def tpchLadder(spark: SparkSession, sizes: Seq[Long],
+                         maxTaskMs: java.util.concurrent.atomic.AtomicLong): Unit = {
+    import org.apache.spark.sql.functions._
+    val rungs = sizes.map { n =>
+      val dir = s"/tmp/graft_scale/tpch_$n"
+      val nOrders = math.max(n / 4, 1L)
+      spark.range(n).selectExpr(
+        s"pmod(xxhash64('o', id), $nOrders) AS l_orderkey",
+        "cast(1 + pmod(xxhash64('q', id), 50) AS double) AS l_quantity",
+        "cast(pmod(xxhash64('p', id), 10000000) AS double) / 100.0 AS l_extendedprice",
+        "cast(pmod(xxhash64('d', id), 11) AS double) / 100.0 AS l_discount",
+        "CASE pmod(xxhash64('f', id), 3) WHEN 0 THEN 'A' WHEN 1 THEN 'N' ELSE 'R' END AS l_returnflag",
+        "timestamp_micros(1500000000000000 + pmod(xxhash64('t', id), 100000000) * 1000000) AS l_shipdate")
+        .write.mode("overwrite").parquet(s"$dir/lineitem")
+      spark.range(nOrders).selectExpr(
+        "id AS o_orderkey",
+        "timestamp_micros(1500000000000000 + pmod(xxhash64('ot', id), 100000000) * 1000000) AS o_orderdate",
+        "CASE pmod(xxhash64('op', id), 5) WHEN 0 THEN '1-URGENT' ELSE '3-MEDIUM' END AS o_orderpriority")
+        .write.mode("overwrite").parquet(s"$dir/orders")
+      val li = spark.read.parquet(s"$dir/lineitem")
+      val o = spark.read.parquet(s"$dir/orders")
+      def time(f: => Unit): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      // untimed warmup: JVM + codegen + parquet-footer first-touch
+      // otherwise lands entirely on the smallest rung's q1 and skews
+      // the fitted exponent downward
+      li.limit(1000).groupBy(col("l_returnflag")).count()
+        .write.format("noop").mode("overwrite").save()
+      maxTaskMs.set(0)
+      val q1 = time {
+        li.filter(col("l_shipdate") <= lit("2003-01-01"))
+          .groupBy(col("l_returnflag"))
+          .agg(sum(round(col("l_extendedprice") * 100).cast("long")),
+            round(avg(col("l_quantity")), 4), count(lit(1)))
+          .write.format("noop").mode("overwrite").save()
+      }
+      val q18 = time {
+        val big = li.groupBy(col("l_orderkey"))
+          .agg(sum(col("l_quantity")).as("tq")).filter(col("tq") > 160)
+        o.join(big, col("o_orderkey") === col("l_orderkey"))
+          .orderBy(col("tq").desc, col("o_orderkey")).limit(100)
+          .write.format("noop").mode("overwrite").save()
+      }
+      val q4 = time {
+        o.join(li.select(col("l_orderkey"), col("l_shipdate")),
+            col("o_orderkey") === col("l_orderkey") &&
+              col("l_shipdate") > col("o_orderdate"), "left_semi")
+          .groupBy(col("o_orderpriority")).agg(count(lit(1)))
+          .write.format("noop").mode("overwrite").save()
+      }
+      println(f"""{"rows":$n,"q1_sec":$q1%.2f,"q18_sec":$q18%.2f,"q4_sec":$q4%.2f,"max_task_sec":${maxTaskMs.get() / 1e3}%.2f}""")
+      (n, Seq(q1, q18, q4))
+    }
+    if (sizes.size >= 2) {
+      val names = Seq("q1", "q18", "q4")
+      names.zipWithIndex.foreach { case (nm, i) =>
+        val xs = rungs.map { case (n, _) => math.log(n.toDouble) }
+        val ys = rungs.map { case (_, ts) => math.log(ts(i)) }
+        val (mx, my) = (xs.sum / xs.size, ys.sum / ys.size)
+        val exponent = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum /
+          xs.map(x => (x - mx) * (x - mx)).sum
+        println(f"""{"metric":"tpch_scale","shape":"$nm","exponent":$exponent%.3f}""")
+        require(exponent <= 1.3,
+          f"$nm wall grows super-linearly in rows: exponent $exponent%.3f > 1.3")
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val annMode = args.headOption.contains("ann")
     val mmMode = args.headOption.contains("mm")
@@ -478,8 +556,9 @@ object BenchScale {
     val ivfPqMode = args.headOption.contains("ivfpq")
     val semMode = args.headOption.contains("semdedup")
     val graphMode = args.headOption.contains("graph")
+    val tpchMode = args.headOption.contains("tpch")
     val sizeArgs =
-      if (annMode || mmMode || pqMode || ivfPqMode || semMode || graphMode)
+      if (annMode || mmMode || pqMode || ivfPqMode || semMode || graphMode || tpchMode)
         args.drop(1) else args
     val sizes =
       if (sizeArgs.nonEmpty) sizeArgs(0).split(",").map(_.trim.toLong).toSeq
@@ -489,6 +568,7 @@ object BenchScale {
       else if (pqMode) Seq(100000L, 500000L, 2000000L)
       else if (semMode) Seq(500000L, 1000000L, 2000000L)
       else if (graphMode) Seq(1000000L, 4000000L, 16000000L)
+      else if (tpchMode) Seq(600000L, 6000000L, 24000000L)
       else Seq(5000L, 10000L, 20000L, 50000L)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -540,6 +620,7 @@ object BenchScale {
     }
     if (semMode) { semDedupLadder(spark, sizes, maxTaskMs); spark.stop(); return }
     if (graphMode) { graphLadder(spark, sizes, maxTaskMs); spark.stop(); return }
+    if (tpchMode) { tpchLadder(spark, sizes, maxTaskMs); spark.stop(); return }
 
     val rungs = sizes.map { n =>
       val dir = s"/tmp/graft_scale/docs_$n"
