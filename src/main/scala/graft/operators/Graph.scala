@@ -81,6 +81,10 @@ object Graph {
         .select(col("dst"),
           expr(s"($dampingPct * r) div (100 * outdeg)").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("cs"))
+      // eager per-round checkpoint: truncates lineage so the iterated
+      // plan stays constant-size. (A lazy-checkpoint variant deferring
+      // all rounds into one action was measured NOT faster — the wall
+      // is the computation, not the per-round job barrier.)
       ranks = nodes.join(contribs, col("node") === col("dst"), "left")
         .select(col("node"),
           (lit(teleportMicro) + coalesce(col("cs"), lit(0L))).as("r"))
