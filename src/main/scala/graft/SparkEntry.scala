@@ -83,6 +83,8 @@ object SparkEntry {
     "q4_priority" -> TpchCatalog.q4Priority,
     "q7_trade_flows" -> TpchCatalog.q7TradeFlows,
     "q8_market_share" -> TpchCatalog.q8MarketShare,
+    "q9_profit" -> TpchCatalog.q9Profit,
+    "q20_excess_shippers" -> TpchCatalog.q20ExcessShippers,
     "q10_returns" -> TpchCatalog.q10Returns,
     "q11_share_threshold" -> TpchCatalog.q11ShareThreshold,
     "q12_late_priority" -> TpchCatalog.q12LatePriority,

@@ -460,6 +460,26 @@ object Oracles {
         |    < (SELECT CAST(sum(CAST(round(x.l_quantity) AS BIGINT)) AS BIGINT)
         |       FROM lineitem x JOIN part xp ON x.l_partkey = xp.p_partkey
         |       WHERE xp.p_brand = 'Brand#3' AND x.l_partkey = l.l_partkey)""".stripMargin,
+    "q9_profit" ->
+      """SELECT n_name, year(o_orderdate) AS o_year,
+        |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)
+        |    - CAST(round(p_retailprice * 60) AS BIGINT) * CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+        |    / 100.0 AS profit
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |WHERE p_type = 'ECONOMY'
+        |GROUP BY 1, 2""".stripMargin,
+    "q20_excess_shippers" ->
+      """WITH pq AS (SELECT l_suppkey,
+        |    CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sq
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_type = 'PROMO' GROUP BY 1)
+        |SELECT s_suppkey, s_name, n_name
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE s_suppkey IN (SELECT l_suppkey FROM pq
+        |  WHERE sq * (SELECT count(*) FROM pq) * 20 > (SELECT sum(sq) FROM pq) * 21)""".stripMargin,
     "q19_disjunctive" ->
       """SELECT sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) / 100.0 AS revenue
         |FROM lineitem JOIN part ON l_partkey = p_partkey

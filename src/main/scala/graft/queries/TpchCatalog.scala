@@ -293,6 +293,59 @@ object TpchCatalog {
         .as("avg_yearly"))
   }
 
+  /** TPC-H Q9 shape — product-type profit by supplier nation and
+    * year: profit := discounted revenue − supply cost × quantity,
+    * with unit supply cost derived as 60 % of p_retailprice (the
+    * partsupp.ps_supplycost analog from the available part dim —
+    * the join DAG is the original's: lineitem ⋈ part ⋈ supplier ⋈
+    * nation ⋈ orders). All money in exact integer cents per row
+    * before the sum, so profit (which may be negative) is
+    * bit-stable at any corpus size. */
+  val q9Profit: Q = (s, d) => {
+    val p = Tables.part(s, d).filter(col("p_type") === "ECONOMY")
+      .select(col("p_partkey"),
+        round(col("p_retailprice") * 60).cast("long").as("cost_cents"))
+    Tables.lineitem(s, d)
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(Tables.supplier(s, d)
+          .select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name"), year(col("o_orderdate")).as("o_year"))
+      .agg((sum(discCents
+        - col("cost_cents") * round(col("l_quantity")).cast("long")) / 100.0)
+        .as("profit"))
+  }
+
+  /** TPC-H Q20 shape — excess shippers: suppliers whose total shipped
+    * quantity of PROMO parts exceeds 1.05× the mean per-supplier
+    * total (the availqty > ½ Σqty analog — uniform synthetic data
+    * concentrates per-supplier totals within ~4 % of the mean, so the
+    * classic ×1.5 margin selects nothing at any SF; 1.05 keeps the
+    * witness non-empty everywhere). The nested-IN chain of the
+    * original: part-pruned aggregate → global (Σ, n) as a one-row
+    * broadcast → threshold in decimal(38,0) integers → left-semi join
+    * into the supplier dim. */
+  val q20ExcessShippers: Q = (s, d) => {
+    val promoQty = Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d)
+          .filter(col("p_type") === "PROMO").select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(round(col("l_quantity")).cast("long")).as("sq"))
+    val tot = promoQty.agg(sum(col("sq").cast("decimal(38,0)")).as("gs"),
+      count(lit(1)).cast("decimal(38,0)").as("ns"))
+    val excess = promoQty.join(broadcast(tot),
+        col("sq").cast("decimal(38,0)") * col("ns") * 20 > col("gs") * 21)
+      .select(col("l_suppkey"))
+    Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .join(excess, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"), col("n_name"))
+  }
+
   /** TPC-H Q19 shape — disjunctive brand/size/quantity predicates: the
     * planner extracts the common l_partkey = p_partkey equi key (one
     * broadcast hash join — NEVER a nested loop) and evaluates the
