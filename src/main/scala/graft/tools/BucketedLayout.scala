@@ -28,13 +28,23 @@ import graft.Tables
 object BucketedLayout {
 
   /** Write lineitem + orders bucketed by their join key into the
-    * session catalog as `<prefix>_lineitem` / `<prefix>_orders`. */
+    * session catalog as `<prefix>_lineitem` / `<prefix>_orders`.
+    * Registered as EXTERNAL tables under a fresh temp location:
+    * the session (and its warehouse dir) is typically shared across
+    * callers via getOrCreate, and a managed CREATE collides with any
+    * leftover directory from a previous JVM whose table the fresh
+    * in-memory catalog no longer knows (LOCATION_ALREADY_EXISTS). */
   def writeTradeTables(spark: SparkSession, sfDir: String,
                        numBuckets: Int = 8, prefix: String = "graft_bkt"): Unit = {
+    val base = java.nio.file.Files.createTempDirectory("graft-bucketed").toString
+    spark.sql(s"DROP TABLE IF EXISTS ${prefix}_lineitem")
+    spark.sql(s"DROP TABLE IF EXISTS ${prefix}_orders")
     Tables.lineitem(spark, sfDir).write.format("parquet").mode("overwrite")
+      .option("path", s"$base/lineitem")
       .bucketBy(numBuckets, "l_orderkey").sortBy("l_orderkey")
       .saveAsTable(s"${prefix}_lineitem")
     Tables.orders(spark, sfDir).write.format("parquet").mode("overwrite")
+      .option("path", s"$base/orders")
       .bucketBy(numBuckets, "o_orderkey").sortBy("o_orderkey")
       .saveAsTable(s"${prefix}_orders")
   }
