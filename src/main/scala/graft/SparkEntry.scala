@@ -169,7 +169,10 @@ object SparkEntry {
     "mm_audio_pairs" -> ExtensionCatalog.mmAudioPairs,
     // iterative graph analytics
     "g_pagerank" -> ExtensionCatalog.gPagerank,
-    "g_bfs" -> ExtensionCatalog.gBfs
+    "g_bfs" -> ExtensionCatalog.gBfs,
+    // time-series similarity
+    "ts_sax" -> ExtensionCatalog.tsSax,
+    "ts_motif" -> ExtensionCatalog.tsMotif
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

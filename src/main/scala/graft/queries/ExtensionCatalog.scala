@@ -1082,4 +1082,21 @@ object ExtensionCatalog {
     graft.operators.Graph.shortestHops(tradeEdges(s, d), "src", "dst",
       seeds, maxHops = 4)
   }
+
+  // ----------------------------------------------------------- time series
+
+  /** SAX symbolization of each user's event-value series (Lin et al.
+    * 2003): every full 8-value window, z-normalized and quantized to
+    * a 4-symbol / 4-segment word — the discrete shape key that turns
+    * subsequence-similarity search into hashing. All window stats
+    * from exact integer micro-unit taps; fp steps are identical IEEE
+    * expressions in both engines ([[graft.operators.TimeSeries]]). */
+  val tsSax: Q = (s, d) =>
+    graft.operators.TimeSeries.saxWords(Tables.events(s, d),
+      "user_id", Seq("ts", "event_id"), "value")
+
+  /** Motif per user: the most frequent SAX shape word (ties to the
+    * lexicographically smallest — the agg_mode max(struct) idiom). */
+  val tsMotif: Q = (s, d) =>
+    graft.operators.TimeSeries.motifs(tsSax(s, d), "user_id")
 }

@@ -567,9 +567,49 @@ object Oracles {
        |${(1 to 4).map(bfsRound).mkString(",\n")}
        |SELECT node, CAST(d AS BIGINT) AS d FROM d4""".stripMargin
 
+  /** ts_sax shared CTEs: the identical 8-tap / PAA / breakpoint
+    * pipeline as TimeSeries.saxWords — integer taps, then the SAME
+    * IEEE expressions in the same order. */
+  private val saxCte: String = {
+    val taps = (0 to 7).map { i =>
+      if (i == 7) "vc AS t7" else s"lag(vc, ${7 - i}) OVER w AS t$i"
+    }.mkString(", ")
+    val sum = (0 to 7).map(i => s"t$i").mkString(" + ")
+    val sum2 = (0 to 7).map(i => s"t$i * t$i").mkString(" + ")
+    def sym(seg: Int): String = {
+      val paa = s"(CAST(t${2 * seg} + t${2 * seg + 1} AS DOUBLE) / 2.0)"
+      val z = s"($paa - mean) / sd"
+      s"CASE WHEN $z < -0.6745 THEN 'a' WHEN $z < 0.0 THEN 'b' " +
+        s"WHEN $z < 0.6745 THEN 'c' ELSE 'd' END"
+    }
+    s"""v AS (SELECT user_id, ts, event_id,
+       |    CAST(round(value * 1000000) AS BIGINT) AS vc FROM events),
+       |t AS (SELECT user_id, row_number() OVER w AS rn, $taps
+       |  FROM v WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |st AS (SELECT user_id, rn, $sum AS s, $sum2 AS s2,
+       |    t0, t1, t2, t3, t4, t5, t6, t7
+       |  FROM t WHERE rn >= 8),
+       |ms AS (SELECT *, CAST(s AS DOUBLE) / 8.0 AS mean,
+       |    sqrt((CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / 8.0) / 8.0) AS sd
+       |  FROM st),
+       |sax AS (SELECT user_id, rn,
+       |  CASE WHEN sd = 0.0 THEN 'flat'
+       |    ELSE ${(0 until 4).map(sym).mkString(" || ")} END AS sax
+       |  FROM ms)""".stripMargin
+  }
+
   val all: Map[String, String] = tpchSql ++ Map(
     "g_pagerank" -> pagerankSql,
     "g_bfs" -> bfsSql,
+    "ts_sax" ->
+      s"WITH $saxCte SELECT user_id, rn, sax FROM sax",
+    "ts_motif" ->
+      s"""WITH $saxCte,
+         |counts AS (SELECT user_id, sax, count(*) AS n FROM sax GROUP BY 1, 2),
+         |ranked AS (SELECT user_id, sax, n,
+         |  row_number() OVER (PARTITION BY user_id ORDER BY n DESC, sax ASC) AS rk
+         |  FROM counts)
+         |SELECT user_id, sax AS motif, n FROM ranked WHERE rk = 1""".stripMargin,
     // trailing event-time RANGE frame: same integer epoch-micros
     // order key and bounds as the Spark window ((t-1h, t] via the
     // 3599999999-preceding integer bound)
