@@ -23,9 +23,35 @@ import org.apache.spark.sql.functions._
   * cost), zero joins, and the word output is fixed-width regardless
   * of corpus size.
   */
+/** Streaming-twin row/state shapes (top-level for Encoders). */
+case class TsRow(key: Long, ord: Long, vc: Long)
+case class TsWord(key: Long, rn: Long, sax: String)
+case class TsState(last7: Vector[Long], n: Long)
+
 object TimeSeries {
 
   private val Breakpoint = 0.6745 // N(0,1) quartiles → 4 equiprobable symbols
+
+  /** The pure word kernel: EXACTLY the fp steps of the batch column
+    * expressions (same JVM double ops the codegen'd SQL compiles to),
+    * shared by the streaming twin so words match the batch to the
+    * letter. `taps` is the 8-value window, oldest first. */
+  def saxWord(taps: IndexedSeq[Long]): String = {
+    require(taps.length == 8)
+    val s = taps.sum
+    val s2 = taps.map(t => t * t).sum
+    val mean = s.toDouble / 8.0
+    val sd = math.sqrt((s2.toDouble - s.toDouble * s.toDouble / 8.0) / 8.0)
+    if (sd == 0.0) "flat"
+    else (0 until 4).map { seg =>
+      val paa = (taps(2 * seg) + taps(2 * seg + 1)).toDouble / 2.0
+      val z = (paa - mean) / sd
+      if (z < -Breakpoint) 'a'
+      else if (z < 0.0) 'b'
+      else if (z < Breakpoint) 'c'
+      else 'd'
+    }.mkString
+  }
 
   /** SAX word per full 8-value window (4 PAA segments × 4-symbol
     * alphabet) over each key's time-ordered micro-unit values.
@@ -56,6 +82,40 @@ object TimeSeries {
       .filter(col("rn") >= 8)
       .select(col(keyCol), col("rn"),
         when(col("sd") === 0.0, lit("flat")).otherwise(col("w")).as("sax"))
+  }
+
+  /** Streaming twin of [[saxWords]]: per-key bounded state (the last
+    * 7 micro values + the row count — fixed width at any stream
+    * length), emitting one word per arrival once 8 values have been
+    * seen. Within a micro-batch rows sort by the order column; across
+    * batches state carries the window tail, so for in-order input the
+    * emitted (key, rn, sax) rows equal the batch analytic-window form
+    * exactly (TimeSeriesStreamSpec pins it). Late/out-of-order data is
+    * out of contract (the batch form re-sorts; a watermarked buffer
+    * would be the extension). */
+  def saxStream(df: DataFrame, keyCol: String, orderCol: String,
+                valueCol: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(keyCol).cast("long").as("key"),
+        col(orderCol).cast("long").as("ord"),
+        round(col(valueCol) * 1000000).cast("long").as("vc"))
+      .as[TsRow]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[TsState, TsWord](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) { (key, rows, state) =>
+        var st = state.getOption.getOrElse(TsState(Vector.empty, 0L))
+        val out = rows.toVector.sortBy(_.ord).flatMap { r =>
+          val n = st.n + 1
+          val window = st.last7 :+ r.vc
+          st = TsState(window.takeRight(7), n)
+          if (window.length == 8) Some(TsWord(key, n, saxWord(window)))
+          else None
+        }
+        state.update(st)
+        out.iterator
+      }.toDF("user_id", "rn", "sax")
   }
 
   /** Motif per key: the most frequent SAX word (ties break to the

@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
+
+import graft.streaming.SparkSpec
+
+/** Streaming SAX twin ≡ batch: the same series fed over several
+  * micro-batches (state carrying the 7-value window tail across the
+  * batch boundary) must emit exactly the batch analytic-window
+  * words. */
+class TimeSeriesStreamSpec extends SparkSpec {
+
+  test("saxStream equals saxWords on an in-order two-key series") {
+    import spark.implicits._
+    // two interleaved keys, values chosen to hit a/b/c/d and flat
+    val rows = (0 until 24).map { i =>
+      val key = (i % 2).toLong + 1
+      val v = if (key == 1) (i / 2 + 1).toDouble // ramp
+        else if (i < 16) 3.25 else (24 - i).toDouble // flat then descent
+      (key, i.toLong, v)
+    }
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[(Long, Long, Double)]
+    val sink = TimeSeries.saxStream(
+        stream.toDS().toDF("user_id", "event_id", "value"),
+        "user_id", "event_id", "value")
+      .writeStream.format("memory").queryName("sax_stream")
+      .outputMode("append").start()
+    try {
+      rows.grouped(7).foreach { chunk => // uneven batches cross the window tail
+        stream.addData(chunk: _*)
+        sink.processAllAvailable()
+      }
+    } finally sink.stop()
+    val streamed = spark.table("sax_stream")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+
+    val batch = TimeSeries.saxWords(
+        rows.toDF("user_id", "event_id", "value")
+          .withColumn("ts", col("event_id")),
+        "user_id", Seq("ts", "event_id"), "value")
+      .collect().map(r => (r.getLong(0), r.getInt(1).toLong, r.getString(2))).toSet
+
+    assert(streamed == batch, s"stream=$streamed\nbatch=$batch")
+    assert(streamed.nonEmpty && streamed.exists(_._3 == "flat"))
+  }
+}
