@@ -52,9 +52,9 @@ object BucketedLayout {
   /** The co-located join over the bucketed layout: both scans report
     * their bucket partitioning, so the sort-merge join plans with NO
     * Exchange (gated in BucketedJoinSpec). */
-  def colocatedJoin(spark: SparkSession, prefix: String = "graft_bkt"): DataFrame =
-    spark.table(s"${prefix}_lineitem")
-      .join(spark.table(s"${prefix}_orders"),
-        spark.table(s"${prefix}_lineitem")("l_orderkey") ===
-          spark.table(s"${prefix}_orders")("o_orderkey"))
+  def colocatedJoin(spark: SparkSession, prefix: String = "graft_bkt"): DataFrame = {
+    val li = spark.table(s"${prefix}_lineitem")
+    val o = spark.table(s"${prefix}_orders")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+  }
 }
