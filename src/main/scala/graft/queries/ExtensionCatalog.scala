@@ -1072,12 +1072,12 @@ object ExtensionCatalog {
       .select(col("node"), col("r").as("rank_micro"))
 
   /** Bounded multi-source BFS over the trade graph: minimum hop
-    * distance from NATION_0's suppliers (frontier-based — per-round
+    * distance from NATION_3's suppliers (the nation with suppliers at EVERY SF — nation 0 is empty at sf0.001, which made the witness vacuous) (frontier-based — per-round
     * cost tracks the newly-discovered set, see
     * [[graft.operators.Graph.shortestHops]]); nodes unreached within
     * 4 hops are absent, exactly as in the unrolled-CTE oracle. */
   val gBfs: Q = (s, d) => {
-    val seeds = Tables.supplier(s, d).filter(col("s_nationkey") === 0)
+    val seeds = Tables.supplier(s, d).filter(col("s_nationkey") === 3)
       .select((col("s_suppkey") * 2 + 1).as("node"))
     graft.operators.Graph.shortestHops(tradeEdges(s, d), "src", "dst",
       seeds, maxHops = 4)

@@ -373,8 +373,8 @@ object Oracles {
         |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
         |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
-        |  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-        |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |  AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8')
+        |    OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3'))
         |GROUP BY 1, 2, 3""".stripMargin,
     "q8_market_share" ->
       """SELECT year(o_orderdate) AS o_year,
@@ -563,7 +563,7 @@ object Oracles {
        |edges AS (SELECT c AS src, sn AS dst FROM pairs
        |  UNION ALL SELECT sn AS src, c AS dst FROM pairs),
        |d0 AS (SELECT DISTINCT s_suppkey * 2 + 1 AS node, CAST(0 AS BIGINT) AS d
-       |  FROM supplier WHERE s_nationkey = 0),
+       |  FROM supplier WHERE s_nationkey = 3),
        |${(1 to 4).map(bfsRound).mkString(",\n")}
        |SELECT node, CAST(d AS BIGINT) AS d FROM d4""".stripMargin
 

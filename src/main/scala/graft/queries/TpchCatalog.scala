@@ -74,7 +74,7 @@ object TpchCatalog {
     * join chain only ever carries the two nations' traffic — at
     * 100 TB this prunes ~92 % of the corpus before the big joins. */
   val q7TradeFlows: Q = (s, d) => {
-    val pair = Seq("NATION_1", "NATION_2")
+    val pair = Seq("NATION_3", "NATION_8")
     val sup = Tables.supplier(s, d)
       .join(broadcast(Tables.nation(s, d)
           .select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))),
@@ -94,8 +94,8 @@ object TpchCatalog {
       .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
         col("l_orderkey") === col("o_orderkey"))
       .join(cust, col("o_custkey") === col("c_custkey"))
-      .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
-        (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+      .filter((col("supp_nation") === "NATION_3" && col("cust_nation") === "NATION_8") ||
+        (col("supp_nation") === "NATION_8" && col("cust_nation") === "NATION_3"))
       .groupBy(col("supp_nation"), col("cust_nation"),
         year(col("l_shipdate")).as("l_year"))
       .agg(moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
