@@ -55,6 +55,7 @@ object SparkEntry {
     "agg_heavy_hitters" -> ExtensionCatalog.aggHeavyHitters,
     "agg_rollup" -> QueryCatalog.aggRollup,
     "agg_cube" -> QueryCatalog.aggCube,
+    "agg_grouping_sets" -> QueryCatalog.aggGroupingSets,
     "agg_histogram" -> QueryCatalog.aggHistogram,
     "agg_pivot" -> QueryCatalog.aggPivot,
     // joins / two-input (§2.4) + set ops (§2.8) + routing (§2.9)
@@ -66,6 +67,7 @@ object SparkEntry {
     "j_interval" -> QueryCatalog.jInterval,
     "j_band" -> QueryCatalog.jBand,
     "j_bloom_semi" -> QueryCatalog.jBloomSemi,
+    "j_lateral_topk" -> QueryCatalog.jLateralTopk,
     "q_top_orders" -> QueryCatalog.qTopOrders,
     "j4_cogroup" -> QueryCatalog.j4Cogroup,
     "u1_union_tagged" -> QueryCatalog.u1UnionTagged,

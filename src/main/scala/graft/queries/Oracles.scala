@@ -878,6 +878,13 @@ object Oracles {
       """SELECT a.event_type, a.event_id AS id_a, b.event_id AS id_b
         |FROM events a JOIN events b ON a.event_type = b.event_type
         |  AND a.event_id < b.event_id AND abs(a.value - b.value) <= 0.05""".stripMargin,
+    "j_lateral_topk" ->
+      """SELECT o_orderkey, l.l_linenumber, l.price
+        |FROM (SELECT * FROM orders WHERE o_totalprice > 350000) o
+        |JOIN LATERAL (
+        |  SELECT l_linenumber, round(l_extendedprice, 2) AS price
+        |  FROM lineitem WHERE l_orderkey = o.o_orderkey
+        |  ORDER BY l_extendedprice DESC, l_linenumber LIMIT 2) l ON true""".stripMargin,
     "q_top_orders" ->
       """SELECT o_orderkey, round(o_totalprice, 2) AS totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 50""".stripMargin,
@@ -1473,6 +1480,12 @@ object Oracles {
         |  coalesce(l_linestatus, 'ALL') AS linestatus, count(*) AS n,
         |  sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS total
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+    "agg_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS linestatus, count(*) AS n,
+        |  sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS total
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""".stripMargin,
     "agg_histogram" ->
       """SELECT CAST(floor(value / 50.0) AS BIGINT) AS bucket, count(*) AS n,
         |  sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total

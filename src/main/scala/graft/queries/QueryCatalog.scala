@@ -454,6 +454,21 @@ object QueryCatalog {
         coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
         col("n"), col("total"))
 
+  /** Arbitrary GROUPING SETS — the grouping-lattice member
+    * rollup/cube can't express: exactly the two single-column
+    * marginals, NO (flag, status) detail rows and NO grand total, in
+    * ONE Expand-before-shuffle pass (not two scans unioned). Same
+    * null-sentinel compare contract as agg_rollup. */
+  val aggGroupingSets: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), moneySum(col("l_extendedprice")).as("total"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("n"), col("total"))
+
   /** Fixed-width histogram: integer bucket arithmetic (floor of one
     * IEEE division — identical in both engines), one hash aggregate. */
   val aggHistogram: Q = (s, d) =>
@@ -590,6 +605,26 @@ object QueryCatalog {
       .join(Tables.orders(s, d).filter(col("o_totalprice") > 300000),
         col("c_custkey") === col("o_custkey"), "left_anti")
       .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+
+  /** LATERAL correlated subquery — the per-outer-row dependent join
+    * the DataFrame API expresses as a window+filter but users write
+    * as LATERAL: for each high-value order, its top-2 lines by
+    * price (deterministic (price desc, linenumber) order inside the
+    * lateral). Spark decorrelates the correlated ORDER BY/LIMIT into
+    * a ranked window join — no per-row re-execution — which is
+    * exactly the 100 TB shape; DuckDB runs the same LATERAL text. */
+  val jLateralTopk: Q = (s, d) => {
+    Tables.orders(s, d).filter(col("o_totalprice") > 350000)
+      .createOrReplaceTempView("graft_lat_orders")
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_lat_lineitem")
+    s.sql("""
+      SELECT o_orderkey, l.l_linenumber, l.price
+      FROM graft_lat_orders JOIN LATERAL (
+        SELECT l_linenumber, round(l_extendedprice, 2) AS price
+        FROM graft_lat_lineitem
+        WHERE l_orderkey = o_orderkey
+        ORDER BY l_extendedprice DESC, l_linenumber LIMIT 2) l""")
+  }
 
   /** J1/J2/J3 batch analog — as-of join: each purchase priced at the
     * user's most recent click value (MarketDataflow.java:190-268 keeps
