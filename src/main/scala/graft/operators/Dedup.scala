@@ -926,37 +926,47 @@ object Dedup {
     * only form inside (chunk index, chunk value) buckets and the exact
     * popcount filter runs per candidate. A pair colliding in several
     * chunks is emitted ONLY at its lowest agreeing chunk (the
-    * first-match rule — no corpus-wide pair distinct). Hot buckets
-    * (many identical fingerprints) are the salted-shard case
-    * documented at [[simHashPairs]]; apply [[Dedup]]'s salting there
-    * if a fingerprint family degenerates. */
+    * first-match rule — no corpus-wide pair distinct).
+    *
+    * Hot buckets route through the SAME salted kernel as the text
+    * paths ([[minHashLsh]]'s recall contract): a bucket over
+    * `maxBucket` — a duplicate-heavy media corpus puts every copy of
+    * one fingerprint in one (chunk, value) bucket — is sharded by a
+    * secondary hash of the id, pairs form only within a shard, and
+    * per-group memory / emission stay O(maxBucket) / O(maxBucket ×
+    * |bucket|) instead of |bucket|². Buckets ≤ maxBucket are EXACT
+    * (8-bit chunk buckets are bounded by the corpus's per-chunk value
+    * multiplicity — max possible 5000 at sf0.1, under the default
+    * cap, so the verified scales are exact end-to-end); above the cap,
+    * cross-shard pairs of the pathological bucket are dropped by
+    * design with the documented ≤ ceil(size/maxBucket)-groups
+    * degradation. */
   def hammingPairs64(hashes: DataFrame, idCol: String,
                      hiCol: String, loCol: String,
-                     maxDist: Int = 6): DataFrame = {
+                     maxDist: Int = 6, maxBucket: Int = 8192): DataFrame = {
     require(maxDist >= 0 && maxDist < 8, "pigeonhole over 8 chunks needs maxDist < 8")
-    def chunk(hi: org.apache.spark.sql.Column, lo: org.apache.spark.sql.Column,
-              c: Int): org.apache.spark.sql.Column =
-      (if (c < 4) shiftrightunsigned(lo, c * 8)
-       else shiftrightunsigned(hi, (c - 4) * 8)).bitwiseAND(lit(255L))
-    val full = hashes.select(col(idCol).cast("long").as("id"),
-      col(hiCol).as("hi"), col(loCol).as("lo"))
-    val ch = full.select(col("id"), col("hi"), col("lo"),
-      posexplode(array((0 until 8).map(c =>
-        chunk(col("hi"), col("lo"), c)): _*)).as(Seq("cidx", "cval")))
-    val a = ch.select(col("id").as("id_a"), col("hi").as("ha"),
-      col("lo").as("la"), col("cidx"), col("cval"))
-    val b = ch.select(col("id").as("id_b"), col("hi").as("hb"),
-      col("lo").as("lb"), col("cidx"), col("cval"))
-    val earlierMatches = (0 until 8).map { c =>
-      when(lit(c) < col("cidx") &&
-        chunk(col("ha"), col("la"), c) === chunk(col("hb"), col("lb"), c),
-        1).otherwise(0)
-    }.reduce(_ + _)
-    a.join(b, Seq("cidx", "cval")).filter(col("id_a") < col("id_b"))
-      .filter(earlierMatches === 0)
-      .select(col("id_a"), col("id_b"),
-        expr("bit_count(ha ^ hb) + bit_count(la ^ lb)").cast("long").as("dist"))
-      .filter(col("dist") <= maxDist)
+    val spark = hashes.sparkSession
+    import spark.implicits._
+    val n = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    // Recompose the 64-bit signature once: hi = bits 32..63, lo =
+    // bits 0..31, so chunk c (8 bits) = (sig >>> 8c) & 255 — identical
+    // chunk keys to the former hi/lo-split form.
+    val sig = shiftleft(col(hiCol), 32)
+      .bitwiseOR(col(loCol).bitwiseAND(lit(0xffffffffL)))
+    val banded = hashes
+      .select(col(idCol).cast("long").as("doc_id"), sig.as("sig"))
+      .select(col("doc_id"), col("sig"),
+        posexplode(array((0 until 8).map(c =>
+          shiftrightunsigned(col("sig"), c * 8).bitwiseAND(lit(255L))): _*))
+          .as(Seq("band", "bucket")))
+    saltedBucketGroups(banded,
+      struct(col("doc_id").as("_1"), col("sig").as("_2")), maxBucket)
+      .repartition(n)
+      .as[(Int, Seq[(Long, Long)])]
+      // same kernel as simHashPairs: 8 chunks × width 8 covers the
+      // full 64-bit signature; dist is the exact 64-bit popcount
+      .mapPartitions(groups => new HammingIterator(groups, maxDist, 8))
+      .toDF("id_a", "id_b", "dist")
   }
 
   def ngramJaccard(docs: DataFrame, textCol: String, idCol: String,

@@ -53,6 +53,58 @@ class ScaleToolsSpec extends SparkSpec {
     assert(pairs.filter(shardOf(col("doc_a")) =!= shardOf(col("doc_b"))).count() == 0)
   }
 
+  test("hamming64 hot bucket is salted: 1e5 copies of one fingerprint complete with bounded shards") {
+    // Degenerate media corpus: every doc carries the SAME 64-bit
+    // fingerprint -> all 1e5 ids land in ONE (chunk, value) bucket per
+    // chunk position. Pre-fix this was a raw self-join emitting
+    // |bucket|^2 = 5e9 candidate pairs in one task; with maxBucket=16
+    // each chunk-0 bucket salts into ceil(1e5/16)=6250 shards,
+    // first-match emits each within-shard pair exactly once (at chunk
+    // 0), and later chunks skip everything.
+    val nDocs = 100000L
+    val cap = 16
+    val hashes = spark.range(nDocs).select(col("id").as("doc_id"),
+      lit(0xA5A5A5A5L).as("fp_hi"), lit(0x5A5A5A5AL).as("fp_lo"))
+    val pairs = Dedup.hammingPairs64(hashes, "doc_id", "fp_hi", "fp_lo",
+      maxDist = 6, maxBucket = cap)
+    val nShards = math.ceil(nDocs.toDouble / cap).toLong
+    val shardOf = (c: org.apache.spark.sql.Column) => pmod(xxhash64(c), lit(nShards))
+    val shardSizes = spark.range(nDocs).groupBy(shardOf(col("id")).as("shard"))
+      .count().collect().map(_.getLong(1))
+    val expectedPairs = shardSizes.map(n => n * (n - 1) / 2).sum
+    assert(shardSizes.max < 4L * cap, s"shard skew too high: ${shardSizes.max}")
+    assert(pairs.count() == expectedPairs)
+    // every emitted pair is within one shard (the recall contract),
+    // and identical fingerprints report distance 0
+    assert(pairs.filter(shardOf(col("id_a")) =!= shardOf(col("id_b"))).count() == 0)
+    assert(pairs.filter(col("dist") =!= 0).count() == 0)
+  }
+
+  test("hamming64 salted kernel is exact below the cap: matches brute-force pairs") {
+    // 300 deterministic pseudo-random fingerprints plus 20 planted
+    // near-dups; buckets stay far under the default cap, so the salted
+    // kernel must emit EXACTLY the brute-force (a<b, dist<=6) set.
+    val base = spark.range(300).select(col("id").as("doc_id"),
+      (xxhash64(col("id")).bitwiseAND(lit(0xffffffffL))).as("fp_hi"),
+      (xxhash64(col("id"), lit(7)).bitwiseAND(lit(0xffffffffL))).as("fp_lo"))
+    val dups = spark.range(20).select((col("id") + 1000L).as("doc_id"),
+      (xxhash64(col("id") * 3L).bitwiseAND(lit(0xffffffffL))).as("fp_hi"),
+      // flip one low bit of a base doc's lo half -> distance 1
+      (xxhash64(col("id") * 3L, lit(7)).bitwiseAND(lit(0xffffffffL))
+        .bitwiseXOR(lit(1L))).as("fp_lo"))
+    val hashes = base.union(dups)
+    val rows = hashes.collect()
+      .map(r => (r.getLong(0), (r.getLong(1) << 32) | (r.getLong(2) & 0xffffffffL)))
+    val expected = (for {
+      (ia, sa) <- rows; (ib, sb) <- rows
+      if ia < ib && java.lang.Long.bitCount(sa ^ sb) <= 6
+    } yield (ia, ib, java.lang.Long.bitCount(sa ^ sb).toLong)).toSet
+    val got = Dedup.hammingPairs64(hashes, "doc_id", "fp_hi", "fp_lo")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(expected.nonEmpty, "planted near-dups must produce pairs")
+    assert(got == expected)
+  }
+
   test("hotKeys surfaces the heaviest join keys") {
     val hot = SkewTools.hotKeys(
       graft.Tables.lineitem(spark, "/root/testdata/sf0.001"), "l_suppkey", 5)
