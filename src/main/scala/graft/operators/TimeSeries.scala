@@ -39,7 +39,12 @@ object TimeSeries {
   def saxWord(taps: IndexedSeq[Long]): String = {
     require(taps.length == 8)
     val s = taps.sum
-    val s2 = taps.map(t => t * t).sum
+    // Σ vc² exceeds Long once |vc| ≳ 2^30 (|value| ≳ ~1073 after the
+    // ×1e6 micro-unit scale); BigInt keeps the sum exact and its
+    // toDouble rounds to nearest — the same value the batch side's
+    // decimal(38,0) sum yields after its double cast, so the twin
+    // parity holds at ANY tap magnitude instead of wrapping silently.
+    val s2 = taps.map(t => BigInt(t) * BigInt(t)).sum
     val mean = s.toDouble / 8.0
     val sd = math.sqrt((s2.toDouble - s.toDouble * s.toDouble / 8.0) / 8.0)
     if (sd == 0.0) "flat"
@@ -66,7 +71,14 @@ object TimeSeries {
     val taps = (0 to 6).map(i => lag(vc, 7 - i).over(w)) :+ vc
     val rn = row_number().over(w)
     val s = taps.reduce(_ + _)
-    val s2 = taps.map(t => t * t).reduce(_ + _)
+    // decimal(38,0), not long: 8 squared micro-unit taps overflow a
+    // long once |value| ≳ ~1073 and Spark would WRAP silently while
+    // the DuckDB oracle's BIGINT product errors — diverging instead of
+    // failing loudly. The decimal sum is exact for any representable
+    // tap and its double cast rounds to nearest, identical to the
+    // long path's value everywhere the long path didn't overflow.
+    val s2 = taps.map(t => t.cast("decimal(38,0)") * t.cast("decimal(38,0)"))
+      .reduce(_ + _)
     val mean = s.cast("double") / lit(8.0)
     val variance = (s2.cast("double")
       - s.cast("double") * s.cast("double") / lit(8.0)) / lit(8.0)
@@ -115,7 +127,7 @@ object TimeSeries {
         }
         state.update(st)
         out.iterator
-      }.toDF("user_id", "rn", "sax")
+      }.toDF(keyCol, "rn", "sax")
   }
 
   /** Motif per key: the most frequent SAX word (ties break to the

@@ -547,7 +547,9 @@ object Oracles {
        |${(1 to 5).map(prRound).mkString(",\n")}
        |SELECT node, r AS rank_micro FROM r5""".stripMargin
 
-  /** g_bfs twin: min-hop from NATION_0 suppliers as four unrolled
+  /** g_bfs twin: min-hop from NATION_3 suppliers (s_nationkey = 3 —
+    * see ExtensionCatalog.gBfs for why nation 0 was abandoned) as
+    * four unrolled
     * min-union rounds (the naive form — the Spark side's frontier
     * optimization must be invisible in the result). */
   private def bfsRound(i: Int): String =

@@ -613,18 +613,20 @@ object QueryCatalog {
     * lateral). Spark decorrelates the correlated ORDER BY/LIMIT into
     * a ranked window join — no per-row re-execution — which is
     * exactly the 100 TB shape; DuckDB runs the same LATERAL text. */
-  val jLateralTopk: Q = (s, d) => {
+  val jLateralTopk: Q = (s, d) =>
+    // Dataset.lateralJoin + Column.outer(), not temp views: the view
+    // form mutated the shared session catalog as a plan-building side
+    // effect (fixed names race/clobber under concurrent builders);
+    // this is pure like every other Q and decorrelates identically.
     Tables.orders(s, d).filter(col("o_totalprice") > 350000)
-      .createOrReplaceTempView("graft_lat_orders")
-    Tables.lineitem(s, d).createOrReplaceTempView("graft_lat_lineitem")
-    s.sql("""
-      SELECT o_orderkey, l.l_linenumber, l.price
-      FROM graft_lat_orders JOIN LATERAL (
-        SELECT l_linenumber, round(l_extendedprice, 2) AS price
-        FROM graft_lat_lineitem
-        WHERE l_orderkey = o_orderkey
-        ORDER BY l_extendedprice DESC, l_linenumber LIMIT 2) l""")
-  }
+      .lateralJoin(
+        Tables.lineitem(s, d)
+          .where(col("l_orderkey") === col("o_orderkey").outer())
+          .orderBy(col("l_extendedprice").desc, col("l_linenumber"))
+          .limit(2)
+          .select(col("l_linenumber"),
+            round(col("l_extendedprice"), 2).as("price")))
+      .select(col("o_orderkey"), col("l_linenumber"), col("price"))
 
   /** J1/J2/J3 batch analog — as-of join: each purchase priced at the
     * user's most recent click value (MarketDataflow.java:190-268 keeps
