@@ -129,6 +129,7 @@ object SparkEntry {
     "emb_gram" -> ExtensionCatalog.embGram,
     "emb_pq" -> ExtensionCatalog.embPq,
     "j_skew_salted" -> ExtensionCatalog.jSkewSalted,
+    "j_bucketed_colo" -> ExtensionCatalog.jBucketedColo,
     "ds_sample_hash" -> ExtensionCatalog.dsSampleHash,
     "ds_sample_stratified" -> ExtensionCatalog.dsSampleStratified,
     "ds_sample_topk" -> ExtensionCatalog.dsSampleTopk,

@@ -537,6 +537,37 @@ object ExtensionCatalog {
       .select(col("event_id"), col("event_type"), col("type_n"))
   }
 
+  /** Co-located join + order-grain aggregation over the BUCKETED
+    * warehouse layout ([[graft.tools.BucketedLayout]]): both fact
+    * tables are bucketed (and bucket-sorted) by the order key, so the
+    * lineitem⋈orders join reads bucket i against bucket i and the
+    * groupBy on the same key reuses that partitioning — the ENTIRE
+    * query plans with ZERO shuffle Exchange (gated in
+    * BucketedJoinSpec), the amortized-layout answer to the recurring
+    * dominant shuffle of every order-grain query at 100 TB. The
+    * oracle is the PLAIN SQL over the raw parquet: the layout must be
+    * row-invisible, which the hash compare proves (the j_skew_salted
+    * pattern). Prefix is sf-keyed so concurrent SFs don't clobber
+    * each other's catalog entries. */
+  val jBucketedColo: Q = (s, d) => {
+    val prefix = bucketedPrefix(d)
+    graft.tools.BucketedLayout.ensureTradeTables(s, d, numBuckets = 8, prefix)
+    graft.tools.BucketedLayout.colocatedJoin(s, prefix)
+      .groupBy(col("o_orderkey"), col("o_totalprice"))
+      .agg(sum(col("l_quantity")).as("sq"))
+      .filter(col("sq") > 150)
+      .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("totalprice"),
+        round(col("sq"), 4).as("sum_qty"))
+  }
+
+  /** sf-keyed table-name prefix for [[jBucketedColo]] (shared with its
+    * plan gate). */
+  def bucketedPrefix(sfDir: String): String = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(sfDir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    s"graft_bktq_$key"
+  }
+
   // ---------------------------------------------------------- text analysis
 
   /** Stopword-profile language ID vs the labeled lang column. */

@@ -841,6 +841,14 @@ object Oracles {
       """SELECT c_mktsegment, count(*) AS n FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders
         |  WHERE o_custkey = c_custkey AND o_totalprice > 300000) GROUP BY 1""".stripMargin,
+    // the bucketed layout must be row-invisible: the oracle is the
+    // plain join+agg over the raw parquet
+    "j_bucketed_colo" ->
+      """SELECT o_orderkey, round(o_totalprice, 2) AS totalprice,
+        |  round(sum(l_quantity), 4) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderkey, o_totalprice
+        |HAVING sum(l_quantity) > 150""".stripMargin,
     // the salt must be row-invisible: the oracle is the PLAIN join
     "j_skew_salted" ->
       """WITH dim AS (SELECT event_type, count(*) AS type_n FROM events GROUP BY 1)

@@ -27,27 +27,62 @@ import graft.Tables
   */
 object BucketedLayout {
 
+  /** Layouts already written by THIS JVM — lets catalog queries demand
+    * the layout idempotently without paying a rewrite per invocation. */
+  private val written = scala.collection.mutable.Set.empty[(String, String, Int)]
+
+  /** STABLE location keyed by (prefix, sfDir, numBuckets) — a fresh
+    * createTempDirectory per call leaked a full bucketed copy of both
+    * tables on every invocation (DROP TABLE on an EXTERNAL table never
+    * deletes files); the keyed path is deleted and rewritten in place. */
+  private def stableBase(sfDir: String, numBuckets: Int, prefix: String): java.io.File = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(sfDir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    new java.io.File(new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft-bucketed"),
+      s"$prefix-$key-b$numBuckets")
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty)
+      .foreach(deleteRecursively)
+    f.delete(): Unit
+  }
+
   /** Write lineitem + orders bucketed by their join key into the
     * session catalog as `<prefix>_lineitem` / `<prefix>_orders`.
-    * Registered as EXTERNAL tables under a fresh temp location:
-    * the session (and its warehouse dir) is typically shared across
-    * callers via getOrCreate, and a managed CREATE collides with any
-    * leftover directory from a previous JVM whose table the fresh
-    * in-memory catalog no longer knows (LOCATION_ALREADY_EXISTS). */
+    * Registered as EXTERNAL tables (a managed CREATE collides with any
+    * leftover warehouse directory from a previous JVM whose table the
+    * fresh in-memory catalog no longer knows — LOCATION_ALREADY_EXISTS)
+    * under the stable per-(prefix, sfDir, numBuckets) location, prior
+    * contents deleted first so repeated writes reuse one footprint. */
   def writeTradeTables(spark: SparkSession, sfDir: String,
-                       numBuckets: Int = 8, prefix: String = "graft_bkt"): Unit = {
-    val base = java.nio.file.Files.createTempDirectory("graft-bucketed").toString
-    spark.sql(s"DROP TABLE IF EXISTS ${prefix}_lineitem")
-    spark.sql(s"DROP TABLE IF EXISTS ${prefix}_orders")
-    Tables.lineitem(spark, sfDir).write.format("parquet").mode("overwrite")
-      .option("path", s"$base/lineitem")
-      .bucketBy(numBuckets, "l_orderkey").sortBy("l_orderkey")
-      .saveAsTable(s"${prefix}_lineitem")
-    Tables.orders(spark, sfDir).write.format("parquet").mode("overwrite")
-      .option("path", s"$base/orders")
-      .bucketBy(numBuckets, "o_orderkey").sortBy("o_orderkey")
-      .saveAsTable(s"${prefix}_orders")
-  }
+                       numBuckets: Int = 8, prefix: String = "graft_bkt"): Unit =
+    synchronized {
+      val baseDir = stableBase(sfDir, numBuckets, prefix)
+      deleteRecursively(baseDir)
+      val base = baseDir.toString
+      spark.sql(s"DROP TABLE IF EXISTS ${prefix}_lineitem")
+      spark.sql(s"DROP TABLE IF EXISTS ${prefix}_orders")
+      Tables.lineitem(spark, sfDir).write.format("parquet").mode("overwrite")
+        .option("path", s"$base/lineitem")
+        .bucketBy(numBuckets, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable(s"${prefix}_lineitem")
+      Tables.orders(spark, sfDir).write.format("parquet").mode("overwrite")
+        .option("path", s"$base/orders")
+        .bucketBy(numBuckets, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable(s"${prefix}_orders")
+      written += ((prefix, sfDir, numBuckets))
+    }
+
+  /** Demand-the-layout entry point for catalog queries: writes once
+    * per (prefix, sfDir, numBuckets) per JVM, no-ops after. */
+  def ensureTradeTables(spark: SparkSession, sfDir: String,
+                        numBuckets: Int = 8, prefix: String = "graft_bkt"): Unit =
+    synchronized {
+      if (!written((prefix, sfDir, numBuckets)))
+        writeTradeTables(spark, sfDir, numBuckets, prefix)
+    }
 
   /** The co-located join over the bucketed layout: both scans report
     * their bucket partitioning, so the sort-merge join plans with NO

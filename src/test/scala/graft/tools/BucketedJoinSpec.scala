@@ -50,6 +50,31 @@ class BucketedJoinSpec extends SparkSpec {
     }
   }
 
+  test("j_bucketed_colo: the whole join+agg plans with zero Exchange") {
+    // The catalog entry's showcase: the order-grain aggregation reuses
+    // the join's bucket partitioning (groupBy key = bucket key), so
+    // NOT EVEN THE AGG shuffles — zero Exchange anywhere in the plan.
+    withConfs("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val q = graft.queries.ExtensionCatalog.jBucketedColo(spark, sfDir)
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected a sort-merge join:\n$plan")
+      assert(!plan.contains("Exchange"),
+        s"bucketed join+agg must not shuffle anywhere:\n$plan")
+      assert(q.count() > 0, "HAVING threshold must keep a non-empty witness")
+    }
+  }
+
+  test("repeated writeTradeTables calls reuse one stable location") {
+    layout
+    val loc1 = spark.sql("DESCRIBE FORMATTED graft_bkt_orders")
+      .filter(col("col_name") === "Location").head().getString(1)
+    BucketedLayout.writeTradeTables(spark, sfDir, numBuckets = 8)
+    val loc2 = spark.sql("DESCRIBE FORMATTED graft_bkt_orders")
+      .filter(col("col_name") === "Location").head().getString(1)
+    assert(loc1 == loc2, s"layout must not leak a new directory per call: $loc1 vs $loc2")
+    assert(spark.table("graft_bkt_orders").count() > 0)
+  }
+
   test("bucket pruning: an equality probe on the bucket key reads one bucket") {
     layout
     // DisableUnnecessaryBucketedScan turns bucketed reading off for
