@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed BPE merge-table induction — the tokenizer-TRAINING step
+  * of a pretraining pipeline (Sennrich/Haddow/Birch, "Neural Machine
+  * Translation of Rare Words with Subword Units", ACL 2016).
+  * Generalizes the reference's P10 tokenizer
+  * (exchange/model/ShareHypePiece.java:65-84) the way ta_tfidf
+  * generalizes P3: ta_vocab/ta_token_ids map a FIXED vocabulary; this
+  * operator LEARNS the subword merge table.
+  *
+  * Scale design: every per-round pass runs over the WORD HISTOGRAM,
+  * not the corpus — the single corpus-sized pass is the initial
+  * tokenize+count (one shuffle on word; at 100 TB the histogram is
+  * bounded by the distinct-word vocabulary, orders of magnitude
+  * smaller than the corpus). Each round is then one vocab-sized
+  * map-side-combinable pair aggregation, a 1-ROW bounded collect for
+  * the argmax (the k-means-centroid pattern — never the vocab), and a
+  * literal string replace. Segmentations re-materialize per round
+  * (localCheckpoint — the dd_components eager-checkpoint discipline)
+  * so the iterated plan stays constant-size across 50 rounds.
+  *
+  * Determinism contract (the DuckDB oracle replays it merge for
+  * merge): pair statistics weight each ADJACENT OCCURRENCE by word
+  * frequency — overlapping occurrences counted, "aaa" holds (a,a)
+  * twice; the round winner is (count DESC, left ASC, right ASC) under
+  * binary string order; replacement is greedy leftmost
+  * non-overlapping; induction stops early once no pair reaches
+  * `minCount`.
+  *
+  * Segmentations are carried as SEPARATOR-FRAMED STRINGS
+  * ("␟sym␟␟sym␟", U+001F unit separator) rather than symbol arrays:
+  * greedy leftmost non-overlapping merge is then EXACTLY one string
+  * replace of "␟l␟␟r␟" by "␟lr␟" — the same primitive with the same
+  * left-to-right semantics in Spark and DuckDB, so the oracle is a
+  * literal replay rather than a re-derivation — and the per-symbol
+  * start/end framing makes cross-symbol false matches impossible
+  * (merging (b,c) can never fire inside ["ab","c"]). U+001F cannot
+  * occur in input by construction: the shared tokenizer's alphabet is
+  * [a-z].
+  */
+object Bpe {
+
+  /** U+001F symbol frame. */
+  val Sep = "\u001f"
+  private val SepSep = Sep + Sep
+
+  /** One learned merge: `rank` is 1-based acquisition order,
+    * `pair_count` the frequency-weighted adjacent-occurrence count
+    * that won the round. */
+  case class Merge(rank: Long, lhs: String, rhs: String, pair_count: Long)
+
+  /** (word, freq) histogram via the shared P10 tokenizer — the one
+    * corpus-sized pass. */
+  def wordHistogram(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(StatelessOps.explodeTokens(col(textCol)).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+
+  /** Current symbol list of a framed segmentation string. */
+  private def symsOf(seg: Column): Column =
+    transform(split(seg, SepSep), x => trim(x, Sep))
+
+  /** Frequency-weighted adjacent-pair counts over a (seg, freq)
+    * frame — one narrow projection + one map-side-combinable
+    * aggregation per round. */
+  private def pairCounts(segs: DataFrame): DataFrame = {
+    val syms = symsOf(col("seg"))
+    segs.select(col("freq"),
+        explode(arrays_zip(
+          slice(syms, lit(1), size(syms) - 1).as("l"),
+          slice(syms, lit(2), size(syms) - 1).as("r"))).as("p"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(sum(col("freq")).as("c"))
+  }
+
+  /** Learn up to `numMerges` merges from the corpus; returns the merge
+    * table (rank, lhs, rhs, pair_count) in acquisition order. */
+  def learnMerges(docs: DataFrame, textCol: String,
+                  numMerges: Int = 50, minCount: Long = 2): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(numMerges >= 1 && minCount >= 1)
+    var segs = wordHistogram(docs, textCol)
+      .select(concat(lit(Sep),
+          array_join(split(col("word"), ""), SepSep), lit(Sep)).as("seg"),
+        col("freq"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    var done = false
+    var sinceCheckpoint = 0
+    while (!done && merges.length < numMerges) {
+      // 1-row bounded collect: the argmax travels to the driver, the
+      // vocab never does
+      val best = pairCounts(segs)
+        .orderBy(col("c").desc, col("l"), col("r")).limit(1).collect()
+      if (best.isEmpty || best.head.getLong(2) < minCount) done = true
+      else {
+        val l = best.head.getString(0)
+        val r = best.head.getString(1)
+        merges += Merge(merges.length + 1L, l, r, best.head.getLong(2))
+        segs = segs.select(
+          replace(col("seg"), lit(Sep + l + SepSep + r + Sep),
+            lit(Sep + l + r + Sep)).as("seg"),
+          col("freq"))
+        // lineage stays ≤ 8 chained replaces between truncations: a
+        // checkpoint per round doubles the job count for no benefit
+        // (each replace is one narrow vocab-sized projection)
+        sinceCheckpoint += 1
+        if (sinceCheckpoint == 8) {
+          segs = segs.localCheckpoint()
+          sinceCheckpoint = 0
+        }
+      }
+    }
+    merges.toSeq.toDF()
+  }
+
+  /** Segment words by REPLAYING a learned merge table in rank order —
+    * the tokenizer-apply half (encode): returns (word, subwords).
+    * `merges` must be small enough to collect (it is by construction:
+    * numMerges rows); the replay is the same framed-string replace
+    * chain as training, one narrow per-row expression pipeline with
+    * zero joins. */
+  def segment(words: DataFrame, wordCol: String, merges: DataFrame): DataFrame = {
+    val table = merges.orderBy(col("rank"))
+      .select(col("lhs"), col("rhs"))
+      .collect().map(row => (row.getString(0), row.getString(1)))
+    val seeded = concat(lit(Sep),
+      array_join(split(col(wordCol), ""), SepSep), lit(Sep))
+    val merged = table.foldLeft(seeded) { case (seg, (l, r)) =>
+      replace(seg, lit(Sep + l + SepSep + r + Sep), lit(Sep + l + r + Sep))
+    }
+    words.withColumn("subwords", symsOf(merged))
+  }
+}

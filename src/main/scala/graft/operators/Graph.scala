@@ -57,7 +57,8 @@ object Graph {
   }
 
   def pageRankMicro(edges: DataFrame, srcCol: String, dstCol: String,
-                    iterations: Int = 5, dampingPct: Int = 85): DataFrame = {
+                    iterations: Int = 5, dampingPct: Int = 85,
+                    validateUniverse: Boolean = true): DataFrame = {
     require(iterations >= 1 && dampingPct > 0 && dampingPct < 100)
     withStableCachePartitioning(edges.sparkSession) {
     val e = edges.select(col(srcCol).cast("long").as("src"),
@@ -74,6 +75,20 @@ object Graph {
     // materializing action).
     val ed = e.join(deg, "src").repartition(col("src")).persist()
     val nodes = ed.select(col("src").as("node")).distinct().localCheckpoint()
+    // Node-universe contract, ENFORCED (was doc-only): a dst that
+    // never appears as a src is a dangling sink whose rank mass would
+    // silently leak every round. One anti-join over the already-cached
+    // edge frame, bounded by limit 1; callers whose edge list is
+    // symmetrized by construction may opt out to skip the pass.
+    if (validateUniverse) {
+      val dangling = ed.select(col("dst").as("node")).distinct()
+        .join(nodes, Seq("node"), "left_anti").limit(1).collect()
+      require(dangling.isEmpty,
+        s"pageRankMicro: node ${dangling.head.getLong(0)} appears as a " +
+          "destination but never as a source (dangling sink, out of " +
+          "contract - its rank mass would silently leak). Symmetrize " +
+          "the edge list or pass validateUniverse=false deliberately.")
+    }
     val teleportMicro = (100L - dampingPct) * 10000L
     var ranks = nodes.withColumn("r", lit(1000000L))
     for (_ <- 1 to iterations) {

@@ -644,6 +644,27 @@ object ExtensionCatalog {
       .groupBy(col("tok")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("tok")).limit(100)
 
+  /** BPE merge-table induction ([[graft.operators.Bpe]]): 50 learned
+    * subword merges over the corpus word histogram — the
+    * tokenizer-training operator. Deterministic given the
+    * count/tiebreak contract, so the oracle replays the same merges
+    * CTE by CTE. */
+  val taBpe: Q = (s, d) =>
+    Bpe.learnMerges(Tables.documents(s, d), "text", numMerges = 50)
+
+  /** The encode half: every vocabulary word segmented by replaying the
+    * learned merge table in rank order (subword count + the joined
+    * segmentation as a receipt both engines must reproduce byte for
+    * byte). */
+  val taBpeSegment: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val merges = Bpe.learnMerges(docs, "text", numMerges = 50)
+    Bpe.segment(Bpe.wordHistogram(docs, "text"), "word", merges)
+      .select(col("word"), col("freq"),
+        size(col("subwords")).cast("long").as("n_subwords"),
+        array_join(col("subwords"), " ").as("seg_text"))
+  }
+
   /** Heavy-hitter tokens: Misra-Gries sketch prunes, exact count
     * confirms — the frequency twin of the bloom-semi-join pattern.
     * The exact form shuffles every token occurrence into a corpus-wide

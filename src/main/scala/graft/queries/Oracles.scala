@@ -569,6 +569,54 @@ object Oracles {
        |${(1 to 4).map(bfsRound).mkString(",\n")}
        |SELECT node, CAST(d AS BIGINT) AS d FROM d4""".stripMargin
 
+  /** ta_bpe twin: REPLAY the 50 BPE merges with the identical framed-
+    * string representation and primitives as graft.operators.Bpe —
+    * chr(31)-framed segmentations, occurrence-weighted pair counts
+    * (unnest over adjacent positions), (count DESC, l, r) winner,
+    * greedy leftmost merge via plain replace (both engines replace
+    * leftmost non-overlapping, so the merge step is a LITERAL replay,
+    * not a re-derivation). CTEs are MATERIALIZED: w{i-1} is referenced
+    * twice per round and un-hinted inlining re-expands the whole
+    * prefix chain exponentially. */
+  private val bpeS = "chr(31)"
+  private val bpeSS = s"$bpeS||$bpeS"
+
+  private def bpeRound(i: Int): String =
+    s"""p$i AS MATERIALIZED (
+       |  SELECT syms[i] AS l, syms[i+1] AS r, sum(freq) AS c
+       |  FROM (SELECT freq, list_transform(string_split(seg, $bpeSS),
+       |          x -> trim(x, $bpeS)) AS syms FROM w${i - 1}),
+       |       UNNEST(generate_series(1, len(syms)-1)) AS t(i)
+       |  GROUP BY 1, 2),
+       |b$i AS MATERIALIZED (SELECT l, r, c FROM p$i ORDER BY c DESC, l, r LIMIT 1),
+       |w$i AS MATERIALIZED (SELECT word, replace(seg,
+       |  $bpeS||b$i.l||$bpeSS||b$i.r||$bpeS,
+       |  $bpeS||b$i.l||b$i.r||$bpeS) AS seg, freq FROM w${i - 1}, b$i)""".stripMargin
+
+  private def bpePrefix(n: Int): String =
+    s"""WITH wh AS MATERIALIZED (
+       |  SELECT tok AS word, count(*) AS freq FROM (
+       |    SELECT unnest(string_split(trim(regexp_replace(regexp_replace(lower(text),
+       |      '[^a-z \n]+', '', 'g'), '\\s+', ' ', 'g')), ' ')) AS tok FROM documents)
+       |  WHERE length(tok) > 0 GROUP BY 1),
+       |w0 AS MATERIALIZED (
+       |  SELECT word, $bpeS || array_to_string(string_split(word, ''), $bpeSS) || $bpeS AS seg, freq
+       |  FROM wh),
+       |${(1 to n).map(bpeRound).mkString(",\n")}""".stripMargin
+
+  private val bpeMergesSql: String =
+    bpePrefix(50) + "\n" + (1 to 50).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS rank, l AS lhs, r AS rhs, " +
+        s"CAST(c AS BIGINT) AS pair_count FROM b$i").mkString(" UNION ALL ")
+
+  private val bpeSegmentSql: String =
+    bpePrefix(50) +
+      s"""
+         |SELECT word, freq, CAST(len(syms) AS BIGINT) AS n_subwords,
+         |  array_to_string(syms, ' ') AS seg_text
+         |FROM (SELECT word, freq, list_transform(string_split(seg, $bpeSS),
+         |        x -> trim(x, $bpeS)) AS syms FROM w50)""".stripMargin
+
   /** ts_sax shared CTEs: the identical 8-tap / PAA / breakpoint
     * pipeline as TimeSeries.saxWords — integer taps, then the SAME
     * IEEE expressions in the same order. */
@@ -1247,6 +1295,9 @@ object Oracles {
       s"""WITH $tokMultisetCte
          |SELECT doc_id, CAST(sum(h) % 2147483647 AS BIGINT) AS fingerprint,
          |  count(*) AS n_tokens FROM toks GROUP BY doc_id""".stripMargin,
+    // the 50 learned merges replayed CTE by CTE (see bpeRound)
+    "ta_bpe" -> bpeMergesSql,
+    "ta_bpe_segment" -> bpeSegmentSql,
     // LIMIT boundary is tie-safe: rank-100 ties break on ascending
     // token in both engines
     "ta_vocab" ->

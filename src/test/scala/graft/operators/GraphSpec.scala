@@ -34,6 +34,22 @@ class GraphSpec extends SparkSpec {
     assert(got == referenceRanks(directed, 5))
   }
 
+  test("dangling sink fails loudly; validateUniverse=false opts out deliberately") {
+    import spark.implicits._
+    // node 4 is a pure sink: appears as dst, never as src
+    val dangling = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (3L, 4L))
+    val ex = intercept[IllegalArgumentException] {
+      Graph.pageRankMicro(dangling.toDF("src", "dst"), "src", "dst", iterations = 2)
+    }
+    assert(ex.getMessage.contains("dangling sink"))
+    assert(ex.getMessage.contains("4"), s"should name the offending node: ${ex.getMessage}")
+    // explicit opt-out still computes (documented mass-leak semantics)
+    val ranks = Graph.pageRankMicro(dangling.toDF("src", "dst"), "src", "dst",
+      iterations = 2, validateUniverse = false)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ranks.keySet == Set(1L, 2L, 3L), "universe stays the source set")
+  }
+
   test("hub outranks spokes; ranks are deterministic across reruns") {
     import spark.implicits._
     val star = (2L to 9L).flatMap(i => Seq((1L, i), (i, 1L)))
