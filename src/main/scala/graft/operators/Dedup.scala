@@ -940,7 +940,13 @@ object Dedup {
     * cap, so the verified scales are exact end-to-end); above the cap,
     * cross-shard pairs of the pathological bucket are dropped by
     * design with the documented ≤ ceil(size/maxBucket)-groups
-    * degradation. */
+    * degradation.
+    *
+    * BATCH-ONLY by contract (the [[simHashPairs]] posture, inherited
+    * by mm_phash_pairs / mm_audio_pairs): bucket membership is
+    * corpus-wide state. The streaming analog is
+    * [[minHashLshStream]]'s keyed per-bucket retained-member state
+    * applied to (chunk, value) keys, not an operator twin. */
   def hammingPairs64(hashes: DataFrame, idCol: String,
                      hiCol: String, loCol: String,
                      maxDist: Int = 6, maxBucket: Int = 8192): DataFrame = {

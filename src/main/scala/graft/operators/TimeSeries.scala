@@ -133,7 +133,13 @@ object TimeSeries {
   /** Motif per key: the most frequent SAX word (ties break to the
     * lexicographically smallest word — total-order deterministic).
     * Two hash aggregations, both map-side combinable; the same
-    * max(struct) idiom as agg_mode. */
+    * max(struct) idiom as agg_mode.
+    *
+    * BATCH-ONLY by contract (the ds_temperature posture): the motif
+    * is a corpus-wide argmax whose answer can RETRACT as counts grow —
+    * the streaming form is this same two-agg plan in update output
+    * mode over [[saxStream]]'s words (each micro-batch revises the
+    * per-key winner), a sink-side re-read, not an append-mode twin. */
   def motifs(sax: DataFrame, keyCol: String): DataFrame =
     sax.groupBy(col(keyCol), col("sax")).agg(count(lit(1)).as("n"))
       .groupBy(col(keyCol))
