@@ -549,6 +549,49 @@ object BenchScale {
     }
   }
 
+  /** BPE-induction ladder: [[graft.operators.Bpe.learnMerges]] on a
+    * generated corpus whose DISTINCT-WORD VOCABULARY scales (the axis
+    * every per-round pass is linear in — the corpus itself only pays
+    * the one histogram pass). Words are 8 chars over an 8-letter
+    * alphabet, 2-4 copies each, deterministic; 20 merges per rung so
+    * wall stays bounded. Gates: fitted wall exponent ≤ 1.3 in vocab,
+    * all 20 merges found (no early stop on a synthetic corpus that
+    * satisfies minCount by construction). */
+  private def bpeLadder(spark: SparkSession, sizes: Seq[Long],
+                        maxTaskMs: java.util.concurrent.atomic.AtomicLong): Unit = {
+    import org.apache.spark.sql.functions._
+    val rungs = sizes.map { v =>
+      val dir = s"/tmp/graft_scale/bpe_$v"
+      spark.range(v).selectExpr(
+          """array_join(transform(sequence(0, 7),
+            |  i -> chr(97 + pmod(xxhash64('w', id, i), 8))), '') AS word""".stripMargin,
+          "cast(2 + pmod(xxhash64('f', id), 3) AS int) AS copies")
+        .selectExpr("explode(array_repeat(word, copies)) AS text")
+        .selectExpr("monotonically_increasing_id() AS doc_id", "text")
+        .write.mode("overwrite").parquet(dir) // untimed setup
+      val docs = spark.read.parquet(dir)
+      maxTaskMs.set(0)
+      val t0 = System.nanoTime()
+      val merges = graft.operators.Bpe.learnMerges(docs, "text", numMerges = 20)
+        .collect()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"vocab":$v,"bpe_sec":$sec%.2f,"merges":${merges.length},"max_task_sec":${maxTaskMs.get() / 1e3}%.2f}""")
+      require(merges.length == 20,
+        s"expected 20 merges, got ${merges.length} — early stop on a corpus built to avoid it")
+      (v, sec)
+    }
+    if (sizes.size >= 2) {
+      val xs = rungs.map { case (v, _) => math.log(v.toDouble) }
+      val ys = rungs.map { case (_, s) => math.log(s) }
+      val (mx, my) = (xs.sum / xs.size, ys.sum / ys.size)
+      val exponent = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum /
+        xs.map(x => (x - mx) * (x - mx)).sum
+      println(f"""{"metric":"bpe_scale","exponent":$exponent%.3f}""")
+      require(exponent <= 1.3,
+        f"BPE wall grows super-linearly in vocab: exponent $exponent%.3f > 1.3")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val annMode = args.headOption.contains("ann")
     val mmMode = args.headOption.contains("mm")
@@ -557,8 +600,10 @@ object BenchScale {
     val semMode = args.headOption.contains("semdedup")
     val graphMode = args.headOption.contains("graph")
     val tpchMode = args.headOption.contains("tpch")
+    val bpeMode = args.headOption.contains("bpe")
     val sizeArgs =
-      if (annMode || mmMode || pqMode || ivfPqMode || semMode || graphMode || tpchMode)
+      if (annMode || mmMode || pqMode || ivfPqMode || semMode || graphMode ||
+          tpchMode || bpeMode)
         args.drop(1) else args
     val sizes =
       if (sizeArgs.nonEmpty) sizeArgs(0).split(",").map(_.trim.toLong).toSeq
@@ -569,6 +614,7 @@ object BenchScale {
       else if (semMode) Seq(500000L, 1000000L, 2000000L)
       else if (graphMode) Seq(1000000L, 4000000L, 16000000L)
       else if (tpchMode) Seq(600000L, 6000000L, 24000000L)
+      else if (bpeMode) Seq(100000L, 400000L, 1600000L)
       else Seq(5000L, 10000L, 20000L, 50000L)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -621,6 +667,7 @@ object BenchScale {
     if (semMode) { semDedupLadder(spark, sizes, maxTaskMs); spark.stop(); return }
     if (graphMode) { graphLadder(spark, sizes, maxTaskMs); spark.stop(); return }
     if (tpchMode) { tpchLadder(spark, sizes, maxTaskMs); spark.stop(); return }
+    if (bpeMode) { bpeLadder(spark, sizes, maxTaskMs); spark.stop(); return }
 
     val rungs = sizes.map { n =>
       val dir = s"/tmp/graft_scale/docs_$n"
