@@ -649,16 +649,36 @@ object ExtensionCatalog {
     * tokenizer-training operator. Deterministic given the
     * count/tiebreak contract, so the oracle replays the same merges
     * CTE by CTE. */
-  val taBpe: Q = (s, d) =>
-    Bpe.learnMerges(Tables.documents(s, d), "text", numMerges = 50)
+  /** ta_bpe OWNS this memo (the componentMemo discipline: the owner
+    * always recomputes and re-publishes so its bench timing stays the
+    * honest induction cost; the reader reuses whatever the run already
+    * computed). The memoized merge table is a 50-row LOCAL relation —
+    * no checkpoint blocks to free on replacement. */
+  private val bpeMemo =
+    new java.util.concurrent.atomic.AtomicReference[(String, DataFrame)]()
+
+  val taBpe: Q = (s, d) => {
+    val merges = Bpe.learnMerges(Tables.documents(s, d), "text", numMerges = 50)
+    bpeMemo.set((memoKey(s, d, "documents"), merges))
+    merges
+  }
 
   /** The encode half: every vocabulary word segmented by replaying the
     * learned merge table in rank order (subword count + the joined
     * segmentation as a receipt both engines must reproduce byte for
-    * byte). */
+    * byte). Reuses the run's learned table via [[bpeMemo]] — the
+    * train-once/apply-many shape; recomputes only when ta_bpe hasn't
+    * run against this (session, dir, data-fingerprint). */
   val taBpeSegment: Q = (s, d) => {
+    val key = memoKey(s, d, "documents")
     val docs = Tables.documents(s, d)
-    val merges = Bpe.learnMerges(docs, "text", numMerges = 50)
+    val merges = bpeMemo.get() match {
+      case (k, df) if k == key => df
+      case _ =>
+        val df = Bpe.learnMerges(docs, "text", numMerges = 50)
+        bpeMemo.set((key, df))
+        df
+    }
     Bpe.segment(Bpe.wordHistogram(docs, "text"), "word", merges)
       .select(col("word"), col("freq"),
         size(col("subwords")).cast("long").as("n_subwords"),
