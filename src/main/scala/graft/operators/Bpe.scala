@@ -76,6 +76,19 @@ object Bpe {
       .agg(sum(col("freq")).as("c"))
   }
 
+  /** Free a superseded localCheckpoint's storage blocks now instead of
+    * waiting for the ContextCleaner (the ExtensionCatalog
+    * unpersistCheckpoint discipline, ADVICE r4): at 100 TB the
+    * vocab-sized frame is worth reclaiming per truncation — without
+    * this, ~numMerges/8 superseded copies stay pinned through the
+    * induction. Safe here because learnMerges holds the ONLY reference
+    * to each superseded frame. */
+  private def unpersistCheckpoint(df: DataFrame): Unit =
+    try df.queryExecution.logical match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
+      case _ => ()
+    } catch { case _: Throwable => () }
+
   /** Learn up to `numMerges` merges from the corpus; returns the merge
     * table (rank, lhs, rhs, pair_count) in acquisition order. */
   def learnMerges(docs: DataFrame, textCol: String,
@@ -83,11 +96,13 @@ object Bpe {
     val spark = docs.sparkSession
     import spark.implicits._
     require(numMerges >= 1 && minCount >= 1)
+    var lastCheckpoint: DataFrame = null
     var segs = wordHistogram(docs, textCol)
       .select(concat(lit(Sep),
           array_join(split(col("word"), ""), SepSep), lit(Sep)).as("seg"),
         col("freq"))
       .localCheckpoint()
+    lastCheckpoint = segs
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var done = false
     var sinceCheckpoint = 0
@@ -111,10 +126,13 @@ object Bpe {
         sinceCheckpoint += 1
         if (sinceCheckpoint == 8) {
           segs = segs.localCheckpoint()
+          unpersistCheckpoint(lastCheckpoint)
+          lastCheckpoint = segs
           sinceCheckpoint = 0
         }
       }
     }
+    unpersistCheckpoint(lastCheckpoint)
     merges.toSeq.toDF()
   }
 

@@ -81,13 +81,21 @@ object Graph {
     // edge frame, bounded by limit 1; callers whose edge list is
     // symmetrized by construction may opt out to skip the pass.
     if (validateUniverse) {
-      val dangling = ed.select(col("dst").as("node")).distinct()
-        .join(nodes, Seq("node"), "left_anti").limit(1).collect()
-      require(dangling.isEmpty,
-        s"pageRankMicro: node ${dangling.head.getLong(0)} appears as a " +
-          "destination but never as a source (dangling sink, out of " +
-          "contract - its rank mass would silently leak). Symmetrize " +
-          "the edge list or pass validateUniverse=false deliberately.")
+      // unpersist on the throw path too: a caller catching the require
+      // (validation is FOR callers that might fail it) must not leak
+      // the |E|-row cached frame for the session's lifetime
+      val dangling =
+        try ed.select(col("dst").as("node")).distinct()
+          .join(nodes, Seq("node"), "left_anti").limit(1).collect()
+        catch { case t: Throwable => ed.unpersist(); throw t }
+      if (dangling.nonEmpty) {
+        ed.unpersist()
+        throw new IllegalArgumentException(
+          s"pageRankMicro: node ${dangling.head.getLong(0)} appears as a " +
+            "destination but never as a source (dangling sink, out of " +
+            "contract - its rank mass would silently leak). Symmetrize " +
+            "the edge list or pass validateUniverse=false deliberately.")
+      }
     }
     val teleportMicro = (100L - dampingPct) * 10000L
     var ranks = nodes.withColumn("r", lit(1000000L))

@@ -561,12 +561,10 @@ object ExtensionCatalog {
   }
 
   /** sf-keyed table-name prefix for [[jBucketedColo]] (shared with its
-    * plan gate). */
-  def bucketedPrefix(sfDir: String): String = {
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(sfDir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
-    s"graft_bktq_$key"
-  }
+    * plan gate) — same key helper as the on-disk location, so names
+    * and paths cannot desynchronize. */
+  def bucketedPrefix(sfDir: String): String =
+    s"graft_bktq_${graft.tools.BucketedLayout.sfKey(sfDir)}"
 
   // ---------------------------------------------------------- text analysis
 
@@ -1139,8 +1137,12 @@ object ExtensionCatalog {
   }
 
   val gPagerank: Q = (s, d) =>
+    // validateUniverse=false: tradeEdges unions BOTH directions of
+    // every pair, so each dst is a src BY CONSTRUCTION — the flag's
+    // documented opt-out case; paying a distinct+anti-join per run to
+    // re-prove a structural invariant would be pure bench cost.
     graft.operators.Graph.pageRankMicro(tradeEdges(s, d), "src", "dst",
-        iterations = 5)
+        iterations = 5, validateUniverse = false)
       .select(col("node"), col("r").as("rank_micro"))
 
   /** Bounded multi-source BFS over the trade graph: minimum hop

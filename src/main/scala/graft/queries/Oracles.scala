@@ -581,6 +581,15 @@ object Oracles {
   private val bpeS = "chr(31)"
   private val bpeSS = s"$bpeS||$bpeS"
 
+  /** One unrolled merge round. EARLY-STOP PARITY with
+    * Bpe.learnMerges(minCount = 2): b_i keeps only a winner with
+    * c >= 2 (empty otherwise), and w_i LEFT-joins it so an empty b_i
+    * passes segmentations through UNCHANGED — a cross join against an
+    * empty b_i would wipe every later w_i and return zero rows, and an
+    * unguarded winner would keep merging count-1 pairs the Spark side
+    * stopped at. Once a round's b_i is empty, every later one is too
+    * (w unchanged -> p unchanged), so the emitted ranks are exactly
+    * the Spark side's. */
   private def bpeRound(i: Int): String =
     s"""p$i AS MATERIALIZED (
        |  SELECT syms[i] AS l, syms[i+1] AS r, sum(freq) AS c
@@ -588,10 +597,13 @@ object Oracles {
        |          x -> trim(x, $bpeS)) AS syms FROM w${i - 1}),
        |       UNNEST(generate_series(1, len(syms)-1)) AS t(i)
        |  GROUP BY 1, 2),
-       |b$i AS MATERIALIZED (SELECT l, r, c FROM p$i ORDER BY c DESC, l, r LIMIT 1),
-       |w$i AS MATERIALIZED (SELECT word, replace(seg,
-       |  $bpeS||b$i.l||$bpeSS||b$i.r||$bpeS,
-       |  $bpeS||b$i.l||b$i.r||$bpeS) AS seg, freq FROM w${i - 1}, b$i)""".stripMargin
+       |b$i AS MATERIALIZED (SELECT l, r, c FROM p$i WHERE c >= 2
+       |  ORDER BY c DESC, l, r LIMIT 1),
+       |w$i AS MATERIALIZED (SELECT word,
+       |  CASE WHEN b.l IS NULL THEN seg ELSE replace(seg,
+       |    $bpeS||b.l||$bpeSS||b.r||$bpeS,
+       |    $bpeS||b.l||b.r||$bpeS) END AS seg, freq
+       |  FROM w${i - 1} LEFT JOIN b$i b ON TRUE)""".stripMargin
 
   private def bpePrefix(n: Int): String =
     s"""WITH wh AS MATERIALIZED (

@@ -27,21 +27,43 @@ import graft.Tables
   */
 object BucketedLayout {
 
-  /** Layouts already written by THIS JVM — lets catalog queries demand
-    * the layout idempotently without paying a rewrite per invocation. */
-  private val written = scala.collection.mutable.Set.empty[(String, String, Int)]
+  /** Layouts already written by THIS JVM, keyed by (session identity,
+    * prefix, sfDir, DATA FINGERPRINT, numBuckets) — session identity
+    * because table registration lives in a per-session catalog (a new
+    * session after stop() must re-register), the fingerprint because
+    * data changing under the same path must not serve a stale layout
+    * (the memoKey discipline of ExtensionCatalog). */
+  private val written = scala.collection.mutable.Set.empty[(Int, String, String, String, Int)]
+
+  private def writtenKey(spark: SparkSession, sfDir: String,
+                         numBuckets: Int, prefix: String) =
+    (System.identityHashCode(spark), prefix, sfDir,
+      IndexStore.dataFingerprint(sfDir, "lineitem") + "|" +
+        IndexStore.dataFingerprint(sfDir, "orders"), numBuckets)
+
+  /** 8-hex-char key of an sfDir — shared by the on-disk location AND
+    * the catalog's sf-scoped table-name prefix
+    * (ExtensionCatalog.bucketedPrefix), so the two can never
+    * desynchronize. */
+  def sfKey(sfDir: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(sfDir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
 
   /** STABLE location keyed by (prefix, sfDir, numBuckets) — a fresh
     * createTempDirectory per call leaked a full bucketed copy of both
     * tables on every invocation (DROP TABLE on an EXTERNAL table never
-    * deletes files); the keyed path is deleted and rewritten in place. */
-  private def stableBase(sfDir: String, numBuckets: Int, prefix: String): java.io.File = {
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(sfDir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    * deletes files); the keyed path is deleted and rewritten in place.
+    * SINGLE-WRITER CONTRACT (the ExtensionCatalog serial-execution
+    * assumption): the stable path means a SECOND JVM rewriting the
+    * same (prefix, sfDir, numBuckets) deletes files a first JVM's
+    * registered tables may still be reading — the harness runs one
+    * driver at a time (the repo-wide no-concurrent-sbt discipline); a
+    * multi-driver deployment would key the path by writer identity or
+    * use a real warehouse with atomic publish. */
+  private def stableBase(sfDir: String, numBuckets: Int, prefix: String): java.io.File =
     new java.io.File(new java.io.File(
       System.getProperty("java.io.tmpdir"), "graft-bucketed"),
-      s"$prefix-$key-b$numBuckets")
-  }
+      s"$prefix-${sfKey(sfDir)}-b$numBuckets")
 
   private def deleteRecursively(f: java.io.File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty)
@@ -72,15 +94,16 @@ object BucketedLayout {
         .option("path", s"$base/orders")
         .bucketBy(numBuckets, "o_orderkey").sortBy("o_orderkey")
         .saveAsTable(s"${prefix}_orders")
-      written += ((prefix, sfDir, numBuckets))
+      written += writtenKey(spark, sfDir, numBuckets, prefix)
     }
 
   /** Demand-the-layout entry point for catalog queries: writes once
-    * per (prefix, sfDir, numBuckets) per JVM, no-ops after. */
+    * per (session, prefix, sfDir, data-fingerprint, numBuckets),
+    * no-ops after. */
   def ensureTradeTables(spark: SparkSession, sfDir: String,
                         numBuckets: Int = 8, prefix: String = "graft_bkt"): Unit =
     synchronized {
-      if (!written((prefix, sfDir, numBuckets)))
+      if (!written(writtenKey(spark, sfDir, numBuckets, prefix)))
         writeTradeTables(spark, sfDir, numBuckets, prefix)
     }
 
