@@ -30,16 +30,26 @@ import org.apache.spark.sql.functions._
   * non-overlapping; induction stops early once no pair reaches
   * `minCount`.
   *
-  * Segmentations are carried as SEPARATOR-FRAMED STRINGS
-  * ("␟sym␟␟sym␟", U+001F unit separator) rather than symbol arrays:
-  * greedy leftmost non-overlapping merge is then EXACTLY one string
-  * replace of "␟l␟␟r␟" by "␟lr␟" — the same primitive with the same
-  * left-to-right semantics in Spark and DuckDB, so the oracle is a
-  * literal replay rather than a re-derivation — and the per-symbol
-  * start/end framing makes cross-symbol false matches impossible
-  * (merging (b,c) can never fire inside ["ab","c"]). U+001F cannot
-  * occur in input by construction: the shared tokenizer's alphabet is
-  * [a-z].
+  * The greedy leftmost non-overlapping merge exists in two PROVEN-
+  * EQUIVALENT forms. The DuckDB oracle (and [[segment]]'s replay)
+  * uses SEPARATOR-FRAMED STRINGS ("␟sym␟␟sym␟", U+001F unit
+  * separator): the merge is one replace of "␟l␟␟r␟" by "␟lr␟" —
+  * both engines' replace is leftmost non-overlapping, and the
+  * per-symbol start/end framing makes cross-symbol false matches
+  * impossible (merging (b,c) can never fire inside ["ab","c"];
+  * U+001F cannot occur in input — the tokenizer's alphabet is
+  * [a-z]). Training ([[learnMerges]]) instead carries SYMBOL ARRAYS
+  * and merges with [[foldMerge]] — see its scaladoc for the
+  * equivalence argument and the per-row-regex-compile hot spot the
+  * string form would pay per round; BpeSpec's randomized property
+  * pins all forms to one list-based scanner reference.
+  *
+  * BATCH-ONLY by contract (the [[Graph]] posture): induction is a
+  * multi-pass fixpoint over a corpus-wide histogram, which Structured
+  * Streaming's single-pass incremental model cannot express — the
+  * streaming analog is periodic re-induction over a corpus snapshot
+  * (foreachBatch), while [[segment]] (a pure per-row replace chain
+  * once the table is learned) is streaming-safe as-is.
   */
 object Bpe {
 
@@ -63,11 +73,11 @@ object Bpe {
   private def symsOf(seg: Column): Column =
     transform(split(seg, SepSep), x => trim(x, Sep))
 
-  /** Frequency-weighted adjacent-pair counts over a (seg, freq)
+  /** Frequency-weighted adjacent-pair counts over a (syms, freq)
     * frame — one narrow projection + one map-side-combinable
     * aggregation per round. */
   private def pairCounts(segs: DataFrame): DataFrame = {
-    val syms = symsOf(col("seg"))
+    val syms = col("syms")
     segs.select(col("freq"),
         explode(arrays_zip(
           slice(syms, lit(1), size(syms) - 1).as("l"),
@@ -75,6 +85,27 @@ object Bpe {
       .groupBy(col("p.l").as("l"), col("p.r").as("r"))
       .agg(sum(col("freq")).as("c"))
   }
+
+  /** Greedy leftmost non-overlapping merge of (l, r) as a left FOLD
+    * over the symbol array: append each symbol, merging on append
+    * when the accumulator's last element is `l` and the incoming one
+    * is `r`. EQUIVALENT to the scan-and-skip greedy definition (and
+    * to the oracle's framed-string replace): after a merge the new
+    * last element is l+r, and l+r = l is impossible for non-empty r,
+    * so a merged token can never left-match again in the same round —
+    * exactly the scanner's skip-two. "aaaa" + (a,a) folds to
+    * [aa, aa]. (BpeSpec's random property pins this against the
+    * list-based scanner reference.) Chosen over a per-round string
+    * replace because the string form needs a re-split every round and
+    * a NON-EMPTY split pattern compiles its regex PER ROW
+    * (UTF8String.split falls through to String.split — measured
+    * ~350 µs/row, the whole induction's hot spot at 1.6M vocab); the
+    * array fold is pure codegen'd array ops. */
+  private def foldMerge(syms: Column, l: String, r: String): Column =
+    aggregate(syms, array().cast("array<string>"), (acc, x) =>
+      when(size(acc) > 0 && element_at(acc, lit(-1)) === lit(l) && x === lit(r),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+        .otherwise(concat(acc, array(x))))
 
   /** Free a superseded localCheckpoint's storage blocks now instead of
     * waiting for the ContextCleaner (the ExtensionCatalog
@@ -96,43 +127,46 @@ object Bpe {
     val spark = docs.sparkSession
     import spark.implicits._
     require(numMerges >= 1 && minCount >= 1)
-    var lastCheckpoint: DataFrame = null
+    // LAZY checkpoint per round, ZERO extra jobs: each round's segs is
+    // localCheckpoint(eager=false), and the round's own argmax action
+    // (whose aggregate scans every partition) materializes it — so
+    // every scan reads the previous round's stored blocks plus exactly
+    // ONE pending fold, and the round count stays one job each. The
+    // batched-every-8 variant this replaces re-executed the chained
+    // merges on every scan: per-round stage cost climbed 40 s →
+    // 738 s executor time across a checkpoint window at 1.6M vocab
+    // (measured — the chain replay is quadratic in the window width).
+    // The superseded checkpoint is released one round BEHIND: its
+    // blocks feed the next round's materialization first.
+    // seed: one character split per WORD TYPE total — the empty split
+    // pattern takes UTF8String.split's per-char fast path (no regex)
     var segs = wordHistogram(docs, textCol)
-      .select(concat(lit(Sep),
-          array_join(split(col("word"), ""), SepSep), lit(Sep)).as("seg"),
-        col("freq"))
-      .localCheckpoint()
-    lastCheckpoint = segs
+      .select(split(col("word"), "").as("syms"), col("freq"))
+      .localCheckpoint(false)
+    var prevCheckpoint: DataFrame = null
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var done = false
-    var sinceCheckpoint = 0
     while (!done && merges.length < numMerges) {
       // 1-row bounded collect: the argmax travels to the driver, the
-      // vocab never does
+      // vocab never does (and it materializes this round's segs)
       val best = pairCounts(segs)
         .orderBy(col("c").desc, col("l"), col("r")).limit(1).collect()
+      if (prevCheckpoint != null) {
+        unpersistCheckpoint(prevCheckpoint)
+        prevCheckpoint = null
+      }
       if (best.isEmpty || best.head.getLong(2) < minCount) done = true
       else {
         val l = best.head.getString(0)
         val r = best.head.getString(1)
         merges += Merge(merges.length + 1L, l, r, best.head.getLong(2))
-        segs = segs.select(
-          replace(col("seg"), lit(Sep + l + SepSep + r + Sep),
-            lit(Sep + l + r + Sep)).as("seg"),
-          col("freq"))
-        // lineage stays ≤ 8 chained replaces between truncations: a
-        // checkpoint per round doubles the job count for no benefit
-        // (each replace is one narrow vocab-sized projection)
-        sinceCheckpoint += 1
-        if (sinceCheckpoint == 8) {
-          segs = segs.localCheckpoint()
-          unpersistCheckpoint(lastCheckpoint)
-          lastCheckpoint = segs
-          sinceCheckpoint = 0
-        }
+        prevCheckpoint = segs
+        segs = segs.select(foldMerge(col("syms"), l, r).as("syms"), col("freq"))
+          .localCheckpoint(false)
       }
     }
-    unpersistCheckpoint(lastCheckpoint)
+    if (prevCheckpoint != null) unpersistCheckpoint(prevCheckpoint)
+    unpersistCheckpoint(segs)
     merges.toSeq.toDF()
   }
 
