@@ -32,19 +32,30 @@ object TimeSeries {
 
   private val Breakpoint = 0.6745 // N(0,1) quartiles → 4 equiprobable symbols
 
+  /** Largest |micro-unit tap| whose 8-tap squared sum stays in Long:
+    * 8·(2^30−1)² < 2^63. Enforced loudly in both batch and streaming
+    * kernels (ADVICE r7: a silent long wrap diverged from the oracle
+    * instead of failing). */
+  val MaxTapMicro: Long = (1L << 30) - 1
+
   /** The pure word kernel: EXACTLY the fp steps of the batch column
     * expressions (same JVM double ops the codegen'd SQL compiles to),
     * shared by the streaming twin so words match the batch to the
     * letter. `taps` is the 8-value window, oldest first. */
   def saxWord(taps: IndexedSeq[Long]): String = {
     require(taps.length == 8)
+    // Loud magnitude contract instead of silent wrap: 8·(2^30)² is
+    // the Long boundary, so |tap| ≤ 2^30−1 (|value| ≤ ~1073.74 after
+    // the ×1e6 micro-unit scale) keeps Σ vc² exact in plain long
+    // arithmetic. (A decimal(38,0)/BigInt sum was correct at any
+    // magnitude but measured 7× slower in the batch window path, so
+    // the guard keeps the hot path in codegen'd longs and
+    // out-of-contract input FAILS instead of diverging.)
+    require(taps.forall(t => math.abs(t) <= TimeSeries.MaxTapMicro),
+      s"saxWord: |tap| > ${TimeSeries.MaxTapMicro} micro-units " +
+        "(|value| > ~1073.74) - the squared sum would overflow; rescale")
     val s = taps.sum
-    // Σ vc² exceeds Long once |vc| ≳ 2^30 (|value| ≳ ~1073 after the
-    // ×1e6 micro-unit scale); BigInt keeps the sum exact and its
-    // toDouble rounds to nearest — the same value the batch side's
-    // decimal(38,0) sum yields after its double cast, so the twin
-    // parity holds at ANY tap magnitude instead of wrapping silently.
-    val s2 = taps.map(t => BigInt(t) * BigInt(t)).sum
+    val s2 = taps.map(t => t * t).sum
     val mean = s.toDouble / 8.0
     val sd = math.sqrt((s2.toDouble - s.toDouble * s.toDouble / 8.0) / 8.0)
     if (sd == 0.0) "flat"
@@ -66,19 +77,29 @@ object TimeSeries {
                valueCol: String): DataFrame = {
     val w = Window.partitionBy(col(keyCol))
       .orderBy(orderCols.map(col): _*)
-    val vc = round(col(valueCol) * 1000000).cast("long")
+    // Loud magnitude guard per ROW, HOISTED into one projection
+    // BEFORE the window (the minHashSignatures hoisting lesson): every
+    // tap of every window reads the guarded column, so coverage is
+    // complete, but the ~60 window expressions stay plain long lags —
+    // embedding the when/raise_error in each tap blew the generated
+    // window method up (6.6 s cold first run from Janino compile
+    // alone). The guard exists because 8 squared micro-unit taps
+    // overflow a long once |value| ≳ ~1073.74 and Spark would WRAP
+    // silently while the DuckDB oracle's BIGINT product errors —
+    // diverging instead of failing; a decimal(38,0) s2 was
+    // magnitude-safe but measured 7× slower end-to-end at sf0.1.
+    val rawVc = round(col(valueCol) * 1000000).cast("long")
+    val guarded = df.select(col("*"),
+      when(abs(rawVc) <= lit(MaxTapMicro), rawVc)
+        .otherwise(raise_error(concat(lit(
+          s"saxWords: |micro tap| > $MaxTapMicro (|value| > ~1073.74) at value="),
+          col(valueCol).cast("string")))).as("_graft_vc"))
+    val vc = col("_graft_vc")
     // taps(i) = v[t-7+i]; the current row is tapped directly
     val taps = (0 to 6).map(i => lag(vc, 7 - i).over(w)) :+ vc
     val rn = row_number().over(w)
     val s = taps.reduce(_ + _)
-    // decimal(38,0), not long: 8 squared micro-unit taps overflow a
-    // long once |value| ≳ ~1073 and Spark would WRAP silently while
-    // the DuckDB oracle's BIGINT product errors — diverging instead of
-    // failing loudly. The decimal sum is exact for any representable
-    // tap and its double cast rounds to nearest, identical to the
-    // long path's value everywhere the long path didn't overflow.
-    val s2 = taps.map(t => t.cast("decimal(38,0)") * t.cast("decimal(38,0)"))
-      .reduce(_ + _)
+    val s2 = taps.map(t => t * t).reduce(_ + _)
     val mean = s.cast("double") / lit(8.0)
     val variance = (s2.cast("double")
       - s.cast("double") * s.cast("double") / lit(8.0)) / lit(8.0)
@@ -90,7 +111,7 @@ object TimeSeries {
       val paa = (taps(2 * seg) + taps(2 * seg + 1)).cast("double") / lit(2.0)
       symbol((paa - mean) / sd)
     }: _*)
-    df.select(col(keyCol), rn.as("rn"), s.as("s"), sd.as("sd"), word.as("w"))
+    guarded.select(col(keyCol), rn.as("rn"), s.as("s"), sd.as("sd"), word.as("w"))
       .filter(col("rn") >= 8)
       .select(col(keyCol), col("rn"),
         when(col("sd") === 0.0, lit("flat")).otherwise(col("w")).as("sax"))

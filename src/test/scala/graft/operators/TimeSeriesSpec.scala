@@ -28,6 +28,22 @@ class TimeSeriesSpec extends SparkSpec {
     assert(sax(Seq.fill(8)(3.25)) == Seq(8 -> "flat"))
   }
 
+  test("out-of-contract magnitude fails loudly in both kernels") {
+    // |value| > ~1073.74 would overflow the 8-tap squared sum: the
+    // batch path must raise, not wrap-and-diverge from the oracle
+    val ex = intercept[Exception] { sax(Seq.fill(8)(2000.0)) }
+    assert(ex.getMessage.contains("1073.74") ||
+      Option(ex.getCause).exists(_.getMessage.contains("1073.74")),
+      s"expected the magnitude guard, got: ${ex.getMessage}")
+    // in-contract boundary still computes (|value| just below the cap)
+    assert(sax(Seq(1000.0, 1001, 1002, 1003, 1004, 1005, 1006, 1007)).nonEmpty)
+    // streaming kernel shares the contract through saxWord's require
+    val ex2 = intercept[IllegalArgumentException] {
+      TimeSeries.saxWord(Vector.fill(8)(2000L * 1000000L))
+    }
+    assert(ex2.getMessage.contains("1073.74"))
+  }
+
   test("sliding windows emit one word per full window") {
     // 10 values → windows ending at rows 8, 9, 10
     val words = sax((1 to 10).map(_.toDouble))
