@@ -1,7 +1,8 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.types.{IntegerType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** The engine's native functions as SQL-registrable builders — one
   * table shared by [[graft.GraftExtensions]] (config-based,
@@ -17,6 +18,12 @@ object GraftFunctions {
     case Literal(v: Int, IntegerType) => v
     case other => throw new IllegalArgumentException(
       s"$fn: argument $pos must be an integer literal, got $other")
+  }
+
+  private def strArg(e: Expression, fn: String, pos: Int): String = e match {
+    case Literal(v: UTF8String, StringType) if v != null => v.toString
+    case other => throw new IllegalArgumentException(
+      s"$fn: argument $pos must be a string literal, got $other")
   }
 
   /** Arity gate shared by every builder: a wrong argument count raises
@@ -47,6 +54,11 @@ object GraftFunctions {
         if (args.length > 1) intArg(args(1), "winnow_summary", 2) else 4,
         if (args.length > 2) intArg(args(2), "winnow_summary", 3) else 8)),
       "winnow_summary(text [, k, w]) - struct(n_fingerprints, fp_sum) of distinct window-min k-gram hashes"),
+    ("bpe_fold_merge",
+      arity("bpe_fold_merge", 3, 3)(args => BpeFoldMerge(args(0),
+        strArg(args(1), "bpe_fold_merge", 2),
+        strArg(args(2), "bpe_fold_merge", 3))),
+      "bpe_fold_merge(syms array<string>, lhs, rhs) - one greedy leftmost non-overlapping BPE merge round"),
     ("hyperplane_bucket",
       arity("hyperplane_bucket", 2, 3)(args => HyperplaneBucket(args(0),
         intArg(args(1), "hyperplane_bucket", 2),

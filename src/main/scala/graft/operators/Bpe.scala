@@ -86,26 +86,20 @@ object Bpe {
       .agg(sum(col("freq")).as("c"))
   }
 
-  /** Greedy leftmost non-overlapping merge of (l, r) as a left FOLD
-    * over the symbol array: append each symbol, merging on append
-    * when the accumulator's last element is `l` and the incoming one
-    * is `r`. EQUIVALENT to the scan-and-skip greedy definition (and
-    * to the oracle's framed-string replace): after a merge the new
-    * last element is l+r, and l+r = l is impossible for non-empty r,
-    * so a merged token can never left-match again in the same round —
-    * exactly the scanner's skip-two. "aaaa" + (a,a) folds to
-    * [aa, aa]. (BpeSpec's random property pins this against the
-    * list-based scanner reference.) Chosen over a per-round string
-    * replace because the string form needs a re-split every round and
-    * a NON-EMPTY split pattern compiles its regex PER ROW
-    * (UTF8String.split falls through to String.split — measured
-    * ~350 µs/row, the whole induction's hot spot at 1.6M vocab); the
-    * array fold is pure codegen'd array ops. */
+  /** Greedy leftmost non-overlapping merge of (l, r) over the symbol
+    * array — the native one-pass scanner kernel
+    * ([[graft.functions.BpeFoldMerge]], whole-stage-codegen driven).
+    * Chosen over (a) a per-round framed-string replace, whose re-split
+    * compiles a regex PER ROW (UTF8String.split falls through to
+    * String.split for non-empty patterns), and (b) an `aggregate()`
+    * higher-order fold, which runs on the interpreted lambda path with
+    * O(n²) per-word array copies. All three forms are
+    * semantically identical (a merged token can never left-match again
+    * in its own round since l+r = l needs an empty r); BpeSpec's
+    * random property pins the shipped kernel to the list-based
+    * scanner reference. */
   private def foldMerge(syms: Column, l: String, r: String): Column =
-    aggregate(syms, array().cast("array<string>"), (acc, x) =>
-      when(size(acc) > 0 && element_at(acc, lit(-1)) === lit(l) && x === lit(r),
-        concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
-        .otherwise(concat(acc, array(x))))
+    graft.functions.BpeFoldMerge.bpeFoldMerge(syms, l, r)
 
   /** Free a superseded localCheckpoint's storage blocks now instead of
     * waiting for the ContextCleaner (the ExtensionCatalog

@@ -68,6 +68,21 @@ class SqlRegistrationSpec extends SparkSpec {
     assert(mg._1 == 3 && mg._2 >= 333L) // 3 distinct fit in k: exact counts
   }
 
+  test("bpe_fold_merge from SQL: greedy leftmost scan incl. the chain case") {
+    import spark.implicits._
+    val out = spark.sql(
+      "SELECT bpe_fold_merge(array('a','a','a','a'), 'a', 'a') AS m")
+      .as[Seq[String]].collect().head
+    assert(out == Seq("aa", "aa"), s"chain must merge greedily: $out")
+    val noMatch = spark.sql(
+      "SELECT bpe_fold_merge(array('ab','c'), 'b', 'c') AS m")
+      .as[Seq[String]].collect().head
+    assert(noMatch == Seq("ab", "c"), "no cross-symbol false match")
+    val e = intercept[Exception](
+      spark.sql("SELECT bpe_fold_merge(array('a'), 'a', id) FROM agg_in"))
+    assert(e.getMessage.contains("string literal"), s"got: ${e.getMessage}")
+  }
+
   test("wrong arity raises a descriptive error, not IndexOutOfBounds") {
     val e1 = intercept[Exception](spark.sql("SELECT misra_gries() FROM agg_in"))
     assert(e1.getMessage.contains("misra_gries expects 1 to 2 argument(s)"),
