@@ -920,13 +920,15 @@ object Dedup {
   /** Hamming near-dup pairs over a 64-bit hash carried as two 32-bit
     * halves — the [[simHashPairs]] pigeonhole applied to ANY
     * precomputed fingerprint (perceptual image hashes, audio
-    * fingerprints): split the 64 bits into 8 8-bit chunks; two hashes
-    * within hamming distance ≤ maxDist < 8 MUST agree on at least one
-    * chunk (pigeonhole — lossless blocking, unlike LSH), so candidates
-    * only form inside (chunk index, chunk value) buckets and the exact
-    * popcount filter runs per candidate. A pair colliding in several
-    * chunks is emitted ONLY at its lowest agreeing chunk (the
-    * first-match rule — no corpus-wide pair distinct).
+    * fingerprints): split the 64 bits into equal chunks (the smallest
+    * divisor-of-64 count exceeding maxDist — 4 × 16-bit for
+    * maxDist ≤ 3, 8 × 8-bit for the default 6); two hashes within the
+    * distance MUST agree on at least one chunk (pigeonhole — lossless
+    * blocking, unlike LSH), so candidates only form inside
+    * (chunk index, chunk value) buckets and the exact popcount filter
+    * runs per candidate. A pair colliding in several chunks is
+    * emitted ONLY at its lowest agreeing chunk (the first-match
+    * rule — no corpus-wide pair distinct).
     *
     * Hot buckets route through the SAME salted kernel as the text
     * paths ([[minHashLsh]]'s recall contract): a bucket over
@@ -950,28 +952,39 @@ object Dedup {
   def hammingPairs64(hashes: DataFrame, idCol: String,
                      hiCol: String, loCol: String,
                      maxDist: Int = 6, maxBucket: Int = 8192): DataFrame = {
-    require(maxDist >= 0 && maxDist < 8, "pigeonhole over 8 chunks needs maxDist < 8")
+    require(maxDist >= 0 && maxDist < 32,
+      "pigeonhole over at most 32 chunks needs maxDist < 32")
+    // WIDENED blocking when the threshold allows: the chunk count is
+    // the SMALLEST divisor of 64 exceeding maxDist (pigeonhole needs
+    // chunks > maxDist), so maxDist ≤ 3 blocks on 4 × 16-bit chunks
+    // (65k values per position — far finer buckets than 8-bit chunks
+    // on a near-dup-dense corpus) and the catalog's maxDist = 6 keeps
+    // its 8 × 8-bit layout. Caps, not key width, still bound the
+    // degenerate identical-fingerprint case — the salt below.
+    val chunks = Seq(2, 4, 8, 16, 32).find(_ > maxDist).get
+    val width = 64 / chunks
+    val mask = if (width == 64) -1L else (1L << width) - 1
     val spark = hashes.sparkSession
     import spark.implicits._
     val n = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     // Recompose the 64-bit signature once: hi = bits 32..63, lo =
-    // bits 0..31, so chunk c (8 bits) = (sig >>> 8c) & 255 — identical
-    // chunk keys to the former hi/lo-split form.
+    // bits 0..31, so chunk c = (sig >>> c·width) & mask — identical
+    // chunk keys to the former hi/lo-split form at width 8.
     val sig = shiftleft(col(hiCol), 32)
       .bitwiseOR(col(loCol).bitwiseAND(lit(0xffffffffL)))
     val banded = hashes
       .select(col(idCol).cast("long").as("doc_id"), sig.as("sig"))
       .select(col("doc_id"), col("sig"),
-        posexplode(array((0 until 8).map(c =>
-          shiftrightunsigned(col("sig"), c * 8).bitwiseAND(lit(255L))): _*))
+        posexplode(array((0 until chunks).map(c =>
+          shiftrightunsigned(col("sig"), c * width).bitwiseAND(lit(mask))): _*))
           .as(Seq("band", "bucket")))
     saltedBucketGroups(banded,
       struct(col("doc_id").as("_1"), col("sig").as("_2")), maxBucket)
       .repartition(n)
       .as[(Int, Seq[(Long, Long)])]
-      // same kernel as simHashPairs: 8 chunks × width 8 covers the
-      // full 64-bit signature; dist is the exact 64-bit popcount
-      .mapPartitions(groups => new HammingIterator(groups, maxDist, 8))
+      // same kernel as simHashPairs: chunks × width covers the full
+      // 64-bit signature; dist is the exact 64-bit popcount
+      .mapPartitions(groups => new HammingIterator(groups, maxDist, width))
       .toDF("id_a", "id_b", "dist")
   }
 

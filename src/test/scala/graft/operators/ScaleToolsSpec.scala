@@ -103,6 +103,12 @@ class ScaleToolsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(expected.nonEmpty, "planted near-dups must produce pairs")
     assert(got == expected)
+    // WIDENED blocking path (maxDist <= 3 -> 4 x 16-bit chunks) is
+    // exact too: same corpus, tighter threshold, brute-force equality
+    val expected3 = expected.filter(_._3 <= 3)
+    val got3 = Dedup.hammingPairs64(hashes, "doc_id", "fp_hi", "fp_lo", maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(expected3.nonEmpty && got3 == expected3)
   }
 
   test("hotKeys surfaces the heaviest join keys") {
