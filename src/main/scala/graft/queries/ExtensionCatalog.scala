@@ -683,6 +683,33 @@ object ExtensionCatalog {
         array_join(col("subwords"), " ").as("seg_text"))
   }
 
+  /** The corpus-ENCODE step completing the BPE triple (train →
+    * segment vocab → encode corpus): per-document word and learned-
+    * subword token counts. The segmented VOCAB broadcasts into a
+    * codegen hash join (the ta_token_ids pattern — the corpus never
+    * shuffles for the lookup; the per-doc agg is map-side combined),
+    * so the corpus-side plan is one narrow tokenize pass + one
+    * bounded-key aggregation at any scale. Reuses the run's learned
+    * table via [[bpeMemo]]. */
+  val taBpeTokens: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val key = memoKey(s, d, "documents")
+    val merges = bpeMemo.get() match {
+      case (k, df) if k == key => df
+      case _ =>
+        val df = Bpe.learnMerges(docs, "text", numMerges = 50)
+        bpeMemo.set((key, df))
+        df
+    }
+    val seg = Bpe.segment(Bpe.wordHistogram(docs, "text"), "word", merges)
+      .select(col("word"), size(col("subwords")).cast("long").as("n_sub"))
+    docs.select(col("doc_id"), StatelessOps.explodeTokens(col("text")).as("word"))
+      .filter(length(col("word")) > 0)
+      .join(broadcast(seg), Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).as("n_bpe_tokens"))
+  }
+
   /** Heavy-hitter tokens: Misra-Gries sketch prunes, exact count
     * confirms — the frequency twin of the bloom-semi-join pattern.
     * The exact form shuffles every token occurrence into a corpus-wide

@@ -629,6 +629,19 @@ object Oracles {
          |FROM (SELECT word, freq, list_transform(string_split(seg, $bpeSS),
          |        x -> trim(x, $bpeS)) AS syms FROM w50)""".stripMargin
 
+  private val bpeTokensSql: String =
+    bpePrefix(50) +
+      s""",
+         |segn AS MATERIALIZED (SELECT word,
+         |  CAST(len(list_transform(string_split(seg, $bpeSS),
+         |    x -> trim(x, $bpeS))) AS BIGINT) AS n_sub FROM w50)
+         |SELECT doc_id, count(*) AS n_words,
+         |  CAST(sum(n_sub) AS BIGINT) AS n_bpe_tokens
+         |FROM (SELECT doc_id, unnest(string_split(trim(regexp_replace(regexp_replace(lower(text),
+         |    '[^a-z \n]+', '', 'g'), '\\s+', ' ', 'g')), ' ')) AS tok FROM documents) t
+         |JOIN segn ON t.tok = segn.word
+         |GROUP BY 1""".stripMargin
+
   /** ts_sax shared CTEs: the identical 8-tap / PAA / breakpoint
     * pipeline as TimeSeries.saxWords — integer taps, then the SAME
     * IEEE expressions in the same order. */
@@ -1310,6 +1323,7 @@ object Oracles {
     // the 50 learned merges replayed CTE by CTE (see bpeRound)
     "ta_bpe" -> bpeMergesSql,
     "ta_bpe_segment" -> bpeSegmentSql,
+    "ta_bpe_tokens" -> bpeTokensSql,
     // LIMIT boundary is tie-safe: rank-100 ties break on ascending
     // token in both engines
     "ta_vocab" ->
