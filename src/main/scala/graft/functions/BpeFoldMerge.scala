@@ -41,7 +41,13 @@ case class BpeFoldMerge(child: Expression, lhs: String, rhs: String)
       s"bpe_fold_merge expects array<string>, got $other")
   }
 
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  // containsNull mirrors the input: null elements (legal through the
+  // SQL surface) pass through unmerged — null never equals a merge
+  // symbol — instead of NPEing in the kernel
+  override def dataType: DataType = child.dataType match {
+    case ArrayType(_, containsNull) => ArrayType(StringType, containsNull)
+    case _ => ArrayType(StringType, containsNull = true)
+  }
   override def nullable: Boolean = child.nullable
 
   @transient private lazy val l = UTF8String.fromString(lhs)
@@ -59,12 +65,15 @@ case class BpeFoldMerge(child: Expression, lhs: String, rhs: String)
     var i = 0
     while (i < n) {
       val cur = arr.getUTF8String(i)
-      if (i + 1 < n && l.equals(cur) && r.equals(arr.getUTF8String(i + 1))) {
+      if (cur != null && i + 1 < n && l.equals(cur) && {
+            val nxt = arr.getUTF8String(i + 1)
+            nxt != null && r.equals(nxt)
+          }) {
         out(m) = merged
         m += 1
         i += 2
       } else {
-        out(m) = cur.clone()
+        out(m) = if (cur == null) null else cur.clone()
         m += 1
         i += 1
       }

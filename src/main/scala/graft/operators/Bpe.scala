@@ -154,9 +154,13 @@ object Bpe {
         val l = best.head.getString(0)
         val r = best.head.getString(1)
         merges += Merge(merges.length + 1L, l, r, best.head.getLong(2))
-        prevCheckpoint = segs
-        segs = segs.select(foldMerge(col("syms"), l, r).as("syms"), col("freq"))
-          .localCheckpoint(false)
+        // skip building the never-executed final fold: localCheckpoint
+        // plans the frame eagerly on the driver even when lazy
+        if (merges.length < numMerges) {
+          prevCheckpoint = segs
+          segs = segs.select(foldMerge(col("syms"), l, r).as("syms"), col("freq"))
+            .localCheckpoint(false)
+        }
       }
     }
     if (prevCheckpoint != null) unpersistCheckpoint(prevCheckpoint)

@@ -921,8 +921,9 @@ object Dedup {
     * halves — the [[simHashPairs]] pigeonhole applied to ANY
     * precomputed fingerprint (perceptual image hashes, audio
     * fingerprints): split the 64 bits into equal chunks (the smallest
-    * divisor-of-64 count exceeding maxDist — 4 × 16-bit for
-    * maxDist ≤ 3, 8 × 8-bit for the default 6); two hashes within the
+    * divisor-of-64 count exceeding maxDist — 2 × 32-bit for
+    * maxDist ≤ 1, 4 × 16-bit for 2-3, 8 × 8-bit for the default 6);
+    * two hashes within the
     * distance MUST agree on at least one chunk (pigeonhole — lossless
     * blocking, unlike LSH), so candidates only form inside
     * (chunk index, chunk value) buckets and the exact popcount filter

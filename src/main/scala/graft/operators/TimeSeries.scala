@@ -51,7 +51,9 @@ object TimeSeries {
     // magnitude but measured 7× slower in the batch window path, so
     // the guard keeps the hot path in codegen'd longs and
     // out-of-contract input FAILS instead of diverging.)
-    require(taps.forall(t => math.abs(t) <= TimeSeries.MaxTapMicro),
+    // two-sided bounds, not math.abs: abs(Long.MinValue) wraps negative
+    require(taps.forall(t =>
+        t >= -TimeSeries.MaxTapMicro && t <= TimeSeries.MaxTapMicro),
       s"saxWord: |tap| > ${TimeSeries.MaxTapMicro} micro-units " +
         "(|value| > ~1073.74) - the squared sum would overflow; rescale")
     val s = taps.sum
@@ -88,9 +90,17 @@ object TimeSeries {
     // silently while the DuckDB oracle's BIGINT product errors —
     // diverging instead of failing; a decimal(38,0) s2 was
     // magnitude-safe but measured 7× slower end-to-end at sf0.1.
+    // Explicit two-sided bounds, NOT abs(): abs(Long.MinValue) wraps
+    // NEGATIVE, so an extreme value saturating the double→long cast
+    // would sail through an abs-based guard — the exact silent-wrap
+    // hole this guard exists to close. NULL values pass through (the
+    // pre-guard pipeline propagated them; the null condition takes
+    // the when-branch via isNull, not the raise_error).
     val rawVc = round(col(valueCol) * 1000000).cast("long")
+    val inRange = rawVc.isNull ||
+      (rawVc >= lit(-MaxTapMicro) && rawVc <= lit(MaxTapMicro))
     val guarded = df.select(col("*"),
-      when(abs(rawVc) <= lit(MaxTapMicro), rawVc)
+      when(inRange, rawVc)
         .otherwise(raise_error(concat(lit(
           s"saxWords: |micro tap| > $MaxTapMicro (|value| > ~1073.74) at value="),
           col(valueCol).cast("string")))).as("_graft_vc"))

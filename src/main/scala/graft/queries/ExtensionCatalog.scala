@@ -661,27 +661,33 @@ object ExtensionCatalog {
     merges
   }
 
+  /** Reader side of [[bpeMemo]], shared by the segment/encode queries:
+    * reuse the run's learned table, or learn-and-publish on a miss —
+    * ONE definition so the train-once contract cannot diverge between
+    * readers. */
+  private def learnedMerges(s: SparkSession, d: String): DataFrame = {
+    val key = memoKey(s, d, "documents")
+    bpeMemo.get() match {
+      case (k, df) if k == key => df
+      case _ =>
+        val df = Bpe.learnMerges(Tables.documents(s, d), "text", numMerges = 50)
+        bpeMemo.set((key, df))
+        df
+    }
+  }
+
   /** The encode half: every vocabulary word segmented by replaying the
     * learned merge table in rank order (subword count + the joined
     * segmentation as a receipt both engines must reproduce byte for
     * byte). Reuses the run's learned table via [[bpeMemo]] — the
     * train-once/apply-many shape; recomputes only when ta_bpe hasn't
     * run against this (session, dir, data-fingerprint). */
-  val taBpeSegment: Q = (s, d) => {
-    val key = memoKey(s, d, "documents")
-    val docs = Tables.documents(s, d)
-    val merges = bpeMemo.get() match {
-      case (k, df) if k == key => df
-      case _ =>
-        val df = Bpe.learnMerges(docs, "text", numMerges = 50)
-        bpeMemo.set((key, df))
-        df
-    }
-    Bpe.segment(Bpe.wordHistogram(docs, "text"), "word", merges)
+  val taBpeSegment: Q = (s, d) =>
+    Bpe.segment(Bpe.wordHistogram(Tables.documents(s, d), "text"), "word",
+        learnedMerges(s, d))
       .select(col("word"), col("freq"),
         size(col("subwords")).cast("long").as("n_subwords"),
         array_join(col("subwords"), " ").as("seg_text"))
-  }
 
   /** The corpus-ENCODE step completing the BPE triple (train →
     * segment vocab → encode corpus): per-document word and learned-
@@ -693,15 +699,8 @@ object ExtensionCatalog {
     * table via [[bpeMemo]]. */
   val taBpeTokens: Q = (s, d) => {
     val docs = Tables.documents(s, d)
-    val key = memoKey(s, d, "documents")
-    val merges = bpeMemo.get() match {
-      case (k, df) if k == key => df
-      case _ =>
-        val df = Bpe.learnMerges(docs, "text", numMerges = 50)
-        bpeMemo.set((key, df))
-        df
-    }
-    val seg = Bpe.segment(Bpe.wordHistogram(docs, "text"), "word", merges)
+    val seg = Bpe.segment(Bpe.wordHistogram(docs, "text"), "word",
+        learnedMerges(s, d))
       .select(col("word"), size(col("subwords")).cast("long").as("n_sub"))
     docs.select(col("doc_id"), StatelessOps.explodeTokens(col("text")).as("word"))
       .filter(length(col("word")) > 0)

@@ -81,6 +81,12 @@ class SqlRegistrationSpec extends SparkSpec {
     val e = intercept[Exception](
       spark.sql("SELECT bpe_fold_merge(array('a'), 'a', id) FROM agg_in"))
     assert(e.getMessage.contains("string literal"), s"got: ${e.getMessage}")
+    // null elements are legal through the SQL surface: pass through
+    // unmerged (null never equals a merge symbol), no NPE
+    val withNull = spark.sql(
+      "SELECT bpe_fold_merge(array('a', CAST(NULL AS STRING), 'a', 'b'), 'a', 'b') AS m")
+      .collect().head.getSeq[String](0)
+    assert(withNull == Seq("a", null, "ab"), s"got: $withNull")
   }
 
   test("wrong arity raises a descriptive error, not IndexOutOfBounds") {

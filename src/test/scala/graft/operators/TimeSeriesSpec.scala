@@ -42,6 +42,31 @@ class TimeSeriesSpec extends SparkSpec {
       TimeSeries.saxWord(Vector.fill(8)(2000L * 1000000L))
     }
     assert(ex2.getMessage.contains("1073.74"))
+    // Long.MinValue must NOT slip through an abs() wrap: an extreme
+    // value raises LOUDLY on every path — under ANSI (the Spark 4
+    // default) the double->long cast itself throws CAST_OVERFLOW
+    // before the guard; under non-ANSI the cast saturates to
+    // Long.MinValue and the two-sided bounds (not abs, which wraps
+    // negative there) catch it
+    val ex3 = intercept[Exception] { sax(Seq.fill(8)(-1e13)) }
+    val all3 = ex3.getMessage + Option(ex3.getCause).map(_.getMessage).getOrElse("")
+    assert(all3.contains("1073.74") || all3.contains("CAST_OVERFLOW"),
+      s"extreme magnitude must raise loudly, got: ${ex3.getMessage}")
+    val ex4 = intercept[IllegalArgumentException] {
+      TimeSeries.saxWord(Vector.fill(8)(Long.MinValue))
+    }
+    assert(ex4.getMessage.contains("1073.74"))
+  }
+
+  test("null values pass through the guard instead of aborting the query") {
+    import spark.implicits._
+    val rows = Seq[(Long, Long, java.lang.Double)](
+      (1L, 1L, 5.0), (1L, 2L, null), (1L, 3L, 6.0))
+    val out = TimeSeries.saxWords(rows.toDF("user_id", "ts", "value"),
+      "user_id", Seq("ts"), "value")
+    // 3 rows never fill an 8-window; the point is execution does NOT
+    // raise on the null row (the pre-guard pipeline propagated nulls)
+    assert(out.collect().isEmpty)
   }
 
   test("sliding windows emit one word per full window") {
