@@ -111,6 +111,36 @@ class ScaleToolsSpec extends SparkSpec {
     assert(expected3.nonEmpty && got3 == expected3)
   }
 
+  test("hamming64 randomized: every chunk-width path equals brute force") {
+    // maxDist 1 / 3 / 6 exercise the 2x32 / 4x16 / 8x8 blocking
+    // layouts; clustered fingerprints (few base patterns + small
+    // perturbations) make qualifying pairs plentiful at every
+    // distance. Deterministic seed — no flaky reruns.
+    val rnd = new scala.util.Random(20260814L)
+    for (maxDist <- Seq(1, 3, 6)) {
+      val bases = Array.fill(6)(rnd.nextLong())
+      val rows = (0 until 160).map { i =>
+        val base = bases(i % bases.length)
+        // flip 0-4 random bits off the base pattern
+        val sig = (0 until rnd.nextInt(5))
+          .foldLeft(base)((s, _) => s ^ (1L << rnd.nextInt(64)))
+        (i.toLong, sig >>> 32, sig & 0xffffffffL)
+      }
+      val expected = (for {
+        (ia, ha, la) <- rows; (ib, hb, lb) <- rows
+        if ia < ib
+        d = java.lang.Long.bitCount(((ha << 32) | la) ^ ((hb << 32) | lb))
+        if d <= maxDist
+      } yield (ia, ib, d.toLong)).toSet
+      val got = Dedup.hammingPairs64(
+          rows.toDF("doc_id", "fp_hi", "fp_lo"), "doc_id", "fp_hi", "fp_lo",
+          maxDist = maxDist)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(expected.nonEmpty, s"maxDist=$maxDist needs qualifying pairs")
+      assert(got == expected, s"maxDist=$maxDist diverged from brute force")
+    }
+  }
+
   test("hotKeys surfaces the heaviest join keys") {
     val hot = SkewTools.hotKeys(
       graft.Tables.lineitem(spark, "/root/testdata/sf0.001"), "l_suppkey", 5)
