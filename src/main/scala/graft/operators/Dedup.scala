@@ -547,16 +547,44 @@ object Dedup {
     * are dropped before any list is built. Emits (band, members): the
     * band index drives the kernels' first-match pair dedup. */
   private def saltedBucketGroups(banded: DataFrame, payload: org.apache.spark.sql.Column,
-                                 maxBucket: Int): DataFrame =
+                                 maxBucket: Int): DataFrame = {
+    // Recall-degradation SIGNAL for the salt contract: rows landing in
+    // an over-cap bucket (whose cross-shard pairs are dropped by
+    // design) bump a per-SparkContext accumulator, visible in the UI
+    // and via [[oversizedBucketRows]]. The bump is a UDF guarded by a
+    // codegen'd when(), so the common ≤ cap path never leaves codegen
+    // and pays nothing; task retries can over-count — it is a signal,
+    // not a metric for correctness decisions.
+    val acc = oversizedAcc(banded.sparkSession)
+    val note = udf((bsize: Long) => { acc.add(1L); bsize })
     banded
       .withColumn("bsize",
         count(lit(1)).over(Window.partitionBy(col("band"), col("bucket"))))
       .filter(col("bsize") >= 2)
+      .withColumn("bsize",
+        when(col("bsize") > maxBucket, note(col("bsize")))
+          .otherwise(col("bsize")))
       .withColumn("shard",
         pmod(xxhash64(col("doc_id")), ceil(col("bsize") / lit(maxBucket))))
       .groupBy(col("band"), col("bucket"), col("shard"))
       .agg(collect_list(payload).as("members"))
       .select(col("band"), col("members"))
+  }
+
+  private val oversizedAccs =
+    new java.util.concurrent.ConcurrentHashMap[org.apache.spark.SparkContext,
+      org.apache.spark.util.LongAccumulator]()
+
+  private def oversizedAcc(spark: org.apache.spark.sql.SparkSession) =
+    oversizedAccs.computeIfAbsent(spark.sparkContext,
+      sc => sc.longAccumulator("graft.dedup.rowsInOversizedBuckets"))
+
+  /** Rows seen in salted buckets OVER the cap across every salted
+    * kernel run on this session's SparkContext since startup — the
+    * observable counterpart of the documented cross-shard-pair
+    * recall degradation. 0 means every bucket was exact. */
+  def oversizedBucketRows(spark: org.apache.spark.sql.SparkSession): Long =
+    oversizedAcc(spark).value
 
   /** HALF_UP at 6 decimals, parity-exact with Spark round() and the
     * DuckDB oracle. The BigDecimal path (Double.toString + parse — a
@@ -970,9 +998,12 @@ object Dedup {
     val n = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     // Recompose the 64-bit signature once: hi = bits 32..63, lo =
     // bits 0..31, so chunk c = (sig >>> c·width) & mask — identical
-    // chunk keys to the former hi/lo-split form at width 8.
-    val sig = shiftleft(col(hiCol), 32)
-      .bitwiseOR(col(loCol).bitwiseAND(lit(0xffffffffL)))
+    // chunk keys to the former hi/lo-split form at width 8. Both
+    // halves are cast to long FIRST: shiftleft on an int column
+    // shifts mod 32 (a silent no-op at 32), so integer-typed halves
+    // would otherwise produce wrong signatures.
+    val sig = shiftleft(col(hiCol).cast("long"), 32)
+      .bitwiseOR(col(loCol).cast("long").bitwiseAND(lit(0xffffffffL)))
     val banded = hashes
       .select(col(idCol).cast("long").as("doc_id"), sig.as("sig"))
       .select(col("doc_id"), col("sig"),

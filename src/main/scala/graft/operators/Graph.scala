@@ -83,13 +83,23 @@ object Graph {
     if (validateUniverse) {
       // unpersist on the throw path too: a caller catching the require
       // (validation is FOR callers that might fail it) must not leak
-      // the |E|-row cached frame for the session's lifetime
+      // the |E|-row cached frame — NOR the nodes checkpoint's blocks
+      // (a LogicalRDD whose storage outlives the frame) — for the
+      // session's lifetime
+      def release(): Unit = {
+        ed.unpersist()
+        nodes.queryExecution.logical match {
+          case l: org.apache.spark.sql.execution.LogicalRDD =>
+            l.rdd.unpersist(false)
+          case _ => ()
+        }
+      }
       val dangling =
         try ed.select(col("dst").as("node")).distinct()
           .join(nodes, Seq("node"), "left_anti").limit(1).collect()
-        catch { case t: Throwable => ed.unpersist(); throw t }
+        catch { case t: Throwable => release(); throw t }
       if (dangling.nonEmpty) {
-        ed.unpersist()
+        release()
         throw new IllegalArgumentException(
           s"pageRankMicro: node ${dangling.head.getLong(0)} appears as a " +
             "destination but never as a source (dangling sink, out of " +

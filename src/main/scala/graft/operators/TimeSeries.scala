@@ -99,12 +99,17 @@ object TimeSeries {
     val rawVc = round(col(valueCol) * 1000000).cast("long")
     val inRange = rawVc.isNull ||
       (rawVc >= lit(-MaxTapMicro) && rawVc <= lit(MaxTapMicro))
+    // collision-free guard-column name: a caller whose frame already
+    // carries "_graft_vc" would otherwise make the later reference
+    // ambiguous (two same-named columns in one projection)
+    val vcName = Iterator.from(0).map(i => s"_graft_vc$i")
+      .find(n => !df.columns.contains(n)).get
     val guarded = df.select(col("*"),
       when(inRange, rawVc)
         .otherwise(raise_error(concat(lit(
           s"saxWords: |micro tap| > $MaxTapMicro (|value| > ~1073.74) at value="),
-          col(valueCol).cast("string")))).as("_graft_vc"))
-    val vc = col("_graft_vc")
+          col(valueCol).cast("string")))).as(vcName))
+    val vc = col(vcName)
     // taps(i) = v[t-7+i]; the current row is tapped directly
     val taps = (0 to 6).map(i => lag(vc, 7 - i).over(w)) :+ vc
     val rn = row_number().over(w)
