@@ -66,36 +66,66 @@ object Bench {
     // Disagreement adds up to two more runs, the last after a 20 s
     // sleep so a live steal window can pass; agreement costs exactly
     // two runs. Worst case 4 runs + one sleep per query.
+    // Corroboration RE-GATE (VERDICT r8 #3): two agreeing samples are
+    // not evidence when both sat inside the SAME external steal burst
+    // — r8 accepted a 21.6 s ts_sax (true cost 0.72 s) exactly this
+    // way. Each run records the max 1-min load sampled around it; a
+    // corroborated minimum whose two smallest runs BOTH saw load
+    // above the gate is rejected, the bench sleeps for the burst to
+    // pass, and re-measures (bounded). Gate 8.0: our own 32 threads
+    // read ~4.5 at the end of a run, so >8 means someone else's
+    // burst is stacked on top.
+    val LoadGate = 8.0
     val failed = scala.collection.mutable.LinkedHashSet[String]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // a failed query reports the -1.0 sentinel, joins "failed", and
       // fails the run — a regression must not bench as "fast"
-      def once(): Double = {
+      def once(): (Double, Double) = {
+        val l0 = loadAvg()
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          (System.nanoTime() - t0) / 1e9
+          ((System.nanoTime() - t0) / 1e9, math.max(l0, loadAvg()))
         } catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: $e")
           failed += name
-          -1.0
+          (-1.0, math.max(l0, loadAvg()))
         }
+      }
+      // 0 = settled; 1 = two smallest disagree >1.5x; 2 = they agree
+      // but both ran dirty (load > gate during both)
+      def status(runs: List[(Double, Double)]): Int = {
+        val s = runs.sortBy(_._1)
+        if (s(1)._1 > 1.5 * s(0)._1) 1
+        else if (s(0)._2 > LoadGate && s(1)._2 > LoadGate) 2
+        else 0
       }
       def settled(): Double = {
         var runs = List(once(), once())
         var extra = 0
-        while (runs.forall(_ >= 0) && extra < 2 && {
-          val s = runs.sorted; s(1) > 1.5 * s(0)
-        }) {
-          if (extra == 1) {
+        var disagreeExtras = 0
+        var st = if (runs.forall(_._1 >= 0)) status(runs) else 0
+        // disagreement gets at most 2 extra runs (the r6 contract);
+        // dirty-window corroboration gets up to 4 total extras, each
+        // preceded by a sleep so the burst can pass
+        while (runs.forall(_._1 >= 0) && st != 0 && extra < 4 &&
+               !(st == 1 && disagreeExtras >= 2)) {
+          if (st == 2 || disagreeExtras == 1) {
+            val why = if (st == 2) "both smallest runs saw load > gate"
+                      else "unsettled after 3 runs"
             System.err.println(
-              f"[bench] $name unsettled after 3 runs (load ${loadAvg()}%.1f) - sleeping 20s for the steal window to pass")
+              f"[bench] $name $why (load ${loadAvg()}%.1f) - sleeping 20s for the steal window to pass")
             Thread.sleep(20000)
           }
+          if (st == 1) disagreeExtras += 1
           runs ::= once()
           extra += 1
+          st = if (runs.forall(_._1 >= 0)) status(runs) else 0
         }
-        if (runs.exists(_ < 0)) -1.0 else runs.min
+        if (st == 2)
+          System.err.println(
+            f"[bench] $name accepted from a dirty window after $extra retries - read against the load field")
+        if (runs.exists(_._1 < 0)) -1.0 else runs.map(_._1).min
       }
       name -> settled()
     }
