@@ -98,6 +98,33 @@ class BpeSpec extends SparkSpec {
       "every word must segment into at least one subword")
   }
 
+  test("round batching: disjoint-rich histograms equal the reference at every batchK") {
+    // 6-letter alphabet + longer words → rounds where several
+    // table-order pairs are symbol-disjoint, so the batch guard's
+    // accept path (not just its size-1 fallback) is what's under test
+    val genWords: Gen[Map[String, Long]] = for {
+      n <- Gen.choose(4, 16)
+      ws <- Gen.listOfN(n, for {
+        len <- Gen.choose(2, 10)
+        cs <- Gen.listOfN(len, Gen.oneOf('a', 'b', 'c', 'd', 'e', 'f'))
+        f <- Gen.choose(1L, 9L)
+      } yield (cs.mkString, f))
+    } yield ws.toMap
+    val prop = Prop.forAll(genWords) { words =>
+      val want = referenceMerges(words, 8, 2L)
+      Seq(1, 3, 8).forall { k =>
+        val got = collected(
+          Bpe.learnMerges(corpusOf(words), "text", numMerges = 8, batchK = k))
+        if (got != want)
+          println(s"DIVERGED at batchK=$k on $words:\n got $got\n want $want")
+        got == want
+      }
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(5), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("random histograms: learnMerges equals the list-based reference") {
     val genWords: Gen[Map[String, Long]] = for {
       n <- Gen.choose(2, 12)
