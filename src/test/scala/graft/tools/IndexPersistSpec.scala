@@ -49,6 +49,18 @@ class IndexPersistSpec extends SparkSpec {
       val ivfpq = ExtensionCatalog.annIvfPq(spark, dataDir)
       assert(planOf(ivfpq).contains("ivfpq_index.parquet"),
         "ann_ivfpq probe did not read the written unified index")
+      // VERDICT r8 #3: with a written index the centroids reach the
+      // probe as a broadcast over the TABLE SCAN (scan → broadcast
+      // exchange → executors), never as driver-collected values — the
+      // centroid parquet is among the probe's input files, and the
+      // executed plan broadcasts (a LocalTableScan of driver rows
+      // would leave no file witness)
+      assert(planOf(ivfpq).contains("centroids.parquet"),
+        "ann_ivfpq probe did not read the centroid table plan-side")
+      ivfpq.write.format("noop").mode("overwrite").save()
+      assert(ivfpq.queryExecution.executedPlan.toString
+          .contains("BroadcastExchange"),
+        "ann_ivfpq probe lost the centroid broadcast")
       val freshIvfPq = Similarity.ivfPqSearch(
         Similarity.ivfPqIndex(corpus, centsB, books), centsB, books, queries, k = 10)
       assert(ivfpq.collect().toSet == freshIvfPq.collect().toSet,
