@@ -98,6 +98,33 @@ class BpeSpec extends SparkSpec {
       "every word must segment into at least one subword")
   }
 
+  test("segment is streaming-safe: micro-batch output equals batch, across batches") {
+    // the scaladoc contract (a pure per-row replace chain once the
+    // table is learned) pinned in execution: the SAME operator body
+    // runs over a stream and matches the batch output — including a
+    // word the training corpus never saw
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val words = Map("joinwhere" -> 5L, "joinselect" -> 4L, "whereselect" -> 3L)
+    val merges = Bpe.learnMerges(corpusOf(words), "text", numMerges = 8)
+    val in = MemoryStream[String]
+    val q = Bpe.segment(in.toDF().toDF("word"), "word", merges)
+      .writeStream.format("memory").queryName("bpesegs").outputMode("append").start()
+    try {
+      in.addData("joinwhere", "joinselect")
+      q.processAllAvailable()
+      in.addData("whereselect", "novelword")
+      q.processAllAvailable()
+      val got = spark.table("bpesegs").collect()
+        .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+      val want = Bpe.segment(
+          Seq("joinwhere", "joinselect", "whereselect", "novelword").toDF("word"),
+          "word", merges).collect()
+        .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+      assert(got == want && got("novelword").nonEmpty)
+    } finally q.stop()
+  }
+
   test("round batching: disjoint-rich histograms equal the reference at every batchK") {
     // 6-letter alphabet + longer words → rounds where several
     // table-order pairs are symbol-disjoint, so the batch guard's
