@@ -489,8 +489,15 @@ object BenchScale {
     val rungs = sizes.map { n =>
       val dir = s"/tmp/graft_scale/tpch_$n"
       val nOrders = math.max(n / 4, 1L)
+      // dims scale TPC-H-proportionally (part ~ lines/50, supplier ~
+      // lines/1000) so the q9/q21 rungs exercise growing build sides,
+      // not a frozen fixture dim
+      val nPart = math.max(n / 50, 20L)
+      val nSupp = math.max(n / 1000, 10L)
       spark.range(n).selectExpr(
         s"pmod(xxhash64('o', id), $nOrders) AS l_orderkey",
+        s"pmod(xxhash64('pk', id), $nPart) AS l_partkey",
+        s"pmod(xxhash64('sk', id), $nSupp) AS l_suppkey",
         "cast(1 + pmod(xxhash64('q', id), 50) AS double) AS l_quantity",
         "cast(pmod(xxhash64('p', id), 10000000) AS double) / 100.0 AS l_extendedprice",
         "cast(pmod(xxhash64('d', id), 11) AS double) / 100.0 AS l_discount",
@@ -500,10 +507,28 @@ object BenchScale {
       spark.range(nOrders).selectExpr(
         "id AS o_orderkey",
         "timestamp_micros(1500000000000000 + pmod(xxhash64('ot', id), 100000000) * 1000000) AS o_orderdate",
-        "CASE pmod(xxhash64('op', id), 5) WHEN 0 THEN '1-URGENT' ELSE '3-MEDIUM' END AS o_orderpriority")
+        "CASE pmod(xxhash64('op', id), 5) WHEN 0 THEN '1-URGENT' ELSE '3-MEDIUM' END AS o_orderpriority",
+        "CASE pmod(xxhash64('os', id), 2) WHEN 0 THEN 'F' ELSE 'O' END AS o_orderstatus")
         .write.mode("overwrite").parquet(s"$dir/orders")
+      spark.range(nPart).selectExpr(
+        "id AS p_partkey",
+        "CASE pmod(xxhash64('pt', id), 3) WHEN 0 THEN 'ECONOMY' WHEN 1 THEN 'PROMO' ELSE 'STANDARD' END AS p_type",
+        "cast(900 + pmod(xxhash64('pr', id), 1200) AS double) / 10.0 AS p_retailprice")
+        .write.mode("overwrite").parquet(s"$dir/part")
+      spark.range(nSupp).selectExpr(
+        "id AS s_suppkey",
+        "concat('Supplier#', lpad(cast(id AS string), 9, '0')) AS s_name",
+        "pmod(xxhash64('sn', id), 25) AS s_nationkey")
+        .write.mode("overwrite").parquet(s"$dir/supplier")
+      spark.range(25).selectExpr(
+        "id AS n_nationkey",
+        "concat('NATION_', cast(id AS string)) AS n_name")
+        .write.mode("overwrite").parquet(s"$dir/nation")
       val li = spark.read.parquet(s"$dir/lineitem")
       val o = spark.read.parquet(s"$dir/orders")
+      val part = spark.read.parquet(s"$dir/part")
+      val supp = spark.read.parquet(s"$dir/supplier")
+      val nat = spark.read.parquet(s"$dir/nation")
       def time(f: => Unit): Double = {
         val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
       }
@@ -534,11 +559,54 @@ object BenchScale {
           .groupBy(col("o_orderpriority")).agg(count(lit(1)))
           .write.format("noop").mode("overwrite").save()
       }
-      println(f"""{"rows":$n,"q1_sec":$q1%.2f,"q18_sec":$q18%.2f,"q4_sec":$q4%.2f,"max_task_sec":${maxTaskMs.get() / 1e3}%.2f}""")
-      (n, Seq(q1, q18, q4))
+      // q9: the WIDEST join DAG of the suite (VERDICT r8 #6) —
+      // lineitem ⋈ part ⋈ supplier ⋈ nation ⋈ orders, the catalog's
+      // q9Profit plan verbatim: three broadcast dims (growing with n,
+      // not frozen) plus the one shuffle join on the order key
+      val q9 = time {
+        val p = part.filter(col("p_type") === "ECONOMY")
+          .select(col("p_partkey"),
+            round(col("p_retailprice") * 60).cast("long").as("cost_cents"))
+        li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .join(broadcast(supp.select(col("s_suppkey"), col("s_nationkey"))),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+          .join(o.select(col("o_orderkey"), col("o_orderdate")),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("n_name"), year(col("o_orderdate")).as("o_year"))
+          .agg((sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+              .cast("long")
+            - col("cost_cents") * round(col("l_quantity")).cast("long")) / 100.0)
+            .as("profit"))
+          .write.format("noop").mode("overwrite").save()
+      }
+      // q21: the quantifier joins (VERDICT r8 #6) — one late-lines
+      // frame feeding the EXISTS as a left-semi and the NOT EXISTS as
+      // a left-anti self-join, per-order fan-out only (the catalog's
+      // q21SoleLate plan verbatim)
+      val q21 = time {
+        val lines = li.select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+        val late = lines
+          .join(o.filter(col("o_orderstatus") === "F")
+              .select(col("o_orderkey"), col("o_orderdate")),
+            col("l_orderkey") === col("o_orderkey"))
+          .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 180 DAYS"))
+          .select(col("l_orderkey").as("k1"), col("l_suppkey").as("sk1"))
+        late
+          .join(lines.select(col("l_orderkey").as("k2"), col("l_suppkey").as("sk2")),
+            col("k1") === col("k2") && col("sk2") =!= col("sk1"), "left_semi")
+          .join(late.select(col("k1").as("k3"), col("sk1").as("sk3")),
+            col("k1") === col("k3") && col("sk3") =!= col("sk1"), "left_anti")
+          .join(broadcast(supp), col("sk1") === col("s_suppkey"))
+          .groupBy(col("s_name")).agg(count(lit(1)).as("numwait"))
+          .orderBy(col("numwait").desc, col("s_name")).limit(20)
+          .write.format("noop").mode("overwrite").save()
+      }
+      println(f"""{"rows":$n,"q1_sec":$q1%.2f,"q18_sec":$q18%.2f,"q4_sec":$q4%.2f,"q9_sec":$q9%.2f,"q21_sec":$q21%.2f,"max_task_sec":${maxTaskMs.get() / 1e3}%.2f}""")
+      (n, Seq(q1, q18, q4, q9, q21))
     }
     if (sizes.size >= 2) {
-      val names = Seq("q1", "q18", "q4")
+      val names = Seq("q1", "q18", "q4", "q9", "q21")
       names.zipWithIndex.foreach { case (nm, i) =>
         val xs = rungs.map { case (n, _) => math.log(n.toDouble) }
         val ys = rungs.map { case (_, ts) => math.log(ts(i)) }
