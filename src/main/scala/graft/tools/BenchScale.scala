@@ -373,6 +373,101 @@ object BenchScale {
       f"in-cluster pair growth reads corpus-quadratic: exponent $exponent%.3f > 1.75")
   }
 
+  /** Shingle-window pair-generator ladder (VERDICT r8 #5): the three
+    * dd_* members with no rung until now — containmentPairs,
+    * editDistancePairs, crossDocNgrams — over a PLANTED corpus with
+    * hard recall gates, so the df-cap / block-cap pair budgets are
+    * measured past sf0.1 instead of assumed. Corpus: groups of 20
+    * docs over group-unique letter-only vocabularies (the tokenizer
+    * strips digits — ids are translate()d to letters); slot 0 is the
+    * 40-token base, slot 1 copies its first 30 tokens (containment
+    * 23/33 & 0.70 both ways), slot 2 edits one char inside the
+    * 64-char prefix (edit dist 1, containment 30/33), slot 3 copies
+    * the first 15 tokens (> 64 chars, so its PREFIX matches — an
+    * edit pair at dist 0 — while only 8/33 shingles match: below the
+    * 0.5 containment bar), slots 4-19 are unique filler. Every
+    * planted relation is exactly countable: 6 containment rows and 6
+    * edit rows per group, zero cross-group pairs by vocabulary
+    * construction, and crossdoc must flag exactly slots 0-3 per
+    * group. Gates: exact pair counts (recall AND precision — a
+    * quadratic blowup or a recall collapse both break equality), the
+    * group-0 pair sets verbatim, and fitted wall exponent ≤ 1.3 per
+    * operator. */
+  private def shingleLadder(spark: SparkSession, sizes: Seq[Long],
+                            maxTaskMs: java.util.concurrent.atomic.AtomicLong): Unit = {
+    import org.apache.spark.sql.functions._
+    require(sizes.forall(_ % 20 == 0), "shingle ladder sizes must be multiples of 20")
+    def enc(e: String) = s"translate(cast(($e) AS string), '0123456789', 'abcdefghij')"
+    val base = (j: String) => s"concat('w', ${enc("id div 20")}, 'x', ${enc(j)})"
+    val uniq = (j: String) => s"concat('u', ${enc("id")}, 'x', ${enc(j)})"
+    val textExpr =
+      s"""concat_ws(' ', transform(sequence(0, 39), j ->
+         |  CASE pmod(id, 20)
+         |    WHEN 0 THEN ${base("j")}
+         |    WHEN 1 THEN IF(j < 30, ${base("j")}, ${uniq("j - 30")})
+         |    WHEN 2 THEN IF(j = 2, concat(${base("j")}, 'z'), ${base("j")})
+         |    WHEN 3 THEN IF(j < 15, ${base("j")}, ${uniq("j - 15")})
+         |    ELSE ${uniq("j")} END))""".stripMargin
+    val rungs = sizes.map { n =>
+      val dir = s"/tmp/graft_scale/shingle_$n"
+      spark.range(n).selectExpr("id AS doc_id", s"$textExpr AS text")
+        .write.mode("overwrite").parquet(dir) // untimed setup
+      val docs = spark.read.parquet(dir)
+      val groups = n / 20
+      def time(f: => Long): (Double, Long) = {
+        val t0 = System.nanoTime(); val r = f
+        ((System.nanoTime() - t0) / 1e9, r)
+      }
+      maxTaskMs.set(0)
+      val (cSec, cPairs) = time {
+        graft.operators.Dedup.containmentPairs(docs, "text", "doc_id").count()
+      }
+      val (eSec, ePairs) = time {
+        graft.operators.Dedup.editDistancePairs(docs, "text", "doc_id").count()
+      }
+      val (xSec, xFlagged) = time {
+        graft.operators.Dedup.crossDocNgrams(docs, "text", "doc_id")
+          .filter(col("dup_grams") > 0).count()
+      }
+      // recall AND precision as exact equalities
+      require(cPairs == 6L * groups,
+        s"containment pairs at n=$n: got $cPairs, want ${6L * groups}")
+      require(ePairs == 6L * groups,
+        s"edit pairs at n=$n: got $ePairs, want ${6L * groups}")
+      require(xFlagged == 4L * groups,
+        s"crossdoc flagged docs at n=$n: got $xFlagged, want ${4L * groups}")
+      println(f"""{"n_docs":$n,"containment_sec":$cSec%.2f,"edit_sec":$eSec%.2f,"crossdoc_sec":$xSec%.2f,"pairs":$cPairs,"max_task_sec":${maxTaskMs.get() / 1e3}%.2f}""")
+      (n, Seq(cSec, eSec, xSec))
+    }
+    // group-0 pair sets verbatim, once, on the smallest rung
+    val small = spark.read.parquet(s"/tmp/graft_scale/shingle_${sizes.head}")
+      .filter(col("doc_id") < 20)
+    val cSet = graft.operators.Dedup.containmentPairs(small, "text", "doc_id")
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    require(cSet == Set((0L, 1L), (1L, 0L), (0L, 2L), (2L, 0L), (1L, 2L), (2L, 1L)),
+      s"group-0 containment pair set: $cSet")
+    val eSet = graft.operators.Dedup.editDistancePairs(small, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // slot 2's inserted 'z' shifts the rest of the 64-char window and
+    // pushes its final char out: one insert + one trailing substitution
+    // = distance 2 against every unedited prefix
+    require(eSet == Set((1L, 0L, 0L), (2L, 0L, 2L), (2L, 1L, 2L),
+        (3L, 0L, 0L), (3L, 1L, 0L), (3L, 2L, 2L)),
+      s"group-0 edit pair set: $eSet")
+    if (sizes.size >= 2) {
+      Seq("containment", "edit", "crossdoc").zipWithIndex.foreach { case (nm, i) =>
+        val xs = rungs.map { case (n, _) => math.log(n.toDouble) }
+        val ys = rungs.map { case (_, ts) => math.log(ts(i)) }
+        val (mx, my) = (xs.sum / xs.size, ys.sum / ys.size)
+        val exponent = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum /
+          xs.map(x => (x - mx) * (x - mx)).sum
+        println(f"""{"metric":"shingle_scale","shape":"$nm","exponent":$exponent%.3f}""")
+        require(exponent <= 1.3,
+          f"$nm wall grows super-linearly in docs: exponent $exponent%.3f > 1.3")
+      }
+    }
+  }
+
   /** Multimodal-kernel throughput ladder: synth + full-pixel decode +
     * bilinear resize (PNG) and synth + per-frame decode (animated GIF)
     * over n generated docs — the docs/s of the imageio chain, plus the
@@ -672,9 +767,10 @@ object BenchScale {
     val graphMode = args.headOption.contains("graph")
     val tpchMode = args.headOption.contains("tpch")
     val bpeMode = args.headOption.contains("bpe")
+    val shingleMode = args.headOption.contains("shingle")
     val sizeArgs =
       if (annMode || mmMode || pqMode || ivfPqMode || semMode || graphMode ||
-          tpchMode || bpeMode)
+          tpchMode || bpeMode || shingleMode)
         args.drop(1) else args
     val sizes =
       if (sizeArgs.nonEmpty) sizeArgs(0).split(",").map(_.trim.toLong).toSeq
@@ -686,6 +782,7 @@ object BenchScale {
       else if (graphMode) Seq(1000000L, 4000000L, 16000000L)
       else if (tpchMode) Seq(600000L, 6000000L, 24000000L)
       else if (bpeMode) Seq(100000L, 400000L, 1600000L)
+      else if (shingleMode) Seq(100000L, 400000L, 1600000L)
       else Seq(5000L, 10000L, 20000L, 50000L)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -739,6 +836,7 @@ object BenchScale {
     if (graphMode) { graphLadder(spark, sizes, maxTaskMs); spark.stop(); return }
     if (tpchMode) { tpchLadder(spark, sizes, maxTaskMs); spark.stop(); return }
     if (bpeMode) { bpeLadder(spark, sizes, maxTaskMs); spark.stop(); return }
+    if (shingleMode) { shingleLadder(spark, sizes, maxTaskMs); spark.stop(); return }
 
     val rungs = sizes.map { n =>
       val dir = s"/tmp/graft_scale/docs_$n"
