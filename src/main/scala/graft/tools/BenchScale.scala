@@ -494,11 +494,22 @@ object BenchScale {
         .count()
       val gifSec = (System.nanoTime() - t1) / 1e9
       val gifMt = maxTaskMs.get() / 1e3
-      require(png != 0L && frames >= n, s"mm ladder sanity failed at n=$n")
-      (n, pngSec, gifSec, frames, pngMt, gifMt)
+      // phash: decode + 64-cell luma hash over the SAME cell-grid
+      // payloads (the bulk-raster kernel — r9 dropped the per-pixel
+      // getRGB accessor; this rung is the docs/s receipt)
+      maxTaskMs.set(0)
+      val t2 = System.nanoTime()
+      val hashes = graft.operators.Multimodal.perceptualHash(
+        graft.operators.Multimodal.asCellGridPayload(docs, "text", "doc_id"))
+        .count()
+      val phSec = (System.nanoTime() - t2) / 1e9
+      val phMt = maxTaskMs.get() / 1e3
+      require(png != 0L && frames >= n && hashes == n,
+        s"mm ladder sanity failed at n=$n")
+      (n, pngSec, gifSec, frames, pngMt, gifMt, phSec, phMt)
     }
-    val rungJson = rungs.map { case (n, ps, gs, fr, pmt, gmt) =>
-      f"""{"n_docs":$n,"png_sec":$ps%.2f,"png_docs_per_sec":${n / ps}%.0f,"gif_sec":$gs%.2f,"frames":$fr,"png_max_task_sec":$pmt%.2f,"gif_max_task_sec":$gmt%.2f}"""
+    val rungJson = rungs.map { case (n, ps, gs, fr, pmt, gmt, hs, hmt) =>
+      f"""{"n_docs":$n,"png_sec":$ps%.2f,"png_docs_per_sec":${n / ps}%.0f,"gif_sec":$gs%.2f,"frames":$fr,"phash_sec":$hs%.2f,"phash_docs_per_sec":${n / hs}%.0f,"png_max_task_sec":$pmt%.2f,"gif_max_task_sec":$gmt%.2f,"phash_max_task_sec":$hmt%.2f}"""
     }.mkString("[", ",", "]")
     println(s"""{"metric":"mm_scale","rungs":$rungJson}""")
   }
