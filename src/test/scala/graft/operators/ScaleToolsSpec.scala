@@ -65,6 +65,7 @@ class ScaleToolsSpec extends SparkSpec {
     val cap = 16
     val hashes = spark.range(nDocs).select(col("id").as("doc_id"),
       lit(0xA5A5A5A5L).as("fp_hi"), lit(0x5A5A5A5AL).as("fp_lo"))
+    val oversizedBefore = Dedup.oversizedBucketRows(spark)
     val pairs = Dedup.hammingPairs64(hashes, "doc_id", "fp_hi", "fp_lo",
       maxDist = 6, maxBucket = cap)
     val nShards = math.ceil(nDocs.toDouble / cap).toLong
@@ -78,6 +79,10 @@ class ScaleToolsSpec extends SparkSpec {
     // and identical fingerprints report distance 0
     assert(pairs.filter(shardOf(col("id_a")) =!= shardOf(col("id_b"))).count() == 0)
     assert(pairs.filter(col("dist") =!= 0).count() == 0)
+    // the salt's recall degradation is OBSERVABLE (ADVICE r8): rows in
+    // over-cap buckets bumped the per-context accumulator
+    assert(Dedup.oversizedBucketRows(spark) > oversizedBefore,
+      "over-cap bucket rows did not register in the accumulator")
   }
 
   test("hamming64 salted kernel is exact below the cap: matches brute-force pairs") {
