@@ -672,22 +672,36 @@ object ExtensionCatalog {
   private val bpeMemo =
     new java.util.concurrent.atomic.AtomicReference[(String, DataFrame)]()
 
+  /** A WRITTEN merge table ([[graft.tools.BpeBuild]]) is the PRIMARY
+    * source when present — the tokenizer outlives the driver, the
+    * IndexStore discipline applied to BPE. Contents are bit-identical
+    * to in-session induction (same deterministic training, keyed by
+    * the same data fingerprint), so the oracle contract is unchanged
+    * (BpePersistSpec pins it). */
+  private def writtenMerges(s: SparkSession, d: String): Option[DataFrame] = {
+    val p = graft.tools.BpeStore.path(d, dataFingerprint(d, "documents"))
+    if (graft.tools.BpeStore.ready(p)) Some(graft.tools.BpeStore.read(s, p))
+    else None
+  }
+
   val taBpe: Q = (s, d) => {
-    val merges = Bpe.learnMerges(Tables.documents(s, d), "text", numMerges = 50)
+    val merges = writtenMerges(s, d).getOrElse(
+      Bpe.learnMerges(Tables.documents(s, d), "text", numMerges = 50))
     bpeMemo.set((memoKey(s, d, "documents"), merges))
     merges
   }
 
   /** Reader side of [[bpeMemo]], shared by the segment/encode queries:
-    * reuse the run's learned table, or learn-and-publish on a miss —
-    * ONE definition so the train-once contract cannot diverge between
-    * readers. */
+    * reuse the run's learned table, else the written table, else
+    * learn-and-publish — ONE definition so the train-once contract
+    * cannot diverge between readers. */
   private def learnedMerges(s: SparkSession, d: String): DataFrame = {
     val key = memoKey(s, d, "documents")
     bpeMemo.get() match {
       case (k, df) if k == key => df
       case _ =>
-        val df = Bpe.learnMerges(Tables.documents(s, d), "text", numMerges = 50)
+        val df = writtenMerges(s, d).getOrElse(
+          Bpe.learnMerges(Tables.documents(s, d), "text", numMerges = 50))
         bpeMemo.set((key, df))
         df
     }

@@ -39,7 +39,7 @@ object IndexStore {
     .orElse(sys.env.get("GRAFT_INDEX_DIR"))
     .getOrElse(sys.props("java.io.tmpdir") + "/graft-index")
 
-  private def md5hex(s: String): String =
+  private[tools] def md5hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
