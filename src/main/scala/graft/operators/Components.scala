@@ -35,9 +35,25 @@ object Components {
     * Callers left-join their full id universe to pick up singletons —
     * including nodes that only appear in self-loops, which are dropped
     * with the loop itself. Edge direction and duplicates don't matter.
-    */
+    *
+    * ADAPTIVE DRIVER FINISH (the AQE-broadcast-threshold pattern): the
+    * canonical edge count is already on the driver before any round
+    * (the convergence checksum reads it), and the dedup pipelines feed
+    * this closure a SPANNING-FOREST edge set orders of magnitude
+    * smaller than the corpus (198× sparser at sf0.1). When that count
+    * is ≤ `driverFinishEdges` (and ids are longs), the closure
+    * finishes as one bounded collect + union-find instead of paying
+    * 3-5 full-cluster star rounds for a graph that fits in a broadcast
+    * — the collect is bounded BY THE GATE (≤ threshold rows no matter
+    * the corpus; a bigger edge set takes the distributed rounds, which
+    * is the 100 TB path). Labeling is identical: union by min root =
+    * the star fixpoint's min-id component (IterativeKernelPropertySpec
+    * pins both paths to one union-find reference). Pass 0 to force the
+    * distributed rounds (the scale ladder does, so the published
+    * closure receipts stay distributed-path). */
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
-                          maxRounds: Int = 64, numPartitions: Int = 0): DataFrame = {
+                          maxRounds: Int = 64, numPartitions: Int = 0,
+                          driverFinishEdges: Long = 1000000L): DataFrame = {
     // checkpoints are EAGER on purpose: a round's plan reads its input
     // through several union/join branches, and with a lazy checkpoint
     // the first job would recompute the full upstream lineage once PER
@@ -49,6 +65,20 @@ object Components {
       .localCheckpoint()
     var prev = checksum(e)
     val initEdges = prev._1
+    val longIds = e.schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.LongType)
+    if (initEdges <= driverFinishEdges && longIds) {
+      val out = driverFinish(edges.sparkSession, e)
+      // the collect consumed the checkpoint - free its blocks now
+      e.queryExecution.logical match {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
+        case _ => ()
+      }
+      System.err.println(
+        s"[components] driver finish: $initEdges edges <= $driverFinishEdges, " +
+          f"${(System.nanoTime() - t0) / 1e9}%.2f s")
+      return out
+    }
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxRounds) {
@@ -77,6 +107,36 @@ object Components {
     // roots themselves appear only on the v side
     e.select(col("u").as("node"), col("v").as("component"))
       .union(e.select(col("v").as("node"), col("v").as("component")).distinct())
+  }
+
+  /** Bounded-collect union-find finish: path-compressed find, union
+    * by MIN root (the smaller root adopts the larger), so every
+    * tree's root is its component's minimum id — exactly the star
+    * fixpoint's labeling. The checkpointed edge frame (not the raw
+    * input) is collected: canon already dropped self-loops and
+    * duplicates, so the collect is ≤ the gated edge count. */
+  private def driverFinish(spark: org.apache.spark.sql.SparkSession,
+                           e: DataFrame): DataFrame = {
+    import spark.implicits._
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x0: Long): Long = {
+      if (!parent.contains(x0)) { parent(x0) = x0; return x0 }
+      var x = x0
+      while (parent(x) != x) {
+        val gp = parent(parent(x)) // path halving
+        parent(x) = gp
+        x = gp
+      }
+      x
+    }
+    e.as[(Long, Long)].collect().foreach { case (u, v) =>
+      val ru = find(u); val rv = find(v)
+      if (ru != rv) {
+        if (ru < rv) parent(rv) = ru else parent(ru) = rv
+      }
+    }
+    val labeled = parent.keys.toArray.map(n => (n, find(n))).toSeq
+    spark.createDataset(labeled).toDF("node", "component")
   }
 
   /** Edges as (u > v), no self-loops, no duplicates. */

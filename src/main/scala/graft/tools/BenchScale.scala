@@ -858,7 +858,11 @@ object BenchScale {
       val edges = Dedup.ngramJaccard(docs, "text", "doc_id", threshold = 0.7,
           spanningOnly = true)
         .select(col("doc_a"), col("doc_b"))
-      val comp = Components.connectedComponents(edges, "doc_a", "doc_b")
+      // driverFinishEdges = 0: the ladder's published closure receipts
+      // stay distributed-path (the adaptive driver finish would absorb
+      // every rung's sparsified edge set)
+      val comp = Components.connectedComponents(edges, "doc_a", "doc_b",
+          driverFinishEdges = 0L)
         .withColumnRenamed("node", "doc_id")
       val survivors = docs.select(col("doc_id"))
         .join(comp, Seq("doc_id"), "left")

@@ -8,9 +8,12 @@ import graft.streaming.SparkSpec
 class ComponentsSpec extends SparkSpec {
   import spark.implicits._
 
+  // driverFinishEdges = 0 forces the distributed star rounds — these
+  // cases exist to exercise them; the adaptive driver finish has its
+  // own equality case below
   private def cc(edges: Seq[(Long, Long)]): Map[Long, Long] =
     Components.connectedComponents(
-      edges.toDF("a", "b"), "a", "b")
+      edges.toDF("a", "b"), "a", "b", driverFinishEdges = 0L)
       .as[(Long, Long)].collect().toMap
 
   test("duplicate chain collapses transitively to the minimum id") {
@@ -34,6 +37,18 @@ class ComponentsSpec extends SparkSpec {
     // restored by the caller-side left join (see ddComponents)
     val got = cc(Seq((5L, 5L), (1L, 2L), (2L, 1L), (1L, 2L)))
     assert(got == Map(1L -> 1L, 2L -> 1L))
+  }
+
+  test("adaptive driver finish equals the distributed rounds exactly") {
+    // under the threshold the closure collects + union-finds; the
+    // labeling (component = min id) must be identical to the star
+    // fixpoint, chains and singleton-loops included
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (9L, 8L), (5L, 5L),
+      (100L, 90L), (90L, 80L), (80L, 70L))
+    val adaptive = Components.connectedComponents(
+        edges.toDF("a", "b"), "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(adaptive == cc(edges))
   }
 
   test("result is independent of input partitioning") {

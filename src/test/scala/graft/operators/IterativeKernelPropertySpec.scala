@@ -43,9 +43,11 @@ class IterativeKernelPropertySpec extends SparkSpec {
     }
     check(Prop.forAll(genEdges) { es =>
       val noLoops = es.filterNot { case (a, b) => a == b }
-      noLoops.isEmpty || {
+      // both the adaptive driver finish (default threshold) and the
+      // forced distributed star rounds must match the reference
+      noLoops.isEmpty || Seq(1000000L, 0L).forall { thr =>
         val got = Components.connectedComponents(
-            noLoops.toDF("a", "b"), "a", "b")
+            noLoops.toDF("a", "b"), "a", "b", driverFinishEdges = thr)
           .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
         got == unionFind(noLoops)
       }
