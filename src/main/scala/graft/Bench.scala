@@ -65,7 +65,9 @@ object Bench {
     // (r6's committed q3 read 0.899 s vs the true 0.627 s).
     // Disagreement adds up to two more runs, the last after a 20 s
     // sleep so a live steal window can pass; agreement costs exactly
-    // two runs. Worst case 4 runs + one sleep per query.
+    // two runs. With the dirty-window re-gate below, worst case is
+    // 6 runs (2 base + 4 extras) and up to 4 twenty-second sleeps
+    // per query.
     // Corroboration RE-GATE (VERDICT r8 #3): two agreeing samples are
     // not evidence when both sat inside the SAME external steal burst
     // — r8 accepted a 21.6 s ts_sax (true cost 0.72 s) exactly this

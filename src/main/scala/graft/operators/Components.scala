@@ -67,13 +67,12 @@ object Components {
     val initEdges = prev._1
     val longIds = e.schema.fields.forall(
       _.dataType == org.apache.spark.sql.types.LongType)
-    if (initEdges <= driverFinishEdges && longIds) {
+    // driverFinishEdges > 0: passing 0 forces the distributed rounds
+    // even on an empty edge set (the force-distributed contract)
+    if (driverFinishEdges > 0 && initEdges <= driverFinishEdges && longIds) {
       val out = driverFinish(edges.sparkSession, e)
       // the collect consumed the checkpoint - free its blocks now
-      e.queryExecution.logical match {
-        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
-        case _ => ()
-      }
+      Checkpoints.unpersist(e)
       System.err.println(
         s"[components] driver finish: $initEdges edges <= $driverFinishEdges, " +
           f"${(System.nanoTime() - t0) / 1e9}%.2f s")
@@ -136,7 +135,11 @@ object Components {
       }
     }
     val labeled = parent.keys.toArray.map(n => (n, find(n))).toSeq
-    spark.createDataset(labeled).toDF("node", "component")
+    // parallelize, NOT createDataset: a LocalRelation of up to ~2·gate
+    // node labels would be re-serialized into EVERY consuming plan;
+    // an RDD-backed frame holds them once
+    spark.createDataset(spark.sparkContext.parallelize(labeled))
+      .toDF("node", "component")
   }
 
   /** Edges as (u > v), no self-loops, no duplicates. */

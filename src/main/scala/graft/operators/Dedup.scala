@@ -575,9 +575,13 @@ object Dedup {
     new java.util.concurrent.ConcurrentHashMap[org.apache.spark.SparkContext,
       org.apache.spark.util.LongAccumulator]()
 
-  private def oversizedAcc(spark: org.apache.spark.sql.SparkSession) =
+  private def oversizedAcc(spark: org.apache.spark.sql.SparkSession) = {
+    // evict stopped contexts so a context-cycling JVM (test harness,
+    // notebook server) doesn't grow the map without bound
+    oversizedAccs.keySet.removeIf(_.isStopped)
     oversizedAccs.computeIfAbsent(spark.sparkContext,
       sc => sc.longAccumulator("graft.dedup.rowsInOversizedBuckets"))
+  }
 
   /** Rows seen in salted buckets OVER the cap across every salted
     * kernel run on this session's SparkContext since startup — the

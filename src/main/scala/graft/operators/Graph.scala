@@ -88,11 +88,7 @@ object Graph {
       // session's lifetime
       def release(): Unit = {
         ed.unpersist()
-        nodes.queryExecution.logical match {
-          case l: org.apache.spark.sql.execution.LogicalRDD =>
-            l.rdd.unpersist(false)
-          case _ => ()
-        }
+        Checkpoints.unpersist(nodes)
       }
       val dangling =
         try ed.select(col("dst").as("node")).distinct()

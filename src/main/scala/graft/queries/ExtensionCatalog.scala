@@ -192,16 +192,7 @@ object ExtensionCatalog {
     * driver would defer the unpersist to the replacing query's
     * completion instead. */
   private def unpersistCheckpoint(df: DataFrame): Unit =
-    try df.queryExecution.logical match {
-      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
-      case _ => ()
-    } catch {
-      // best-effort release: the replaced frame may belong to an
-      // already-STOPPED SparkSession (memos are JVM-global, keys are
-      // per-session) — its blocks died with that context, and a
-      // failed unpersist must not fail the replacing query
-      case _: Throwable => ()
-    }
+    graft.operators.Checkpoints.unpersist(df)
 
   val ddComponents: Q = (s, d) => {
     val lab = computeComponents(s, d)

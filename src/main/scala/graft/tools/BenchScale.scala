@@ -414,18 +414,21 @@ object BenchScale {
         .write.mode("overwrite").parquet(dir) // untimed setup
       val docs = spark.read.parquet(dir)
       val groups = n / 20
-      def time(f: => Long): (Double, Long) = {
+      // per-stage straggler attribution (the mmLadder discipline):
+      // reset before each operator so one op's straggler cannot mask
+      // another's
+      def time(f: => Long): (Double, Long, Double) = {
+        maxTaskMs.set(0)
         val t0 = System.nanoTime(); val r = f
-        ((System.nanoTime() - t0) / 1e9, r)
+        ((System.nanoTime() - t0) / 1e9, r, maxTaskMs.get() / 1e3)
       }
-      maxTaskMs.set(0)
-      val (cSec, cPairs) = time {
+      val (cSec, cPairs, cMt) = time {
         graft.operators.Dedup.containmentPairs(docs, "text", "doc_id").count()
       }
-      val (eSec, ePairs) = time {
+      val (eSec, ePairs, eMt) = time {
         graft.operators.Dedup.editDistancePairs(docs, "text", "doc_id").count()
       }
-      val (xSec, xFlagged) = time {
+      val (xSec, xFlagged, xMt) = time {
         graft.operators.Dedup.crossDocNgrams(docs, "text", "doc_id")
           .filter(col("dup_grams") > 0).count()
       }
@@ -436,7 +439,7 @@ object BenchScale {
         s"edit pairs at n=$n: got $ePairs, want ${6L * groups}")
       require(xFlagged == 4L * groups,
         s"crossdoc flagged docs at n=$n: got $xFlagged, want ${4L * groups}")
-      println(f"""{"n_docs":$n,"containment_sec":$cSec%.2f,"edit_sec":$eSec%.2f,"crossdoc_sec":$xSec%.2f,"pairs":$cPairs,"max_task_sec":${maxTaskMs.get() / 1e3}%.2f}""")
+      println(f"""{"n_docs":$n,"containment_sec":$cSec%.2f,"edit_sec":$eSec%.2f,"crossdoc_sec":$xSec%.2f,"pairs":$cPairs,"containment_max_task_sec":$cMt%.2f,"edit_max_task_sec":$eMt%.2f,"crossdoc_max_task_sec":$xMt%.2f}""")
       (n, Seq(cSec, eSec, xSec))
     }
     // group-0 pair sets verbatim, once, on the smallest rung
