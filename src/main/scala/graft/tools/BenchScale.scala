@@ -874,11 +874,25 @@ object BenchScale {
         .filter(col("doc_id") === col("component_id"))
         .count()
       val sec = (System.nanoTime() - t0) / 1e9
+      val mt = maxTaskMs.get() / 1e3
+      // closure head-to-head on ONE materialized edge set (the r9
+      // driver-finish receipt): star rounds vs bounded union-find,
+      // same edges, same labels — the chain timing above is untouched
+      val ec = edges.localCheckpoint()
+      def closure(thr: Long): Double = {
+        val t = System.nanoTime()
+        Components.connectedComponents(ec, "doc_a", "doc_b",
+          driverFinishEdges = thr).count()
+        (System.nanoTime() - t) / 1e9
+      }
+      val starSec = closure(0L)
+      val driverSec = closure(1000000L)
+      graft.operators.Checkpoints.unpersist(ec)
       // planted clusters: 14 per full 20-block, plus the partial tail
       val tail = (n % 20).toInt
       val expected = n / 20 * 14 + math.min(tail, 12) +
         (if (tail > 12) 1 else 0) + (if (tail > 16) 1 else 0)
-      (n, sec, survivors, expected, maxTaskMs.get() / 1e3)
+      (n, sec, survivors, expected, mt, starSec, driverSec)
     }
 
     // least-squares slope of ln(t) on ln(n): the measured exponent
@@ -888,11 +902,11 @@ object BenchScale {
     val exponent = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum /
       xs.map(x => (x - mx) * (x - mx)).sum
 
-    val rungJson = rungs.map { case (n, sec, got, exp, mt) =>
-      f"""{"n_docs":$n,"sec":$sec%.2f,"survivors":$got,"expected":$exp,"max_task_sec":$mt%.2f}"""
+    val rungJson = rungs.map { case (n, sec, got, exp, mt, ss, ds) =>
+      f"""{"n_docs":$n,"sec":$sec%.2f,"survivors":$got,"expected":$exp,"max_task_sec":$mt%.2f,"closure_star_sec":$ss%.2f,"closure_driver_sec":$ds%.2f}"""
     }.mkString("[", ",", "]")
     println(f"""{"metric":"dedup_chain_scale","rungs":$rungJson,"exponent":$exponent%.3f}""")
-    rungs.foreach { case (n, _, got, exp, _) =>
+    rungs.foreach { case (n, _, got, exp, _, _, _) =>
       require(math.abs(got - exp) <= 0.05 * exp,
         s"recall collapsed at n=$n: survivors $got vs planted $exp")
     }
