@@ -752,7 +752,11 @@ object BenchScale {
       val docs = spark.read.parquet(dir)
       maxTaskMs.set(0)
       val t0 = System.nanoTime()
-      val merges = graft.operators.Bpe.learnMerges(docs, "text", numMerges = 20)
+      // driverFinishWords = 0: the ladder's exponent IS the
+      // distributed-rounds scaling receipt (the adaptive driver
+      // finish would absorb the 100k rung)
+      val merges = graft.operators.Bpe.learnMerges(docs, "text", numMerges = 20,
+          driverFinishWords = 0L)
         .collect()
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"""{"vocab":$v,"bpe_sec":$sec%.2f,"merges":${merges.length},"max_task_sec":${maxTaskMs.get() / 1e3}%.2f}""")

@@ -63,13 +63,18 @@ class BpeSpec extends SparkSpec {
   test("hand corpus: overlap counting, chain merges, tiebreaks, early stop") {
     // "aaaa"×3: (a,a) counts 9 (overlaps), greedy merge gives [aa,aa],
     // then (aa,aa) counts 3 → "aaaa"; "abab"×2 exercises the merged
-    // symbol participating in later rounds
+    // symbol participating in later rounds. Both the adaptive DRIVER
+    // path (default gate) and the forced DISTRIBUTED rounds must
+    // match the reference.
     val words = Map("aaaa" -> 3L, "abab" -> 2L, "ab" -> 4L)
-    val got = collected(Bpe.learnMerges(corpusOf(words), "text", numMerges = 10))
     val want = referenceMerges(words, 10, 2L)
-    assert(got == want, s"got $got\nwant $want")
-    assert(got.head._4 == 9L, "overlapping (a,a) in aaaa must count 3 per word")
-    assert(got.length < 10, "tiny corpus must exhaust merges and stop early")
+    for (gate <- Seq(200000L, 0L)) {
+      val got = collected(Bpe.learnMerges(corpusOf(words), "text",
+        numMerges = 10, driverFinishWords = gate))
+      assert(got == want, s"gate=$gate: got $got\nwant $want")
+      assert(got.head._4 == 9L, "overlapping (a,a) in aaaa must count 3 per word")
+      assert(got.length < 10, "tiny corpus must exhaust merges and stop early")
+    }
   }
 
   test("segment replays the merge table identically to training's final state") {
@@ -140,8 +145,11 @@ class BpeSpec extends SparkSpec {
     val prop = Prop.forAll(genWords) { words =>
       val want = referenceMerges(words, 8, 2L)
       Seq(1, 3, 8).forall { k =>
+        // driverFinishWords = 0: the batch guard is a DISTRIBUTED-path
+        // knob — the driver finish would short-circuit it entirely
         val got = collected(
-          Bpe.learnMerges(corpusOf(words), "text", numMerges = 8, batchK = k))
+          Bpe.learnMerges(corpusOf(words), "text", numMerges = 8, batchK = k,
+            driverFinishWords = 0L))
         if (got != want)
           println(s"DIVERGED at batchK=$k on $words:\n got $got\n want $want")
         got == want
@@ -162,11 +170,15 @@ class BpeSpec extends SparkSpec {
       } yield (cs.mkString, f))
     } yield ws.toMap
     val prop = Prop.forAll(genWords) { words =>
-      val got = collected(Bpe.learnMerges(corpusOf(words), "text", numMerges = 6))
       val want = referenceMerges(words, 6, 2L)
-      if (got != want)
-        println(s"DIVERGED on $words:\n got $got\n want $want")
-      got == want
+      // default gate = the driver finish; 0 = the distributed rounds
+      Seq(200000L, 0L).forall { gate =>
+        val got = collected(Bpe.learnMerges(corpusOf(words), "text",
+          numMerges = 6, driverFinishWords = gate))
+        if (got != want)
+          println(s"DIVERGED at gate=$gate on $words:\n got $got\n want $want")
+        got == want
+      }
     }
     val res = SCTest.check(
       SCTest.Parameters.default.withMinSuccessfulTests(6), prop)
