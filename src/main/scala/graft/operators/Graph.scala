@@ -58,7 +58,8 @@ object Graph {
 
   def pageRankMicro(edges: DataFrame, srcCol: String, dstCol: String,
                     iterations: Int = 5, dampingPct: Int = 85,
-                    validateUniverse: Boolean = true): DataFrame = {
+                    validateUniverse: Boolean = true,
+                    driverFinishEdges: Long = 1000000L): DataFrame = {
     require(iterations >= 1 && dampingPct > 0 && dampingPct < 100)
     withStableCachePartitioning(edges.sparkSession) {
     val e = edges.select(col(srcCol).cast("long").as("src"),
@@ -74,6 +75,26 @@ object Graph {
     // GraphSpec; the nodes checkpoint below doubles as the
     // materializing action).
     val ed = e.join(deg, "src").repartition(col("src")).persist()
+    // ADAPTIVE DRIVER FINISH (the Components / Bpe pattern): the
+    // cached (src, dst, outdeg) frame is materialized here anyway, so
+    // its count is one cheap cache scan — when it is ≤ the gate, the
+    // `iterations` rounds run on the driver over the collected edges
+    // instead of paying one full-cluster join barrier each (the
+    // catalog's fixture graphs are hundreds of nodes). The collect is
+    // bounded BY THE GATE regardless of corpus size; a corpus-scale
+    // edge list exceeds it and takes the distributed rounds (the
+    // graph ladder forces them with 0, so its published per-round
+    // exchange receipts stay distributed-path). Integer micro-unit
+    // arithmetic makes the two paths BIT-identical — same floor
+    // divisions, same exact sums (GraphSpec pins the equality;
+    // IterativeKernelPropertySpec pins both against the reference).
+    val nEdges = ed.count()
+    if (driverFinishEdges > 0 && nEdges <= driverFinishEdges) {
+      val out = pageRankDriver(edges.sparkSession, ed, iterations,
+        dampingPct, validateUniverse)
+      ed.unpersist()
+      out
+    } else {
     val nodes = ed.select(col("src").as("node")).distinct().localCheckpoint()
     // Node-universe contract, ENFORCED (was doc-only): a dst that
     // never appears as a src is a dangling sink whose rank mass would
@@ -124,6 +145,49 @@ object Graph {
     ed.unpersist()
     ranks
     }
+    }
+  }
+
+  /** Bounded-collect driver rounds: the same integer recurrence over
+    * the collected (src, dst, outdeg) rows — floor divisions and
+    * exact sums make it BIT-identical to the distributed form. The
+    * dangling-sink contract is enforced in-memory with the same
+    * exception. */
+  private def pageRankDriver(spark: org.apache.spark.sql.SparkSession,
+                             ed: DataFrame, iterations: Int,
+                             dampingPct: Int,
+                             validateUniverse: Boolean): DataFrame = {
+    import spark.implicits._
+    val rows = ed.select(col("src"), col("dst"), col("outdeg"))
+      .as[(Long, Long, Long)].collect()
+    val srcs = scala.collection.mutable.LongMap.empty[Boolean]
+    rows.foreach { case (s, _, _) => srcs(s) = true }
+    if (validateUniverse) {
+      rows.find { case (_, d, _) => !srcs.contains(d) }.foreach { case (_, d, _) =>
+        throw new IllegalArgumentException(
+          s"pageRankMicro: node $d appears as a " +
+            "destination but never as a source (dangling sink, out of " +
+            "contract - its rank mass would silently leak). Symmetrize " +
+            "the edge list or pass validateUniverse=false deliberately.")
+      }
+    }
+    val teleportMicro = (100L - dampingPct) * 10000L
+    val nodes = srcs.keys.toArray
+    var ranks = scala.collection.mutable.LongMap.empty[Long]
+    nodes.foreach(n => ranks(n) = 1000000L)
+    for (_ <- 1 to iterations) {
+      val contribs = scala.collection.mutable.LongMap.empty[Long]
+      rows.foreach { case (s, d, od) =>
+        contribs(d) = contribs.getOrElse(d, 0L) +
+          (dampingPct * ranks(s)) / (100L * od)
+      }
+      val next = scala.collection.mutable.LongMap.empty[Long]
+      nodes.foreach(n => next(n) = teleportMicro + contribs.getOrElse(n, 0L))
+      ranks = next
+    }
+    spark.createDataset(
+        spark.sparkContext.parallelize(nodes.toSeq.map(n => (n, ranks(n)))))
+      .toDF("node", "r")
   }
 
   /** Bounded multi-source BFS: minimum hop distance from `seeds`
@@ -138,7 +202,8 @@ object Graph {
     * unreached within `maxHops` are absent from the result (callers
     * left-join their universe for ∞ semantics). */
   def shortestHops(edges: DataFrame, srcCol: String, dstCol: String,
-                   seeds: DataFrame, maxHops: Int = 4): DataFrame = {
+                   seeds: DataFrame, maxHops: Int = 4,
+                   driverFinishEdges: Long = 1000000L): DataFrame = {
     require(maxHops >= 1)
     withStableCachePartitioning(edges.sparkSession) {
     // partitioned on src once, cached and materialized before round 1
@@ -147,9 +212,24 @@ object Graph {
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
       .repartition(col("src")).persist()
-    e.count()
-    var dist = seeds.toDF("node").select(col("node").cast("long"))
-      .distinct().withColumn("d", lit(0L)).localCheckpoint()
+    val nEdges = e.count()
+    val sd = seeds.toDF("node").select(col("node").cast("long"))
+      .distinct().localCheckpoint()
+    val nSeeds = sd.count()
+    // ADAPTIVE DRIVER FINISH (the pageRankMicro pattern): both counts
+    // come from frames this method materializes anyway; under the
+    // gate the hop rounds run driver-side over the collected edges —
+    // identical first-discovery semantics (every round-h discovery
+    // has d = h, so the distributed min(d) and the driver's
+    // first-visit check agree), GraphSpec pins the equality.
+    if (driverFinishEdges > 0 && nEdges <= driverFinishEdges &&
+        nSeeds <= driverFinishEdges) {
+      val out = bfsDriver(edges.sparkSession, e, sd, maxHops)
+      e.unpersist()
+      Checkpoints.unpersist(sd)
+      out
+    } else {
+    var dist = sd.withColumn("d", lit(0L)).localCheckpoint()
     var frontier = dist
     var hop = 1
     while (hop <= maxHops && !frontier.isEmpty) {
@@ -163,7 +243,40 @@ object Graph {
       hop += 1
     }
     e.unpersist()
+    Checkpoints.unpersist(sd)
     dist
     }
+    }
+  }
+
+  /** Bounded-collect driver BFS: adjacency from the collected edges,
+    * first-visit frontier expansion — set-identical to the
+    * distributed rounds. */
+  private def bfsDriver(spark: org.apache.spark.sql.SparkSession,
+                        e: DataFrame, sd: DataFrame, maxHops: Int): DataFrame = {
+    import spark.implicits._
+    val adj = scala.collection.mutable.LongMap
+      .empty[scala.collection.mutable.ArrayBuffer[Long]]
+    e.as[(Long, Long)].collect().foreach { case (s, d) =>
+      adj.getOrElseUpdate(s,
+        scala.collection.mutable.ArrayBuffer.empty[Long]) += d
+    }
+    val dist = scala.collection.mutable.LongMap.empty[Long]
+    var frontier = sd.as[Long].collect().toSeq
+    frontier.foreach(n => dist(n) = 0L)
+    var hop = 1
+    while (hop <= maxHops && frontier.nonEmpty) {
+      val next = scala.collection.mutable.ArrayBuffer.empty[Long]
+      frontier.foreach { n =>
+        adj.get(n).foreach(_.foreach { nb =>
+          if (!dist.contains(nb)) { dist(nb) = hop.toLong; next += nb }
+        })
+      }
+      frontier = next.toSeq
+      hop += 1
+    }
+    spark.createDataset(
+        spark.sparkContext.parallelize(dist.toSeq))
+      .toDF("node", "d")
   }
 }

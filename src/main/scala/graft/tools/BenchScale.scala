@@ -549,8 +549,10 @@ object BenchScale {
       // validateUniverse=false: the generated half-edges are unioned
       // with their reverses above — symmetric by construction, the
       // flag's documented opt-out case (keeps rung wall = 5 rounds)
+      // driverFinishEdges = 0: the ladder's per-round exchange
+      // receipts stay distributed-path at every rung
       val ranks = graft.operators.Graph.pageRankMicro(edges, "src", "dst",
-        iterations = 5, validateUniverse = false)
+        iterations = 5, validateUniverse = false, driverFinishEdges = 0L)
       val (nNodes, totalMass) = {
         val r = ranks.agg(count(lit(1)), sum(col("r"))).head()
         (r.getLong(0), r.getLong(1))
@@ -559,7 +561,7 @@ object BenchScale {
       val t1 = System.nanoTime()
       val seeds = spark.range(10).select(col("id").as("node"))
       val reached = graft.operators.Graph.shortestHops(edges, "src", "dst",
-        seeds, maxHops = 4).count()
+        seeds, maxHops = 4, driverFinishEdges = 0L).count()
       val bfsSec = (System.nanoTime() - t1) / 1e9
       val coverage = reached.toDouble / nNodes
       println(f"""{"edges":${2 * m},"nodes":$nNodes,"pagerank_sec":$prSec%.2f,"bfs_sec":$bfsSec%.2f,"bfs_coverage":$coverage%.4f,"max_task_sec":${maxTaskMs.get() / 1e3}%.2f,"mass":$totalMass}""")

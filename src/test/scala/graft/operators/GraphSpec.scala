@@ -36,13 +36,18 @@ class GraphSpec extends SparkSpec {
 
   test("dangling sink fails loudly; validateUniverse=false opts out deliberately") {
     import spark.implicits._
-    // node 4 is a pure sink: appears as dst, never as src
+    // node 4 is a pure sink: appears as dst, never as src — the
+    // contract must fire on BOTH the driver-finish and the
+    // distributed validation paths
     val dangling = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (3L, 4L))
-    val ex = intercept[IllegalArgumentException] {
-      Graph.pageRankMicro(dangling.toDF("src", "dst"), "src", "dst", iterations = 2)
+    for (thr <- Seq(1000000L, 0L)) {
+      val ex = intercept[IllegalArgumentException] {
+        Graph.pageRankMicro(dangling.toDF("src", "dst"), "src", "dst",
+          iterations = 2, driverFinishEdges = thr)
+      }
+      assert(ex.getMessage.contains("dangling sink"))
+      assert(ex.getMessage.contains("4"), s"should name the offending node: ${ex.getMessage}")
     }
-    assert(ex.getMessage.contains("dangling sink"))
-    assert(ex.getMessage.contains("4"), s"should name the offending node: ${ex.getMessage}")
     // explicit opt-out still computes (documented mass-leak semantics)
     val ranks = Graph.pageRankMicro(dangling.toDF("src", "dst"), "src", "dst",
       iterations = 2, validateUniverse = false)

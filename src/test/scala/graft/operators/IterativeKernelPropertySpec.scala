@@ -69,12 +69,16 @@ class IterativeKernelPropertySpec extends SparkSpec {
       r
     }
     check(Prop.forAll(genEdges) { es =>
-      // symmetrize so every node is a source (the operator contract)
+      // symmetrize so every node is a source (the operator contract);
+      // both the adaptive driver finish and the forced distributed
+      // rounds must match the reference
       val sym = (es ++ es.map(_.swap)).distinct
-      val got = Graph.pageRankMicro(sym.toDF("src", "dst"), "src", "dst",
-          iterations = 3)
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      got == reference(sym, 3)
+      Seq(1000000L, 0L).forall { thr =>
+        val got = Graph.pageRankMicro(sym.toDF("src", "dst"), "src", "dst",
+            iterations = 3, driverFinishEdges = thr)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        got == reference(sym, 3)
+      }
     }, runs = 5)
   }
 
@@ -97,9 +101,9 @@ class IterativeKernelPropertySpec extends SparkSpec {
     }
     check(Prop.forAll(genEdges) { es =>
       val seeds = es.map(_._1).distinct.take(2).toSet
-      seeds.isEmpty || {
+      seeds.isEmpty || Seq(1000000L, 0L).forall { thr =>
         val got = Graph.shortestHops(es.toDF("src", "dst"), "src", "dst",
-            seeds.toSeq.toDF("node"), maxHops = 3)
+            seeds.toSeq.toDF("node"), maxHops = 3, driverFinishEdges = thr)
           .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
         got == referenceBfs(es, seeds, 3)
       }
