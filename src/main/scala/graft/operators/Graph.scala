@@ -72,8 +72,8 @@ object Graph {
     // (|E| rows). localCheckpoint would NOT work here: under AQE it
     // snapshots UnknownPartitioning before the plan finalizes, and
     // every round re-shuffles the static edges (plan-gated in
-    // GraphSpec; the nodes checkpoint below doubles as the
-    // materializing action).
+    // GraphSpec; the adaptive-finish gate's count below doubles as
+    // the materializing action).
     val ed = e.join(deg, "src").repartition(col("src")).persist()
     // ADAPTIVE DRIVER FINISH (the Components / Bpe pattern): the
     // cached (src, dst, outdeg) frame is materialized here anyway, so
