@@ -114,14 +114,17 @@ object Similarity {
     * corpus size via [[adaptiveNCentroids]] at train time. */
   val AdaptiveK = 0
 
-  /** Double-precision cosine as a Column expression (zip_with +
-    * aggregate, left-to-right fold — the accumulation DuckDB's
-    * list_cosine_similarity performs on double lists). The native
-    * CosineSimilarity expression is float-only; this form serves the
-    * k-means centroid path, whose trained vectors are micro-unit-
-    * rounded doubles, and runs only n×C pairs (never corpus×corpus). */
+  /** Double-precision cosine as a Column expression. The dot product
+    * is the native codegen'd [[graft.functions.DotProductD]] (since
+    * r9 — bit-equal to the aggregate/zip_with fold it replaced: same
+    * left-to-right accumulation, the order DuckDB's
+    * list_cosine_similarity performs on double lists, without the
+    * per-pair intermediate array + interpreted lambda frames). The
+    * float-only CosineSimilarity expression can't serve here: the
+    * k-means centroid path's trained vectors are micro-unit-rounded
+    * doubles. */
   private def cosineD(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, v) => s + v)
+    val dot = graft.functions.DotProductD.dotD(a, b)
     val na = sqrt(aggregate(a, lit(0.0), (s, v) => s + v * v))
     val nb = sqrt(aggregate(b, lit(0.0), (s, v) => s + v * v))
     dot / (na * nb)
@@ -225,8 +228,8 @@ object Similarity {
           sqrt(aggregate(col("embD"), lit(0.0), (s, v) => s + v * v)))
         .crossJoin(broadcast(centsDf))
         .withColumn("cc", round(
-          aggregate(zip_with(col("embD"), col("cent_emb"), (x, y) => x * y),
-            lit(0.0), (s, v) => s + v) / (col("vnorm") * col("cnorm")), 6))
+          graft.functions.DotProductD.dotD(col("embD"), col("cent_emb"))
+            / (col("vnorm") * col("cnorm")), 6))
         .groupBy(col("vec_id"))
         .agg(max_by(struct(col("cent_id"), col("embD")),
           struct(col("cc"), lit(0L) - col("cent_id"))).as("best"))
@@ -294,8 +297,8 @@ object Similarity {
       sqrt(aggregate(col("cent_emb"), lit(0.0), (s, v) => s + v * v)))
     withD.crossJoin(centsN)
       .withColumn("cent_cos", round(
-        aggregate(zip_with(col("embD"), col("cent_emb"), (x, y) => x * y),
-          lit(0.0), (s, v) => s + v) / (col("vnorm") * col("cnorm")), 6))
+        graft.functions.DotProductD.dotD(col("embD"), col("cent_emb"))
+          / (col("vnorm") * col("cnorm")), 6))
       .groupBy(col("vec_id"))
       .agg(max_by(struct(col("cent_id"), col("embedding")),
         struct(col("cent_cos"), lit(0L) - col("cent_id"))).as("best"))
@@ -358,8 +361,8 @@ object Similarity {
       .withColumn("bn", sqrt(aggregate(col("bD"), lit(0.0), (s, v) => s + v * v)))
     a.join(b, Seq("cent_id")).filter(col("vec_id") =!= col("nb_id"))
       .select(col("vec_id"), col("nb_id"),
-        round(aggregate(zip_with(col("aD"), col("bD"), (x, y) => x * y),
-          lit(0.0), (s, v) => s + v) / (col("an") * col("bn")), 6).as("cos"))
+        round(graft.functions.DotProductD.dotD(col("aD"), col("bD"))
+          / (col("an") * col("bn")), 6).as("cos"))
       .groupBy(col("vec_id"))
       .agg(graft.functions.TopKPairs.topKPairs(col("cos"), col("nb_id"), k).as("tk"))
       .select(col("vec_id"), posexplode(col("tk")).as(Seq("pos", "s")))
@@ -398,8 +401,8 @@ object Similarity {
       .withColumn("bn", sqrt(aggregate(col("bD"), lit(0.0), (s, v) => s + v * v)))
     val dups = a.join(b, Seq("cent_id"))
       .filter(col("b_id") < col("a_id") &&
-        round(aggregate(zip_with(col("aD"), col("bD"), (x, y) => x * y),
-          lit(0.0), (s, v) => s + v) / (col("an") * col("bn")), 6) >= threshold)
+        round(graft.functions.DotProductD.dotD(col("aD"), col("bD"))
+          / (col("an") * col("bn")), 6) >= threshold)
       .select(col("a_id").as("vec_id")).distinct()
       .withColumn("dup", lit(true))
     assigned.join(dups, Seq("vec_id"), "left")
