@@ -715,8 +715,7 @@ object Similarity {
     * arrays. Order-independent, boundary-free: the assignment ranking
     * and the error witness share one integer value. */
   private def microL2(aMicro: Column, bMicro: Column): Column =
-    aggregate(zip_with(aMicro, bMicro, (x, y) => (x - y) * (x - y)),
-      lit(0L), (s, v) => s + v)
+    graft.functions.MicroL2.microL2(aMicro, bMicro)
 
   /** Argmin-L2 of one micro-unit subvector against `ksub` candidate
     * centroids held in a (literal) array-of-arrays column: folds the
