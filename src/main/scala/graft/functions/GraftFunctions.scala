@@ -46,6 +46,12 @@ object GraftFunctions {
     ("cosine",
       arity("cosine", 2, 2)(args => CosineSimilarity(args(0), args(1))),
       "cosine(a array<float>, b array<float>) - fused dot/norm cosine similarity"),
+    ("dot_product_d",
+      arity("dot_product_d", 2, 2)(args => DotProductD(args(0), args(1))),
+      "dot_product_d(a array<double>, b array<double>) - fused double dot product, bit-equal to the left-to-right fold"),
+    ("micro_l2",
+      arity("micro_l2", 2, 2)(args => MicroL2(args(0), args(1))),
+      "micro_l2(a array<bigint>, b array<bigint>) - exact integer micro-unit squared L2 distance"),
     ("md5_long60",
       arity("md5_long60", 1, 1)(args => Md5Long60(args(0))),
       "md5_long60(s string) - first 60 bits of md5(s) as bigint"),

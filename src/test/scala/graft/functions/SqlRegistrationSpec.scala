@@ -39,6 +39,14 @@ class SqlRegistrationSpec extends SparkSpec {
     val b = spark.sql("SELECT hyperplane_bucket(e, 8) FROM emb1").as[Long].collect().head
     assert(b == Seq(Tuple1(Array.fill(64)(1.0f))).toDF("e")
       .select(HyperplaneBucket.hyperplaneBucket(col("e"), 8, 64)).as[Long].collect().head)
+
+    val dp = spark.sql(
+      "SELECT dot_product_d(array(1.0D, 2.0D), array(3.0D, 4.0D))")
+      .as[Double].collect().head
+    assert(dp == 11.0)
+    val l2 = spark.sql(
+      "SELECT micro_l2(array(3L, 5L), array(1L, 2L))").as[Long].collect().head
+    assert(l2 == 13L)
   }
 
   test("aggregates: kmv_distinct, topk_pairs and kmin_by_hash from SQL") {
