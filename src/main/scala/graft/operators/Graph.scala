@@ -249,6 +249,67 @@ object Graph {
     }
   }
 
+  /** Per-node triangle counts over an UNDIRECTED edge list — the
+    * local-clustering / cohesion primitive (triangles are the unit of
+    * community structure; the count per node is the numerator of its
+    * clustering coefficient).
+    *
+    * Degree-ordered compact-forward enumeration (Schank & Wagner 2005;
+    * Chiba & Nishizeki 1985): orient every edge from its
+    * (degree, id)-smaller endpoint to the larger, enumerate wedges as
+    * pairs of OUT-edges of a shared source, and close each wedge with
+    * one semi join against the oriented edge set. The orientation
+    * bounds every out-degree by O(√m), so the wedge join generates
+    * O(m^1.5) candidates — the enumeration optimum — where the naive
+    * node-iterator pays Σ deg² (one hub node makes that quadratic; a
+    * web-scale co-occurrence graph always has hubs). Because the
+    * orientation is a TOTAL order ((deg, node) lexicographic), each
+    * triangle is enumerated exactly once, as the wedge at its smallest
+    * corner, and the closing edge {v,w} is stored oriented v→w
+    * whenever v precedes w — so wedge closure is a plain equi-semi-join,
+    * no direction disjunction.
+    *
+    * Scale shape: three hash aggregates + three equi-joins on edge
+    * keys, all map-side-combinable, AQE skew handling applies; no
+    * driver state, nothing corpus-sized collects. The triangle SET is
+    * orientation-independent, so the DuckDB twin may enumerate in
+    * plain id order and must agree exactly.
+    *
+    * Returns (node, n_tri) for every node in ≥ 1 triangle. */
+  def triangleCounts(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    // canonicalize: undirected {a,b} as a < b, self-loops out, distinct
+    val e = edges.select(
+        least(col(aCol).cast("long"), col(bCol).cast("long")).as("a"),
+        greatest(col(aCol).cast("long"), col(bCol).cast("long")).as("b"))
+      .filter(col("a") < col("b"))
+      .distinct()
+    val deg = e.select(col("a").as("node"))
+      .union(e.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    // orient by the (deg, node) total order; carry the head's order key
+    // so the wedge join can order the two out-neighbors without a
+    // second degree lookup
+    val oriented = e
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+      .withColumn("akey", struct(col("da").as("d"), col("a").as("n")))
+      .withColumn("bkey", struct(col("db").as("d"), col("b").as("n")))
+      .withColumn("fwd", col("akey") < col("bkey"))
+      .select(
+        when(col("fwd"), col("a")).otherwise(col("b")).as("u"),
+        when(col("fwd"), col("b")).otherwise(col("a")).as("v"),
+        when(col("fwd"), col("bkey")).otherwise(col("akey")).as("vkey"))
+    val wedges = oriented.select(col("u"), col("v").as("x"), col("vkey").as("xkey"))
+      .join(oriented.select(col("u"), col("v").as("y"), col("vkey").as("ykey")), Seq("u"))
+      .filter(col("xkey") < col("ykey"))
+      .select(col("u"), col("x"), col("y"))
+    val tri = wedges.join(
+      oriented.select(col("u").as("x"), col("v").as("y")),
+      Seq("x", "y"), "left_semi")
+    tri.select(explode(array(col("u"), col("x"), col("y"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+  }
+
   /** Bounded-collect driver BFS: adjacency from the collected edges,
     * first-visit frontier expansion — set-identical to the
     * distributed rounds. */

@@ -1051,6 +1051,12 @@ object ExtensionCatalog {
   val taBigram: Q = (s, d) =>
     TextAnalysis.bigramXent(Tables.documents(s, d), "text", "doc_id")
 
+  /** Held-out stupid-backoff trigram scoring: model from even-doc_id
+    * documents, scores for the odd ones — the backoff chain genuinely
+    * fires (see [[TextAnalysis.backoffXent]]). */
+  val taBackoff: Q = (s, d) =>
+    TextAnalysis.backoffXent(Tables.documents(s, d), "text", "doc_id")
+
   /** Per-dimension z-score standardization of the embedding corpus
     * (constant-width moment shuffle + broadcast-back). */
   val embStandardize: Q = (s, d) =>
@@ -1132,6 +1138,29 @@ object ExtensionCatalog {
         Multimodal.asCellGridPayload(Tables.documents(s, d), "text", "doc_id")),
       "doc_id", "phash_hi", "phash_lo")
 
+  /** Image dup-CLUSTER resolution — the [[Dedup]] closure applied to
+    * the image modality: the phash hamming pairs feed the same
+    * large-star/small-star components kernel as the text corpus
+    * (connectivity-not-pairs — the closure consumes the near-dup
+    * graph, not the quadratic pair list), labeling every document
+    * with its image-duplicate cluster (min doc_id as the canonical
+    * representative; singletons label themselves). The multimodal
+    * twin of dd_components. */
+  val mmPhashComponents: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val pairs = Dedup.hammingPairs64(
+        Multimodal.perceptualHash(
+          Multimodal.asCellGridPayload(docs, "text", "doc_id")),
+        "doc_id", "phash_hi", "phash_lo")
+      .select(col("id_a"), col("id_b"))
+    val comp = Components.connectedComponents(pairs, "id_a", "id_b")
+      .withColumnRenamed("node", "doc_id")
+    docs.select(col("doc_id"))
+      .join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("component_id"))
+  }
+
   /** Audio near-dup PAIRS — the third leg of the multimodal dedup
     * triad (text simhash, image phash, audio fingerprint): 64-chunk
     * energy fingerprints over real decoded PCM (seed bucketed mod 32
@@ -1203,6 +1232,25 @@ object ExtensionCatalog {
       .select((col("s_suppkey") * 2 + 1).as("node"))
     graft.operators.Graph.shortestHops(tradeEdges(s, d), "src", "dst",
       seeds, maxHops = 4)
+  }
+
+  /** Per-part triangle counts over the co-purchase graph: parts are
+    * linked when they appear in the same order ("frequently bought
+    * together"), and triangles are the cohesion unit of that network.
+    * Pair generation is a self-join on the order key with per-order
+    * fan-out BOUNDED BY THE SCHEMA (a TPC-H order has ≤ 7 lines, so
+    * ≤ 21 pairs/order — the explode never outgrows a constant factor
+    * of the scan); enumeration is the degree-ordered compact-forward
+    * kernel ([[graft.operators.Graph.triangleCounts]]), whose wedge
+    * join is bounded O(m^1.5) regardless of hub parts. */
+  val gTriangles: Q = (s, d) => {
+    val lp = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+      .distinct()
+    val pairs = lp.select(col("ok"), col("p").as("pa"))
+      .join(lp.select(col("ok"), col("p").as("pb")), Seq("ok"))
+      .filter(col("pa") < col("pb"))
+    graft.operators.Graph.triangleCounts(pairs, "pa", "pb")
   }
 
   // ----------------------------------------------------------- time series

@@ -82,6 +82,21 @@ object Oracles {
       |      THEN bit * (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS phash_lo
       |  FROM bits GROUP BY doc_id)""".stripMargin
 
+  // mm_phash pair-candidate CTEs (ch = per-chunk rows, cand =
+  // same-chunk candidate pairs with both signatures) — shared by the
+  // first-match pair twin (adds the fm suppression) and the
+  // components closure (which needs only the qualifying pair SET)
+  private val phashCandCtes =
+    s"""$phashCtes,
+      |ch AS (SELECT doc_id, phash_hi AS hi, phash_lo AS lo, c,
+      |    CASE WHEN c < 4 THEN (phash_lo >> (c * 8)) & 255
+      |      ELSE (phash_hi >> ((c - 4) * 8)) & 255 END AS cval
+      |  FROM hs, generate_series(0, 7) g(c)),
+      |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.c,
+      |    a.hi AS ha, a.lo AS la, b.hi AS hb, b.lo AS lb
+      |  FROM ch a JOIN ch b ON a.c = b.c AND a.cval = b.cval
+      |    AND a.doc_id < b.doc_id)""".stripMargin
+
   // emb_project twin: the same hyperplane family at row offset 16
   // (= MaxBits, past every bucket bit), over micro-unit INTEGER
   // components — long sums are order-independent, so association
@@ -1431,15 +1446,7 @@ object Oracles {
     // hamming-pair twin: same predicted hashes, same 8-chunk
     // pigeonhole blocking with first-match emission, exact popcount
     "mm_phash_pairs" ->
-      s"""WITH $phashCtes,
-        |ch AS (SELECT doc_id, phash_hi AS hi, phash_lo AS lo, c,
-        |    CASE WHEN c < 4 THEN (phash_lo >> (c * 8)) & 255
-        |      ELSE (phash_hi >> ((c - 4) * 8)) & 255 END AS cval
-        |  FROM hs, generate_series(0, 7) g(c)),
-        |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.c,
-        |    a.hi AS ha, a.lo AS la, b.hi AS hb, b.lo AS lb
-        |  FROM ch a JOIN ch b ON a.c = b.c AND a.cval = b.cval
-        |    AND a.doc_id < b.doc_id),
+      s"""WITH $phashCandCtes,
         |fm AS (SELECT * FROM cand x WHERE NOT EXISTS (
         |  SELECT 1 FROM generate_series(0, 7) g(c2) WHERE c2 < x.c AND
         |    (CASE WHEN c2 < 4 THEN (x.la >> (c2 * 8)) & 255
@@ -1450,6 +1457,24 @@ object Oracles {
         |  CAST(bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) AS BIGINT) AS dist
         |FROM fm
         |WHERE bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) <= 6""".stripMargin,
+    // image dup-cluster twin: the same qualifying pair SET (first-match
+    // dedup and DISTINCT-over-candidates agree by construction — any
+    // dist ≤ 6 pair shares ≥ 1 of 8 chunks), closed by the recursive
+    // min-label closure of the dd_components twin
+    "mm_phash_components" ->
+      s"""WITH RECURSIVE $phashCandCtes,
+        |mp AS (SELECT DISTINCT id_a, id_b FROM cand
+        |  WHERE bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) <= 6),
+        |sym AS (SELECT id_a AS u, id_b AS v FROM mp
+        |  UNION SELECT id_b, id_a FROM mp),
+        |cc(node, label) AS (
+        |  SELECT u, u FROM sym
+        |  UNION
+        |  SELECT s.v, c.label FROM cc c JOIN sym s ON s.u = c.node
+        |  WHERE c.label < s.v),
+        |lab AS (SELECT node, min(label) AS component_id FROM cc GROUP BY node)
+        |SELECT d.doc_id, coalesce(l.component_id, d.doc_id) AS component_id
+        |FROM documents d LEFT JOIN lab l ON d.doc_id = l.node""".stripMargin,
     // audio-fingerprint-pair twin: rebuild each mod-32-seeded PCM's
     // 64-chunk energy bits analytically (e_b·n >= totalE·n_b), then
     // the same 8-chunk pigeonhole with first-match emission
@@ -1995,6 +2020,67 @@ object Oracles {
         |    / (count(*) * 1000000.0), 6) AS xent
         |FROM o JOIN f USING (prev, tok) JOIN p USING (prev)
         |GROUP BY doc_id""".stripMargin,
+    // stupid-backoff twin: the same even/odd split, the same three
+    // n-gram tables from the train half, the same four-level case —
+    // every surprisal is ln of ONE identically-associated double
+    // (ln(c2p/c3), ln(2.5*c1p/c2b), ln(6.25*N/c1b), ln(6.25*N)) in
+    // integer micro-nats
+    "ta_backoff" ->
+      """WITH arr AS (SELECT doc_id, list_filter(string_split(trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z \n]+', '', 'g'), '\s+', ' ', 'g')), ' '), t -> len(t) > 0) AS toks FROM documents),
+        |tr AS (SELECT doc_id, toks FROM arr WHERE doc_id % 2 = 0),
+        |sc AS (SELECT doc_id, toks FROM arr WHERE doc_id % 2 = 1 AND len(toks) >= 3),
+        |u1 AS (SELECT tok AS w, count(*) AS c1 FROM
+        |  (SELECT unnest(toks) AS tok FROM tr) GROUP BY 1),
+        |n AS (SELECT CAST(sum(c1) AS BIGINT) AS nt FROM u1),
+        |bo AS (SELECT toks[i] AS p, toks[i + 1] AS q
+        |  FROM tr, generate_series(1, 4000) s(i)
+        |  WHERE i <= len(toks) - 1
+        |    AND 1 = (SELECT CASE WHEN max(len(toks)) - 1 <= 4000 THEN 1
+        |      ELSE error('ta_backoff oracle: token series bound exceeded') END FROM arr)),
+        |b2 AS (SELECT p, q, count(*) AS c2 FROM bo GROUP BY 1, 2),
+        |to3 AS (SELECT toks[i] AS w1, toks[i + 1] AS w2, toks[i + 2] AS w3
+        |  FROM tr, generate_series(1, 4000) s(i) WHERE i <= len(toks) - 2),
+        |t3 AS (SELECT w1, w2, w3, count(*) AS c3 FROM to3 GROUP BY 1, 2, 3),
+        |o AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2, toks[i + 2] AS w3
+        |  FROM sc, generate_series(1, 4000) s(i) WHERE i <= len(toks) - 2),
+        |j AS (SELECT o.doc_id,
+        |    CASE WHEN t3.c3 IS NOT NULL THEN 0 WHEN bb.c2 IS NOT NULL THEN 1
+        |         WHEN ub.c1 IS NOT NULL THEN 2 ELSE 3 END AS lvl,
+        |    CASE WHEN t3.c3 IS NOT NULL
+        |           THEN CAST(round(1000000 * ln(bp.c2 * 1.0 / t3.c3)) AS BIGINT)
+        |         WHEN bb.c2 IS NOT NULL
+        |           THEN CAST(round(1000000 * ln(2.5 * up.c1 / bb.c2)) AS BIGINT)
+        |         WHEN ub.c1 IS NOT NULL
+        |           THEN CAST(round(1000000 * ln(6.25 * n.nt / ub.c1)) AS BIGINT)
+        |         ELSE CAST(round(1000000 * ln(6.25 * n.nt)) AS BIGINT) END AS sm
+        |  FROM o
+        |  LEFT JOIN t3 ON t3.w1 = o.w1 AND t3.w2 = o.w2 AND t3.w3 = o.w3
+        |  LEFT JOIN b2 bp ON bp.p = o.w1 AND bp.q = o.w2
+        |  LEFT JOIN b2 bb ON bb.p = o.w2 AND bb.q = o.w3
+        |  LEFT JOIN u1 up ON up.w = o.w2
+        |  LEFT JOIN u1 ub ON ub.w = o.w3, n)
+        |SELECT doc_id, count(*) AS n_trigrams,
+        |  CAST(sum(CASE WHEN lvl = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_tri,
+        |  CAST(sum(CASE WHEN lvl = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bi,
+        |  CAST(sum(CASE WHEN lvl = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_uni,
+        |  CAST(sum(CASE WHEN lvl = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |  round(sum(sm) / (count(*) * 1000000.0), 6) AS xent
+        |FROM j GROUP BY doc_id""".stripMargin,
+    // triangle twin: id-ordered naive enumeration (a<b<c, each
+    // triangle once) — the triangle SET is orientation-independent,
+    // so the degree-ordered Spark enumeration must agree exactly
+    "g_triangles" ->
+      """WITH lp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+        |e AS (SELECT DISTINCT a.p AS u, b.p AS v FROM lp a JOIN lp b
+        |  ON a.ok = b.ok AND a.p < b.p),
+        |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |  FROM e e1 JOIN e e2 ON e2.u = e1.v
+        |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
+        |SELECT node, count(*) AS n_tri FROM (
+        |  SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+        |  UNION ALL SELECT c FROM tri) t
+        |GROUP BY node""".stripMargin,
     // z-score twin: micro-unit integer moments per dimension, the
     // double formula in the IDENTICAL expression order (s*1.0/n etc.).
     // s2 sums exactly on both sides (Spark decimal(38,0), DuckDB

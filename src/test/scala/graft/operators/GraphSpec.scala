@@ -126,4 +126,39 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 2L, 5L -> 1L, 6L -> 0L))
   }
+
+  test("triangleCounts matches brute-force enumeration on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val n = 10 + trial * 5
+      val und = for {
+        a <- 0 until n; b <- a + 1 until n if rnd.nextInt(100) < 30
+      } yield (a.toLong, b.toLong)
+      // feed the kernel messy input: duplicates, reversed copies, and a
+      // self-loop — canonicalization must absorb all three
+      val messy = und ++ und.take(5) ++ und.map(_.swap) ++ Seq((3L, 3L))
+      val got = Graph.triangleCounts(messy.toDF("a", "b"), "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val es = und.toSet
+      def conn(x: Long, y: Long) = es.contains((math.min(x, y), math.max(x, y)))
+      val want = (for {
+        a <- 0L until n; b <- a + 1 until n; c <- b + 1 until n
+        if conn(a, b) && conn(b, c) && conn(a, c)
+        node <- Seq(a, b, c)
+      } yield node).groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      assert(got == want, s"trial $trial (n=$n)")
+    }
+  }
+
+  test("triangleCounts: hub star has none, closing one edge makes exactly one") {
+    import spark.implicits._
+    // star K1,5: every wedge goes through the hub, no triangle — the
+    // shape the degree orientation exists for (hub gets no out-edges)
+    val star = (2L to 6L).map(i => (1L, i))
+    assert(Graph.triangleCounts(star.toDF("a", "b"), "a", "b").isEmpty)
+    val one = Graph.triangleCounts((star :+ (2L, 3L)).toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(one == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
 }

@@ -204,4 +204,53 @@ class QualitySignalsSpec extends SparkSpec {
       assert(got(d)(1)._3 == "common" && got(d)(1)._6 == 0.0)
     }
   }
+
+  /** Driver-side stupid-backoff reference: the same four-level case
+    * analysis and the same micro-nat rounding as the operator. */
+  private def refBackoff(train: Seq[Seq[String]], doc: Seq[String])
+      : (Long, Long, Long, Long, Long, Double) = {
+    val c1 = train.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val c2 = train.flatMap(t => t.zip(t.drop(1)))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val c3 = train.flatMap(t => t.lazyZip(t.drop(1)).lazyZip(t.drop(2)).toSeq)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = c1.values.sum
+    val scored = doc.lazyZip(doc.drop(1)).lazyZip(doc.drop(2)).toSeq.map {
+      case (w1, w2, w3) =>
+        if (c3.contains((w1, w2, w3)))
+          (0, math.round(1e6 * math.log(c2((w1, w2)).toDouble / c3((w1, w2, w3)))))
+        else if (c2.contains((w2, w3)))
+          (1, math.round(1e6 * math.log(2.5 * c1(w2) / c2((w2, w3)))))
+        else if (c1.contains(w3))
+          (2, math.round(1e6 * math.log(6.25 * n / c1(w3))))
+        else (3, math.round(1e6 * math.log(6.25 * n)))
+    }
+    val sm = scored.map(_._2).sum
+    def lvl(k: Int) = scored.count(_._1 == k).toLong
+    (scored.size.toLong, lvl(0), lvl(1), lvl(2), lvl(3),
+      BigDecimal(sm / (scored.size * 1e6))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("backoffXent: all four backoff levels fire and match the reference") {
+    val t0 = "the cat sat on the mat"
+    val t2 = "the dog sat on the log"
+    val s1 = "the cat sat on the log zebra" // l0 ×4, then (the,log,zebra)→OOV
+    val s3 = "mat the cat likes dog"        // l1, OOV, l2
+    val docs = Seq((0L, t0), (1L, s1), (2L, t2), (3L, s3)).toDF("doc_id", "text")
+    val got = TextAnalysis.backoffXent(docs, "text", "doc_id")
+      .as[(Long, Long, Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6, r._7))).toMap
+    val train = Seq(t0, t2).map(_.split(" ").toSeq)
+    assert(got.keySet == Set(1L, 3L)) // train docs are not scored
+    assert(got(1L) == refBackoff(train, s1.split(" ").toSeq))
+    assert(got(3L) == refBackoff(train, s3.split(" ").toSeq))
+    // the fixture exercises every level at least once across the docs
+    val sums = got.values.toSeq
+    assert(sums.map(_._2).sum > 0 && sums.map(_._3).sum > 0 &&
+      sums.map(_._4).sum > 0 && sums.map(_._5).sum > 0)
+    // a scored doc with < 3 tokens yields no row
+    val tiny = Seq((0L, t0), (1L, "two words")).toDF("doc_id", "text")
+    assert(TextAnalysis.backoffXent(tiny, "text", "doc_id").isEmpty)
+  }
 }
