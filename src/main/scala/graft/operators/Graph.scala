@@ -275,14 +275,43 @@ object Graph {
     * orientation-independent, so the DuckDB twin may enumerate in
     * plain id order and must agree exactly.
     *
+    * ADAPTIVE DRIVER FINISH (the Components / Bpe / pageRankMicro
+    * pattern): the canonical edge set is materialized anyway (the
+    * distributed enumeration reads it through several join branches —
+    * same rationale as [[Components]]' eager checkpoints), so its
+    * count is one cheap cache scan; a set under the gate runs the
+    * same degree-ordered intersection on the driver instead of paying
+    * six join/agg barriers. The collect is bounded BY THE GATE
+    * regardless of corpus size — the corpus-sized pair GENERATION
+    * feeding this kernel always stays distributed — and integer
+    * counting makes the paths exactly equal (GraphSpec pins it).
+    * Ladders force the distributed path with 0.
+    *
     * Returns (node, n_tri) for every node in ≥ 1 triangle. */
-  def triangleCounts(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+  def triangleCounts(edges: DataFrame, aCol: String, bCol: String,
+                     driverFinishEdges: Long = 1000000L): DataFrame = {
     // canonicalize: undirected {a,b} as a < b, self-loops out, distinct
-    val e = edges.select(
+    val ec = edges.select(
         least(col(aCol).cast("long"), col(bCol).cast("long")).as("a"),
         greatest(col(aCol).cast("long"), col(bCol).cast("long")).as("b"))
       .filter(col("a") < col("b"))
       .distinct()
+      .localCheckpoint() // eager: every downstream branch reads blocks
+    val m = ec.count()
+    if (driverFinishEdges > 0 && m <= driverFinishEdges) {
+      val out = triangleDriver(edges.sparkSession, ec)
+      Checkpoints.unpersist(ec)
+      out
+    } else {
+    val out = triangleDistributed(ec).localCheckpoint()
+    Checkpoints.unpersist(ec)
+    out
+    }
+  }
+
+  /** Distributed compact-forward enumeration over a CANONICAL
+    * (a < b, distinct) edge frame. */
+  private def triangleDistributed(e: DataFrame): DataFrame = {
     val deg = e.select(col("a").as("node"))
       .union(e.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
@@ -308,6 +337,54 @@ object Graph {
       Seq("x", "y"), "left_semi")
     tri.select(explode(array(col("u"), col("x"), col("y"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+  }
+
+  /** Bounded-collect driver counting: the same (deg, id)-ordered
+    * orientation, each triangle found exactly once as the sorted
+    * out-list intersection of its base edge (the edge between its two
+    * order-smallest corners — the third corner sits in BOTH out-lists
+    * only there, since the order-largest corner's out-list cannot
+    * contain a triangle member). Exact integer counts ⇒ set-identical
+    * to the distributed enumeration. */
+  private def triangleDriver(spark: org.apache.spark.sql.SparkSession,
+                             e: DataFrame): DataFrame = {
+    import spark.implicits._
+    val rows = e.as[(Long, Long)].collect()
+    val deg = scala.collection.mutable.LongMap.empty[Long]
+    rows.foreach { case (a, b) =>
+      deg(a) = deg.getOrElse(a, 0L) + 1
+      deg(b) = deg.getOrElse(b, 0L) + 1
+    }
+    def before(x: Long, y: Long): Boolean = {
+      val dx = deg(x); val dy = deg(y)
+      dx < dy || (dx == dy && x < y)
+    }
+    val adj = scala.collection.mutable.LongMap
+      .empty[scala.collection.mutable.ArrayBuffer[Long]]
+    rows.foreach { case (a, b) =>
+      val (u, v) = if (before(a, b)) (a, b) else (b, a)
+      adj.getOrElseUpdate(u,
+        scala.collection.mutable.ArrayBuffer.empty[Long]) += v
+    }
+    val sorted = adj.map { case (k, vs) => k -> vs.toArray.sorted }
+    val empty = Array.empty[Long]
+    val cnt = scala.collection.mutable.LongMap.empty[Long]
+    def bump(n: Long): Unit = cnt(n) = cnt.getOrElse(n, 0L) + 1
+    rows.foreach { case (a, b) =>
+      val (u, v) = if (before(a, b)) (a, b) else (b, a)
+      val au = sorted.getOrElse(u, empty)
+      val av = sorted.getOrElse(v, empty)
+      var i = 0; var j = 0
+      while (i < au.length && j < av.length) {
+        if (au(i) == av(j)) {
+          if (au(i) != v) { bump(u); bump(v); bump(au(i)) }
+          i += 1; j += 1
+        } else if (au(i) < av(j)) i += 1 else j += 1
+      }
+    }
+    spark.createDataset(
+        spark.sparkContext.parallelize(cnt.toSeq))
+      .toDF("node", "n_tri")
   }
 
   /** Bounded-collect driver BFS: adjacency from the collected edges,

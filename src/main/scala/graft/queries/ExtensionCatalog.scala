@@ -1243,14 +1243,43 @@ object ExtensionCatalog {
     * of the scan); enumeration is the degree-ordered compact-forward
     * kernel ([[graft.operators.Graph.triangleCounts]]), whose wedge
     * join is bounded O(m^1.5) regardless of hub parts. */
-  val gTriangles: Q = (s, d) => {
+  /** The part co-purchase pair stream: (pa < pb) part pairs sharing an
+    * order — per-order fan-out bounded by the schema (≤ 7 lines ⇒ ≤ 21
+    * pairs); NOT deduplicated (consumers canonicalize). */
+  private def coPurchasePairs(s: SparkSession, d: String): DataFrame = {
     val lp = Tables.lineitem(s, d)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
       .distinct()
-    val pairs = lp.select(col("ok"), col("p").as("pa"))
+    lp.select(col("ok"), col("p").as("pa"))
       .join(lp.select(col("ok"), col("p").as("pb")), Seq("ok"))
       .filter(col("pa") < col("pb"))
-    graft.operators.Graph.triangleCounts(pairs, "pa", "pb")
+  }
+
+  val gTriangles: Q = (s, d) =>
+    graft.operators.Graph.triangleCounts(coPurchasePairs(s, d), "pa", "pb")
+
+  /** Per-part local clustering coefficient over the co-purchase
+    * graph: c(v) = 2·tri(v) / (deg(v)·(deg(v)−1)) — how close a
+    * part's co-purchase neighborhood is to a clique (the
+    * Watts-Strogatz local metric; 1.0 = every pair of neighbors also
+    * co-occurs). One distinct edge canonicalization feeds BOTH the
+    * degree aggregate and the triangle kernel; every node with
+    * deg ≥ 2 is emitted (no-triangle nodes at 0.0), deg-1 nodes are
+    * out (coefficient undefined). The division happens ONCE on exact
+    * integers and rounds to 6, so both engines rank identically. */
+  val gClustering: Q = (s, d) => {
+    val e = coPurchasePairs(s, d)
+      .select(col("pa").as("a"), col("pb").as("b")).distinct()
+    val deg = e.select(col("a").as("node"))
+      .union(e.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val tri = graft.operators.Graph.triangleCounts(e, "a", "b")
+    deg.filter(col("deg") >= 2)
+      .join(tri, Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        round(lit(2.0) * coalesce(col("n_tri"), lit(0L)) /
+          (col("deg") * (col("deg") - 1)), 6).as("coef"))
   }
 
   // ----------------------------------------------------------- time series

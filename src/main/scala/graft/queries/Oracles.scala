@@ -2081,6 +2081,23 @@ object Oracles {
         |  SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
         |  UNION ALL SELECT c FROM tri) t
         |GROUP BY node""".stripMargin,
+    // clustering-coefficient twin: same edge set, id-ordered triangle
+    // enumeration, one rounded double division on exact integers
+    "g_clustering" ->
+      """WITH lp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+        |e AS (SELECT DISTINCT a.p AS u, b.p AS v FROM lp a JOIN lp b
+        |  ON a.ok = b.ok AND a.p < b.p),
+        |deg AS (SELECT node, count(*) AS deg FROM (
+        |  SELECT u AS node FROM e UNION ALL SELECT v FROM e) dn GROUP BY node),
+        |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |  FROM e e1 JOIN e e2 ON e2.u = e1.v
+        |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |tc AS (SELECT node, count(*) AS n_tri FROM (
+        |  SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+        |  UNION ALL SELECT c FROM tri) t GROUP BY node)
+        |SELECT d.node, d.deg, CAST(coalesce(tc.n_tri, 0) AS BIGINT) AS n_tri,
+        |  round(2.0 * coalesce(tc.n_tri, 0) / (d.deg * (d.deg - 1)), 6) AS coef
+        |FROM deg d LEFT JOIN tc USING (node) WHERE d.deg >= 2""".stripMargin,
     // z-score twin: micro-unit integer moments per dimension, the
     // double formula in the IDENTICAL expression order (s*1.0/n etc.).
     // s2 sums exactly on both sides (Spark decimal(38,0), DuckDB

@@ -585,6 +585,76 @@ object BenchScale {
     }
   }
 
+  /** Triangle ladder: planted-truth triangle counting at growing edge
+    * counts. Construction — K 20-cliques (every clique node sits in
+    * exactly C(19,2) = 171 triangles) plus an equal-sized bipartite
+    * noise layer on a DISJOINT node universe (edges only cross the
+    * two noise sides, so every cycle alternates sides and odd cycles
+    * — triangles — cannot form; noise nodes never touch clique
+    * nodes). Planted truth is therefore EXACT: clique nodes count
+    * 171 each, noise nodes are absent — recall collapse and phantom
+    * wedge-closure both break an equality, not a tolerance. Wall must
+    * grow ~linearly in edges (fixed clique width + bounded bipartite
+    * degree keep the oriented wedge set linear); the fitted log-log
+    * exponent hard-gates at 1.3. */
+  private def triLadder(spark: SparkSession, sizes: Seq[Long],
+                        maxTaskMs: java.util.concurrent.atomic.AtomicLong): Unit = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val S = 20
+    val pairDf = (for { i <- 0 until S; j <- i + 1 until S } yield (i, j))
+      .toDF("i", "j") // C(20,2) = 190 rows, broadcast
+    val rungs = sizes.map { m =>
+      val k = math.max(m / 2 / 190, 1L) // half the edges are clique edges
+      val nNoise = m - k * 190
+      val side = math.max(nNoise / 16, 1L) // ~8 avg degree per side
+      val cliques = spark.range(k).crossJoin(broadcast(pairDf))
+        .select((col("id") * S + col("i")).as("a"),
+          (col("id") * S + col("j")).as("b"))
+      val noise = spark.range(nNoise).selectExpr(
+        s"1000000000 + pmod(xxhash64('l', id), $side) AS a",
+        s"1500000000 + pmod(xxhash64('r', id), $side) AS b")
+      val dir = s"/tmp/graft_scale/tri_$m"
+      cliques.union(noise).write.mode("overwrite").parquet(dir) // untimed
+      val edges = spark.read.parquet(dir)
+      maxTaskMs.set(0)
+      val t0 = System.nanoTime()
+      // driverFinishEdges = 0: the ladder's published enumeration
+      // receipts stay distributed-path at every rung
+      val counts = graft.operators.Graph.triangleCounts(edges, "a", "b",
+          driverFinishEdges = 0L)
+        .localCheckpoint()
+      val (nClique, minT, maxT, nNoiseNodes) = {
+        val r = counts.agg(
+          sum(when(col("node") < 1000000000L, 1L).otherwise(0L)),
+          min(when(col("node") < 1000000000L, col("n_tri"))),
+          max(when(col("node") < 1000000000L, col("n_tri"))),
+          sum(when(col("node") >= 1000000000L, 1L).otherwise(0L))).head()
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      val mt = maxTaskMs.get() / 1e3
+      graft.operators.Checkpoints.unpersist(counts)
+      println(f"""{"edges":$m,"cliques":$k,"sec":$sec%.2f,"clique_nodes":$nClique,"min_tri":$minT,"max_tri":$maxT,"noise_nodes":$nNoiseNodes,"max_task_sec":$mt%.2f}""")
+      require(nClique == k * S && minT == 171L && maxT == 171L,
+        s"planted-truth violated at m=$m: $nClique clique nodes " +
+          s"(want ${k * S}), tri range [$minT,$maxT] (want exactly 171)")
+      require(nNoiseNodes == 0L,
+        s"bipartite noise produced $nNoiseNodes phantom triangle nodes at m=$m")
+      (m, sec)
+    }
+    if (sizes.size >= 2) {
+      val xs = rungs.map { case (m, _) => math.log(m.toDouble) }
+      val ys = rungs.map { case (_, s) => math.log(s) }
+      val (mx, my) = (xs.sum / xs.size, ys.sum / ys.size)
+      val exponent = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum /
+        xs.map(x => (x - mx) * (x - mx)).sum
+      println(f"""{"metric":"tri_scale","exponent":$exponent%.3f}""")
+      require(exponent <= 1.3,
+        f"triangle wall grows super-linearly in edges: exponent $exponent%.3f > 1.3")
+    }
+  }
+
   /** Headline-query throughput ladder: the three canonical TPC-H plan
     * shapes (scan→agg q1, fact⋈fact join+agg q18-having, semi q4) on
     * GENERATED lineitem/orders at multiples of the sf0.1 row count —
@@ -788,9 +858,10 @@ object BenchScale {
     val tpchMode = args.headOption.contains("tpch")
     val bpeMode = args.headOption.contains("bpe")
     val shingleMode = args.headOption.contains("shingle")
+    val triMode = args.headOption.contains("tri")
     val sizeArgs =
       if (annMode || mmMode || pqMode || ivfPqMode || semMode || graphMode ||
-          tpchMode || bpeMode || shingleMode)
+          tpchMode || bpeMode || shingleMode || triMode)
         args.drop(1) else args
     val sizes =
       if (sizeArgs.nonEmpty) sizeArgs(0).split(",").map(_.trim.toLong).toSeq
@@ -803,6 +874,7 @@ object BenchScale {
       else if (tpchMode) Seq(600000L, 6000000L, 24000000L)
       else if (bpeMode) Seq(100000L, 400000L, 1600000L)
       else if (shingleMode) Seq(100000L, 400000L, 1600000L)
+      else if (triMode) Seq(1000000L, 4000000L, 16000000L)
       else Seq(5000L, 10000L, 20000L, 50000L)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -857,6 +929,7 @@ object BenchScale {
     if (tpchMode) { tpchLadder(spark, sizes, maxTaskMs); spark.stop(); return }
     if (bpeMode) { bpeLadder(spark, sizes, maxTaskMs); spark.stop(); return }
     if (shingleMode) { shingleLadder(spark, sizes, maxTaskMs); spark.stop(); return }
+    if (triMode) { triLadder(spark, sizes, maxTaskMs); spark.stop(); return }
 
     val rungs = sizes.map { n =>
       val dir = s"/tmp/graft_scale/docs_$n"

@@ -35,7 +35,7 @@ object PlanSweep {
   val scalarBroadcast: Set[String] = Set(
     "ann_brute_force", "ann_external", "ann_ivf", "ann_ivfpq",
     "ann_ivfpq_rerank", "ann_pq",
-    "agg_cms", "agg_bloom", "ds_temperature", "ta_unigram",
+    "agg_cms", "agg_bloom", "ds_temperature", "ta_unigram", "ta_backoff",
     "q11_share_threshold", "q20_excess_shippers", "q22_idle_customers")
 
   def main(args: Array[String]): Unit = {

@@ -140,6 +140,12 @@ class GraphSpec extends SparkSpec {
       val messy = und ++ und.take(5) ++ und.map(_.swap) ++ Seq((3L, 3L))
       val got = Graph.triangleCounts(messy.toDF("a", "b"), "a", "b")
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // distributed path (gate 0) must agree exactly with the
+      // driver-finish path the small fixture takes by default
+      val dist = Graph.triangleCounts(messy.toDF("a", "b"), "a", "b",
+          driverFinishEdges = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(dist == got, s"driver/distributed paths diverge (trial $trial)")
       val es = und.toSet
       def conn(x: Long, y: Long) = es.contains((math.min(x, y), math.max(x, y)))
       val want = (for {
