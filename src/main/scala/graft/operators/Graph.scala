@@ -303,7 +303,9 @@ object Graph {
       Checkpoints.unpersist(ec)
       out
     } else {
-    val out = triangleDistributed(ec).localCheckpoint()
+    // triangleDistributed returns an eagerly-materialized frame, so
+    // the canonical edge blocks can be released immediately
+    val out = triangleDistributed(ec)
     Checkpoints.unpersist(ec)
     out
     }
@@ -317,7 +319,10 @@ object Graph {
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
     // orient by the (deg, node) total order; carry the head's order key
     // so the wedge join can order the two out-neighbors without a
-    // second degree lookup
+    // second degree lookup. Checkpointed EAGERLY: three plan branches
+    // (both wedge sides + the closing semi join) read the oriented
+    // list — lazily each would recompute the degree joins over the
+    // full edge set (the Components eager-checkpoint rationale).
     val oriented = e
       .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
       .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
@@ -328,6 +333,7 @@ object Graph {
         when(col("fwd"), col("a")).otherwise(col("b")).as("u"),
         when(col("fwd"), col("b")).otherwise(col("a")).as("v"),
         when(col("fwd"), col("bkey")).otherwise(col("akey")).as("vkey"))
+      .localCheckpoint()
     val wedges = oriented.select(col("u"), col("v").as("x"), col("vkey").as("xkey"))
       .join(oriented.select(col("u"), col("v").as("y"), col("vkey").as("ykey")), Seq("u"))
       .filter(col("xkey") < col("ykey"))
@@ -335,8 +341,12 @@ object Graph {
     val tri = wedges.join(
       oriented.select(col("u").as("x"), col("v").as("y")),
       Seq("x", "y"), "left_semi")
-    tri.select(explode(array(col("u"), col("x"), col("y"))).as("node"))
+    val out = tri
+      .select(explode(array(col("u"), col("x"), col("y"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+      .localCheckpoint()
+    Checkpoints.unpersist(oriented)
+    out
   }
 
   /** Bounded-collect driver counting: the same (deg, id)-ordered

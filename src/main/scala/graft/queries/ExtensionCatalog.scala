@@ -1268,8 +1268,12 @@ object ExtensionCatalog {
     * out (coefficient undefined). The division happens ONCE on exact
     * integers and rounds to 6, so both engines rank identically. */
   val gClustering: Q = (s, d) => {
+    // checkpointed: the canonical edge set feeds BOTH the degree
+    // aggregate and the triangle kernel — lazily each branch would
+    // re-run the whole co-purchase pair generation
     val e = coPurchasePairs(s, d)
       .select(col("pa").as("a"), col("pb").as("b")).distinct()
+      .localCheckpoint()
     val deg = e.select(col("a").as("node"))
       .union(e.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))

@@ -585,6 +585,50 @@ object BenchScale {
     }
   }
 
+  /** Backoff-LM ladder: stupid-backoff trigram training + held-out
+    * scoring ([[graft.operators.TextAnalysis.backoffXent]]) on the
+    * generated dedup corpus (80-word docs, seeded 4-letter vocab).
+    * Gates are EXACT: the odd split's every doc is scored (rows =
+    * ⌈n/2⌉) with exactly 78 trigrams each (80 tokens ⇒ 78), and the
+    * four level counters partition the trigram count (a join-path bug
+    * drops or double-counts — both break an equality). Wall must grow
+    * ~linearly in docs: the model tables grow with the vocab in play
+    * and the scoring joins with the trigram stream; the fitted
+    * log-log exponent hard-gates at 1.3. */
+  private def backoffLadder(spark: SparkSession, sizes: Seq[Long],
+                            maxTaskMs: java.util.concurrent.atomic.AtomicLong): Unit = {
+    import org.apache.spark.sql.functions._
+    val rungs = sizes.map { n =>
+      val dir = s"/tmp/graft_scale/docs_$n"
+      genCorpus(spark, n).write.mode("overwrite").parquet(dir) // untimed
+      val docs = spark.read.parquet(dir)
+      maxTaskMs.set(0)
+      val t0 = System.nanoTime()
+      val r = graft.operators.TextAnalysis.backoffXent(docs, "text", "doc_id")
+        .agg(count(lit(1)), sum(col("n_trigrams")),
+          sum(col("n_tri") + col("n_bi") + col("n_uni") + col("n_oov")),
+          sum(col("n_oov")))
+        .head()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val mt = maxTaskMs.get() / 1e3
+      val (rows, tg, lv, oov) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      println(f"""{"n_docs":$n,"sec":$sec%.2f,"docs_per_sec":${n / sec}%.0f,"scored":$rows,"trigrams":$tg,"oov":$oov,"max_task_sec":$mt%.2f}""")
+      require(rows == n / 2 && tg == rows * 78 && lv == tg,
+        s"backoff self-consistency failed at n=$n: rows=$rows trigrams=$tg levels=$lv")
+      (n, sec)
+    }
+    if (sizes.size >= 2) {
+      val xs = rungs.map { case (m, _) => math.log(m.toDouble) }
+      val ys = rungs.map { case (_, s) => math.log(s) }
+      val (mx, my) = (xs.sum / xs.size, ys.sum / ys.size)
+      val exponent = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum /
+        xs.map(x => (x - mx) * (x - mx)).sum
+      println(f"""{"metric":"backoff_scale","exponent":$exponent%.3f}""")
+      require(exponent <= 1.3,
+        f"backoff wall grows super-linearly in docs: exponent $exponent%.3f > 1.3")
+    }
+  }
+
   /** Triangle ladder: planted-truth triangle counting at growing edge
     * counts. Construction — K 20-cliques (every clique node sits in
     * exactly C(19,2) = 171 triangles) plus an equal-sized bipartite
@@ -859,9 +903,10 @@ object BenchScale {
     val bpeMode = args.headOption.contains("bpe")
     val shingleMode = args.headOption.contains("shingle")
     val triMode = args.headOption.contains("tri")
+    val backoffMode = args.headOption.contains("backoff")
     val sizeArgs =
       if (annMode || mmMode || pqMode || ivfPqMode || semMode || graphMode ||
-          tpchMode || bpeMode || shingleMode || triMode)
+          tpchMode || bpeMode || shingleMode || triMode || backoffMode)
         args.drop(1) else args
     val sizes =
       if (sizeArgs.nonEmpty) sizeArgs(0).split(",").map(_.trim.toLong).toSeq
@@ -875,6 +920,7 @@ object BenchScale {
       else if (bpeMode) Seq(100000L, 400000L, 1600000L)
       else if (shingleMode) Seq(100000L, 400000L, 1600000L)
       else if (triMode) Seq(1000000L, 4000000L, 16000000L)
+      else if (backoffMode) Seq(100000L, 400000L, 1600000L)
       else Seq(5000L, 10000L, 20000L, 50000L)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -930,6 +976,7 @@ object BenchScale {
     if (bpeMode) { bpeLadder(spark, sizes, maxTaskMs); spark.stop(); return }
     if (shingleMode) { shingleLadder(spark, sizes, maxTaskMs); spark.stop(); return }
     if (triMode) { triLadder(spark, sizes, maxTaskMs); spark.stop(); return }
+    if (backoffMode) { backoffLadder(spark, sizes, maxTaskMs); spark.stop(); return }
 
     val rungs = sizes.map { n =>
       val dir = s"/tmp/graft_scale/docs_$n"
