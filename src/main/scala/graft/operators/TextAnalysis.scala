@@ -211,16 +211,100 @@ object TextAnalysis {
         round(col("s") / (col("n_bigrams") * lit(1000000.0)), 6).as("xent"))
   }
 
+  /** The frozen n-gram tables of a stupid-backoff trigram model —
+    * what a production LM gate trains once (or imports from a
+    * reference corpus) and scores many corpora/streams against. */
+  final case class BackoffModel(u1: DataFrame, b2: DataFrame,
+                                t3: DataFrame, total: DataFrame)
+
+  private def tokensOf(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol).cast("long").as("doc_id"),
+      filter(StatelessOps.tokenArray(col(textCol)),
+        t => length(t) > 0).as("toks"))
+
+  /** Per-doc n-gram occurrence stream: one narrow explode of the
+    * token array's k-windows (0-based `toks[i-1 .. i+k-2]`). */
+  private def grams(src: DataFrame, k: Int, names: Seq[String]): DataFrame =
+    src.filter(size(col("toks")) >= k)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(toks) - ${k - 1}), i -> struct(" +
+          names.zipWithIndex.map { case (n, j) =>
+            val off = if (j == 0) "i - 1" else if (j == 1) "i" else s"i + ${j - 1}"
+            s"toks[$off] AS $n" }.mkString(", ") + "))")).as("g"))
+      .select(col("doc_id") +: names.map(n => col(s"g.$n").as(n)): _*)
+
+  /** Train the three n-gram count tables + the corpus total over
+    * `df`. Batch by contract (corpus-wide aggregates — the
+    * [[tfidfTopTerms]] precedent); the tables are plain frames, so
+    * callers may persist them as a written index (the BpeStore
+    * discipline) or broadcast them plan-side. */
+  def trainBackoff(df: DataFrame, textCol: String, idCol: String): BackoffModel = {
+    val train = tokensOf(df, textCol, idCol)
+    val u1 = grams(train, 1, Seq("w")).groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    val b2 = grams(train, 2, Seq("p", "q")).groupBy(col("p"), col("q"))
+      .agg(count(lit(1)).as("c2"))
+    val t3 = grams(train, 3, Seq("w1", "w2", "w3"))
+      .groupBy(col("w1"), col("w2"), col("w3")).agg(count(lit(1)).as("c3"))
+    BackoffModel(u1, b2, t3, u1.agg(sum(col("c1")).as("n_total")))
+  }
+
+  /** Score `docs` against a frozen [[BackoffModel]] — the per-doc agg
+    * of the four-level surprisal chain (see [[backoffXent]] for the
+    * formula and parity rules). STREAMS: every model join is
+    * stream-static (the model side is batch by construction), the
+    * trigram explode is narrow, and the per-doc aggregate runs under
+    * complete/update output mode — the standard frozen-LM-gate
+    * deployment, spec-pinned equal to the batch result in
+    * TextStreamSpec. */
+  def scoreBackoff(m: BackoffModel, docs: DataFrame,
+                   textCol: String, idCol: String): DataFrame = {
+    val occ = grams(tokensOf(docs, textCol, idCol), 3, Seq("w1", "w2", "w3"))
+    val sm = occ
+      .join(m.t3, Seq("w1", "w2", "w3"), "left")
+      .join(m.b2.select(col("p").as("w1"), col("q").as("w2"), col("c2").as("c2p")),
+        Seq("w1", "w2"), "left")
+      .join(m.b2.select(col("p").as("w2"), col("q").as("w3"), col("c2").as("c2b")),
+        Seq("w2", "w3"), "left")
+      .join(m.u1.select(col("w").as("w2"), col("c1").as("c1p")), Seq("w2"), "left")
+      .join(m.u1.select(col("w").as("w3"), col("c1").as("c1b")), Seq("w3"), "left")
+      // one-row total via a constant-key equi join (broadcast either
+      // way; a cross join would be rejected in stream-static plans)
+      .withColumn("__k", lit(1))
+      .join(broadcast(m.total.withColumn("__k", lit(1))), Seq("__k"))
+      .select(col("doc_id"),
+        when(col("c3").isNotNull, lit(0)).when(col("c2b").isNotNull, lit(1))
+          .when(col("c1b").isNotNull, lit(2)).otherwise(lit(3)).as("lvl"),
+        when(col("c3").isNotNull,
+            round(lit(1000000) * log(col("c2p").cast("double") / col("c3"))))
+          .when(col("c2b").isNotNull,
+            round(lit(1000000) * log(lit(2.5) * col("c1p") / col("c2b"))))
+          .when(col("c1b").isNotNull,
+            round(lit(1000000) * log(lit(6.25) * col("n_total") / col("c1b"))))
+          .otherwise(round(lit(1000000) * log(lit(6.25) * col("n_total"))))
+          .cast("long").as("sm"))
+    sm.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_trigrams"),
+        sum(when(col("lvl") === 0, 1L).otherwise(0L)).as("n_tri"),
+        sum(when(col("lvl") === 1, 1L).otherwise(0L)).as("n_bi"),
+        sum(when(col("lvl") === 2, 1L).otherwise(0L)).as("n_uni"),
+        sum(when(col("lvl") === 3, 1L).otherwise(0L)).as("n_oov"),
+        sum(col("sm")).as("s"))
+      .select(col("doc_id"), col("n_trigrams"), col("n_tri"), col("n_bi"),
+        col("n_uni"), col("n_oov"),
+        round(col("s") / (col("n_trigrams") * lit(1000000.0)), 6).as("xent"))
+  }
+
   /** Held-out stupid-backoff trigram scoring (Brants et al. 2007,
     * "Large Language Models in Machine Translation") — the LM order
     * above [[bigramXent]], and the first of the family where the
     * MODEL split and the SCORED split differ: the model trains on
-    * even-doc_id documents and scores the odd ones, so unseen n-grams
-    * actually occur and the backoff chain genuinely fires (a
-    * self-trained model never backs off — every scored n-gram was
-    * seen). This is the real CCNet deployment shape: a frozen n-gram
-    * model scores incoming documents; swap the even-split tables for
-    * a reference corpus's and the operator is unchanged.
+    * even-doc_id documents ([[trainBackoff]]) and scores the odd ones
+    * ([[scoreBackoff]]), so unseen n-grams actually occur and the
+    * backoff chain genuinely fires (a self-trained model never backs
+    * off — every scored n-gram was seen). This is the real CCNet
+    * deployment shape: a frozen n-gram model scores incoming
+    * documents; swap the even-split tables for a reference corpus's
+    * and the operator is unchanged.
     *
     * Score per trigram (w1,w2,w3), α = 0.4:
     *   S = c3(w1w2w3)/c2(w1w2)        if the trigram was seen
@@ -247,58 +331,13 @@ object TextAnalysis {
     * on n-gram keys — hot prefixes are the AQE skew-join case, and a
     * production model's head rows are the broadcast candidates. N
     * rides a one-row broadcast. Training is batch by contract; the
-    * scoring half streams against frozen tables (the standard LM-gate
-    * deployment). */
+    * scoring half streams against the frozen tables (spec-pinned in
+    * TextStreamSpec). */
   def backoffXent(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val toks = df.select(col(idCol).cast("long").as("doc_id"),
-      filter(StatelessOps.tokenArray(col(textCol)),
-        t => length(t) > 0).as("toks"))
-    val train = toks.filter(col("doc_id") % 2 === 0)
-    def grams(src: DataFrame, k: Int, names: Seq[String]): DataFrame =
-      src.filter(size(col("toks")) >= k)
-        .select(col("doc_id"), explode(expr(
-          s"transform(sequence(1, size(toks) - ${k - 1}), i -> struct(" +
-            names.zipWithIndex.map { case (n, j) =>
-              val off = if (j == 0) "i - 1" else if (j == 1) "i" else s"i + ${j - 1}"
-              s"toks[$off] AS $n" }.mkString(", ") + "))")).as("g"))
-        .select(col("doc_id") +: names.map(n => col(s"g.$n").as(n)): _*)
-    val u1 = grams(train, 1, Seq("w")).groupBy(col("w")).agg(count(lit(1)).as("c1"))
-    val b2 = grams(train, 2, Seq("p", "q")).groupBy(col("p"), col("q"))
-      .agg(count(lit(1)).as("c2"))
-    val t3 = grams(train, 3, Seq("w1", "w2", "w3"))
-      .groupBy(col("w1"), col("w2"), col("w3")).agg(count(lit(1)).as("c3"))
-    val total = u1.agg(sum(col("c1")).as("n_total"))
-    val occ = grams(toks.filter(col("doc_id") % 2 === 1), 3, Seq("w1", "w2", "w3"))
-    val sm = occ
-      .join(t3, Seq("w1", "w2", "w3"), "left")
-      .join(b2.select(col("p").as("w1"), col("q").as("w2"), col("c2").as("c2p")),
-        Seq("w1", "w2"), "left")
-      .join(b2.select(col("p").as("w2"), col("q").as("w3"), col("c2").as("c2b")),
-        Seq("w2", "w3"), "left")
-      .join(u1.select(col("w").as("w2"), col("c1").as("c1p")), Seq("w2"), "left")
-      .join(u1.select(col("w").as("w3"), col("c1").as("c1b")), Seq("w3"), "left")
-      .crossJoin(broadcast(total))
-      .select(col("doc_id"),
-        when(col("c3").isNotNull, lit(0)).when(col("c2b").isNotNull, lit(1))
-          .when(col("c1b").isNotNull, lit(2)).otherwise(lit(3)).as("lvl"),
-        when(col("c3").isNotNull,
-            round(lit(1000000) * log(col("c2p").cast("double") / col("c3"))))
-          .when(col("c2b").isNotNull,
-            round(lit(1000000) * log(lit(2.5) * col("c1p") / col("c2b"))))
-          .when(col("c1b").isNotNull,
-            round(lit(1000000) * log(lit(6.25) * col("n_total") / col("c1b"))))
-          .otherwise(round(lit(1000000) * log(lit(6.25) * col("n_total"))))
-          .cast("long").as("sm"))
-    sm.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_trigrams"),
-        sum(when(col("lvl") === 0, 1L).otherwise(0L)).as("n_tri"),
-        sum(when(col("lvl") === 1, 1L).otherwise(0L)).as("n_bi"),
-        sum(when(col("lvl") === 2, 1L).otherwise(0L)).as("n_uni"),
-        sum(when(col("lvl") === 3, 1L).otherwise(0L)).as("n_oov"),
-        sum(col("sm")).as("s"))
-      .select(col("doc_id"), col("n_trigrams"), col("n_tri"), col("n_bi"),
-        col("n_uni"), col("n_oov"),
-        round(col("s") / (col("n_trigrams") * lit(1000000.0)), 6).as("xent"))
+    val ids = df.select(col(idCol).cast("long").as("__id"), col("*"))
+    scoreBackoff(
+      trainBackoff(ids.filter(col("__id") % 2 === 0), textCol, idCol),
+      ids.filter(col("__id") % 2 === 1), textCol, idCol)
   }
 
   /** PII detection + redaction — the scrubbing gate every shared

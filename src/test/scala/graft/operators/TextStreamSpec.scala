@@ -58,4 +58,32 @@ class TextStreamSpec extends SparkSpec {
         s"expected one email/phone/ip hit: $r3")
     } finally q.stop()
   }
+
+  test("scoreBackoff streams against a frozen model, equals the batch scores") {
+    // the documented LM-gate deployment: model tables trained once on
+    // a static corpus, incoming documents scored as a stream — every
+    // model join is stream-static, the per-doc agg runs in complete
+    // mode; output must equal the batch scorer on identical docs
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val train = Seq((0L, "the cat sat on the mat"),
+      (2L, "the dog sat on the log")).toDF("doc_id", "text")
+    val model = TextAnalysis.trainBackoff(train, "text", "doc_id")
+    val in = MemoryStream[(Long, String)]
+    val q = TextAnalysis.scoreBackoff(model,
+        in.toDF().toDF("doc_id", "text"), "text", "doc_id")
+      .writeStream.format("memory").queryName("bkf").outputMode("complete").start()
+    try {
+      val d1 = (1L, "the cat sat on the log zebra") // hits + an OOV
+      val d3 = (3L, "mat the cat likes dog")        // bigram/unigram backoffs
+      in.addData(d1)
+      q.processAllAvailable()
+      in.addData(d3)
+      q.processAllAvailable()
+      val got = spark.table("bkf").collect().map(_.toSeq).toSet
+      val want = TextAnalysis.scoreBackoff(model,
+          Seq(d1, d3).toDF("doc_id", "text"), "text", "doc_id")
+        .collect().map(_.toSeq).toSet
+      assert(got == want && got.size == 2)
+    } finally q.stop()
+  }
 }
