@@ -285,30 +285,45 @@ object Graph {
     * regardless of corpus size — the corpus-sized pair GENERATION
     * feeding this kernel always stays distributed — and integer
     * counting makes the paths exactly equal (GraphSpec pins it).
-    * Ladders force the distributed path with 0.
+    * Ladders force the distributed path with 0. The default gate is
+    * 5× LOWER than the linear kernels' (Components/BFS use 1M): the
+    * driver intersection is single-threaded O(m^1.5) worst case, so
+    * 200k edges bounds it to ~10⁸ merge steps (well under a second)
+    * where 1M would allow ~10⁹ on a hub-dense set — slower than the
+    * distributed path the gate exists to shortcut.
+    *
+    * `assumeCanonical`: the input is ALREADY (a < b, distinct) under
+    * columns exactly ("a", "b") — callers that canonicalized for their
+    * own degree pass (gClustering) skip the redundant shuffle.
     *
     * Returns (node, n_tri) for every node in ≥ 1 triangle. */
   def triangleCounts(edges: DataFrame, aCol: String, bCol: String,
-                     driverFinishEdges: Long = 1000000L): DataFrame = {
-    // canonicalize: undirected {a,b} as a < b, self-loops out, distinct
-    val ec = edges.select(
+                     driverFinishEdges: Long = 200000L,
+                     assumeCanonical: Boolean = false): DataFrame = {
+    // canonicalize: undirected {a,b} as a < b, self-loops out,
+    // distinct. A caller-canonical frame is used AS-IS (typically the
+    // caller's own checkpoint — re-checkpointing would duplicate its
+    // blocks, and unpersisting would destroy a frame the caller still
+    // reads; branch scans of a checkpoint are block reads, not
+    // recomputation).
+    val ec = if (assumeCanonical)
+      edges.select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+    else edges.select(
         least(col(aCol).cast("long"), col(bCol).cast("long")).as("a"),
         greatest(col(aCol).cast("long"), col(bCol).cast("long")).as("b"))
       .filter(col("a") < col("b"))
       .distinct()
       .localCheckpoint() // eager: every downstream branch reads blocks
     val m = ec.count()
-    if (driverFinishEdges > 0 && m <= driverFinishEdges) {
-      val out = triangleDriver(edges.sparkSession, ec)
-      Checkpoints.unpersist(ec)
-      out
-    } else {
-    // triangleDistributed returns an eagerly-materialized frame, so
-    // the canonical edge blocks can be released immediately
-    val out = triangleDistributed(ec)
-    Checkpoints.unpersist(ec)
+    val out =
+      if (driverFinishEdges > 0 && m <= driverFinishEdges)
+        triangleDriver(edges.sparkSession, ec)
+      else
+        // triangleDistributed returns an eagerly-materialized frame,
+        // so the canonical edge blocks can be released immediately
+        triangleDistributed(ec)
+    if (!assumeCanonical) Checkpoints.unpersist(ec)
     out
-    }
   }
 
   /** Distributed compact-forward enumeration over a CANONICAL
@@ -387,7 +402,9 @@ object Graph {
       var i = 0; var j = 0
       while (i < au.length && j < av.length) {
         if (au(i) == av(j)) {
-          if (au(i) != v) { bump(u); bump(v); bump(au(i)) }
+          // the common element can never be v itself: av is v's
+          // OUT-list and the canonical edge set has no self-loops
+          bump(u); bump(v); bump(au(i))
           i += 1; j += 1
         } else if (au(i) < av(j)) i += 1 else j += 1
       }

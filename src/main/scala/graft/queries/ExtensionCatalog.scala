@@ -1234,15 +1234,6 @@ object ExtensionCatalog {
       seeds, maxHops = 4)
   }
 
-  /** Per-part triangle counts over the co-purchase graph: parts are
-    * linked when they appear in the same order ("frequently bought
-    * together"), and triangles are the cohesion unit of that network.
-    * Pair generation is a self-join on the order key with per-order
-    * fan-out BOUNDED BY THE SCHEMA (a TPC-H order has ≤ 7 lines, so
-    * ≤ 21 pairs/order — the explode never outgrows a constant factor
-    * of the scan); enumeration is the degree-ordered compact-forward
-    * kernel ([[graft.operators.Graph.triangleCounts]]), whose wedge
-    * join is bounded O(m^1.5) regardless of hub parts. */
   /** The part co-purchase pair stream: (pa < pb) part pairs sharing an
     * order — per-order fan-out bounded by the schema (≤ 7 lines ⇒ ≤ 21
     * pairs); NOT deduplicated (consumers canonicalize). */
@@ -1255,6 +1246,15 @@ object ExtensionCatalog {
       .filter(col("pa") < col("pb"))
   }
 
+  /** Per-part triangle counts over the co-purchase graph: parts are
+    * linked when they appear in the same order ("frequently bought
+    * together"), and triangles are the cohesion unit of that network.
+    * Pair generation is a self-join on the order key with per-order
+    * fan-out BOUNDED BY THE SCHEMA (a TPC-H order has ≤ 7 lines, so
+    * ≤ 21 pairs/order — the explode never outgrows a constant factor
+    * of the scan); enumeration is the degree-ordered compact-forward
+    * kernel ([[graft.operators.Graph.triangleCounts]]), whose wedge
+    * join is bounded O(m^1.5) regardless of hub parts. */
   val gTriangles: Q = (s, d) =>
     graft.operators.Graph.triangleCounts(coPurchasePairs(s, d), "pa", "pb")
 
@@ -1268,22 +1268,30 @@ object ExtensionCatalog {
     * out (coefficient undefined). The division happens ONCE on exact
     * integers and rounds to 6, so both engines rank identically. */
   val gClustering: Q = (s, d) => {
-    // checkpointed: the canonical edge set feeds BOTH the degree
-    // aggregate and the triangle kernel — lazily each branch would
-    // re-run the whole co-purchase pair generation
+    // checkpointed ONCE: the canonical edge set feeds BOTH the degree
+    // aggregate and the triangle kernel (assumeCanonical skips the
+    // kernel's own re-canonicalization shuffle) — lazily each branch
+    // would re-run the whole co-purchase pair generation
     val e = coPurchasePairs(s, d)
       .select(col("pa").as("a"), col("pb").as("b")).distinct()
       .localCheckpoint()
     val deg = e.select(col("a").as("node"))
       .union(e.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
-    val tri = graft.operators.Graph.triangleCounts(e, "a", "b")
-    deg.filter(col("deg") >= 2)
+    val tri = graft.operators.Graph.triangleCounts(e, "a", "b",
+      assumeCanonical = true)
+    val out = deg.filter(col("deg") >= 2)
       .join(tri, Seq("node"), "left")
       .select(col("node"), col("deg"),
         coalesce(col("n_tri"), lit(0L)).as("n_tri"),
         round(lit(2.0) * coalesce(col("n_tri"), lit(0L)) /
           (col("deg") * (col("deg") - 1)), 6).as("coef"))
+      // eager: releases both bounded intermediates below instead of
+      // leaking their blocks for the session
+      .localCheckpoint()
+    unpersistCheckpoint(e)
+    unpersistCheckpoint(tri)
+    out
   }
 
   // ----------------------------------------------------------- time series

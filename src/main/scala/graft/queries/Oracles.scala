@@ -2043,7 +2043,10 @@ object Oracles {
         |  FROM tr, generate_series(1, 4000) s(i) WHERE i <= len(toks) - 2),
         |t3 AS (SELECT w1, w2, w3, count(*) AS c3 FROM to3 GROUP BY 1, 2, 3),
         |o AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2, toks[i + 2] AS w3
-        |  FROM sc, generate_series(1, 4000) s(i) WHERE i <= len(toks) - 2),
+        |  FROM sc, generate_series(1, 4000) s(i)
+        |  WHERE i <= len(toks) - 2
+        |    AND 1 = (SELECT CASE WHEN max(len(toks)) - 1 <= 4000 THEN 1
+        |      ELSE error('ta_backoff oracle: token series bound exceeded') END FROM arr)),
         |j AS (SELECT o.doc_id,
         |    CASE WHEN t3.c3 IS NOT NULL THEN 0 WHEN bb.c2 IS NOT NULL THEN 1
         |         WHEN ub.c1 IS NOT NULL THEN 2 ELSE 3 END AS lvl,

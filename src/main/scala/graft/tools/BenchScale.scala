@@ -55,6 +55,16 @@ object BenchScale {
            |    THEN $memberWord ELSE ${word("t")} END)) AS text""".stripMargin)
   }
 
+  /** Least-squares slope of ln(y) on ln(x) over (x, y) rungs — the
+    * log-log exponent every ladder's scale gate tests. */
+  private def fitExponent(rungs: Seq[(Long, Double)]): Double = {
+    val xs = rungs.map { case (x, _) => math.log(x.toDouble) }
+    val ys = rungs.map { case (_, y) => math.log(y) }
+    val (mx, my) = (xs.sum / xs.size, ys.sum / ys.size)
+    xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum /
+      xs.map(x => (x - mx) * (x - mx)).sum
+  }
+
   /** Planted-cluster embeddings for the ANN ladder: 1000 seeded
     * centers, each vector = its center plus ±5 % hash noise, so true
     * nearest neighbors are in-cluster and recall is meaningful (on
@@ -356,11 +366,7 @@ object BenchScale {
       (n, kAdapt, trainSec, assignSec, pairs, sec, recall, precision, mt)
     }
     // fitted log-log exponent of pair count vs n — the scale claim
-    val xs = rungs.map(r => math.log(r._1.toDouble))
-    val ys = rungs.map(r => math.log(math.max(r._5, 1L).toDouble))
-    val (mx, my) = (xs.sum / xs.size, ys.sum / ys.size)
-    val exponent = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum /
-      xs.map(x => (x - mx) * (x - mx)).sum
+    val exponent = fitExponent(rungs.map(r => r._1 -> math.max(r._5, 1L).toDouble))
     val rungJson = rungs.map { case (n, k, ts, as_, p, s, r, pr, mt) =>
       f"""{"n_vecs":$n,"k":$k,"train_sec":$ts%.2f,"assign_sec":$as_%.2f,"cand_pairs":$p,"pairs_per_vec":${p.toDouble / n}%.1f,"dedup_sec":$s%.2f,"recall":$r%.3f,"precision":$pr%.3f,"max_task_sec":$mt%.2f}"""
     }.mkString("[", ",", "]")
@@ -459,11 +465,7 @@ object BenchScale {
       s"group-0 edit pair set: $eSet")
     if (sizes.size >= 2) {
       Seq("containment", "edit", "crossdoc").zipWithIndex.foreach { case (nm, i) =>
-        val xs = rungs.map { case (n, _) => math.log(n.toDouble) }
-        val ys = rungs.map { case (_, ts) => math.log(ts(i)) }
-        val (mx, my) = (xs.sum / xs.size, ys.sum / ys.size)
-        val exponent = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum /
-          xs.map(x => (x - mx) * (x - mx)).sum
+        val exponent = fitExponent(rungs.map { case (n, ts) => n -> ts(i) })
         println(f"""{"metric":"shingle_scale","shape":"$nm","exponent":$exponent%.3f}""")
         require(exponent <= 1.3,
           f"$nm wall grows super-linearly in docs: exponent $exponent%.3f > 1.3")
@@ -574,11 +576,7 @@ object BenchScale {
       (m, prSec)
     }
     if (sizes.size >= 2) {
-      val xs = rungs.map { case (m, _) => math.log(m.toDouble) }
-      val ys = rungs.map { case (_, s) => math.log(s) }
-      val (mx, my) = (xs.sum / xs.size, ys.sum / ys.size)
-      val exponent = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum /
-        xs.map(x => (x - mx) * (x - mx)).sum
+      val exponent = fitExponent(rungs)
       println(f"""{"metric":"graph_scale","pagerank_exponent":$exponent%.3f}""")
       require(exponent <= 1.4,
         f"PageRank wall grows super-linearly in edges: exponent $exponent%.3f > 1.4")
@@ -589,7 +587,8 @@ object BenchScale {
     * scoring ([[graft.operators.TextAnalysis.backoffXent]]) on the
     * generated dedup corpus (80-word docs, seeded 4-letter vocab).
     * Gates are EXACT: the odd split's every doc is scored (rows =
-    * ⌈n/2⌉) with exactly 78 trigrams each (80 tokens ⇒ 78), and the
+    * ⌊n/2⌋ — odd doc_ids in 0..n−1) with exactly 78 trigrams each
+    * (80 tokens ⇒ 78), and the
     * four level counters partition the trigram count (a join-path bug
     * drops or double-counts — both break an equality). Wall must grow
     * ~linearly in docs: the model tables grow with the vocab in play
@@ -618,11 +617,7 @@ object BenchScale {
       (n, sec)
     }
     if (sizes.size >= 2) {
-      val xs = rungs.map { case (m, _) => math.log(m.toDouble) }
-      val ys = rungs.map { case (_, s) => math.log(s) }
-      val (mx, my) = (xs.sum / xs.size, ys.sum / ys.size)
-      val exponent = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum /
-        xs.map(x => (x - mx) * (x - mx)).sum
+      val exponent = fitExponent(rungs)
       println(f"""{"metric":"backoff_scale","exponent":$exponent%.3f}""")
       require(exponent <= 1.3,
         f"backoff wall grows super-linearly in docs: exponent $exponent%.3f > 1.3")
@@ -664,10 +659,10 @@ object BenchScale {
       maxTaskMs.set(0)
       val t0 = System.nanoTime()
       // driverFinishEdges = 0: the ladder's published enumeration
-      // receipts stay distributed-path at every rung
+      // receipts stay distributed-path at every rung. The kernel's
+      // result is already eagerly checkpointed — no second copy.
       val counts = graft.operators.Graph.triangleCounts(edges, "a", "b",
-          driverFinishEdges = 0L)
-        .localCheckpoint()
+        driverFinishEdges = 0L)
       val (nClique, minT, maxT, nNoiseNodes) = {
         val r = counts.agg(
           sum(when(col("node") < 1000000000L, 1L).otherwise(0L)),
@@ -688,11 +683,7 @@ object BenchScale {
       (m, sec)
     }
     if (sizes.size >= 2) {
-      val xs = rungs.map { case (m, _) => math.log(m.toDouble) }
-      val ys = rungs.map { case (_, s) => math.log(s) }
-      val (mx, my) = (xs.sum / xs.size, ys.sum / ys.size)
-      val exponent = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum /
-        xs.map(x => (x - mx) * (x - mx)).sum
+      val exponent = fitExponent(rungs)
       println(f"""{"metric":"tri_scale","exponent":$exponent%.3f}""")
       require(exponent <= 1.3,
         f"triangle wall grows super-linearly in edges: exponent $exponent%.3f > 1.3")
@@ -833,11 +824,7 @@ object BenchScale {
     if (sizes.size >= 2) {
       val names = Seq("q1", "q18", "q4", "q9", "q21")
       names.zipWithIndex.foreach { case (nm, i) =>
-        val xs = rungs.map { case (n, _) => math.log(n.toDouble) }
-        val ys = rungs.map { case (_, ts) => math.log(ts(i)) }
-        val (mx, my) = (xs.sum / xs.size, ys.sum / ys.size)
-        val exponent = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum /
-          xs.map(x => (x - mx) * (x - mx)).sum
+        val exponent = fitExponent(rungs.map { case (n, ts) => n -> ts(i) })
         println(f"""{"metric":"tpch_scale","shape":"$nm","exponent":$exponent%.3f}""")
         require(exponent <= 1.3,
           f"$nm wall grows super-linearly in rows: exponent $exponent%.3f > 1.3")
@@ -881,11 +868,7 @@ object BenchScale {
       (v, sec)
     }
     if (sizes.size >= 2) {
-      val xs = rungs.map { case (v, _) => math.log(v.toDouble) }
-      val ys = rungs.map { case (_, s) => math.log(s) }
-      val (mx, my) = (xs.sum / xs.size, ys.sum / ys.size)
-      val exponent = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum /
-        xs.map(x => (x - mx) * (x - mx)).sum
+      val exponent = fitExponent(rungs)
       println(f"""{"metric":"bpe_scale","exponent":$exponent%.3f}""")
       require(exponent <= 1.3,
         f"BPE wall grows super-linearly in vocab: exponent $exponent%.3f > 1.3")
@@ -1022,11 +1005,7 @@ object BenchScale {
     }
 
     // least-squares slope of ln(t) on ln(n): the measured exponent
-    val xs = rungs.map(r => math.log(r._1.toDouble))
-    val ys = rungs.map(r => math.log(r._2))
-    val (mx, my) = (xs.sum / xs.size, ys.sum / ys.size)
-    val exponent = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum /
-      xs.map(x => (x - mx) * (x - mx)).sum
+    val exponent = fitExponent(rungs.map(r => r._1 -> r._2))
 
     val rungJson = rungs.map { case (n, sec, got, exp, mt, ss, ds) =>
       f"""{"n_docs":$n,"sec":$sec%.2f,"survivors":$got,"expected":$exp,"max_task_sec":$mt%.2f,"closure_star_sec":$ss%.2f,"closure_driver_sec":$ds%.2f}"""
