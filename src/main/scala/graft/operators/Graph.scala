@@ -321,14 +321,14 @@ object Graph {
       else
         // triangleDistributed returns an eagerly-materialized frame,
         // so the canonical edge blocks can be released immediately
-        triangleDistributed(ec)
+        triangleDistributed(ec, m)
     if (!assumeCanonical) Checkpoints.unpersist(ec)
     out
   }
 
   /** Distributed compact-forward enumeration over a CANONICAL
-    * (a < b, distinct) edge frame. */
-  private def triangleDistributed(e: DataFrame): DataFrame = {
+    * (a < b, distinct) edge frame with `m` edges. */
+  private def triangleDistributed(e: DataFrame, m: Long): DataFrame = {
     val deg = e.select(col("a").as("node"))
       .union(e.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
@@ -349,9 +349,23 @@ object Graph {
         when(col("fwd"), col("b")).otherwise(col("a")).as("v"),
         when(col("fwd"), col("bkey")).otherwise(col("akey")).as("vkey"))
       .localCheckpoint()
+    // sketch-prunes-exact-confirms (the j_bloom_semi pattern): on real
+    // co-occurrence graphs only a few % of wedges close into a
+    // triangle (sf0.1 co-purchase: 1.9M of 41M), so shuffling EVERY
+    // wedge into the closing semi join is ~20× too much exchange. A
+    // bloom over the oriented edge-key hashes sheds non-closing wedges
+    // inside the wedge join's own stage, BEFORE the (x,y) exchange;
+    // the exact semi join then removes the false-positive residue —
+    // the result is identical, the filter only sheds work. The hash
+    // collapses the (u,v) pair to one long; a hash collision can only
+    // ADD a false positive, never drop a wedge.
+    val bf = oriented.stat.bloomFilter(
+      xxhash64(col("u"), col("v")), math.max(m, 1L), 0.01)
     val wedges = oriented.select(col("u"), col("v").as("x"), col("vkey").as("xkey"))
       .join(oriented.select(col("u"), col("v").as("y"), col("vkey").as("ykey")), Seq("u"))
       .filter(col("xkey") < col("ykey"))
+      .filter(graft.functions.BloomContains.bloomContains(
+        xxhash64(col("x"), col("y")), bf))
       .select(col("u"), col("x"), col("y"))
     val tri = wedges.join(
       oriented.select(col("u").as("x"), col("v").as("y")),
