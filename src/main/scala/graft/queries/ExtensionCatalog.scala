@@ -1053,9 +1053,23 @@ object ExtensionCatalog {
 
   /** Held-out stupid-backoff trigram scoring: model from even-doc_id
     * documents, scores for the odd ones — the backoff chain genuinely
-    * fires (see [[TextAnalysis.backoffXent]]). */
-  val taBackoff: Q = (s, d) =>
-    TextAnalysis.backoffXent(Tables.documents(s, d), "text", "doc_id")
+    * fires (see [[TextAnalysis.backoffXent]]). A WRITTEN model
+    * ([[graft.tools.BackoffBuild]]) is the primary source when
+    * present — the LM outlives the driver, the IndexStore discipline;
+    * its exact integer count tables score bit-identically to
+    * in-session training (BackoffPersistSpec pins it), so the oracle
+    * contract is unchanged. */
+  val taBackoff: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val model = {
+      val p = graft.tools.BackoffStore.path(d, dataFingerprint(d, "documents"))
+      if (graft.tools.BackoffStore.ready(p)) graft.tools.BackoffStore.read(s, p)
+      else TextAnalysis.trainBackoff(
+        docs.filter(col("doc_id") % 2 === 0), "text", "doc_id")
+    }
+    TextAnalysis.scoreBackoff(model,
+      docs.filter(col("doc_id") % 2 === 1), "text", "doc_id")
+  }
 
   /** Per-dimension z-score standardization of the embedding corpus
     * (constant-width moment shuffle + broadcast-back). */
