@@ -157,6 +157,41 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("triangleCounts distributed plan carries the wedge bloom prune") {
+    import spark.implicits._
+    // the sketch-prunes-exact-confirms gate: losing the bloom filter
+    // silently reverts the closing semi join to shuffling EVERY
+    // wedge. The kernel materializes its result internally (eager
+    // checkpoint), so capture the executed plans as they run.
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        plans.add(qe.executedPlan.toString)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val und = (for { a <- 0 until 12; b <- a + 1 until 12 } yield
+        (a.toLong, b.toLong)).filter { case (a, b) => (a + b) % 3 != 0 }
+      val out = Graph.triangleCounts(und.toDF("a", "b"), "a", "b",
+        driverFinishEdges = 0L)
+      assert(out.collect().nonEmpty)
+      // listener delivery is async — poll briefly for the wedge plan
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      var seen = false
+      while (!seen && System.nanoTime() < deadline) {
+        seen = plans.toArray(Array.empty[String]).exists(_.contains("bloom_contains"))
+        if (!seen) Thread.sleep(50)
+      }
+      assert(seen,
+        "no executed plan contained bloom_contains — the wedge prune is gone")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("triangleCounts: hub star has none, closing one edge makes exactly one") {
     import spark.implicits._
     // star K1,5: every wedge goes through the hub, no triangle — the
