@@ -259,7 +259,19 @@ object TextAnalysis {
   def scoreBackoff(m: BackoffModel, docs: DataFrame,
                    textCol: String, idCol: String): DataFrame = {
     val occ = grams(tokensOf(docs, textCol, idCol), 3, Seq("w1", "w2", "w3"))
-    val sm = occ
+    // Batch: score each DISTINCT trigram once and join the occurrence
+    // stream against the scored LUT — on Zipfian text the distinct
+    // set is a small fraction of the occurrences, so the five model
+    // joins run over the LUT instead of the corpus-sized stream (one
+    // extra distinct + one wide join of occ buys 4 fewer). Streaming
+    // keeps the direct per-occurrence chain: a streaming distinct is
+    // unbounded state, and the model joins are stream-static either
+    // way. Identical values on both paths (each occurrence of a
+    // trigram scores the same), TextStreamSpec pins stream ≡ batch.
+    val keys =
+      if (docs.isStreaming) occ
+      else occ.select(col("w1"), col("w2"), col("w3")).distinct()
+    val sm0 = keys
       .join(m.t3, Seq("w1", "w2", "w3"), "left")
       .join(m.b2.select(col("p").as("w1"), col("q").as("w2"), col("c2").as("c2p")),
         Seq("w1", "w2"), "left")
@@ -271,7 +283,8 @@ object TextAnalysis {
       // way; a cross join would be rejected in stream-static plans)
       .withColumn("__k", lit(1))
       .join(broadcast(m.total.withColumn("__k", lit(1))), Seq("__k"))
-      .select(col("doc_id"),
+      .select((if (docs.isStreaming) Seq(col("doc_id")) else Seq.empty) ++ Seq(
+        col("w1"), col("w2"), col("w3"),
         when(col("c3").isNotNull, lit(0)).when(col("c2b").isNotNull, lit(1))
           .when(col("c1b").isNotNull, lit(2)).otherwise(lit(3)).as("lvl"),
         when(col("c3").isNotNull,
@@ -281,7 +294,11 @@ object TextAnalysis {
           .when(col("c1b").isNotNull,
             round(lit(1000000) * log(lit(6.25) * col("n_total") / col("c1b"))))
           .otherwise(round(lit(1000000) * log(lit(6.25) * col("n_total"))))
-          .cast("long").as("sm"))
+          .cast("long").as("sm")): _*)
+    val sm =
+      if (docs.isStreaming) sm0.select(col("doc_id"), col("lvl"), col("sm"))
+      else occ.join(sm0, Seq("w1", "w2", "w3"))
+        .select(col("doc_id"), col("lvl"), col("sm"))
     sm.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_trigrams"),
         sum(when(col("lvl") === 0, 1L).otherwise(0L)).as("n_tri"),
@@ -327,10 +344,13 @@ object TextAnalysis {
     *
     * Scale shape: the model is three map-side-combinable n-gram
     * aggregates over the train split (each collapses to |vocab|-sized
-    * tables); scoring is the trigram stream left-joined against them
-    * on n-gram keys — hot prefixes are the AQE skew-join case, and a
-    * production model's head rows are the broadcast candidates. N
-    * rides a one-row broadcast. Training is batch by contract; the
+    * tables); batch scoring joins the model against the DISTINCT
+    * trigram set and attaches occurrences with one final join (on
+    * Zipfian text the distinct set is a small fraction of the
+    * occurrence stream, so the five model joins never touch
+    * corpus-sized data) — hot prefixes are the AQE skew-join case,
+    * and a production model's head rows are the broadcast candidates.
+    * N rides a one-row broadcast. Training is batch by contract; the
     * scoring half streams against the frozen tables (spec-pinned in
     * TextStreamSpec). */
   def backoffXent(df: DataFrame, textCol: String, idCol: String): DataFrame = {
