@@ -359,8 +359,13 @@ object Graph {
     // the result is identical, the filter only sheds work. The hash
     // collapses the (u,v) pair to one long; a hash collision can only
     // ADD a false positive, never drop a wedge.
+    // bounded sketch: 8 bits/edge capped at 128 Mbit (16 MB) — past
+    // the cap the false-positive rate degrades gracefully (the semi
+    // join stays exact) instead of the filter growing with the graph;
+    // an uncapped bloom at 10⁹ edges would be a ~1.2 GB task object.
     val bf = oriented.stat.bloomFilter(
-      xxhash64(col("u"), col("v")), math.max(m, 1L), 0.01)
+      xxhash64(col("u"), col("v")), math.max(m, 1L),
+      math.min(8L * math.max(m, 1L), 1L << 27))
     val wedges = oriented.select(col("u"), col("v").as("x"), col("vkey").as("xkey"))
       .join(oriented.select(col("u"), col("v").as("y"), col("vkey").as("ykey")), Seq("u"))
       .filter(col("xkey") < col("ykey"))

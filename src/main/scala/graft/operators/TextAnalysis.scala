@@ -255,22 +255,31 @@ object TextAnalysis {
     * trigram explode is narrow, and the per-doc aggregate runs under
     * complete/update output mode — the standard frozen-LM-gate
     * deployment, spec-pinned equal to the batch result in
-    * TextStreamSpec. */
+    * TextStreamSpec.
+    *
+    * `dedupKeys` (batch only; MEASURED OFF by default — the BPE
+    * batchK discipline): score each DISTINCT trigram once and attach
+    * occurrences with one final join, so the five model joins never
+    * touch the corpus-sized stream. Pays ONLY when the corpus's
+    * trigram duplication factor is substantial (Zipfian production
+    * text); on the high-diversity synthetic corpus the distinct
+    * shrinks nothing and the extra occ⋈LUT string join measured
+    * ~2× SLOWER at 100k-400k docs (quiet A/B, 2026-08-14) — and its
+    * post-distinct exchange is exactly the AQE
+    * coalesce-feeding-an-explosive-join hazard the LSH kernels
+    * document. Identical values on every path (each occurrence of a
+    * trigram scores the same; the fixture spec pins LUT ≡ direct). */
   def scoreBackoff(m: BackoffModel, docs: DataFrame,
-                   textCol: String, idCol: String): DataFrame = {
+                   textCol: String, idCol: String,
+                   dedupKeys: Boolean = false): DataFrame = {
+    require(!(dedupKeys && docs.isStreaming),
+      "dedupKeys scores a distinct-trigram LUT — a streaming distinct " +
+        "holds unbounded state; score streams with the direct chain")
     val occ = grams(tokensOf(docs, textCol, idCol), 3, Seq("w1", "w2", "w3"))
-    // Batch: score each DISTINCT trigram once and join the occurrence
-    // stream against the scored LUT — on Zipfian text the distinct
-    // set is a small fraction of the occurrences, so the five model
-    // joins run over the LUT instead of the corpus-sized stream (one
-    // extra distinct + one wide join of occ buys 4 fewer). Streaming
-    // keeps the direct per-occurrence chain: a streaming distinct is
-    // unbounded state, and the model joins are stream-static either
-    // way. Identical values on both paths (each occurrence of a
-    // trigram scores the same), TextStreamSpec pins stream ≡ batch.
+    val lut = dedupKeys && !docs.isStreaming
     val keys =
-      if (docs.isStreaming) occ
-      else occ.select(col("w1"), col("w2"), col("w3")).distinct()
+      if (lut) occ.select(col("w1"), col("w2"), col("w3")).distinct()
+      else occ
     val sm0 = keys
       .join(m.t3, Seq("w1", "w2", "w3"), "left")
       .join(m.b2.select(col("p").as("w1"), col("q").as("w2"), col("c2").as("c2p")),
@@ -283,7 +292,7 @@ object TextAnalysis {
       // way; a cross join would be rejected in stream-static plans)
       .withColumn("__k", lit(1))
       .join(broadcast(m.total.withColumn("__k", lit(1))), Seq("__k"))
-      .select((if (docs.isStreaming) Seq(col("doc_id")) else Seq.empty) ++ Seq(
+      .select((if (lut) Seq.empty else Seq(col("doc_id"))) ++ Seq(
         col("w1"), col("w2"), col("w3"),
         when(col("c3").isNotNull, lit(0)).when(col("c2b").isNotNull, lit(1))
           .when(col("c1b").isNotNull, lit(2)).otherwise(lit(3)).as("lvl"),
@@ -296,9 +305,9 @@ object TextAnalysis {
           .otherwise(round(lit(1000000) * log(lit(6.25) * col("n_total"))))
           .cast("long").as("sm")): _*)
     val sm =
-      if (docs.isStreaming) sm0.select(col("doc_id"), col("lvl"), col("sm"))
-      else occ.join(sm0, Seq("w1", "w2", "w3"))
+      if (lut) occ.join(sm0, Seq("w1", "w2", "w3"))
         .select(col("doc_id"), col("lvl"), col("sm"))
+      else sm0.select(col("doc_id"), col("lvl"), col("sm"))
     sm.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_trigrams"),
         sum(when(col("lvl") === 0, 1L).otherwise(0L)).as("n_tri"),
@@ -344,14 +353,14 @@ object TextAnalysis {
     *
     * Scale shape: the model is three map-side-combinable n-gram
     * aggregates over the train split (each collapses to |vocab|-sized
-    * tables); batch scoring joins the model against the DISTINCT
-    * trigram set and attaches occurrences with one final join (on
-    * Zipfian text the distinct set is a small fraction of the
-    * occurrence stream, so the five model joins never touch
-    * corpus-sized data) — hot prefixes are the AQE skew-join case,
-    * and a production model's head rows are the broadcast candidates.
-    * N rides a one-row broadcast. Training is batch by contract; the
-    * scoring half streams against the frozen tables (spec-pinned in
+    * tables); scoring is the trigram stream left-joined against them
+    * on n-gram keys — hot prefixes are the AQE skew-join case, and a
+    * production model's head rows are the broadcast candidates. N
+    * rides a one-row broadcast. For corpora with substantial trigram
+    * duplication, [[scoreBackoff]]'s `dedupKeys` scores a
+    * distinct-trigram LUT instead (measured OFF by default — see its
+    * scaladoc). Training is batch by contract; the scoring half
+    * streams against the frozen tables (spec-pinned in
     * TextStreamSpec). */
   def backoffXent(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val ids = df.select(col(idCol).cast("long").as("__id"), col("*"))

@@ -252,5 +252,15 @@ class QualitySignalsSpec extends SparkSpec {
     // a scored doc with < 3 tokens yields no row
     val tiny = Seq((0L, t0), (1L, "two words")).toDF("doc_id", "text")
     assert(TextAnalysis.backoffXent(tiny, "text", "doc_id").isEmpty)
+    // the distinct-trigram LUT path (dedupKeys, off by default) is
+    // value-identical to the direct chain
+    val model = TextAnalysis.trainBackoff(
+      docs.filter($"doc_id" % 2 === 0), "text", "doc_id")
+    val scored = docs.filter($"doc_id" % 2 === 1)
+    val direct = TextAnalysis.scoreBackoff(model, scored, "text", "doc_id")
+      .collect().map(_.toSeq).toSet
+    val viaLut = TextAnalysis.scoreBackoff(model, scored, "text", "doc_id",
+      dedupKeys = true).collect().map(_.toSeq).toSet
+    assert(viaLut == direct)
   }
 }
