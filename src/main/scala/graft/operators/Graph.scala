@@ -299,7 +299,8 @@ object Graph {
     * Returns (node, n_tri) for every node in ≥ 1 triangle. */
   def triangleCounts(edges: DataFrame, aCol: String, bCol: String,
                      driverFinishEdges: Long = 200000L,
-                     assumeCanonical: Boolean = false): DataFrame = {
+                     assumeCanonical: Boolean = false,
+                     wedgeBloom: Boolean = true): DataFrame = {
     // canonicalize: undirected {a,b} as a < b, self-loops out,
     // distinct. A caller-canonical frame is used AS-IS (typically the
     // caller's own checkpoint — re-checkpointing would duplicate its
@@ -321,14 +322,15 @@ object Graph {
       else
         // triangleDistributed returns an eagerly-materialized frame,
         // so the canonical edge blocks can be released immediately
-        triangleDistributed(ec, m)
+        triangleDistributed(ec, m, wedgeBloom)
     if (!assumeCanonical) Checkpoints.unpersist(ec)
     out
   }
 
   /** Distributed compact-forward enumeration over a CANONICAL
     * (a < b, distinct) edge frame with `m` edges. */
-  private def triangleDistributed(e: DataFrame, m: Long): DataFrame = {
+  private def triangleDistributed(e: DataFrame, m: Long,
+                                  wedgeBloom: Boolean): DataFrame = {
     val deg = e.select(col("a").as("node"))
       .union(e.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
@@ -363,15 +365,23 @@ object Graph {
     // the cap the false-positive rate degrades gracefully (the semi
     // join stays exact) instead of the filter growing with the graph;
     // an uncapped bloom at 10⁹ edges would be a ~1.2 GB task object.
-    val bf = oriented.stat.bloomFilter(
-      xxhash64(col("u"), col("v")), math.max(m, 1L),
-      math.min(8L * math.max(m, 1L), 1L << 27))
-    val wedges = oriented.select(col("u"), col("v").as("x"), col("vkey").as("xkey"))
+    // `wedgeBloom = false` skips the prune — for graphs where most
+    // wedges DO close the probe sheds little. Measured A/B
+    // (2026-08-14, warm, co-tenant load 5-16): sparse co-purchase
+    // (4.6 % closure) ~25 % faster WITH the prune (5.5-6.8 s vs
+    // 7.7-8.5 s); dense planted-clique corpus neutral (8.4 vs
+    // 7.8-8.6 s) — hence default on.
+    val raw = oriented.select(col("u"), col("v").as("x"), col("vkey").as("xkey"))
       .join(oriented.select(col("u"), col("v").as("y"), col("vkey").as("ykey")), Seq("u"))
       .filter(col("xkey") < col("ykey"))
-      .filter(graft.functions.BloomContains.bloomContains(
+    val pruned = if (wedgeBloom) {
+      val bf = oriented.stat.bloomFilter(
+        xxhash64(col("u"), col("v")), math.max(m, 1L),
+        math.min(8L * math.max(m, 1L), 1L << 27))
+      raw.filter(graft.functions.BloomContains.bloomContains(
         xxhash64(col("x"), col("y")), bf))
-      .select(col("u"), col("x"), col("y"))
+    } else raw
+    val wedges = pruned.select(col("u"), col("x"), col("y"))
     val tri = wedges.join(
       oriented.select(col("u").as("x"), col("v").as("y")),
       Seq("x", "y"), "left_semi")
