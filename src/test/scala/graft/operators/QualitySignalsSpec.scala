@@ -263,4 +263,37 @@ class QualitySignalsSpec extends SparkSpec {
       dedupKeys = true).collect().map(_.toSeq).toSet
     assert(viaLut == direct)
   }
+
+  test("backoffXent: randomized corpora match the reference (both paths)") {
+    // the BpeSpec discipline: seeded random word-soup corpora with a
+    // small vocabulary (repeated trigrams, high-dup docs, skewed
+    // lengths) pinned against the independent driver reference —
+    // join-path edge cases a hand fixture cannot enumerate
+    val rnd = new scala.util.Random(1234)
+    for (trial <- 1 to 3) {
+      // letters only: the shared tokenizer strips digits, which would
+      // collapse a w0/w1/... vocabulary into one token
+      val vocab = (0 until 6 + trial * 3).map(i => s"w${('a' + i).toChar}")
+      def doc(): String =
+        Seq.fill(3 + rnd.nextInt(30))(vocab(rnd.nextInt(vocab.size)))
+          .mkString(" ")
+      val docs = (0L until 40L).map(i => (i, doc()))
+      val df = docs.toDF("doc_id", "text")
+      val got = TextAnalysis.backoffXent(df, "text", "doc_id")
+        .as[(Long, Long, Long, Long, Long, Long, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6, r._7))).toMap
+      val train = docs.filter(_._1 % 2 == 0).map(_._2.split(" ").toSeq)
+      val want = docs.filter(d => d._1 % 2 == 1 && d._2.split(" ").length >= 3)
+        .map(d => d._1 -> refBackoff(train, d._2.split(" ").toSeq)).toMap
+      assert(got == want, s"trial $trial diverged from the reference")
+      // LUT path identical on the same random corpus
+      val model = TextAnalysis.trainBackoff(
+        df.filter($"doc_id" % 2 === 0), "text", "doc_id")
+      val lut = TextAnalysis.scoreBackoff(model,
+          df.filter($"doc_id" % 2 === 1), "text", "doc_id", dedupKeys = true)
+        .as[(Long, Long, Long, Long, Long, Long, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6, r._7))).toMap
+      assert(lut == want, s"trial $trial LUT path diverged")
+    }
+  }
 }
