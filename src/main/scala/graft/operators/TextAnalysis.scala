@@ -520,6 +520,134 @@ object TextAnalysis {
     * paid ~90 µs/gram in md5→hex→conv expressions. Docs with no full
     * window (< k+w-1 chars) yield null and are filtered, matching the
     * zero-group behavior of the former plan and the oracle. */
+  // -------------------------------------------------------- naive bayes
+
+  /** A trained multinomial Naive Bayes text classifier — the learned
+    * counterpart of the [[langId]] heuristic and the classifier-gate
+    * shape of CCNet/GPT-3-style corpus filtering (a small supervised
+    * model scores every incoming document; fastText's role in those
+    * pipelines). `labels` is the class list sorted ascending;
+    * `priorMicro(i)` = round(1e6·ln(n/n_i)) (prior surprisal of class
+    * i, exact-integer ratio); `defaultMicro(i)` = round(1e6·ln(tc_i+V))
+    * (the add-one-smoothed surprisal of a token never seen in
+    * training, c=0); `condWide` is the model table proper: one row per
+    * vocabulary token with `sArr(i)` = round(1e6·ln((tc_i+V)/(c_{w,i}+1)))
+    * — vocabulary-BOUNDED, so it broadcasts at any corpus scale. */
+  final case class NbModel(labels: Seq[String], priorMicro: Seq[Long],
+                           defaultMicro: Seq[Long], condWide: DataFrame)
+
+  /** Spark's round() on a double routes through the decimal string
+    * (java.math.BigDecimal.valueOf semantics, HALF_UP) — mirror it
+    * exactly for the driver-held model constants so they land on the
+    * same micro-nat integers as the engine-side round(1e6·log(..)). */
+  private def microLn(x: Double): Long =
+    BigDecimal(1000000.0 * math.log(x))
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+
+  /** Train a multinomial NB model on `df` (add-one smoothing). Batch
+    * by contract — training is three model-sized aggregates (per-class
+    * doc counts, per-class token totals, vocabulary size) plus the
+    * (token, class) count table that stays distributed as `condWide`.
+    * Like [[graft.operators.Similarity.kmeansTrain]], the bounded
+    * per-class statistics are collected eagerly (|C| rows + 1 scalar);
+    * the vocabulary-sized table never touches the driver. Labels must
+    * be non-null. */
+  def trainNaiveBayes(df: DataFrame, textCol: String, labelCol: String,
+                      idCol: String): NbModel = {
+    val train = df.select(col(labelCol).as("__lab"),
+      filter(StatelessOps.tokenArray(col(textCol)), t => length(t) > 0).as("__toks"))
+    val occ = train.select(col("__lab"), explode(col("__toks")).as("w"))
+    // bounded eager collects: per-class doc counts / token totals + V
+    val nd = train.groupBy(col("__lab")).agg(count(lit(1)).as("nd"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val tc = occ.groupBy(col("__lab")).agg(count(lit(1)).as("tc"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val v = occ.select(col("w")).distinct().count()
+    val labels = nd.keySet.toSeq.sorted
+    require(labels.nonEmpty, "trainNaiveBayes: empty training split")
+    require(v > 0, "trainNaiveBayes: empty training vocabulary " +
+      "(add-one smoothing is undefined with V = 0)")
+    val n = nd.values.sum
+    // classes with docs but zero tokens still smooth over (tc=0)+V
+    val prior = labels.map(l => microLn(n.toDouble / nd(l)))
+    val dflt = labels.map(l => microLn((tc.getOrElse(l, 0L) + v).toDouble))
+    // the model table: per-token per-class smoothed surprisal, rounded
+    // ENGINE-SIDE (round(1e6·log(..)) — the ta_backoff parity idiom)
+    val pivots = labels.map(l =>
+      sum(when(col("__lab") === lit(l), col("c"))).as(s"c_$l"))
+    val wide = occ.groupBy(col("w"), col("__lab")).agg(count(lit(1)).as("c"))
+      .groupBy(col("w"))
+      .agg(pivots.head, pivots.tail: _*)
+    val sArr = array(labels.map { l =>
+      round(lit(1000000) * log(
+        lit(tc.getOrElse(l, 0L) + v).cast("double")
+          / (coalesce(col(s"c_$l"), lit(0L)) + lit(1L)))).cast("long")
+    }: _*)
+    NbModel(labels, prior, dflt, wide.select(col("w"), sArr.as("sArr")))
+  }
+
+  /** Score `docs` against a frozen [[NbModel]]: per document, the
+    * per-class score is prior surprisal + Σ over token occurrences of
+    * the class's smoothed token surprisal; the prediction is the
+    * argmin (ties → lexicographically smallest class). Output:
+    * (doc_id, actual, pred, agree, n_toks, s_micro) with s_micro the
+    * winning class's EXACT integer micro-nat total.
+    *
+    * Plan shape — ONE shuffle end-to-end: a narrow token explode
+    * (with a per-doc sentinel row so zero-token documents score on
+    * priors alone), a broadcast join against the vocabulary-bounded
+    * model table, and a single per-doc aggregate computing all |C|
+    * class sums map-side-combinably; the argmin is a bounded
+    * array_min over struct literals, not a second shuffle. STREAMS:
+    * the model join is stream-static, the explode narrow, the per-doc
+    * agg runs under complete/update mode (TextStreamSpec pins
+    * stream ≡ batch). */
+  def scoreNaiveBayes(m: NbModel, docs: DataFrame, textCol: String,
+                      labelCol: String, idCol: String): DataFrame = {
+    val k = m.labels.size
+    val zeroArr = array((0 until k).map(_ => lit(0L)): _*)
+    val defArr = array(m.defaultMicro.map(lit): _*)
+    val rows = docs.select(col(idCol).cast("long").as("doc_id"),
+        col(labelCol).as("actual"),
+        explode(concat(array(lit(null).cast("string")),
+          filter(StatelessOps.tokenArray(col(textCol)), t => length(t) > 0))).as("w"))
+      .join(broadcast(m.condWide), Seq("w"), "left")
+      .select(col("doc_id"), col("actual"),
+        col("w"),
+        when(col("w").isNull, zeroArr)
+          .otherwise(coalesce(col("sArr"), defArr)).as("__sa"))
+    val sums = (0 until k).map(i => sum(element_at(col("__sa"), i + 1)).as(s"__s$i"))
+    // `actual` rides as a grouping key (functionally dependent on
+    // doc_id): a max(string) aggregate would force the whole exploded
+    // token stream through SortAggregate; with primitive-only buffers
+    // (count + |C| longs) the per-doc agg stays hash-based and
+    // map-side-combinable
+    val perDoc = rows.groupBy(col("doc_id"), col("actual"))
+      .agg(count(col("w")).as("n_toks"), sums: _*)
+    val best = array_min(array((0 until k).map(i =>
+      struct((col(s"__s$i") + lit(m.priorMicro(i))).as("s"),
+        lit(m.labels(i)).as("lab"))): _*))
+    perDoc.select(col("doc_id"), col("actual"), best.as("__b"), col("n_toks"))
+      .select(col("doc_id"), col("actual"), col("__b.lab").as("pred"),
+        (col("__b.lab") === col("actual")).cast("long").as("agree"),
+        col("n_toks"), col("__b.s").as("s_micro"))
+  }
+
+  /** Held-out NB classification: train on even-doc_id documents,
+    * classify the odd ones ([[trainNaiveBayes]] → [[scoreNaiveBayes]]
+    * — the ta_backoff split discipline, so out-of-vocabulary tokens
+    * genuinely occur and the smoothing floor fires). The `agree`
+    * column is the honest accuracy witness (on a corpus whose classes
+    * share one vocabulary it hovers near the prior — the operator
+    * contract, not the fixture's separability, is what's pinned). */
+  def nbClassify(df: DataFrame, textCol: String, labelCol: String,
+                 idCol: String): DataFrame = {
+    val ids = df.select(col(idCol).cast("long").as("__id"), col("*"))
+    scoreNaiveBayes(
+      trainNaiveBayes(ids.filter(col("__id") % 2 === 0), textCol, labelCol, idCol),
+      ids.filter(col("__id") % 2 === 1), textCol, labelCol, idCol)
+  }
+
   def winnowFingerprint(df: DataFrame, textCol: String, idCol: String,
                         k: Int = 4, w: Int = 8): DataFrame = {
     // spread first when the scan has fewer partitions than the session

@@ -1071,6 +1071,16 @@ object ExtensionCatalog {
       docs.filter(col("doc_id") % 2 === 1), "text", "doc_id")
   }
 
+  /** Held-out multinomial Naive Bayes language classification: model
+    * trained on even-doc_id documents (labels = `lang`), predictions
+    * for the odd ones — the learned classifier-gate shape of
+    * CCNet/GPT-3-style corpus filtering, next to ta_langid's
+    * heuristic. One shuffle end-to-end at scoring time; the model
+    * table is vocabulary-bounded and broadcast. See
+    * [[TextAnalysis.nbClassify]]. */
+  val taNbayes: Q = (s, d) =>
+    TextAnalysis.nbClassify(Tables.documents(s, d), "text", "lang", "doc_id")
+
   /** Per-dimension z-score standardization of the embedding corpus
     * (constant-width moment shuffle + broadcast-back). */
   val embStandardize: Q = (s, d) =>

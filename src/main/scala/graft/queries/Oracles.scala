@@ -2070,6 +2070,40 @@ object Oracles {
         |  CAST(sum(CASE WHEN lvl = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
         |  round(sum(sm) / (count(*) * 1000000.0), 6) AS xent
         |FROM j GROUP BY doc_id""".stripMargin,
+    // naive-bayes twin: same even/odd split, same add-one-smoothed
+    // per-(token, class) surprisal in integer micro-nats — each term
+    // is ln of ONE identically-associated double (CAST(tc+V AS
+    // DOUBLE)/(c+1), CAST(n AS DOUBLE)/nd), so per-class totals are
+    // exact integers and the argmin (ties → smallest class) cannot
+    // diverge. Zero-token docs score on priors alone (left joins).
+    "ta_nbayes" ->
+      """WITH arr AS (SELECT doc_id, lang, list_filter(string_split(trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z \n]+', '', 'g'), '\s+', ' ', 'g')), ' '), t -> len(t) > 0) AS toks FROM documents),
+        |tr AS (SELECT * FROM arr WHERE doc_id % 2 = 0),
+        |sc AS (SELECT * FROM arr WHERE doc_id % 2 = 1),
+        |occ AS (SELECT lang AS lab, unnest(toks) AS w FROM tr),
+        |cond AS (SELECT lab, w, count(*) AS c FROM occ GROUP BY 1, 2),
+        |tcc AS (SELECT lab, CAST(count(*) AS BIGINT) AS tc FROM occ GROUP BY 1),
+        |vv AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v FROM occ),
+        |pr AS (SELECT lang AS lab, count(*) AS nd FROM tr GROUP BY 1),
+        |nn AS (SELECT count(*) AS n FROM tr),
+        |lab AS (SELECT pr.lab, coalesce(tcc.tc, 0) + vv.v AS tcv,
+        |    CAST(round(1000000 * ln(CAST(nn.n AS DOUBLE) / pr.nd)) AS BIGINT) AS prior_s
+        |  FROM pr LEFT JOIN tcc USING (lab), vv, nn),
+        |tok AS (SELECT doc_id, unnest(toks) AS w FROM sc),
+        |pdl AS (SELECT t.doc_id, l.lab,
+        |    sum(CAST(round(1000000 * ln(CAST(l.tcv AS DOUBLE) / (coalesce(c.c, 0) + 1))) AS BIGINT)) AS s_tok
+        |  FROM tok t CROSS JOIN lab l
+        |  LEFT JOIN cond c ON c.lab = l.lab AND c.w = t.w
+        |  GROUP BY 1, 2),
+        |f AS (SELECT s.doc_id, s.lang AS actual, l.lab,
+        |    l.prior_s + coalesce(p.s_tok, 0) AS s, CAST(len(s.toks) AS BIGINT) AS n_toks
+        |  FROM sc s CROSS JOIN lab l
+        |  LEFT JOIN pdl p ON p.doc_id = s.doc_id AND p.lab = l.lab),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY s, lab) AS rn FROM f)
+        |SELECT doc_id, actual, lab AS pred, CAST(actual = lab AS BIGINT) AS agree,
+        |  n_toks, s AS s_micro
+        |FROM r WHERE rn = 1""".stripMargin,
     // triangle twin: id-ordered naive enumeration (a<b<c, each
     // triangle once) — the triangle SET is orientation-independent,
     // so the degree-ordered Spark enumeration must agree exactly

@@ -86,4 +86,32 @@ class TextStreamSpec extends SparkSpec {
       assert(got == want && got.size == 2)
     } finally q.stop()
   }
+
+  test("scoreNaiveBayes streams against a frozen model, equals the batch scores") {
+    // the classifier-gate deployment: model trained once on a labeled
+    // static corpus, incoming documents classified as a stream — the
+    // model join is stream-static, the single per-doc agg runs in
+    // complete mode; output must equal the batch scorer
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val train = Seq((0L, "en", "cat cat dog sat"),
+      (2L, "fr", "chat chat chien")).toDF("doc_id", "lab", "text")
+    val model = TextAnalysis.trainNaiveBayes(train, "text", "lab", "doc_id")
+    val in = MemoryStream[(Long, String, String)]
+    val q = TextAnalysis.scoreNaiveBayes(model,
+        in.toDF().toDF("doc_id", "lab", "text"), "text", "lab", "doc_id")
+      .writeStream.format("memory").queryName("nbs").outputMode("complete").start()
+    try {
+      val d1 = (1L, "en", "cat dog zebra")  // in-vocab + an OOV token
+      val d3 = (3L, "fr", "!!!")            // zero tokens: priors alone
+      in.addData(d1)
+      q.processAllAvailable()
+      in.addData(d3)
+      q.processAllAvailable()
+      val got = spark.table("nbs").collect().map(_.toSeq).toSet
+      val want = TextAnalysis.scoreNaiveBayes(model,
+          Seq(d1, d3).toDF("doc_id", "lab", "text"), "text", "lab", "doc_id")
+        .collect().map(_.toSeq).toSet
+      assert(got == want && got.size == 2)
+    } finally q.stop()
+  }
 }
