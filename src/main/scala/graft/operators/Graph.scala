@@ -249,6 +249,101 @@ object Graph {
     }
   }
 
+  /** Synchronous label propagation (Raghavan et al. 2007) over an
+    * UNDIRECTED edge list — the community-detection primitive next to
+    * [[triangleCounts]]' cohesion metric. Every node starts labeled
+    * with its own id; each round, every node simultaneously adopts the
+    * most frequent label among its NEIGHBORS (ties → smallest label).
+    * A FIXED round count is the contract: production LPA iterates to
+    * stability, but synchronous LPA need not converge (bipartite
+    * structure oscillates), so the caller picks the horizon and the
+    * kernel is deterministic and oracle-replayable round-by-round (the
+    * pageRankMicro discipline). Returns (node, community) for every
+    * non-isolated node; self-loops and duplicate/reversed pairs are
+    * canonicalized away.
+    *
+    * Scale shape: the symmetrized edge list is hash-partitioned on src
+    * ONCE, cached and materialized before round 1 is planned, so each
+    * round exchanges only the |V|-row label vector and an edge-keyed
+    * (dst, lbl) count that combines map-side — never the edge list
+    * (the pageRankMicro topology; per-round localCheckpoints keep the
+    * iterated plan constant-size). ADAPTIVE DRIVER FINISH under the
+    * linear-kernel gate (each driver round is O(m) hash updates):
+    * exact integer counts and the same (count desc, label asc) argmax
+    * make the two paths bit-identical — GraphSpec pins the equality
+    * and a randomized property pins both against a plain reference. */
+  def labelPropagation(edges: DataFrame, aCol: String, bCol: String,
+                       rounds: Int = 4,
+                       driverFinishEdges: Long = 1000000L): DataFrame = {
+    require(rounds >= 1)
+    withStableCachePartitioning(edges.sparkSession) {
+    val ec = edges.select(
+        least(col(aCol).cast("long"), col(bCol).cast("long")).as("a"),
+        greatest(col(aCol).cast("long"), col(bCol).cast("long")).as("b"))
+      .filter(col("a") < col("b"))
+      .distinct()
+    val ed = ec.select(col("a").as("src"), col("b").as("dst"))
+      .union(ec.select(col("b").as("src"), col("a").as("dst")))
+      .repartition(col("src")).persist()
+    val m = ed.count()
+    if (driverFinishEdges > 0 && m <= driverFinishEdges) {
+      val out = labelPropDriver(edges.sparkSession, ed, rounds)
+      ed.unpersist()
+      out
+    } else {
+    // symmetry ⇒ every node appears as src, so the label vector and
+    // each round's update cover the whole universe — no dangling case
+    var labels = ed.select(col("src").as("node")).distinct()
+      .withColumn("lbl", col("node")).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val prev = labels
+      labels = ed.join(labels, col("src") === col("node"))
+        .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("c"))
+        .groupBy(col("dst"))
+        .agg(min_by(col("lbl"),
+          struct((lit(0L) - col("c")).as("nc"), col("lbl").as("l"))).as("lbl"))
+        .select(col("dst").as("node"), col("lbl"))
+        .localCheckpoint()
+      Checkpoints.unpersist(prev)
+    }
+    ed.unpersist()
+    labels.select(col("node"), col("lbl").as("community"))
+    }
+    }
+  }
+
+  /** Bounded-collect driver rounds for [[labelPropagation]]: the same
+    * synchronous most-frequent-neighbor-label update with the same
+    * (count desc, label asc) tie-break over the collected symmetric
+    * edge rows — exact integer counting makes it bit-identical to the
+    * distributed form. */
+  private def labelPropDriver(spark: org.apache.spark.sql.SparkSession,
+                              ed: DataFrame, rounds: Int): DataFrame = {
+    import spark.implicits._
+    val rows = ed.select(col("src"), col("dst")).as[(Long, Long)].collect()
+    var lbl = scala.collection.mutable.LongMap.empty[Long]
+    rows.foreach { case (s, _) => if (!lbl.contains(s)) lbl(s) = s }
+    for (_ <- 1 to rounds) {
+      val cnt = scala.collection.mutable.HashMap.empty[(Long, Long), Long]
+      rows.foreach { case (s, d) =>
+        val k = (d, lbl(s)); cnt(k) = cnt.getOrElse(k, 0L) + 1L
+      }
+      val next = scala.collection.mutable.LongMap.empty[Long]
+      val bestC = scala.collection.mutable.LongMap.empty[Long]
+      cnt.foreach { case ((d, l), c) =>
+        val better = next.get(d) match {
+          case None => true
+          case Some(bl) => c > bestC(d) || (c == bestC(d) && l < bl)
+        }
+        if (better) { next(d) = l; bestC(d) = c }
+      }
+      lbl = next
+    }
+    spark.createDataset(spark.sparkContext.parallelize(
+        lbl.toSeq.map { case (n, l) => (n, l) }))
+      .toDF("node", "community")
+  }
+
   /** Per-node triangle counts over an UNDIRECTED edge list — the
     * local-clustering / cohesion primitive (triangles are the unit of
     * community structure; the count per node is the numerator of its

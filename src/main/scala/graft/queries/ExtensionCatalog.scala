@@ -1318,6 +1318,20 @@ object ExtensionCatalog {
     out
   }
 
+  /** Community detection over the co-purchase graph: 4 rounds of
+    * synchronous label propagation ([[graft.operators.Graph.labelPropagation]]
+    * — most-frequent-neighbor label, ties → smallest), then each
+    * node's community joined with its community size. The fixed round
+    * count keeps the kernel deterministic and the DuckDB twin an
+    * exact round-by-round replay. */
+  val gLabelprop: Q = (s, d) => {
+    val lp = graft.operators.Graph.labelPropagation(
+      coPurchasePairs(s, d), "pa", "pb", rounds = 4)
+    val sizes = lp.groupBy(col("community")).agg(count(lit(1)).as("comm_size"))
+    lp.join(sizes, Seq("community"))
+      .select(col("node"), col("community"), col("comm_size"))
+  }
+
   // ----------------------------------------------------------- time series
 
   /** SAX symbolization of each user's event-value series (Lin et al.

@@ -2135,6 +2135,41 @@ object Oracles {
         |SELECT d.node, d.deg, CAST(coalesce(tc.n_tri, 0) AS BIGINT) AS n_tri,
         |  round(2.0 * coalesce(tc.n_tri, 0) / (d.deg * (d.deg - 1)), 6) AS coef
         |FROM deg d LEFT JOIN tc USING (node) WHERE d.deg >= 2""".stripMargin,
+    // label-propagation twin: the same symmetrized edge set, each of
+    // the 4 synchronous rounds replayed as a counts CTE + a
+    // row_number argmax with the IDENTICAL (count desc, label asc)
+    // tie-break — integer counts, so the replay cannot diverge
+    "g_labelprop" ->
+      """WITH lp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+        |e AS (SELECT DISTINCT a.p AS u, b.p AS v FROM lp a JOIN lp b
+        |  ON a.ok = b.ok AND a.p < b.p),
+        |sym AS (SELECT u AS src, v AS dst FROM e
+        |  UNION ALL SELECT v AS src, u AS dst FROM e),
+        |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM sym),
+        |c1 AS (SELECT s.dst, l.lbl, count(*) AS c FROM sym s
+        |  JOIN l0 l ON l.node = s.src GROUP BY 1, 2),
+        |l1 AS (SELECT dst AS node, lbl FROM (SELECT dst, lbl,
+        |  row_number() OVER (PARTITION BY dst ORDER BY c DESC, lbl) AS rn
+        |  FROM c1) WHERE rn = 1),
+        |c2 AS (SELECT s.dst, l.lbl, count(*) AS c FROM sym s
+        |  JOIN l1 l ON l.node = s.src GROUP BY 1, 2),
+        |l2 AS (SELECT dst AS node, lbl FROM (SELECT dst, lbl,
+        |  row_number() OVER (PARTITION BY dst ORDER BY c DESC, lbl) AS rn
+        |  FROM c2) WHERE rn = 1),
+        |c3 AS (SELECT s.dst, l.lbl, count(*) AS c FROM sym s
+        |  JOIN l2 l ON l.node = s.src GROUP BY 1, 2),
+        |l3 AS (SELECT dst AS node, lbl FROM (SELECT dst, lbl,
+        |  row_number() OVER (PARTITION BY dst ORDER BY c DESC, lbl) AS rn
+        |  FROM c3) WHERE rn = 1),
+        |c4 AS (SELECT s.dst, l.lbl, count(*) AS c FROM sym s
+        |  JOIN l3 l ON l.node = s.src GROUP BY 1, 2),
+        |l4 AS (SELECT dst AS node, lbl FROM (SELECT dst, lbl,
+        |  row_number() OVER (PARTITION BY dst ORDER BY c DESC, lbl) AS rn
+        |  FROM c4) WHERE rn = 1),
+        |sz AS (SELECT lbl, CAST(count(*) AS BIGINT) AS comm_size
+        |  FROM l4 GROUP BY 1)
+        |SELECT l4.node, l4.lbl AS community, sz.comm_size
+        |FROM l4 JOIN sz USING (lbl)""".stripMargin,
     // z-score twin: micro-unit integer moments per dimension, the
     // double formula in the IDENTICAL expression order (s*1.0/n etc.).
     // s2 sums exactly on both sides (Spark decimal(38,0), DuckDB

@@ -202,4 +202,55 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(one == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
+
+  /** Reference LPA: same canonicalization, same synchronous
+    * most-frequent-neighbor update, same (count desc, label asc)
+    * tie-break — plain collections. */
+  private def referenceLpa(und: Seq[(Long, Long)], rounds: Int): Map[Long, Long] = {
+    val ec = und.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .filter(p => p._1 != p._2).distinct
+    val sym = ec ++ ec.map(_.swap)
+    var lbl = sym.map(_._1).distinct.map(n => n -> n).toMap
+    for (_ <- 1 to rounds) {
+      lbl = sym.groupBy(_._2).map { case (d, es) =>
+        val counts = es.map { case (s, _) => lbl(s) }
+          .groupBy(identity).map { case (l, xs) => (l, xs.size) }
+        d -> counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    lbl
+  }
+
+  private def runLpa(und: Seq[(Long, Long)], rounds: Int,
+                     gate: Long): Map[Long, Long] = {
+    import spark.implicits._
+    Graph.labelPropagation(und.toDF("a", "b"), "a", "b", rounds,
+        driverFinishEdges = gate)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("labelPropagation: disjoint triangles converge to per-component communities") {
+    val und = Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L), (11L, 12L), (10L, 12L))
+    val got = runLpa(und, rounds = 4, gate = 1000000L)
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L))
+    assert(got == referenceLpa(und, 4))
+  }
+
+  test("labelPropagation: driver finish and forced-distributed rounds are identical") {
+    val rnd = new scala.util.Random(907)
+    (1 to 2).foreach { trial =>
+      // two planted clusters + sparse noise, duplicates/reversed/self
+      // loops mixed in to exercise the canonicalization
+      val planted = (0 until 8).flatMap(i => (i + 1 until 8).map(j =>
+          (i.toLong, j.toLong))).filter(_ => rnd.nextInt(3) > 0) ++
+        (20 until 28).flatMap(i => (i + 1 until 28).map(j =>
+          (i.toLong, j.toLong))).filter(_ => rnd.nextInt(3) > 0)
+      val noise = Seq.fill(6)((rnd.nextInt(28).toLong, rnd.nextInt(28).toLong))
+      val und = rnd.shuffle(planted ++ planted.map(_.swap) ++ noise)
+      val want = referenceLpa(und, 3)
+      assert(runLpa(und, 3, gate = 1000000L) == want, s"driver path, trial $trial")
+      assert(runLpa(und, 3, gate = 0L) == want, s"distributed path, trial $trial")
+    }
+  }
 }
