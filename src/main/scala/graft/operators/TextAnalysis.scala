@@ -520,6 +520,42 @@ object TextAnalysis {
     * paid ~90 µs/gram in md5→hex→conv expressions. Docs with no full
     * window (< k+w-1 chars) yield null and are filtered, matching the
     * zero-group behavior of the former plan and the oracle. */
+  /** PMI collocation mining (Church & Hanks 1990) — the top-`topK`
+    * adjacent token pairs by pointwise mutual information,
+    * PMI(p,q) = ln(N·c2(p,q) / (c1(p)·c1(q))), over pairs seen at
+    * least `minCount` times (the classic low-count PMI inflation
+    * guard). Output (p, q, c2, c1p, c1q, pmi_micro) with pmi_micro
+    * the EXACT integer micro-nat score: both products are exact
+    * integers (≪ 2⁵³ at any plausible corpus), so the ln argument is
+    * ONE identically-associated double in both engines and the
+    * (pmi_micro desc, p, q) order is total — the top-K boundary
+    * cannot diverge.
+    *
+    * Scale shape: one narrow bigram explode into a map-side-combinable
+    * (p, q) count (vocab²-bounded output, minCount-pruned before any
+    * join), two vocab-bounded unigram joins (AQE broadcasts them at
+    * production head sizes), N on a one-row broadcast, and a
+    * TakeOrderedAndProject top-K — never a corpus-wide sort. */
+  def collocations(df: DataFrame, textCol: String, idCol: String,
+                   minCount: Int = 5, topK: Int = 50): DataFrame = {
+    val src = tokensOf(df, textCol, idCol)
+    val uni = grams(src, 1, Seq("w")).groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    val tot = uni.agg(sum(col("c1")).as("n_total"))
+    val bi = grams(src, 2, Seq("p", "q")).groupBy(col("p"), col("q"))
+      .agg(count(lit(1)).as("c2"))
+      .filter(col("c2") >= minCount)
+    bi.join(uni.select(col("w").as("p"), col("c1").as("c1p")), Seq("p"))
+      .join(uni.select(col("w").as("q"), col("c1").as("c1q")), Seq("q"))
+      .withColumn("__k", lit(1))
+      .join(broadcast(tot.withColumn("__k", lit(1))), Seq("__k"))
+      .select(col("p"), col("q"), col("c2"), col("c1p"), col("c1q"),
+        round(lit(1000000) * log(
+          (col("n_total") * col("c2")).cast("double")
+            / (col("c1p") * col("c1q")))).cast("long").as("pmi_micro"))
+      .orderBy(col("pmi_micro").desc, col("p"), col("q"))
+      .limit(topK)
+  }
+
   // -------------------------------------------------------- naive bayes
 
   /** A trained multinomial Naive Bayes text classifier — the learned

@@ -1071,6 +1071,13 @@ object ExtensionCatalog {
       docs.filter(col("doc_id") % 2 === 1), "text", "doc_id")
   }
 
+  /** Top-50 PMI collocations over the documents corpus (min pair
+    * count 5) — the phrase-mining signal (Church & Hanks 1990) a
+    * tokenizer/vocab pipeline uses to promote multi-word units.
+    * Exact integer micro-nat PMI; see [[TextAnalysis.collocations]]. */
+  val taColloc: Q = (s, d) =>
+    TextAnalysis.collocations(Tables.documents(s, d), "text", "doc_id")
+
   /** Held-out multinomial Naive Bayes language classification: model
     * trained on even-doc_id documents (labels = `lang`), predictions
     * for the odd ones — the learned classifier-gate shape of

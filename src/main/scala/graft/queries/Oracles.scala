@@ -2070,6 +2070,27 @@ object Oracles {
         |  CAST(sum(CASE WHEN lvl = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
         |  round(sum(sm) / (count(*) * 1000000.0), 6) AS xent
         |FROM j GROUP BY doc_id""".stripMargin,
+    // collocation twin: same corpus-wide bigram/unigram counts, the
+    // PMI ln argument as ONE double (CAST(N*c2 AS DOUBLE)/(c1p*c1q) —
+    // exact integer products both sides), integer micro-nats, and the
+    // total (pmi desc, p, q) order so the LIMIT boundary agrees
+    "ta_colloc" ->
+      """WITH arr AS (SELECT doc_id, list_filter(string_split(trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z \n]+', '', 'g'), '\s+', ' ', 'g')), ' '), t -> len(t) > 0) AS toks FROM documents),
+        |u AS (SELECT tok AS w, count(*) AS c1 FROM
+        |  (SELECT unnest(toks) AS tok FROM arr) GROUP BY 1),
+        |n AS (SELECT CAST(sum(c1) AS BIGINT) AS nt FROM u),
+        |bo AS (SELECT toks[i] AS p, toks[i + 1] AS q
+        |  FROM arr, generate_series(1, 4000) s(i)
+        |  WHERE i <= len(toks) - 1
+        |    AND 1 = (SELECT CASE WHEN max(len(toks)) - 1 <= 4000 THEN 1
+        |      ELSE error('ta_colloc oracle: token series bound exceeded') END FROM arr)),
+        |b AS (SELECT p, q, count(*) AS c2 FROM bo GROUP BY 1, 2
+        |  HAVING count(*) >= 5)
+        |SELECT b.p, b.q, b.c2, up.c1 AS c1p, uq.c1 AS c1q,
+        |  CAST(round(1000000 * ln(CAST(n.nt * b.c2 AS DOUBLE) / (up.c1 * uq.c1))) AS BIGINT) AS pmi_micro
+        |FROM b JOIN u up ON up.w = b.p JOIN u uq ON uq.w = b.q, n
+        |ORDER BY pmi_micro DESC, p, q LIMIT 50""".stripMargin,
     // naive-bayes twin: same even/odd split, same add-one-smoothed
     // per-(token, class) surprisal in integer micro-nats — each term
     // is ln of ONE identically-associated double (CAST(tc+V AS

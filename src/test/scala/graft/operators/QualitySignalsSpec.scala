@@ -296,4 +296,59 @@ class QualitySignalsSpec extends SparkSpec {
       assert(lut == want, s"trial $trial LUT path diverged")
     }
   }
+
+  /** Reference PMI collocations: same tokenizer, same micro-nat
+    * rounding, same (pmi desc, p, q) total order. */
+  private def refColloc(docs: Seq[(Long, String)], minCount: Int,
+                        topK: Int): Seq[(String, String, Long, Long, Long, Long)] = {
+    def tok(t: String): Seq[String] =
+      t.toLowerCase.replaceAll("[^a-z \n]+", "").replaceAll("\\s+", " ")
+        .trim.split(" ").filter(_.nonEmpty).toSeq
+    val toks = docs.map(d => tok(d._2))
+    val uni = toks.flatten.groupBy(identity).map { case (w, xs) => (w, xs.size.toLong) }
+    val n = uni.values.sum
+    toks.flatMap(ts => ts.zip(ts.drop(1)))
+      .groupBy(identity).map { case (pq, xs) => (pq, xs.size.toLong) }
+      .filter(_._2 >= minCount).toSeq
+      .map { case ((p, q), c2) =>
+        val pm = BigDecimal(1000000.0 *
+            math.log((n * c2).toDouble / (uni(p) * uni(q))))
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+        (p, q, c2, uni(p), uni(q), pm)
+      }.sortBy(t => (-t._6, t._1, t._2)).take(topK)
+  }
+
+  test("collocations: a planted phrase tops the PMI list; full match vs reference") {
+    // "alpha beta": perfectly associated AND the rarest pair above
+    // minCount — PMI's favorite. "common common" is equally perfectly
+    // adjacent but its tokens are 2× as frequent (PMI ln(N/32) vs
+    // ln(N/8)); per-doc unique w$i pairs fall below minCount
+    val docs = (0 until 8).map { i =>
+      (i.toLong, s"the w$i alpha beta the w$i common common")
+    }
+    val got = TextAnalysis.collocations(docs.toDF("doc_id", "text"),
+        "text", "doc_id", minCount = 5, topK = 10)
+      .as[(String, String, Long, Long, Long, Long)].collect().toSeq
+    val want = refColloc(docs, 5, 10)
+    assert(got == want)
+    assert(got.head._1 == "alpha" && got.head._2 == "beta",
+      s"planted collocation must rank first: ${got.head}")
+    // the equally-adjacent but more frequent pair ranks strictly below
+    assert(got.indexWhere(r => r._1 == "common" && r._2 == "common") > 0)
+  }
+
+  test("collocations: randomized corpora match the reference end-to-end") {
+    val rnd = new scala.util.Random(2213)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee")
+    (1 to 3).foreach { trial =>
+      val docs = (0 until 12).map { i =>
+        (i.toLong, (0 until 6 + rnd.nextInt(20))
+          .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val got = TextAnalysis.collocations(docs.toDF("doc_id", "text"),
+          "text", "doc_id", minCount = 2, topK = 15)
+        .as[(String, String, Long, Long, Long, Long)].collect().toSeq
+      assert(got == refColloc(docs, 2, 15), s"trial $trial diverged")
+    }
+  }
 }
