@@ -1083,10 +1083,23 @@ object ExtensionCatalog {
     * for the odd ones — the learned classifier-gate shape of
     * CCNet/GPT-3-style corpus filtering, next to ta_langid's
     * heuristic. One shuffle end-to-end at scoring time; the model
-    * table is vocabulary-bounded and broadcast. See
-    * [[TextAnalysis.nbClassify]]. */
-  val taNbayes: Q = (s, d) =>
-    TextAnalysis.nbClassify(Tables.documents(s, d), "text", "lang", "doc_id")
+    * table is vocabulary-bounded and broadcast. A WRITTEN model
+    * ([[graft.tools.NbBuild]]) is the primary source when present —
+    * the classifier outlives the driver (the BackoffStore discipline);
+    * its surprisals are the exact integers training produced, so it
+    * scores bit-identically (NbPersistSpec) and the oracle contract
+    * is unchanged. See [[TextAnalysis.nbClassify]]. */
+  val taNbayes: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val model = {
+      val p = graft.tools.NbStore.path(d, dataFingerprint(d, "documents"))
+      if (graft.tools.NbStore.ready(p)) graft.tools.NbStore.read(s, p)
+      else TextAnalysis.trainNaiveBayes(
+        docs.filter(col("doc_id") % 2 === 0), "text", "lang", "doc_id")
+    }
+    TextAnalysis.scoreNaiveBayes(model,
+      docs.filter(col("doc_id") % 2 === 1), "text", "lang", "doc_id")
+  }
 
   /** Per-dimension z-score standardization of the embedding corpus
     * (constant-width moment shuffle + broadcast-back). */
