@@ -132,6 +132,134 @@ object TimeSeries {
         when(col("sd") === 0.0, lit("flat")).otherwise(col("w")).as("sax"))
   }
 
+  /** Trailing-window rolling z-score anomaly flags: each row's value
+    * is scored against the mean/sd of its key's PREVIOUS 8 values
+    * (strictly before the current row — the score never sees the
+    * point it judges, so a spike can't mask itself by inflating its
+    * own baseline). Rows before the 9th of a key are dropped (no
+    * partial baselines); a zero-variance baseline yields NULL z and
+    * NULL is_anom by contract (no distance is defined).
+    *
+    * Cross-engine exactness (the [[saxWords]] discipline): the
+    * baseline moments are EXACT integer micro-unit sums over 8 lag()
+    * taps, and mean / sd / z are the SAME IEEE double expressions
+    * evaluated on identical operands in identical order, so z matches
+    * the oracle bit-for-bit. Scale shape: one hash-partitioned sort
+    * per key (the analytic-window cost), zero joins, output one row
+    * per input row. */
+  def rollingZ(df: DataFrame, keyCol: String, orderCols: Seq[String],
+               valueCol: String, idCol: String,
+               thresh: Double = 3.0): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(orderCols.map(col): _*)
+    // same hoisted magnitude guard as saxWords: 8 squared micro taps
+    // must stay in Long; out-of-contract input FAILS instead of
+    // silently wrapping away from the oracle's BIGINTs
+    val rawVc = round(col(valueCol) * 1000000).cast("long")
+    val inRange = rawVc.isNull ||
+      (rawVc >= lit(-MaxTapMicro) && rawVc <= lit(MaxTapMicro))
+    val vcName = Iterator.from(0).map(i => s"_graft_vc$i")
+      .find(n => !df.columns.contains(n)).get
+    val guarded = df.select(col("*"),
+      when(inRange, rawVc)
+        .otherwise(raise_error(concat(lit(
+          s"rollingZ: |micro tap| > $MaxTapMicro (|value| > ~1073.74) at value="),
+          col(valueCol).cast("string")))).as(vcName))
+    val vc = col(vcName)
+    // taps are lag 8..1 — the trailing window EXCLUDING the scored row
+    val taps = (1 to 8).map(i => lag(vc, i).over(w))
+    val rn = row_number().over(w)
+    val s = taps.reduce(_ + _)
+    val s2 = taps.map(t => t * t).reduce(_ + _)
+    val mean = s.cast("double") / lit(8.0)
+    val variance = (s2.cast("double")
+      - s.cast("double") * s.cast("double") / lit(8.0)) / lit(8.0)
+    val sd = sqrt(variance)
+    val z = (vc.cast("double") - mean) / sd
+    guarded.select(col(keyCol), col(idCol), rn.as("rn"),
+        sd.as("sd"), z.as("zraw"))
+      .filter(col("rn") >= 9)
+      .select(col(keyCol), col(idCol),
+        when(col("sd") === 0.0, lit(null).cast("double"))
+          .otherwise(col("zraw")).as("z"))
+      // never-null flag: a zero-variance baseline defines no distance,
+      // so it doesn't FLAG (the NULL z still records why)
+      .withColumn("is_anom",
+        coalesce(abs(col("z")) > lit(thresh), lit(false)))
+  }
+
+  /** Per-key time-grid resample with linear interpolation: for every
+    * step-aligned instant inside a key's observed [min ts, max ts]
+    * span, the value linearly interpolated between the bracketing
+    * observations (the classic gap-fill that turns irregular event
+    * series into an equally-spaced matrix for downstream windows /
+    * motifs / models). Keys whose span contains no aligned instant
+    * emit nothing. Ties (two events of one key at one microsecond)
+    * collapse to the highest-id event BEFORE the windows, so every
+    * bracket lookup is deterministic.
+    *
+    * Scale shape: one small per-key bounds aggregate generates the
+    * grid (grid rows ∝ span/step, never ∝ corpus), then ONE
+    * hash-partitioned sort per key serves both bracket lookups as
+    * analytic RANGE windows (last/first IGNORE NULLS over the
+    * event+grid union) — zero joins, no per-grid-point probe. The
+    * RANGE frames (not ROWS) make a grid instant that lands exactly
+    * on an observation see that observation on BOTH sides, so the
+    * interpolation degenerates to the observed value with no
+    * divide-by-zero and no tie-order sensitivity.
+    *
+    * Cross-engine exactness: bracket times are epoch-micro longs and
+    * bracket values exact micro-unit longs; the single interpolation
+    * expression (pv + (nv − pv) · ((t − pt) / (nt − pt))) / 1e6 is
+    * the SAME IEEE double tree on identical operands in both engines. */
+  def resampleLinear(df: DataFrame, keyCol: String, tsCol: String,
+                     valueCol: String, idCol: String,
+                     stepSec: Long = 3600L): DataFrame = {
+    require(stepSec >= 1, s"resampleLinear: stepSec must be >= 1, got $stepSec")
+    val stepUs = stepSec * 1000000L
+    val ev = df.select(col(keyCol).cast("long").as("k"),
+        unix_micros(col(tsCol)).as("us"),
+        round(col(valueCol) * 1000000).cast("long").as("vc0"),
+        col(idCol).cast("long").as("eid"))
+      .groupBy(col("k"), col("us"))
+      .agg(max_by(col("vc0"), col("eid")).as("vc"))
+    // grid: ceil(min) .. floor(max) aligned instants; an empty span
+    // (first > last) explodes an empty array — sequence() would throw
+    val bounds = ev.groupBy(col("k"))
+      .agg(min(col("us")).as("mn"), max(col("us")).as("mx"))
+    val firstG = expr(s"((mn + ${stepUs - 1L}) div $stepUs) * $stepUs")
+    val lastG = expr(s"(mx div $stepUs) * $stepUs")
+    val grid = bounds.select(col("k"),
+      explode(when(firstG <= lastG,
+          sequence(firstG, lastG, lit(stepUs)))
+        .otherwise(array().cast("array<long>"))).as("us"))
+    val unioned = ev.select(col("k"), col("us"), col("vc"), lit(0).as("gf"))
+      .union(grid.select(col("k"), col("us"),
+        lit(null).cast("long").as("vc"), lit(1).as("gf")))
+    val wPrev = Window.partitionBy(col("k")).orderBy(col("us"))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy(col("k")).orderBy(col("us"))
+      .rangeBetween(Window.currentRow, Window.unboundedFollowing)
+    val evUs = when(col("gf") === 0, col("us"))
+    val pvc = last(col("vc"), ignoreNulls = true).over(wPrev)
+    val pus = last(evUs, ignoreNulls = true).over(wPrev)
+    val nvc = first(col("vc"), ignoreNulls = true).over(wNext)
+    val nus = first(evUs, ignoreNulls = true).over(wNext)
+    unioned
+      .select(col("k"), col("us"), col("gf"),
+        pvc.as("pvc"), pus.as("pus"), nvc.as("nvc"), nus.as("nus"))
+      .filter(col("gf") === 1)
+      .select(col("k").as(keyCol),
+        expr("us div 1000000").as("grid_epoch"),
+        when(col("nus") === col("pus"),
+            col("pvc").cast("double") / lit(1000000.0))
+          .otherwise((col("pvc").cast("double")
+            + (col("nvc").cast("double") - col("pvc").cast("double"))
+              * ((col("us") - col("pus")).cast("double")
+                / (col("nus") - col("pus")).cast("double")))
+            / lit(1000000.0)).as("v_interp"))
+  }
+
   /** Streaming twin of [[saxWords]]: per-key bounded state (the last
     * 7 micro values + the row count — fixed width at any stream
     * length), emitting one word per arrival once 8 values have been

@@ -1368,4 +1368,16 @@ object ExtensionCatalog {
     * lexicographically smallest — the agg_mode max(struct) idiom). */
   val tsMotif: Q = (s, d) =>
     graft.operators.TimeSeries.motifs(tsSax(s, d), "user_id")
+
+  /** Rolling z-score anomaly flags: each event scored against its
+    * user's previous 8 values (trailing baseline, |z| > 3 flags). */
+  val tsAnomaly: Q = (s, d) =>
+    graft.operators.TimeSeries.rollingZ(Tables.events(s, d),
+      "user_id", Seq("ts", "event_id"), "value", "event_id")
+
+  /** Hourly grid resample with linear interpolation per user — the
+    * gap-fill that regularizes irregular event series. */
+  val tsResample: Q = (s, d) =>
+    graft.operators.TimeSeries.resampleLinear(Tables.events(s, d),
+      "user_id", "ts", "value", "event_id")
 }

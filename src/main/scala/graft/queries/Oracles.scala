@@ -700,6 +700,65 @@ object Oracles {
          |  row_number() OVER (PARTITION BY user_id ORDER BY n DESC, sax ASC) AS rk
          |  FROM counts)
          |SELECT user_id, sax AS motif, n FROM ranked WHERE rk = 1""".stripMargin,
+    // rolling-z twin: the saxCte integer-moment discipline over the
+    // TRAILING 8 taps (lag 1..8 — strictly before the scored row),
+    // then the identical IEEE mean/sd/z tree; zero-variance baseline
+    // ⇒ NULL z, FALSE flag by contract
+    "ts_anomaly" -> {
+      val taps = (1 to 8).map(i => s"lag(vc, $i) OVER w AS t$i").mkString(", ")
+      val sum = (1 to 8).map(i => s"t$i").mkString(" + ")
+      val sum2 = (1 to 8).map(i => s"t$i * t$i").mkString(" + ")
+      s"""WITH v AS (SELECT user_id, ts, event_id,
+         |    CAST(round(value * 1000000) AS BIGINT) AS vc FROM events),
+         |t AS (SELECT user_id, event_id, vc, row_number() OVER w AS rn, $taps
+         |  FROM v WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |st AS (SELECT user_id, event_id, vc, $sum AS s, $sum2 AS s2
+         |  FROM t WHERE rn >= 9),
+         |ms AS (SELECT *, CAST(s AS DOUBLE) / 8.0 AS mean,
+         |    sqrt((CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / 8.0) / 8.0) AS sd
+         |  FROM st)
+         |SELECT user_id, event_id,
+         |  CASE WHEN sd = 0.0 THEN NULL
+         |    ELSE (CAST(vc AS DOUBLE) - mean) / sd END AS z,
+         |  CASE WHEN sd = 0.0 THEN FALSE
+         |    ELSE abs((CAST(vc AS DOUBLE) - mean) / sd) > 3.0 END AS is_anom
+         |FROM ms""".stripMargin
+    },
+    // resample twin: the same exact-integer brackets (epoch-micro
+    // times, micro-unit values, ties pre-collapsed to the max-id
+    // event) and the same RANGE-frame bracket lookups; the grid is a
+    // bounded generate_series (the p5 pattern — DuckDB can't lateral
+    // a column bound) with a loud error() when a key's span exceeds
+    // the 20000-step cap Spark's unbounded sequence() has no need for
+    "ts_resample" ->
+      """WITH ev0 AS (SELECT user_id AS k, epoch_us(ts) AS us,
+        |    CAST(round(value * 1000000) AS BIGINT) AS vc0, event_id FROM events),
+        |ev AS (SELECT k, us, arg_max(vc0, event_id) AS vc FROM ev0 GROUP BY 1, 2),
+        |b AS (SELECT k, ((min(us) + 3599999999) // 3600000000) * 3600000000 AS fg,
+        |    (max(us) // 3600000000) * 3600000000 AS lg FROM ev GROUP BY 1),
+        |guard AS (SELECT CASE WHEN max((lg - fg) // 3600000000) <= 20000 THEN 1
+        |    ELSE error('ts_resample oracle: grid cap 20000 exceeded') END AS g FROM b),
+        |grid AS (SELECT k, fg + i * 3600000000 AS us
+        |  FROM b, generate_series(0, 20000) t(i)
+        |  WHERE fg + i * 3600000000 <= lg AND 1 = (SELECT g FROM guard)),
+        |u AS (SELECT k, us, vc, 0 AS gf FROM ev
+        |  UNION ALL SELECT k, us, NULL, 1 FROM grid),
+        |w AS (SELECT k, us, gf,
+        |    last_value(vc IGNORE NULLS) OVER wp AS pvc,
+        |    last_value(CASE WHEN gf = 0 THEN us END IGNORE NULLS) OVER wp AS pus,
+        |    first_value(vc IGNORE NULLS) OVER wn AS nvc,
+        |    first_value(CASE WHEN gf = 0 THEN us END IGNORE NULLS) OVER wn AS nus
+        |  FROM u WINDOW
+        |    wp AS (PARTITION BY k ORDER BY us
+        |      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    wn AS (PARTITION BY k ORDER BY us
+        |      RANGE BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT k AS user_id, us // 1000000 AS grid_epoch,
+        |  CASE WHEN nus = pus THEN CAST(pvc AS DOUBLE) / 1000000.0
+        |    ELSE (CAST(pvc AS DOUBLE) + (CAST(nvc AS DOUBLE) - CAST(pvc AS DOUBLE))
+        |      * (CAST(us - pus AS DOUBLE) / CAST(nus - pus AS DOUBLE)))
+        |      / 1000000.0 END AS v_interp
+        |FROM w WHERE gf = 1""".stripMargin,
     // trailing event-time RANGE frame: same integer epoch-micros
     // order key and bounds as the Spark window ((t-1h, t] via the
     // 3599999999-preceding integer bound)

@@ -76,6 +76,71 @@ class TimeSeriesSpec extends SparkSpec {
     assert(words.forall(_._2 == "abcd"), s"every ramp window is 'abcd': $words")
   }
 
+  private def zRef(baseline: Seq[Long], vc: Long): Double = {
+    // plain-Scala replica of the rollingZ double tree (same op order)
+    val s = baseline.sum
+    val s2 = baseline.map(t => t * t).sum
+    val mean = s.toDouble / 8.0
+    val sd = math.sqrt((s2.toDouble - s.toDouble * s.toDouble / 8.0) / 8.0)
+    (vc.toDouble - mean) / sd
+  }
+
+  test("rollingZ scores against the trailing-8 baseline and flags spikes") {
+    import spark.implicits._
+    val values = (1 to 8).map(_.toDouble) ++ Seq(100.0, 5.0)
+    val rows = values.zipWithIndex.map { case (v, i) =>
+      (1L, new java.sql.Timestamp(1000L * i), i.toLong, v)
+    }
+    val got = TimeSeries.rollingZ(
+        rows.toDF("user_id", "ts", "event_id", "value"),
+        "user_id", Seq("ts", "event_id"), "value", "event_id")
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+      .sortBy(_._1).toSeq
+    // rows 1..8 have no full baseline; rows 9 (spike) and 10 remain
+    val micro = values.map(v => math.round(v * 1000000))
+    val exp9 = zRef(micro.slice(0, 8), micro(8))
+    val exp10 = zRef(micro.slice(1, 9), micro(9))
+    assert(got == Seq((8L, exp9, true), (9L, exp10, false)), s"got $got")
+    assert(exp9 > 3.0 && math.abs(exp10) < 3.0)
+  }
+
+  test("rollingZ zero-variance baseline yields NULL z and FALSE flag") {
+    import spark.implicits._
+    val rows = (0 until 9).map(i =>
+      (1L, new java.sql.Timestamp(1000L * i), i.toLong, 4.5))
+    val got = TimeSeries.rollingZ(
+        rows.toDF("user_id", "ts", "event_id", "value"),
+        "user_id", Seq("ts", "event_id"), "value", "event_id").collect()
+    assert(got.length == 1)
+    assert(got(0).isNullAt(2) && !got(0).getBoolean(3))
+  }
+
+  test("resampleLinear interpolates hour marks, hits exact points, ties to max id") {
+    import spark.implicits._
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val rows = Seq(
+      // user 1: bracket interpolation at 3600s between (1800s, 10.0) and (5400s, 20.0)
+      (1L, t(1800), 0L, 10.0), (1L, t(5400), 1L, 20.0),
+      // user 2: grid mark ON an event (3600s) + a second bracket at 7200s
+      (2L, t(3600), 2L, 7.0), (2L, t(9000), 3L, 9.0),
+      // user 3: single event — span holds no aligned instant
+      (3L, t(1000), 4L, 1.0),
+      // user 4: same-microsecond tie collapses to the max-id event
+      (4L, t(0), 5L, 1.0), (4L, t(0), 6L, 3.0), (4L, t(7200), 7L, 5.0))
+    val got = TimeSeries.resampleLinear(
+        rows.toDF("user_id", "ts", "event_id", "value"),
+        "user_id", "ts", "value", "event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val u2At7200 = (7000000.0 + (9000000.0 - 7000000.0)
+      * (3600000000.0 / 5400000000.0)) / 1000000.0
+    val u4At3600 = (3000000.0 + (5000000.0 - 3000000.0)
+      * (3600000000.0 / 7200000000.0)) / 1000000.0
+    assert(got == Set(
+      (1L, 3600L, 15.0),
+      (2L, 3600L, 7.0), (2L, 7200L, u2At7200),
+      (4L, 0L, 3.0), (4L, 3600L, u4At3600), (4L, 7200L, 5.0)), s"got $got")
+  }
+
   test("motif takes the most frequent word, ties to the smallest") {
     import spark.implicits._
     val saxDf = Seq(
