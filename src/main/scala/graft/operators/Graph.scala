@@ -344,6 +344,126 @@ object Graph {
       .toDF("node", "community")
   }
 
+  /** k-core of an UNDIRECTED edge list (Seidman 1983): the maximal
+    * subgraph in which every node keeps degree ≥ k, found by the
+    * classic peel — repeatedly drop sub-k nodes (and their edges)
+    * until nothing changes. The density gate of community mining and
+    * the standard "is this node in the dense part of the web graph"
+    * filter. `k = None` derives k from the data as ⌊0.7 · avg degree⌋
+    * in EXACT integer arithmetic ((7·2|E|) div (10·|V|)) so both
+    * engines compute the identical threshold at any SF.
+    *
+    * Peeling is MONOTONE (each round only removes) and IDEMPOTENT at
+    * its fixpoint (a round over the k-core keeps every node), so a
+    * replay with MORE rounds than the peel needed lands on the same
+    * answer — the DuckDB twin replays a fixed `maxRounds`-round chain
+    * and this kernel REQUIREs convergence within that budget: an
+    * input needing more rounds fails loudly on the Spark side instead
+    * of silently diverging from the oracle.
+    *
+    * Scale shape: per round, one map-side-combinable degree aggregate
+    * over the live edges plus two semi joins keyed on the endpoints —
+    * shuffles sized to LIVE edges (the peel shrinks them), eager
+    * per-round localCheckpoints keep the iterated plan constant-size,
+    * and the driver holds one scalar (the live node count). ADAPTIVE
+    * DRIVER FINISH under the linear-kernel gate (each driver round is
+    * O(m) hash updates); exact integer degrees make the two paths
+    * bit-identical (GraphSpec pins it).
+    *
+    * Returns (node, core_deg) — every surviving node with its degree
+    * INSIDE the core (≥ k by construction); empty when the graph has
+    * no k-core. */
+  def kCore(edges: DataFrame, aCol: String, bCol: String,
+            k: Option[Long] = None,
+            maxRounds: Int = 12,
+            driverFinishEdges: Long = 1000000L): DataFrame = {
+    require(maxRounds >= 1)
+    withStableCachePartitioning(edges.sparkSession) {
+    val ec = edges.select(
+        least(col(aCol).cast("long"), col(bCol).cast("long")).as("a"),
+        greatest(col(aCol).cast("long"), col(bCol).cast("long")).as("b"))
+      .filter(col("a") < col("b"))
+      .distinct()
+    val ed = ec.select(col("a").as("src"), col("b").as("dst"))
+      .union(ec.select(col("b").as("src"), col("a").as("dst")))
+      .repartition(col("src")).persist()
+    val m2 = ed.count()
+    val n0 = ed.select(col("src")).distinct().count()
+    val kVal = k.getOrElse(if (n0 == 0) 1L else (m2 * 7L) / (n0 * 10L))
+    require(kVal >= 1, s"kCore: derived k=$kVal < 1 (m2=$m2, n=$n0)")
+    if (driverFinishEdges > 0 && m2 <= driverFinishEdges) {
+      val out =
+        try kCoreDriver(edges.sparkSession, ed, kVal, maxRounds)
+        finally ed.unpersist()
+      out
+    } else {
+      var cur = ed.localCheckpoint()
+      ed.unpersist()
+      var nLive = n0
+      var rounds = 0
+      var converged = false
+      while (!converged) {
+        rounds += 1
+        require(rounds <= maxRounds,
+          s"kCore: no fixpoint within maxRounds=$maxRounds (k=$kVal) - " +
+            "raise maxRounds AND the oracle's replay depth together")
+        val keep = cur.groupBy(col("src")).agg(count(lit(1)).as("dg"))
+          .filter(col("dg") >= kVal).select(col("src").as("node"))
+        val next = cur
+          .join(keep.select(col("node").as("src")), Seq("src"), "left_semi")
+          .join(keep.select(col("node").as("dst")), Seq("dst"), "left_semi")
+          .select(col("src"), col("dst"))
+          .localCheckpoint()
+        val nNext = next.select(col("src")).distinct().count()
+        if (nNext == nLive) {
+          Checkpoints.unpersist(next)
+          converged = true
+        } else {
+          Checkpoints.unpersist(cur)
+          cur = next
+          nLive = nNext
+        }
+      }
+      val out = cur.groupBy(col("src")).agg(count(lit(1)).as("core_deg"))
+        .select(col("src").as("node"), col("core_deg"))
+        .localCheckpoint()
+      Checkpoints.unpersist(cur)
+      out
+    }
+    }
+  }
+
+  /** Bounded-collect driver peel for [[kCore]]: the same
+    * remove-below-k rounds over the collected symmetric edge rows —
+    * integer degrees make it bit-identical to the distributed form. */
+  private def kCoreDriver(spark: org.apache.spark.sql.SparkSession,
+                          ed: DataFrame, kVal: Long,
+                          maxRounds: Int): DataFrame = {
+    import spark.implicits._
+    var rows = ed.select(col("src"), col("dst")).as[(Long, Long)].collect()
+    var changed = true
+    var rounds = 0
+    while (changed) {
+      rounds += 1
+      // same budget as the distributed loop: the oracle replays a
+      // FIXED chain, so convergence past it must fail loudly on
+      // whichever path ran
+      require(rounds <= maxRounds,
+        s"kCore: no fixpoint within maxRounds=$maxRounds (k=$kVal) - " +
+          "raise maxRounds AND the oracle's replay depth together")
+      val deg = scala.collection.mutable.LongMap.empty[Long]
+      rows.foreach { case (s, _) => deg(s) = deg.getOrElse(s, 0L) + 1L }
+      val next = rows.filter { case (s, d) => deg(s) >= kVal && deg(d) >= kVal }
+      changed = next.length != rows.length
+      rows = next
+    }
+    val core = scala.collection.mutable.LongMap.empty[Long]
+    rows.foreach { case (s, _) => core(s) = core.getOrElse(s, 0L) + 1L }
+    spark.createDataset(spark.sparkContext.parallelize(
+        core.toSeq.map { case (n, dg) => (n, dg) }))
+      .toDF("node", "core_deg")
+  }
+
   /** Per-node triangle counts over an UNDIRECTED edge list — the
     * local-clustering / cohesion primitive (triangles are the unit of
     * community structure; the count per node is the numerator of its

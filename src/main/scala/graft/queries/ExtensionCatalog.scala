@@ -1352,6 +1352,14 @@ object ExtensionCatalog {
       .select(col("node"), col("community"), col("comm_size"))
   }
 
+  /** Dense-core extraction over the co-purchase graph: the k-core at
+    * the data-derived threshold k = ⌊0.7·avg degree⌋ ([[graft.operators.Graph.kCore]]
+    * — exact integer peel, monotone and idempotent at its fixpoint,
+    * so the DuckDB twin replays a fixed over-provisioned round chain
+    * and must agree). Every surviving part with its in-core degree. */
+  val gKcore: Q = (s, d) =>
+    graft.operators.Graph.kCore(coPurchasePairs(s, d), "pa", "pb")
+
   // ----------------------------------------------------------- time series
 
   /** SAX symbolization of each user's event-value series (Lin et al.

@@ -2219,6 +2219,32 @@ object Oracles {
     // the 4 synchronous rounds replayed as a counts CTE + a
     // row_number argmax with the IDENTICAL (count desc, label asc)
     // tie-break — integer counts, so the replay cannot diverge
+    // k-core twin: the same exact-integer peel, replayed as a FIXED
+    // 12-round CTE chain. Peeling is monotone and idempotent at its
+    // fixpoint, so extra rounds are no-ops; the Spark kernel REQUIREs
+    // convergence within 12 rounds, making an input that would need
+    // more fail loudly there instead of diverging here.
+    "g_kcore" -> {
+      // MATERIALIZED per round: each round references its predecessor
+      // four times, so inlined CTEs would expand ~4^12 scans
+      val rounds = (1 to 12).map { i =>
+        s"""k$i AS MATERIALIZED (SELECT src FROM r${i - 1} GROUP BY src
+           |  HAVING count(*) >= (SELECT k FROM kv)),
+           |r$i AS MATERIALIZED (SELECT e.src, e.dst FROM r${i - 1} e
+           |  WHERE e.src IN (SELECT src FROM k$i)
+           |    AND e.dst IN (SELECT src FROM k$i))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH lp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+         |e AS (SELECT DISTINCT a.p AS u, b.p AS v FROM lp a JOIN lp b
+         |  ON a.ok = b.ok AND a.p < b.p),
+         |r0 AS MATERIALIZED (SELECT u AS src, v AS dst FROM e
+         |  UNION ALL SELECT v AS src, u AS dst FROM e),
+         |kv AS MATERIALIZED (SELECT (count(*) * 7) // (count(DISTINCT src) * 10) AS k
+         |  FROM r0),
+         |$rounds
+         |SELECT src AS node, CAST(count(*) AS BIGINT) AS core_deg
+         |FROM r12 GROUP BY 1""".stripMargin
+    },
     "g_labelprop" ->
       """WITH lp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
         |e AS (SELECT DISTINCT a.p AS u, b.p AS v FROM lp a JOIN lp b

@@ -253,4 +253,74 @@ class GraphSpec extends SparkSpec {
       assert(runLpa(und, 3, gate = 0L) == want, s"distributed path, trial $trial")
     }
   }
+
+  /** Reference k-core: plain in-memory peel to fixpoint. */
+  private def referenceCore(und: Seq[(Long, Long)], k: Long): Map[Long, Long] = {
+    var es = und.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .filter { case (a, b) => a != b }.distinct
+    var changed = true
+    while (changed) {
+      val deg = (es.map(_._1) ++ es.map(_._2)).groupBy(identity)
+        .map { case (n, xs) => n -> xs.size.toLong }
+      val next = es.filter { case (a, b) => deg(a) >= k && deg(b) >= k }
+      changed = next.length != es.length
+      es = next
+    }
+    (es.map(_._1) ++ es.map(_._2)).groupBy(identity)
+      .map { case (n, xs) => n -> xs.size.toLong }
+  }
+
+  private def runCore(und: Seq[(Long, Long)], k: Long, gate: Long,
+                      maxRounds: Int = 12): Map[Long, Long] = {
+    import spark.implicits._
+    Graph.kCore(und.toDF("a", "b"), "a", "b", k = Some(k),
+        maxRounds = maxRounds, driverFinishEdges = gate)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("kCore: pendant peels at k=2, the whole graph dissolves at k=3") {
+    // square 1-2-3-4 with diagonal 1-3, pendant 5 hanging off 1
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L), (1L, 5L))
+    assert(runCore(und, k = 2, gate = 1000000L)
+      == Map(1L -> 3L, 2L -> 2L, 3L -> 3L, 4L -> 2L))
+    // k=3: removing the deg-2 corners cascades to nothing
+    assert(runCore(und, k = 3, gate = 1000000L).isEmpty)
+  }
+
+  test("kCore: a tail peels over cascading rounds, the clique survives") {
+    // K4 on 1..4 with the path 4-5-6-7: 7, then 6, then 5 peel
+    val und = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L), (6L, 7L))
+    val want = Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L)
+    assert(runCore(und, k = 2, gate = 1000000L) == want, "driver path")
+    assert(runCore(und, k = 2, gate = 0L) == want, "distributed path")
+    assert(referenceCore(und, 2L) == want)
+  }
+
+  test("kCore: an over-budget peel fails loudly instead of diverging") {
+    // a 9-node path at k=2 needs 4 cascading rounds per side — with
+    // maxRounds=2 the distributed kernel must REQUIRE-fail, because
+    // the fixed-round oracle would silently report the partial peel
+    val path = (1L to 9L).sliding(2).map(s => (s(0), s(1))).toSeq
+    val ex = intercept[Exception] { runCore(path, 2, gate = 0L, maxRounds = 2) }
+    val all = ex.getMessage +
+      Option(ex.getCause).map(_.getMessage).getOrElse("")
+    assert(all.contains("maxRounds"), s"expected the round guard, got: $all")
+    // the same input converges (to empty) under the default budget
+    assert(runCore(path, 2, gate = 0L).isEmpty)
+  }
+
+  test("kCore: driver finish and forced-distributed peel are identical on random graphs") {
+    val rnd = new scala.util.Random(412)
+    (1 to 3).foreach { trial =>
+      val n = 24
+      val und = rnd.shuffle(Seq.fill(70)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)) ++
+        // duplicates and reversed pairs exercise canonicalization
+        Seq((3L, 7L), (7L, 3L), (3L, 7L)))
+      val want = referenceCore(und, 4L)
+      assert(runCore(und, 4, gate = 1000000L) == want, s"driver path, trial $trial")
+      assert(runCore(und, 4, gate = 0L) == want, s"distributed path, trial $trial")
+    }
+  }
 }
