@@ -1352,6 +1352,17 @@ object ExtensionCatalog {
       .select(col("node"), col("community"), col("comm_size"))
   }
 
+  /** Link prediction over the k-NN similarity graph: the top-100
+    * non-adjacent vector pairs by shared-neighbor count
+    * ([[graft.operators.Graph.commonNeighbors]]). The k-NN substrate
+    * bounds every degree by k + in-degree, so the wedge stream is
+    * Θ(n·k²) — the scale-correct graph for an exact common-neighbor
+    * pass (a power-law graph would need hub capping first). */
+  val gCommonneigh: Q = (s, d) =>
+    graft.operators.Graph.commonNeighbors(
+      embKnnGraph(s, d).select(col("vec_id"), col("nb_id")),
+      "vec_id", "nb_id", topN = 100)
+
   /** Dense-core extraction over the co-purchase graph: the k-core at
     * the data-derived threshold k = ⌊0.7·avg degree⌋ ([[graft.operators.Graph.kCore]]
     * — exact integer peel, monotone and idempotent at its fixpoint,

@@ -1315,6 +1315,32 @@ object Oracles {
          |  row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nb_id) AS rk
          |  FROM e) WHERE rk <= 5""".stripMargin
     },
+    // common-neighbor link-prediction twin: the emb_knn_graph edge
+    // chain (shared ivfCtes + per-cell cosine top-5), symmetrized,
+    // wedge-counted on the center, non-adjacent pairs ranked
+    // (count desc, a, b) — the same total order as Spark's
+    // TakeOrderedAndProject, so the LIMIT boundary is deterministic
+    "g_commonneigh" -> materializeCtes {
+      s"""WITH $ivfCtes,
+         |ke AS (SELECT a.vec_id, b.vec_id AS nb_id,
+         |    round(list_cosine_similarity(list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+         |      list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 6) AS cos
+         |  FROM assigned a JOIN assigned b
+         |    ON a.cent_id = b.cent_id AND a.vec_id <> b.vec_id),
+         |knn AS (SELECT vec_id, nb_id FROM (SELECT vec_id, nb_id,
+         |  row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nb_id) AS rk
+         |  FROM ke) WHERE rk <= 5),
+         |und AS (SELECT DISTINCT least(vec_id, nb_id) AS a,
+         |    greatest(vec_id, nb_id) AS b FROM knn),
+         |sym AS (SELECT a AS s, b AS d FROM und
+         |  UNION ALL SELECT b AS s, a AS d FROM und),
+         |wed AS (SELECT x.d AS a, y.d AS b, count(*) AS n_common
+         |  FROM sym x JOIN sym y ON x.s = y.s AND x.d < y.d
+         |  GROUP BY 1, 2)
+         |SELECT w.a, w.b, w.n_common FROM wed w
+         |WHERE NOT EXISTS (SELECT 1 FROM und e WHERE e.a = w.a AND e.b = w.b)
+         |ORDER BY w.n_common DESC, w.a, w.b LIMIT 100""".stripMargin
+    },
     // IVFPQ twin: shared coarse chain + shared PQ chains, ADC over
     // probed lists only (annIvfPqOracle)
     "ann_ivfpq" -> annIvfPqOracle(),

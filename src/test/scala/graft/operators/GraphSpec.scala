@@ -310,6 +310,35 @@ class GraphSpec extends SparkSpec {
     assert(runCore(path, 2, gate = 0L).isEmpty)
   }
 
+  test("commonNeighbors: counts shared neighbors of non-adjacent pairs only") {
+    import spark.implicits._
+    // 1-2, 2-3, 1-4, 4-3, 1-3: the one non-adjacent pair is (2,4),
+    // sharing {1,3}; every adjacent pair is excluded no matter its count
+    val und = Seq((1L, 2L), (2L, 3L), (1L, 4L), (4L, 3L), (1L, 3L))
+    val got = Graph.commonNeighbors(und.toDF("a", "b"), "a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((2L, 4L, 2L)), s"got $got")
+  }
+
+  test("commonNeighbors: matches brute force, top-N cut is total-ordered") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(75)
+    val und = Seq.fill(60)((rnd.nextInt(16).toLong, rnd.nextInt(16).toLong))
+    val es = und.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .filter { case (a, b) => a != b }.distinct
+    val adj = es.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (n, xs) => n -> xs.map(_._2).toSet }
+    val nodes = adj.keys.toSeq.sorted
+    val want = (for {
+      i <- nodes; j <- nodes if i < j && !adj(i).contains(j)
+      c = (adj(i) & adj(j)).size if c > 0
+    } yield (i, j, c.toLong))
+      .sortBy { case (a, b, c) => (-c, a, b) }.take(7)
+    val got = Graph.commonNeighbors(und.toDF("a", "b"), "a", "b", topN = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want, s"got $got want $want")
+  }
+
   test("kCore: driver finish and forced-distributed peel are identical on random graphs") {
     val rnd = new scala.util.Random(412)
     (1 to 3).foreach { trial =>
