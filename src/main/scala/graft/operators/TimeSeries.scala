@@ -27,6 +27,8 @@ import org.apache.spark.sql.functions._
 case class TsRow(key: Long, ord: Long, vc: Long)
 case class TsWord(key: Long, rn: Long, sax: String)
 case class TsState(last7: Vector[Long], n: Long)
+case class TsZOut(key: Long, ord: Long, z: Option[Double], is_anom: Boolean)
+case class TsZState(last8: Vector[Long])
 
 object TimeSeries {
 
@@ -132,6 +134,29 @@ object TimeSeries {
         when(col("sd") === 0.0, lit("flat")).otherwise(col("w")).as("sax"))
   }
 
+  /** The pure z kernel: EXACTLY the fp steps of [[rollingZ]]'s column
+    * expressions (same JVM double ops the codegen'd SQL compiles to),
+    * shared by the streaming twin. `taps` is the trailing-8 baseline,
+    * oldest first; `vc` the scored value. Zero-variance baseline ⇒
+    * (None, false) — the batch NULL-z / FALSE-flag contract. */
+  def zScoreTap(taps: IndexedSeq[Long], vc: Long,
+                thresh: Double = 3.0): (Option[Double], Boolean) = {
+    require(taps.length == 8)
+    require((taps :+ vc).forall(t =>
+        t >= -TimeSeries.MaxTapMicro && t <= TimeSeries.MaxTapMicro),
+      s"zScoreTap: |tap| > ${TimeSeries.MaxTapMicro} micro-units " +
+        "(|value| > ~1073.74) - the squared sum would overflow; rescale")
+    val s = taps.sum
+    val s2 = taps.map(t => t * t).sum
+    val mean = s.toDouble / 8.0
+    val sd = math.sqrt((s2.toDouble - s.toDouble * s.toDouble / 8.0) / 8.0)
+    if (sd == 0.0) (None, false)
+    else {
+      val z = (vc.toDouble - mean) / sd
+      (Some(z), math.abs(z) > thresh)
+    }
+  }
+
   /** Trailing-window rolling z-score anomaly flags: each row's value
     * is scored against the mean/sd of its key's PREVIOUS 8 values
     * (strictly before the current row — the score never sees the
@@ -186,6 +211,41 @@ object TimeSeries {
       // so it doesn't FLAG (the NULL z still records why)
       .withColumn("is_anom",
         coalesce(abs(col("z")) > lit(thresh), lit(false)))
+  }
+
+  /** Streaming twin of [[rollingZ]]: per-key bounded state (the last
+    * 8 micro values — fixed width at any stream length), scoring each
+    * arrival against the trailing baseline once 8 values precede it.
+    * Within a micro-batch rows sort by the order column; across
+    * batches state carries the baseline tail, so for in-order input
+    * the emitted (key, ord, z, is_anom) rows equal the batch
+    * analytic-window form exactly (TimeSeriesStreamSpec pins it).
+    * Late/out-of-order data is out of contract, as in [[saxStream]]. */
+  def rollingZStream(df: DataFrame, keyCol: String, orderCol: String,
+                     valueCol: String, thresh: Double = 3.0): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(keyCol).cast("long").as("key"),
+        col(orderCol).cast("long").as("ord"),
+        round(col(valueCol) * 1000000).cast("long").as("vc"))
+      .as[TsRow]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[TsZState, TsZOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) { (key, rows, state) =>
+        var st = state.getOption.getOrElse(TsZState(Vector.empty))
+        val out = rows.toVector.sortBy(_.ord).flatMap { r =>
+          val emit =
+            if (st.last8.length == 8) {
+              val (z, anom) = zScoreTap(st.last8, r.vc, thresh)
+              Some(TsZOut(key, r.ord, z, anom))
+            } else None
+          st = TsZState((st.last8 :+ r.vc).takeRight(8))
+          emit
+        }
+        state.update(st)
+        out.iterator
+      }.toDF(keyCol, orderCol, "z", "is_anom")
   }
 
   /** Per-key time-grid resample with linear interpolation: for every

@@ -690,6 +690,69 @@ object BenchScale {
     }
   }
 
+  /** k-core peel ladder with EXACT planted truth: K 20-cliques (every
+    * member's in-clique degree is 19) plus disjoint-id bipartite ER
+    * noise at mean degree ~8 — below the k=10 core threshold, so the
+    * peel must dissolve ALL of it (deterministic per rung: the noise
+    * is seeded xxhash64, not sampled) while returning every clique
+    * node at core_deg exactly 19. Wall per rung is the full
+    * distributed peel (driverFinishEdges=0); the exponent gate is the
+    * "each round shuffles only live edges" claim — a kernel that
+    * re-shuffles the ORIGINAL edges per round would go super-linear
+    * as the round count grows with n. maxRounds is uncapped here
+    * (512) because the ER collapse takes O(log n) cascading rounds;
+    * the CATALOG entry keeps 12 to bind its fixed-round oracle. */
+  private def kcoreLadder(spark: SparkSession, sizes: Seq[Long],
+                          maxTaskMs: java.util.concurrent.atomic.AtomicLong): Unit = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val S = 20
+    val pairDf = (for { i <- 0 until S; j <- i + 1 until S } yield (i, j))
+      .toDF("i", "j")
+    val rungs = sizes.map { m =>
+      val k = math.max(m / 2 / 190, 1L)
+      val nNoise = m - k * 190
+      val side = math.max(nNoise / 8, 1L) // mean degree ~8 per side
+      val cliques = spark.range(k).crossJoin(broadcast(pairDf))
+        .select((col("id") * S + col("i")).as("a"),
+          (col("id") * S + col("j")).as("b"))
+      val noise = spark.range(nNoise).selectExpr(
+        s"1000000000 + pmod(xxhash64('l', id), $side) AS a",
+        s"1500000000 + pmod(xxhash64('r', id), $side) AS b")
+      val dir = s"/tmp/graft_scale/kcore_$m"
+      cliques.union(noise).write.mode("overwrite").parquet(dir) // untimed
+      val edges = spark.read.parquet(dir)
+      maxTaskMs.set(0)
+      val t0 = System.nanoTime()
+      val core = graft.operators.Graph.kCore(edges, "a", "b",
+        k = Some(10L), maxRounds = 512, driverFinishEdges = 0L)
+      val (nClique, minDg, maxDg, nNoiseNodes) = {
+        val r = core.agg(
+          sum(when(col("node") < 1000000000L, 1L).otherwise(0L)),
+          min(when(col("node") < 1000000000L, col("core_deg"))),
+          max(when(col("node") < 1000000000L, col("core_deg"))),
+          sum(when(col("node") >= 1000000000L, 1L).otherwise(0L))).head()
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      val mt = maxTaskMs.get() / 1e3
+      graft.operators.Checkpoints.unpersist(core)
+      println(f"""{"edges":$m,"cliques":$k,"sec":$sec%.2f,"clique_nodes":$nClique,"min_deg":$minDg,"max_deg":$maxDg,"noise_core_nodes":$nNoiseNodes,"max_task_sec":$mt%.2f}""")
+      require(nClique == k * S && minDg == 19L && maxDg == 19L,
+        s"planted-truth violated at m=$m: $nClique clique nodes " +
+          s"(want ${k * S}), core_deg range [$minDg,$maxDg] (want exactly 19)")
+      require(nNoiseNodes == 0L,
+        s"sub-threshold noise left $nNoiseNodes nodes in the 10-core at m=$m")
+      (m, sec)
+    }
+    if (sizes.size >= 2) {
+      val exponent = fitExponent(rungs)
+      println(f"""{"metric":"kcore_scale","exponent":$exponent%.3f}""")
+      require(exponent <= 1.3,
+        f"k-core wall grows super-linearly in edges: exponent $exponent%.3f > 1.3")
+    }
+  }
+
   /** Headline-query throughput ladder: the three canonical TPC-H plan
     * shapes (scan→agg q1, fact⋈fact join+agg q18-having, semi q4) on
     * GENERATED lineitem/orders at multiples of the sf0.1 row count —
@@ -886,10 +949,12 @@ object BenchScale {
     val bpeMode = args.headOption.contains("bpe")
     val shingleMode = args.headOption.contains("shingle")
     val triMode = args.headOption.contains("tri")
+    val kcoreMode = args.headOption.contains("kcore")
     val backoffMode = args.headOption.contains("backoff")
     val sizeArgs =
       if (annMode || mmMode || pqMode || ivfPqMode || semMode || graphMode ||
-          tpchMode || bpeMode || shingleMode || triMode || backoffMode)
+          tpchMode || bpeMode || shingleMode || triMode || backoffMode ||
+          kcoreMode)
         args.drop(1) else args
     val sizes =
       if (sizeArgs.nonEmpty) sizeArgs(0).split(",").map(_.trim.toLong).toSeq
@@ -903,6 +968,7 @@ object BenchScale {
       else if (bpeMode) Seq(100000L, 400000L, 1600000L)
       else if (shingleMode) Seq(100000L, 400000L, 1600000L)
       else if (triMode) Seq(1000000L, 4000000L, 16000000L)
+      else if (kcoreMode) Seq(1000000L, 4000000L, 16000000L)
       else if (backoffMode) Seq(100000L, 400000L, 1600000L)
       else Seq(5000L, 10000L, 20000L, 50000L)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -959,6 +1025,7 @@ object BenchScale {
     if (bpeMode) { bpeLadder(spark, sizes, maxTaskMs); spark.stop(); return }
     if (shingleMode) { shingleLadder(spark, sizes, maxTaskMs); spark.stop(); return }
     if (triMode) { triLadder(spark, sizes, maxTaskMs); spark.stop(); return }
+    if (kcoreMode) { kcoreLadder(spark, sizes, maxTaskMs); spark.stop(); return }
     if (backoffMode) { backoffLadder(spark, sizes, maxTaskMs); spark.stop(); return }
 
     val rungs = sizes.map { n =>

@@ -45,4 +45,45 @@ class TimeSeriesStreamSpec extends SparkSpec {
     assert(streamed == batch, s"stream=$streamed\nbatch=$batch")
     assert(streamed.nonEmpty && streamed.exists(_._3 == "flat"))
   }
+
+  test("rollingZStream equals rollingZ on an in-order two-key series") {
+    import spark.implicits._
+    // key 1: steady ramp with a planted spike; key 2: flat (zero
+    // variance → NULL z, FALSE flag) then a jump
+    val rows = (0 until 26).map { i =>
+      val key = (i % 2).toLong + 1
+      val v = if (key == 1) { if (i == 20) 400.0 else (i / 2 + 1).toDouble }
+        else if (i < 20) 2.5 else 9.0
+      (key, i.toLong, v)
+    }
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[(Long, Long, Double)]
+    val sink = TimeSeries.rollingZStream(
+        stream.toDS().toDF("user_id", "event_id", "value"),
+        "user_id", "event_id", "value")
+      .writeStream.format("memory").queryName("z_stream")
+      .outputMode("append").start()
+    try {
+      rows.grouped(9).foreach { chunk => // uneven batches cross the tail
+        stream.addData(chunk: _*)
+        sink.processAllAvailable()
+      }
+    } finally sink.stop()
+    def zOf(r: org.apache.spark.sql.Row): Option[Double] =
+      if (r.isNullAt(2)) None else Some(r.getDouble(2))
+    val streamed = spark.table("z_stream")
+      .collect().map(r => (r.getLong(0), r.getLong(1), zOf(r), r.getBoolean(3))).toSet
+
+    val batch = TimeSeries.rollingZ(
+        rows.toDF("user_id", "event_id", "value")
+          .withColumn("ts", col("event_id")),
+        "user_id", Seq("ts", "event_id"), "value", "event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), zOf(r), r.getBoolean(3))).toSet
+
+    assert(streamed == batch, s"stream=$streamed\nbatch=$batch")
+    // the planted structure actually exercised all three cases
+    assert(streamed.exists(_._4), "spike flagged")
+    assert(streamed.exists(t => t._3.isEmpty && !t._4), "flat NULL-z row")
+    assert(streamed.exists(t => t._3.nonEmpty && !t._4), "quiet scored row")
+  }
 }
