@@ -320,6 +320,76 @@ object TimeSeries {
             / lit(1000000.0)).as("v_interp"))
   }
 
+  /** Largest |centi-unit value| whose per-row self/lag product stays
+    * in Long: ⌊√(2^63−1)⌋. The SUMS are overflow-free on both engines
+    * (Spark decimal(38,0), DuckDB BIGINT→HUGEINT widening — the emb
+    * z-score discipline); only the per-row product needs the bound. */
+  val MaxCentiTap: Long = 3037000499L
+
+  /** Per-key sample autocorrelation at lags 1..`maxLag` (the textbook
+    * ACF estimator r_l = Σ_{t>l}(x_t−μ)(x_{t−l}−μ) / Σ(x_t−μ)² with
+    * the full-series mean) — the seasonality / memory diagnostic that
+    * decides window sizes and differencing for every downstream
+    * forecast. One analytic-window pass (row_number + maxLag lag
+    * taps), then ONE map-side-combinable aggregate per key; nothing
+    * iterates and nothing is corpus-sized on the driver.
+    *
+    * Cross-engine exactness: every moment is an EXACT integer sum of
+    * centi-unit values/products (lag-l cross sums C_l, the head/tail
+    * partial sums A_l = Σ_{t>l} x_t and B_l = Σ_{t≤n−l} x_t — B_l is
+    * just Σ lag_l, A_l the value sum where the lag exists), summed
+    * without overflow on both engines; the expansion
+    * (C_l − μ(A_l+B_l) + (n−l)μ²) / (S2 − S1²/n) is the SAME IEEE
+    * double tree on identically-converted operands. A key shorter
+    * than l+1 rows (C_l undefined) and a zero-variance key both yield
+    * NULL at that lag by contract. */
+  def autocorr(df: DataFrame, keyCol: String, orderCols: Seq[String],
+               valueCol: String, maxLag: Int = 3): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 8, s"autocorr: maxLag $maxLag not in 1..8")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(orderCols.map(col): _*)
+    // loud per-row magnitude guard (the saxWords posture): beyond the
+    // bound the per-row product would wrap in Spark longs while
+    // DuckDB's BIGINT product errors — fail here instead of diverging
+    val rawVc = round(col(valueCol) * 100).cast("long")
+    val inRange = rawVc.isNull ||
+      (rawVc >= lit(-MaxCentiTap) && rawVc <= lit(MaxCentiTap))
+    val vcName = Iterator.from(0).map(i => s"_graft_vc$i")
+      .find(n => !df.columns.contains(n)).get
+    val guarded = df.select(col("*"),
+      when(inRange, rawVc)
+        .otherwise(raise_error(concat(lit(
+          s"autocorr: |centi tap| > $MaxCentiTap at value="),
+          col(valueCol).cast("string")))).as(vcName))
+    val vc = col(vcName)
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val lags = (1 to maxLag).map(l => lag(vc, l).over(w))
+    val perLag = (1 to maxLag).flatMap { l =>
+      val t = col(s"_t$l")
+      Seq(sum(dec(vc * t)).as(s"c$l"),
+        sum(dec(when(t.isNotNull, vc))).as(s"a$l"),
+        sum(dec(t)).as(s"b$l"))
+    }
+    val g = guarded
+      .select(col(keyCol) +: vc +:
+        (1 to maxLag).map(l => lags(l - 1).as(s"_t$l")): _*)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        (sum(dec(vc)).as("s1") +: sum(dec(vc * vc)).as("s2") +: perLag): _*)
+    val nd = col("n").cast("double")
+    val mu = col("s1").cast("double") / nd
+    val den = (col("s2").cast("double")
+      - col("s1").cast("double") * col("s1").cast("double") / nd)
+    val acfs = (1 to maxLag).map { l =>
+      val num = (col(s"c$l").cast("double")
+        - mu * (col(s"a$l") + col(s"b$l")).cast("double")) +
+        (col("n") - lit(l)).cast("double") * mu * mu
+      when(den === 0.0, lit(null).cast("double"))
+        .otherwise(num / den).as(s"acf$l")
+    }
+    g.select(col(keyCol) +: col("n") +: acfs: _*)
+  }
+
   /** Streaming twin of [[saxWords]]: per-key bounded state (the last
     * 7 micro values + the row count — fixed width at any stream
     * length), emitting one word per arrival once 8 values have been

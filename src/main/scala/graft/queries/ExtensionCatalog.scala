@@ -1394,6 +1394,12 @@ object ExtensionCatalog {
     graft.operators.TimeSeries.rollingZ(Tables.events(s, d),
       "user_id", Seq("ts", "event_id"), "value", "event_id")
 
+  /** Sample autocorrelation of each user's value series at lags 1-3
+    * (exact integer moments, one window pass + one aggregate). */
+  val tsAcf: Q = (s, d) =>
+    graft.operators.TimeSeries.autocorr(Tables.events(s, d),
+      "user_id", Seq("ts", "event_id"), "value")
+
   /** Hourly grid resample with linear interpolation per user — the
     * gap-fill that regularizes irregular event series. */
   val tsResample: Q = (s, d) =>

@@ -724,6 +724,37 @@ object Oracles {
          |    ELSE abs((CAST(vc AS DOUBLE) - mean) / sd) > 3.0 END AS is_anom
          |FROM ms""".stripMargin
     },
+    // ACF twin: exact integer centi-unit moments (per-row products
+    // BIGINT-safe by the kernel's magnitude guard; the sums widen to
+    // HUGEINT here and decimal(38,0) in Spark — the emb z-score
+    // discipline), then the identical IEEE expansion. Lateral aliases
+    // (mu, den) expand to the same tree Spark evaluates inline.
+    "ts_acf" -> {
+      val lagTaps = (1 to 3).map(l => s"lag(vc, $l) OVER w AS t$l").mkString(", ")
+      val moments = (1 to 3).map(l =>
+        s"""sum(vc * t$l) AS c$l,
+           |  sum(CASE WHEN t$l IS NOT NULL THEN vc END) AS a$l,
+           |  sum(t$l) AS b$l""".stripMargin).mkString(",\n")
+      val acfs = (1 to 3).map(l =>
+        s"""CASE WHEN den = 0.0 THEN NULL
+           |  ELSE (CAST(c$l AS DOUBLE) - mu * CAST(a$l + b$l AS DOUBLE)
+           |    + CAST(n - $l AS DOUBLE) * mu * mu) / den END AS acf$l""".stripMargin)
+        .mkString(",\n")
+      s"""WITH v AS (SELECT user_id, ts, event_id,
+         |    CAST(round(value * 100) AS BIGINT) AS vc FROM events),
+         |t AS (SELECT user_id, vc, $lagTaps
+         |  FROM v WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |g AS (SELECT user_id, count(*) AS n, sum(vc) AS s1, sum(vc * vc) AS s2,
+         |$moments
+         |  FROM t GROUP BY 1),
+         |m AS (SELECT *, CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+         |    CAST(s2 AS DOUBLE)
+         |      - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS den
+         |  FROM g)
+         |SELECT user_id, n,
+         |$acfs
+         |FROM m""".stripMargin
+    },
     // resample twin: the same exact-integer brackets (epoch-micro
     // times, micro-unit values, ties pre-collapsed to the max-id
     // event) and the same RANGE-frame bracket lookups; the grid is a

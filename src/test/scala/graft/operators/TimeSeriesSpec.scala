@@ -141,6 +141,67 @@ class TimeSeriesSpec extends SparkSpec {
       (4L, 0L, 3.0), (4L, 3600L, u4At3600), (4L, 7200L, 5.0)), s"got $got")
   }
 
+  /** Plain-Scala replica of the autocorr double tree (same op order). */
+  private def acfRef(values: Seq[Double], maxLag: Int): Seq[Option[Double]] = {
+    val vc = values.map(v => math.round(v * 100))
+    val n = vc.length
+    val s1 = vc.sum
+    val s2 = vc.map(x => x * x).sum
+    val mu = s1.toDouble / n.toDouble
+    val den = s2.toDouble - s1.toDouble * s1.toDouble / n.toDouble
+    (1 to maxLag).map { l =>
+      if (n <= l || den == 0.0) None
+      else {
+        val c = (l until n).map(i => vc(i) * vc(i - l)).sum
+        val ab = (l until n).map(vc).sum + (0 until n - l).map(vc).sum
+        Some((c.toDouble - mu * ab.toDouble
+          + (n - l).toDouble * mu * mu) / den)
+      }
+    }
+  }
+
+  test("autocorr matches the reference; periodic, constant, short keys") {
+    import spark.implicits._
+    // key 1: period-4 wave (strong negative lag-2); key 2: constant
+    // (zero variance → all NULL); key 3: two points (lag 2,3 NULL)
+    val series = Map(
+      1L -> Seq(1.0, 2.0, 3.0, 2.0, 1.0, 2.0, 3.0, 2.0, 1.0, 2.0),
+      2L -> Seq.fill(6)(7.25),
+      3L -> Seq(4.0, 9.0))
+    val rows = series.toSeq.flatMap { case (k, vs) =>
+      vs.zipWithIndex.map { case (v, i) =>
+        (k, new java.sql.Timestamp(1000L * i), i.toLong, v)
+      }
+    }
+    val got = TimeSeries.autocorr(
+        rows.toDF("user_id", "ts", "event_id", "value"),
+        "user_id", Seq("ts", "event_id"), "value")
+      .collect().map { r =>
+        r.getLong(0) -> ((r.getLong(1),
+          (2 to 4).map(i => if (r.isNullAt(i)) None else Some(r.getDouble(i)))))
+      }.toMap
+    series.foreach { case (k, vs) =>
+      val (n, acfs) = got(k)
+      assert(n == vs.length)
+      assert(acfs == acfRef(vs, 3), s"key $k: got $acfs want ${acfRef(vs, 3)}")
+    }
+    // the wave really is anti-correlated at half period
+    assert(got(1L)._2(1).exists(_ < -0.5))
+    assert(got(2L)._2 == Seq(None, None, None))
+  }
+
+  test("autocorr out-of-contract magnitude fails loudly") {
+    import spark.implicits._
+    val rows = (0 until 4).map(i =>
+      (1L, new java.sql.Timestamp(1000L * i), i.toLong, 4.0e7))
+    val ex = intercept[Exception] {
+      TimeSeries.autocorr(rows.toDF("user_id", "ts", "event_id", "value"),
+        "user_id", Seq("ts", "event_id"), "value").collect()
+    }
+    val all = ex.getMessage + Option(ex.getCause).map(_.getMessage).getOrElse("")
+    assert(all.contains("centi tap"), s"expected the magnitude guard, got: $all")
+  }
+
   test("motif takes the most frequent word, ties to the smallest") {
     import spark.implicits._
     val saxDf = Seq(
