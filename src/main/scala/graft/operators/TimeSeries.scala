@@ -29,6 +29,9 @@ case class TsWord(key: Long, rn: Long, sax: String)
 case class TsState(last7: Vector[Long], n: Long)
 case class TsZOut(key: Long, ord: Long, z: Option[Double], is_anom: Boolean)
 case class TsZState(last8: Vector[Long])
+case class TsEvRow(key: Long, us: Long, vc: Long, eid: Long)
+case class TsGridOut(key: Long, grid_epoch: Long, v_interp: Double)
+case class TsEvState(lastUs: Long, lastVc: Long)
 
 object TimeSeries {
 
@@ -388,6 +391,69 @@ object TimeSeries {
         .otherwise(num / den).as(s"acf$l")
     }
     g.select(col(keyCol) +: col("n") +: acfs: _*)
+  }
+
+  /** Streaming twin of [[resampleLinear]]: per-key state is ONE
+    * observation (the latest), and each arrival emits every aligned
+    * grid instant in (prev.us, this.us] interpolated between the two
+    * — the same IEEE tree as the batch kernel, so in-order streams
+    * emit the batch grid bit-identically as it becomes determined
+    * (a first observation landing exactly ON a grid instant emits
+    * itself, matching the batch ceil-bound). Same-microsecond ties
+    * collapse to the max-id row WITHIN a micro-batch (the batch
+    * pre-agg twin); a tie split across micro-batches — like
+    * out-of-order data — is out of contract ([[saxStream]] posture).
+    * Timestamps must be non-negative epoch micros (the alignment
+    * uses plain integer division). */
+  def resampleStream(df: DataFrame, keyCol: String, tsCol: String,
+                     valueCol: String, idCol: String,
+                     stepSec: Long = 3600L): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    require(stepSec >= 1, s"resampleStream: stepSec must be >= 1, got $stepSec")
+    val stepUs = stepSec * 1000000L
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(keyCol).cast("long").as("key"),
+        unix_micros(col(tsCol)).as("us"),
+        round(col(valueCol) * 1000000).cast("long").as("vc"),
+        col(idCol).cast("long").as("eid"))
+      .as[TsEvRow]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[TsEvState, TsGridOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) { (key, rows, state) =>
+        val sorted = rows.toVector.sortBy(r => (r.us, r.eid))
+        val collapsed = sorted.foldLeft(Vector.empty[TsEvRow]) { (acc, r) =>
+          if (acc.nonEmpty && acc.last.us == r.us) acc.init :+ r else acc :+ r
+        }
+        var st = state.getOption
+        val out = Vector.newBuilder[TsGridOut]
+        collapsed.foreach { r =>
+          require(r.us >= 0L, s"resampleStream: negative epoch micros ${r.us}")
+          st match {
+            case None =>
+              if (r.us % stepUs == 0L)
+                out += TsGridOut(key, r.us / 1000000L, r.vc.toDouble / 1000000.0)
+            case Some(prev) =>
+              if (r.us > prev.lastUs) {
+                var t = (prev.lastUs / stepUs) * stepUs + stepUs
+                while (t <= r.us) {
+                  // EXACTLY the batch interpolation tree; at t == r.us
+                  // the ratio is 1.0 and a+(b-a) == b in IEEE, so the
+                  // on-observation instant reproduces the batch branch
+                  val v = (prev.lastVc.toDouble
+                    + (r.vc.toDouble - prev.lastVc.toDouble)
+                      * ((t - prev.lastUs).toDouble
+                        / (r.us - prev.lastUs).toDouble)) / 1000000.0
+                  out += TsGridOut(key, t / 1000000L, v)
+                  t += stepUs
+                }
+              }
+          }
+          if (st.forall(_.lastUs <= r.us)) st = Some(TsEvState(r.us, r.vc))
+        }
+        st.foreach(state.update)
+        out.result().iterator
+      }.toDF(keyCol, "grid_epoch", "v_interp")
   }
 
   /** Streaming twin of [[saxWords]]: per-key bounded state (the last

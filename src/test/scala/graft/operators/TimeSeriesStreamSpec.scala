@@ -86,4 +86,39 @@ class TimeSeriesStreamSpec extends SparkSpec {
     assert(streamed.exists(t => t._3.isEmpty && !t._4), "flat NULL-z row")
     assert(streamed.exists(t => t._3.nonEmpty && !t._4), "quiet scored row")
   }
+
+  test("resampleStream equals resampleLinear on an in-order multi-key series") {
+    import spark.implicits._
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    // the batch-spec fixture: bracket interpolation, on-grid events,
+    // a single-event key, a same-instant tie (kept inside one batch)
+    val rows = Seq(
+      (1L, t(1800), 0L, 10.0), (2L, t(3600), 2L, 7.0),
+      (3L, t(1000), 4L, 1.0), (4L, t(0), 5L, 1.0), (4L, t(0), 6L, 3.0),
+      (1L, t(5400), 1L, 20.0), (2L, t(9000), 3L, 9.0), (4L, t(7200), 7L, 5.0),
+      (1L, t(9000), 8L, 26.0), (2L, t(10800), 9L, 3.0))
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[(Long, java.sql.Timestamp, Long, Double)]
+    val sink = TimeSeries.resampleStream(
+        stream.toDS().toDF("user_id", "ts", "event_id", "value"),
+        "user_id", "ts", "value", "event_id")
+      .writeStream.format("memory").queryName("rs_stream")
+      .outputMode("append").start()
+    try {
+      rows.grouped(5).foreach { chunk => // the tie pair stays in batch 1
+        stream.addData(chunk: _*)
+        sink.processAllAvailable()
+      }
+    } finally sink.stop()
+    val streamed = spark.table("rs_stream")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+    val batch = TimeSeries.resampleLinear(
+        rows.toDF("user_id", "ts", "event_id", "value"),
+        "user_id", "ts", "value", "event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+    assert(streamed == batch, s"stream=$streamed\nbatch=$batch")
+    assert(streamed.size >= 8, s"fixture should emit a real grid: $streamed")
+  }
 }
