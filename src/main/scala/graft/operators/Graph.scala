@@ -454,11 +454,16 @@ object Graph {
   def commonNeighbors(edges: DataFrame, aCol: String, bCol: String,
                       topN: Int = 100): DataFrame = {
     require(topN >= 1)
+    // materialized ONCE: the canonical edge set feeds four plan
+    // branches (two union arms, each wedge side via them, and the
+    // anti join) — left lazy, an expensive upstream (the catalog's
+    // k-NN chain) would re-run per branch (the gClustering lesson)
     val und = edges.select(
         least(col(aCol).cast("long"), col(bCol).cast("long")).as("a"),
         greatest(col(aCol).cast("long"), col(bCol).cast("long")).as("b"))
       .filter(col("a") < col("b"))
       .distinct()
+      .localCheckpoint()
     val sym = und.select(col("a").as("s"), col("b").as("d"))
       .union(und.select(col("b").as("s"), col("a").as("d")))
     val wed = sym.select(col("s"), col("d").as("xa"))
@@ -466,11 +471,16 @@ object Graph {
       .filter(col("xa") < col("xb"))
       .groupBy(col("xa"), col("xb"))
       .agg(count(lit(1)).as("n_common"))
-    wed
+    val out = wed
       .join(und, wed("xa") === und("a") && wed("xb") === und("b"), "left_anti")
       .select(col("xa").as("a"), col("xb").as("b"), col("n_common"))
       .orderBy(col("n_common").desc, col("a"), col("b"))
       .limit(topN)
+      // eager: the top-N is tiny; releasing the edge checkpoint here
+      // instead of leaking its blocks for the session
+      .localCheckpoint()
+    Checkpoints.unpersist(und)
+    out
   }
 
   /** Bounded-collect driver peel for [[kCore]]: the same
