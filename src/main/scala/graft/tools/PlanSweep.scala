@@ -36,6 +36,9 @@ object PlanSweep {
     "ann_brute_force", "ann_external", "ann_ivf", "ann_ivfpq",
     "ann_ivfpq_rerank", "ann_pq",
     "agg_cms", "agg_bloom", "ds_temperature", "ta_unigram", "ta_backoff",
+    // ta_colloc: the one-row n_total broadcast feeding the PMI ratio
+    // (the ta_backoff total-join shape)
+    "ta_colloc",
     "q11_share_threshold", "q20_excess_shippers", "q22_idle_customers")
 
   def main(args: Array[String]): Unit = {

@@ -293,4 +293,28 @@ class PlanAuditSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2, "q10 lost partial aggregation")
     assert(p.contains("TakeOrderedAndProject"), "q10 top-20 lost its bounded-heap plan")
   }
+
+  test("ts_anomaly / ts_acf: ONE per-key exchange, no joins") {
+    // both are one analytic-window pass per key; ts_acf's groupBy
+    // rides the window's hashpartitioning(user_id) — a second
+    // Exchange means the agg stopped reusing the sort's partitioning
+    // formatted explain prints each node twice (tree + detail): count
+    // the numbered detail headers, not raw substring hits
+    def exchanges(p: String): Int = """\(\d+\) Exchange""".r.findAllIn(p).size
+    val pa = plan("ts_anomaly")
+    assert(exchanges(pa) == 1, "ts_anomaly wants exactly 1 exchange")
+    assert(!pa.contains("Join"), "ts_anomaly grew a join")
+    val pc = plan("ts_acf")
+    assert(exchanges(pc) == 1,
+      "ts_acf regrew a second exchange — the agg no longer reuses the window partitioning")
+    assert(!pc.contains("Join"), "ts_acf grew a join")
+  }
+
+  test("ts_resample: grid + brackets resolve without any join") {
+    // the bracket lookups are RANGE windows over the event+grid
+    // union — a join-based as-of rewrite would probe per grid point
+    val p = plan("ts_resample")
+    assert(!p.contains("Join"), "ts_resample grew a join — brackets must be windows")
+    assert(p.contains("Window"), "ts_resample lost its window brackets")
+  }
 }
