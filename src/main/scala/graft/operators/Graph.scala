@@ -399,7 +399,13 @@ object Graph {
     } else {
       var cur = ed.localCheckpoint()
       ed.unpersist()
-      var nLive = n0
+      // convergence on the LIVE EDGE count, not a distinct node
+      // count: any removed node drops ≥ 1 of its symmetric rows, so
+      // edge-count stability ⟺ node-count stability — and counting
+      // the checkpointed frame is a narrow scan where distinct()
+      // paid an edge-sized shuffle per round (the sf0.1 entry runs
+      // 10 rounds; that shuffle was pure convergence overhead)
+      var mLive = m2
       var rounds = 0
       var converged = false
       while (!converged) {
@@ -414,14 +420,14 @@ object Graph {
           .join(keep.select(col("node").as("dst")), Seq("dst"), "left_semi")
           .select(col("src"), col("dst"))
           .localCheckpoint()
-        val nNext = next.select(col("src")).distinct().count()
-        if (nNext == nLive) {
+        val mNext = next.count()
+        if (mNext == mLive) {
           Checkpoints.unpersist(next)
           converged = true
         } else {
           Checkpoints.unpersist(cur)
           cur = next
-          nLive = nNext
+          mLive = mNext
         }
       }
       val out = cur.groupBy(col("src")).agg(count(lit(1)).as("core_deg"))
