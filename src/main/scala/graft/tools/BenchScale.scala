@@ -753,6 +753,60 @@ object BenchScale {
     }
   }
 
+  /** Time-series family ladder: sax / rollingZ / resample / acf over
+    * a generated 256-rows-per-key corpus (values bounded inside every
+    * kernel's magnitude contract). All four are one-sort-per-key
+    * analytic plans, so wall must track rows ~linearly; every rung's
+    * output count is EXACT by construction (fixed series length ⇒
+    * words = n − 7·keys, z rows = n − 8·keys, 60 s-grid marks =
+    * 5·keys for the 0..255 s span, acf rows = keys). */
+  private def tsLadder(spark: SparkSession, sizes: Seq[Long],
+                       maxTaskMs: java.util.concurrent.atomic.AtomicLong): Unit = {
+    import graft.operators.TimeSeries
+    val rungs = sizes.map { n =>
+      require(n % 256 == 0, s"ts ladder sizes must be multiples of 256, got $n")
+      val nKeys = n / 256
+      val dir = s"/tmp/graft_scale/ts_$n"
+      spark.range(n).selectExpr(
+          "id div 256 AS user_id",
+          "timestamp_micros((id % 256) * 1000000) AS ts",
+          "id AS event_id",
+          "pmod(xxhash64('v', id), 50000) / 100.0 AS value")
+        .write.mode("overwrite").parquet(dir) // untimed
+      val df = spark.read.parquet(dir)
+      def timed(f: => Long): (Double, Long, Double) = {
+        maxTaskMs.set(0)
+        val t0 = System.nanoTime()
+        val c = f
+        ((System.nanoTime() - t0) / 1e9, c, maxTaskMs.get() / 1e3)
+      }
+      val ord = Seq("ts", "event_id")
+      val (saxS, saxC, saxMt) = timed(
+        TimeSeries.saxWords(df, "user_id", ord, "value").count())
+      val (zS, zC, zMt) = timed(
+        TimeSeries.rollingZ(df, "user_id", ord, "value", "event_id").count())
+      val (rsS, rsC, rsMt) = timed(
+        TimeSeries.resampleLinear(df, "user_id", "ts", "value", "event_id",
+          stepSec = 60L).count())
+      val (acS, acC, acMt) = timed(
+        TimeSeries.autocorr(df, "user_id", ord, "value").count())
+      require(saxC == n - 7L * nKeys, s"sax rows at n=$n: $saxC")
+      require(zC == n - 8L * nKeys, s"rollingZ rows at n=$n: $zC")
+      require(rsC == 5L * nKeys, s"resample grid rows at n=$n: $rsC")
+      require(acC == nKeys, s"acf rows at n=$n: $acC")
+      println(f"""{"n_rows":$n,"keys":$nKeys,"sax_sec":$saxS%.2f,"z_sec":$zS%.2f,"resample_sec":$rsS%.2f,"acf_sec":$acS%.2f,"max_task_sec":${Seq(saxMt, zMt, rsMt, acMt).max}%.2f}""")
+      (n, Seq(saxS, zS, rsS, acS))
+    }
+    if (sizes.size >= 2) {
+      Seq("sax", "rollingz", "resample", "acf").zipWithIndex.foreach { case (nm, i) =>
+        val exponent = fitExponent(rungs.map { case (n, s) => (n, s(i)) })
+        println(f"""{"metric":"ts_${nm}_scale","exponent":$exponent%.3f}""")
+        require(exponent <= 1.3,
+          f"$nm wall grows super-linearly in rows: exponent $exponent%.3f > 1.3")
+      }
+    }
+  }
+
   /** Headline-query throughput ladder: the three canonical TPC-H plan
     * shapes (scan→agg q1, fact⋈fact join+agg q18-having, semi q4) on
     * GENERATED lineitem/orders at multiples of the sf0.1 row count —
@@ -950,11 +1004,12 @@ object BenchScale {
     val shingleMode = args.headOption.contains("shingle")
     val triMode = args.headOption.contains("tri")
     val kcoreMode = args.headOption.contains("kcore")
+    val tsMode = args.headOption.contains("ts")
     val backoffMode = args.headOption.contains("backoff")
     val sizeArgs =
       if (annMode || mmMode || pqMode || ivfPqMode || semMode || graphMode ||
           tpchMode || bpeMode || shingleMode || triMode || backoffMode ||
-          kcoreMode)
+          kcoreMode || tsMode)
         args.drop(1) else args
     val sizes =
       if (sizeArgs.nonEmpty) sizeArgs(0).split(",").map(_.trim.toLong).toSeq
@@ -969,6 +1024,7 @@ object BenchScale {
       else if (shingleMode) Seq(100000L, 400000L, 1600000L)
       else if (triMode) Seq(1000000L, 4000000L, 16000000L)
       else if (kcoreMode) Seq(1000000L, 4000000L, 16000000L)
+      else if (tsMode) Seq(1048576L, 4194304L, 16777216L)
       else if (backoffMode) Seq(100000L, 400000L, 1600000L)
       else Seq(5000L, 10000L, 20000L, 50000L)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -1026,6 +1082,7 @@ object BenchScale {
     if (shingleMode) { shingleLadder(spark, sizes, maxTaskMs); spark.stop(); return }
     if (triMode) { triLadder(spark, sizes, maxTaskMs); spark.stop(); return }
     if (kcoreMode) { kcoreLadder(spark, sizes, maxTaskMs); spark.stop(); return }
+    if (tsMode) { tsLadder(spark, sizes, maxTaskMs); spark.stop(); return }
     if (backoffMode) { backoffLadder(spark, sizes, maxTaskMs); spark.stop(); return }
 
     val rungs = sizes.map { n =>
