@@ -249,6 +249,126 @@ object Graph {
     }
   }
 
+  /** Weighted single-source shortest paths by synchronous
+    * Bellman-Ford relaxation over a DIRECTED weighted edge list
+    * (symmetrize upstream for undirected graphs) — the weighted
+    * extension of [[shortestHops]]. Integer (micro-unit) weights make
+    * every distance an exact integer, so the DuckDB twin replays the
+    * rounds bit-for-bit. Relaxation is MONOTONE (per-node distances
+    * only decrease, the reached set only grows) and IDEMPOTENT at its
+    * fixpoint, so — exactly like [[kCore]] — the twin replays a FIXED
+    * `maxRounds` chain and both kernel paths REQUIRE convergence
+    * within that budget: a graph whose weighted-hop diameter exceeds
+    * it fails loudly instead of diverging. Negative weights are
+    * rejected (monotonicity is the convergence argument).
+    *
+    * Scale shape: the weighted edge list is hash-partitioned on src
+    * ONCE, cached and materialized before round 1 is planned; each
+    * round exchanges only the reached-node distance vector (join +
+    * map-side-combinable min), per-round localCheckpoints keep the
+    * iterated plan constant-size, and the convergence probe is one
+    * narrow (count, sum) aggregate over the checkpointed vector —
+    * monotonicity makes (count, Σd) equality ⟺ fixpoint. ADAPTIVE
+    * DRIVER FINISH under the linear-kernel gate; integer relaxation
+    * makes the paths bit-identical (GraphSpec pins it).
+    *
+    * Returns (node, dist_micro) for every node reachable from the
+    * seeds (seeds at 0). */
+  def ssspMicro(edges: DataFrame, srcCol: String, dstCol: String,
+                wCol: String, seeds: DataFrame, maxRounds: Int = 10,
+                driverFinishEdges: Long = 1000000L): DataFrame = {
+    require(maxRounds >= 1)
+    withStableCachePartitioning(edges.sparkSession) {
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"),
+        col(wCol).cast("long").as("w"))
+      .withColumn("w", when(col("w") >= 0L, col("w"))
+        .otherwise(raise_error(concat(lit(
+          "ssspMicro: negative weight "), col("w").cast("string")))))
+      .repartition(col("src")).persist()
+    val nEdges = e.count()
+    val sd = seeds.toDF("node").select(col("node").cast("long"))
+      .distinct().localCheckpoint()
+    val nSeeds = sd.count()
+    if (driverFinishEdges > 0 && nEdges <= driverFinishEdges &&
+        nSeeds <= driverFinishEdges) {
+      val out =
+        try ssspDriver(edges.sparkSession, e, sd, maxRounds)
+        finally { e.unpersist(); Checkpoints.unpersist(sd) }
+      out
+    } else {
+      var dist = sd.withColumn("d", lit(0L)).localCheckpoint()
+      // (count, Σd) — exact decimal sum; monotone relaxation means
+      // equality of both ⟺ no distance changed and no node appeared
+      def probe(df: DataFrame): (Long, java.math.BigDecimal) = {
+        val r = df.agg(count(lit(1)),
+          sum(col("d").cast("decimal(38,0)"))).head()
+        (r.getLong(0), r.getDecimal(1))
+      }
+      var sig = probe(dist)
+      var rounds = 0
+      var converged = false
+      while (!converged) {
+        rounds += 1
+        require(rounds <= maxRounds,
+          s"ssspMicro: no fixpoint within maxRounds=$maxRounds - " +
+            "raise maxRounds AND the oracle's replay depth together")
+        val next = e.join(dist, col("src") === col("node"))
+          .select(col("dst").as("node"), (col("d") + col("w")).as("d"))
+          .union(dist)
+          .groupBy(col("node")).agg(min(col("d")).as("d"))
+          .localCheckpoint()
+        val nSig = probe(next)
+        if (nSig == sig) {
+          Checkpoints.unpersist(next)
+          converged = true
+        } else {
+          Checkpoints.unpersist(dist)
+          dist = next
+          sig = nSig
+        }
+      }
+      e.unpersist()
+      Checkpoints.unpersist(sd)
+      dist.select(col("node"), col("d").as("dist_micro"))
+    }
+    }
+  }
+
+  /** Bounded-collect driver rounds for [[ssspMicro]]: the same
+    * synchronous relaxation over the collected weighted edges —
+    * integer arithmetic makes it bit-identical to the distributed
+    * form, under the same round budget. */
+  private def ssspDriver(spark: org.apache.spark.sql.SparkSession,
+                         e: DataFrame, sd: DataFrame,
+                         maxRounds: Int): DataFrame = {
+    import spark.implicits._
+    val rows = e.select(col("src"), col("dst"), col("w"))
+      .as[(Long, Long, Long)].collect()
+    var dist = sd.select(col("node")).as[Long].collect()
+      .map(_ -> 0L).to(scala.collection.mutable.LongMap)
+    var changed = true
+    var rounds = 0
+    while (changed) {
+      rounds += 1
+      require(rounds <= maxRounds,
+        s"ssspMicro: no fixpoint within maxRounds=$maxRounds - " +
+          "raise maxRounds AND the oracle's replay depth together")
+      val next = dist.clone()
+      rows.foreach { case (s, d, w) =>
+        dist.get(s).foreach { ds =>
+          val cand = ds + w
+          if (next.get(d).forall(cand < _)) next(d) = cand
+        }
+      }
+      changed = next.size != dist.size || next.exists { case (n, v) => dist(n) != v }
+      dist = next
+    }
+    spark.createDataset(spark.sparkContext.parallelize(
+        dist.toSeq.map { case (n, v) => (n, v) }))
+      .toDF("node", "dist_micro")
+  }
+
   /** Synchronous label propagation (Raghavan et al. 2007) over an
     * UNDIRECTED edge list — the community-detection primitive next to
     * [[triangleCounts]]' cohesion metric. Every node starts labeled

@@ -1363,6 +1363,22 @@ object ExtensionCatalog {
       embKnnGraph(s, d).select(col("vec_id"), col("nb_id")),
       "vec_id", "nb_id", topN = 100)
 
+  /** Weighted single-source shortest paths over the co-purchase
+    * graph: affinity distance w = 1000000 div co-occurrence count
+    * (strongly co-purchased pairs are close), source = the smallest
+    * part id, synchronous Bellman-Ford ([[graft.operators.Graph.ssspMicro]]
+    * — exact integer relaxation, fixed-budget idempotent-replay
+    * oracle like g_kcore). */
+  val gSssp: Q = (s, d) => {
+    val ew = coPurchasePairs(s, d)
+      .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("c"))
+    val w = expr("1000000 div c")
+    val sym = ew.select(col("pa").as("src"), col("pb").as("dst"), w.as("w"))
+      .union(ew.select(col("pb").as("src"), col("pa").as("dst"), w.as("w")))
+    graft.operators.Graph.ssspMicro(sym, "src", "dst", "w",
+      sym.agg(min(col("src")).as("node")))
+  }
+
   /** Dense-core extraction over the co-purchase graph: the k-core at
     * the data-derived threshold k = ⌊0.7·avg degree⌋ ([[graft.operators.Graph.kCore]]
     * — exact integer peel, monotone and idempotent at its fixpoint,

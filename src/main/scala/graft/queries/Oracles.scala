@@ -2276,6 +2276,28 @@ object Oracles {
     // the 4 synchronous rounds replayed as a counts CTE + a
     // row_number argmax with the IDENTICAL (count desc, label asc)
     // tie-break — integer counts, so the replay cannot diverge
+    // SSSP twin: exact-integer Bellman-Ford replayed as a FIXED
+    // 10-round MATERIALIZED chain (each round references its
+    // predecessor twice). Relaxation is monotone and idempotent at
+    // its fixpoint, so over-provisioned rounds are no-ops; the Spark
+    // kernel REQUIREs convergence within the same budget.
+    "g_sssp" -> {
+      val rounds = (1 to 10).map { i =>
+        s"""r$i AS MATERIALIZED (SELECT node, min(d) AS d FROM (
+           |  SELECT node, d FROM r${i - 1}
+           |  UNION ALL SELECT s.dst AS node, t.d + s.w AS d
+           |  FROM sym s JOIN r${i - 1} t ON s.src = t.node) GROUP BY 1)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH lp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+         |ep AS (SELECT a.p AS u, b.p AS v, count(*) AS c FROM lp a JOIN lp b
+         |  ON a.ok = b.ok AND a.p < b.p GROUP BY 1, 2),
+         |sym AS MATERIALIZED (SELECT u AS src, v AS dst, 1000000 // c AS w FROM ep
+         |  UNION ALL SELECT v AS src, u AS dst, 1000000 // c AS w FROM ep),
+         |r0 AS MATERIALIZED (SELECT min(src) AS node, CAST(0 AS BIGINT) AS d FROM sym),
+         |$rounds
+         |SELECT node, d AS dist_micro FROM r10""".stripMargin
+    },
     // k-core twin: the same exact-integer peel, replayed as a FIXED
     // 12-round CTE chain. Peeling is monotone and idempotent at its
     // fixpoint, so extra rounds are no-ops; the Spark kernel REQUIREs

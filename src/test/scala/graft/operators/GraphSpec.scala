@@ -310,6 +310,64 @@ class GraphSpec extends SparkSpec {
     assert(runCore(path, 2, gate = 0L).isEmpty)
   }
 
+  /** Reference SSSP: plain Bellman-Ford to fixpoint. */
+  private def referenceSssp(edges: Seq[(Long, Long, Long)],
+                            seeds: Seq[Long]): Map[Long, Long] = {
+    var dist = seeds.map(_ -> 0L).toMap
+    var changed = true
+    while (changed) {
+      changed = false
+      val next = scala.collection.mutable.Map(dist.toSeq: _*)
+      edges.foreach { case (s, d, w) =>
+        dist.get(s).foreach { ds =>
+          if (next.get(d).forall(ds + w < _)) { next(d) = ds + w; changed = true }
+        }
+      }
+      dist = next.toMap
+    }
+    dist
+  }
+
+  private def runSssp(edges: Seq[(Long, Long, Long)], seeds: Seq[Long],
+                      gate: Long, maxRounds: Int = 10): Map[Long, Long] = {
+    import spark.implicits._
+    Graph.ssspMicro(edges.toDF("src", "dst", "w"), "src", "dst", "w",
+        seeds.toDF("node"), maxRounds = maxRounds, driverFinishEdges = gate)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("ssspMicro: a cheap two-hop path beats the direct expensive edge") {
+    val edges = Seq((1L, 2L, 10L), (2L, 3L, 10L), (1L, 3L, 100L))
+    val want = Map(1L -> 0L, 2L -> 10L, 3L -> 20L)
+    assert(runSssp(edges, Seq(1L), gate = 1000000L) == want, "driver path")
+    assert(runSssp(edges, Seq(1L), gate = 0L) == want, "distributed path")
+  }
+
+  test("ssspMicro: matches the reference on random weighted graphs, both paths") {
+    val rnd = new scala.util.Random(1229)
+    (1 to 2).foreach { trial =>
+      val edges = Seq.fill(60)((rnd.nextInt(14).toLong,
+        rnd.nextInt(14).toLong, rnd.nextInt(50).toLong + 1L))
+        .filter { case (s, d, _) => s != d }
+      val seeds = Seq(0L, 7L)
+      val want = referenceSssp(edges, seeds)
+      assert(runSssp(edges, seeds, gate = 1000000L) == want, s"driver, trial $trial")
+      assert(runSssp(edges, seeds, gate = 0L) == want, s"distributed, trial $trial")
+    }
+  }
+
+  test("ssspMicro: over-budget relaxation fails loudly; negative weight rejected") {
+    val path = (1L to 7L).sliding(2).map(s => (s(0), s(1), 5L)).toSeq
+    val ex = intercept[Exception] { runSssp(path, Seq(1L), gate = 0L, maxRounds = 2) }
+    val all = ex.getMessage + Option(ex.getCause).map(_.getMessage).getOrElse("")
+    assert(all.contains("maxRounds"), s"expected the round guard, got: $all")
+    val ex2 = intercept[Exception] {
+      runSssp(Seq((1L, 2L, -3L)), Seq(1L), gate = 0L)
+    }
+    val all2 = ex2.getMessage + Option(ex2.getCause).map(_.getMessage).getOrElse("")
+    assert(all2.contains("negative weight"), s"expected the weight guard, got: $all2")
+  }
+
   test("commonNeighbors: counts shared neighbors of non-adjacent pairs only") {
     import spark.implicits._
     // 1-2, 2-3, 1-4, 4-3, 1-3: the one non-adjacent pair is (2,4),
