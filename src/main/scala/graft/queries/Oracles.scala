@@ -720,8 +720,9 @@ object Oracles {
          |SELECT user_id, event_id,
          |  CASE WHEN sd = 0.0 THEN NULL
          |    ELSE (CAST(vc AS DOUBLE) - mean) / sd END AS z,
-         |  CASE WHEN sd = 0.0 THEN FALSE
-         |    ELSE abs((CAST(vc AS DOUBLE) - mean) / sd) > 3.0 END AS is_anom
+         |  COALESCE(CASE WHEN sd = 0.0 THEN FALSE
+         |    ELSE abs((CAST(vc AS DOUBLE) - mean) / sd) > 3.0 END,
+         |    FALSE) AS is_anom
          |FROM ms""".stripMargin
     },
     // ACF twin: exact integer centi-unit moments (per-row products

@@ -115,6 +115,26 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got(0).isNullAt(2) && !got(0).getBoolean(3))
   }
 
+  test("rollingZ: a NULL value scores NULL z and FALSE flag, never aborts") {
+    import spark.implicits._
+    // null at the scored row AND null inside a later baseline — both
+    // propagate to NULL z with the flag coalesced FALSE (the oracle
+    // mirrors with COALESCE(..., FALSE))
+    val rows = (0 until 11).map { i =>
+      val v: java.lang.Double = if (i == 8) null else (i + 1).toDouble
+      (1L, new java.sql.Timestamp(1000L * i), i.toLong, v)
+    }
+    val got = TimeSeries.rollingZ(
+        rows.toDF("user_id", "ts", "event_id", "value"),
+        "user_id", Seq("ts", "event_id"), "value", "event_id")
+      .collect().map(r => (r.getLong(1), r.isNullAt(2), r.getBoolean(3))).toSeq
+      .sortBy(_._1)
+    // rows 9,10,11 (ids 8,9,10): id 8 IS the null row; ids 9,10 have
+    // the null in their baseline — all NULL z, FALSE flag
+    assert(got == Seq((8L, true, false), (9L, true, false), (10L, true, false)),
+      s"got $got")
+  }
+
   test("resampleLinear interpolates hour marks, hits exact points, ties to max id") {
     import spark.implicits._
     def t(sec: Long) = new java.sql.Timestamp(sec * 1000L)
