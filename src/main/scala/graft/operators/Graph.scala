@@ -864,4 +864,144 @@ object Graph {
         spark.sparkContext.parallelize(dist.toSeq))
       .toDF("node", "d")
   }
+
+  /** HITS hubs & authorities (Kleinberg, "Authoritative sources in a
+    * hyperlinked environment", JACM 1999) over a DIRECTED edge list —
+    * the mutual-reinforcement companion to [[pageRankMicro]]: a good
+    * hub points at good authorities, a good authority is pointed at
+    * by good hubs. Fixed `iterations` of the synchronous update
+    *
+    *   araw(v) = Σ_{u→v} h(u);  a(v) = (araw(v)·10⁶) div max araw
+    *   hraw(u) = Σ_{u→v} a(v);  h(u) = (hraw(u)·10⁶) div max hraw
+    *
+    * from h₀ ≡ 10⁶. All arithmetic is EXACT INTEGER: raw sums in
+    * decimal(38,0) (the HUGEINT twin — a long sum overflows past
+    * ~9·10¹² nodes of mass), normalized scores floor-divided back
+    * into [0, 10⁶], so every round is bit-identical across engines
+    * and partition layouts and the DuckDB twin replays the rounds
+    * CTE-by-CTE (max-normalization in place of the textbook L2 keeps
+    * the fixpointing integral — rankings, the thing HITS is used
+    * for, are unaffected). Multi-edges are honored (each edge row
+    * contributes); callers wanting 0/1 adjacency pass distinct pairs.
+    *
+    * Scale shape: the edge list is hash-partitioned and cached TWICE
+    * — once on src (feeding the authority sum's join on h) and once
+    * on dst (feeding the hub sum's join on a) — so no round ever
+    * exchanges the |E|-row edge list; each round moves only the two
+    * |V|-row score vectors plus two one-row max broadcasts, and both
+    * sums partial-aggregate map-side. ADAPTIVE DRIVER FINISH under
+    * the linear-kernel gate, BigInteger arithmetic keeping the two
+    * paths bit-identical (GraphSpec pins it). BATCH-ONLY by contract
+    * (see the object scaladoc).
+    *
+    * Returns (node, hub_micro, auth_micro) for every node in the
+    * edge list; a node with no out-edges has hub 0, one with no
+    * in-edges auth 0. */
+  def hitsMicro(edges: DataFrame, srcCol: String, dstCol: String,
+                iterations: Int = 4,
+                driverFinishEdges: Long = 1000000L): DataFrame = {
+    require(iterations >= 1)
+    withStableCachePartitioning(edges.sparkSession) {
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    val eS = e.repartition(col("src")).persist()
+    val nEdges = eS.count()
+    require(nEdges > 0, "hitsMicro: empty edge list - the round " +
+      "normalizer max(araw) would be undefined")
+    if (driverFinishEdges > 0 && nEdges <= driverFinishEdges) {
+      val out = try hitsDriver(edges.sparkSession, eS, iterations)
+                finally eS.unpersist()
+      out
+    } else {
+      val eD = e.repartition(col("dst")).persist()
+      eD.count()
+      val nodes = eS.select(col("src").as("node"))
+        .union(eD.select(col("dst").as("node")))
+        .distinct().localCheckpoint()
+      var h = nodes.withColumn("h", lit(1000000L))
+      var a: DataFrame = null
+      for (i <- 1 to iterations) {
+        val prevA = a
+        val prevH = if (i > 1) h else null
+        // authority sum: the src-partitioned edge cache joins the
+        // hub vector, partial-aggregates map-side, exchanges only
+        // per-dst contributions
+        val araw = eS.join(h, col("src") === col("node"))
+          .groupBy(col("dst"))
+          .agg(sum(col("h").cast("decimal(38,0)")).as("araw"))
+        val aM = araw.agg(max(col("araw")).as("am"))
+        a = araw.crossJoin(broadcast(aM))
+          .select(col("dst").as("node"),
+            expr("CAST((araw * 1000000) div am AS BIGINT)").as("a"))
+          .localCheckpoint()
+        if (prevA != null) Checkpoints.unpersist(prevA)
+        val hraw = eD.join(a, col("dst") === col("node"))
+          .groupBy(col("src"))
+          .agg(sum(col("a").cast("decimal(38,0)")).as("hraw"))
+        val hM = hraw.agg(max(col("hraw")).as("hm"))
+        h = hraw.crossJoin(broadcast(hM))
+          .select(col("src").as("node"),
+            expr("CAST((hraw * 1000000) div hm AS BIGINT)").as("h"))
+          .localCheckpoint()
+        if (prevH != null) Checkpoints.unpersist(prevH)
+      }
+      val out = nodes
+        .join(h, Seq("node"), "left")
+        .join(a, Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("h"), lit(0L)).as("hub_micro"),
+          coalesce(col("a"), lit(0L)).as("auth_micro"))
+        .localCheckpoint()
+      Checkpoints.unpersist(h)
+      Checkpoints.unpersist(a)
+      Checkpoints.unpersist(nodes)
+      eS.unpersist()
+      eD.unpersist()
+      out
+    }
+    }
+  }
+
+  /** Bounded-collect driver rounds for [[hitsMicro]]: the same
+    * max-normalized integer updates over the collected edges, raw
+    * sums in BigInteger (the decimal(38,0) twin), floor divisions on
+    * non-negative operands — bit-identical to the distributed form. */
+  private def hitsDriver(spark: org.apache.spark.sql.SparkSession,
+                         e: DataFrame, iterations: Int): DataFrame = {
+    import spark.implicits._
+    import java.math.BigInteger
+    val rows = e.as[(Long, Long)].collect()
+    val nodes = (rows.map(_._1) ++ rows.map(_._2)).distinct
+    val M = BigInteger.valueOf(1000000L)
+    var h = scala.collection.mutable.LongMap.empty[Long]
+    nodes.foreach(n => h(n) = 1000000L)
+    var a = scala.collection.mutable.LongMap.empty[Long]
+    for (_ <- 1 to iterations) {
+      val araw = scala.collection.mutable.LongMap.empty[BigInteger]
+      rows.foreach { case (s, d) =>
+        h.get(s).foreach { hs =>
+          araw(d) = araw.getOrElse(d, BigInteger.ZERO)
+            .add(BigInteger.valueOf(hs))
+        }
+      }
+      val am = araw.values.max
+      a = araw.map { case (n, v) =>
+        n -> v.multiply(M).divide(am).longValueExact()
+      }.to(scala.collection.mutable.LongMap)
+      val hraw = scala.collection.mutable.LongMap.empty[BigInteger]
+      rows.foreach { case (s, d) =>
+        a.get(d).foreach { ad =>
+          hraw(s) = hraw.getOrElse(s, BigInteger.ZERO)
+            .add(BigInteger.valueOf(ad))
+        }
+      }
+      val hm = hraw.values.max
+      h = hraw.map { case (n, v) =>
+        n -> v.multiply(M).divide(hm).longValueExact()
+      }.to(scala.collection.mutable.LongMap)
+    }
+    spark.createDataset(spark.sparkContext.parallelize(
+        nodes.toSeq.map(n => (n, h.getOrElse(n, 0L), a.getOrElse(n, 0L)))))
+      .toDF("node", "hub_micro", "auth_micro")
+  }
 }

@@ -1379,6 +1379,26 @@ object ExtensionCatalog {
       sym.agg(min(col("src")).as("node")))
   }
 
+  /** Hubs & authorities over the DIRECTED customer→supplier purchase
+    * graph (who buys ↔ who supplies, the classic bipartite HITS
+    * setting): 4 rounds of [[graft.operators.Graph.hitsMicro]] —
+    * exact-integer max-normalized mutual reinforcement, each round
+    * two co-located edge joins (the edge list cached partitioned on
+    * BOTH keys) exchanging only the score vectors. Customers carry
+    * hub scores (auth 0 — never pointed at), suppliers authority
+    * scores (hub 0), and the DuckDB twin replays the rounds
+    * CTE-by-CTE to the bit. */
+  val gHits: Q = (s, d) => {
+    val pairs = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    graft.operators.Graph.hitsMicro(pairs, "src", "dst", iterations = 4)
+  }
+
   /** Dense-core extraction over the co-purchase graph: the k-core at
     * the data-derived threshold k = ⌊0.7·avg degree⌋ ([[graft.operators.Graph.kCore]]
     * — exact integer peel, monotone and idempotent at its fixpoint,

@@ -562,6 +562,36 @@ object Oracles {
        |${(1 to 5).map(prRound).mkString(",\n")}
        |SELECT node, r AS rank_micro FROM r5""".stripMargin
 
+  /** g_hits twin: 4 unrolled HITS rounds over the directed
+    * customer→supplier purchase graph — raw sums in HUGEINT (the
+    * decimal(38,0) twin), max-normalized floor divisions back into
+    * [0, 10⁶]; all-integer, so the replay matches to the bit.
+    * MATERIALIZED per round: each a/h CTE is referenced by its raw
+    * sum AND its scalar max. */
+  private def hitsRound(i: Int): String =
+    s"""ar$i AS MATERIALIZED (SELECT e.dst, sum(CAST(h AS HUGEINT)) AS araw
+       |  FROM edges e JOIN h${i - 1} ON e.src = node GROUP BY 1),
+       |a$i AS MATERIALIZED (SELECT dst AS node,
+       |  CAST((araw * 1000000) // (SELECT max(araw) FROM ar$i) AS BIGINT) AS a
+       |  FROM ar$i),
+       |hr$i AS MATERIALIZED (SELECT e.src, sum(CAST(a AS HUGEINT)) AS hraw
+       |  FROM edges e JOIN a$i ON e.dst = node GROUP BY 1),
+       |h$i AS MATERIALIZED (SELECT src AS node,
+       |  CAST((hraw * 1000000) // (SELECT max(hraw) FROM hr$i) AS BIGINT) AS h
+       |  FROM hr$i)""".stripMargin
+
+  private val hitsSql: String =
+    s"""WITH edges AS MATERIALIZED (SELECT DISTINCT o_custkey * 2 AS src,
+       |    l_suppkey * 2 + 1 AS dst
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+       |h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS h FROM nodes),
+       |${(1 to 4).map(hitsRound).mkString(",\n")}
+       |SELECT n.node, coalesce(h.h, 0) AS hub_micro,
+       |  coalesce(a.a, 0) AS auth_micro
+       |FROM nodes n LEFT JOIN h4 h USING (node) LEFT JOIN a4 a USING (node)"""
+      .stripMargin
+
   /** g_bfs twin: min-hop from NATION_3 suppliers (s_nationkey = 3 —
     * see ExtensionCatalog.gBfs for why nation 0 was abandoned) as
     * four unrolled
@@ -690,6 +720,7 @@ object Oracles {
 
   val all: Map[String, String] = tpchSql ++ Map(
     "g_pagerank" -> pagerankSql,
+    "g_hits" -> hitsSql,
     "g_bfs" -> bfsSql,
     "ts_sax" ->
       s"WITH $saxCte SELECT user_id, rn, sax FROM sax",

@@ -39,6 +39,8 @@ object PlanSweep {
     // ta_colloc: the one-row n_total broadcast feeding the PMI ratio
     // (the ta_backoff total-join shape)
     "ta_colloc",
+    // g_hits: two one-row max-normalizer broadcasts per HITS round
+    "g_hits",
     "q11_share_threshold", "q20_excess_shippers", "q22_idle_customers")
 
   def main(args: Array[String]): Unit = {

@@ -410,4 +410,75 @@ class GraphSpec extends SparkSpec {
       assert(runCore(und, 4, gate = 0L) == want, s"distributed path, trial $trial")
     }
   }
+
+  /** Independent HITS reference: the same max-normalized integer
+    * recurrence over plain Maps with BigInt sums — a different data
+    * layout and iteration order from both kernel paths. */
+  private def referenceHits(edges: Seq[(Long, Long)],
+                            iters: Int): Map[Long, (Long, Long)] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    var h: Map[Long, Long] = nodes.map(_ -> 1000000L).toMap
+    var a: Map[Long, Long] = Map.empty
+    for (_ <- 1 to iters) {
+      val araw = edges.groupBy(_._2).map { case (d, es) =>
+        d -> es.map { case (s, _) => BigInt(h.getOrElse(s, 0L)) }.sum
+      }
+      val am = araw.values.max
+      a = araw.map { case (n, v) => n -> (v * 1000000 / am).toLong }
+      val hraw = edges.groupBy(_._1).map { case (s, es) =>
+        s -> es.map { case (_, d) => BigInt(a(d)) }.sum
+      }
+      val hm = hraw.values.max
+      h = hraw.map { case (n, v) => n -> (v * 1000000 / hm).toLong }
+    }
+    nodes.map(n => n -> (h.getOrElse(n, 0L), a.getOrElse(n, 0L))).toMap
+  }
+
+  private def runHits(edges: Seq[(Long, Long)], iters: Int,
+                      gate: Long): Map[Long, (Long, Long)] = {
+    import spark.implicits._
+    Graph.hitsMicro(edges.toDF("src", "dst"), "src", "dst",
+        iterations = iters, driverFinishEdges = gate)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+  }
+
+  test("hitsMicro: the best-connected hub and authority top their sides") {
+    // bipartite buyers {1,2,3} → products {10,11,12}: buyer 1 buys
+    // everything (best hub), product 10 is bought by everyone (best
+    // authority); buyer 3 and product 12 touch only each other
+    val edges = Seq((1L, 10L), (1L, 11L), (1L, 12L),
+      (2L, 10L), (2L, 11L), (3L, 10L))
+    val want = referenceHits(edges, 4)
+    val got = runHits(edges, 4, gate = 1000000L)
+    assert(got == want, s"got $got want $want")
+    // max-normalization pins the leaders at exactly 10^6
+    assert(got(1L)._1 == 1000000L && got(10L)._2 == 1000000L)
+    // pure sources have auth 0; pure sinks hub 0
+    assert(got(1L)._2 == 0L && got(10L)._1 == 0L)
+    // the weakest hub scores strictly below the strongest
+    assert(got(3L)._1 < got(2L)._1 && got(2L)._1 < got(1L)._1)
+  }
+
+  test("hitsMicro: driver and distributed paths match the reference on random digraphs") {
+    val rnd = new scala.util.Random(977)
+    (1 to 2).foreach { trial =>
+      // general (non-bipartite) digraph: cycles, self-referencing
+      // communities, multi-role nodes — hub and auth on the same node
+      val edges = Seq.fill(60)((rnd.nextInt(12).toLong, rnd.nextInt(12).toLong))
+        .filter { case (s, d) => s != d }.distinct
+      val want = referenceHits(edges, 4)
+      assert(runHits(edges, 4, gate = 1000000L) == want, s"driver, trial $trial")
+      assert(runHits(edges, 4, gate = 0L) == want, s"distributed, trial $trial")
+    }
+  }
+
+  test("hitsMicro: empty edge list fails loudly") {
+    import spark.implicits._
+    val ex = intercept[Exception] {
+      Graph.hitsMicro(Seq.empty[(Long, Long)].toDF("src", "dst"),
+        "src", "dst").collect()
+    }
+    val all = ex.getMessage + Option(ex.getCause).map(_.getMessage).getOrElse("")
+    assert(all.contains("empty edge list"), s"expected the guard, got: $all")
+  }
 }
