@@ -509,4 +509,66 @@ object TimeSeries {
         translate(col("sax"), "abcdflt", "zyxwvut").as("inv"),
         col("sax").as("word"))).as("m"))
       .select(col(keyCol), col("m.word").as("motif"), col("m.n").as("n"))
+
+  /** Holt double-exponential smoothing, final state per key (Holt
+    * 1957 / the "linear trend" member of the exponential-smoothing
+    * family): seeded l₀ = x₀, b₀ = 0, then per time-ordered value
+    *
+    *   l ← α·x + (1−α)·(l + b);  b ← β·(l_new − l_old) + (1−β)·b
+    *
+    * emitting each key's final (level, trend, forecast = level+trend)
+    * rounded to 6 — the trend-aware upgrade of [[RunningAggs.emaPerKey]]
+    * (EMA is the β = 0, trend-dropped special case). A recurrence
+    * cannot partial-aggregate, so the scale shape is the secondary-
+    * sort fold: ONE hash partitioning on the key, an external
+    * (disk-spilling) sort within partitions, then a streaming fold
+    * holding two doubles per key — no per-key history buffer at any
+    * group size.
+    *
+    * Cross-engine exactness: both engines seed identically and apply
+    * the SAME IEEE expression tree in the same (ts, id)-total order —
+    * the complements are exact (1.0−α == the 1−α literal for the
+    * catalog's α = 0.2, β = 0.1), so the fold matches the oracle's
+    * recursive-CTE replay bit-for-bit before the final display
+    * rounding. (The oracle is a recursive CTE rather than the a4-style
+    * list_reduce fold: Holt's state is a STRUCT, and DuckDB v1.0.0
+    * list_reduce evaluates struct fields sequentially with acc
+    * updated IN PLACE — the 'b' field would see the already-updated
+    * 'l'. A recursive CTE reads the previous iteration's row
+    * immutably.) */
+  def holtFinal(df: DataFrame, keyCol: String, tsCol: String,
+                idCol: String, valueCol: String,
+                alpha: Double = 0.2, beta: Double = 0.1): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0 && beta >= 0.0 && beta <= 1.0,
+      s"holtFinal: alpha=$alpha beta=$beta out of (0,1] x [0,1]")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ac = 1.0 - alpha
+    val bc = 1.0 - beta
+    val sorted = df.select(col(keyCol).cast("long").as("k"),
+        unix_micros(col(tsCol).cast("timestamp")).as("t"),
+        col(idCol).cast("long").as("id"),
+        col(valueCol).cast("double").as("x"))
+      .as[(Long, Long, Long, Double)]
+      .repartition(col("k"))
+      .sortWithinPartitions(col("k"), col("t"), col("id"))
+    SecondarySort.keyedFoldFlush(sorted)(
+      _._1, () => Option.empty[(Double, Double)],
+      (s: Option[(Double, Double)], row: (Long, Long, Long, Double)) => {
+        val next = s match {
+          case None => (row._4, 0.0)
+          case Some((l, b)) =>
+            val nl = alpha * row._4 + ac * (l + b)
+            val nb = beta * (nl - l) + bc * b
+            (nl, nb)
+        }
+        (Some(next), Seq.empty[(Long, Double, Double)])
+      },
+      (k: Long, s: Option[(Double, Double)]) =>
+        s.map { case (l, b) => (k, l, b) }.toSeq)
+      .toDF(keyCol, "l", "b")
+      .select(col(keyCol), round(col("l"), 6).as("level"),
+        round(col("b"), 6).as("trend"),
+        round(col("l") + col("b"), 6).as("forecast"))
+  }
 }

@@ -1441,4 +1441,13 @@ object ExtensionCatalog {
   val tsResample: Q = (s, d) =>
     graft.operators.TimeSeries.resampleLinear(Tables.events(s, d),
       "user_id", "ts", "value", "event_id")
+
+  /** Holt double-exponential smoothing per user (α = 0.2, β = 0.1):
+    * final level/trend state and the one-step forecast — the
+    * trend-aware forecaster next to a4's plain EMA. One secondary-
+    * sort fold; the DuckDB twin replays the recurrence as a
+    * recursive CTE. */
+  val tsHolt: Q = (s, d) =>
+    graft.operators.TimeSeries.holtFinal(Tables.events(s, d),
+      "user_id", "ts", "event_id", "value")
 }

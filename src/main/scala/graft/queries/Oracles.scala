@@ -787,6 +787,29 @@ object Oracles {
          |$acfs
          |FROM m""".stripMargin
     },
+    // Holt twin: the IDENTICAL IEEE recurrence (seed l=x0 b=0, then
+    // l' = 0.2x + 0.8(l+b); b' = 0.1(l'-l) + 0.9b — complements are
+    // exact-literal doubles) replayed as a RECURSIVE CTE over the
+    // (ts, event_id)-total order. NOT the a4 list_reduce fold: Holt's
+    // state is a struct, and DuckDB v1.0.0 list_reduce evaluates
+    // struct fields sequentially with acc mutated IN PLACE, so the
+    // 'b' field would read the already-updated 'l'; the recursive CTE
+    // reads the previous iteration's row immutably.
+    "ts_holt" ->
+      """WITH RECURSIVE v AS (SELECT user_id, CAST(value AS DOUBLE) AS x,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |r AS (
+        |  SELECT user_id, rn, x AS l, CAST(0 AS DOUBLE) AS b FROM v WHERE rn = 1
+        |  UNION ALL
+        |  SELECT v.user_id, v.rn,
+        |    0.2 * v.x + 0.8 * (r.l + r.b) AS l,
+        |    0.1 * ((0.2 * v.x + 0.8 * (r.l + r.b)) - r.l) + 0.9 * r.b AS b
+        |  FROM r JOIN v ON v.user_id = r.user_id AND v.rn = r.rn + 1),
+        |mx AS (SELECT user_id, max(rn) AS m FROM v GROUP BY 1)
+        |SELECT r.user_id, round(r.l, 6) AS level, round(r.b, 6) AS trend,
+        |  round(r.l + r.b, 6) AS forecast
+        |FROM r JOIN mx ON r.user_id = mx.user_id AND r.rn = mx.m""".stripMargin,
     // resample twin: the same exact-integer brackets (epoch-micro
     // times, micro-unit values, ties pre-collapsed to the max-id
     // event) and the same RANGE-frame bracket lookups; the grid is a

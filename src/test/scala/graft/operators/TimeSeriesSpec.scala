@@ -232,4 +232,60 @@ class TimeSeriesSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
     assert(got == Set((1L, "abcd", 2L), (2L, "abcd", 1L)))
   }
+
+  /** Independent Holt reference: explicit Vector fold (a different
+    * structure from the kernel's streaming iterator), SAME IEEE tree. */
+  private def refHolt(xs: Seq[Double], a: Double, b: Double): (Double, Double) =
+    xs.tail.foldLeft((xs.head, 0.0)) { case ((l, t), x) =>
+      val nl = a * x + (1.0 - a) * (l + t)
+      (nl, b * (nl - l) + (1.0 - b) * t)
+    }
+
+  private def runHolt(series: Map[Long, Seq[Double]]): Map[Long, (Double, Double, Double)] = {
+    import spark.implicits._
+    val rows = series.toSeq.flatMap { case (k, xs) =>
+      xs.zipWithIndex.map { case (v, i) =>
+        (k, new java.sql.Timestamp(1000L * i), i.toLong, v)
+      }
+    }
+    TimeSeries.holtFinal(rows.toDF("user_id", "ts", "event_id", "value"),
+        "user_id", "ts", "event_id", "value")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+  }
+
+  test("holtFinal: an exact linear ramp forecasts the next step dead-on direction") {
+    val series = Map(
+      1L -> (1 to 20).map(_ * 2.0),     // clean trend: b converges toward 2
+      2L -> Seq(5.0),                   // single point: level=x, trend=0
+      3L -> Seq(10.0, 12.0, 15.0))      // the hand-replayed fixture
+    val got = runHolt(series)
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    series.foreach { case (k, xs) =>
+      val (l, t) = refHolt(xs, 0.2, 0.1)
+      assert(got(k) == ((r6(l), r6(t), r6(l + t))), s"key $k")
+    }
+    assert(got(2L) == ((5.0, 0.0, 5.0)))
+    // the ramp's trend is positive and its forecast above its level
+    assert(got(1L)._2 > 0.0 && got(1L)._3 > got(1L)._1)
+    // hand replay of key 3: l=10.4,b=0.04 after 12; l=11.352 after 15
+    assert(got(3L)._1 == 11.352)
+  }
+
+  test("holtFinal: order comes from (ts, id), not input order") {
+    import spark.implicits._
+    val t0 = new java.sql.Timestamp(0L)
+    // same ts for ids 1 and 2 — id breaks the tie; rows arrive shuffled
+    val rows = Seq(
+      (1L, new java.sql.Timestamp(2000L), 3L, 30.0),
+      (1L, t0, 2L, 20.0),
+      (1L, t0, 1L, 10.0))
+    val got = TimeSeries.holtFinal(rows.toDF("user_id", "ts", "event_id", "value"),
+        "user_id", "ts", "event_id", "value")
+      .collect().map(r => (r.getDouble(1), r.getDouble(2))).head
+    val (l, t) = refHolt(Seq(10.0, 20.0, 30.0), 0.2, 0.1)
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(got == ((r6(l), r6(t))))
+  }
 }
