@@ -503,6 +503,72 @@ object TextAnalysis {
         col("score"))
   }
 
+  /** Okapi BM25 ranked retrieval (Robertson & Walker, SIGIR 1994):
+    * the top-`topK` documents scoring a fixed literal query term set,
+    *
+    *   score(D) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b + b·dl/avgdl))
+    *   idf(t)   = ln(1 + (N − df + 0.5)/(df + 0.5))   (always > 0)
+    *
+    * Scale shape: ONE tokenize pass — a single map-side-combinable
+    * aggregate computes every doc's length AND its per-query-term
+    * term frequencies as conditional sums (the query is a literal
+    * list, so tf columns are fixed-width, no per-term join), then a
+    * ONE-ROW corpus-stats aggregate (N, Σdl, per-term df) broadcasts
+    * back over the per-doc frame and the emit is a
+    * TakeOrderedAndProject. The corpus never joins itself and never
+    * shuffles twice.
+    *
+    * Cross-engine exactness (the ta_entropy discipline): each term's
+    * contribution is computed from INTEGER operands (tf, df, N, dl,
+    * Σdl) through one identical IEEE expression tree, rounded to
+    * integer MICRO-units per term, and the per-doc score is the exact
+    * integer SUM of those — no order-dependent double accumulation
+    * ever crosses engines. Ranking is (score desc, doc_id), total. */
+  def bm25Rank(df: DataFrame, textCol: String, idCol: String,
+               queryTerms: Seq[String], topK: Int = 20,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty && queryTerms.distinct == queryTerms,
+      "bm25Rank: query terms must be non-empty and distinct")
+    val toks = df.select(col(idCol).cast("long").as("doc_id"),
+        StatelessOps.explodeTokens(col(textCol)).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val tfAggs = count(lit(1)).as("dl") +:
+      queryTerms.zipWithIndex.map { case (t, i) =>
+        sum(when(col("tok") === t, 1L).otherwise(0L)).as(s"tf$i")
+      }
+    val perDoc = toks.groupBy(col("doc_id")).agg(tfAggs.head, tfAggs.tail: _*)
+    val statAggs = Seq(count(lit(1)).as("n_docs"),
+        sum(col("dl")).as("total_dl")) ++
+      queryTerms.indices.map(i =>
+        sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
+    val stats = perDoc.agg(statAggs.head, statAggs.tail: _*)
+    val avgdl = col("total_dl").cast("double") / col("n_docs")
+    def termMicro(i: Int) = {
+      val tf = col(s"tf$i")
+      val dfc = col(s"df$i")
+      val idf = log(lit(1.0) +
+        ((col("n_docs") - dfc).cast("double") + lit(0.5)) /
+          (dfc.cast("double") + lit(0.5)))
+      val tfp = (tf.cast("double") * lit(k1 + 1.0)) /
+        (tf.cast("double") + lit(k1) *
+          (lit(1.0 - b) + lit(b) * (col("dl") / avgdl)))
+      when(tf > 0, round(lit(1000000) * (idf * tfp)).cast("long"))
+        .otherwise(lit(0L))
+    }
+    perDoc.crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        queryTerms.indices.map(termMicro).reduce(_ + _).as("score_micro"))
+      .filter(col("score_micro") > 0L)
+      .orderBy(col("score_micro").desc, col("doc_id"))
+      .limit(topK)
+      // rank over the already-cut topK rows — a bounded single
+      // partition, not a corpus-wide global window
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("score_micro").desc, col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("rk"), col("score_micro"))
+  }
+
   /** Winnowing fingerprint (the MOSS scheme, Schleimer et al. 2003):
     * hash every k-gram of the raw text, take the window-min over each
     * sliding window of w grams, keep the DISTINCT minima per doc. The

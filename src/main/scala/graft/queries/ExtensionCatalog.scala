@@ -877,6 +877,15 @@ object ExtensionCatalog {
   val taTfidf: Q = (s, d) =>
     TextAnalysis.tfidfTopTerms(Tables.documents(s, d), "text", "doc_id")
 
+  /** BM25 ranked retrieval: the 20 documents best matching the fixed
+    * query "stream join window filter" — one tokenize pass, one
+    * map-side-combinable aggregate, a one-row corpus-stats broadcast,
+    * integer micro-unit per-term scores summed order-free
+    * ([[graft.operators.TextAnalysis.bm25Rank]]). */
+  val taBm25: Q = (s, d) =>
+    TextAnalysis.bm25Rank(Tables.documents(s, d), "text", "doc_id",
+      Seq("stream", "join", "window", "filter"))
+
   /** Token-distribution entropy + type-token ratio per document —
     * information-density quality signals; per-row narrow, zero
     * shuffle (micro-nat integer accumulation for oracle parity). */

@@ -1974,6 +1974,38 @@ object Oracles {
         |  SELECT *, row_number() OVER (PARTITION BY doc_id
         |    ORDER BY score DESC, tok) AS rk FROM scored)
         |WHERE rk <= 3""".stripMargin,
+    // BM25 twin: same tokenizer, same conditional-sum tf/df aggs, the
+    // IDENTICAL IEEE per-term tree on integer operands rounded to
+    // micro-units per term (integer-summed — no cross-engine double
+    // accumulation); fp literals enter arithmetic only against an
+    // already-DOUBLE operand (a bare 0.5 is DECIMAL in DuckDB and
+    // would reroute the tree through decimal division); k1+1 is
+    // COMPUTED (1.2 + 1.0), matching the Spark side's lit(k1 + 1.0)
+    "ta_bm25" -> {
+      val terms = Seq("stream", "join", "window", "filter")
+      val tfs = terms.zipWithIndex.map { case (t, i) =>
+        s"sum(CASE WHEN tok = '$t' THEN 1 ELSE 0 END) AS tf$i" }.mkString(", ")
+      val dfs = terms.indices.map(i =>
+        s"sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i").mkString(", ")
+      val scores = terms.indices.map(i =>
+        s"""(CASE WHEN tf$i > 0 THEN CAST(round(1000000 *
+           |    (ln(1.0 + (CAST(n_docs - df$i AS DOUBLE) + 0.5)
+           |        / (CAST(df$i AS DOUBLE) + 0.5))
+           |     * ((CAST(tf$i AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1.0))
+           |        / (CAST(tf$i AS DOUBLE) + CAST(1.2 AS DOUBLE)
+           |           * ((1.0 - CAST(0.75 AS DOUBLE)) + CAST(0.75 AS DOUBLE)
+           |              * (dl / (CAST(total_dl AS DOUBLE) / n_docs)))))))
+           |  AS BIGINT) ELSE 0 END)""".stripMargin).mkString("\n  + ")
+      s"""WITH tr AS (SELECT doc_id, unnest(string_split(trim(regexp_replace(regexp_replace(lower(text),
+         |    '[^a-z \\n]+', '', 'g'), '\\s+', ' ', 'g')), ' ')) AS tok FROM documents),
+         |t2 AS (SELECT doc_id, tok FROM tr WHERE length(tok) > 0),
+         |pd AS (SELECT doc_id, count(*) AS dl, $tfs FROM t2 GROUP BY 1),
+         |st AS (SELECT count(*) AS n_docs, sum(dl) AS total_dl, $dfs FROM pd),
+         |sc AS (SELECT doc_id, $scores AS score_micro FROM pd, st)
+         |SELECT doc_id, CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rk,
+         |  score_micro
+         |FROM sc WHERE score_micro > 0 ORDER BY rk LIMIT 20""".stripMargin
+    },
     // entropy twin: same tokenizer, per-token counts via GROUP BY
     // instead of the sorted-array fold — terms meet in integer
     // MICRO-NATS (round(1e6·p·ln p) per distinct token), so the

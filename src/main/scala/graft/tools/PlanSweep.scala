@@ -41,6 +41,8 @@ object PlanSweep {
     "ta_colloc",
     // g_hits: two one-row max-normalizer broadcasts per HITS round
     "g_hits",
+    // ta_bm25: the one-row corpus-stats (N, Σdl, df) broadcast
+    "ta_bm25",
     "q11_share_threshold", "q20_excess_shippers", "q22_idle_customers")
 
   def main(args: Array[String]): Unit = {

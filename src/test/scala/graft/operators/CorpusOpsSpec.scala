@@ -231,4 +231,40 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got == Set((1L, 0L, -1.0), (2L, 0L, 1.0),
       (1L, 1L, -1.0), (2L, 1L, 1.0)))
   }
+
+  test("bm25Rank: independent scoring reference; zero-hit docs absent; rank total-ordered") {
+    val docs = Seq(
+      (1L, "stream join stream"),
+      (2L, "window filter filter sort"),
+      (3L, "sort merge scan"), // no query term: excluded
+      (4L, "join")
+    ).toDF("doc_id", "text")
+    val q = Seq("stream", "join", "window", "filter")
+    // independent reference: same formula, plain per-doc maps
+    val corpus = Map(1L -> Seq("stream", "join", "stream"),
+      (2L, Seq("window", "filter", "filter", "sort")),
+      (3L, Seq("sort", "merge", "scan")), (4L, Seq("join")))
+    val n = corpus.size
+    val avgdl = corpus.values.map(_.size).sum.toDouble / n
+    val dfm = q.map(t => t -> corpus.values.count(_.contains(t))).toMap
+    def micro(tf: Long, df: Long, dl: Long): Long = {
+      val idf = math.log(1.0 + ((n - df).toDouble + 0.5) / (df.toDouble + 0.5))
+      val tfp = (tf.toDouble * (1.2 + 1.0)) /
+        (tf.toDouble + 1.2 * ((1.0 - 0.75) + 0.75 * (dl / avgdl)))
+      new java.math.BigDecimal(1000000 * (idf * tfp))
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+    }
+    val want = corpus.flatMap { case (id, toks) =>
+      val s = q.map { t =>
+        val tf = toks.count(_ == t).toLong
+        if (tf > 0) micro(tf, dfm(t).toLong, toks.size.toLong) else 0L
+      }.sum
+      if (s > 0) Some(id -> s) else None
+    }.toSeq.sortBy { case (id, s) => (-s, id) }
+      .zipWithIndex.map { case ((id, s), i) => (id, i + 1L, s) }
+    val got = TextAnalysis.bm25Rank(docs, "text", "doc_id", q)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == want, s"got $got want $want")
+    assert(!got.exists(_._1 == 3L))
+  }
 }
