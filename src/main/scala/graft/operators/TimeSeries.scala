@@ -32,6 +32,9 @@ case class TsZState(last8: Vector[Long])
 case class TsEvRow(key: Long, us: Long, vc: Long, eid: Long)
 case class TsGridOut(key: Long, grid_epoch: Long, v_interp: Double)
 case class TsEvState(lastUs: Long, lastVc: Long)
+case class TsXRow(key: Long, ord: Long, x: Double)
+case class TsHoltState(l: Double, b: Double, seeded: Boolean)
+case class TsHoltOut(key: Long, ord: Long, level: Double, trend: Double)
 
 object TimeSeries {
 
@@ -554,21 +557,58 @@ object TimeSeries {
       .sortWithinPartitions(col("k"), col("t"), col("id"))
     SecondarySort.keyedFoldFlush(sorted)(
       _._1, () => Option.empty[(Double, Double)],
-      (s: Option[(Double, Double)], row: (Long, Long, Long, Double)) => {
-        val next = s match {
-          case None => (row._4, 0.0)
-          case Some((l, b)) =>
-            val nl = alpha * row._4 + ac * (l + b)
-            val nb = beta * (nl - l) + bc * b
-            (nl, nb)
-        }
-        (Some(next), Seq.empty[(Long, Double, Double)])
-      },
+      (s: Option[(Double, Double)], row: (Long, Long, Long, Double)) =>
+        (Some(holtStep(s, row._4, alpha, beta)),
+          Seq.empty[(Long, Double, Double)]),
       (k: Long, s: Option[(Double, Double)]) =>
         s.map { case (l, b) => (k, l, b) }.toSeq)
       .toDF(keyCol, "l", "b")
       .select(col(keyCol), round(col("l"), 6).as("level"),
         round(col("b"), 6).as("trend"),
         round(col("l") + col("b"), 6).as("forecast"))
+  }
+
+  /** The pure Holt step — EXACTLY the JVM double ops of
+    * [[holtFinal]]'s fold, shared by the streaming twin so stream ≡
+    * batch is structural, not coincidental. None seeds (x, 0). */
+  def holtStep(s: Option[(Double, Double)], x: Double,
+               alpha: Double, beta: Double): (Double, Double) = s match {
+    case None => (x, 0.0)
+    case Some((l, b)) =>
+      val nl = alpha * x + (1.0 - alpha) * (l + b)
+      (nl, beta * (nl - l) + (1.0 - beta) * b)
+  }
+
+  /** Streaming twin of [[holtFinal]]: per-key state is TWO DOUBLES at
+    * any stream length; each arrival advances the recurrence once and
+    * emits the key's running (level, trend) — the live forecaster
+    * whose LAST emission per key equals the batch fold's final state
+    * exactly (TimeSeriesStreamSpec pins it across uneven
+    * micro-batches). Within a micro-batch rows sort by the order
+    * column; late/out-of-order data across batches is out of
+    * contract, as in [[saxStream]]. */
+  def holtStream(df: DataFrame, keyCol: String, orderCol: String,
+                 valueCol: String,
+                 alpha: Double = 0.2, beta: Double = 0.1): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(keyCol).cast("long").as("key"),
+        col(orderCol).cast("long").as("ord"),
+        col(valueCol).cast("double").as("x"))
+      .as[TsXRow]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[TsHoltState, TsHoltOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) { (key, rows, state) =>
+        var st = state.getOption.getOrElse(TsHoltState(0.0, 0.0, seeded = false))
+        val out = rows.toVector.sortBy(_.ord).map { r =>
+          val (nl, nb) = holtStep(
+            if (st.seeded) Some((st.l, st.b)) else None, r.x, alpha, beta)
+          st = TsHoltState(nl, nb, seeded = true)
+          TsHoltOut(key, r.ord, nl, nb)
+        }
+        state.update(st)
+        out.iterator
+      }.toDF(keyCol, orderCol, "level", "trend")
   }
 }

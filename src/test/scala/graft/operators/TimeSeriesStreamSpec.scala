@@ -121,4 +121,45 @@ class TimeSeriesStreamSpec extends SparkSpec {
     assert(streamed == batch, s"stream=$streamed\nbatch=$batch")
     assert(streamed.size >= 8, s"fixture should emit a real grid: $streamed")
   }
+
+  test("holtStream's last emission per key equals holtFinal across uneven batches") {
+    import spark.implicits._
+    // key 1: noisy trend; key 2: single observation (seed-only);
+    // key 3: two observations straddling a batch boundary
+    val rows = ((0 until 15).map(i => (1L, i.toLong, (i * 2).toDouble +
+        (if (i % 3 == 0) 1.5 else -0.5))) :+
+      (2L, 0L, 5.0)) ++ Seq((3L, 0L, 10.0), (3L, 1L, 12.0), (3L, 2L, 15.0))
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[(Long, Long, Double)]
+    val sink = TimeSeries.holtStream(
+        stream.toDS().toDF("user_id", "event_id", "value"),
+        "user_id", "event_id", "value")
+      .writeStream.format("memory").queryName("holt_stream")
+      .outputMode("append").start()
+    try {
+      rows.grouped(7).foreach { chunk =>
+        stream.addData(chunk: _*)
+        sink.processAllAvailable()
+      }
+    } finally sink.stop()
+    // one emission per arrival; the LAST per key is the final state
+    val emitted = spark.table("holt_stream").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(emitted.length == rows.length)
+    def r6(x: Double) = new java.math.BigDecimal(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val lastPerKey = emitted.groupBy(_._1).map { case (k, es) =>
+      val last = es.maxBy(_._2)
+      k -> (r6(last._3), r6(last._4), r6(last._3 + last._4))
+    }
+    val batch = TimeSeries.holtFinal(
+        rows.toDF("user_id", "event_id", "value")
+          .withColumn("ts", col("event_id")),
+        "user_id", "ts", "event_id", "value")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    assert(lastPerKey == batch, s"stream=$lastPerKey\nbatch=$batch")
+    assert(batch(2L) == ((5.0, 0.0, 5.0)), "seed-only key")
+  }
 }
