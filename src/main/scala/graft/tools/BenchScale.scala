@@ -566,20 +566,41 @@ object BenchScale {
         seeds, maxHops = 4, driverFinishEdges = 0L).count()
       val bfsSec = (System.nanoTime() - t1) / 1e9
       val coverage = reached.toDouble / nNodes
-      println(f"""{"edges":${2 * m},"nodes":$nNodes,"pagerank_sec":$prSec%.2f,"bfs_sec":$bfsSec%.2f,"bfs_coverage":$coverage%.4f,"max_task_sec":${maxTaskMs.get() / 1e3}%.2f,"mass":$totalMass}""")
+      // HITS on the same edges: 4 max-normalized integer rounds —
+      // per-round work is two Θ(|E|) co-located joins, so the same
+      // ~linear wall gate as PageRank applies. Exact invariants: the
+      // symmetric graph's node universe is src ∪ dst = the PageRank
+      // node set, and max-normalization pins BOTH leaders at 10⁶.
+      val t2 = System.nanoTime()
+      val hits = graft.operators.Graph.hitsMicro(edges, "src", "dst",
+        iterations = 4, driverFinishEdges = 0L)
+      val (hN, hubMax, authMax) = {
+        val r = hits.agg(count(lit(1)), max(col("hub_micro")),
+          max(col("auth_micro"))).head()
+        (r.getLong(0), r.getLong(1), r.getLong(2))
+      }
+      val hitsSec = (System.nanoTime() - t2) / 1e9
+      println(f"""{"edges":${2 * m},"nodes":$nNodes,"pagerank_sec":$prSec%.2f,"bfs_sec":$bfsSec%.2f,"hits_sec":$hitsSec%.2f,"bfs_coverage":$coverage%.4f,"max_task_sec":${maxTaskMs.get() / 1e3}%.2f,"mass":$totalMass}""")
       require(coverage >= 0.95,
         f"BFS settled only $coverage%.3f of nodes in 4 hops — frontier bug")
       // floor-truncated mass only leaks: per-round bounds are
       // teleport·n ≤ mass ≤ n·10⁶
       require(totalMass >= 150000L * nNodes && totalMass <= 1000000L * nNodes,
         s"rank mass $totalMass outside [0.15n, n] micro-units — arithmetic bug")
-      (m, prSec)
+      require(hN == nNodes,
+        s"HITS node universe $hN != PageRank's $nNodes on the same edges")
+      require(hubMax == 1000000L && authMax == 1000000L,
+        s"max-normalized leaders must sit at 1e6, got hub $hubMax auth $authMax")
+      (m, prSec, hitsSec)
     }
     if (sizes.size >= 2) {
-      val exponent = fitExponent(rungs)
-      println(f"""{"metric":"graph_scale","pagerank_exponent":$exponent%.3f}""")
+      val exponent = fitExponent(rungs.map(r => (r._1, r._2)))
+      val hitsExp = fitExponent(rungs.map(r => (r._1, r._3)))
+      println(f"""{"metric":"graph_scale","pagerank_exponent":$exponent%.3f,"hits_exponent":$hitsExp%.3f}""")
       require(exponent <= 1.4,
         f"PageRank wall grows super-linearly in edges: exponent $exponent%.3f > 1.4")
+      require(hitsExp <= 1.4,
+        f"HITS wall grows super-linearly in edges: exponent $hitsExp%.3f > 1.4")
     }
   }
 

@@ -317,4 +317,27 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join"), "ts_resample grew a join — brackets must be windows")
     assert(p.contains("Window"), "ts_resample lost its window brackets")
   }
+
+  test("ts_holt: one per-key exchange feeding the secondary-sort fold, no joins") {
+    // the recurrence is one repartition + in-partition external sort
+    // + streaming fold; a second exchange or any join means the fold
+    // stopped riding its own partitioning
+    val p = plan("ts_holt")
+    assert("""\(\d+\) Exchange""".r.findAllIn(p).size == 1,
+      "ts_holt wants exactly 1 exchange")
+    assert(!p.contains("Join"), "ts_holt grew a join")
+    assert(p.contains("Sort"), "ts_holt lost its in-partition order sort")
+  }
+
+  test("ta_bm25: one corpus aggregation, a one-row stats broadcast, bounded top-k") {
+    // the corpus shuffles ONCE (per-doc tf/dl agg); corpus stats come
+    // back as a one-row broadcast (BNLJ, declared in PlanSweep); the
+    // emit is a bounded heap, not a global sort
+    val p = plan("ta_bm25")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "ta_bm25 lost its one-row stats broadcast")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      "ta_bm25 grew a keyed join — stats must be a scalar broadcast")
+    assert(p.contains("TakeOrderedAndProject"), "ta_bm25 lost its top-k plan")
+  }
 }
