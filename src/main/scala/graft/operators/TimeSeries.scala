@@ -568,6 +568,70 @@ object TimeSeries {
         round(col("l") + col("b"), 6).as("forecast"))
   }
 
+  /** Pairwise Pearson cross-correlation of hourly value sums between
+    * the `topSeries` most-active keys — the co-movement discovery
+    * primitive next to [[autocorr]]'s within-series memory. Pairwise
+    * correlation is QUADRATIC in series count by nature, so the
+    * series set is bounded EXPLICITLY (activity top-K, ties to the
+    * smaller key) and the bound is the contract: K²/2 pairs over the
+    * hourly grid, the emb_gram shape, never corpus². Pairs correlate
+    * over their COMMON observed hours (pairwise-complete overlap; a
+    * pair below `minOverlap` common hours is noise and is dropped),
+    * and constant series (zero variance) are excluded — no distance
+    * is defined.
+    *
+    * Cross-engine exactness (the [[autocorr]] discipline): hourly
+    * sums are exact micro-unit integers held in decimal(38,0) (the
+    * HUGEINT twin), all five moments are exact integer sums of
+    * integer products, and the single fp step
+    * num / sqrt(dx · dy) happens ONCE per pair on identically-rounded
+    * doubles — rankings and values match to the bit.
+    *
+    * Scale shape: one map-side-combinable hourly aggregate (|K|·|hours|
+    * rows out), a TakeOrdered activity cut, a broadcast semi filter,
+    * ONE hour-partitioned self-join whose fan-out is ≤ K per side by
+    * construction, one pair aggregate. Returns the `topPairs` pairs
+    * by |corr| (ties → (ka, kb)). */
+  def crossCorrPairs(df: DataFrame, keyCol: String, tsCol: String,
+                     valueCol: String, topSeries: Int = 40,
+                     minOverlap: Long = 24L, topPairs: Int = 20,
+                     bucketSec: Long = 3600L): DataFrame = {
+    require(topSeries >= 2 && topPairs >= 1 && minOverlap >= 2 && bucketSec >= 1)
+    val vc = round(col(valueCol) * 1000000).cast("long")
+    val hourly = df.select(col(keyCol).cast("long").as("k"),
+        unix_micros(col(tsCol).cast("timestamp")).as("us"), vc.as("vc"))
+      .select(col("k"), expr(s"us div ${bucketSec * 1000000L}").as("hr"), col("vc"))
+      .groupBy(col("k"), col("hr"))
+      // decimal sum: an hourly micro-unit sum of a hot key must not
+      // silently wrap a long
+      .agg(sum(col("vc").cast("decimal(38,0)")).as("x"),
+        count(lit(1)).as("c"))
+    val top = hourly.groupBy(col("k")).agg(sum(col("c")).as("n_ev"))
+      .orderBy(col("n_ev").desc, col("k")).limit(topSeries)
+      .select(col("k"))
+    val hf = hourly.join(broadcast(top), Seq("k")).select(col("k"), col("hr"), col("x"))
+    val a = hf.select(col("k").as("ka"), col("hr"), col("x").as("xa"))
+    val b = hf.select(col("k").as("kb"), col("hr"), col("x").as("xb"))
+    val pairs = a.join(b, a("hr") === b("hr") && col("ka") < col("kb"))
+      .groupBy(col("ka"), col("kb"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("xa")).as("sx"), sum(col("xb")).as("sy"),
+        sum(col("xa") * col("xb")).as("sxy"),
+        sum(col("xa") * col("xa")).as("sxx"),
+        sum(col("xb") * col("xb")).as("syy"))
+    val scored = pairs.select(col("ka"), col("kb"), col("n"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).as("num"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).as("dx"),
+        (col("n") * col("syy") - col("sy") * col("sy")).as("dy"))
+      .filter(col("n") >= minOverlap && col("dx") > 0 && col("dy") > 0)
+      .withColumn("corr_raw", col("num").cast("double") /
+        sqrt(col("dx").cast("double") * col("dy").cast("double")))
+    scored.orderBy(abs(col("corr_raw")).desc, col("ka"), col("kb"))
+      .limit(topPairs)
+      .select(col("ka"), col("kb"), col("n"),
+        round(col("corr_raw"), 6).as("corr"))
+  }
+
   /** The pure Holt step — EXACTLY the JVM double ops of
     * [[holtFinal]]'s fold, shared by the streaming twin so stream ≡
     * batch is structural, not coincidental. None seeds (x, 0). */

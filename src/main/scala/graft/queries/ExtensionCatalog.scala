@@ -1451,6 +1451,17 @@ object ExtensionCatalog {
     graft.operators.TimeSeries.resampleLinear(Tables.events(s, d),
       "user_id", "ts", "value", "event_id")
 
+  /** Pairwise Pearson cross-correlation of DAILY activity between
+    * the 40 most-active users (top-20 co-moving pairs, ≥ 10 common
+    * days — the fixture's 30-day span at ~2 events/user/day makes
+    * hourly buckets too sparse for any pair to clear a sane overlap
+    * floor): exact integer moments in decimal/HUGEINT, one fp step
+    * per pair ([[graft.operators.TimeSeries.crossCorrPairs]] — the
+    * explicit top-K bound is the quadratic-pairs contract). */
+  val tsXcorr: Q = (s, d) =>
+    graft.operators.TimeSeries.crossCorrPairs(Tables.events(s, d),
+      "user_id", "ts", "value", minOverlap = 10L, bucketSec = 86400L)
+
   /** Holt double-exponential smoothing per user (α = 0.2, β = 0.1):
     * final level/trend state and the one-step forecast — the
     * trend-aware forecaster next to a4's plain EMA. One secondary-

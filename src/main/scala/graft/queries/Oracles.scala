@@ -787,6 +787,31 @@ object Oracles {
          |$acfs
          |FROM m""".stripMargin
     },
+    // xcorr twin: the same daily micro-sums (HUGEINT — the decimal
+    // twin), the same top-40 activity cut (ties to smaller user), the
+    // same five exact integer moments per pair, and the SINGLE fp
+    // step num / sqrt(dx·dy) on identically-rounded doubles; ordering
+    // uses the raw (unrounded) |corr| in both engines
+    "ts_xcorr" ->
+      """WITH h AS (SELECT user_id AS k, epoch_us(ts) // 86400000000 AS hr,
+        |    sum(CAST(round(value * 1000000) AS BIGINT)::HUGEINT) AS x,
+        |    count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |top AS (SELECT k FROM (SELECT k, sum(c) AS n_ev FROM h GROUP BY 1)
+        |  ORDER BY n_ev DESC, k LIMIT 40),
+        |hf AS (SELECT h.k, h.hr, h.x FROM h JOIN top USING (k)),
+        |p AS (SELECT a.k AS ka, b.k AS kb, count(*) AS n,
+        |    sum(a.x) AS sx, sum(b.x) AS sy, sum(a.x * b.x) AS sxy,
+        |    sum(a.x * a.x) AS sxx, sum(b.x * b.x) AS syy
+        |  FROM hf a JOIN hf b ON a.hr = b.hr AND a.k < b.k GROUP BY 1, 2),
+        |m AS (SELECT ka, kb, n, n * sxy - sx * sy AS num,
+        |    n * sxx - sx * sx AS dx, n * syy - sy * sy AS dy FROM p
+        |  WHERE n >= 10),
+        |s AS (SELECT ka, kb, n,
+        |    CAST(num AS DOUBLE) / sqrt(CAST(dx AS DOUBLE) * CAST(dy AS DOUBLE)) AS corr_raw
+        |  FROM m WHERE dx > 0 AND dy > 0)
+        |SELECT ka, kb, n, round(corr_raw, 6) AS corr FROM s
+        |ORDER BY abs(corr_raw) DESC, ka, kb LIMIT 20""".stripMargin,
     // Holt twin: the IDENTICAL IEEE recurrence (seed l=x0 b=0, then
     // l' = 0.2x + 0.8(l+b); b' = 0.1(l'-l) + 0.9b — complements are
     // exact-literal doubles) replayed as a RECURSIVE CTE over the

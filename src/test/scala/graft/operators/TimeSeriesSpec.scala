@@ -273,6 +273,38 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got(3L)._1 == 11.352)
   }
 
+  test("crossCorrPairs: planted co-movement found, constants and thin overlaps dropped") {
+    import spark.implicits._
+    def t(hr: Int) = new java.sql.Timestamp(hr * 3600L * 1000L)
+    val base = Seq(1.0, 3.0, 2.0, 5.0, 4.0, 6.0)
+    val rows =
+      base.zipWithIndex.map { case (v, h) => (1L, t(h), v) } ++          // x
+      base.zipWithIndex.map { case (v, h) => (2L, t(h), 2 * v + 1) } ++  // 2x+1: corr +1
+      base.zipWithIndex.map { case (v, h) => (3L, t(h), 10 - v) } ++     // 10-x: corr -1
+      base.zipWithIndex.map { case (v, h) => (4L, t(h), 7.5) } ++        // constant: dx=0
+      Seq((5L, t(0), 1.0), (5L, t(1), 9.0))                              // 2 hours < minOverlap
+    val got = TimeSeries.crossCorrPairs(rows.toDF("user_id", "ts", "value"),
+        "user_id", "ts", "value", topSeries = 5, minOverlap = 3, topPairs = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    // pairs among {1,2,3} only; |corr| = 1 for all three, ties by (ka, kb)
+    assert(got == Seq((1L, 2L, 6L, 1.0), (1L, 3L, 6L, -1.0), (2L, 3L, 6L, -1.0)),
+      s"got $got")
+  }
+
+  test("crossCorrPairs: activity top-K bounds the pair set") {
+    import spark.implicits._
+    def t(hr: Int) = new java.sql.Timestamp(hr * 3600L * 1000L)
+    // keys 1,2 have 6 hourly points; key 3 only 4 (drops at topSeries=2)
+    val rows = (0 until 6).flatMap(h => Seq(
+        (1L, t(h), h * 1.0), (2L, t(h), h * 3.0))) ++
+      (0 until 4).map(h => (3L, t(h), h * 1.0))
+    val got = TimeSeries.crossCorrPairs(rows.toDF("user_id", "ts", "value"),
+        "user_id", "ts", "value", topSeries = 2, minOverlap = 3, topPairs = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 2L)), s"got $got")
+  }
+
   test("holtFinal: order comes from (ts, id), not input order") {
     import spark.implicits._
     val t0 = new java.sql.Timestamp(0L)
