@@ -609,6 +609,58 @@ object Graph {
     out
   }
 
+  /** Adamic-Adar link prediction (Adamic & Adar, "Friends and
+    * neighbors on the Web", Social Networks 2003) — the
+    * rare-neighbor-weighted upgrade of [[commonNeighbors]]: a shared
+    * neighbor z contributes 1/ln(deg z), so a selective mutual
+    * contact says more than a hub everyone touches. Same wedge
+    * enumeration and same bounded-degree contract as
+    * commonNeighbors (the caller provides a degree-bounded substrate
+    * such as a k-NN graph; a power-law graph needs hub capping
+    * first); deg-1 nodes are pruned BEFORE the wedge join — they
+    * cannot center a wedge, and pruning them keeps ln(deg) > 0 so
+    * the weight is always finite (an unguarded 1/ln(1) would cast
+    * Infinity to Long.MaxValue silently).
+    *
+    * Cross-engine exactness: each center's weight is ONE
+    * identically-rounded integer micro-unit (round(10⁶ / ln deg)) and
+    * each pair's score the exact integer SUM of its wedge centers'
+    * weights — no order-dependent double accumulation. Returns the
+    * `topN` non-adjacent pairs by (aa_micro desc, a, b). */
+  def adamicAdar(edges: DataFrame, aCol: String, bCol: String,
+                 topN: Int = 100): DataFrame = {
+    require(topN >= 1)
+    // materialized ONCE, as in commonNeighbors: the canonical edge
+    // set feeds the union arms, the degree aggregate, and the anti
+    // join — lazy would re-run the upstream per branch
+    val und = edges.select(
+        least(col(aCol).cast("long"), col(bCol).cast("long")).as("a"),
+        greatest(col(aCol).cast("long"), col(bCol).cast("long")).as("b"))
+      .filter(col("a") < col("b"))
+      .distinct()
+      .localCheckpoint()
+    val sym = und.select(col("a").as("s"), col("b").as("d"))
+      .union(und.select(col("b").as("s"), col("a").as("d")))
+    val deg = sym.groupBy(col("s")).agg(count(lit(1)).as("deg"))
+    val ws = sym.join(deg, Seq("s")).filter(col("deg") >= 2)
+      .withColumn("w",
+        round(lit(1000000) / log(col("deg").cast("double"))).cast("long"))
+    val wed = ws.select(col("s"), col("d").as("xa"), col("w"))
+      .join(ws.select(col("s"), col("d").as("xb")), Seq("s"))
+      .filter(col("xa") < col("xb"))
+      .groupBy(col("xa"), col("xb"))
+      .agg(sum(col("w")).as("aa_micro"), count(lit(1)).as("n_common"))
+    val out = wed
+      .join(und, wed("xa") === und("a") && wed("xb") === und("b"), "left_anti")
+      .select(col("xa").as("a"), col("xb").as("b"),
+        col("n_common"), col("aa_micro"))
+      .orderBy(col("aa_micro").desc, col("a"), col("b"))
+      .limit(topN)
+      .localCheckpoint()
+    Checkpoints.unpersist(und)
+    out
+  }
+
   /** Bounded-collect driver peel for [[kCore]]: the same
     * remove-below-k rounds over the collected symmetric edge rows —
     * integer degrees make it bit-identical to the distributed form. */

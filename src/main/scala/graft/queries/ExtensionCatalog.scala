@@ -1372,6 +1372,15 @@ object ExtensionCatalog {
       embKnnGraph(s, d).select(col("vec_id"), col("nb_id")),
       "vec_id", "nb_id", topN = 100)
 
+  /** Adamic-Adar link prediction over the same k-NN similarity graph:
+    * shared neighbors weighted 1/ln(degree), so selective mutual
+    * neighbors outrank hubs ([[graft.operators.Graph.adamicAdar]] —
+    * integer micro-unit weights, exact integer pair sums). */
+  val gAdamicAdar: Q = (s, d) =>
+    graft.operators.Graph.adamicAdar(
+      embKnnGraph(s, d).select(col("vec_id"), col("nb_id")),
+      "vec_id", "nb_id", topN = 100)
+
   /** Weighted single-source shortest paths over the co-purchase
     * graph: affinity distance w = 1000000 div co-occurrence count
     * (strongly co-purchased pairs are close), source = the smallest

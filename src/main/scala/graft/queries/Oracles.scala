@@ -1452,6 +1452,36 @@ object Oracles {
          |WHERE NOT EXISTS (SELECT 1 FROM und e WHERE e.a = w.a AND e.b = w.b)
          |ORDER BY w.n_common DESC, w.a, w.b LIMIT 100""".stripMargin
     },
+    // Adamic-Adar twin: the g_commonneigh chain with the center's
+    // 1/ln(degree) weight — ONE identically-rounded micro-unit per
+    // center, exact integer pair sums (sum in HUGEINT, cast back);
+    // deg-1 centers pruned before the wedge join in both engines
+    "g_adamic_adar" -> materializeCtes {
+      s"""WITH $ivfCtes,
+         |ke AS (SELECT a.vec_id, b.vec_id AS nb_id,
+         |    round(list_cosine_similarity(list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+         |      list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 6) AS cos
+         |  FROM assigned a JOIN assigned b
+         |    ON a.cent_id = b.cent_id AND a.vec_id <> b.vec_id),
+         |knn AS (SELECT vec_id, nb_id FROM (SELECT vec_id, nb_id,
+         |  row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nb_id) AS rk
+         |  FROM ke) WHERE rk <= 5),
+         |und AS (SELECT DISTINCT least(vec_id, nb_id) AS a,
+         |    greatest(vec_id, nb_id) AS b FROM knn),
+         |sym AS (SELECT a AS s, b AS d FROM und
+         |  UNION ALL SELECT b AS s, a AS d FROM und),
+         |dg AS (SELECT s, count(*) AS deg FROM sym GROUP BY 1),
+         |ws AS (SELECT sym.s, sym.d,
+         |    CAST(round(1000000 / ln(CAST(deg AS DOUBLE))) AS BIGINT) AS w
+         |  FROM sym JOIN dg USING (s) WHERE deg >= 2),
+         |wed AS (SELECT x.d AS a, y.d AS b, count(*) AS n_common,
+         |    CAST(sum(x.w) AS BIGINT) AS aa_micro
+         |  FROM ws x JOIN ws y ON x.s = y.s AND x.d < y.d
+         |  GROUP BY 1, 2)
+         |SELECT w.a, w.b, w.n_common, w.aa_micro FROM wed w
+         |WHERE NOT EXISTS (SELECT 1 FROM und e WHERE e.a = w.a AND e.b = w.b)
+         |ORDER BY w.aa_micro DESC, w.a, w.b LIMIT 100""".stripMargin
+    },
     // IVFPQ twin: shared coarse chain + shared PQ chains, ADC over
     // probed lists only (annIvfPqOracle)
     "ann_ivfpq" -> annIvfPqOracle(),

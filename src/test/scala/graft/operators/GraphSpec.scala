@@ -397,6 +397,56 @@ class GraphSpec extends SparkSpec {
     assert(got == want, s"got $got want $want")
   }
 
+  test("adamicAdar: rare shared neighbor outranks a hub; adjacent pairs excluded") {
+    import spark.implicits._
+    // hub 0 touches 1..5 (deg 6 with 6); z=6 touches only {1, 2}
+    // (deg 2, weighted 1/ln 2 ≈ 1.44e6). Pair (1,2) shares {0, 6};
+    // pairs (3,4),(3,5),(4,5) share only the hub 0 — so (1,2) tops
+    // the ranking on the rare-neighbor weight.
+    val und = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L), (0L, 5L),
+      (0L, 6L), (6L, 1L), (6L, 2L))
+    val got = Graph.adamicAdar(und.toDF("a", "b"), "a", "b", topN = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    def w(deg: Int): Long = new java.math.BigDecimal(1000000 / math.log(deg.toDouble))
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+    // deg: 0 -> 6, 6 -> 3 (it touches 0, 1, 2), 1/2 -> 2, 3/4/5 -> 1
+    val hub = w(6)
+    val rare = w(3)
+    // (1,2) shares {0, 6} -> hub+rare, strictly on top; every other
+    // non-adjacent pair shares exactly the hub; (a, b) breaks ties
+    // at the topN=10 cut
+    val hubPairs = Seq((1L, 3L), (1L, 4L), (1L, 5L), (2L, 3L), (2L, 4L),
+      (2L, 5L), (3L, 4L), (3L, 5L), (3L, 6L))
+    val want = (1L, 2L, 2L, hub + rare) +: hubPairs.map { case (a, b) => (a, b, 1L, hub) }
+    assert(got == want, s"got $got want $want")
+    // adjacency exclusion: no output pair touches an input edge
+    assert(!got.exists { case (a, b, _, _) =>
+      und.contains((a, b)) || und.contains((b, a)) })
+  }
+
+  test("adamicAdar: matches brute force on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(331)
+    val und = Seq.fill(60)((rnd.nextInt(16).toLong, rnd.nextInt(16).toLong))
+    val es = und.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .filter { case (a, b) => a != b }.distinct
+    val adj = es.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (n, xs) => n -> xs.map(_._2).toSet }
+    def w(deg: Int): Long = new java.math.BigDecimal(1000000 / math.log(deg.toDouble))
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+    val nodes = adj.keys.toSeq.sorted
+    val want = (for {
+      i <- nodes; j <- nodes if i < j && !adj(i).contains(j)
+      zs = (adj(i) & adj(j)).filter(z => adj(z).size >= 2) if zs.nonEmpty
+    } yield (i, j, zs.size.toLong, zs.toSeq.map(z => w(adj(z).size)).sum))
+      .sortBy { case (a, b, _, s) => (-s, a, b) }.take(7)
+    val got = Graph.adamicAdar(und.toDF("a", "b"), "a", "b", topN = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == want, s"got $got want $want")
+  }
+
   test("kCore: driver finish and forced-distributed peel are identical on random graphs") {
     val rnd = new scala.util.Random(412)
     (1 to 3).foreach { trial =>
