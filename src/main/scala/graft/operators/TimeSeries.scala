@@ -568,6 +568,49 @@ object TimeSeries {
         round(col("l") + col("b"), 6).as("forecast"))
   }
 
+  /** CUSUM changepoint per key (Page 1954 / the classic cumulative-sum
+    * location estimator): the observation maximizing the absolute
+    * centered cumulative deviation |Σ_{i≤t}(x_i − x̄)| — where a
+    * series' level shifts, the centered partial sum peaks. The
+    * statistic is computed in the FULLY INTEGER form
+    *
+    *   d_t = n·S_t − t·T      (S_t running sum, T total, n count)
+    *
+    * which equals n·Σ_{i≤t}(x_i − x̄) — no mean division, no fp until
+    * the final display value, so engines agree to the bit at any
+    * scale (sums in decimal(38,0)/HUGEINT, the [[autocorr]]
+    * discipline). Emits one row per key: the argmax observation
+    * (ties → smallest id) with the normalized peak deviation
+    * dev = |d|/n/10⁶ in value units. Keys whose statistic is
+    * identically zero (constant series) carry no changepoint
+    * evidence and are dropped.
+    *
+    * Scale shape: ONE hash partitioning per key serves the running
+    * sum, the per-key totals, AND the argmax rank — three window
+    * passes, zero joins, zero extra exchanges (plan-gated). */
+  def cusumChangepoint(df: DataFrame, keyCol: String, tsCol: String,
+                       idCol: String, valueCol: String): DataFrame = {
+    val wOrd = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col(keyCol))
+    val vc = round(col(valueCol) * 1000000).cast("long").cast("decimal(38,0)")
+    val base = df.select(col(keyCol), col(idCol),
+        row_number().over(Window.partitionBy(col(keyCol))
+          .orderBy(col(tsCol), col(idCol))).cast("long").as("rn"),
+        sum(vc).over(wOrd).as("s"),
+        sum(vc).over(wAll).as("t"),
+        count(lit(1)).over(wAll).as("n"))
+      .withColumn("absd", abs(col("n") * col("s") - col("rn") * col("t")))
+    base.withColumn("rk", row_number().over(
+        Window.partitionBy(col(keyCol)).orderBy(col("absd").desc, col(idCol))))
+      .filter(col("rk") === 1 && col("absd") > 0)
+      .select(col(keyCol), col(idCol).cast("long").as("cp_event_id"),
+        col("rn").as("cp_rn"),
+        round(col("absd").cast("double") / col("n") / lit(1000000.0), 6)
+          .as("dev"))
+  }
+
   /** Pairwise Pearson cross-correlation of hourly value sums between
     * the `topSeries` most-active keys — the co-movement discovery
     * primitive next to [[autocorr]]'s within-series memory. Pairwise

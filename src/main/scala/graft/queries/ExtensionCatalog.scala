@@ -1460,6 +1460,14 @@ object ExtensionCatalog {
     graft.operators.TimeSeries.resampleLinear(Tables.events(s, d),
       "user_id", "ts", "value", "event_id")
 
+  /** CUSUM changepoint per user: the event where the centered
+    * cumulative deviation peaks — fully integer statistic
+    * n·S_t − t·T, one fp step at display
+    * ([[graft.operators.TimeSeries.cusumChangepoint]]). */
+  val tsCusum: Q = (s, d) =>
+    graft.operators.TimeSeries.cusumChangepoint(Tables.events(s, d),
+      "user_id", "ts", "event_id", "value")
+
   /** Pairwise Pearson cross-correlation of DAILY activity between
     * the 40 most-active users (top-20 co-moving pairs, ≥ 10 common
     * days — the fixture's 30-day span at ~2 events/user/day makes

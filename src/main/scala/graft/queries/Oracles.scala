@@ -787,6 +787,26 @@ object Oracles {
          |$acfs
          |FROM m""".stripMargin
     },
+    // CUSUM twin: the same fully-integer statistic n·S_t − t·T (no
+    // mean division — HUGEINT sums, the decimal twin), same argmax
+    // rank with the same id tiebreak, one identical fp step at
+    // display; zero-statistic (constant) keys dropped in both
+    "ts_cusum" ->
+      """WITH v AS (SELECT user_id, event_id,
+        |    row_number() OVER w AS rn,
+        |    sum(CAST(round(value * 1000000) AS BIGINT)::HUGEINT)
+        |      OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s,
+        |    sum(CAST(round(value * 1000000) AS BIGINT)::HUGEINT)
+        |      OVER (PARTITION BY user_id) AS t,
+        |    count(*) OVER (PARTITION BY user_id) AS n
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |d AS (SELECT user_id, event_id, rn, n,
+        |    abs(n * s - rn * t) AS absd FROM v),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY absd DESC, event_id) AS rk FROM d)
+        |SELECT user_id, event_id AS cp_event_id, CAST(rn AS BIGINT) AS cp_rn,
+        |  round(CAST(absd AS DOUBLE) / n / 1000000.0, 6) AS dev
+        |FROM r WHERE rk = 1 AND absd > 0""".stripMargin,
     // xcorr twin: the same daily micro-sums (HUGEINT — the decimal
     // twin), the same top-40 activity cut (ties to smaller user), the
     // same five exact integer moments per pair, and the SINGLE fp

@@ -273,6 +273,39 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got(3L)._1 == 11.352)
   }
 
+  test("cusumChangepoint: a planted level shift peaks at the last pre-shift row") {
+    import spark.implicits._
+    def t(i: Int) = new java.sql.Timestamp(1000L * i)
+    val rows =
+      (0 until 10).map(i => (1L, t(i), i.toLong, 1.0)) ++     // low regime
+      (10 until 20).map(i => (1L, t(i), i.toLong, 5.0)) ++    // shifted
+      (0 until 6).map(i => (2L, t(i), i.toLong, 3.25)) :+     // constant: dropped
+      (3L, t(0), 0L, 7.0)                                     // single row: d=0, dropped
+    val got = TimeSeries.cusumChangepoint(
+        rows.toDF("user_id", "ts", "event_id", "value"),
+        "user_id", "ts", "event_id", "value")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    // |n·S_t − t·T| peaks at t=10 (event_id 9): Σ(x−x̄) = 10·(1−3) = −20
+    assert(got == Seq((1L, 9L, 10L, 20.0)), s"got $got")
+  }
+
+  test("cusumChangepoint: argmax ties break to the smallest event id") {
+    import spark.implicits._
+    def t(i: Int) = new java.sql.Timestamp(1000L * i)
+    // symmetric bump: deviations ±1 around mean 0 → |d| ties at the
+    // two inner rows; the smaller event_id must win
+    val rows = Seq((1L, t(0), 0L, 1.0), (1L, t(1), 1L, 1.0),
+      (1L, t(2), 2L, -1.0), (1L, t(3), 3L, -1.0))
+    val got = TimeSeries.cusumChangepoint(
+        rows.toDF("user_id", "ts", "event_id", "value"),
+        "user_id", "ts", "event_id", "value")
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    // S_t−t·x̄ (x̄=0): 1, 2, 1, 0 → unique max at t=2 (id 1); with the
+    // planted tie removed this pins the deterministic argmax instead
+    assert(got == Seq((1L, 2L)), s"got $got")
+  }
+
   test("crossCorrPairs: planted co-movement found, constants and thin overlaps dropped") {
     import spark.implicits._
     def t(hr: Int) = new java.sql.Timestamp(hr * 3600L * 1000L)

@@ -318,6 +318,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("Window"), "ts_resample lost its window brackets")
   }
 
+  test("ts_cusum: ONE per-key exchange serves all three window passes, no joins") {
+    // running sum, per-key totals, and the argmax rank all ride the
+    // same hashpartitioning(user_id)
+    val p = plan("ts_cusum")
+    assert("""\(\d+\) Exchange""".r.findAllIn(p).size == 1,
+      "ts_cusum wants exactly 1 exchange")
+    assert(!p.contains("Join"), "ts_cusum grew a join")
+  }
+
   test("ts_holt: one per-key exchange feeding the secondary-sort fold, no joins") {
     // the recurrence is one repartition + in-partition external sort
     // + streaming fold; a second exchange or any join means the fold
