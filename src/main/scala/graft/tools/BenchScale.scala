@@ -811,15 +811,32 @@ object BenchScale {
           stepSec = 60L).count())
       val (acS, acC, acMt) = timed(
         TimeSeries.autocorr(df, "user_id", ord, "value").count())
+      val (hoS, hoC, hoMt) = timed(
+        TimeSeries.holtFinal(df, "user_id", "ts", "event_id", "value").count())
+      val (cuS, cuC, cuMt) = timed(
+        TimeSeries.cusumChangepoint(df, "user_id", "ts", "event_id", "value")
+          .count())
+      // xcorr: every key covers the same 256-second span, so 16-second
+      // buckets give all top-40 pairs exactly 16 common buckets — the
+      // Θ(n) stage is the bucket aggregate, the pair stage is bounded
+      // by the top-K contract at every rung
+      val (xcS, xcC, xcMt) = timed(
+        TimeSeries.crossCorrPairs(df, "user_id", "ts", "value",
+          topSeries = 40, minOverlap = 8L, topPairs = 20,
+          bucketSec = 16L).count())
       require(saxC == n - 7L * nKeys, s"sax rows at n=$n: $saxC")
       require(zC == n - 8L * nKeys, s"rollingZ rows at n=$n: $zC")
       require(rsC == 5L * nKeys, s"resample grid rows at n=$n: $rsC")
       require(acC == nKeys, s"acf rows at n=$n: $acC")
-      println(f"""{"n_rows":$n,"keys":$nKeys,"sax_sec":$saxS%.2f,"z_sec":$zS%.2f,"resample_sec":$rsS%.2f,"acf_sec":$acS%.2f,"max_task_sec":${Seq(saxMt, zMt, rsMt, acMt).max}%.2f}""")
-      (n, Seq(saxS, zS, rsS, acS))
+      require(hoC == nKeys, s"holt rows at n=$n: $hoC")
+      require(cuC == nKeys, s"cusum rows at n=$n: $cuC")
+      require(xcC == 20L, s"xcorr rows at n=$n: $xcC")
+      println(f"""{"n_rows":$n,"keys":$nKeys,"sax_sec":$saxS%.2f,"z_sec":$zS%.2f,"resample_sec":$rsS%.2f,"acf_sec":$acS%.2f,"holt_sec":$hoS%.2f,"cusum_sec":$cuS%.2f,"xcorr_sec":$xcS%.2f,"max_task_sec":${Seq(saxMt, zMt, rsMt, acMt, hoMt, cuMt, xcMt).max}%.2f}""")
+      (n, Seq(saxS, zS, rsS, acS, hoS, cuS, xcS))
     }
     if (sizes.size >= 2) {
-      Seq("sax", "rollingz", "resample", "acf").zipWithIndex.foreach { case (nm, i) =>
+      Seq("sax", "rollingz", "resample", "acf", "holt", "cusum", "xcorr")
+        .zipWithIndex.foreach { case (nm, i) =>
         val exponent = fitExponent(rungs.map { case (n, s) => (n, s(i)) })
         println(f"""{"metric":"ts_${nm}_scale","exponent":$exponent%.3f}""")
         require(exponent <= 1.3,
