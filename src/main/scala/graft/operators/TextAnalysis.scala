@@ -503,6 +503,38 @@ object TextAnalysis {
         col("score"))
   }
 
+  /** Feature hashing — the "hashing trick" (Weinberger et al., ICML
+    * 2009): every token maps to one of `dim` buckets by hash, with a
+    * ±1 sign drawn from an INDEPENDENT bit range of the same hash so
+    * collisions cancel in expectation instead of biasing upward; a
+    * document's feature vector is the signed count per bucket. The
+    * vocabulary-free featurizer: no dictionary to build, broadcast,
+    * or keep consistent across a growing corpus — the fixed-width
+    * twin of [[tfidfTopTerms]]' open-vocabulary scores, and the
+    * classic input to linear classifiers at corpus scale.
+    *
+    * Sparse output (doc_id, idx, w), zero-weight cells dropped.
+    * Scale shape: one tokenize pass, ONE map-side-combinable
+    * aggregate, output bounded by docs × dim. All-integer (60-bit
+    * md5 hash, integer signed sums) — hash-exact across engines. */
+  def hashedFeatures(df: DataFrame, textCol: String, idCol: String,
+                     dim: Int = 256): DataFrame = {
+    require(dim >= 2, s"hashedFeatures: dim must be >= 2, got $dim")
+    df.select(col(idCol).cast("long").as("doc_id"),
+        StatelessOps.explodeTokens(col(textCol)).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .select(col("doc_id"), Hashing.md5Long(col("tok")).as("h"))
+      // the 60-bit hash is non-negative, so % / div agree with the
+      // oracle's % / // on the same operands; the sign bit comes from
+      // h div dim — disjoint from the idx bits for power-of-two dims
+      .select(col("doc_id"), (col("h") % dim).as("idx"),
+        when(expr(s"(h div $dim) % 2") === 0, 1L).otherwise(-1L)
+          .as("sgn"))
+      .groupBy(col("doc_id"), col("idx"))
+      .agg(sum(col("sgn")).as("w"))
+      .filter(col("w") =!= 0L)
+  }
+
   /** Okapi BM25 ranked retrieval (Robertson & Walker, SIGIR 1994):
     * the top-`topK` documents scoring a fixed literal query term set,
     *

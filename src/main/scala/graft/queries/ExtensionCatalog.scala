@@ -877,6 +877,13 @@ object ExtensionCatalog {
   val taTfidf: Q = (s, d) =>
     TextAnalysis.tfidfTopTerms(Tables.documents(s, d), "text", "doc_id")
 
+  /** Hashing-trick featurizer: every document's signed-count feature
+    * vector over 256 hashed buckets — the vocabulary-free classifier
+    * input ([[graft.operators.TextAnalysis.hashedFeatures]]; sparse
+    * (doc, idx, w) triples, one combinable aggregate). */
+  val taHashvec: Q = (s, d) =>
+    TextAnalysis.hashedFeatures(Tables.documents(s, d), "text", "doc_id")
+
   /** BM25 ranked retrieval: the 20 documents best matching the fixed
     * query "stream join window filter" — one tokenize pass, one
     * map-side-combinable aggregate, a one-row corpus-stats broadcast,

@@ -2049,6 +2049,18 @@ object Oracles {
         |  SELECT *, row_number() OVER (PARTITION BY doc_id
         |    ORDER BY score DESC, tok) AS rk FROM scored)
         |WHERE rk <= 3""".stripMargin,
+    // hashvec twin: same tokenizer, same 60-bit md5 hash, idx and
+    // sign from disjoint bit ranges (h non-negative, so % / // agree
+    // with pmod / div), integer signed sums, zero cells dropped
+    "ta_hashvec" ->
+      """WITH tr AS (SELECT doc_id, unnest(string_split(trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z \n]+', '', 'g'), '\s+', ' ', 'g')), ' ')) AS tok FROM documents),
+        |h AS (SELECT doc_id, ('0x' || substr(md5(tok),1,15))::BIGINT AS h
+        |  FROM tr WHERE length(tok) > 0),
+        |f AS (SELECT doc_id, h % 256 AS idx,
+        |    CASE WHEN (h // 256) % 2 = 0 THEN 1 ELSE -1 END AS sgn FROM h)
+        |SELECT doc_id, idx, CAST(sum(sgn) AS BIGINT) AS w FROM f
+        |GROUP BY 1, 2 HAVING sum(sgn) <> 0""".stripMargin,
     // BM25 twin: same tokenizer, same conditional-sum tf/df aggs, the
     // IDENTICAL IEEE per-term tree on integer operands rounded to
     // micro-units per term (integer-summed — no cross-engine double

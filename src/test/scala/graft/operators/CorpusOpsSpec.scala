@@ -232,6 +232,31 @@ class CorpusOpsSpec extends SparkSpec {
       (1L, 1L, -1.0), (2L, 1L, 1.0)))
   }
 
+  test("hashedFeatures: signed counts accumulate per bucket, zero cells drop") {
+    val docs = Seq(
+      (1L, "alpha alpha beta"),  // alpha hits its bucket twice
+      (2L, "alpha")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.hashedFeatures(docs, "text", "doc_id", dim = 16)
+      .as[(Long, Long, Long)].collect().toSet
+    // independent reference: same md5-based idx/sign over the tokens
+    def h(tok: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    def f(tok: String): (Long, Long) = (h(tok) % 16, if ((h(tok) / 16) % 2 == 0) 1L else -1L)
+    val want = Seq(1L -> Seq("alpha", "alpha", "beta"), 2L -> Seq("alpha"))
+      .flatMap { case (id, toks) =>
+        toks.map(f).groupBy(_._1).map { case (idx, xs) => (id, idx, xs.map(_._2).sum) }
+      }.filter(_._3 != 0L).toSet
+    assert(got == want, s"got $got want $want")
+    // two same-sign 'alpha' hits accumulate to |w| = 2 on doc 1
+    val (ai, as) = f("alpha")
+    assert(got.contains((1L, ai, 2 * as)) || f("beta")._1 == ai,
+      "alpha bucket should carry weight 2 unless beta collided")
+  }
+
   test("bm25Rank: independent scoring reference; zero-hit docs absent; rank total-ordered") {
     val docs = Seq(
       (1L, "stream join stream"),
