@@ -661,6 +661,46 @@ object Graph {
     out
   }
 
+  /** Jaccard link prediction — |N(a)∩N(b)| / |N(a)∪N(b)| over
+    * non-adjacent pairs, the normalized member of the
+    * [[commonNeighbors]]/[[adamicAdar]] family (raw counts favor
+    * high-degree pairs; Jaccard asks what FRACTION of the combined
+    * neighborhoods is shared). Same wedge enumeration and same
+    * bounded-degree substrate contract. Scores are EXACT INTEGER
+    * micro-units — (10⁶·|∩|) div (deg_a + deg_b − |∩|), both operands
+    * exact counts — so ranking is bit-deterministic with no fp at
+    * all. Returns the `topN` non-adjacent pairs by
+    * (j_micro desc, a, b). */
+  def jaccardLinks(edges: DataFrame, aCol: String, bCol: String,
+                   topN: Int = 100): DataFrame = {
+    require(topN >= 1)
+    val und = edges.select(
+        least(col(aCol).cast("long"), col(bCol).cast("long")).as("a"),
+        greatest(col(aCol).cast("long"), col(bCol).cast("long")).as("b"))
+      .filter(col("a") < col("b"))
+      .distinct()
+      .localCheckpoint()
+    val sym = und.select(col("a").as("s"), col("b").as("d"))
+      .union(und.select(col("b").as("s"), col("a").as("d")))
+    val deg = sym.groupBy(col("s")).agg(count(lit(1)).as("deg"))
+    val wed = sym.select(col("s"), col("d").as("xa"))
+      .join(sym.select(col("s"), col("d").as("xb")), Seq("s"))
+      .filter(col("xa") < col("xb"))
+      .groupBy(col("xa"), col("xb"))
+      .agg(count(lit(1)).as("n_common"))
+    val out = wed
+      .join(deg.select(col("s").as("xa"), col("deg").as("da")), Seq("xa"))
+      .join(deg.select(col("s").as("xb"), col("deg").as("db")), Seq("xb"))
+      .join(und, wed("xa") === und("a") && wed("xb") === und("b"), "left_anti")
+      .select(col("xa").as("a"), col("xb").as("b"), col("n_common"),
+        expr("(1000000 * n_common) div (da + db - n_common)").as("j_micro"))
+      .orderBy(col("j_micro").desc, col("a"), col("b"))
+      .limit(topN)
+      .localCheckpoint()
+    Checkpoints.unpersist(und)
+    out
+  }
+
   /** Bounded-collect driver peel for [[kCore]]: the same
     * remove-below-k rounds over the collected symmetric edge rows —
     * integer degrees make it bit-identical to the distributed form. */

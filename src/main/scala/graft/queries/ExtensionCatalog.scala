@@ -1379,6 +1379,14 @@ object ExtensionCatalog {
       embKnnGraph(s, d).select(col("vec_id"), col("nb_id")),
       "vec_id", "nb_id", topN = 100)
 
+  /** Jaccard link prediction over the same k-NN similarity graph:
+    * shared-neighborhood FRACTION, all-integer micro scores
+    * ([[graft.operators.Graph.jaccardLinks]] — no fp anywhere). */
+  val gJaccardLinks: Q = (s, d) =>
+    graft.operators.Graph.jaccardLinks(
+      embKnnGraph(s, d).select(col("vec_id"), col("nb_id")),
+      "vec_id", "nb_id", topN = 100)
+
   /** Adamic-Adar link prediction over the same k-NN similarity graph:
     * shared neighbors weighted 1/ln(degree), so selective mutual
     * neighbors outrank hubs ([[graft.operators.Graph.adamicAdar]] —

@@ -1472,6 +1472,33 @@ object Oracles {
          |WHERE NOT EXISTS (SELECT 1 FROM und e WHERE e.a = w.a AND e.b = w.b)
          |ORDER BY w.n_common DESC, w.a, w.b LIMIT 100""".stripMargin
     },
+    // Jaccard twin: the g_commonneigh chain with degrees joined back
+    // and the ALL-INTEGER micro score (1e6·n) // (da + db − n); no fp
+    // anywhere, so ranking is bit-deterministic by construction
+    "g_jaccard_links" -> materializeCtes {
+      s"""WITH $ivfCtes,
+         |ke AS (SELECT a.vec_id, b.vec_id AS nb_id,
+         |    round(list_cosine_similarity(list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+         |      list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 6) AS cos
+         |  FROM assigned a JOIN assigned b
+         |    ON a.cent_id = b.cent_id AND a.vec_id <> b.vec_id),
+         |knn AS (SELECT vec_id, nb_id FROM (SELECT vec_id, nb_id,
+         |  row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nb_id) AS rk
+         |  FROM ke) WHERE rk <= 5),
+         |und AS (SELECT DISTINCT least(vec_id, nb_id) AS a,
+         |    greatest(vec_id, nb_id) AS b FROM knn),
+         |sym AS (SELECT a AS s, b AS d FROM und
+         |  UNION ALL SELECT b AS s, a AS d FROM und),
+         |dg AS (SELECT s, count(*) AS deg FROM sym GROUP BY 1),
+         |wed AS (SELECT x.d AS a, y.d AS b, count(*) AS n_common
+         |  FROM sym x JOIN sym y ON x.s = y.s AND x.d < y.d
+         |  GROUP BY 1, 2)
+         |SELECT w.a, w.b, w.n_common,
+         |  (1000000 * w.n_common) // (ka.deg + kb.deg - w.n_common) AS j_micro
+         |FROM wed w JOIN dg ka ON ka.s = w.a JOIN dg kb ON kb.s = w.b
+         |WHERE NOT EXISTS (SELECT 1 FROM und e WHERE e.a = w.a AND e.b = w.b)
+         |ORDER BY j_micro DESC, w.a, w.b LIMIT 100""".stripMargin
+    },
     // Adamic-Adar twin: the g_commonneigh chain with the center's
     // 1/ln(degree) weight — ONE identically-rounded micro-unit per
     // center, exact integer pair sums (sum in HUGEINT, cast back);

@@ -425,6 +425,36 @@ class GraphSpec extends SparkSpec {
       und.contains((a, b)) || und.contains((b, a)) })
   }
 
+  test("jaccardLinks: matches brute force; full-overlap pair scores 1e6 exactly") {
+    import spark.implicits._
+    // twins 4 and 5 share the identical neighborhood {1,2,3} (and the
+    // spokes {1,2,3} symmetrically share {4,5}): every non-adjacent
+    // pair in this complete-bipartite graph is a perfect-overlap pair
+    // scoring exactly 10^6, ordered by (a, b)
+    val twins = Seq((4L, 1L), (4L, 2L), (4L, 3L), (5L, 1L), (5L, 2L), (5L, 3L))
+    val gotTwins = Graph.jaccardLinks(twins.toDF("a", "b"), "a", "b", topN = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSeq
+    assert(gotTwins == Seq((1L, 2L, 1000000L), (1L, 3L, 1000000L),
+      (2L, 3L, 1000000L), (4L, 5L, 1000000L)), s"got $gotTwins")
+    val rnd = new scala.util.Random(518)
+    val und = Seq.fill(60)((rnd.nextInt(16).toLong, rnd.nextInt(16).toLong))
+    val es = und.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .filter { case (a, b) => a != b }.distinct
+    val adj = es.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (n, xs) => n -> xs.map(_._2).toSet }
+    val nodes = adj.keys.toSeq.sorted
+    val want = (for {
+      i <- nodes; j <- nodes if i < j && !adj(i).contains(j)
+      c = (adj(i) & adj(j)).size if c > 0
+    } yield (i, j, c.toLong,
+      1000000L * c / (adj(i).size + adj(j).size - c)))
+      .sortBy { case (a, b, _, s) => (-s, a, b) }.take(7)
+    val got = Graph.jaccardLinks(und.toDF("a", "b"), "a", "b", topN = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == want, s"got $got want $want")
+  }
+
   test("adamicAdar: matches brute force on random graphs") {
     import spark.implicits._
     val rnd = new scala.util.Random(331)
