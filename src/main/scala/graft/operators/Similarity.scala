@@ -457,6 +457,43 @@ object Similarity {
             6)).as("z"))
   }
 
+  /** Embedding-corpus outliers by distance to the GLOBAL centroid —
+    * the data-QA pass that surfaces mis-embedded / corrupted vectors
+    * before they poison clustering or semantic dedup. The distance is
+    * computed in the FULLY INTEGER form (the ts_cusum discipline):
+    *
+    *   n²·dist²(x, x̄) = Σ_d (n·x_d − S_d)²   (S_d per-dim sum)
+    *
+    * so the RANKING happens on exact decimal integers (no fp until
+    * the display distance — one sqrt/divide tree, identical in both
+    * engines). Scale shape: one narrow micro-unit explode, a
+    * dim-bounded stats aggregate broadcast back, one per-vector sum,
+    * TakeOrdered top-K; the corpus shuffles once (by vec_id partials,
+    * map-side combinable). Returns the `topK` (vec_id, dist) rows by
+    * (n²dist² desc, vec_id). */
+  def centroidOutliers(emb: DataFrame, topK: Int = 20,
+                       idCol: String = "vec_id",
+                       embCol: String = "embedding"): DataFrame = {
+    require(topK >= 1)
+    val comp = emb.select(col(idCol).cast("long").as("vec_id"),
+        posexplode(transform(col(embCol),
+          x => round(x.cast("double") * 1000000).cast("long")))
+          .as(Seq("dim", "xm")))
+    val stats = comp.groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("xm").cast("decimal(38,0)")).as("s"))
+    val d = (col("n").cast("decimal(38,0)") * col("xm") - col("s"))
+    comp.join(broadcast(stats), "dim")
+      .select(col("vec_id"), col("n"), (d * d).as("t"))
+      .groupBy(col("vec_id"))
+      .agg(sum(col("t")).as("dev2"), max(col("n")).as("n"))
+      .orderBy(col("dev2").desc, col("vec_id"))
+      .limit(topK)
+      .select(col("vec_id"),
+        round(sqrt(col("dev2").cast("double")) / col("n") / lit(1000000.0), 6)
+          .as("dist"))
+  }
+
   /** Johnson-Lindenstrauss random projection of the embedding corpus
     * to `outDims` dimensions via deterministic Rademacher ±1 planes —
     * the dimensionality-reduction step before ANN/clustering at corpus

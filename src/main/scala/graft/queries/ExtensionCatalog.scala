@@ -1122,6 +1122,12 @@ object ExtensionCatalog {
   val embStandardize: Q = (s, d) =>
     Similarity.standardize(Tables.embeddings(s, d))
 
+  /** Top-20 embedding outliers by distance to the global centroid —
+    * the mis-embedded-vector QA pass; ranking on the exact integer
+    * n²·dist² ([[Similarity.centroidOutliers]]). */
+  val embOutliers: Q = (s, d) =>
+    Similarity.centroidOutliers(Tables.embeddings(s, d))
+
   /** Dominant-principal-direction projection: exact-integer power
     * iteration on the driver-collected 64×64 gram (bounded at any
     * corpus size), then one narrow projection pass — see

@@ -2597,6 +2597,26 @@ object Oracles {
       (0 until 16).map { j =>
         s"SELECT vec_id, CAST($j AS BIGINT) AS out_dim, ${projMicroSql(j)} AS y_micro FROM embeddings"
       }.mkString("", "\nUNION ALL\n", ""),
+    // outlier twin: the same fully-integer n²·dist² = Σ_d (n·xm−S_d)²
+    // (HUGEINT — the decimal twin), ranking on the exact integer, one
+    // identical sqrt/divide tree at display
+    "emb_outliers" ->
+      """WITH c AS (SELECT vec_id, i - 1 AS dim,
+        |    CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS xm
+        |  FROM embeddings, generate_series(1, 256) g(i)
+        |  WHERE i <= len(embedding)
+        |    AND 1 = (SELECT CASE WHEN max(len(embedding)) <= 256 THEN 1
+        |      ELSE error('emb_outliers oracle: dim series bound exceeded') END
+        |      FROM embeddings)),
+        |st AS (SELECT dim, count(*) AS n, sum(CAST(xm AS HUGEINT)) AS s
+        |  FROM c GROUP BY 1),
+        |dv AS (SELECT c.vec_id, max(st.n) AS n,
+        |    sum((CAST(st.n AS HUGEINT) * c.xm - st.s)
+        |      * (CAST(st.n AS HUGEINT) * c.xm - st.s)) AS dev2
+        |  FROM c JOIN st USING (dim) GROUP BY 1)
+        |SELECT vec_id,
+        |  round(sqrt(CAST(dev2 AS DOUBLE)) / n / 1000000.0, 6) AS dist
+        |FROM dv ORDER BY dev2 DESC, vec_id LIMIT 20""".stripMargin,
     "emb_standardize" ->
       """WITH c AS (SELECT vec_id, i - 1 AS dim,
         |    CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS xm

@@ -232,6 +232,22 @@ class CorpusOpsSpec extends SparkSpec {
       (1L, 1L, -1.0), (2L, 1L, 1.0)))
   }
 
+  test("centroidOutliers: the planted far vector tops, distance exact") {
+    // 4 vectors at the corners of a tight cluster + one far point:
+    // centroid of dim0 = (0+0+0+0+10)/5 = 2 → far point dist² =
+    // (10−2)² + (5−1)² = 80; cluster points (0−2)² + (...)²
+    val emb = Seq(
+      (1L, Seq(0.0f, 1.0f)), (2L, Seq(0.0f, 1.0f)),
+      (3L, Seq(0.0f, 1.0f)), (4L, Seq(0.0f, 1.0f)),
+      (9L, Seq(10.0f, 5.0f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.centroidOutliers(emb, topK = 2)
+      .as[(Long, Double)].collect().toSeq
+    // mean = (2, 1.8); far: sqrt(64 + 10.24) = 8.616264; cluster:
+    // sqrt(4 + 0.64) = 2.154066 — ties at the cut break by vec_id
+    assert(got == Seq((9L, 8.616264), (1L, 2.154066)), s"got $got")
+  }
+
   test("hashedFeatures: signed counts accumulate per bucket, zero cells drop") {
     val docs = Seq(
       (1L, "alpha alpha beta"),  // alpha hits its bucket twice
