@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product-analytics primitives over keyed event streams: the
+  * strict-order conversion funnel and the cohort-retention triangle —
+  * the two queries every event warehouse runs daily, here with the
+  * engine's exactness discipline (all-integer instants and counts, so
+  * cross-engine hashes match with no fp anywhere).
+  */
+object EventAnalytics {
+
+  /** Strict-order funnel: for each user, stage i's instant is the
+    * earliest event of `stages(i)` STRICTLY after stage i−1's instant
+    * (stage 0 is the user's earliest stage-0 event). Emits ONE row of
+    * per-stage user counts, columns `n_<stage>`.
+    *
+    * A tie at the same microsecond fails the strict inequality — the
+    * deterministic contract both engines share (no tiebreak needed,
+    * because no order within a microsecond is defined).
+    *
+    * Scale shape: each stage is a full-partition conditional window
+    * MIN referencing the previous stage's column, so the WHOLE funnel
+    * rides one per-user hash partitioning — k window projects, one
+    * per-user collapse that reuses the partitioning, one single-row
+    * count aggregate. No joins, no second scan of the corpus. */
+  def funnel(df: DataFrame, userCol: String, typeCol: String,
+             tsCol: String, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty && stages.distinct == stages,
+      "funnel: stages must be non-empty and distinct")
+    val w = Window.partitionBy(col(userCol))
+    val base = df.select(col(userCol), col(typeCol).as("_etype"),
+      unix_micros(col(tsCol).cast("timestamp")).as("_us"))
+    val staged = stages.zipWithIndex.foldLeft(base) { case (acc, (st, i)) =>
+      val cond =
+        if (i == 0) col("_etype") === st
+        else col("_etype") === st && col("_us") > col(s"_t${i - 1}")
+      acc.withColumn(s"_t$i", min(when(cond, col("_us"))).over(w))
+    }
+    val perUser = staged.groupBy(col(userCol))
+      .agg(max(col("_t0")).as("_t0"),
+        stages.indices.drop(1).map(i => max(col(s"_t$i")).as(s"_t$i")): _*)
+    val counts = stages.zipWithIndex.map { case (st, i) =>
+      sum(when(col(s"_t$i").isNotNull, 1L).otherwise(0L)).as(s"n_$st")
+    }
+    perUser.agg(counts.head, counts.tail: _*)
+  }
+
+  /** Cohort retention: users grouped by their first active day (the
+    * cohort), counted per day-offset they return on. One distinct
+    * (user, day) pass; the per-user cohort aggregate and the join
+    * back both ride the same user partitioning; the final
+    * (cohort, offset) count is a bounded span² aggregate. Each user
+    * contributes exactly one (user, day) row per active day, so the
+    * plain count IS the distinct-user count. */
+  def retention(df: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val ud = df
+      .select(col(userCol),
+        unix_micros(col(tsCol).cast("timestamp")).as("_us"))
+      .select(col(userCol), expr("_us div 86400000000").as("day"))
+      .distinct()
+    val cohort = ud.groupBy(col(userCol)).agg(min(col("day")).as("cohort_day"))
+    ud.join(cohort, Seq(userCol))
+      .groupBy(col("cohort_day"),
+        (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+}

@@ -1481,6 +1481,29 @@ object ExtensionCatalog {
     graft.operators.TimeSeries.resampleLinear(Tables.events(s, d),
       "user_id", "ts", "value", "event_id")
 
+  /** Strict-order conversion funnel over the event stream: how many
+    * users VIEWED, then CLICKED strictly after their first view, then
+    * PURCHASED strictly after that click — the product-analytics
+    * staple, expressed stage-by-stage as nested full-partition window
+    * minima (each stage's earliest qualifying instant references the
+    * previous stage's column), so the whole funnel rides ONE per-user
+    * hash partitioning: three window projects, one per-user collapse,
+    * one single-row count aggregate. All-integer (µs instants, strict
+    * > comparisons — a tie at the same microsecond fails the strict
+    * inequality identically in both engines). */
+  val qFunnel: Q = (s, d) =>
+    EventAnalytics.funnel(Tables.events(s, d), "user_id", "event_type",
+      "ts", Seq("view", "click", "purchase"))
+
+  /** Cohort retention over the event stream: users grouped by their
+    * first active day, counted per day-offset they return — the
+    * (cohort × offset) retention triangle. One distinct (user, day)
+    * pass; the per-user cohort aggregate and the join back both ride
+    * the same user partitioning; the final (cohort, offset) count is
+    * a bounded span² aggregate. All-integer. */
+  val qRetention: Q = (s, d) =>
+    EventAnalytics.retention(Tables.events(s, d), "user_id", "ts")
+
   /** CUSUM changepoint per user: the event where the centered
     * cumulative deviation peaks — fully integer statistic
     * n·S_t − t·T, one fp step at display

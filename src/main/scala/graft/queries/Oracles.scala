@@ -787,6 +787,34 @@ object Oracles {
          |$acfs
          |FROM m""".stripMargin
     },
+    // funnel twin: the same nested full-partition window minima
+    // (each stage's CASE references the previous stage's column),
+    // same strict > comparisons on µs instants — all-integer
+    "q_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |s1 AS (SELECT user_id, event_type, us,
+        |    min(CASE WHEN event_type = 'view' THEN us END)
+        |      OVER (PARTITION BY user_id) AS t1 FROM e),
+        |s2 AS (SELECT *, min(CASE WHEN event_type = 'click' AND us > t1 THEN us END)
+        |      OVER (PARTITION BY user_id) AS t2 FROM s1),
+        |s3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND us > t2 THEN us END)
+        |      OVER (PARTITION BY user_id) AS t3 FROM s2),
+        |u AS (SELECT user_id, max(t1) AS t1, max(t2) AS t2, max(t3) AS t3
+        |  FROM s3 GROUP BY 1)
+        |SELECT CAST(sum(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+        |  CAST(sum(CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+        |  CAST(sum(CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase
+        |FROM u""".stripMargin,
+    // retention twin: same distinct (user, day) pass, same per-user
+    // first-day cohort, same integer day arithmetic
+    "q_retention" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+        |    epoch_us(ts) // 86400000000 AS day FROM events),
+        |c AS (SELECT user_id, min(day) AS cohort_day FROM ud GROUP BY 1)
+        |SELECT c.cohort_day, ud.day - c.cohort_day AS day_offset,
+        |  count(*) AS n_users
+        |FROM ud JOIN c USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
     // CUSUM twin: the same fully-integer statistic n·S_t − t·T (no
     // mean division — HUGEINT sums, the decimal twin), same argmax
     // rank with the same id tiebreak, one identical fp step at
