@@ -34,6 +34,32 @@ object Sampling {
                  salt: String = "sample"): DataFrame =
     df.filter(decision(col(keyCol), salt) < rate)
 
+  /** Weighted sample WITHOUT replacement, exact size k (Efraimidis &
+    * Spirakis, IPL 2006 — the one-pass A-ES scheme): each record
+    * draws its deterministic u = [[decision]] and ranks by
+    * ln(u)/w; the k largest ranks ARE a weighted
+    * without-replacement sample (records with twice the weight are
+    * twice as likely to make the cut, exactly). The data-MIXING
+    * primitive: quality- or length-weighted corpus subsetting with
+    * the same reproducibility contract as [[hashSample]] — every
+    * decision a pure function of (key, salt), identical across
+    * engines, re-runs, and cluster sizes.
+    *
+    * Scale shape: one narrow pass + a TakeOrdered top-k — no shuffle
+    * of the corpus, heap bounded by k. u = 0 draws ln(0) = −∞ and
+    * sorts last deterministically. Ranking happens on the raw
+    * (unrounded) key with an id tiebreak in both engines. */
+  def weightedSample(df: DataFrame, keyCol: String, weight: Column,
+                     k: Int, salt: String = "wsample"): DataFrame = {
+    require(k >= 1)
+    val u = decision(col(keyCol), salt)
+    df.select(col(keyCol), greatest(weight.cast("long"), lit(1L)).as("w"))
+      .withColumn("es_key_raw", log(u) / col("w"))
+      .orderBy(col("es_key_raw").desc, col(keyCol))
+      .limit(k)
+      .select(col(keyCol), col("w"), round(col("es_key_raw"), 9).as("es_key"))
+  }
+
   /** Per-stratum Bernoulli rates (e.g. downsample dominant languages,
     * keep all of rare ones). Strata absent from `rates` get
     * `defaultRate`. One narrow pass; the rate lookup is a constant

@@ -819,6 +819,14 @@ object ExtensionCatalog {
     Sampling.hashSample(Tables.documents(s, d), "doc_id", 0.1)
       .select(col("doc_id"), col("lang"), col("source"))
 
+  /** Exact-50 length-weighted sample without replacement (the A-ES
+    * scheme — longer documents proportionally likelier), determinate
+    * in (doc_id, salt) like every sampling decision here
+    * ([[Sampling.weightedSample]]). */
+  val dsWeightedSample: Q = (s, d) =>
+    Sampling.weightedSample(Tables.documents(s, d), "doc_id",
+      length(col("text")), k = 50)
+
   /** Per-language rates: downsample dominant strata, keep rare ones. */
   val dsSampleStratified: Q = (s, d) =>
     Sampling.stratifiedSample(Tables.documents(s, d), "doc_id", "lang",

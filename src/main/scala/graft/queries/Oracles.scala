@@ -1923,6 +1923,16 @@ object Oracles {
       """SELECT doc_id, lang, source FROM documents
         |WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '_sample'),1,15))::BIGINT
         |  % 2147483647) / 2147483647.0 < 0.1""".stripMargin,
+    // A-ES weighted-sample twin: the same u = decision(doc_id, salt),
+    // the same ln(u)/w rank key; ORDERING on the raw key (identical
+    // doubles), id tiebreak, display rounded to 9
+    "ds_weighted_sample" ->
+      """WITH b AS (SELECT doc_id, greatest(length(text), 1) AS w,
+        |    (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '_wsample'),1,15))::BIGINT
+        |      % 2147483647) / 2147483647.0 AS u
+        |  FROM documents)
+        |SELECT doc_id, CAST(w AS BIGINT) AS w, round(ln(u) / w, 9) AS es_key
+        |FROM b ORDER BY ln(u) / w DESC, doc_id LIMIT 50""".stripMargin,
     "ds_sample_stratified" ->
       """SELECT doc_id, lang FROM documents
         |WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '_strata'),1,15))::BIGINT

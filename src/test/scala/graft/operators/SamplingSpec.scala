@@ -131,4 +131,35 @@ class SamplingSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().sortBy(_._3)
     assert(again.toSeq == got.toSeq)
   }
+
+  test("weightedSample: matches the A-ES reference; heavier keys sampled more often") {
+    // text length is the weight: ids 0..199, id i has length i+1
+    val docs = (0 until 200).map(i => (i.toLong, "x" * (i + 1))).toDF("id", "text")
+    val got = Sampling.weightedSample(docs, "id", length(col("text")), k = 30)
+      .as[(Long, Long, Double)].collect().toSeq
+    // independent reference: same md5 decision, same rank key
+    def u(id: Long): Double = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"${id}_wsample".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      (java.lang.Long.parseLong(hex, 16) % 2147483647L).toDouble / 2147483647.0
+    }
+    val want = (0 until 200).map { i =>
+      val w = (i + 1).toLong
+      (i.toLong, w, math.log(u(i.toLong)) / w)
+    }.sortBy { case (id, _, k) => (-k, id) }.take(30)
+      .map { case (id, w, k) =>
+        (id, w, new java.math.BigDecimal(k)
+          .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()) }
+    assert(got == want, s"got ${got.take(3)}... want ${want.take(3)}...")
+    // weighting is real: the sampled ids skew heavy — their mean
+    // weight must exceed the population mean (100.5) clearly
+    assert(got.map(_._2).sum / 30.0 > 110.0,
+      s"weighted sample looks uniform: mean w = ${got.map(_._2).sum / 30.0}")
+    // determinism across partitionings
+    val again = Sampling.weightedSample(docs.repartition(7), "id",
+        length(col("text")), k = 30)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(again == got)
+  }
 }
