@@ -49,20 +49,26 @@ object EventAnalytics {
   }
 
   /** Cohort retention: users grouped by their first active day (the
-    * cohort), counted per day-offset they return on. One distinct
-    * (user, day) pass; the per-user cohort aggregate and the join
-    * back both ride the same user partitioning; the final
-    * (cohort, offset) count is a bounded span² aggregate. Each user
+    * cohort), counted per day-offset they return on. Each user
     * contributes exactly one (user, day) row per active day, so the
-    * plain count IS the distinct-user count. */
+    * plain count IS the distinct-user count.
+    *
+    * Scale shape — TWO exchanges, ZERO joins: one explicit
+    * repartition on the user lets the (user, day) dedup aggregate
+    * RIDE it (hash partitioning on a subset of the grouping keys
+    * satisfies the aggregate's distribution) and the per-user cohort
+    * becomes a full-partition window MIN on the deduped rows instead
+    * of a separate aggregate joined back (which would cost a
+    * (user, day)-keyed exchange, a user-keyed exchange, AND a join);
+    * only the final bounded (cohort, offset) count exchanges again. */
   def retention(df: DataFrame, userCol: String, tsCol: String): DataFrame = {
-    val ud = df
-      .select(col(userCol),
+    val w = Window.partitionBy(col(userCol))
+    df.select(col(userCol),
         unix_micros(col(tsCol).cast("timestamp")).as("_us"))
       .select(col(userCol), expr("_us div 86400000000").as("day"))
-      .distinct()
-    val cohort = ud.groupBy(col(userCol)).agg(min(col("day")).as("cohort_day"))
-    ud.join(cohort, Seq(userCol))
+      .repartition(col(userCol))
+      .groupBy(col(userCol), col("day")).agg(count(lit(1)).as("_c"))
+      .withColumn("cohort_day", min(col("day")).over(w))
       .groupBy(col("cohort_day"),
         (col("day") - col("cohort_day")).as("day_offset"))
       .agg(count(lit(1)).as("n_users"))

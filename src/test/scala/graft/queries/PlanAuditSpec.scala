@@ -327,6 +327,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join"), "ts_cusum grew a join")
   }
 
+  test("q_funnel / q_retention: window-stacked plans, zero joins") {
+    // funnel: every stage is a conditional window min riding ONE
+    // per-user partitioning; only the final single-row count adds an
+    // exchange. retention: the (user, day) dedup aggregate rides the
+    // explicit user repartition and the cohort is a window min — a
+    // join-based cohort would re-exchange twice and add a join.
+    def exchanges(p: String): Int = """\(\d+\) Exchange""".r.findAllIn(p).size
+    val pf = plan("q_funnel")
+    assert(!pf.contains("Join"), "q_funnel grew a join")
+    assert(exchanges(pf) <= 2, s"q_funnel wants <= 2 exchanges, got ${exchanges(pf)}")
+    val pr = plan("q_retention")
+    assert(!pr.contains("Join"), "q_retention grew a join — cohort must be a window")
+    assert(exchanges(pr) <= 2, s"q_retention wants <= 2 exchanges, got ${exchanges(pr)}")
+  }
+
   test("ts_holt: one per-key exchange feeding the secondary-sort fold, no joins") {
     // the recurrence is one repartition + in-partition external sort
     // + streaming fold; a second exchange or any join means the fold
