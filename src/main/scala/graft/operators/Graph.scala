@@ -967,14 +967,16 @@ object Graph {
     *   hraw(u) = Σ_{u→v} a(v);  h(u) = (hraw(u)·10⁶) div max hraw
     *
     * from h₀ ≡ 10⁶. All arithmetic is EXACT INTEGER: raw sums in
-    * decimal(38,0) (the HUGEINT twin — a long sum overflows past
-    * ~9·10¹² nodes of mass), normalized scores floor-divided back
-    * into [0, 10⁶], so every round is bit-identical across engines
-    * and partition layouts and the DuckDB twin replays the rounds
-    * CTE-by-CTE (max-normalization in place of the textbook L2 keeps
-    * the fixpointing integral — rankings, the thing HITS is used
-    * for, are unaffected). Multi-edges are honored (each edge row
-    * contributes); callers wanting 0/1 adjacency pass distinct pairs.
+    * plain longs (scores ≤ 10⁶, so a per-node sum overflows only
+    * past ~9.2·10¹² incident edges — guarded loudly), the normalize
+    * multiply widened to decimal(38,0) (the HUGEINT twin), scores
+    * floor-divided back into [0, 10⁶] — every round bit-identical
+    * across engines and partition layouts, and the DuckDB twin
+    * replays the rounds CTE-by-CTE (max-normalization in place of
+    * the textbook L2 keeps the fixpointing integral — rankings, the
+    * thing HITS is used for, are unaffected). Multi-edges are
+    * honored (each edge row contributes); callers wanting 0/1
+    * adjacency pass distinct pairs.
     *
     * Scale shape: the edge list is hash-partitioned and cached TWICE
     * — once on src (feeding the authority sum's join on h) and once
@@ -1010,6 +1012,16 @@ object Graph {
       val nodes = eS.select(col("src").as("node"))
         .union(eD.select(col("dst").as("node")))
         .distinct().localCheckpoint()
+      // The Θ(|E|) raw sums stay PLAIN LONGS (codegen'd partial
+      // aggregation — a decimal sum in this hot path measured ~4×
+      // PageRank's per-round cost): scores are ≤ 10⁶, so a sum
+      // overflows long only past ~9.2·10¹² incident edges on one
+      // node, guarded loudly below. Only the |V|-row normalize
+      // multiply (raw · 10⁶, which overflows long past ~9.2·10⁶ of
+      // summed mass) widens to decimal — same integers either way.
+      require(nEdges <= 4000000000000L,
+        s"hitsMicro: $nEdges edges - a per-node long raw sum could " +
+          "overflow past ~9.2e12 incident mass; widen the sums to decimal")
       var h = nodes.withColumn("h", lit(1000000L))
       var a: DataFrame = null
       for (i <- 1 to iterations) {
@@ -1020,20 +1032,22 @@ object Graph {
         // per-dst contributions
         val araw = eS.join(h, col("src") === col("node"))
           .groupBy(col("dst"))
-          .agg(sum(col("h").cast("decimal(38,0)")).as("araw"))
+          .agg(sum(col("h")).as("araw"))
         val aM = araw.agg(max(col("araw")).as("am"))
         a = araw.crossJoin(broadcast(aM))
           .select(col("dst").as("node"),
-            expr("CAST((araw * 1000000) div am AS BIGINT)").as("a"))
+            expr("CAST((CAST(araw AS DECIMAL(38,0)) * 1000000) div am AS BIGINT)")
+              .as("a"))
           .localCheckpoint()
         if (prevA != null) Checkpoints.unpersist(prevA)
         val hraw = eD.join(a, col("dst") === col("node"))
           .groupBy(col("src"))
-          .agg(sum(col("a").cast("decimal(38,0)")).as("hraw"))
+          .agg(sum(col("a")).as("hraw"))
         val hM = hraw.agg(max(col("hraw")).as("hm"))
         h = hraw.crossJoin(broadcast(hM))
           .select(col("src").as("node"),
-            expr("CAST((hraw * 1000000) div hm AS BIGINT)").as("h"))
+            expr("CAST((CAST(hraw AS DECIMAL(38,0)) * 1000000) div hm AS BIGINT)")
+              .as("h"))
           .localCheckpoint()
         if (prevH != null) Checkpoints.unpersist(prevH)
       }
