@@ -1000,8 +1000,24 @@ object Graph {
       col(dstCol).cast("long").as("dst"))
     val eS = e.repartition(col("src")).persist()
     val nEdges = eS.count()
-    require(nEdges > 0, "hitsMicro: empty edge list - the round " +
-      "normalizer max(araw) would be undefined")
+    // BOTH contract checks sit here, before any further state, and
+    // release the cached edge frame on their throw path (the
+    // pageRankMicro validateUniverse lesson — a caller catching the
+    // require must not leak an |E|-row cache for the session):
+    //  - empty graph: the round normalizer max(araw) is undefined;
+    //  - the Θ(|E|) raw sums below stay PLAIN LONGS (codegen'd
+    //    partial aggregation — a decimal sum in this hot path
+    //    measured ~4× PageRank's per-round cost), safe because
+    //    scores are ≤ 10⁶ and a per-node sum overflows long only
+    //    past ~9.2·10¹² incident edges.
+    if (nEdges == 0 || nEdges > 4000000000000L) {
+      eS.unpersist()
+      require(nEdges > 0, "hitsMicro: empty edge list - the round " +
+        "normalizer max(araw) would be undefined")
+      require(nEdges <= 4000000000000L,
+        s"hitsMicro: $nEdges edges - a per-node long raw sum could " +
+          "overflow past ~9.2e12 incident mass; widen the sums to decimal")
+    }
     if (driverFinishEdges > 0 && nEdges <= driverFinishEdges) {
       val out = try hitsDriver(edges.sparkSession, eS, iterations)
                 finally eS.unpersist()
@@ -1012,16 +1028,9 @@ object Graph {
       val nodes = eS.select(col("src").as("node"))
         .union(eD.select(col("dst").as("node")))
         .distinct().localCheckpoint()
-      // The Θ(|E|) raw sums stay PLAIN LONGS (codegen'd partial
-      // aggregation — a decimal sum in this hot path measured ~4×
-      // PageRank's per-round cost): scores are ≤ 10⁶, so a sum
-      // overflows long only past ~9.2·10¹² incident edges on one
-      // node, guarded loudly below. Only the |V|-row normalize
-      // multiply (raw · 10⁶, which overflows long past ~9.2·10⁶ of
-      // summed mass) widens to decimal — same integers either way.
-      require(nEdges <= 4000000000000L,
-        s"hitsMicro: $nEdges edges - a per-node long raw sum could " +
-          "overflow past ~9.2e12 incident mass; widen the sums to decimal")
+      // Only the |V|-row normalize multiply (raw · 10⁶, which
+      // overflows long past ~9.2·10⁶ of summed mass) widens to
+      // decimal — same integers as an all-decimal pipeline.
       var h = nodes.withColumn("h", lit(1000000L))
       var a: DataFrame = null
       for (i <- 1 to iterations) {

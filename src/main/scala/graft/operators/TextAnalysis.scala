@@ -568,7 +568,16 @@ object TextAnalysis {
       queryTerms.zipWithIndex.map { case (t, i) =>
         sum(when(col("tok") === t, 1L).otherwise(0L)).as(s"tf$i")
       }
+    // materialized ONCE: perDoc feeds BOTH the corpus-stats aggregate
+    // and the scoring pass — left lazy, the corpus tokenize + shuffle
+    // aggregate would run twice (the gClustering lesson). The
+    // checkpoint is |docs| fixed-width rows; it backs the RETURNED
+    // lazy frame, so its blocks are reclaimed by the ContextCleaner
+    // when the caller drops the result (an explicit unpersist here
+    // would have to checkpoint the output instead, hiding the
+    // broadcast/top-k plan the PlanAudit gate pins)
     val perDoc = toks.groupBy(col("doc_id")).agg(tfAggs.head, tfAggs.tail: _*)
+      .localCheckpoint()
     val statAggs = Seq(count(lit(1)).as("n_docs"),
         sum(col("dl")).as("total_dl")) ++
       queryTerms.indices.map(i =>

@@ -641,6 +641,9 @@ object TimeSeries {
                      bucketSec: Long = 3600L): DataFrame = {
     require(topSeries >= 2 && topPairs >= 1 && minOverlap >= 2 && bucketSec >= 1)
     val vc = round(col(valueCol) * 1000000).cast("long")
+    // materialized ONCE: the bucket aggregate feeds BOTH the activity
+    // cut and the pair stage — left lazy, the corpus scan + shuffle
+    // aggregate would run twice; the checkpoint is |K|·|buckets| rows
     val hourly = df.select(col(keyCol).cast("long").as("k"),
         unix_micros(col(tsCol).cast("timestamp")).as("us"), vc.as("vc"))
       .select(col("k"), expr(s"us div ${bucketSec * 1000000L}").as("hr"), col("vc"))
@@ -649,6 +652,7 @@ object TimeSeries {
       // silently wrap a long
       .agg(sum(col("vc").cast("decimal(38,0)")).as("x"),
         count(lit(1)).as("c"))
+      .localCheckpoint()
     val top = hourly.groupBy(col("k")).agg(sum(col("c")).as("n_ev"))
       .orderBy(col("n_ev").desc, col("k")).limit(topSeries)
       .select(col("k"))
@@ -669,10 +673,13 @@ object TimeSeries {
       .filter(col("n") >= minOverlap && col("dx") > 0 && col("dy") > 0)
       .withColumn("corr_raw", col("num").cast("double") /
         sqrt(col("dx").cast("double") * col("dy").cast("double")))
-    scored.orderBy(abs(col("corr_raw")).desc, col("ka"), col("kb"))
+    val out = scored.orderBy(abs(col("corr_raw")).desc, col("ka"), col("kb"))
       .limit(topPairs)
       .select(col("ka"), col("kb"), col("n"),
         round(col("corr_raw"), 6).as("corr"))
+      .localCheckpoint()
+    Checkpoints.unpersist(hourly)
+    out
   }
 
   /** The pure Holt step — EXACTLY the JVM double ops of
