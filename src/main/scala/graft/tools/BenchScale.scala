@@ -781,6 +781,67 @@ object BenchScale {
     * output count is EXACT by construction (fixed series length ⇒
     * words = n − 7·keys, z rows = n − 8·keys, 60 s-grid marks =
     * 5·keys for the 0..255 s span, acf rows = keys). */
+  /** Events-analytics ladder: funnel + retention on a generated event
+    * stream whose row count scales while per-user structure stays
+    * fixed (256 events/user across 32 days; each user's first three
+    * events are view→click→purchase in order), so BOTH results are
+    * EXACT by construction at every rung — n_view = n_click =
+    * n_purchase = keys for the funnel, and exactly 32 retention rows
+    * of (cohort 0, offset d, keys). Wall must grow ~linearly in rows
+    * (fitted exponent ≤ 1.3): the funnel is k conditional window
+    * minima riding one user partitioning, retention two exchanges. */
+  private def eventsLadder(spark: SparkSession, sizes: Seq[Long],
+                           maxTaskMs: java.util.concurrent.atomic.AtomicLong): Unit = {
+    import graft.operators.EventAnalytics
+    val rungs = sizes.map { n =>
+      require(n % 256 == 0, s"events ladder sizes must be multiples of 256, got $n")
+      val nKeys = n / 256
+      val dir = s"/tmp/graft_scale/events_$n"
+      spark.range(n).selectExpr(
+          "id div 256 AS user_id",
+          // 8 events/day over 32 days; the first three events of each
+          // user (seconds 0,1,2 of day 0) are the ordered funnel
+          "timestamp_micros(((id % 256) div 8) * 86400000000 + (id % 8) * 1000000) AS ts",
+          """CASE WHEN id % 256 = 0 THEN 'view'
+            |  WHEN id % 256 = 1 THEN 'click'
+            |  WHEN id % 256 = 2 THEN 'purchase'
+            |  ELSE 'noise' END AS event_type""".stripMargin)
+        .write.mode("overwrite").parquet(dir) // untimed
+      val df = spark.read.parquet(dir)
+      def timed[T](f: => T): (Double, T) = {
+        maxTaskMs.set(0)
+        val t0 = System.nanoTime()
+        val r = f
+        ((System.nanoTime() - t0) / 1e9, r)
+      }
+      val (fuS, funnel) = timed(
+        EventAnalytics.funnel(df, "user_id", "event_type", "ts",
+          Seq("view", "click", "purchase")).head())
+      val fuMt = maxTaskMs.get() / 1e3
+      val (reS, ret) = timed {
+        val rows = EventAnalytics.retention(df, "user_id", "ts")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        rows.sortBy(r => (r._1, r._2)).toSeq
+      }
+      val reMt = maxTaskMs.get() / 1e3
+      require(funnel.getLong(0) == nKeys && funnel.getLong(1) == nKeys &&
+        funnel.getLong(2) == nKeys,
+        s"funnel at n=$n: ${funnel.toSeq} != ($nKeys, $nKeys, $nKeys)")
+      require(ret == (0L until 32L).map(d => (0L, d, nKeys)),
+        s"retention at n=$n: ${ret.take(3)}...")
+      println(f"""{"n_rows":$n,"keys":$nKeys,"funnel_sec":$fuS%.2f,"retention_sec":$reS%.2f,"max_task_sec":${math.max(fuMt, reMt)}%.2f}""")
+      (n, Seq(fuS, reS))
+    }
+    if (sizes.size >= 2) {
+      Seq("funnel", "retention").zipWithIndex.foreach { case (nm, i) =>
+        val exponent = fitExponent(rungs.map { case (n, s) => (n, s(i)) })
+        println(f"""{"metric":"events_${nm}_scale","exponent":$exponent%.3f}""")
+        require(exponent <= 1.3,
+          f"$nm wall grows super-linearly in rows: exponent $exponent%.3f > 1.3")
+      }
+    }
+  }
+
   private def tsLadder(spark: SparkSession, sizes: Seq[Long],
                        maxTaskMs: java.util.concurrent.atomic.AtomicLong): Unit = {
     import graft.operators.TimeSeries
@@ -1043,11 +1104,12 @@ object BenchScale {
     val triMode = args.headOption.contains("tri")
     val kcoreMode = args.headOption.contains("kcore")
     val tsMode = args.headOption.contains("ts")
+    val eventsMode = args.headOption.contains("events")
     val backoffMode = args.headOption.contains("backoff")
     val sizeArgs =
       if (annMode || mmMode || pqMode || ivfPqMode || semMode || graphMode ||
           tpchMode || bpeMode || shingleMode || triMode || backoffMode ||
-          kcoreMode || tsMode)
+          kcoreMode || tsMode || eventsMode)
         args.drop(1) else args
     val sizes =
       if (sizeArgs.nonEmpty) sizeArgs(0).split(",").map(_.trim.toLong).toSeq
@@ -1063,6 +1125,7 @@ object BenchScale {
       else if (triMode) Seq(1000000L, 4000000L, 16000000L)
       else if (kcoreMode) Seq(1000000L, 4000000L, 16000000L)
       else if (tsMode) Seq(1048576L, 4194304L, 16777216L)
+      else if (eventsMode) Seq(1048576L, 4194304L, 16777216L)
       else if (backoffMode) Seq(100000L, 400000L, 1600000L)
       else Seq(5000L, 10000L, 20000L, 50000L)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -1121,6 +1184,7 @@ object BenchScale {
     if (triMode) { triLadder(spark, sizes, maxTaskMs); spark.stop(); return }
     if (kcoreMode) { kcoreLadder(spark, sizes, maxTaskMs); spark.stop(); return }
     if (tsMode) { tsLadder(spark, sizes, maxTaskMs); spark.stop(); return }
+    if (eventsMode) { eventsLadder(spark, sizes, maxTaskMs); spark.stop(); return }
     if (backoffMode) { backoffLadder(spark, sizes, maxTaskMs); spark.stop(); return }
 
     val rungs = sizes.map { n =>
