@@ -63,4 +63,55 @@ object AsOfJoin {
       .select(leftCols.map(col) ++ valueCols.map { case (_, o) =>
         col(s"__c.$o").as(o) }: _*)
   }
+
+  /** Nearest-in-time variant of [[asOf]]: each left row matches the
+    * right row with the same key MINIMIZING |t_right − t_left|,
+    * looking in BOTH directions (equal distances, and an equal-time
+    * right row, resolve BACKWARD — the deterministic "prefer what
+    * already happened" contract). The sensor-fusion / label-alignment
+    * join: align each observation with its closest reading, not just
+    * the preceding one.
+    *
+    * Same scale shape as [[asOf]]: tag-union, ONE shuffle on the key,
+    * one window sort serving BOTH the backward carry
+    * (last ignoreNulls over the preceding frame) and the forward
+    * carry (first ignoreNulls over the following frame) — at equal
+    * timestamps right rows sort before left, so the backward frame
+    * sees them and the forward frame never double-counts them. The
+    * pick is one integer µs distance comparison. */
+  def asOfNearest(left: DataFrame, right: DataFrame, key: String,
+                  leftTime: String, rightTime: String,
+                  valueCols: Seq[(String, String)]): DataFrame = {
+    val leftCols = left.columns
+    val packType = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("__rt",
+        org.apache.spark.sql.types.LongType) +:
+      valueCols.map { case (c, o) =>
+        org.apache.spark.sql.types.StructField(o, right.schema(c).dataType) })
+    val l = left.withColumn("__side", lit(1))
+      .withColumn("__t", unix_micros(col(leftTime).cast("timestamp")))
+      .select(leftCols.map(col) :+ col("__side") :+ col("__t") :+
+        lit(null).cast(packType).as("__vpack"): _*)
+    val rt = unix_micros(col(rightTime).cast("timestamp"))
+    val r = right.select((leftCols.map(c =>
+        if (c == key) col(key) else lit(null).cast(left.schema(c).dataType).as(c)) :+
+        lit(0).as("__side") :+ rt.as("__t")) :+
+        struct(rt.as("__rt") +:
+          valueCols.map { case (c, o) => col(c).as(o) }: _*).as("__vpack"): _*)
+    val ord = Window.partitionBy(col(key)).orderBy(col("__t"), col("__side"))
+    val wb = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val u = l.unionByName(r)
+      .withColumn("__b", last(col("__vpack"), ignoreNulls = true).over(wb))
+      .withColumn("__f", first(col("__vpack"), ignoreNulls = true).over(wf))
+    val pick = when(col("__b").isNull, col("__f"))
+      .when(col("__f").isNull, col("__b"))
+      .when(col("__t") - col("__b.__rt") <= col("__f.__rt") - col("__t"),
+        col("__b"))
+      .otherwise(col("__f"))
+    u.filter(col("__side") === 1)
+      .withColumn("__pick", pick)
+      .select(leftCols.map(col) ++ valueCols.map { case (_, o) =>
+        col(s"__pick.$o").as(o) }: _*)
+  }
 }

@@ -1173,6 +1173,24 @@ object Oracles {
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') a
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') b
         |  ON a.user_id = b.user_id AND b.ts <= a.ts""".stripMargin,
+    // nearest-as-of twin: DuckDB's native ASOF in both directions
+    // (<= backward includes the equal instant; > forward excludes it,
+    // exactly the Spark tag-union's tie layout), then one integer µs
+    // distance pick preferring backward on equal distances
+    "j_asof_nearest" ->
+      """WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT * FROM events WHERE event_type = 'click'),
+        |b AS (SELECT a.event_id, a.user_id, epoch_us(a.ts) AS t,
+        |    epoch_us(bb.ts) AS bt, bb.value AS bv
+        |  FROM p a ASOF LEFT JOIN c bb
+        |    ON a.user_id = bb.user_id AND bb.ts <= a.ts),
+        |f AS (SELECT a.event_id, epoch_us(ff.ts) AS ft, ff.value AS fv
+        |  FROM p a ASOF LEFT JOIN c ff
+        |    ON a.user_id = ff.user_id AND ff.ts > a.ts)
+        |SELECT b.event_id, b.user_id,
+        |  round(CASE WHEN bt IS NULL THEN fv WHEN ft IS NULL THEN bv
+        |    WHEN t - bt <= ft - t THEN bv ELSE fv END, 2) AS nearest_click_value
+        |FROM b JOIN f USING (event_id)""".stripMargin,
     "j_interval" ->
       """SELECT p.user_id, p.event_id AS p_id, count(*) AS n_clicks,
         |  max(c.event_id) AS last_click

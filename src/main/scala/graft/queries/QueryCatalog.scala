@@ -641,6 +641,22 @@ object QueryCatalog {
       .select(col("event_id"), col("user_id"), col("prior_click_value"))
   }
 
+  /** Nearest-in-time as-of: each purchase aligned with the user's
+    * CLOSEST click in either direction (equal distances resolve
+    * backward) — the sensor-fusion variant of [[jAsOf]]
+    * ([[graft.operators.AsOfJoin.asOfNearest]]: same one-shuffle
+    * tag-union, both carries off one window sort). */
+  val jAsOfNearest: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+    val clicks = ev.filter(col("event_type") === "click")
+    AsOfJoin.asOfNearest(purchases, clicks, key = "user_id",
+        leftTime = "ts", rightTime = "ts",
+        valueCols = Seq("value" -> "nearest_click_value"))
+      .select(col("event_id"), col("user_id"),
+        round(col("nearest_click_value"), 2).as("nearest_click_value"))
+  }
+
   /** J4 batch analog — per-key cogroup of two pre-aggregated sides
     * (MonkeyStockChampion.java:143-232 scans both sides per key). */
   val j4Cogroup: Q = (s, d) => {
