@@ -568,6 +568,41 @@ object TimeSeries {
         round(col("l") + col("b"), 6).as("forecast"))
   }
 
+  /** Weekly seasonal profile per key: per day-of-week event count and
+    * mean value, with the key's PEAK day flagged — the "when is this
+    * series active" decomposition that feeds scheduling and
+    * anomaly-baseline decisions. Day-of-week is the PURE INTEGER
+    * epoch-day mod 7 (0 = Thursday, epoch day 0) — no calendar
+    * semantics, so both engines agree by construction instead of by
+    * convention (engine dayofweek() conventions differ).
+    *
+    * Exactness: per-bucket sums are exact micro-unit integers in
+    * decimal; the mean is ONE identical fp tree; the peak argmax
+    * orders on the raw (unrounded) mean with a dow tiebreak —
+    * identical doubles, identical order.
+    *
+    * Scale shape: ONE exchange — the explicit key repartition is
+    * ridden by the (key, dow) aggregate (subset-of-keys partitioning)
+    * AND by the peak window. */
+  def weeklyProfile(df: DataFrame, keyCol: String, tsCol: String,
+                    valueCol: String): DataFrame = {
+    val vc = round(col(valueCol) * 1000000).cast("long")
+    val base = df.select(col(keyCol).cast("long").as("k"),
+        unix_micros(col(tsCol).cast("timestamp")).as("us"), vc.as("vc"))
+      .select(col("k"), expr("(us div 86400000000) % 7").as("dow"), col("vc"))
+      .repartition(col("k"))
+      .groupBy(col("k"), col("dow"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("vc").cast("decimal(38,0)")).as("s"))
+      .withColumn("mean_raw",
+        col("s").cast("double") / col("n") / lit(1000000.0))
+    base.withColumn("rk", row_number().over(
+        Window.partitionBy(col("k")).orderBy(col("mean_raw").desc, col("dow"))))
+      .select(col("k").as(keyCol), col("dow"), col("n"),
+        round(col("mean_raw"), 6).as("mean_value"),
+        (col("rk") === 1).as("is_peak"))
+  }
+
   /** CUSUM changepoint per key (Page 1954 / the classic cumulative-sum
     * location estimator): the observation maximizing the absolute
     * centered cumulative deviation |Σ_{i≤t}(x_i − x̄)| — where a

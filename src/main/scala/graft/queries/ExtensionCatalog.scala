@@ -1512,6 +1512,14 @@ object ExtensionCatalog {
   val qRetention: Q = (s, d) =>
     EventAnalytics.retention(Tables.events(s, d), "user_id", "ts")
 
+  /** Weekly seasonal profile per user: per day-of-week count/mean
+    * with the peak day flagged — one exchange, the (key, dow)
+    * aggregate and the argmax window both riding it
+    * ([[graft.operators.TimeSeries.weeklyProfile]]). */
+  val tsWeekly: Q = (s, d) =>
+    graft.operators.TimeSeries.weeklyProfile(Tables.events(s, d),
+      "user_id", "ts", "value")
+
   /** CUSUM changepoint per user: the event where the centered
     * cumulative deviation peaks — fully integer statistic
     * n·S_t − t·T, one fp step at display

@@ -815,6 +815,21 @@ object Oracles {
         |  count(*) AS n_users
         |FROM ud JOIN c USING (user_id)
         |GROUP BY 1, 2""".stripMargin,
+    // weekly-profile twin: the same pure-integer epoch-day-mod-7
+    // bucket (no calendar dayofweek — conventions differ), HUGEINT
+    // micro sums, the identical mean tree, peak ordered on the raw
+    // mean with the dow tiebreak
+    "ts_weekly" ->
+      """WITH b AS (SELECT user_id, (epoch_us(ts) // 86400000000) % 7 AS dow,
+        |    count(*) AS n,
+        |    sum(CAST(round(value * 1000000) AS BIGINT)::HUGEINT) AS s
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT user_id, dow, n,
+        |    CAST(s AS DOUBLE) / n / 1000000.0 AS mean_raw FROM b),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY mean_raw DESC, dow) AS rk FROM m)
+        |SELECT user_id, dow, n, round(mean_raw, 6) AS mean_value,
+        |  rk = 1 AS is_peak FROM r""".stripMargin,
     // CUSUM twin: the same fully-integer statistic n·S_t − t·T (no
     // mean division — HUGEINT sums, the decimal twin), same argmax
     // rank with the same id tiebreak, one identical fp step at

@@ -273,6 +273,24 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got(3L)._1 == 11.352)
   }
 
+  test("weeklyProfile: integer dow buckets, exact means, peak flagged with dow tiebreak") {
+    import spark.implicits._
+    def at(day: Long) = new java.sql.Timestamp(day * 86400L * 1000L)
+    // epoch day % 7: day 0 → dow 0, day 1 → dow 1, day 7 → dow 0
+    val rows = Seq(
+      (1L, at(0), 10.0), (1L, at(7), 20.0),  // dow 0: n=2 mean 15
+      (1L, at(1), 15.0),                     // dow 1: n=1 mean 15 (tie → dow 0 peaks)
+      (1L, at(2), 1.0),                      // dow 2: n=1 mean 1
+      (2L, at(3), 5.0))                      // dow 3 only
+    val got = TimeSeries.weeklyProfile(rows.toDF("user_id", "ts", "value"),
+        "user_id", "ts", "value")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getBoolean(4))).toSet
+    assert(got == Set(
+      (1L, 0L, 2L, 15.0, true), (1L, 1L, 1L, 15.0, false),
+      (1L, 2L, 1L, 1.0, false), (2L, 3L, 1L, 5.0, true)), s"got $got")
+  }
+
   test("cusumChangepoint: a planted level shift peaks at the last pre-shift row") {
     import spark.implicits._
     def t(i: Int) = new java.sql.Timestamp(1000L * i)
