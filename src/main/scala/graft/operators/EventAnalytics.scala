@@ -61,6 +61,53 @@ object EventAnalytics {
     * of a separate aggregate joined back (which would cost a
     * (user, day)-keyed exchange, a user-keyed exchange, AND a join);
     * only the final bounded (cohort, offset) count exchanges again. */
+  /** Market-basket association rules (Agrawal & Srikant, VLDB 1994's
+    * measures over item PAIRS): the top-`topK` co-occurring item
+    * pairs by LIFT = N·c(ab) / (c(a)·c(b)), with support and
+    * confidence — "frequently bought together", the basket twin of
+    * the PMI collocation miner (lift IS e^PMI on baskets). Pairs
+    * under `minCount` baskets are pruned BEFORE any join (the classic
+    * low-count inflation guard, and the work bound: the scoring joins
+    * touch only surviving pairs).
+    *
+    * All three measures are EXACT INTEGER micro-units (floor-divided
+    * count ratios; the lift numerator N·c(ab)·10⁶ widens to
+    * decimal/HUGEINT), so ranking is bit-deterministic with no fp
+    * anywhere. Scale shape: the basket self-join's per-basket fan-out
+    * is the caller's contract (bounded naturally when baskets are
+    * small — a TPC-H order has ≤ 7 lines); item counts join onto the
+    * PRUNED pair stream; N is a one-row broadcast. */
+  def associationRules(df: DataFrame, basketCol: String, itemCol: String,
+                       minCount: Long = 5L, topK: Int = 20): DataFrame = {
+    require(minCount >= 1 && topK >= 1)
+    // materialized ONCE: the distinct basket-item set feeds N, the
+    // item counts, and the pair stream
+    val lp = df.select(col(basketCol).cast("long").as("bk"),
+        col(itemCol).cast("long").as("it"))
+      .distinct().localCheckpoint()
+    val n = lp.agg(countDistinct(col("bk")).as("nb"))
+    val ic = lp.groupBy(col("it")).agg(count(lit(1)).as("c1"))
+    val pairs = lp.select(col("bk"), col("it").as("pa"))
+      .join(lp.select(col("bk"), col("it").as("pb")), Seq("bk"))
+      .filter(col("pa") < col("pb"))
+      .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("cab"))
+      .filter(col("cab") >= minCount)
+    val out = pairs
+      .join(ic.select(col("it").as("pa"), col("c1").as("ca")), Seq("pa"))
+      .join(ic.select(col("it").as("pb"), col("c1").as("cb")), Seq("pb"))
+      .crossJoin(broadcast(n))
+      .select(col("pa"), col("pb"), col("cab"), col("ca"), col("cb"),
+        expr("(1000000 * cab) div nb").as("support_micro"),
+        expr("(1000000 * cab) div ca").as("conf_micro"),
+        expr("CAST((CAST(nb AS DECIMAL(38,0)) * cab * 1000000) div " +
+          "(CAST(ca AS DECIMAL(38,0)) * cb) AS BIGINT)").as("lift_micro"))
+      .orderBy(col("lift_micro").desc, col("pa"), col("pb"))
+      .limit(topK)
+      .localCheckpoint()
+    Checkpoints.unpersist(lp)
+    out
+  }
+
   def retention(df: DataFrame, userCol: String, tsCol: String): DataFrame = {
     val w = Window.partitionBy(col(userCol))
     df.select(col(userCol),

@@ -1512,6 +1512,15 @@ object ExtensionCatalog {
   val qRetention: Q = (s, d) =>
     EventAnalytics.retention(Tables.events(s, d), "user_id", "ts")
 
+  /** Market-basket association rules over orders: the top-20 part
+    * pairs by lift with support/confidence, min 5 shared orders —
+    * "frequently bought together"
+    * ([[graft.operators.EventAnalytics.associationRules]]; all-integer
+    * micro measures, one-row N broadcast). */
+  val qAssoc: Q = (s, d) =>
+    EventAnalytics.associationRules(Tables.lineitem(s, d),
+      "l_orderkey", "l_partkey")
+
   /** Weekly seasonal profile per user: per day-of-week count/mean
     * with the peak day flagged — one exchange, the (key, dow)
     * aggregate and the argmax window both riding it

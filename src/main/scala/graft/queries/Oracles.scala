@@ -787,6 +787,23 @@ object Oracles {
          |$acfs
          |FROM m""".stripMargin
     },
+    // basket-rules twin: same distinct basket-item set, same pruned
+    // pair counts, same all-integer floor-divided measures (lift
+    // numerator widened to HUGEINT — the decimal twin)
+    "q_assoc" ->
+      """WITH lp AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem),
+        |n AS (SELECT count(DISTINCT bk) AS nb FROM lp),
+        |ic AS (SELECT it, count(*) AS c1 FROM lp GROUP BY 1),
+        |pr AS (SELECT a.it AS pa, b.it AS pb, count(*) AS cab
+        |  FROM lp a JOIN lp b ON a.bk = b.bk AND a.it < b.it
+        |  GROUP BY 1, 2 HAVING count(*) >= 5)
+        |SELECT pa, pb, cab, ka.c1 AS ca, kb.c1 AS cb,
+        |  (1000000 * cab) // nb AS support_micro,
+        |  (1000000 * cab) // ka.c1 AS conf_micro,
+        |  CAST((CAST(nb AS HUGEINT) * cab * 1000000)
+        |    // (CAST(ka.c1 AS HUGEINT) * kb.c1) AS BIGINT) AS lift_micro
+        |FROM pr JOIN ic ka ON ka.it = pr.pa JOIN ic kb ON kb.it = pr.pb, n
+        |ORDER BY lift_micro DESC, pa, pb LIMIT 20""".stripMargin,
     // funnel twin: the same nested full-partition window minima
     // (each stage's CASE references the previous stage's column),
     // same strict > comparisons on µs instants — all-integer

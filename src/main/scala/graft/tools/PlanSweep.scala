@@ -43,6 +43,8 @@ object PlanSweep {
     "g_hits",
     // ta_bm25: the one-row corpus-stats (N, Σdl, df) broadcast
     "ta_bm25",
+    // q_assoc: the one-row basket-count broadcast feeding the lift
+    "q_assoc",
     "q11_share_threshold", "q20_excess_shippers", "q22_idle_customers")
 
   def main(args: Array[String]): Unit = {

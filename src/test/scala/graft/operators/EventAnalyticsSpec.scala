@@ -45,6 +45,34 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(got == ((1L, 1L)), s"got $got")
   }
 
+  test("associationRules: lift ranks the exclusive pair above the ubiquitous one") {
+    import spark.implicits._
+    // items 1,2 co-occur in exactly their 2 baskets and NOWHERE else
+    // (lift = N·2/(2·2) = high); item 9 is in every basket, so pairs
+    // with 9 have lift ≈ 1; duplicates inside a basket collapse
+    val baskets = Seq(
+      (1L, 1L), (1L, 2L), (1L, 9L), (1L, 9L),
+      (2L, 1L), (2L, 2L), (2L, 9L),
+      (3L, 3L), (3L, 9L),
+      (4L, 4L), (4L, 9L),
+      (5L, 5L), (5L, 9L),
+      (6L, 6L), (6L, 9L),
+      (7L, 7L), (7L, 9L),
+      (8L, 8L), (8L, 9L)
+    ).toDF("order_id", "part_id")
+    val got = EventAnalytics.associationRules(baskets, "order_id", "part_id",
+        minCount = 2L, topK = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(5), r.getLong(6), r.getLong(7))).toSeq
+    // N=8. (1,2): cab=2, ca=cb=2 → lift = 8·2·1e6/(2·2) div = 4e6;
+    // support = 2e6/8 = 250000; conf = 1e6. (1,9)/(2,9): cab=2, ca=2,
+    // cb=8 → lift 1e6 exactly. minCount=2 kills every other pair.
+    assert(got.head == ((1L, 2L, 2L, 250000L, 1000000L, 4000000L)), s"got $got")
+    assert(got.tail.forall(_._6 == 1000000L), s"hub pairs must sit at lift 1e6: $got")
+    assert(got.map(p => (p._1, p._2)).toSet ==
+      Set((1L, 2L), (1L, 9L), (2L, 9L)), s"got $got")
+  }
+
   test("retention: cohorts anchor at first active day, offsets count distinct users") {
     import spark.implicits._
     def day(d: Long, sec: Long = 0L) = t(d * 86400L + sec)
