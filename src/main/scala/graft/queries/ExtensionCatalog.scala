@@ -1512,6 +1512,31 @@ object ExtensionCatalog {
   val qRetention: Q = (s, d) =>
     EventAnalytics.retention(Tables.events(s, d), "user_id", "ts")
 
+  /** The event-analytics chain as ONE per-user summary — the
+    * composition the ts kernels exist for: each user's weekly PEAK
+    * day ([[graft.operators.TimeSeries.weeklyProfile]]), CUSUM
+    * changepoint and normalized deviation (null for
+    * constant-series users), and rolling-z anomaly count. Every
+    * stage reuses the oracle-checked kernel verbatim; the joins are
+    * |users|-keyed, never event-keyed. */
+  val pipeEvents: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val peak = graft.operators.TimeSeries.weeklyProfile(ev, "user_id", "ts", "value")
+      .filter(col("is_peak"))
+      .select(col("user_id"), col("dow").as("peak_dow"))
+    val cp = graft.operators.TimeSeries.cusumChangepoint(ev,
+        "user_id", "ts", "event_id", "value")
+      .select(col("user_id"), col("cp_event_id"), col("dev"))
+    val anom = graft.operators.TimeSeries.rollingZ(ev,
+        "user_id", Seq("ts", "event_id"), "value", "event_id")
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("is_anom"), 1L).otherwise(0L)).as("n_anomalies"))
+    peak.join(cp, Seq("user_id"), "left")
+      .join(anom, Seq("user_id"), "left")
+      .select(col("user_id"), col("peak_dow"), col("cp_event_id"),
+        col("dev"), coalesce(col("n_anomalies"), lit(0L)).as("n_anomalies"))
+  }
+
   /** Market-basket association rules over orders: the top-20 part
     * pairs by lift with support/confidence, min 5 shared orders —
     * "frequently bought together"

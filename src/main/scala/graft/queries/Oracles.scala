@@ -562,6 +562,61 @@ object Oracles {
        |${(1 to 5).map(prRound).mkString(",\n")}
        |SELECT node, r AS rank_micro FROM r5""".stripMargin
 
+  /** Shared ts twins (referenced by their own entries AND composed
+    * into pipe_events): weekly profile, CUSUM changepoint, rolling-z
+    * anomaly flags — see each catalog entry's comment for the parity
+    * rules. */
+  private val tsWeeklySql: String =
+    """WITH b AS (SELECT user_id, (epoch_us(ts) // 86400000000) % 7 AS dow,
+      |    count(*) AS n,
+      |    sum(CAST(round(value * 1000000) AS BIGINT)::HUGEINT) AS s
+      |  FROM events GROUP BY 1, 2),
+      |m AS (SELECT user_id, dow, n,
+      |    CAST(s AS DOUBLE) / n / 1000000.0 AS mean_raw FROM b),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+      |    ORDER BY mean_raw DESC, dow) AS rk FROM m)
+      |SELECT user_id, dow, n, round(mean_raw, 6) AS mean_value,
+      |  rk = 1 AS is_peak FROM r""".stripMargin
+
+  private val tsCusumSql: String =
+      """WITH v AS (SELECT user_id, event_id,
+      |    row_number() OVER w AS rn,
+      |    sum(CAST(round(value * 1000000) AS BIGINT)::HUGEINT)
+      |      OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s,
+      |    sum(CAST(round(value * 1000000) AS BIGINT)::HUGEINT)
+      |      OVER (PARTITION BY user_id) AS t,
+      |    count(*) OVER (PARTITION BY user_id) AS n
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |d AS (SELECT user_id, event_id, rn, n,
+      |    abs(n * s - rn * t) AS absd FROM v),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+      |    ORDER BY absd DESC, event_id) AS rk FROM d)
+      |SELECT user_id, event_id AS cp_event_id, CAST(rn AS BIGINT) AS cp_rn,
+      |  round(CAST(absd AS DOUBLE) / n / 1000000.0, 6) AS dev
+      |FROM r WHERE rk = 1 AND absd > 0""".stripMargin
+
+  private val tsAnomalySql: String = {
+      val taps = (1 to 8).map(i => s"lag(vc, $i) OVER w AS t$i").mkString(", ")
+      val sum = (1 to 8).map(i => s"t$i").mkString(" + ")
+      val sum2 = (1 to 8).map(i => s"t$i * t$i").mkString(" + ")
+      s"""WITH v AS (SELECT user_id, ts, event_id,
+         |    CAST(round(value * 1000000) AS BIGINT) AS vc FROM events),
+         |t AS (SELECT user_id, event_id, vc, row_number() OVER w AS rn, $taps
+         |  FROM v WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |st AS (SELECT user_id, event_id, vc, $sum AS s, $sum2 AS s2
+         |  FROM t WHERE rn >= 9),
+         |ms AS (SELECT *, CAST(s AS DOUBLE) / 8.0 AS mean,
+         |    sqrt((CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / 8.0) / 8.0) AS sd
+         |  FROM st)
+         |SELECT user_id, event_id,
+         |  CASE WHEN sd = 0.0 THEN NULL
+         |    ELSE (CAST(vc AS DOUBLE) - mean) / sd END AS z,
+         |  COALESCE(CASE WHEN sd = 0.0 THEN FALSE
+         |    ELSE abs((CAST(vc AS DOUBLE) - mean) / sd) > 3.0 END,
+         |    FALSE) AS is_anom
+         |FROM ms""".stripMargin
+    }
+
   /** g_hits twin: 4 unrolled HITS rounds over the directed
     * customer→supplier purchase graph — raw sums in HUGEINT (the
     * decimal(38,0) twin), max-normalized floor divisions back into
@@ -735,27 +790,7 @@ object Oracles {
     // TRAILING 8 taps (lag 1..8 — strictly before the scored row),
     // then the identical IEEE mean/sd/z tree; zero-variance baseline
     // ⇒ NULL z, FALSE flag by contract
-    "ts_anomaly" -> {
-      val taps = (1 to 8).map(i => s"lag(vc, $i) OVER w AS t$i").mkString(", ")
-      val sum = (1 to 8).map(i => s"t$i").mkString(" + ")
-      val sum2 = (1 to 8).map(i => s"t$i * t$i").mkString(" + ")
-      s"""WITH v AS (SELECT user_id, ts, event_id,
-         |    CAST(round(value * 1000000) AS BIGINT) AS vc FROM events),
-         |t AS (SELECT user_id, event_id, vc, row_number() OVER w AS rn, $taps
-         |  FROM v WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-         |st AS (SELECT user_id, event_id, vc, $sum AS s, $sum2 AS s2
-         |  FROM t WHERE rn >= 9),
-         |ms AS (SELECT *, CAST(s AS DOUBLE) / 8.0 AS mean,
-         |    sqrt((CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / 8.0) / 8.0) AS sd
-         |  FROM st)
-         |SELECT user_id, event_id,
-         |  CASE WHEN sd = 0.0 THEN NULL
-         |    ELSE (CAST(vc AS DOUBLE) - mean) / sd END AS z,
-         |  COALESCE(CASE WHEN sd = 0.0 THEN FALSE
-         |    ELSE abs((CAST(vc AS DOUBLE) - mean) / sd) > 3.0 END,
-         |    FALSE) AS is_anom
-         |FROM ms""".stripMargin
-    },
+    "ts_anomaly" -> tsAnomalySql,
     // ACF twin: exact integer centi-unit moments (per-row products
     // BIGINT-safe by the kernel's magnitude guard; the sums widen to
     // HUGEINT here and decimal(38,0) in Spark — the emb z-score
@@ -787,6 +822,20 @@ object Oracles {
          |$acfs
          |FROM m""".stripMargin
     },
+    // pipe_events twin: the three ts twins composed VERBATIM as CTEs
+    // (same strings as their own entries — drift-proof by
+    // construction), joined per user
+    "pipe_events" ->
+      s"""WITH wk AS ($tsWeeklySql),
+         |cs AS ($tsCusumSql),
+         |an AS ($tsAnomalySql)
+         |SELECT p.user_id, p.dow AS peak_dow, cs.cp_event_id, cs.dev,
+         |  coalesce(a.n_anomalies, 0) AS n_anomalies
+         |FROM (SELECT user_id, dow FROM wk WHERE is_peak) p
+         |LEFT JOIN cs ON cs.user_id = p.user_id
+         |LEFT JOIN (SELECT user_id,
+         |    CAST(sum(CASE WHEN is_anom THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+         |  FROM an GROUP BY 1) a ON a.user_id = p.user_id""".stripMargin,
     // basket-rules twin: same distinct basket-item set, same pruned
     // pair counts, same all-integer floor-divided measures (lift
     // numerator widened to HUGEINT — the decimal twin)
@@ -836,37 +885,12 @@ object Oracles {
     // bucket (no calendar dayofweek — conventions differ), HUGEINT
     // micro sums, the identical mean tree, peak ordered on the raw
     // mean with the dow tiebreak
-    "ts_weekly" ->
-      """WITH b AS (SELECT user_id, (epoch_us(ts) // 86400000000) % 7 AS dow,
-        |    count(*) AS n,
-        |    sum(CAST(round(value * 1000000) AS BIGINT)::HUGEINT) AS s
-        |  FROM events GROUP BY 1, 2),
-        |m AS (SELECT user_id, dow, n,
-        |    CAST(s AS DOUBLE) / n / 1000000.0 AS mean_raw FROM b),
-        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
-        |    ORDER BY mean_raw DESC, dow) AS rk FROM m)
-        |SELECT user_id, dow, n, round(mean_raw, 6) AS mean_value,
-        |  rk = 1 AS is_peak FROM r""".stripMargin,
+    "ts_weekly" -> tsWeeklySql,
     // CUSUM twin: the same fully-integer statistic n·S_t − t·T (no
     // mean division — HUGEINT sums, the decimal twin), same argmax
     // rank with the same id tiebreak, one identical fp step at
     // display; zero-statistic (constant) keys dropped in both
-    "ts_cusum" ->
-      """WITH v AS (SELECT user_id, event_id,
-        |    row_number() OVER w AS rn,
-        |    sum(CAST(round(value * 1000000) AS BIGINT)::HUGEINT)
-        |      OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s,
-        |    sum(CAST(round(value * 1000000) AS BIGINT)::HUGEINT)
-        |      OVER (PARTITION BY user_id) AS t,
-        |    count(*) OVER (PARTITION BY user_id) AS n
-        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-        |d AS (SELECT user_id, event_id, rn, n,
-        |    abs(n * s - rn * t) AS absd FROM v),
-        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
-        |    ORDER BY absd DESC, event_id) AS rk FROM d)
-        |SELECT user_id, event_id AS cp_event_id, CAST(rn AS BIGINT) AS cp_rn,
-        |  round(CAST(absd AS DOUBLE) / n / 1000000.0, 6) AS dev
-        |FROM r WHERE rk = 1 AND absd > 0""".stripMargin,
+    "ts_cusum" -> tsCusumSql,
     // xcorr twin: the same daily micro-sums (HUGEINT — the decimal
     // twin), the same top-40 activity cut (ties to smaller user), the
     // same five exact integer moments per pair, and the SINGLE fp
