@@ -583,7 +583,8 @@ object TimeSeries {
     *
     * Scale shape: ONE exchange — the explicit key repartition is
     * ridden by the (key, dow) aggregate (subset-of-keys partitioning)
-    * AND by the peak window. */
+    * AND by the peak window. BATCH-ONLY by contract: the peak flag is
+    * a per-key argmax that retracts (the motifs posture). */
   def weeklyProfile(df: DataFrame, keyCol: String, tsCol: String,
                     valueCol: String): DataFrame = {
     val vc = round(col(valueCol) * 1000000).cast("long")
@@ -622,7 +623,10 @@ object TimeSeries {
     *
     * Scale shape: ONE hash partitioning per key serves the running
     * sum, the per-key totals, AND the argmax rank — three window
-    * passes, zero joins, zero extra exchanges (plan-gated). */
+    * passes, zero joins, zero extra exchanges (plan-gated).
+    * BATCH-ONLY by contract: the statistic references the series
+    * TOTAL, so every arrival can move the argmax (the motifs
+    * posture — the streaming form is a periodic snapshot re-run). */
   def cusumChangepoint(df: DataFrame, keyCol: String, tsCol: String,
                        idCol: String, valueCol: String): DataFrame = {
     val wOrd = Window.partitionBy(col(keyCol))
@@ -669,7 +673,9 @@ object TimeSeries {
     * rows out), a TakeOrdered activity cut, a broadcast semi filter,
     * ONE hour-partitioned self-join whose fan-out is ≤ K per side by
     * construction, one pair aggregate. Returns the `topPairs` pairs
-    * by |corr| (ties → (ka, kb)). */
+    * by |corr| (ties → (ka, kb)). BATCH-ONLY by contract: both the
+    * activity cut and every pair's moments retract as data arrives
+    * (the motifs posture). */
   def crossCorrPairs(df: DataFrame, keyCol: String, tsCol: String,
                      valueCol: String, topSeries: Int = 40,
                      minOverlap: Long = 24L, topPairs: Int = 20,
