@@ -230,6 +230,34 @@ object ExtensionCatalog {
     hist.union(top)
   }
 
+  /** Duplicate-cluster RESOLUTION — the step after the closure: keep
+    * exactly one representative per near-dup cluster (the LONGEST
+    * document, ties → smallest doc_id — the common keep-longest
+    * practice), flag the rest for dropping. Reuses the run's memoized
+    * closure like [[ddClusterStats]]; the argmax is one window over
+    * the tiny labeled frame joined with per-doc lengths (singleton
+    * clusters keep their only member by construction). */
+  val ddKeep: Q = (s, d) => {
+    val key = memoKey(s, d, "documents")
+    val lab = componentMemo.get() match {
+      case (k, df) if k == key => df
+      case _ =>
+        val df = computeComponents(s, d)
+        val prev = componentMemo.getAndSet((key, df))
+        if (prev != null && !(prev._2 eq df)) unpersistCheckpoint(prev._2)
+        df
+    }
+    val lens = Tables.documents(s, d)
+      .select(col("doc_id"), length(col("text")).cast("long").as("len"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("component_id"))
+      .orderBy(col("len").desc, col("doc_id"))
+    lab.join(lens, Seq("doc_id"))
+      .withColumn("rk", row_number().over(w))
+      .select(col("doc_id"), col("component_id"), col("len"),
+        (col("rk") === 1).as("kept"))
+  }
+
   /** Decontamination — the benchmark-overlap check: which training
     * documents share 8-token shingles with an eval set (here doc_id <
     * 20 stands in for the benchmark). The eval side's distinct shingle

@@ -1422,6 +1422,25 @@ object Oracles {
          |lab AS (SELECT node, min(label) AS component_id FROM cc GROUP BY node)
          |SELECT d.doc_id, coalesce(l.component_id, d.doc_id) AS component_id
          |FROM documents d LEFT JOIN lab l ON d.doc_id = l.node""".stripMargin,
+    // keep-one resolution twin: the same closure, per-doc lengths
+    // joined on, the same (len desc, doc_id) argmax per component
+    "dd_keep" ->
+      s"""WITH RECURSIVE $jaccardCtes,
+         |sym AS (SELECT doc_a AS u, doc_b AS v FROM jpairs
+         |  UNION SELECT doc_b, doc_a FROM jpairs),
+         |cc(node, label) AS (
+         |  SELECT u, u FROM sym
+         |  UNION
+         |  SELECT s.v, c.label FROM cc c JOIN sym s ON s.u = c.node
+         |  WHERE c.label < s.v),
+         |lab AS (SELECT node, min(label) AS component_id FROM cc GROUP BY node),
+         |lfull AS (SELECT d.doc_id,
+         |    coalesce(l.component_id, d.doc_id) AS component_id,
+         |    CAST(length(d.text) AS BIGINT) AS len
+         |  FROM documents d LEFT JOIN lab l ON d.doc_id = l.node),
+         |rr AS (SELECT *, row_number() OVER (PARTITION BY component_id
+         |    ORDER BY len DESC, doc_id) AS rk FROM lfull)
+         |SELECT doc_id, component_id, len, rk = 1 AS kept FROM rr""".stripMargin,
     // same closure as dd_components, read out as (histogram ∪ top-10):
     // hist rows (kind, cluster size, n clusters); top rows (kind,
     // component_id, its size) with size-desc/id-asc tie-break
