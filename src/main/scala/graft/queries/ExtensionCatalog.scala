@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -1563,6 +1564,36 @@ object ExtensionCatalog {
       .join(anom, Seq("user_id"), "left")
       .select(col("user_id"), col("peak_dow"), col("cp_event_id"),
         col("dev"), coalesce(col("n_anomalies"), lit(0L)).as("n_anomalies"))
+  }
+
+  /** Revenue-concentration (Pareto) table over parts: each part's
+    * revenue rank, exact cumulative share in micro-units, and the
+    * 80 %-frontier flag (a part is in the head while the share
+    * BEFORE it is still under 80 %) — the "which 20 % of parts carry
+    * 80 % of revenue" readout. Revenue aggregates to exact integer
+    * cents map-side; the cumulative sum runs in decimal and the
+    * shares are floor-divided integers against a one-row broadcast
+    * total, so ranking and flags are bit-deterministic with no fp.
+    *
+    * The ordered frame is the parts DIMENSION (|parts| rows after the
+    * fact aggregate), so the partitionless window is dimension-sized
+    * — the w_rank_topk posture; a fact-sized Pareto would swap the
+    * window for [[graft.operators.PrefixSum.globalRunningSum]] over a
+    * precomputed unique rank. */
+  val qPareto: Q = (s, d) => {
+    val rev = Tables.lineitem(s, d)
+      .groupBy(col("l_partkey"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("cents"))
+    val total = rev.agg(sum(col("cents").cast("decimal(38,0)")).as("total"))
+    val w = Window.orderBy(col("cents").desc, col("l_partkey"))
+    rev.crossJoin(broadcast(total))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("cum", sum(col("cents").cast("decimal(38,0)"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("l_partkey"), col("rk"), col("cents"),
+        expr("CAST((cum * 1000000) div total AS BIGINT)").as("cum_share_micro"),
+        expr("CAST(((cum - cents) * 1000000) div total AS BIGINT) < 800000")
+          .as("in_top80"))
   }
 
   /** Market-basket association rules over orders: the top-20 part

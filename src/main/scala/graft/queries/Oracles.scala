@@ -836,6 +836,23 @@ object Oracles {
          |LEFT JOIN (SELECT user_id,
          |    CAST(sum(CASE WHEN is_anom THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
          |  FROM an GROUP BY 1) a ON a.user_id = p.user_id""".stripMargin,
+    // Pareto twin: same exact integer cents, HUGEINT cumulative sum
+    // (the decimal twin), same floor-divided micro shares against the
+    // scalar total, same before-this-part frontier rule
+    "q_pareto" ->
+      """WITH rev AS (SELECT l_partkey,
+        |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM lineitem GROUP BY 1),
+        |t AS (SELECT sum(CAST(cents AS HUGEINT)) AS total FROM rev),
+        |r AS (SELECT l_partkey, cents,
+        |    CAST(row_number() OVER w AS BIGINT) AS rk,
+        |    sum(CAST(cents AS HUGEINT)) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS cum
+        |  FROM rev WINDOW w AS (ORDER BY cents DESC, l_partkey))
+        |SELECT l_partkey, rk, cents,
+        |  CAST((cum * 1000000) // total AS BIGINT) AS cum_share_micro,
+        |  CAST(((cum - cents) * 1000000) // total AS BIGINT) < 800000 AS in_top80
+        |FROM r, t""".stripMargin,
     // basket-rules twin: same distinct basket-item set, same pruned
     // pair counts, same all-integer floor-divided measures (lift
     // numerator widened to HUGEINT — the decimal twin)

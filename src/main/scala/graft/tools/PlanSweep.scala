@@ -45,6 +45,8 @@ object PlanSweep {
     "ta_bm25",
     // q_assoc: the one-row basket-count broadcast feeding the lift
     "q_assoc",
+    // q_pareto: the one-row revenue-total broadcast feeding the shares
+    "q_pareto",
     "q11_share_threshold", "q20_excess_shippers", "q22_idle_customers")
 
   def main(args: Array[String]): Unit = {
