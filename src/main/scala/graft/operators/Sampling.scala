@@ -46,13 +46,18 @@ object Sampling {
     * engines, re-runs, and cluster sizes.
     *
     * Scale shape: one narrow pass + a TakeOrdered top-k — no shuffle
-    * of the corpus, heap bounded by k. u = 0 draws ln(0) = −∞ and
-    * sorts last deterministically. Ranking happens on the raw
-    * (unrounded) key with an id tiebreak in both engines. */
+    * of the corpus, heap bounded by k. u is drawn HALF-OPEN SHIFTED,
+    * (hash + 1) / 2³¹ ∈ (0, 1] — NOT [[decision]]'s [0, 1): a key
+    * hashing to exactly 0 would hit ln(0), where Spark yields −∞ but
+    * DuckDB ERRORS outright — a 1-in-2³¹-per-key landmine that a
+    * corpus-scale run WILL step on. ln(1) = 0 at the other end is a
+    * plain best-possible rank. Ranking happens on the raw (unrounded)
+    * key with an id tiebreak in both engines. */
   def weightedSample(df: DataFrame, keyCol: String, weight: Column,
                      k: Int, salt: String = "wsample"): DataFrame = {
     require(k >= 1)
-    val u = decision(col(keyCol), salt)
+    val u = (Hashing.md5Mod31(concat(col(keyCol).cast("string"),
+        lit("_" + salt))) + lit(1L)).cast("double") / lit(2147483648.0)
     df.select(col(keyCol), greatest(weight.cast("long"), lit(1L)).as("w"))
       .withColumn("es_key_raw", log(u) / col("w"))
       .orderBy(col("es_key_raw").desc, col(keyCol))

@@ -2033,13 +2033,14 @@ object Oracles {
       """SELECT doc_id, lang, source FROM documents
         |WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '_sample'),1,15))::BIGINT
         |  % 2147483647) / 2147483647.0 < 0.1""".stripMargin,
-    // A-ES weighted-sample twin: the same u = decision(doc_id, salt),
-    // the same ln(u)/w rank key; ORDERING on the raw key (identical
-    // doubles), id tiebreak, display rounded to 9
+    // A-ES weighted-sample twin: u = (hash + 1) / 2^31 in (0, 1] —
+    // shifted off zero because DuckDB's ln(0) ERRORS where Spark
+    // yields -inf; the same ln(u)/w rank key, ORDERING on the raw key
+    // (identical doubles), id tiebreak, display rounded to 9
     "ds_weighted_sample" ->
       """WITH b AS (SELECT doc_id, greatest(length(text), 1) AS w,
-        |    (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '_wsample'),1,15))::BIGINT
-        |      % 2147483647) / 2147483647.0 AS u
+        |    ((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '_wsample'),1,15))::BIGINT
+        |      % 2147483647) + 1) / 2147483648.0 AS u
         |  FROM documents)
         |SELECT doc_id, CAST(w AS BIGINT) AS w, round(ln(u) / w, 9) AS es_key
         |FROM b ORDER BY ln(u) / w DESC, doc_id LIMIT 50""".stripMargin,

@@ -142,7 +142,8 @@ class SamplingSpec extends SparkSpec {
       val hex = java.security.MessageDigest.getInstance("MD5")
         .digest(s"${id}_wsample".getBytes("UTF-8"))
         .map("%02x".format(_)).mkString.take(15)
-      (java.lang.Long.parseLong(hex, 16) % 2147483647L).toDouble / 2147483647.0
+      // (hash + 1) / 2^31 in (0, 1] — shifted off ln(0)
+      (java.lang.Long.parseLong(hex, 16) % 2147483647L + 1L).toDouble / 2147483648.0
     }
     val want = (0 until 200).map { i =>
       val w = (i + 1).toLong
