@@ -781,6 +781,66 @@ object BenchScale {
     * output count is EXACT by construction (fixed series length ⇒
     * words = n − 7·keys, z rows = n − 8·keys, 60 s-grid marks =
     * 5·keys for the 0..255 s span, acf rows = keys). */
+  /** Link-prediction ladder: jaccardLinks + adamicAdar on a generated
+    * bounded-degree graph (uniform ~16 after symmetrization, NO hub
+    * skew — the operators' documented substrate contract; hubs make
+    * the wedge join quadratic and are the caller's job to cap) with
+    * 50 PLANTED TWINS: node n+i copies base i's exact neighbor set,
+    * so (i, n+i) is non-adjacent with IDENTICAL neighborhoods —
+    * Jaccard must emit exactly the 50 planted pairs at exactly 10⁶,
+    * and Adamic-Adar must rank the same 50 on top (≈16 shared
+    * neighbors vs ≤ a couple for random pairs). Both recall collapse
+    * and wedge blowup break the exact-set gates. Wall must grow
+    * ~linearly in edges at fixed degree (exponent ≤ 1.5). */
+  private def linkpredLadder(spark: SparkSession, sizes: Seq[Long],
+                             maxTaskMs: java.util.concurrent.atomic.AtomicLong): Unit = {
+    val rungs = sizes.map { m =>
+      val n = math.max(m / 8, 1000L)
+      val half = spark.range(m).selectExpr(
+          s"pmod(xxhash64('s', id), $n) AS src",
+          s"pmod(xxhash64('d', id), $n) AS dst")
+        // a self-loop on a base would make its twin adjacent; a
+        // base-base edge would grow the base's neighborhood with the
+        // OTHER base's twin (which copies edges TOWARD bases) while
+        // its own twin doesn't follow — breaking the planted
+        // neighborhood equality the gate asserts
+        .filter("src <> dst AND NOT (src < 50 AND dst < 50)")
+      val sym = half.union(half.selectExpr("dst AS src", "src AS dst"))
+      val twinHalf = sym.filter(col("src") < 50)
+        .select((col("src") + n).as("src"), col("dst"))
+      val dir = s"/tmp/graft_scale/linkpred_$m"
+      sym.union(twinHalf)
+        .union(twinHalf.selectExpr("dst AS src", "src AS dst"))
+        .write.mode("overwrite").parquet(dir) // untimed setup
+      val edges = spark.read.parquet(dir)
+      val want = (0L until 50L).map(i => (i, n + i)).toSet
+      maxTaskMs.set(0)
+      val t0 = System.nanoTime()
+      val jac = graft.operators.Graph.jaccardLinks(edges, "src", "dst", topN = 50)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+      val jacSec = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val aa = graft.operators.Graph.adamicAdar(edges, "src", "dst", topN = 50)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val aaSec = (System.nanoTime() - t1) / 1e9
+      require(jac.map(p => (p._1, p._2)).toSet == want &&
+        jac.forall(_._3 == 1000000L),
+        s"jaccard at m=$m: planted twins not the exact top-50 at 1e6")
+      require(aa.toSet == want,
+        s"adamic-adar at m=$m: planted twins not the exact top-50")
+      println(f"""{"edges":${2 * m},"nodes":$n,"jaccard_sec":$jacSec%.2f,"adamic_sec":$aaSec%.2f,"max_task_sec":${maxTaskMs.get() / 1e3}%.2f}""")
+      (m, Seq(jacSec, aaSec))
+    }
+    if (sizes.size >= 2) {
+      Seq("jaccard", "adamic").zipWithIndex.foreach { case (nm, i) =>
+        val exponent = fitExponent(rungs.map { case (x, s) => (x, s(i)) })
+        println(f"""{"metric":"linkpred_${nm}_scale","exponent":$exponent%.3f}""")
+        require(exponent <= 1.5,
+          f"$nm wall grows super-linearly in edges: exponent $exponent%.3f > 1.5")
+      }
+    }
+  }
+
   /** Events-analytics ladder: funnel + retention on a generated event
     * stream whose row count scales while per-user structure stays
     * fixed (256 events/user across 32 days; each user's first three
@@ -1105,11 +1165,12 @@ object BenchScale {
     val kcoreMode = args.headOption.contains("kcore")
     val tsMode = args.headOption.contains("ts")
     val eventsMode = args.headOption.contains("events")
+    val linkpredMode = args.headOption.contains("linkpred")
     val backoffMode = args.headOption.contains("backoff")
     val sizeArgs =
       if (annMode || mmMode || pqMode || ivfPqMode || semMode || graphMode ||
           tpchMode || bpeMode || shingleMode || triMode || backoffMode ||
-          kcoreMode || tsMode || eventsMode)
+          kcoreMode || tsMode || eventsMode || linkpredMode)
         args.drop(1) else args
     val sizes =
       if (sizeArgs.nonEmpty) sizeArgs(0).split(",").map(_.trim.toLong).toSeq
@@ -1126,6 +1187,7 @@ object BenchScale {
       else if (kcoreMode) Seq(1000000L, 4000000L, 16000000L)
       else if (tsMode) Seq(1048576L, 4194304L, 16777216L)
       else if (eventsMode) Seq(1048576L, 4194304L, 16777216L)
+      else if (linkpredMode) Seq(1000000L, 4000000L)
       else if (backoffMode) Seq(100000L, 400000L, 1600000L)
       else Seq(5000L, 10000L, 20000L, 50000L)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -1185,6 +1247,7 @@ object BenchScale {
     if (kcoreMode) { kcoreLadder(spark, sizes, maxTaskMs); spark.stop(); return }
     if (tsMode) { tsLadder(spark, sizes, maxTaskMs); spark.stop(); return }
     if (eventsMode) { eventsLadder(spark, sizes, maxTaskMs); spark.stop(); return }
+    if (linkpredMode) { linkpredLadder(spark, sizes, maxTaskMs); spark.stop(); return }
     if (backoffMode) { backoffLadder(spark, sizes, maxTaskMs); spark.stop(); return }
 
     val rungs = sizes.map { n =>
