@@ -701,6 +701,53 @@ object Graph {
     out
   }
 
+  /** Degree assortativity (Newman, "Assortative mixing in networks",
+    * PRL 2002): the Pearson correlation of the degrees at either end
+    * of an edge — positive means hubs link to hubs (social), negative
+    * hubs link to leaves (technological/biological). Each undirected
+    * edge contributes BOTH directions, the standard symmetrization
+    * that makes the two marginals equal.
+    *
+    * Cross-engine exactness (the crossCorrPairs discipline): degrees
+    * are exact integers, all five moments exact integer sums in
+    * decimal(38,0)/HUGEINT, and the single fp step
+    * num / sqrt(dx·dy) happens ONCE on identically-rounded doubles.
+    * Zero-variance degree distributions (regular graphs) yield NULL r
+    * by contract — no mixing is defined.
+    *
+    * Scale shape: one degree aggregate, two node-keyed joins onto the
+    * edge list, ONE map-side-combinable global moment aggregate —
+    * returns a single row (n_ends, r). */
+  def assortativity(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val und = edges.select(
+        least(col(aCol).cast("long"), col(bCol).cast("long")).as("a"),
+        greatest(col(aCol).cast("long"), col(bCol).cast("long")).as("b"))
+      .filter(col("a") < col("b"))
+      .distinct()
+    val sym = und.select(col("a").as("s"), col("b").as("d"))
+      .union(und.select(col("b").as("s"), col("a").as("d")))
+    val deg = sym.groupBy(col("s")).agg(count(lit(1)).as("deg"))
+    val ends = sym
+      .join(deg.select(col("s"), col("deg").as("dx")), Seq("s"))
+      .join(deg.select(col("s").as("d"), col("deg").as("dy")), Seq("d"))
+      .select(col("dx").cast("decimal(38,0)").as("x"),
+        col("dy").cast("decimal(38,0)").as("y"))
+    ends.agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("n").as("n_ends"),
+        when(col("n") * col("sxx") - col("sx") * col("sx") <= 0 ||
+             col("n") * col("syy") - col("sy") * col("sy") <= 0,
+          lit(null).cast("double"))
+          .otherwise(round(
+            (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+                (col("n") * col("syy") - col("sy") * col("sy")).cast("double")),
+            6)).as("r"))
+  }
+
   /** Bounded-collect driver peel for [[kCore]]: the same
     * remove-below-k rounds over the collected symmetric edge rows —
     * integer degrees make it bit-identical to the distributed form. */

@@ -1475,6 +1475,13 @@ object ExtensionCatalog {
     graft.operators.Graph.hitsMicro(pairs, "src", "dst", iterations = 4)
   }
 
+  /** Degree assortativity of the co-purchase graph: do frequently
+    * co-purchased parts link to each other or to long-tail parts?
+    * ([[graft.operators.Graph.assortativity]] — exact integer
+    * moments, one fp step, single-row readout). */
+  val gAssortativity: Q = (s, d) =>
+    graft.operators.Graph.assortativity(coPurchasePairs(s, d), "pa", "pb")
+
   /** Dense-core extraction over the co-purchase graph: the k-core at
     * the data-derived threshold k = ⌊0.7·avg degree⌋ ([[graft.operators.Graph.kCore]]
     * — exact integer peel, monotone and idempotent at its fixpoint,

@@ -1610,6 +1610,26 @@ object Oracles {
          |WHERE NOT EXISTS (SELECT 1 FROM und e WHERE e.a = w.a AND e.b = w.b)
          |ORDER BY w.n_common DESC, w.a, w.b LIMIT 100""".stripMargin
     },
+    // assortativity twin: same canonical edges both directions, same
+    // exact HUGEINT moments, the single identical fp step; NULL on a
+    // zero-variance (regular) degree distribution in both engines
+    "g_assortativity" ->
+      """WITH lp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+        |und AS (SELECT a.p AS pa, b.p AS pb FROM lp a JOIN lp b
+        |  ON a.ok = b.ok AND a.p < b.p GROUP BY 1, 2),
+        |sym AS (SELECT pa AS s, pb AS d FROM und
+        |  UNION ALL SELECT pb AS s, pa AS d FROM und),
+        |dg AS (SELECT s, count(*) AS deg FROM sym GROUP BY 1),
+        |ends AS (SELECT CAST(dx.deg AS HUGEINT) AS x, CAST(dy.deg AS HUGEINT) AS y
+        |  FROM sym JOIN dg dx ON dx.s = sym.s JOIN dg dy ON dy.s = sym.d),
+        |m AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |    sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy FROM ends)
+        |SELECT n AS n_ends,
+        |  CASE WHEN n * sxx - sx * sx <= 0 OR n * syy - sy * sy <= 0 THEN NULL
+        |    ELSE round(CAST(n * sxy - sx * sy AS DOUBLE)
+        |      / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+        |           * CAST(n * syy - sy * sy AS DOUBLE)), 6) END AS r
+        |FROM m""".stripMargin,
     // Jaccard twin: the g_commonneigh chain with degrees joined back
     // and the ALL-INTEGER micro score (1e6·n) // (da + db − n); no fp
     // anywhere, so ranking is bit-deterministic by construction

@@ -455,6 +455,37 @@ class GraphSpec extends SparkSpec {
     assert(got == want, s"got $got want $want")
   }
 
+  test("assortativity: star is perfectly disassortative, cycle undefined, random matches reference") {
+    import spark.implicits._
+    def run(und: Seq[(Long, Long)]): (Long, Option[Double]) = {
+      val r = Graph.assortativity(und.toDF("a", "b"), "a", "b").collect().head
+      (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getDouble(1)))
+    }
+    // star: every edge links deg-5 hub to a deg-1 leaf → r = −1
+    val star = (1L to 5L).map(l => (0L, l))
+    assert(run(star) == ((10L, Some(-1.0))), s"star: ${run(star)}")
+    // cycle: regular graph, zero degree variance → NULL by contract
+    val cycle = (0L until 6L).map(i => (i, (i + 1) % 6))
+    assert(run(cycle) == ((12L, None)), s"cycle: ${run(cycle)}")
+    // random graph vs an independent double-precision reference
+    val rnd = new scala.util.Random(91)
+    val und = Seq.fill(40)((rnd.nextInt(12).toLong, rnd.nextInt(12).toLong))
+      .filter { case (a, b) => a != b }
+    val es = und.map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    val deg = es.flatMap { case (a, b) => Seq(a, b) }
+      .groupBy(identity).map { case (n, xs) => n -> xs.size.toLong }
+    val ends = es.flatMap { case (a, b) => Seq((deg(a), deg(b)), (deg(b), deg(a))) }
+    val n = ends.size.toLong
+    val (sx, sy) = (ends.map(_._1).sum, ends.map(_._2).sum)
+    val sxy = ends.map(e => e._1 * e._2).sum
+    val (sxx, syy) = (ends.map(e => e._1 * e._1).sum, ends.map(e => e._2 * e._2).sum)
+    val num = (n * sxy - sx * sy).toDouble
+    val den = math.sqrt((n * sxx - sx * sx).toDouble * (n * syy - sy * sy).toDouble)
+    val want = new java.math.BigDecimal(num / den)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    assert(run(und) == ((n, Some(want))), s"random: ${run(und)} want ($n, $want)")
+  }
+
   test("adamicAdar: matches brute force on random graphs") {
     import spark.implicits._
     val rnd = new scala.util.Random(331)
