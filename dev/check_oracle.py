@@ -34,6 +34,30 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
     return df
 
+def kind_class(s: pd.Series) -> str:
+    return {"i": "int", "u": "int", "f": "float", "b": "bool",
+            "O": "str", "M": "ts", "m": "td"}.get(s.dtype.kind, s.dtype.kind)
+
+def dtype_mismatches(s: pd.DataFrame, o: pd.DataFrame):
+    """The driver hashes string-rendered cells, so an int64 column on one
+    side and float64 on the other ('191030033' vs '191030033.0') is a hash
+    miss even when values are identical (DuckDB sum(BIGINT) -> HUGEINT ->
+    float64 via pandas is the repeat offender). Flag int-vs-float class
+    divergence unless nulls forced pandas' own int->float widening."""
+    bad = []
+    for c in s.columns:
+        ks, ko = kind_class(s[c]), kind_class(o[c])
+        if ks == ko:
+            continue
+        if {ks, ko} == {"int", "float"}:
+            f = s[c] if ks == "float" else o[c]
+            if f.isna().any():
+                continue  # pandas null-widening, not an engine/oracle bug
+            bad.append(f"{c}: spark={s[c].dtype} oracle={o[c].dtype}")
+        else:
+            bad.append(f"{c}: spark={s[c].dtype} oracle={o[c].dtype}")
+    return bad
+
 fail = 0
 for name in names:
     if name not in oracle:
@@ -51,6 +75,11 @@ for name in names:
             try:
                 pd.testing.assert_frame_equal(s, o, check_dtype=False,
                                               check_exact=False, rtol=0, atol=1e-9)
+                dt = dtype_mismatches(s, o)
+                if dt:
+                    print(f"{name}: DTYPE MISMATCH rows={len(s)}  " + "; ".join(dt))
+                    fail += 1
+                    continue
                 print(f"{name}: OK rows={len(s)}")
                 continue
             except AssertionError as e:

@@ -140,7 +140,16 @@ object Bench {
     // post-gate start load (the window signal); "load_end" includes
     // our own threads' tail.
     val loadEnd = loadAvg()
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"load":$loadStart%.2f,"load_end":$loadEnd%.2f,"sf":"$sfDir"}""")
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"load":$loadStart%.2f,"load_end":$loadEnd%.2f,"sf":"$sfDir"}"""
+    // VERDICT r9 #5: the driver keeps only a truncated log TAIL, and the
+    // one ~7 KB JSON line got clipped mid-line in r9 ("parsed": null, 94
+    // of 184 per-query numbers lost). Persist the complete map to a
+    // committed sidecar FIRST — the durable copy survives any log
+    // truncation — then print the contract line to stdout as before.
+    val sidecar = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(sidecar), line + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] sidecar write failed: $e") }
+    println(line)
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

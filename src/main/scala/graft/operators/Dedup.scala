@@ -551,12 +551,15 @@ object Dedup {
     // Recall-degradation SIGNAL for the salt contract: rows landing in
     // an over-cap bucket (whose cross-shard pairs are dropped by
     // design) bump a per-SparkContext accumulator, visible in the UI
-    // and via [[oversizedBucketRows]]. The bump is a UDF guarded by a
-    // codegen'd when(), so the common ≤ cap path never leaves codegen
-    // and pays nothing; task retries can over-count — it is a signal,
-    // not a metric for correctness decisions.
+    // and via [[oversizedBucketRows]]. The bump is a native codegen'd
+    // expression (VERDICT r9 #8 — was the repo's one remaining UDF)
+    // guarded by when(), so the common ≤ cap path pays nothing and the
+    // projection never leaves whole-stage codegen; task retries can
+    // over-count — it is a signal, not a metric for correctness
+    // decisions.
     val acc = oversizedAcc(banded.sparkSession)
-    val note = udf((bsize: Long) => { acc.add(1L); bsize })
+    val note = (c: org.apache.spark.sql.Column) =>
+      graft.functions.AccumulateNote.accumulateNote(c, acc)
     banded
       .withColumn("bsize",
         count(lit(1)).over(Window.partitionBy(col("band"), col("bucket"))))

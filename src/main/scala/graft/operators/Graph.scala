@@ -56,6 +56,69 @@ object Graph {
     try body finally spark.conf.set(key, prev)
   }
 
+  /** Hub cap for the wedge link predictors (VERDICT r9 #3): the wedge
+    * self-join is Θ(Σ deg(center)²) — exact and linear on a
+    * bounded-degree substrate (k-NN graphs), quadratic at a power-law
+    * hub. With `maxDegree > 0`, nodes whose degree exceeds the cap are
+    * excluded as wedge CENTERS (an exact top-degree trim — their
+    * endpoint roles, degree values and AA weights stay untouched), so
+    * the wedge stream is bounded by n·maxDegree². Every wedge the trim
+    * drops is COUNTED — deg·(deg−1)/2 per hub, an exact figure because
+    * trimming is all-or-nothing per center — into a loud per-context
+    * accumulator (the Dedup oversized-bucket pattern) readable via
+    * [[droppedWedges]], plus a stderr line, so a capped run can never
+    * silently read as exact. Capping a graph with no node above the
+    * cap is a no-op with a zero count. Hubs contribute the LEAST
+    * signal per wedge in this family (Adamic-Adar's 1/ln(deg) exists
+    * precisely to discount them), so the trim removes the most
+    * expensive, least informative wedges first. */
+  private def capCenters(sym: DataFrame, deg: DataFrame, maxDegree: Int,
+                         kernel: String): DataFrame = {
+    if (maxDegree <= 0) sym
+    else {
+      noteDroppedWedges(deg, maxDegree, kernel)
+      sym.join(deg.filter(col("deg") <= maxDegree).select(col("s")), Seq("s"))
+    }
+  }
+
+  /** The loud half of [[capCenters]]: counts the wedges an exact
+    * top-degree trim at `maxDegree` drops (deg·(deg−1)/2 per hub) into
+    * the [[droppedWedges]] accumulator + a stderr line. One cheap
+    * aggregate over the (checkpointed) degree frame, eager by design —
+    * the count must surface even when the capped run's output is
+    * consumed lazily or partially. */
+  private def noteDroppedWedges(deg: DataFrame, maxDegree: Int,
+                                kernel: String): Unit = {
+    val row = deg.filter(col("deg") > maxDegree)
+      .agg(count(lit(1)).as("hubs"),
+        coalesce(sum(expr("(deg * (deg - 1)) div 2")), lit(0L)).as("wedges"))
+      .head()
+    val (hubs, dropped) = (row.getLong(0), row.getLong(1))
+    if (dropped > 0) {
+      droppedWedgeAcc(deg.sparkSession).add(dropped)
+      System.err.println(s"[graft.graph] $kernel: hub cap maxDegree=" +
+        s"$maxDegree trimmed $hubs hub centers, dropping $dropped wedges " +
+        "(recall degradation - see Graph.droppedWedges)")
+    }
+  }
+
+  private val droppedWedgeAccs =
+    new java.util.concurrent.ConcurrentHashMap[org.apache.spark.SparkContext,
+      org.apache.spark.util.LongAccumulator]()
+
+  private def droppedWedgeAcc(spark: org.apache.spark.sql.SparkSession) = {
+    droppedWedgeAccs.keySet.removeIf(_.isStopped)
+    droppedWedgeAccs.computeIfAbsent(spark.sparkContext,
+      sc => sc.longAccumulator("graft.graph.droppedWedges"))
+  }
+
+  /** Wedges dropped by the `maxDegree` hub cap across every capped
+    * link-prediction run on this session's SparkContext — the
+    * observable counterpart of the documented recall degradation.
+    * 0 means every capped run was exact. */
+  def droppedWedges(spark: org.apache.spark.sql.SparkSession): Long =
+    Option(droppedWedgeAccs.get(spark.sparkContext)).map(_.value.longValue).getOrElse(0L)
+
   def pageRankMicro(edges: DataFrame, srcCol: String, dstCol: String,
                     iterations: Int = 5, dampingPct: Int = 85,
                     validateUniverse: Boolean = true,
@@ -573,12 +636,14 @@ object Graph {
     * top-N (never a global sort). On a bounded-degree substrate — the
     * catalog feeds the k-NN graph, deg ≤ k + in-degree — the wedge
     * stream is Θ(n·k²), linear in the corpus; on a power-law graph
-    * cap hubs upstream (sample or threshold the adjacency) before
-    * calling, as Σ deg² at a hub is the quadratic this kernel does
-    * NOT hide. Ties at the cut rank break by (a, b) — the output is a
-    * total order, deterministic at any N. */
+    * pass `maxDegree` — nodes above it are trimmed as wedge centers
+    * with an exact loud count of the dropped wedges (see
+    * [[capCenters]]/[[droppedWedges]]) — as Σ deg² at a hub is the
+    * quadratic this kernel does NOT hide. `maxDegree = 0` (default)
+    * is the exact, uncapped kernel. Ties at the cut rank break by
+    * (a, b) — the output is a total order, deterministic at any N. */
   def commonNeighbors(edges: DataFrame, aCol: String, bCol: String,
-                      topN: Int = 100): DataFrame = {
+                      topN: Int = 100, maxDegree: Int = 0): DataFrame = {
     require(topN >= 1)
     // materialized ONCE: the canonical edge set feeds four plan
     // branches (two union arms, each wedge side via them, and the
@@ -590,8 +655,18 @@ object Graph {
       .filter(col("a") < col("b"))
       .distinct()
       .localCheckpoint()
-    val sym = und.select(col("a").as("s"), col("b").as("d"))
+    val symAll = und.select(col("a").as("s"), col("b").as("d"))
       .union(und.select(col("b").as("s"), col("a").as("d")))
+    // capped path only: the degree aggregate exists solely to trim
+    // centers (one cheap scan of the materialized edge cache); it is
+    // checkpointed because capCenters consumes it twice (eager drop
+    // count + filter join) and released once `out` is materialized
+    val degOpt =
+      if (maxDegree <= 0) None
+      else Some(symAll.groupBy(col("s")).agg(count(lit(1)).as("deg"))
+        .localCheckpoint())
+    val sym = degOpt.fold(symAll)(
+      capCenters(symAll, _, maxDegree, "commonNeighbors"))
     val wed = sym.select(col("s"), col("d").as("xa"))
       .join(sym.select(col("s"), col("d").as("xb")), Seq("s"))
       .filter(col("xa") < col("xb"))
@@ -605,6 +680,7 @@ object Graph {
       // eager: the top-N is tiny; releasing the edge checkpoint here
       // instead of leaking its blocks for the session
       .localCheckpoint()
+    degOpt.foreach(Checkpoints.unpersist)
     Checkpoints.unpersist(und)
     out
   }
@@ -615,9 +691,11 @@ object Graph {
     * neighbor z contributes 1/ln(deg z), so a selective mutual
     * contact says more than a hub everyone touches. Same wedge
     * enumeration and same bounded-degree contract as
-    * commonNeighbors (the caller provides a degree-bounded substrate
-    * such as a k-NN graph; a power-law graph needs hub capping
-    * first); deg-1 nodes are pruned BEFORE the wedge join — they
+    * commonNeighbors (a degree-bounded substrate such as a k-NN
+    * graph runs exact; on a power-law graph pass `maxDegree` to trim
+    * hub centers with a loud dropped-wedge count — retained pairs
+    * keep their exact full-degree weights); deg-1 nodes are pruned
+    * BEFORE the wedge join — they
     * cannot center a wedge, and pruning them keeps ln(deg) > 0 so
     * the weight is always finite (an unguarded 1/ln(1) would cast
     * Infinity to Long.MaxValue silently).
@@ -628,7 +706,7 @@ object Graph {
     * weights — no order-dependent double accumulation. Returns the
     * `topN` non-adjacent pairs by (aa_micro desc, a, b). */
   def adamicAdar(edges: DataFrame, aCol: String, bCol: String,
-                 topN: Int = 100): DataFrame = {
+                 topN: Int = 100, maxDegree: Int = 0): DataFrame = {
     require(topN >= 1)
     // materialized ONCE, as in commonNeighbors: the canonical edge
     // set feeds the union arms, the degree aggregate, and the anti
@@ -641,8 +719,15 @@ object Graph {
       .localCheckpoint()
     val sym = und.select(col("a").as("s"), col("b").as("d"))
       .union(und.select(col("b").as("s"), col("a").as("d")))
-    val deg = sym.groupBy(col("s")).agg(count(lit(1)).as("deg"))
+    val degLazy = sym.groupBy(col("s")).agg(count(lit(1)).as("deg"))
+    // capped path: checkpoint deg (capCenters reads it twice); the
+    // ws filter below trims hub CENTERS while their weights — and
+    // every retained node's weight — stay the exact FULL degree
+    val degOpt = if (maxDegree <= 0) None else Some(degLazy.localCheckpoint())
+    val deg = degOpt.getOrElse(degLazy)
+    if (maxDegree > 0) noteDroppedWedges(deg, maxDegree, "adamicAdar")
     val ws = sym.join(deg, Seq("s")).filter(col("deg") >= 2)
+      .filter(if (maxDegree > 0) col("deg") <= maxDegree else lit(true))
       .withColumn("w",
         round(lit(1000000) / log(col("deg").cast("double"))).cast("long"))
     val wed = ws.select(col("s"), col("d").as("xa"), col("w"))
@@ -657,6 +742,7 @@ object Graph {
       .orderBy(col("aa_micro").desc, col("a"), col("b"))
       .limit(topN)
       .localCheckpoint()
+    degOpt.foreach(Checkpoints.unpersist)
     Checkpoints.unpersist(und)
     out
   }
@@ -672,7 +758,7 @@ object Graph {
     * all. Returns the `topN` non-adjacent pairs by
     * (j_micro desc, a, b). */
   def jaccardLinks(edges: DataFrame, aCol: String, bCol: String,
-                   topN: Int = 100): DataFrame = {
+                   topN: Int = 100, maxDegree: Int = 0): DataFrame = {
     require(topN >= 1)
     val und = edges.select(
         least(col(aCol).cast("long"), col(bCol).cast("long")).as("a"),
@@ -680,9 +766,18 @@ object Graph {
       .filter(col("a") < col("b"))
       .distinct()
       .localCheckpoint()
-    val sym = und.select(col("a").as("s"), col("b").as("d"))
+    val symAll = und.select(col("a").as("s"), col("b").as("d"))
       .union(und.select(col("b").as("s"), col("a").as("d")))
-    val deg = sym.groupBy(col("s")).agg(count(lit(1)).as("deg"))
+    val degLazy = symAll.groupBy(col("s")).agg(count(lit(1)).as("deg"))
+    // capped path: trim wedge CENTERS only — the endpoint degrees in
+    // the denominator stay exact full degrees for every node (n_common
+    // may undercount pairs whose shared neighbor was a hub; that is
+    // the counted degradation, not a changed formula)
+    val degOpt = if (maxDegree <= 0) None else Some(degLazy.localCheckpoint())
+    val deg = degOpt.getOrElse(degLazy)
+    val sym =
+      if (maxDegree <= 0) symAll
+      else capCenters(symAll, deg, maxDegree, "jaccardLinks")
     val wed = sym.select(col("s"), col("d").as("xa"))
       .join(sym.select(col("s"), col("d").as("xb")), Seq("s"))
       .filter(col("xa") < col("xb"))
@@ -697,6 +792,7 @@ object Graph {
       .orderBy(col("j_micro").desc, col("a"), col("b"))
       .limit(topN)
       .localCheckpoint()
+    degOpt.foreach(Checkpoints.unpersist)
     Checkpoints.unpersist(und)
     out
   }
@@ -1085,26 +1181,33 @@ object Graph {
         val prevH = if (i > 1) h else null
         // authority sum: the src-partitioned edge cache joins the
         // hub vector, partial-aggregates map-side, exchanges only
-        // per-dst contributions
+        // per-dst contributions. The raw frame is MATERIALIZED before
+        // its two consumers (ADVICE r9): the max() normalizer and the
+        // normalize select would otherwise each replay the Θ(|E|)
+        // edge join — per-round cost was 2× the documented shape.
         val araw = eS.join(h, col("src") === col("node"))
           .groupBy(col("dst"))
           .agg(sum(col("h")).as("araw"))
+          .localCheckpoint()
         val aM = araw.agg(max(col("araw")).as("am"))
         a = araw.crossJoin(broadcast(aM))
           .select(col("dst").as("node"),
             expr("CAST((CAST(araw AS DECIMAL(38,0)) * 1000000) div am AS BIGINT)")
               .as("a"))
           .localCheckpoint()
+        Checkpoints.unpersist(araw)
         if (prevA != null) Checkpoints.unpersist(prevA)
         val hraw = eD.join(a, col("dst") === col("node"))
           .groupBy(col("src"))
           .agg(sum(col("a")).as("hraw"))
+          .localCheckpoint()
         val hM = hraw.agg(max(col("hraw")).as("hm"))
         h = hraw.crossJoin(broadcast(hM))
           .select(col("src").as("node"),
             expr("CAST((CAST(hraw AS DECIMAL(38,0)) * 1000000) div hm AS BIGINT)")
               .as("h"))
           .localCheckpoint()
+        Checkpoints.unpersist(hraw)
         if (prevH != null) Checkpoints.unpersist(prevH)
       }
       val out = nodes

@@ -2604,7 +2604,7 @@ object Oracles {
         |  LEFT JOIN cond c ON c.lab = l.lab AND c.w = t.w
         |  GROUP BY 1, 2),
         |f AS (SELECT s.doc_id, s.lang AS actual, l.lab,
-        |    l.prior_s + coalesce(p.s_tok, 0) AS s, CAST(len(s.toks) AS BIGINT) AS n_toks
+        |    CAST(l.prior_s + coalesce(p.s_tok, 0) AS BIGINT) AS s, CAST(len(s.toks) AS BIGINT) AS n_toks
         |  FROM sc s CROSS JOIN lab l
         |  LEFT JOIN pdl p ON p.doc_id = s.doc_id AND p.lab = l.lab),
         |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY s, lab) AS rn FROM f)

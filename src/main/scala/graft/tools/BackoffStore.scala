@@ -27,16 +27,16 @@ import graft.operators.TextAnalysis
 object BackoffStore {
 
   /** Same warehouse root as the ANN/BPE tables. */
-  def root: String = IndexStore.root
+  def root: String = ArtifactStore.root
 
   /** One directory per (source dir, data fingerprint) — data changing
     * under the same path gets a NEW model, never stale counts. */
   def path(dir: String, fingerprint: String): String =
-    s"$root/lm_${IndexStore.md5hex(dir + "|" + fingerprint)}"
+    ArtifactStore.path("lm_", dir, fingerprint)
 
   private val ReadyMarker = "_GRAFT_LM_READY"
 
-  def ready(p: String): Boolean = new java.io.File(p, ReadyMarker).isFile
+  def ready(p: String): Boolean = ArtifactStore.ready(p, ReadyMarker)
 
   /** Train on `trainDocs` (the CALLER chooses the split/reference
     * corpus) and publish the four model tables. The n-gram tables are
@@ -48,16 +48,15 @@ object BackoffStore {
     m.b2.write.mode("overwrite").parquet(s"$p/lm_bigrams.parquet")
     m.t3.write.mode("overwrite").parquet(s"$p/lm_trigrams.parquet")
     m.total.coalesce(1).write.mode("overwrite").parquet(s"$p/lm_total.parquet")
-    new java.io.File(p, ReadyMarker).createNewFile()
+    ArtifactStore.publish(p, ReadyMarker)
   }
 
-  /** The written model with its schemas DECLARED (the unifiedSchema
-    * rationale: no inference surprises on empty or reordered files). */
+  /** The written model with its schemas DECLARED (the ArtifactStore
+    * discipline: no inference surprises on empty or reordered files). */
   def read(spark: SparkSession, p: String): TextAnalysis.BackoffModel = {
     import org.apache.spark.sql.types._
     def tbl(name: String, fields: (String, DataType)*): DataFrame =
-      spark.read.schema(StructType(fields.map { case (n, t) =>
-        StructField(n, t) })).parquet(s"$p/$name.parquet")
+      ArtifactStore.readTable(spark, p, name, fields: _*)
     TextAnalysis.BackoffModel(
       tbl("lm_unigrams", "w" -> StringType, "c1" -> LongType),
       tbl("lm_bigrams", "p" -> StringType, "q" -> StringType, "c2" -> LongType),

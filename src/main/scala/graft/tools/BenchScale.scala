@@ -841,6 +841,107 @@ object BenchScale {
     }
   }
 
+  /** Power-law link-prediction ladder (VERDICT r9 #3): the
+    * [[linkpredLadder]] substrate plus 4 PLANTED HUBS of n/5 distinct
+    * neighbors each — at the 4M rung the UNCAPPED wedge join owes
+    * 4 · (1e5·(1e5−1)/2) ≈ 2·10¹⁰ wedges from the hubs alone (~600×
+    * the base stream; hours of shuffle) while `maxDegree = 128` trims
+    * the hubs as centers and completes in base-ladder time.
+    * Hub target windows are DISJOINT from each other and from the
+    * bases/twins: hub pairs share no neighbors (no synthetic
+    * perfect-overlap pairs to displace the twin gate) and the planted
+    * neighborhood equality survives. Bases carry 40 planted neighbors
+    * on top of the random ~16 so twins (~56 shared) rank a clean 3-4×
+    * above the strongest legitimate (hub, x) pair (~a dozen shared
+    * retained centers). Gates:
+    *  - planted-twin recall stays EXACT under the cap for BOTH
+    *    kernels — the trim may not move the top-50;
+    *  - the dropped-wedge accumulator advances by EXACTLY the four
+    *    hubs' wedge count per kernel run — the cap's loud-count
+    *    contract, and a proof no legitimate node crossed the cap;
+    *  - wall grows ~linearly in base edges (exponent ≤ 1.5): the cap
+    *    keeps the hub cost OUT of the scaling. */
+  private def linkpredSkewLadder(spark: SparkSession, sizes: Seq[Long],
+                                 maxTaskMs: java.util.concurrent.atomic.AtomicLong): Unit = {
+    val hubs = 4
+    val rungs = sizes.map { m =>
+      val n = math.max(m / 8, 1000L)
+      val hubDeg = n / 5
+      val hubWedges = hubs * (hubDeg * (hubDeg - 1)) / 2
+      require(50 + hubs * hubDeg <= n,
+        s"rung m=$m: disjoint hub windows [50, ${50 + hubs * hubDeg}) must fit under n=$n")
+      val half = spark.range(m).selectExpr(
+          s"pmod(xxhash64('s', id), $n) AS src",
+          s"pmod(xxhash64('d', id), $n) AS dst")
+        .filter("src <> dst AND NOT (src < 50 AND dst < 50)")
+      // 40 PLANTED distinct neighbors per base on top of the ~16
+      // random ones: a (hub, x) pair can legitimately share
+      // deg(x)/5 ≈ a dozen retained centers under Adamic-Adar, which
+      // interleaves with ~16-shared twins — at ~56 shared the twins
+      // sit a clean 3-4× above every hub pair, so the EXACT global
+      // top-50 gate holds on the skewed substrate too. Stride 2503 is
+      // prime and > 40·hubs ⇒ the 40 targets per base are distinct;
+      // targets land in [50, n), never on a base or twin.
+      val plantHalf = spark.range(50L * 40).selectExpr(
+        "id div 40 AS src",
+        s"50 + pmod(id * 2503, ${n - 50}) AS dst")
+      val baseHalf = half.union(plantHalf)
+      val sym = baseHalf.union(baseHalf.selectExpr("dst AS src", "src AS dst"))
+      val twinHalf = sym.filter(col("src") < 50)
+        .select((col("src") + n).as("src"), col("dst"))
+      // hubs n+100+h (ids disjoint from nodes [0,n) and twins [n,n+50))
+      // touch pairwise-DISJOINT windows [50 + h·hubDeg, 50 + (h+1)·hubDeg)
+      // — never a base (0..49) or a twin, so planted neighborhood
+      // equality survives, and no two hubs share a neighbor
+      val hubHalf = spark.range(hubs * hubDeg).selectExpr(
+        s"$n + 100 + id div $hubDeg AS src",
+        s"50 + id AS dst")
+      val dir = s"/tmp/graft_scale/linkpredskew_$m"
+      sym.union(twinHalf)
+        .union(twinHalf.selectExpr("dst AS src", "src AS dst"))
+        .union(hubHalf)
+        .union(hubHalf.selectExpr("dst AS src", "src AS dst"))
+        .write.mode("overwrite").parquet(dir) // untimed setup
+      val edges = spark.read.parquet(dir)
+      val want = (0L until 50L).map(i => (i, n + i)).toSet
+      maxTaskMs.set(0)
+      val d0 = graft.operators.Graph.droppedWedges(spark)
+      val t0 = System.nanoTime()
+      // cap 128: ordinary nodes (deg ~56 with the planted neighbors)
+      // stay exact centers, hubs (deg n/5 ≥ 25 000) are trimmed
+      val jac = graft.operators.Graph.jaccardLinks(edges, "src", "dst",
+          topN = 50, maxDegree = 128)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+      val jacSec = (System.nanoTime() - t0) / 1e9
+      val d1 = graft.operators.Graph.droppedWedges(spark)
+      val t1 = System.nanoTime()
+      val aa = graft.operators.Graph.adamicAdar(edges, "src", "dst",
+          topN = 50, maxDegree = 128)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val aaSec = (System.nanoTime() - t1) / 1e9
+      val d2 = graft.operators.Graph.droppedWedges(spark)
+      require(jac.map(p => (p._1, p._2)).toSet == want &&
+        jac.forall(_._3 == 1000000L),
+        s"capped jaccard at m=$m: planted twins not the exact top-50 at 1e6")
+      require(aa.toSet == want,
+        s"capped adamic-adar at m=$m: planted twins not the exact top-50")
+      require(d1 - d0 == hubWedges && d2 - d1 == hubWedges,
+        s"dropped-wedge count at m=$m: jaccard ${d1 - d0} / adamic ${d2 - d1}" +
+          s" != planted $hubWedges - a non-hub node crossed the cap or the" +
+          " count drifted")
+      println(f"""{"edges":${2 * (m + hubs * hubDeg)},"nodes":$n,"hub_wedges_dropped":$hubWedges,"jaccard_sec":$jacSec%.2f,"adamic_sec":$aaSec%.2f,"max_task_sec":${maxTaskMs.get() / 1e3}%.2f}""")
+      (m, Seq(jacSec, aaSec))
+    }
+    if (sizes.size >= 2) {
+      Seq("jaccard", "adamic").zipWithIndex.foreach { case (nm, i) =>
+        val exponent = fitExponent(rungs.map { case (x, s) => (x, s(i)) })
+        println(f"""{"metric":"linkpredskew_${nm}_scale","exponent":$exponent%.3f}""")
+        require(exponent <= 1.5,
+          f"capped $nm wall grows super-linearly in edges: exponent $exponent%.3f > 1.5")
+      }
+    }
+  }
+
   /** Events-analytics ladder: funnel + retention on a generated event
     * stream whose row count scales while per-user structure stays
     * fixed (256 events/user across 32 days; each user's first three
@@ -1166,11 +1267,12 @@ object BenchScale {
     val tsMode = args.headOption.contains("ts")
     val eventsMode = args.headOption.contains("events")
     val linkpredMode = args.headOption.contains("linkpred")
+    val linkpredSkewMode = args.headOption.contains("linkpredskew")
     val backoffMode = args.headOption.contains("backoff")
     val sizeArgs =
       if (annMode || mmMode || pqMode || ivfPqMode || semMode || graphMode ||
           tpchMode || bpeMode || shingleMode || triMode || backoffMode ||
-          kcoreMode || tsMode || eventsMode || linkpredMode)
+          kcoreMode || tsMode || eventsMode || linkpredMode || linkpredSkewMode)
         args.drop(1) else args
     val sizes =
       if (sizeArgs.nonEmpty) sizeArgs(0).split(",").map(_.trim.toLong).toSeq
@@ -1188,6 +1290,7 @@ object BenchScale {
       else if (tsMode) Seq(1048576L, 4194304L, 16777216L)
       else if (eventsMode) Seq(1048576L, 4194304L, 16777216L)
       else if (linkpredMode) Seq(1000000L, 4000000L)
+      else if (linkpredSkewMode) Seq(1000000L, 4000000L)
       else if (backoffMode) Seq(100000L, 400000L, 1600000L)
       else Seq(5000L, 10000L, 20000L, 50000L)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -1248,6 +1351,7 @@ object BenchScale {
     if (tsMode) { tsLadder(spark, sizes, maxTaskMs); spark.stop(); return }
     if (eventsMode) { eventsLadder(spark, sizes, maxTaskMs); spark.stop(); return }
     if (linkpredMode) { linkpredLadder(spark, sizes, maxTaskMs); spark.stop(); return }
+    if (linkpredSkewMode) { linkpredSkewLadder(spark, sizes, maxTaskMs); spark.stop(); return }
     if (backoffMode) { backoffLadder(spark, sizes, maxTaskMs); spark.stop(); return }
 
     val rungs = sizes.map { n =>

@@ -22,37 +22,34 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object BpeStore {
 
   /** Same warehouse root as the ANN index tables. */
-  def root: String = IndexStore.root
+  def root: String = ArtifactStore.root
 
   /** One directory per (source dir, data fingerprint) — data changing
     * under the same path gets a NEW table, never stale merges. */
   def path(dir: String, fingerprint: String): String =
-    s"$root/bpe_${IndexStore.md5hex(dir + "|" + fingerprint)}"
+    ArtifactStore.path("bpe_", dir, fingerprint)
 
   private val ReadyMarker = "_GRAFT_BPE_READY"
 
-  def ready(p: String): Boolean = new java.io.File(p, ReadyMarker).isFile
+  def ready(p: String): Boolean = ArtifactStore.ready(p, ReadyMarker)
 
   /** Learn and publish the merge table for a document corpus. */
   def write(spark: SparkSession, docs: DataFrame, p: String,
             numMerges: Int = 50): Unit = {
     graft.operators.Bpe.learnMerges(docs, "text", numMerges)
       .coalesce(1).write.mode("overwrite").parquet(s"$p/bpe_merges.parquet")
-    new java.io.File(p, ReadyMarker).createNewFile()
+    ArtifactStore.publish(p, ReadyMarker)
   }
 
-  /** The written table with its schema DECLARED (the unifiedSchema
-    * rationale: no inference surprises on an empty or reordered
+  /** The written table with its schema DECLARED (the ArtifactStore
+    * discipline: no inference surprises on an empty or reordered
     * file). numMerges rows — tiny; consumers that replay it
     * ([[graft.operators.Bpe.segment]]) collect it by contract. */
   def read(spark: SparkSession, p: String): DataFrame = {
     import org.apache.spark.sql.types._
-    val schema = StructType(Seq(
-      StructField("rank", LongType),
-      StructField("lhs", StringType),
-      StructField("rhs", StringType),
-      StructField("pair_count", LongType)))
-    spark.read.schema(schema).parquet(s"$p/bpe_merges.parquet")
+    ArtifactStore.readTable(spark, p, "bpe_merges",
+      "rank" -> LongType, "lhs" -> StringType, "rhs" -> StringType,
+      "pair_count" -> LongType)
   }
 }
 

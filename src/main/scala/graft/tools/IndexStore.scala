@@ -32,45 +32,28 @@ import graft.operators.Similarity
   */
 object IndexStore {
 
-  /** Root for written index tables. `graft.index.dir` (system
-    * property, test-settable) > `GRAFT_INDEX_DIR` (env) > java tmpdir.
-    * At real scale this is a warehouse path, not a tmpdir. */
-  def root: String = sys.props.get("graft.index.dir")
-    .orElse(sys.env.get("GRAFT_INDEX_DIR"))
-    .getOrElse(sys.props("java.io.tmpdir") + "/graft-index")
+  /** Warehouse root, fingerprints and publish discipline live in
+    * [[ArtifactStore]] (VERDICT r9 #4 — one core, four delegating
+    * stores); these forwarders keep existing call sites stable. */
+  def root: String = ArtifactStore.root
 
-  private[tools] def md5hex(s: String): String =
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  private[tools] def md5hex(s: String): String = ArtifactStore.md5hex(s)
 
   /** One directory per (source dir, data fingerprint): data changing
     * under the same path gets a NEW index directory, so a written
     * index can never serve stale results. */
   def path(dir: String, fingerprint: String): String =
-    s"$root/${md5hex(dir + "|" + fingerprint)}"
+    ArtifactStore.path("", dir, fingerprint)
 
-  /** Driver-side (name, size, mtime) fingerprint of a table's files —
-    * shared with ExtensionCatalog's memo keys. listFiles() returning
-    * null (unreadable dir / deletion race) falls back to a
-    * never-matching key so callers rebuild instead of NPEing. */
-  def dataFingerprint(d: String, table: String): String = {
-    val f = new java.io.File(s"$d/$table.parquet")
-    def one(g: java.io.File) = s"${g.getName}:${g.length}:${g.lastModified}"
-    val files =
-      if (f.isDirectory) Option(f.listFiles()).map(_.sortBy(_.getName).toSeq)
-      else Some(Seq(f))
-    files match {
-      case Some(fs) => fs.map(one).mkString(",")
-      case None => s"unlisted:${System.nanoTime}"
-    }
-  }
+  def dataFingerprint(d: String, table: String): String =
+    ArtifactStore.dataFingerprint(d, table)
 
   private val ReadyMarker = "_GRAFT_INDEX_READY"
 
   /** A written index is visible only once the marker exists — the
     * marker is written AFTER every table, so a crashed build is
     * invisible and gets rebuilt, never half-read. */
-  def ready(p: String): Boolean = new java.io.File(p, ReadyMarker).isFile
+  def ready(p: String): Boolean = ArtifactStore.ready(p, ReadyMarker)
 
   /** Build and write the full index set for an embedding corpus.
     * Training is the same deterministic kmeansTrain / pqTrain
@@ -99,8 +82,7 @@ object IndexStore {
       .repartition(col("cent_id"))
       .write.mode("overwrite").partitionBy("cent_id")
       .parquet(s"$p/ivfpq_index.parquet")
-    // publish atomically-enough for a local fs: marker last
-    new java.io.File(p, ReadyMarker).createNewFile()
+    ArtifactStore.publish(p, ReadyMarker)
   }
 
   /** Schema of the unified per-vector index as READ BACK, declared so
@@ -135,10 +117,8 @@ object IndexStore {
     * the same reason as [[unifiedSchema]]. */
   def readCentroidsDf(spark: SparkSession, p: String): DataFrame = {
     import org.apache.spark.sql.types._
-    val schema = StructType(Seq(
-      StructField("cent_id", LongType),
-      StructField("cent_emb", ArrayType(DoubleType))))
-    spark.read.schema(schema).parquet(s"$p/centroids.parquet")
+    ArtifactStore.readTable(spark, p, "centroids",
+      "cent_id" -> LongType, "cent_emb" -> ArrayType(DoubleType))
   }
 
   def readBooks(spark: SparkSession, p: String): Seq[(Int, Long, Seq[Long])] = {

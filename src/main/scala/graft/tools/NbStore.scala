@@ -25,14 +25,14 @@ import graft.operators.TextAnalysis
   * contract is unchanged (NbPersistSpec pins the round trip). */
 object NbStore {
 
-  def root: String = IndexStore.root
+  def root: String = ArtifactStore.root
 
   def path(dir: String, fingerprint: String): String =
-    s"$root/nb_${IndexStore.md5hex(dir + "|" + fingerprint)}"
+    ArtifactStore.path("nb_", dir, fingerprint)
 
   private val ReadyMarker = "_GRAFT_NB_READY"
 
-  def ready(p: String): Boolean = new java.io.File(p, ReadyMarker).isFile
+  def ready(p: String): Boolean = ArtifactStore.ready(p, ReadyMarker)
 
   /** Train on `trainDocs` (the caller picks the split / reference
     * corpus and the label column) and publish the model tables. */
@@ -45,7 +45,7 @@ object NbStore {
     m.labels.indices.map(i => (m.labels(i), m.priorMicro(i), m.defaultMicro(i)))
       .toDF("lab", "prior_micro", "default_micro")
       .coalesce(1).write.mode("overwrite").parquet(s"$p/nb_labels.parquet")
-    new java.io.File(p, ReadyMarker).createNewFile()
+    ArtifactStore.publish(p, ReadyMarker)
   }
 
   /** The written model with schemas DECLARED; the bounded label table
@@ -53,17 +53,13 @@ object NbStore {
     * training produced, so sArr indices line up. */
   def read(spark: SparkSession, p: String): TextAnalysis.NbModel = {
     import org.apache.spark.sql.types._
-    val labRows = spark.read
-      .schema(StructType(Seq(StructField("lab", StringType),
-        StructField("prior_micro", LongType),
-        StructField("default_micro", LongType))))
-      .parquet(s"$p/nb_labels.parquet")
+    val labRows = ArtifactStore.readTable(spark, p, "nb_labels",
+        "lab" -> StringType, "prior_micro" -> LongType,
+        "default_micro" -> LongType)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
       .sortBy(_._1)
-    val cond = spark.read
-      .schema(StructType(Seq(StructField("w", StringType),
-        StructField("sArr", ArrayType(LongType)))))
-      .parquet(s"$p/nb_cond.parquet")
+    val cond = ArtifactStore.readTable(spark, p, "nb_cond",
+      "w" -> StringType, "sArr" -> ArrayType(LongType))
     TextAnalysis.NbModel(labRows.map(_._1).toSeq, labRows.map(_._2).toSeq,
       labRows.map(_._3).toSeq, cond)
   }

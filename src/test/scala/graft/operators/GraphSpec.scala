@@ -592,4 +592,97 @@ class GraphSpec extends SparkSpec {
     val all = ex.getMessage + Option(ex.getCause).map(_.getMessage).getOrElse("")
     assert(all.contains("empty edge list"), s"expected the guard, got: $all")
   }
+
+  // ---- maxDegree hub cap (VERDICT r9 #3) -------------------------------
+
+  /** Brute-force capped reference: wedge centers restricted to
+    * deg(z) ≤ cap (0 = uncapped); degrees and AA weights always FULL. */
+  private def bruteCapped(und: Seq[(Long, Long)], cap: Int)
+      : (Map[Long, Set[Long]], Map[Long, Int]) = {
+    val es = und.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .filter { case (a, b) => a != b }.distinct
+    val adj = es.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (n, xs) => n -> xs.map(_._2).toSet }
+    (adj, adj.map { case (n, s) => n -> s.size })
+  }
+
+  test("hub cap: no-op (delta 0 dropped wedges) when no node exceeds it") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val und = Seq.fill(40)((rnd.nextInt(20).toLong, rnd.nextInt(20).toLong))
+      .filter { case (a, b) => a != b }
+    val before = Graph.droppedWedges(spark)
+    val exact = Graph.commonNeighbors(und.toDF("a", "b"), "a", "b", topN = 15)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val capped = Graph.commonNeighbors(und.toDF("a", "b"), "a", "b",
+        topN = 15, maxDegree = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(capped == exact)
+    assert(Graph.droppedWedges(spark) == before,
+      "a no-op cap must not count dropped wedges")
+  }
+
+  test("hub cap: planted hub is trimmed as center, dropped wedges counted exactly") {
+    import spark.implicits._
+    // bounded core (path 1-2-3-4, degrees <= 3 with hub) + hub 100
+    // touching 1..6: deg(100) = 6 > cap 3 -> 6*5/2 = 15 dropped wedges
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L)) ++
+      (1L to 6L).map(n => (100L, n))
+    val (adj, deg) = bruteCapped(und, 3)
+    val nodes = adj.keys.toSeq.sorted
+    def wantCN(cap: Int) = (for {
+      i <- nodes; j <- nodes if i < j && !adj(i).contains(j)
+      c = (adj(i) & adj(j)).count(z => cap <= 0 || deg(z) <= cap) if c > 0
+    } yield (i, j, c.toLong)).sortBy { case (a, b, c) => (-c, a, b) }
+    val before = Graph.droppedWedges(spark)
+    val got = Graph.commonNeighbors(und.toDF("a", "b"), "a", "b",
+        topN = 100, maxDegree = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == wantCN(3), s"got $got want ${wantCN(3)}")
+    assert(Graph.droppedWedges(spark) - before == 15L,
+      "dropped-wedge count must be deg*(deg-1)/2 of the one hub")
+    // the uncapped kernel still sees the hub's wedges
+    val exact = Graph.commonNeighbors(und.toDF("a", "b"), "a", "b", topN = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(exact == wantCN(0) && exact != got)
+  }
+
+  test("hub cap: adamicAdar keeps exact full-degree weights for retained centers") {
+    import spark.implicits._
+    // z=6 (deg 2, retained) + hub 0 (deg 7, trimmed at cap 3): pair
+    // (1,2) keeps EXACTLY w(2) from z — not w of a capped degree
+    val und = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L), (0L, 5L),
+      (0L, 6L), (0L, 7L), (6L, 1L), (6L, 2L))
+    def w(d: Int): Long = new java.math.BigDecimal(1000000 / math.log(d.toDouble))
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+    val before = Graph.droppedWedges(spark)
+    val got = Graph.adamicAdar(und.toDF("a", "b"), "a", "b",
+        topN = 10, maxDegree = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    // only z=6 centers wedges now; its single non-adjacent pair is (1,2)
+    // with weight w(3): 6 touches {0, 1, 2} so its FULL degree is 3
+    assert(got == Seq((1L, 2L, 1L, w(3))), s"got $got")
+    assert(Graph.droppedWedges(spark) - before == 21L) // 7*6/2
+  }
+
+  test("hub cap: jaccardLinks denominator keeps full endpoint degrees") {
+    import spark.implicits._
+    // hub 0 touches 1..5 (deg 5 > cap 3); z=9 touches {1, 2} (deg 2).
+    // Capped: pair (1,2) has n_common 1 (only z), but da=db=2 stays
+    // the FULL degree (each of 1,2 touches {0, 9})
+    val und = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L), (0L, 5L),
+      (9L, 1L), (9L, 2L))
+    val before = Graph.droppedWedges(spark)
+    val got = Graph.jaccardLinks(und.toDF("a", "b"), "a", "b",
+        topN = 10, maxDegree = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // (0,9) shares {1, 2} (both deg 2, retained centers): n_common 2,
+    // da = 5 (hub 0's FULL degree), db = 2 -> 2e6 div 5 = 400000;
+    // (1,2) shares only z=9 under the cap: 1e6 div (2 + 2 - 1) = 333333
+    assert(got == Seq((0L, 9L, 2L, 400000L), (1L, 2L, 1L, 333333L)),
+      s"got $got")
+    assert(Graph.droppedWedges(spark) - before == 10L) // 5*4/2
+  }
 }
