@@ -55,7 +55,15 @@ object AsOfJoin {
         if (c == key) col(key) else lit(null).cast(left.schema(c).dataType).as(c)) :+
         lit(0).as("__side") :+ col(rightTime).as("__t")) :+
         struct(valueCols.map { case (c, o) => col(c).as(o) }: _*).as("__vpack"): _*)
-    val w = Window.partitionBy(col(key)).orderBy(col("__t"), col("__side"))
+    // __vpack as the FINAL sort key (ADVICE r9): two right rows for the
+    // same key at the same microsecond would otherwise have unspecified
+    // relative order, making last() partition-order-dependent. With the
+    // pack in the order, the carried value at a tied instant is the
+    // GREATEST value-pack — a total order, identical on every run and
+    // layout. (Carried values must therefore be orderable types —
+    // scalars/arrays/structs, not maps.)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("__t"), col("__side"), col("__vpack"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = l.unionByName(r)
       .withColumn("__c", last(col("__vpack"), ignoreNulls = true).over(w))
@@ -98,7 +106,11 @@ object AsOfJoin {
         lit(0).as("__side") :+ rt.as("__t")) :+
         struct(rt.as("__rt") +:
           valueCols.map { case (c, o) => col(c).as(o) }: _*).as("__vpack"): _*)
-    val ord = Window.partitionBy(col(key)).orderBy(col("__t"), col("__side"))
+    // same deterministic tie key as [[asOf]]: equal-instant right rows
+    // resolve by value-pack order (greatest wins backward, least wins
+    // forward) — partition-order-independent either way
+    val ord = Window.partitionBy(col(key))
+      .orderBy(col("__t"), col("__side"), col("__vpack"))
     val wb = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wf = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
     val u = l.unionByName(r)

@@ -52,7 +52,16 @@ object Sampling {
     * DuckDB ERRORS outright — a 1-in-2³¹-per-key landmine that a
     * corpus-scale run WILL step on. ln(1) = 0 at the other end is a
     * plain best-possible rank. Ranking happens on the raw (unrounded)
-    * key with an id tiebreak in both engines. */
+    * key with an id tiebreak in both engines.
+    *
+    * WEIGHT CONTRACT — integer ≥ 1, enforced by clamping, NOT A-ES
+    * verbatim: `weight` is truncated via cast to long (2.9 → 2) and
+    * floored at 1 (`greatest(w, 1)`), so a zero/negative weight is
+    * INCLUDED at weight 1 rather than excluded, and fractional
+    * weights lose their fraction. Exact-integer ranks are what keep
+    * the cross-engine floor-division parity; callers with fractional
+    * weights pre-scale them to integers (×1000) before passing, and
+    * callers that mean "exclude" filter before sampling. */
   def weightedSample(df: DataFrame, keyCol: String, weight: Column,
                      k: Int, salt: String = "wsample"): DataFrame = {
     require(k >= 1)

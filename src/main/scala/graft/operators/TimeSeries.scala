@@ -169,7 +169,9 @@ object TimeSeries {
     * point it judges, so a spike can't mask itself by inflating its
     * own baseline). Rows before the 9th of a key are dropped (no
     * partial baselines); a zero-variance baseline yields NULL z and
-    * NULL is_anom by contract (no distance is defined).
+    * FALSE is_anom by contract — no distance is defined, so the row
+    * never FLAGS, and the NULL z records why (the coalesce below and
+    * the ts_anomaly oracle both pin FALSE).
     *
     * Cross-engine exactness (the [[saxWords]] discipline): the
     * baseline moments are EXACT integer micro-unit sums over 8 lag()

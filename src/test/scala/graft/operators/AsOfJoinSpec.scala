@@ -40,4 +40,24 @@ class AsOfJoinSpec extends SparkSpec {
         Seq("value" -> "v")).collect().head
     assert(got.isNullAt(3), s"backward as-of must not see the future: $got")
   }
+
+  test("equal-instant duplicate right rows resolve deterministically (ADVICE r9)") {
+    import spark.implicits._
+    // two clicks for the same key at the SAME microsecond: the carry
+    // must be the greatest value-pack — identical on every partition
+    // layout, input order, and run
+    val left = Seq((1L, 100L, t(100))).toDF("user_id", "event_id", "ts")
+    val dups = Seq((1L, t(90), 3.0), (1L, t(90), 7.0))
+    (1 to 4).foreach { trial =>
+      // vary input order and layout; the answer may not move
+      val right = (if (trial % 2 == 0) dups else dups.reverse)
+        .toDF("user_id", "ts", "value").repartition(trial)
+      val a = AsOfJoin.asOf(left, right, "user_id", "ts", "ts",
+        Seq("value" -> "v")).collect().head.getDouble(3)
+      assert(a == 7.0, s"asOf trial $trial: got $a, want the greatest pack 7.0")
+      val n = AsOfJoin.asOfNearest(left, right, "user_id", "ts", "ts",
+        Seq("value" -> "v")).collect().head.getDouble(3)
+      assert(n == 7.0, s"asOfNearest trial $trial: got $n (backward carry)")
+    }
+  }
 }
