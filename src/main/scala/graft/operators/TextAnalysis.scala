@@ -320,6 +320,63 @@ object TextAnalysis {
         round(col("s") / (col("n_trigrams") * lit(1000000.0)), 6).as("xent"))
   }
 
+  /** Moore-Lewis cross-entropy-difference data selection (Moore &
+    * Lewis, "Intelligent Selection of Language Model Training Data",
+    * ACL 2010) — the standard importance-weighting gate of a
+    * training-data pipeline: score every candidate document under an
+    * IN-DOMAIN LM and a GENERAL LM and keep the ones the in-domain
+    * model finds easier (negative surprisal difference). Both models
+    * are frozen [[BackoffModel]]s, so this composes the written-store
+    * discipline: train each once ([[graft.tools.BackoffStore]] under a
+    * split-suffixed fingerprint), select for months.
+    *
+    * Exactness: per-trigram surprisals are the same identically-
+    * rounded integer micro-nats as [[scoreBackoff]]; per-doc totals
+    * and their difference are exact integer sums — `selected` is a
+    * deterministic integer comparison, never an fp threshold.
+    *
+    * Scale shape: ONE narrow trigram explode of the candidate corpus,
+    * both models' four-level left-join chains on that single stream
+    * (model tables are vocabulary-bounded; totals one-row broadcasts),
+    * ONE per-doc aggregate — the whole selector is one doc_id
+    * exchange, not two scoring passes joined after the fact. */
+  def mooreLewis(inModel: BackoffModel, genModel: BackoffModel,
+                 docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val occ = grams(tokensOf(docs, textCol, idCol), 3, Seq("w1", "w2", "w3"))
+    def withChain(df: DataFrame, m: BackoffModel, tag: String): DataFrame =
+      df.join(m.t3.select(col("w1"), col("w2"), col("w3"),
+          col("c3").as(s"c3_$tag")), Seq("w1", "w2", "w3"), "left")
+        .join(m.b2.select(col("p").as("w1"), col("q").as("w2"),
+          col("c2").as(s"c2p_$tag")), Seq("w1", "w2"), "left")
+        .join(m.b2.select(col("p").as("w2"), col("q").as("w3"),
+          col("c2").as(s"c2b_$tag")), Seq("w2", "w3"), "left")
+        .join(m.u1.select(col("w").as("w2"), col("c1").as(s"c1p_$tag")),
+          Seq("w2"), "left")
+        .join(m.u1.select(col("w").as("w3"), col("c1").as(s"c1b_$tag")),
+          Seq("w3"), "left")
+        .withColumn("__k", lit(1))
+        .join(broadcast(m.total.select(col("n_total").as(s"nt_$tag"))
+          .withColumn("__k", lit(1))), Seq("__k"))
+        .drop("__k")
+    def sm(tag: String) =
+      when(col(s"c3_$tag").isNotNull,
+          round(lit(1000000) * log(col(s"c2p_$tag").cast("double") / col(s"c3_$tag"))))
+        .when(col(s"c2b_$tag").isNotNull,
+          round(lit(1000000) * log(lit(2.5) * col(s"c1p_$tag") / col(s"c2b_$tag"))))
+        .when(col(s"c1b_$tag").isNotNull,
+          round(lit(1000000) * log(lit(6.25) * col(s"nt_$tag") / col(s"c1b_$tag"))))
+        .otherwise(round(lit(1000000) * log(lit(6.25) * col(s"nt_$tag"))))
+        .cast("long")
+    withChain(withChain(occ, inModel, "i"), genModel, "g")
+      .select(col("doc_id"), sm("i").as("sm_i"), sm("g").as("sm_g"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_trigrams"),
+        sum(col("sm_i")).as("s_in"), sum(col("sm_g")).as("s_gen"))
+      .select(col("doc_id"), col("n_trigrams"), col("s_in"), col("s_gen"),
+        (col("s_in") - col("s_gen")).as("ml_delta"),
+        when(col("s_in") < col("s_gen"), 1L).otherwise(0L).as("selected"))
+  }
+
   /** Held-out stupid-backoff trigram scoring (Brants et al. 2007,
     * "Large Language Models in Machine Translation") — the LM order
     * above [[bigramXent]], and the first of the family where the

@@ -1124,6 +1124,27 @@ object ExtensionCatalog {
       docs.filter(col("doc_id") % 2 === 1), "text", "doc_id")
   }
 
+  /** Moore-Lewis cross-entropy-difference selection: in-domain LM
+    * from doc_id % 4 == 0, general LM from doc_id % 4 == 2, odd
+    * doc_ids scored and flagged — the importance-weighting gate of a
+    * data pipeline (see [[TextAnalysis.mooreLewis]]). WRITTEN models
+    * are the primary source when present: each split probes
+    * [[graft.tools.BackoffStore]] under a split-suffixed fingerprint
+    * — the ArtifactStore discipline needed ZERO new store code for
+    * this operator. */
+  val taMooreLewis: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    def model(suffix: String, mod4: Int) = {
+      val p = graft.tools.BackoffStore.path(d,
+        dataFingerprint(d, "documents") + "|" + suffix)
+      if (graft.tools.BackoffStore.ready(p)) graft.tools.BackoffStore.read(s, p)
+      else TextAnalysis.trainBackoff(
+        docs.filter(col("doc_id") % 4 === mod4), "text", "doc_id")
+    }
+    TextAnalysis.mooreLewis(model("ml_in", 0), model("ml_gen", 2),
+      docs.filter(col("doc_id") % 2 === 1), "text", "doc_id")
+  }
+
   /** Top-50 PMI collocations over the documents corpus (min pair
     * count 5) — the phrase-mining signal (Church & Hanks 1990) a
     * tokenizer/vocab pipeline uses to promote multi-word units.

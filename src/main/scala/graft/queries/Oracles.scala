@@ -2556,6 +2556,63 @@ object Oracles {
         |  CAST(sum(CASE WHEN lvl = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
         |  round(sum(sm) / (count(*) * 1000000.0), 6) AS xent
         |FROM j GROUP BY doc_id""".stripMargin,
+    // Moore-Lewis twin: two independent ta_backoff model CTE sets
+    // (in-domain doc_id%4=0, general doc_id%4=2) scoring the SAME odd
+    // trigram stream; per-doc sums and their difference are exact
+    // BIGINTs (all sums CAST — the r9 HUGEINT lesson), the selection
+    // flag one integer comparison
+    "ta_moorelewis" ->
+      """WITH arr AS (SELECT doc_id, list_filter(string_split(trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z \n]+', '', 'g'), '\s+', ' ', 'g')), ' '), t -> len(t) > 0) AS toks FROM documents),
+        |gd AS (SELECT 1 AS ok FROM arr HAVING max(len(toks)) - 1 <= 4000),
+        |tri AS (SELECT doc_id, toks FROM arr WHERE doc_id % 4 = 0),
+        |trg AS (SELECT doc_id, toks FROM arr WHERE doc_id % 4 = 2),
+        |sc AS (SELECT doc_id, toks FROM arr WHERE doc_id % 2 = 1 AND len(toks) >= 3),
+        |u1i AS (SELECT tok AS w, count(*) AS c1 FROM (SELECT unnest(toks) AS tok FROM tri) GROUP BY 1),
+        |u1g AS (SELECT tok AS w, count(*) AS c1 FROM (SELECT unnest(toks) AS tok FROM trg) GROUP BY 1),
+        |ni AS (SELECT CAST(sum(c1) AS BIGINT) AS nt FROM u1i),
+        |ng AS (SELECT CAST(sum(c1) AS BIGINT) AS nt FROM u1g),
+        |b2i AS (SELECT toks[i] AS p, toks[i + 1] AS q, count(*) AS c2
+        |  FROM tri, generate_series(1, 4000) s(i), gd WHERE i <= len(toks) - 1 GROUP BY 1, 2),
+        |b2g AS (SELECT toks[i] AS p, toks[i + 1] AS q, count(*) AS c2
+        |  FROM trg, generate_series(1, 4000) s(i), gd WHERE i <= len(toks) - 1 GROUP BY 1, 2),
+        |t3i AS (SELECT toks[i] AS w1, toks[i + 1] AS w2, toks[i + 2] AS w3, count(*) AS c3
+        |  FROM tri, generate_series(1, 4000) s(i), gd WHERE i <= len(toks) - 2 GROUP BY 1, 2, 3),
+        |t3g AS (SELECT toks[i] AS w1, toks[i + 1] AS w2, toks[i + 2] AS w3, count(*) AS c3
+        |  FROM trg, generate_series(1, 4000) s(i), gd WHERE i <= len(toks) - 2 GROUP BY 1, 2, 3),
+        |o AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2, toks[i + 2] AS w3
+        |  FROM sc, generate_series(1, 4000) s(i), gd WHERE i <= len(toks) - 2),
+        |j AS (SELECT o.doc_id,
+        |    CASE WHEN ti.c3 IS NOT NULL
+        |           THEN CAST(round(1000000 * ln(bpi.c2 * 1.0 / ti.c3)) AS BIGINT)
+        |         WHEN bbi.c2 IS NOT NULL
+        |           THEN CAST(round(1000000 * ln(2.5 * upi.c1 / bbi.c2)) AS BIGINT)
+        |         WHEN ubi.c1 IS NOT NULL
+        |           THEN CAST(round(1000000 * ln(6.25 * ni.nt / ubi.c1)) AS BIGINT)
+        |         ELSE CAST(round(1000000 * ln(6.25 * ni.nt)) AS BIGINT) END AS smi,
+        |    CASE WHEN tg.c3 IS NOT NULL
+        |           THEN CAST(round(1000000 * ln(bpg.c2 * 1.0 / tg.c3)) AS BIGINT)
+        |         WHEN bbg.c2 IS NOT NULL
+        |           THEN CAST(round(1000000 * ln(2.5 * upg.c1 / bbg.c2)) AS BIGINT)
+        |         WHEN ubg.c1 IS NOT NULL
+        |           THEN CAST(round(1000000 * ln(6.25 * ng.nt / ubg.c1)) AS BIGINT)
+        |         ELSE CAST(round(1000000 * ln(6.25 * ng.nt)) AS BIGINT) END AS smg
+        |  FROM o
+        |  LEFT JOIN t3i ti ON ti.w1 = o.w1 AND ti.w2 = o.w2 AND ti.w3 = o.w3
+        |  LEFT JOIN b2i bpi ON bpi.p = o.w1 AND bpi.q = o.w2
+        |  LEFT JOIN b2i bbi ON bbi.p = o.w2 AND bbi.q = o.w3
+        |  LEFT JOIN u1i upi ON upi.w = o.w2
+        |  LEFT JOIN u1i ubi ON ubi.w = o.w3
+        |  LEFT JOIN t3g tg ON tg.w1 = o.w1 AND tg.w2 = o.w2 AND tg.w3 = o.w3
+        |  LEFT JOIN b2g bpg ON bpg.p = o.w1 AND bpg.q = o.w2
+        |  LEFT JOIN b2g bbg ON bbg.p = o.w2 AND bbg.q = o.w3
+        |  LEFT JOIN u1g upg ON upg.w = o.w2
+        |  LEFT JOIN u1g ubg ON ubg.w = o.w3, ni, ng)
+        |SELECT doc_id, count(*) AS n_trigrams,
+        |  CAST(sum(smi) AS BIGINT) AS s_in, CAST(sum(smg) AS BIGINT) AS s_gen,
+        |  CAST(sum(smi) - sum(smg) AS BIGINT) AS ml_delta,
+        |  CAST(CASE WHEN sum(smi) < sum(smg) THEN 1 ELSE 0 END AS BIGINT) AS selected
+        |FROM j GROUP BY doc_id""".stripMargin,
     // collocation twin: same corpus-wide bigram/unigram counts, the
     // PMI ln argument as ONE double (CAST(N*c2 AS DOUBLE)/(c1p*c1q) —
     // exact integer products both sides), integer micro-nats, and the
