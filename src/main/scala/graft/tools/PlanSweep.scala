@@ -43,6 +43,9 @@ object PlanSweep {
     "g_hits",
     // ta_bm25: the one-row corpus-stats (N, Σdl, df) broadcast
     "ta_bm25",
+    // ta_moorelewis: TWO one-row n_total broadcasts (in-domain and
+    // general LM) — the ta_backoff total-join shape twice
+    "ta_moorelewis",
     // q_assoc: the one-row basket-count broadcast feeding the lift
     "q_assoc",
     // q_pareto: the one-row revenue-total broadcast feeding the shares
