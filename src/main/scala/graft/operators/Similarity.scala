@@ -399,11 +399,24 @@ object Similarity {
     val b = assigned.select(col("cent_id"), col("vec_id").as("b_id"),
         transform(col("embedding"), x => x.cast("double")).as("bD"))
       .withColumn("bn", sqrt(aggregate(col("bD"), lit(0.0), (s, v) => s + v * v)))
-    val dups = a.join(b, Seq("cent_id"))
-      .filter(col("b_id") < col("a_id") &&
-        round(graft.functions.DotProductD.dotD(col("aD"), col("bD"))
-          / (col("an") * col("bn")), 6) >= threshold)
-      .select(col("a_id").as("vec_id")).distinct()
+    // LEFT SEMI, not inner-join + distinct: "duplicate" is an
+    // EXISTENCE question (∃ smaller-id in-cluster vector above the
+    // threshold), and the semi join answers it without ever
+    // materializing the pair stream into an aggregate — the r10 4M
+    // ladder rung killed the old shape with ~80 GB of sorter spill
+    // (the distinct's partial HashAggregate, starved of execution
+    // memory by the concurrent SMJ sorts, fell back to sort-based
+    // aggregation and sorted the n^1.5-row pair stream on disk). The
+    // semi join also short-circuits: each vector stops scanning its
+    // cluster at the FIRST witness, so a duplicate costs ~1 cosine
+    // instead of cluster-size cosines. Same labels bit-for-bit (dup
+    // iff a witness exists), oracle unchanged.
+    val dups = a.join(b,
+        a("cent_id") === b("cent_id") && col("b_id") < col("a_id") &&
+          round(graft.functions.DotProductD.dotD(col("aD"), col("bD"))
+            / (col("an") * col("bn")), 6) >= threshold,
+        "left_semi")
+      .select(col("a_id").as("vec_id"))
       .withColumn("dup", lit(true))
     assigned.join(dups, Seq("vec_id"), "left")
       .select(col("vec_id"), col("cent_id").as("cluster_id"),
