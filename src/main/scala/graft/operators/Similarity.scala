@@ -114,6 +114,32 @@ object Similarity {
     * corpus size via [[adaptiveNCentroids]] at train time. */
   val AdaptiveK = 0
 
+  /** Fixed-width argmax-cosine encoding (r10): the assignment
+    * aggregates `max_by(struct(cent_id, embedding), struct(cos,
+    * -cent_id))` used to carry the EMBEDDING ARRAY in the aggregation
+    * buffer — a non-fixed-width buffer, which bars the hash aggregate
+    * and silently planned a SortAggregate over the n×k cross stream:
+    * the 4M semdedup rung spilled ~80 GB of sorted cross-join rows
+    * and died on disk. Encoding the (rounded-cos, cent_id) argmax
+    * into ONE long keeps the buffer primitive — whole-stage-codegen'd
+    * HashAggregate, map-side combine, n×24B exchange — and the
+    * payload re-attaches with one co-partitioned join afterwards.
+    *
+    * encoded = cos_micro · 2³¹ + (2³¹ − 1 − cent_id): base-2³¹ digit
+    * encoding, so long-max IS lexicographic max of (cos_micro,
+    * −cent_id) — bit-identical argmax (same rounded cosine, same
+    * smaller-id tiebreak) to the struct form and to the oracle.
+    * Bounds: |cos_micro| ≤ 10⁶ ⇒ |encoded| ≤ 2.1·10¹⁵; centroid ids
+    * are 0..k−1 < 2³¹ by construction (training numbers them). */
+  private val ArgmaxBase = 2147483648L // 2^31
+
+  private def argmaxEnc(cos: Column, centId: Column): Column =
+    round(cos * 1000000).cast("long") * lit(ArgmaxBase) +
+      (lit(ArgmaxBase - 1) - centId)
+
+  private def argmaxDec(enc: Column): Column =
+    lit(ArgmaxBase - 1) - pmod(enc, lit(ArgmaxBase))
+
   /** Double-precision cosine as a Column expression. The dot product
     * is the native codegen'd [[graft.functions.DotProductD]] (since
     * r9 — bit-equal to the aggregate/zip_with fold it replaced: same
@@ -223,7 +249,11 @@ object Similarity {
         sum(round(element_at(col("embD"), d + 1) * 1000000).cast("long")).as(s"s$d"))
       // one job: argmax-cosine assignment + micro-unit sums, ≤
       // nCentroids rows back to the driver
-      val stats = corpusD
+      // two-phase assignment (see [[argmaxEnc]]): fixed-width argmax
+      // over the n×k stream, then ONE join re-attaches embD — the old
+      // array-carrying max_by forced a SortAggregate that sorted the
+      // whole cross stream to disk
+      val best = corpusD
         .withColumn("vnorm",
           sqrt(aggregate(col("embD"), lit(0.0), (s, v) => s + v * v)))
         .crossJoin(broadcast(centsDf))
@@ -231,9 +261,9 @@ object Similarity {
           graft.functions.DotProductD.dotD(col("embD"), col("cent_emb"))
             / (col("vnorm") * col("cnorm")), 6))
         .groupBy(col("vec_id"))
-        .agg(max_by(struct(col("cent_id"), col("embD")),
-          struct(col("cc"), lit(0L) - col("cent_id"))).as("best"))
-        .select(col("best.cent_id").as("cent_id"), col("best.embD").as("embD"))
+        .agg(max(argmaxEnc(col("cc"), col("cent_id"))).as("enc"))
+        .select(col("vec_id"), argmaxDec(col("enc")).as("cent_id"))
+      val stats = corpusD.join(best, Seq("vec_id"))
         .groupBy(col("cent_id"))
         .agg(count(lit(1)).as("n"), sums: _*)
         .collect()
@@ -269,11 +299,13 @@ object Similarity {
   }
 
   /** IVF index build — every vector joins its argmax-cosine centroid
-    * (the inverted lists). The assignment is an AGGREGATION (max_by
-    * with the same rounded-cos-desc, cent-id-asc tiebreak), not a
-    * row_number window: partial aggregation collapses the nCentroids×
-    * candidate blowup map-side, so the shuffle carries one row per
-    * vector instead of nCentroids rows through a per-vector sort.
+    * (the inverted lists). The assignment is an AGGREGATION (the
+    * fixed-width [[argmaxEnc]] long-max, same rounded-cos-desc,
+    * cent-id-asc tiebreak), not a row_number window: partial
+    * aggregation collapses the nCentroids× candidate blowup map-side,
+    * so the shuffle carries one 24-byte row per vector instead of
+    * nCentroids rows through a per-vector sort, and the embedding
+    * payload re-attaches with one co-partitioned join.
     * Built once and probed many (memoize or persist the result —
     * ExtensionCatalog checkpoints it per data fingerprint; at real
     * scale this is the written index table). */
@@ -295,15 +327,21 @@ object Similarity {
         sqrt(aggregate(col("embD"), lit(0.0), (s, v) => s + v * v)))
     val centsN = cents.withColumn("cnorm",
       sqrt(aggregate(col("cent_emb"), lit(0.0), (s, v) => s + v * v)))
-    withD.crossJoin(centsN)
+    // two-phase assignment (see [[argmaxEnc]]): the n×k cross stream
+    // feeds a fixed-width codegen'd hash aggregate (n×24B exchange),
+    // and the corpus-sized embedding column re-attaches with one
+    // co-partitioned join — the old array-carrying max_by forced a
+    // SortAggregate that SORTED the n×k stream (at corpus scale that
+    // is k× the corpus on disk; the 4M ladder rung died on it)
+    val best = withD.crossJoin(centsN)
       .withColumn("cent_cos", round(
         graft.functions.DotProductD.dotD(col("embD"), col("cent_emb"))
           / (col("vnorm") * col("cnorm")), 6))
       .groupBy(col("vec_id"))
-      .agg(max_by(struct(col("cent_id"), col("embedding")),
-        struct(col("cent_cos"), lit(0L) - col("cent_id"))).as("best"))
-      .select(col("vec_id"), col("best.cent_id").as("cent_id"),
-        col("best.embedding").as("embedding"))
+      .agg(max(argmaxEnc(col("cent_cos"), col("cent_id"))).as("enc"))
+      .select(col("vec_id"), argmaxDec(col("enc")).as("cent_id"))
+    spread.join(best, Seq("vec_id"))
+      .select(col("vec_id"), col("cent_id"), col("embedding"))
   }
 
   /** Probe-list selection shared by [[ivfProbe]] and [[ivfPqSearch]]:
