@@ -480,6 +480,14 @@ object Graph {
       .withColumn("lbl", col("node")).localCheckpoint()
     for (_ <- 1 to rounds) {
       val prev = labels
+      // KNOWN TRADE-OFF: the struct ordering puts this argmax on the
+      // SortAggregate path (struct buffers bar the hash aggregate —
+      // the r10 Similarity lesson), but unlike the n×k assignment
+      // case the sorted frame is the ALREADY-AGGREGATED (dst, lbl, c)
+      // counts — ≤ |E| rows of 24 B riding the exchange the argmax
+      // needs anyway. The fixed-width encoding trick doesn't apply:
+      // label ids are caller-provided unbounded longs, so (c, lbl)
+      // can't pack into one long without a domain bound.
       labels = ed.join(labels, col("src") === col("node"))
         .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("c"))
         .groupBy(col("dst"))
