@@ -24,6 +24,13 @@ object Bench {
       // only minPartitionSize): a ~1 MB shuffle feeding a CPU-heavy
       // stage still coalesced to ONE task. Small floor = real floor.
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+      // ObjectHashAggregate (every TypedImperativeAggregate: TopKPairs,
+      // sketches) falls back to SORT-BASED aggregation past this many
+      // DISTINCT KEYS per partition - default 128, which silently
+      // sorted the ANN ladders' 200-query candidate streams to disk
+      // (5M ivfpq probe 27.9s -> 1.31s with the fallback lifted).
+      // 8192 keys x the ~200B TopKPairs buffer is ~1.6 MB a partition.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "8192")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -28,6 +28,16 @@ import org.apache.spark.sql.types._
   *
   * Returns `array<struct<score double, id bigint>>` sorted by
   * (score desc, id asc) — posexplode's position is the dense rank.
+  *
+  * SESSION CAVEAT (r10): every TypedImperativeAggregate plans as
+  * ObjectHashAggregate, which falls back to SORT-BASED aggregation
+  * past `spark.sql.objectHashAggregate.sortBased.fallbackThreshold`
+  * DISTINCT KEYS per partition — default 128. A query batch larger
+  * than that silently SORTS the whole candidate stream per partition
+  * (the 5M-vector ivfpq probe read 27.9 s vs 1.31 s with the
+  * fallback lifted). Sessions running many-query ANN workloads should
+  * raise the threshold (the repo's mains set 8192; state is ~200 B
+  * per key here, so the in-memory map stays a few MB).
   */
 case class TopKPairs(left: Expression, right: Expression, k: Int,
                      mutableAggBufferOffset: Int = 0,

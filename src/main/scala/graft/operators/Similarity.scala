@@ -929,9 +929,13 @@ object Similarity {
         sort_array(collect_list(struct(col("sub"), col("cent_id"), col("d2")))),
         x => x.getField("d2")).as("lutv"))
     val scored = candidates.join(broadcast(lutArr), "query_id")
-    val adist = (0 until m).map(j =>
-      element_at(col("lutv"),
-        (col(s"c$j") + lit(j.toLong * ksub + 1)).cast("int"))).reduce(_ + _)
+    // ONE native expression for the m-lookup sum (r10): the previous
+    // m-way element_at chain paid per-lookup ceremony measured at
+    // ~100 ns on the 5M ladder — the ADC probe lost to the EXACT IVF
+    // probe. AdcSum reads the LUT reference once per row and unrolls
+    // m primitive getLong reads in codegen; values bit-identical.
+    val adist = graft.functions.AdcSum.adcSum(col("lutv"),
+      (0 until m).map(j => col(s"c$j")), ksub)
     val base = if (excludeSelf) scored.filter(col("vec_id") =!= col("query_id"))
                else scored
     base.select(col("query_id"), col("vec_id"), adist.as("adist"))
