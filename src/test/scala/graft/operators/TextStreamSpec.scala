@@ -114,4 +114,39 @@ class TextStreamSpec extends SparkSpec {
       assert(got == want && got.size == 2)
     } finally q.stop()
   }
+
+  test("mooreLewis streams against two frozen models, equals the batch selector") {
+    // the data-selection deployment: in-domain and general LMs trained
+    // once, the CANDIDATE corpus arrives as a stream — both four-level
+    // join chains are stream-static, the single per-doc agg runs in
+    // complete mode; selection flags must equal the batch selector
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val inDom = Seq((0L, "the cat sat on the mat"),
+      (4L, "the cat likes the mat")).toDF("doc_id", "text")
+    val gen = Seq((2L, "stock market prices fell again"),
+      (6L, "market prices rose on the day")).toDF("doc_id", "text")
+    val mi = TextAnalysis.trainBackoff(inDom, "text", "doc_id")
+    val mg = TextAnalysis.trainBackoff(gen, "text", "doc_id")
+    val in = MemoryStream[(Long, String)]
+    val q = TextAnalysis.mooreLewis(mi, mg,
+        in.toDF().toDF("doc_id", "text"), "text", "doc_id")
+      .writeStream.format("memory").queryName("mls").outputMode("complete").start()
+    try {
+      val d1 = (1L, "the cat sat on the mat again") // in-domain-ish
+      val d3 = (3L, "stock market prices fell hard") // general-ish
+      in.addData(d1)
+      q.processAllAvailable()
+      in.addData(d3)
+      q.processAllAvailable()
+      val got = spark.table("mls").collect().map(_.toSeq).toSet
+      val want = TextAnalysis.mooreLewis(mi, mg,
+          Seq(d1, d3).toDF("doc_id", "text"), "text", "doc_id")
+        .collect().map(_.toSeq).toSet
+      assert(got == want && got.size == 2)
+      // the flags discriminate on this fixture: d1 selected, d3 not
+      val flags = spark.table("mls").collect()
+        .map(r => r.getLong(0) -> r.getLong(5)).toMap
+      assert(flags == Map(1L -> 1L, 3L -> 0L), flags.toString)
+    } finally q.stop()
+  }
 }
