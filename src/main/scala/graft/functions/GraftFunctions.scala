@@ -52,6 +52,10 @@ object GraftFunctions {
     ("micro_l2",
       arity("micro_l2", 2, 2)(args => MicroL2(args(0), args(1))),
       "micro_l2(a array<bigint>, b array<bigint>) - exact integer micro-unit squared L2 distance"),
+    ("adc_sum",
+      arity("adc_sum", 3, Int.MaxValue)(args =>
+        AdcSum(args.head +: args.drop(2), intArg(args(1), "adc_sum", 2))),
+      "adc_sum(lut array<bigint>, ksub int, code0 bigint, ...) - PQ asymmetric distance: sum of lut[j*ksub + code_j], 0-based codes"),
     ("md5_long60",
       arity("md5_long60", 1, 1)(args => Md5Long60(args(0))),
       "md5_long60(s string) - first 60 bits of md5(s) as bigint"),

@@ -47,6 +47,12 @@ class SqlRegistrationSpec extends SparkSpec {
     val l2 = spark.sql(
       "SELECT micro_l2(array(3L, 5L), array(1L, 2L))").as[Long].collect().head
     assert(l2 == 13L)
+    // adc_sum: lut = [10, 20, 30, 40] with ksub=2, codes (1, 0) ->
+    // lut[0*2+1] + lut[1*2+0] = 20 + 30
+    val adc = spark.sql(
+      "SELECT adc_sum(array(10L, 20L, 30L, 40L), 2, 1L, 0L)")
+      .as[Long].collect().head
+    assert(adc == 50L)
   }
 
   test("aggregates: kmv_distinct, topk_pairs and kmin_by_hash from SQL") {
