@@ -337,20 +337,25 @@ object QueryCatalog {
   }
 
   /** Mode (most frequent value) per group: two hash aggregations —
-    * count per (group, value), then ONE max over a struct ordered by
-    * (count, -value), which both ranks and carries the winner (ties
-    * break to the smallest value, so the result is total-order
-    * deterministic). No window, no sort: both aggs map-side combine,
-    * the second's shuffle is one row per (partition, group). */
+    * count per (group, value), then ONE encoded argmax over
+    * (count desc, value asc), which both ranks and carries the winner
+    * (ties break to the smallest value, total-order deterministic).
+    * The argmax is [[graft.operators.EncodedArgmax]] (r10): the old
+    * max(struct(n, -u, u)) carried a struct buffer, which bars the
+    * hash aggregate and planned a SortAggregate over the distinct
+    * (group, value) stream — corpus-scale on a wide value domain. The
+    * encoding's domain guard (value < 2³², count < 2³¹) fails loudly
+    * in-plan if ever exceeded. */
   val aggMode: Q = (s, d) =>
     Tables.events(s, d)
       .groupBy(col("event_type"), col("user_id"))
       .agg(count(lit(1)).as("n"))
       .groupBy(col("event_type"))
-      .agg(max(struct(col("n"), (-col("user_id")).as("neg"),
-        col("user_id").as("u"))).as("m"))
-      .select(col("event_type"), col("m.u").as("mode_user"),
-        col("m.n").as("n"))
+      .agg(max(graft.operators.EncodedArgmax.maxScoreMinId(
+        col("n"), col("user_id"))).as("enc"))
+      .select(col("event_type"),
+        graft.operators.EncodedArgmax.decodeMaxId(col("enc")).as("mode_user"),
+        graft.operators.EncodedArgmax.decodeScore(col("enc")).as("n"))
 
   val aggKmvDistinct: Q = (s, d) => {
     val ev = Tables.events(s, d).select(col("event_type"), col("user_id"),

@@ -430,10 +430,15 @@ object TpchCatalog {
         col("l_partkey") === col("p_partkey"))
       .groupBy(col("l_partkey"), col("l_suppkey"))
       .agg(min(unitCents).as("unit_cents"))
+    // encoded argmin (r10 — see EncodedArgmax): min(struct(...))
+    // carried a struct buffer → SortAggregate over the per-(part,
+    // supp) minima stream; the packed long keeps both aggs hash
     perSupp.groupBy(col("l_partkey"))
-      .agg(min(struct(col("unit_cents"), col("l_suppkey"))).as("b"))
-      .select(col("l_partkey"), col("b.unit_cents").as("best_cents"),
-        col("b.l_suppkey").as("best_supp"))
+      .agg(min(graft.operators.EncodedArgmax.minScoreMinId(
+        col("unit_cents"), col("l_suppkey"))).as("enc"))
+      .select(col("l_partkey"),
+        graft.operators.EncodedArgmax.decodeScore(col("enc")).as("best_cents"),
+        graft.operators.EncodedArgmax.decodeMinId(col("enc")).as("best_supp"))
       .join(broadcast(Tables.supplier(s, d)), col("best_supp") === col("s_suppkey"))
       .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
       .select(col("l_partkey").as("p_partkey"), col("s_name"), col("n_name"),
