@@ -11,29 +11,7 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // floor AQE coalescing at the core count: it sizes partitions by
-      // shuffle INPUT bytes and otherwise serializes explosive joins
-      .config("spark.sql.adaptive.coalescePartitions.minPartitionNum", cpus)
-      // minPartitionNum is inert in Spark 4 (parallelismFirst honors
-      // only minPartitionSize): a ~1 MB shuffle feeding a CPU-heavy
-      // stage still coalesced to ONE task. Small floor = real floor.
-      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
-      // ObjectHashAggregate (every TypedImperativeAggregate: TopKPairs,
-      // sketches) falls back to SORT-BASED aggregation past this many
-      // DISTINCT KEYS per partition - default 128, which silently
-      // sorted the ANN ladders' 200-query candidate streams to disk
-      // (5M ivfpq probe 27.9s -> 1.31s with the fallback lifted).
-      // 8192 keys x the ~200B TopKPairs buffer is ~1.6 MB a partition.
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "8192")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = GraftSession.builderFromEnv("32").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     def loadAvg(): Double = try {

@@ -12,27 +12,7 @@ object Verify {
         System.err.println("usage: graft.Verify <sfDir> <outDir> [query,query,...]")
         sys.exit(2)
     }
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      // events.parquet carries INT64 TIMESTAMP(NANOS) — see graft.Tables.events
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // floor AQE coalescing at the core count: it sizes partitions by
-      // shuffle INPUT bytes and otherwise serializes explosive joins
-      .config("spark.sql.adaptive.coalescePartitions.minPartitionNum", cpus)
-      // Spark 4: parallelismFirst honors only minPartitionSize; see Bench
-      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
-      // ObjectHashAggregate (every TypedImperativeAggregate: TopKPairs,
-      // sketches) falls back to SORT-BASED aggregation past this many
-      // DISTINCT KEYS per partition - default 128, which silently
-      // sorted the ANN ladders' 200-query candidate streams to disk
-      // (5M ivfpq probe 27.9s -> 1.31s with the fallback lifted).
-      // 8192 keys x the ~200B TopKPairs buffer is ~1.6 MB a partition.
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "8192")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = GraftSession.builderFromEnv("4").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // ts-parity GUARD (was a comment through r3; now asserted): every ts

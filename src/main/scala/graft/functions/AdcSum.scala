@@ -25,16 +25,25 @@ import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, IntegerType, L
   * lookups are an unrolled run of primitive `getLong` reads inside
   * whole-stage codegen.
   *
-  * Null semantics: null LUT or any null code → null, as the replaced
-  * chain. Codes are trusted in-range by the encode contract (pqAssign
-  * emits 0..ksub−1); an out-of-range code fails loudly on the array
-  * bounds rather than silently wrapping. Values are exact integer
-  * sums — bit-identical to the element_at chain (AdcSumSpec pins the
-  * equality), so every ANN oracle is unchanged.
+  * Null semantics: null LUT, any null code, or a null LUT SLOT →
+  * null, as the replaced element_at chain. Codes are range-CHECKED
+  * (ADVICE r10): the internal encode contract (pqAssign emits
+  * 0..ksub−1) makes the check free in practice, but the function is
+  * SQL-registered, and on UnsafeArrayData the JVM's own bounds checks
+  * are assert-only — an out-of-range code would silently read
+  * adjacent memory. Out-of-domain codes throw a descriptive
+  * IllegalArgumentException in both eval and codegen (a too-short LUT
+  * is caught by the same check against the array length). Values are
+  * exact integer sums — bit-identical to the element_at chain
+  * (AdcSumSpec pins the equality), so every ANN oracle is unchanged.
   */
 case class AdcSum(children: Seq[Expression], ksub: Int) extends Expression {
 
   private def lut: Expression = children.head
+  // cached once: children.tail on the interpreted path would
+  // re-materialize and linearly traverse the list per access (ADVICE
+  // r10 — O(m²) per row in eval's loop)
+  private lazy val codeExprs: IndexedSeq[Expression] = children.tail.toIndexedSeq
   private def codes: Seq[Expression] = children.tail
 
   override def checkInputDataTypes(): TypeCheckResult = {
@@ -62,12 +71,22 @@ case class AdcSum(children: Seq[Expression], ksub: Int) extends Expression {
     val lutV = lut.eval(input)
     if (lutV == null) return null
     val arr = lutV.asInstanceOf[ArrayData]
+    val n = arr.numElements()
     var sum = 0L
     var j = 0
-    while (j < codes.length) {
-      val c = codes(j).eval(input)
+    while (j < codeExprs.length) {
+      val c = codeExprs(j).eval(input)
       if (c == null) return null
-      sum += arr.getLong(j * ksub + c.asInstanceOf[Number].intValue())
+      val code = c.asInstanceOf[Number].intValue()
+      if (code < 0 || code >= ksub)
+        throw new IllegalArgumentException(
+          s"adc_sum: code $j = $code outside [0, $ksub)")
+      val idx = j * ksub + code
+      if (idx >= n)
+        throw new IllegalArgumentException(
+          s"adc_sum: LUT has $n entries, need > $idx (m*ksub with ksub=$ksub)")
+      if (arr.isNullAt(idx)) return null
+      sum += arr.getLong(idx)
       j += 1
     }
     sum
@@ -77,13 +96,32 @@ case class AdcSum(children: Seq[Expression], ksub: Int) extends Expression {
     val lutGen = lut.genCode(ctx)
     val isNull = ctx.freshName("adcIsNull")
     val value = ctx.freshName("adcValue")
+    val lutLen = ctx.freshName("adcLutLen")
+    val idx = ctx.freshName("adcIdx")
+    // same domain checks as eval: range-check the code (UnsafeArrayData
+    // getLong is unchecked in production), length-check the LUT, and
+    // propagate a null slot as null (the element_at semantics)
     val lookups = codes.zipWithIndex.map { case (c, j) =>
       val cg = c.genCode(ctx)
       s"""
          |if (!$isNull) {
          |  ${cg.code}
          |  if (${cg.isNull}) { $isNull = true; }
-         |  else { $value += ${lutGen.value}.getLong(${j * ksub} + (int) ${cg.value}); }
+         |  else {
+         |    int $idx = (int) ${cg.value};
+         |    if ($idx < 0 || $idx >= $ksub) {
+         |      throw new IllegalArgumentException(
+         |        "adc_sum: code $j = " + $idx + " outside [0, $ksub)");
+         |    }
+         |    $idx += ${j * ksub};
+         |    if ($idx >= $lutLen) {
+         |      throw new IllegalArgumentException(
+         |        "adc_sum: LUT has " + $lutLen + " entries, need > " + $idx +
+         |        " (m*ksub with ksub=$ksub)");
+         |    }
+         |    if (${lutGen.value}.isNullAt($idx)) { $isNull = true; }
+         |    else { $value += ${lutGen.value}.getLong($idx); }
+         |  }
          |}""".stripMargin
     }.mkString("\n")
     ev.copy(
@@ -91,6 +129,7 @@ case class AdcSum(children: Seq[Expression], ksub: Int) extends Expression {
         ${lutGen.code}
         boolean $isNull = ${lutGen.isNull};
         long $value = 0L;
+        int $lutLen = $isNull ? 0 : ${lutGen.value}.numElements();
         $lookups
         """,
       isNull = JavaCode.isNullVariable(isNull),

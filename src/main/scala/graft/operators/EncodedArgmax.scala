@@ -24,11 +24,20 @@ object EncodedArgmax {
 
   val Base: Long = 4294967296L // 2^32
 
+  // Nulls fail loudly too (ADVICE r10): a when-guard alone passes a
+  // NULL score/id through to a null encoding, silently DROPPING the
+  // row from the max/min — whereas the struct forms this replaces
+  // still ranked rows with null fields. No internal caller produces
+  // nulls here, so out-of-domain and null are the same class of
+  // contract violation: both raise.
   private def guard(c: Column, what: String, bound: Long): Column =
-    when(c < 0 || c >= bound,
-      raise_error(concat(
-        lit(s"EncodedArgmax: $what outside encodable [0, $bound): "),
-        c.cast("string"))))
+    when(c.isNull,
+      raise_error(lit(s"EncodedArgmax: $what is NULL - null rows would " +
+        "silently drop out of the argmax; filter or coalesce upstream")))
+      .when(c < 0 || c >= bound,
+        raise_error(concat(
+          lit(s"EncodedArgmax: $what outside encodable [0, $bound): "),
+          c.cast("string"))))
       .otherwise(c)
 
   /** Encode for `max`: picks greatest score, smallest id on ties. */

@@ -1293,22 +1293,7 @@ object BenchScale {
       else if (linkpredSkewMode) Seq(1000000L, 4000000L)
       else if (backoffMode) Seq(100000L, 400000L, 1600000L)
       else Seq(5000L, 10000L, 20000L, 50000L)
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.coalescePartitions.minPartitionNum", cpus)
-      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
-      // ObjectHashAggregate (every TypedImperativeAggregate: TopKPairs,
-      // sketches) falls back to SORT-BASED aggregation past this many
-      // DISTINCT KEYS per partition - default 128, which silently
-      // sorted the ANN ladders' 200-query candidate streams to disk
-      // (5M ivfpq probe 27.9s -> 1.31s with the fallback lifted).
-      // 8192 keys x the ~200B TopKPairs buffer is ~1.6 MB a partition.
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "8192")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = graft.GraftSession.builderFromEnv("32").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     // longest single task per timed window — the straggler bound

@@ -66,14 +66,7 @@ object BpeBuild {
       System.err.println("usage: graft.tools.BpeBuild <sfDir> [outDir]")
       sys.exit(2)
     }
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = graft.GraftSession.builderFromEnv("8").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val fp = IndexStore.dataFingerprint(sfDir, "documents")
     val p = args.lift(1).getOrElse(BpeStore.path(sfDir, fp))

@@ -18,14 +18,7 @@ object IndexBuild {
       System.err.println("usage: graft.tools.IndexBuild <sfDir> [indexDir]")
       sys.exit(2)
     }
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = graft.GraftSession.builderFromEnv("8").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val fp = IndexStore.dataFingerprint(sfDir, "embeddings")
     val p = args.lift(1).getOrElse(IndexStore.path(sfDir, fp))

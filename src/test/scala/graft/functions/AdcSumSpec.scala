@@ -55,4 +55,40 @@ class AdcSumSpec extends SparkSpec {
       .count()
     assert(kept == 1L)
   }
+
+  test("out-of-range code and short LUT fail loudly on both paths") {
+    def boom(lut: Seq[Long], code: Long, viaFilter: Boolean): String = {
+      val df = Seq((lut, code)).toDF("lut", "c")
+      val codes = col("c") +: Seq.fill(m - 1)(lit(0L))
+      val e = intercept[Exception] {
+        val s = AdcSum.adcSum(col("lut"), codes, ksub)
+        if (viaFilter) df.filter(s > 0L).count() // interpreted eval
+        else df.select(s).collect()              // codegen
+      }
+      Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(_.getMessage).mkString(" | ")
+    }
+    val full = Seq.fill(m * ksub)(7L)
+    for (viaFilter <- Seq(false, true)) {
+      assert(boom(full, ksub.toLong, viaFilter).contains("outside [0, 16)"))
+      assert(boom(full, -1L, viaFilter).contains("outside [0, 16)"))
+      assert(boom(full.take(ksub), 0L, viaFilter).contains("entries, need >"))
+    }
+  }
+
+  test("null LUT slot propagates null, as the element_at chain did") {
+    // slot 0 (= code 0 of sub 0) is null; codes all 0 hit it
+    val lut: Seq[Option[Long]] = None +: Seq.fill(m * ksub - 1)(Some(7L))
+    val df = Seq(Tuple1(lut)).toDF("lut")
+    val codes = Seq.fill(m)(lit(0L))
+    val viaSelect = df.select(AdcSum.adcSum(col("lut"), codes, ksub).as("s"))
+      .collect().head
+    assert(viaSelect.isNullAt(0))
+    // interpreted path agrees: null compares as unknown, row filtered out
+    assert(df.filter(AdcSum.adcSum(col("lut"), codes, ksub) === 0L).count() == 0L)
+    // a non-null path through the same LUT still sums
+    val codes1 = Seq.fill(m)(lit(1L))
+    val ok = df.select(AdcSum.adcSum(col("lut"), codes1, ksub)).collect().head
+    assert(ok.getLong(0) == 7L * m)
+  }
 }

@@ -52,6 +52,18 @@ class EncodedArgmaxSpec extends SparkSpec {
     assert(boom(1L << 31, 0L).contains("outside encodable"), "score >= 2^31")
     assert(boom(0L, -5L).contains("outside encodable"), "negative id")
     assert(boom(0L, 1L << 32).contains("outside encodable"), "id >= 2^32")
+    // null score/id raise too (ADVICE r10): a silent null encoding
+    // would DROP the row from the argmax where the struct form ranked it
+    def boomNull(nullScore: Boolean): String = {
+      val df = Seq((Option.when(!nullScore)(1L), Option.when(nullScore)(1L)))
+        .toDF("s", "i")
+      val ex = intercept[Exception] {
+        df.select(EncodedArgmax.maxScoreMinId(col("s"), col("i"))).collect()
+      }
+      ex.getMessage + Option(ex.getCause).map(_.getMessage).getOrElse("")
+    }
+    assert(boomNull(nullScore = true).contains("is NULL"), "null score")
+    assert(boomNull(nullScore = false).contains("is NULL"), "null id")
     // boundary values encode fine
     val ok = Seq(((1L << 31) - 1, (1L << 32) - 1)).toDF("s", "i")
       .select(EncodedArgmax.decodeScore(

@@ -3,18 +3,14 @@ package graft.streaming
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Shared local session for streaming specs (one per suite). */
+/** Shared local session for specs (one per suite) — built through
+  * [[graft.GraftSession]] so the suite runs under the same engine
+  * confs as every main (VERDICT r10 #2: the test harness previously
+  * lacked the ObjectHashAggregate fallback lift and silently exercised
+  * the sort-based path the mains never run). */
 trait SparkSpec extends AnyFunSuite {
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
+  lazy val spark: SparkSession = graft.GraftSession.builder("4")
     .appName(getClass.getSimpleName)
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    // transformWithState (T2 timers) is RocksDB-only; the other
-    // stateful ops run fine on it too
-    .config("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     .getOrCreate()
 
   def ts(ms: Long): java.sql.Timestamp = new java.sql.Timestamp(ms)
