@@ -31,6 +31,17 @@ import org.apache.spark.sql.functions._
   * incremental model cannot express — the streaming analog is a
   * periodic re-run over an edge-table snapshot (foreachBatch), not an
   * operator twin.
+  *
+  * DRIVER-FINISH GATES are MEASURED, not guessed (r11,
+  * [[graft.tools.GateCalib]] — crossover of driver-twin vs distributed
+  * wall on synthetic graphs at 1M–8M edges, `local[32]`): pagerank /
+  * bfs / sssp / kcore 4M, labelprop / hits 2M (labelprop's distributed
+  * rounds got ~3× cheaper with the r11 encoded argmax, moving its
+  * crossover DOWN; its driver twin's tuple-keyed counting is the
+  * slowest of the six). Units are whatever count the kernel compares —
+  * directed rows (pagerank/bfs/sssp/hits) or symmetric rows
+  * (labelprop/kcore). The collect at the 4M gate is ≤ ~100 MB of
+  * driver tuples; ladders force the distributed path with 0.
   */
 object Graph {
 
@@ -102,6 +113,63 @@ object Graph {
     }
   }
 
+  /** Wedge-cap DEFAULT, decided r11 (VERDICT r10 #7): `maxDegree = 0`
+    * (exact, uncapped) STAYS the default — a library operator must
+    * not silently trade exactness for speed; a capped run can
+    * undercount n_common on pairs whose shared neighbor was a hub,
+    * and only the caller knows whether that recall loss is
+    * acceptable. The quadratic risk is handled LOUDLY instead: every
+    * uncapped run prechecks degree skew with one cheap aggregate over
+    * the degree frame, and when the projected wedge stream has the
+    * power-law signature (see [[wedgeSkewed]]) it warns to stderr
+    * with the measured wedge count, the hub degree, and the
+    * `maxDegree` remedy, and bumps a session accumulator
+    * ([[skewWarnings]]) so harnesses can assert the path. GraphSpec
+    * proves both halves on a planted power-law substrate: the default
+    * stays exact, and the warning fires. */
+  private def warnWedgeSkew(sym: DataFrame, kernel: String): Unit = {
+    val row = sym.groupBy(col("s")).agg(count(lit(1)).as("deg"))
+      .agg(coalesce(sum(expr("(deg * (deg - 1)) div 2")), lit(0L)).as("wedges"),
+        coalesce(sum(col("deg")), lit(0L)).as("symRows"),
+        coalesce(max(col("deg")), lit(0L)).as("maxDeg"))
+      .head()
+    val (wedges, symRows, maxDeg) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    if (wedgeSkewed(wedges, symRows)) {
+      skewWarnAcc(sym.sparkSession).add(1)
+      System.err.println(s"[graft.graph] $kernel: degree-skewed substrate - " +
+        s"$wedges wedges from $symRows symmetric edge rows (max degree " +
+        s"$maxDeg); the exact uncapped kernel is quadratic at hubs. " +
+        "Consider maxDegree (hub centers are trimmed with an exact " +
+        "dropped-wedge count - see Graph.droppedWedges).")
+    }
+  }
+
+  /** The warning decision, pure and spec-pinned: a wedge stream is
+    * "skewed" when it is BOTH large in absolute terms (> 10⁸ wedges —
+    * below that the exact pass is seconds of work and a warning is
+    * noise) AND super-linear in the edge count (> 32 wedges per
+    * symmetric edge row: on a bounded-degree substrate wedges/edges ≈
+    * avg degree ≈ k; a power-law hub pushes the ratio orders of
+    * magnitude past it). */
+  def wedgeSkewed(wedges: Long, symRows: Long): Boolean =
+    wedges > 100000000L && wedges > 32L * symRows
+
+  private val skewWarnAccs =
+    new java.util.concurrent.ConcurrentHashMap[org.apache.spark.SparkContext,
+      org.apache.spark.util.LongAccumulator]()
+
+  private def skewWarnAcc(spark: org.apache.spark.sql.SparkSession) = {
+    skewWarnAccs.keySet.removeIf(_.isStopped)
+    skewWarnAccs.computeIfAbsent(spark.sparkContext,
+      sc => sc.longAccumulator("graft.graph.skewWarnings"))
+  }
+
+  /** Number of uncapped link-prediction runs on this session's
+    * SparkContext whose substrate tripped the degree-skew precheck —
+    * the observable half of the exact-by-default decision. */
+  def skewWarnings(spark: org.apache.spark.sql.SparkSession): Long =
+    Option(skewWarnAccs.get(spark.sparkContext)).map(_.value.longValue).getOrElse(0L)
+
   private val droppedWedgeAccs =
     new java.util.concurrent.ConcurrentHashMap[org.apache.spark.SparkContext,
       org.apache.spark.util.LongAccumulator]()
@@ -122,7 +190,7 @@ object Graph {
   def pageRankMicro(edges: DataFrame, srcCol: String, dstCol: String,
                     iterations: Int = 5, dampingPct: Int = 85,
                     validateUniverse: Boolean = true,
-                    driverFinishEdges: Long = 1000000L): DataFrame = {
+                    driverFinishEdges: Long = 4000000L): DataFrame = {
     require(iterations >= 1 && dampingPct > 0 && dampingPct < 100)
     withStableCachePartitioning(edges.sparkSession) {
     val e = edges.select(col(srcCol).cast("long").as("src"),
@@ -266,7 +334,7 @@ object Graph {
     * left-join their universe for ∞ semantics). */
   def shortestHops(edges: DataFrame, srcCol: String, dstCol: String,
                    seeds: DataFrame, maxHops: Int = 4,
-                   driverFinishEdges: Long = 1000000L): DataFrame = {
+                   driverFinishEdges: Long = 4000000L): DataFrame = {
     require(maxHops >= 1)
     withStableCachePartitioning(edges.sparkSession) {
     // partitioned on src once, cached and materialized before round 1
@@ -339,7 +407,7 @@ object Graph {
     * seeds (seeds at 0). */
   def ssspMicro(edges: DataFrame, srcCol: String, dstCol: String,
                 wCol: String, seeds: DataFrame, maxRounds: Int = 10,
-                driverFinishEdges: Long = 1000000L): DataFrame = {
+                driverFinishEdges: Long = 4000000L): DataFrame = {
     require(maxRounds >= 1)
     withStableCachePartitioning(edges.sparkSession) {
     val e = edges.select(col(srcCol).cast("long").as("src"),
@@ -457,7 +525,7 @@ object Graph {
     * and a randomized property pins both against a plain reference. */
   def labelPropagation(edges: DataFrame, aCol: String, bCol: String,
                        rounds: Int = 4,
-                       driverFinishEdges: Long = 1000000L): DataFrame = {
+                       driverFinishEdges: Long = 2000000L): DataFrame = {
     require(rounds >= 1)
     withStableCachePartitioning(edges.sparkSession) {
     val ec = edges.select(
@@ -476,29 +544,52 @@ object Graph {
     } else {
     // symmetry ⇒ every node appears as src, so the label vector and
     // each round's update cover the whole universe — no dangling case
-    var labels = ed.select(col("src").as("node")).distinct()
-      .withColumn("lbl", col("node")).localCheckpoint()
+    //
+    // DENSE LABEL REMAP (VERDICT r10 #1): the per-round argmax used to
+    // be a struct-ordering min_by — a non-fixed-width aggregation
+    // buffer that barred the hash aggregate and planned the catalog's
+    // one remaining corpus-scale SortAggregate (per round, over the
+    // (dst, lbl, c) count frame — ≤|E| rows, real money at 10¹⁰
+    // edges). Labels START as node ids, so ONE monotone dense rank
+    // over the distinct node set (PrefixSum's two-pass layout — no
+    // single-reducer window) bounds every label < |V| < 2³², making
+    // (count, label) packable into EncodedArgmax's primitive long:
+    // each round's argmax is now a codegen'd HashAggregate with
+    // map-side combine. Monotonicity keeps the (count desc, label asc)
+    // tie-break IDENTICAL under dense ids, and the exit join maps the
+    // winning labels back to original ids — output bit-identical to
+    // the struct form (GraphSpec pins driver ≡ distributed; the
+    // DuckDB twin replays original ids). Domain guards raise loudly:
+    // |V| ≥ 2³² or a per-label neighbor count ≥ 2³¹ fails in-plan
+    // instead of wrapping.
+    val remap = PrefixSum.globalRunningSum(
+        ed.select(col("src").as("node")).distinct()
+          .withColumn("one", lit(1L)),
+        "node", "one")
+      .select(col("k").as("node"), (col("running") - 1L).as("dlbl"))
+      .localCheckpoint()
+    var labels = remap.select(col("node"), col("dlbl").as("lbl"))
+      .localCheckpoint()
     for (_ <- 1 to rounds) {
       val prev = labels
-      // KNOWN TRADE-OFF: the struct ordering puts this argmax on the
-      // SortAggregate path (struct buffers bar the hash aggregate —
-      // the r10 Similarity lesson), but unlike the n×k assignment
-      // case the sorted frame is the ALREADY-AGGREGATED (dst, lbl, c)
-      // counts — ≤ |E| rows of 24 B riding the exchange the argmax
-      // needs anyway. The fixed-width encoding trick doesn't apply:
-      // label ids are caller-provided unbounded longs, so (c, lbl)
-      // can't pack into one long without a domain bound.
       labels = ed.join(labels, col("src") === col("node"))
         .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("c"))
         .groupBy(col("dst"))
-        .agg(min_by(col("lbl"),
-          struct((lit(0L) - col("c")).as("nc"), col("lbl").as("l"))).as("lbl"))
-        .select(col("dst").as("node"), col("lbl"))
+        .agg(max(EncodedArgmax.maxScoreMinId(col("c"), col("lbl"))).as("e"))
+        .select(col("dst").as("node"),
+          EncodedArgmax.decodeMaxId(col("e")).as("lbl"))
         .localCheckpoint()
       Checkpoints.unpersist(prev)
     }
+    val out = labels
+      .join(remap.select(col("dlbl").as("lbl"), col("node").as("community")),
+        Seq("lbl"))
+      .select(col("node"), col("community"))
+      .localCheckpoint()
+    Checkpoints.unpersist(labels)
+    Checkpoints.unpersist(remap)
     ed.unpersist()
-    labels.select(col("node"), col("lbl").as("community"))
+    out
     }
     }
   }
@@ -567,7 +658,7 @@ object Graph {
   def kCore(edges: DataFrame, aCol: String, bCol: String,
             k: Option[Long] = None,
             maxRounds: Int = 12,
-            driverFinishEdges: Long = 1000000L): DataFrame = {
+            driverFinishEdges: Long = 4000000L): DataFrame = {
     require(maxRounds >= 1)
     withStableCachePartitioning(edges.sparkSession) {
     val ec = edges.select(
@@ -673,6 +764,7 @@ object Graph {
       if (maxDegree <= 0) None
       else Some(symAll.groupBy(col("s")).agg(count(lit(1)).as("deg"))
         .localCheckpoint())
+    if (maxDegree <= 0) warnWedgeSkew(symAll, "commonNeighbors")
     val sym = degOpt.fold(symAll)(
       capCenters(symAll, _, maxDegree, "commonNeighbors"))
     val wed = sym.select(col("s"), col("d").as("xa"))
@@ -734,6 +826,7 @@ object Graph {
     val degOpt = if (maxDegree <= 0) None else Some(degLazy.localCheckpoint())
     val deg = degOpt.getOrElse(degLazy)
     if (maxDegree > 0) noteDroppedWedges(deg, maxDegree, "adamicAdar")
+    else warnWedgeSkew(sym, "adamicAdar")
     val ws = sym.join(deg, Seq("s")).filter(col("deg") >= 2)
       .filter(if (maxDegree > 0) col("deg") <= maxDegree else lit(true))
       .withColumn("w",
@@ -783,6 +876,7 @@ object Graph {
     // the counted degradation, not a changed formula)
     val degOpt = if (maxDegree <= 0) None else Some(degLazy.localCheckpoint())
     val deg = degOpt.getOrElse(degLazy)
+    if (maxDegree <= 0) warnWedgeSkew(symAll, "jaccardLinks")
     val sym =
       if (maxDegree <= 0) symAll
       else capCenters(symAll, deg, maxDegree, "jaccardLinks")
@@ -1144,7 +1238,7 @@ object Graph {
     * in-edges auth 0. */
   def hitsMicro(edges: DataFrame, srcCol: String, dstCol: String,
                 iterations: Int = 4,
-                driverFinishEdges: Long = 1000000L): DataFrame = {
+                driverFinishEdges: Long = 2000000L): DataFrame = {
     require(iterations >= 1)
     withStableCachePartitioning(edges.sparkSession) {
     val e = edges.select(col(srcCol).cast("long").as("src"),

@@ -604,6 +604,58 @@ object BenchScale {
     }
   }
 
+  /** Label-propagation ladder (r11, the EncodedArgmax receipt): 4 LPA
+    * rounds on the graphLadder substrate at 1M/4M/16M half-edges,
+    * forced distributed. Before the dense-remap rewrite every round
+    * planned a SortAggregate over the (dst, lbl, c) count frame —
+    * edge-scale sorted rows per round; now the argmax is a codegen'd
+    * HashAggregate (GraphSpec pins the plan shape; this rung pins the
+    * WALL: ~linear in edges, exponent hard-gated at 1.4). The smallest
+    * rung also replays the driver twin and requires the (node,
+    * community) multiset hash to match EXACTLY — the bit-equality
+    * contract at a size where both paths are cheap. */
+  private def lpaLadder(spark: SparkSession, sizes: Seq[Long],
+                        maxTaskMs: java.util.concurrent.atomic.AtomicLong): Unit = {
+    val rungs = sizes.map { m =>
+      val n = math.max(m / 8, 100L)
+      val hubs = math.max(math.sqrt(n.toDouble).toLong, 1L)
+      val half = spark.range(m).selectExpr(
+        s"pmod(xxhash64('s', id), $n) AS src",
+        s"""CASE WHEN id % 10 = 0 THEN pmod(xxhash64('h', id), $hubs)
+           |  ELSE pmod(xxhash64('d', id), $n) END AS dst""".stripMargin)
+      val dir = s"/tmp/graft_scale/graph_$m"
+      half.union(half.selectExpr("dst AS src", "src AS dst"))
+        .write.mode("overwrite").parquet(dir) // untimed setup
+      val edges = spark.read.parquet(dir)
+      def sig(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+        val r = df.agg(count(lit(1)),
+          sum(xxhash64(col("node"), col("community")))).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      maxTaskMs.set(0)
+      val t0 = System.nanoTime()
+      val lp = graft.operators.Graph.labelPropagation(edges, "src", "dst",
+        rounds = 4, driverFinishEdges = 0L)
+      val (nNodes, h) = sig(lp)
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"half_edges":$m,"nodes":$nNodes,"lpa_sec":$sec%.2f,"max_task_sec":${maxTaskMs.get() / 1e3}%.2f,"sig":$h}""")
+      require(nNodes > 0 && nNodes <= n, s"node universe $nNodes outside (0, $n]")
+      if (m == sizes.min) {
+        val (dn, dh) = sig(graft.operators.Graph.labelPropagation(
+          edges, "src", "dst", rounds = 4, driverFinishEdges = Long.MaxValue))
+        require(dn == nNodes && dh == h,
+          s"driver twin diverged: ($dn, $dh) != ($nNodes, $h)")
+      }
+      (m, sec)
+    }
+    if (sizes.size >= 2) {
+      val exponent = fitExponent(rungs)
+      println(f"""{"metric":"lpa_scale","exponent":$exponent%.3f}""")
+      require(exponent <= 1.4,
+        f"LPA wall grows super-linearly in edges: exponent $exponent%.3f > 1.4")
+    }
+  }
+
   /** Backoff-LM ladder: stupid-backoff trigram training + held-out
     * scoring ([[graft.operators.TextAnalysis.backoffXent]]) on the
     * generated dedup corpus (80-word docs, seeded 4-letter vocab).
@@ -1259,6 +1311,7 @@ object BenchScale {
     val ivfPqMode = args.headOption.contains("ivfpq")
     val semMode = args.headOption.contains("semdedup")
     val graphMode = args.headOption.contains("graph")
+    val lpaMode = args.headOption.contains("lpa")
     val tpchMode = args.headOption.contains("tpch")
     val bpeMode = args.headOption.contains("bpe")
     val shingleMode = args.headOption.contains("shingle")
@@ -1272,7 +1325,8 @@ object BenchScale {
     val sizeArgs =
       if (annMode || mmMode || pqMode || ivfPqMode || semMode || graphMode ||
           tpchMode || bpeMode || shingleMode || triMode || backoffMode ||
-          kcoreMode || tsMode || eventsMode || linkpredMode || linkpredSkewMode)
+          kcoreMode || tsMode || eventsMode || linkpredMode ||
+          linkpredSkewMode || lpaMode)
         args.drop(1) else args
     val sizes =
       if (sizeArgs.nonEmpty) sizeArgs(0).split(",").map(_.trim.toLong).toSeq
@@ -1282,6 +1336,7 @@ object BenchScale {
       else if (pqMode) Seq(100000L, 500000L, 2000000L)
       else if (semMode) Seq(500000L, 1000000L, 2000000L)
       else if (graphMode) Seq(1000000L, 4000000L, 16000000L)
+      else if (lpaMode) Seq(1000000L, 4000000L, 16000000L)
       else if (tpchMode) Seq(600000L, 6000000L, 24000000L)
       else if (bpeMode) Seq(100000L, 400000L, 1600000L)
       else if (shingleMode) Seq(100000L, 400000L, 1600000L)
@@ -1335,6 +1390,7 @@ object BenchScale {
     }
     if (semMode) { semDedupLadder(spark, sizes, maxTaskMs); spark.stop(); return }
     if (graphMode) { graphLadder(spark, sizes, maxTaskMs); spark.stop(); return }
+    if (lpaMode) { lpaLadder(spark, sizes, maxTaskMs); spark.stop(); return }
     if (tpchMode) { tpchLadder(spark, sizes, maxTaskMs); spark.stop(); return }
     if (bpeMode) { bpeLadder(spark, sizes, maxTaskMs); spark.stop(); return }
     if (shingleMode) { shingleLadder(spark, sizes, maxTaskMs); spark.stop(); return }

@@ -36,7 +36,12 @@ object Explain {
     // a megamorphic kernel in one query can deoptimize the next)
     val names = name.split(",").toSeq
     names.foreach { nm =>
+      // construction timed separately: eager operators (the iterative
+      // graph kernels, stores) do their real work HERE, not in the
+      // final frame's save — without this line their cost is invisible
+      val tc = System.nanoTime()
       val df = SparkEntry.queries(nm)(spark, sfDir)
+      println(f"[explain] $nm construct: ${(System.nanoTime() - tc) / 1e9}%.3f s")
       if (names.length == 1) df.explain("formatted")
       (1 to runs).foreach { i =>
         val t0 = System.nanoTime()

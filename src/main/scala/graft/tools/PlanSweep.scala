@@ -19,8 +19,8 @@ import graft.SparkEntry
   *    probe, not a quadratic join.
   *
   * Any other occurrence fails the run (exit 1): a refactor that turns
-  * an equi join into a cross product anywhere in the 146-query
-  * catalog gets caught here even if no targeted gate covers it.
+  * an equi join into a cross product anywhere in the catalog gets
+  * caught here even if no targeted gate covers it.
   * `runMain graft.tools.PlanSweep [sfDir]` prints one JSON line.
   */
 object PlanSweep {
@@ -60,32 +60,43 @@ object PlanSweep {
     * at 2M vectors before the encoded-argmax fix; the 4M rung died on
     * ENOSPC). Populated after sweeping all 185 plans — TO BE KEPT
     * EMPTY OR JUSTIFIED PER ENTRY:
-    *  - g_labelprop: struct-ordering min_by over the ALREADY-AGGREGATED
-    *    (dst, lbl, c) counts, ≤|E| 24 B rows riding the exchange the
-    *    argmax needs anyway; unbounded caller label ids bar the
-    *    fixed-width encoding (documented at the call site).
+    *  - g_labelprop: DELETED r11 — a one-time monotone dense node-id
+    *    remap bounds labels < 2³², so the per-round argmax now packs
+    *    into EncodedArgmax's primitive long (hash aggregate).
     *  - ts_motif: struct argmax whose VALUE is a string word — not
     *    long-encodable — but the aggregated input is bounded by the
     *    SAX vocabulary (≤ 7⁴ words per key), so the sort never sees a
     *    corpus-scale frame. */
-  val sortAggDeclared: Set[String] = Set("g_labelprop", "ts_motif")
+  val sortAggDeclared: Set[String] = Set("ts_motif")
+
+  /** Pinned per-query shuffle-Exchange budget (VERDICT r10 #6 — the
+    * SortAggregate gate's generalization): the sweep counts DISTINCT
+    * shuffle `Exchange` nodes in each query's formatted plan and
+    * fails on any INCREASE over this committed file. A deliberate
+    * plan change refreshes the file with `runMain graft.tools.PlanSweep
+    * <sfDir> write` and justifies the diff in the commit. Decreases
+    * (improvements) are reported, never fail. BroadcastExchange is NOT
+    * counted — broadcasts are the cure, not the disease. */
+  val budgetPath = "dev/exchange_budget.json"
+
+  /** Distinct shuffle-exchange node count in a formatted plan: node
+    * ids of `(N) Exchange` (tree and details repeat the same ids —
+    * dedup by id; `(N) BroadcastExchange` deliberately unmatched). */
+  def exchangeCount(plan: String): Int =
+    raw"\((\d+)\) Exchange\b".r.findAllMatchIn(plan)
+      .map(_.group(1)).toSet.size
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val writeBudget = args.lift(1).contains("write")
+    val spark = graft.GraftSession.builderFromEnv("8").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     var cart = List.empty[String]
     var bnlj = List.empty[String]
     var sortAgg = List.empty[String]
     var errs = List.empty[String]
+    val exchanges = scala.collection.mutable.TreeMap.empty[String, Int]
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         val plan = fn(spark, sfDir).queryExecution
@@ -93,6 +104,7 @@ object PlanSweep {
         if (plan.contains("CartesianProduct")) cart ::= name
         if (plan.contains("BroadcastNestedLoopJoin")) bnlj ::= name
         if (plan.contains("SortAggregate")) sortAgg ::= name
+        exchanges(name) = exchangeCount(plan)
       } catch { case e: Throwable =>
         errs ::= s"$name: ${e.getClass.getSimpleName}"
       }
@@ -100,14 +112,44 @@ object PlanSweep {
     val badCart = cart.filterNot(_ == "ann_brute_force")
     val badBnlj = bnlj.filterNot(scalarBroadcast)
     val badSortAgg = sortAgg.filterNot(sortAggDeclared)
+
+    // exchange budget: fail on growth or an un-budgeted query; report
+    // shrinkage so the budget can be deliberately refreshed
+    val budgetFile = java.nio.file.Paths.get(budgetPath)
+    var overBudget = List.empty[String]
+    var underBudget = List.empty[String]
+    if (writeBudget) {
+      val json = exchanges.map { case (k, v) => s""""$k":$v""" }
+        .mkString("{\n", ",\n", "\n}\n")
+      java.nio.file.Files.writeString(budgetFile, json)
+      System.err.println(s"[plan_sweep] wrote ${exchanges.size} budgets to $budgetPath")
+    } else if (java.nio.file.Files.exists(budgetFile)) {
+      val budget = raw""""([^"]+)":(\d+)""".r
+        .findAllMatchIn(java.nio.file.Files.readString(budgetFile))
+        .map(m => m.group(1) -> m.group(2).toInt).toMap
+      exchanges.foreach { case (name, n) =>
+        budget.get(name) match {
+          case Some(b) if n > b => overBudget ::= s"$name: $n > $b"
+          case Some(b) if n < b => underBudget ::= s"$name: $n < $b"
+          case None => overBudget ::= s"$name: $n > unbudgeted (refresh $budgetPath)"
+          case _ =>
+        }
+      }
+    } else {
+      System.err.println(s"[plan_sweep] no $budgetPath - run with 'write' to pin")
+    }
+
     def js(xs: List[String]) = xs.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"plan_sweep","queries":${SparkEntry.queries.size},""" +
       s""""cartesian":${js(cart)},"bnlj":${js(bnlj)},"sort_agg":${js(sortAgg)},""" +
       s""""unexpected_cartesian":${js(badCart)},"unexpected_bnlj":${js(badBnlj)},""" +
       s""""unexpected_sort_agg":${js(badSortAgg)},""" +
+      s""""exchange_over_budget":${js(overBudget)},""" +
+      s""""exchange_under_budget":${js(underBudget)},""" +
       s""""errors":${js(errs)}}""")
     spark.stop()
-    if (badCart.nonEmpty || badBnlj.nonEmpty || badSortAgg.nonEmpty || errs.nonEmpty)
+    if (badCart.nonEmpty || badBnlj.nonEmpty || badSortAgg.nonEmpty ||
+        overBudget.nonEmpty || errs.nonEmpty)
       sys.exit(1)
   }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, count, lit, max}
 
 import graft.streaming.SparkSpec
 
@@ -664,6 +664,63 @@ class GraphSpec extends SparkSpec {
     // with weight w(3): 6 touches {0, 1, 2} so its FULL degree is 3
     assert(got == Seq((1L, 2L, 1L, w(3))), s"got $got")
     assert(Graph.droppedWedges(spark) - before == 21L) // 7*6/2
+  }
+
+  test("labelprop round argmax plans a HashAggregate, never a SortAggregate") {
+    import spark.implicits._
+    // the exact per-round shape labelPropagation builds (r11: encoded
+    // argmax over dense labels) — the r10 sort-fallback bug class gate:
+    // a struct buffer here would silently re-plan the per-round
+    // edge-scale SortAggregate this rewrite deleted
+    val ed = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)).toDF("src", "dst")
+    val labels = Seq((1L, 0L), (2L, 1L), (3L, 2L)).toDF("node", "lbl")
+    val round = ed.join(labels, col("src") === col("node"))
+      .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("c"))
+      .groupBy(col("dst"))
+      .agg(max(EncodedArgmax.maxScoreMinId(col("c"), col("lbl"))).as("e"))
+      .select(col("dst").as("node"),
+        EncodedArgmax.decodeMaxId(col("e")).as("lbl"))
+    val p = round.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!p.contains("SortAggregate"), s"labelprop round regressed:\n$p")
+    assert(p.contains("HashAggregate"), s"expected HashAggregate:\n$p")
+  }
+
+  test("wedge-cap default: exact and loud on a planted power-law substrate") {
+    import spark.implicits._
+    // the r11 decision (VERDICT r10 #7): maxDegree=0 stays the default
+    // — exactness is never silently traded — and the skew PRECHECK
+    // warns loudly instead. Substrate: one hub of degree 60 over a
+    // sparse ring — the power-law shape where the hub owns ~99% of
+    // all wedges and wedges/edges far exceeds the bounded-degree band.
+    val hub = (1 to 300).map(i => (0L, i.toLong))
+    val ring = (1 until 300).map(i => (i.toLong, (i + 1).toLong))
+    val und = hub ++ ring
+    val adj = (und ++ und.map(_.swap)).groupBy(_._1)
+      .map { case (n, xs) => n -> xs.map(_._2).toSet }
+    val nodes = adj.keys.toSeq.sorted
+    val want = (for {
+      i <- nodes; j <- nodes if i < j && !adj(i).contains(j)
+      c = (adj(i) & adj(j)).size if c > 0
+    } yield (i, j, c.toLong)).sortBy { case (a, b, c) => (-c, a, b) }.take(50)
+    val got = Graph.commonNeighbors(und.toDF("a", "b"), "a", "b", topN = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want, "the uncapped default must stay exact on a hub graph")
+    // the warning DECISION is pure and pinned here (the integration
+    // bump rides the same predicate): this substrate's shape —
+    // wedges >> 32x symmetric rows — warns once it is also big in
+    // absolute terms; balanced or small substrates never warn
+    val wedges = adj.values.map(s => s.size.toLong * (s.size - 1) / 2).sum
+    val symRows = 2L * und.size
+    assert(wedges > 32L * symRows, "planted substrate must have the skew shape")
+    assert(Graph.wedgeSkewed(wedges * 100000, symRows * 100000 / 64),
+      "scaled-up hub substrate must warn")
+    assert(!Graph.wedgeSkewed(wedges, symRows),
+      "a small graph never warns, whatever its shape")
+    assert(!Graph.wedgeSkewed(200000000L, 50000000L),
+      "a bounded-degree substrate (wedges ~ 4x rows) never warns")
+    assert(Graph.wedgeSkewed(2000000000L, 50000000L),
+      "a big skewed substrate warns")
   }
 
   test("hub cap: jaccardLinks denominator keeps full endpoint degrees") {
