@@ -627,10 +627,13 @@ object BenchScale {
       half.union(half.selectExpr("dst AS src", "src AS dst"))
         .write.mode("overwrite").parquet(dir) // untimed setup
       val edges = spark.read.parquet(dir)
-      def sig(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      // multiset signature: decimal-exact sum of row hashes (a plain
+      // long sum of full-range xxhash64 values overflows under ANSI)
+      def sig(df: org.apache.spark.sql.DataFrame): (Long, java.math.BigDecimal) = {
         val r = df.agg(count(lit(1)),
-          sum(xxhash64(col("node"), col("community")))).head()
-        (r.getLong(0), r.getLong(1))
+          sum(xxhash64(col("node"), col("community"))
+            .cast("decimal(38,0)"))).head()
+        (r.getLong(0), r.getDecimal(1))
       }
       maxTaskMs.set(0)
       val t0 = System.nanoTime()
