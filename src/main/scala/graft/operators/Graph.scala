@@ -917,20 +917,29 @@ object Graph {
     * edge list, ONE map-side-combinable global moment aggregate —
     * returns a single row (n_ends, r). */
   def assortativity(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    // materialized ONCE (the commonNeighbors lesson, applied r11 after
+    // the plan audit counted 12 scans / 23 exchanges here): the
+    // canonical edge set feeds both symmetrize arms AND, through sym,
+    // the degree aggregate and both degree joins — left lazy, the
+    // upstream pair generation replays ~6x. The degree frame is
+    // checkpointed too (two join branches), and the single-row result
+    // is eager so both releases happen before return.
     val und = edges.select(
         least(col(aCol).cast("long"), col(bCol).cast("long")).as("a"),
         greatest(col(aCol).cast("long"), col(bCol).cast("long")).as("b"))
       .filter(col("a") < col("b"))
       .distinct()
+      .localCheckpoint()
     val sym = und.select(col("a").as("s"), col("b").as("d"))
       .union(und.select(col("b").as("s"), col("a").as("d")))
     val deg = sym.groupBy(col("s")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
     val ends = sym
       .join(deg.select(col("s"), col("deg").as("dx")), Seq("s"))
       .join(deg.select(col("s").as("d"), col("deg").as("dy")), Seq("d"))
       .select(col("dx").cast("decimal(38,0)").as("x"),
         col("dy").cast("decimal(38,0)").as("y"))
-    ends.agg(count(lit(1)).as("n"),
+    val out = ends.agg(count(lit(1)).as("n"),
         sum(col("x")).as("sx"), sum(col("y")).as("sy"),
         sum(col("x") * col("y")).as("sxy"),
         sum(col("x") * col("x")).as("sxx"),
@@ -944,6 +953,10 @@ object Graph {
               sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
                 (col("n") * col("syy") - col("sy") * col("sy")).cast("double")),
             6)).as("r"))
+      .localCheckpoint()
+    Checkpoints.unpersist(und)
+    Checkpoints.unpersist(deg)
+    out
   }
 
   /** Bounded-collect driver peel for [[kCore]]: the same

@@ -1467,13 +1467,21 @@ object ExtensionCatalog {
     * — exact integer relaxation, fixed-budget idempotent-replay
     * oracle like g_kcore). */
   val gSssp: Q = (s, d) => {
+    // materialized ONCE (the commonNeighbors lesson): the weighted
+    // pair frame feeds THREE plan branches — both symmetrize arms and
+    // the seed min-scan — and each branch would otherwise replay the
+    // lineitem self-join + count from scratch (the seed scan is a
+    // separate JOB, so even exchange reuse can't help it)
     val ew = coPurchasePairs(s, d)
       .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
     val w = expr("1000000 div c")
     val sym = ew.select(col("pa").as("src"), col("pb").as("dst"), w.as("w"))
       .union(ew.select(col("pb").as("src"), col("pa").as("dst"), w.as("w")))
-    graft.operators.Graph.ssspMicro(sym, "src", "dst", "w",
+    val out = graft.operators.Graph.ssspMicro(sym, "src", "dst", "w",
       sym.agg(min(col("src")).as("node")))
+    unpersistCheckpoint(ew)
+    out
   }
 
   /** Hubs & authorities over the DIRECTED customer→supplier purchase
