@@ -497,23 +497,48 @@ object TimeSeries {
 
   /** Motif per key: the most frequent SAX word (ties break to the
     * lexicographically smallest word — total-order deterministic).
-    * Two hash aggregations, both map-side combinable; the same
-    * max(struct) idiom as agg_mode.
+    * Two hash aggregations, both map-side combinable.
+    *
+    * The argmax rides [[EncodedArgmax]]'s packed long (r11 — deletes
+    * the catalog's LAST declared SortAggregate): the SAX vocabulary
+    * is 4-char words over {a..d} plus the zero-variance sentinel
+    * "flat", so a word maps to a lex-order-preserving base-4 integer
+    * in [0, 256) with "flat" at 256 (f > d keeps the order exact),
+    * and (count desc, code asc) IS (count desc, word asc). The
+    * struct form this replaces carried a STRING in the aggregation
+    * buffer, which barred the hash aggregate.
     *
     * BATCH-ONLY by contract (the ds_temperature posture): the motif
     * is a corpus-wide argmax whose answer can RETRACT as counts grow —
     * the streaming form is this same two-agg plan in update output
     * mode over [[saxStream]]'s words (each micro-batch revises the
     * per-key winner), a sink-side re-read, not an append-mode twin. */
-  def motifs(sax: DataFrame, keyCol: String): DataFrame =
+  def motifs(sax: DataFrame, keyCol: String): DataFrame = {
+    // loud domain guard (the EncodedArgmax discipline): a word outside
+    // the SAX vocabulary would silently mis-encode; evaluated on the
+    // ALREADY-AGGREGATED (key, sax, n) frame, ≤ 257 rows per key
+    val code = when(col("sax") === "flat", lit(256L))
+      .when(col("sax").rlike("^[a-d]{4}$"),
+        (ascii(substring(col("sax"), 1, 1)) - 97).cast("long") * 64L +
+        (ascii(substring(col("sax"), 2, 1)) - 97).cast("long") * 16L +
+        (ascii(substring(col("sax"), 3, 1)) - 97).cast("long") * 4L +
+        (ascii(substring(col("sax"), 4, 1)) - 97).cast("long"))
+      .otherwise(raise_error(concat(
+        lit("motifs: word outside the SAX vocabulary ([a-d]{4} | flat): "),
+        col("sax"))))
+    val c = EncodedArgmax.decodeMaxId(col("e"))
+    val abcd = array(lit("a"), lit("b"), lit("c"), lit("d"))
+    def letter(shift: Int) =
+      element_at(abcd, (shiftright(c, shift).bitwiseAND(lit(3L)) + 1L).cast("int"))
     sax.groupBy(col(keyCol), col("sax")).agg(count(lit(1)).as("n"))
       .groupBy(col(keyCol))
-      .agg(max(struct(col("n"),
-        // 4-char a-d words: two ASCII-order flips make bigger-struct
-        // prefer the SMALLEST word at equal count
-        translate(col("sax"), "abcdflt", "zyxwvut").as("inv"),
-        col("sax").as("word"))).as("m"))
-      .select(col(keyCol), col("m.word").as("motif"), col("m.n").as("n"))
+      .agg(max(EncodedArgmax.maxScoreMinId(col("n"), code)).as("e"))
+      .select(col(keyCol),
+        when(c === 256L, lit("flat"))
+          .otherwise(concat(letter(6), letter(4), letter(2), letter(0)))
+          .as("motif"),
+        EncodedArgmax.decodeScore(col("e")).as("n"))
+  }
 
   /** Holt double-exponential smoothing, final state per key (Holt
     * 1957 / the "linear trend" member of the exponential-smoothing

@@ -59,15 +59,12 @@ object PlanSweep {
     * sorts pair-scale data to disk (the n×k assignment sorted ~50 GB
     * at 2M vectors before the encoded-argmax fix; the 4M rung died on
     * ENOSPC). Populated after sweeping all 185 plans — TO BE KEPT
-    * EMPTY OR JUSTIFIED PER ENTRY:
-    *  - g_labelprop: DELETED r11 — a one-time monotone dense node-id
-    *    remap bounds labels < 2³², so the per-round argmax now packs
-    *    into EncodedArgmax's primitive long (hash aggregate).
-    *  - ts_motif: struct argmax whose VALUE is a string word — not
-    *    long-encodable — but the aggregated input is bounded by the
-    *    SAX vocabulary (≤ 7⁴ words per key), so the sort never sees a
-    *    corpus-scale frame. */
-  val sortAggDeclared: Set[String] = Set("ts_motif")
+    * EMPTY OR JUSTIFIED PER ENTRY. EMPTY since r11: g_labelprop fell
+    * to the dense node-id remap (labels < 2³² pack into
+    * EncodedArgmax), and ts_motif's SAX vocabulary ({a..d}⁴ ∪ "flat")
+    * maps to lex-order-preserving integers ≤ 256 — the catalog now
+    * hash-aggregates every argmax. */
+  val sortAggDeclared: Set[String] = Set.empty
 
   /** Pinned per-query shuffle-Exchange budget (VERDICT r10 #6 — the
     * SortAggregate gate's generalization): the sweep counts DISTINCT
