@@ -53,7 +53,13 @@ object Components {
     * closure receipts stay distributed-path). */
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
                           maxRounds: Int = 64, numPartitions: Int = 0,
-                          driverFinishEdges: Long = 1000000L): DataFrame = {
+                          // gate MEASURED r11 (GateCalib): the linear
+                          // union-find twin beats the star rounds ~10x
+                          // at every rung through 8M canonical edges
+                          // (2M: 2.4 vs 12.1 s; 8M: 4.9 vs 53.4 s) -
+                          // 8M is the largest measured point, ~400 MB
+                          // of collected tuples on a 32 GB driver
+                          driverFinishEdges: Long = 8000000L): DataFrame = {
     // checkpoints are EAGER on purpose: a round's plan reads its input
     // through several union/join branches, and with a lazy checkpoint
     // the first job would recompute the full upstream lineage once PER

@@ -66,7 +66,10 @@ object GateCalib {
         "kcore" -> ((g: Long) => Graph.kCore(
           pairs(spark, m), "a", "b", maxRounds = 40, driverFinishEdges = g)),
         "hits" -> ((g: Long) => Graph.hitsMicro(
-          directed(spark, m), "src", "dst", driverFinishEdges = g)))
+          directed(spark, m), "src", "dst", driverFinishEdges = g)),
+        "components" -> ((g: Long) => graft.operators.Components
+          .connectedComponents(pairs(spark, m), "a", "b",
+            driverFinishEdges = g)))
     }
 
     val rows = scala.collection.mutable.ArrayBuffer
