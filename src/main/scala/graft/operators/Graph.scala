@@ -1027,11 +1027,15 @@ object Graph {
     * feeding this kernel always stays distributed — and integer
     * counting makes the paths exactly equal (GraphSpec pins it).
     * Ladders force the distributed path with 0. The default gate is
-    * 5× LOWER than the linear kernels' (Components/BFS use 1M): the
-    * driver intersection is single-threaded O(m^1.5) worst case, so
-    * 200k edges bounds it to ~10⁸ merge steps (well under a second)
-    * where 1M would allow ~10⁹ on a hub-dense set — slower than the
-    * distributed path the gate exists to shortcut.
+    * MEASURED (r11 GateCalib, hub-bearing substrate — 10 % of edges
+    * into √n hubs): the driver intersection wins at 1M edges
+    * (1.8 s vs 4.4 s) and 2M (3.0 vs 4.6), ties at 4M — gate 2M, the
+    * conservative side of the tie. The twin is the SAME (deg, id)
+    * orientation, so its worst case is the O(m^1.5) bound, not Σdeg²:
+    * at 2M edges that is ~2.8·10⁹ merge steps on a near-clique
+    * adversary (≈ 10 s single-threaded, vs the distributed path's
+    * ~30× parallelism on the same work) — bounded seconds on a
+    * pathological input, measured win on real shapes.
     *
     * `assumeCanonical`: the input is ALREADY (a < b, distinct) under
     * columns exactly ("a", "b") — callers that canonicalized for their
@@ -1039,7 +1043,7 @@ object Graph {
     *
     * Returns (node, n_tri) for every node in ≥ 1 triangle. */
   def triangleCounts(edges: DataFrame, aCol: String, bCol: String,
-                     driverFinishEdges: Long = 200000L,
+                     driverFinishEdges: Long = 2000000L,
                      assumeCanonical: Boolean = false,
                      wedgeBloom: Boolean = true): DataFrame = {
     // canonicalize: undirected {a,b} as a < b, self-loops out,

@@ -69,12 +69,20 @@ object GateCalib {
           directed(spark, m), "src", "dst", driverFinishEdges = g)),
         "components" -> ((g: Long) => graft.operators.Components
           .connectedComponents(pairs(spark, m), "a", "b",
-            driverFinishEdges = g)))
+            driverFinishEdges = g)),
+        // the one QUADRATIC-worst-case kernel: its driver twin is
+        // O(m^1.5) single-threaded, so the crossover needs its own
+        // (hub-bearing substrate) measurement, not the linear kernels'
+        "triangles" -> ((g: Long) => Graph.triangleCounts(
+          pairs(spark, m), "a", "b", driverFinishEdges = g)))
     }
 
+    // optional 2nd arg: comma-separated kernel-name filter
+    val only = args.lift(1).map(_.split(",").toSet)
     val rows = scala.collection.mutable.ArrayBuffer
       .empty[(String, Long, String, Double)]
-    for (m <- sizes; (name, run) <- kernels(m);
+    for (m <- sizes; (name, run) <- kernels(m)
+           if only.forall(_.contains(name));
          (path, gate) <- Seq("driver" -> Long.MaxValue, "dist" -> 0L)) {
       val t0 = System.nanoTime()
       val res = try { val df = run(gate); val c = df.count(); s"rows=$c" }
