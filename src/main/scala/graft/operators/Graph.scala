@@ -35,11 +35,12 @@ import org.apache.spark.sql.functions._
   * DRIVER-FINISH GATES are MEASURED, not guessed (r11,
   * [[graft.tools.GateCalib]] — crossover of driver-twin vs distributed
   * wall on synthetic graphs at 1M–8M edges, `local[32]`): pagerank /
-  * bfs / sssp / kcore 4M, labelprop / hits 2M (labelprop's distributed
-  * rounds got ~3× cheaper with the r11 encoded argmax, moving its
-  * crossover DOWN; its driver twin's tuple-keyed counting is the
-  * slowest of the six). Units are whatever count the kernel compares —
-  * directed rows (pagerank/bfs/sssp/hits) or symmetric rows
+  * bfs / sssp / kcore / labelprop 4M, hits 2M, triangles 2M (the one
+  * quadratic-worst-case twin — see its scaladoc). labelprop's twin was
+  * re-measured after replacing its (node, label)-tuple-keyed global
+  * counting with per-node primitive-keyed scratch maps; crossover
+  * ≈ 4–5M symmetric rows. Units are whatever count the kernel
+  * compares — directed rows (pagerank/bfs/sssp/hits) or symmetric rows
   * (labelprop/kcore). The collect at the 4M gate is ≤ ~100 MB of
   * driver tuples; ladders force the distributed path with 0.
   */
@@ -525,7 +526,7 @@ object Graph {
     * and a randomized property pins both against a plain reference. */
   def labelPropagation(edges: DataFrame, aCol: String, bCol: String,
                        rounds: Int = 4,
-                       driverFinishEdges: Long = 2000000L): DataFrame = {
+                       driverFinishEdges: Long = 4000000L): DataFrame = {
     require(rounds >= 1)
     withStableCachePartitioning(edges.sparkSession) {
     val ec = edges.select(
@@ -603,21 +604,39 @@ object Graph {
                               ed: DataFrame, rounds: Int): DataFrame = {
     import spark.implicits._
     val rows = ed.select(col("src"), col("dst")).as[(Long, Long)].collect()
+    // adjacency once (symmetric rows ⇒ dst's row list IS its neighbor
+    // set); per-node scratch counting replaces the old global
+    // (node, label)-tuple-keyed HashMap — the boxing/tuple-hash cost
+    // made the twin the slowest of the six (r11 GateCalib: 13.6 s vs
+    // the distributed 9.3 s already at 4M symmetric rows). Counting
+    // per node over primitive-keyed maps is O(Σdeg) with no tuple
+    // allocation; the argmax comparison is order-independent
+    // ((count desc, label asc) exact), so the result is unchanged —
+    // GraphSpec pins equality with the distributed rounds.
+    val adj = scala.collection.mutable.LongMap
+      .empty[scala.collection.mutable.ArrayBuffer[Long]]
+    rows.foreach { case (s, d) =>
+      adj.getOrElseUpdate(d,
+        scala.collection.mutable.ArrayBuffer.empty[Long]) += s
+    }
     var lbl = scala.collection.mutable.LongMap.empty[Long]
-    rows.foreach { case (s, _) => if (!lbl.contains(s)) lbl(s) = s }
+    adj.foreachKey(n => lbl(n) = n)
     for (_ <- 1 to rounds) {
-      val cnt = scala.collection.mutable.HashMap.empty[(Long, Long), Long]
-      rows.foreach { case (s, d) =>
-        val k = (d, lbl(s)); cnt(k) = cnt.getOrElse(k, 0L) + 1L
-      }
       val next = scala.collection.mutable.LongMap.empty[Long]
-      val bestC = scala.collection.mutable.LongMap.empty[Long]
-      cnt.foreach { case ((d, l), c) =>
-        val better = next.get(d) match {
-          case None => true
-          case Some(bl) => c > bestC(d) || (c == bestC(d) && l < bl)
+      val cnt = scala.collection.mutable.LongMap.empty[Long]
+      adj.foreach { case (node, nbs) =>
+        cnt.clear()
+        var i = 0
+        while (i < nbs.length) {
+          cnt(lbl(nbs(i))) = cnt.getOrElse(lbl(nbs(i)), 0L) + 1L
+          i += 1
         }
-        if (better) { next(d) = l; bestC(d) = c }
+        var bestL = Long.MaxValue
+        var bestC = 0L
+        cnt.foreach { case (l, c) =>
+          if (c > bestC || (c == bestC && l < bestL)) { bestC = c; bestL = l }
+        }
+        next(node) = bestL
       }
       lbl = next
     }
