@@ -65,7 +65,15 @@ case class AdcSum(children: Seq[Expression], ksub: Int) extends Expression {
   }
 
   override def dataType: DataType = LongType
-  override def nullable: Boolean = children.exists(_.nullable)
+  // a null LUT SLOT propagates null (the element_at semantics), so
+  // the array's containsNull makes the result nullable even when no
+  // child is (review r11: a non-nullable declaration would let
+  // consumers skip the isNull check and read the partial sum)
+  override def nullable: Boolean = children.exists(_.nullable) ||
+    (lut.dataType match {
+      case ArrayType(_, containsNull) => containsNull
+      case _ => true
+    })
 
   override def eval(input: InternalRow): Any = {
     val lutV = lut.eval(input)
@@ -77,11 +85,13 @@ case class AdcSum(children: Seq[Expression], ksub: Int) extends Expression {
     while (j < codeExprs.length) {
       val c = codeExprs(j).eval(input)
       if (c == null) return null
-      val code = c.asInstanceOf[Number].intValue()
-      if (code < 0 || code >= ksub)
+      // range-check the UNTRUNCATED value: intValue() on a long code
+      // >= 2^32 wraps into [0, ksub) and would read the wrong slot
+      val codeL = c.asInstanceOf[Number].longValue()
+      if (codeL < 0L || codeL >= ksub)
         throw new IllegalArgumentException(
-          s"adc_sum: code $j = $code outside [0, $ksub)")
-      val idx = j * ksub + code
+          s"adc_sum: code $j = $codeL outside [0, $ksub)")
+      val idx = j * ksub + codeL.toInt
       if (idx >= n)
         throw new IllegalArgumentException(
           s"adc_sum: LUT has $n entries, need > $idx (m*ksub with ksub=$ksub)")
@@ -108,12 +118,11 @@ case class AdcSum(children: Seq[Expression], ksub: Int) extends Expression {
          |  ${cg.code}
          |  if (${cg.isNull}) { $isNull = true; }
          |  else {
-         |    int $idx = (int) ${cg.value};
-         |    if ($idx < 0 || $idx >= $ksub) {
+         |    if (${cg.value} < 0L || ${cg.value} >= ${ksub}L) {
          |      throw new IllegalArgumentException(
-         |        "adc_sum: code $j = " + $idx + " outside [0, $ksub)");
+         |        "adc_sum: code $j = " + ${cg.value} + " outside [0, $ksub)");
          |    }
-         |    $idx += ${j * ksub};
+         |    int $idx = ${j * ksub} + (int) ${cg.value};
          |    if ($idx >= $lutLen) {
          |      throw new IllegalArgumentException(
          |        "adc_sum: LUT has " + $lutLen + " entries, need > " + $idx +

@@ -21,3 +21,26 @@ object Checkpoints {
       case _ => ()
     } catch { case _: Throwable => () }
 }
+
+/** The memory half of every adaptive driver-finish gate (review r11):
+  * the edge-count gates were calibrated on a 32 GB driver, but the
+  * library runs under whatever heap the caller configured — on
+  * Spark's default 1g driver an 8M-row collect OOMs where the old
+  * 1M gates stayed distributed. A driver finish is taken only when
+  * the collect ALSO fits in a conservative heap fraction; the
+  * distributed path is always correct (the two paths are spec-pinned
+  * bit-identical), so heap-dependent path choice never changes a
+  * result, only where it is computed. */
+object DriverFinish {
+
+  /** ~96 B/row covers a boxed two/three-long tuple in the collected
+    * array PLUS the twin's auxiliary structures (adjacency buffers,
+    * union-find arrays, label maps). */
+  val BytesPerRow = 96L
+
+  /** True when collecting `rows` driver-side fits in ≤ 1/5 of max
+    * heap at [[BytesPerRow]] — headroom for the session's own state
+    * and the result frame. */
+  def fits(rows: Long): Boolean =
+    rows <= Runtime.getRuntime.maxMemory / 5L / BytesPerRow
+}

@@ -75,7 +75,8 @@ object Components {
       _.dataType == org.apache.spark.sql.types.LongType)
     // driverFinishEdges > 0: passing 0 forces the distributed rounds
     // even on an empty edge set (the force-distributed contract)
-    if (driverFinishEdges > 0 && initEdges <= driverFinishEdges && longIds) {
+    if (driverFinishEdges > 0 && initEdges <= driverFinishEdges &&
+        longIds && DriverFinish.fits(initEdges)) {
       val out = driverFinish(edges.sparkSession, e)
       // the collect consumed the checkpoint - free its blocks now
       Checkpoints.unpersist(e)

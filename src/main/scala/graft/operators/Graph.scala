@@ -129,20 +129,35 @@ object Graph {
     * proves both halves on a planted power-law substrate: the default
     * stays exact, and the warning fires. */
   private def warnWedgeSkew(sym: DataFrame, kernel: String): Unit = {
+    val (wedges, symRows, maxDeg) = wedgeStats(sym)
+    if (wedgeSkewed(wedges, symRows))
+      noteSkew(sym.sparkSession, kernel, wedges, symRows, maxDeg)
+  }
+
+  /** The measurement half of [[warnWedgeSkew]], separable so the spec
+    * can pin the aggregate extraction exactly (review r11): (projected
+    * wedges Σ deg(deg−1)/2, symmetric row count Σ deg, max degree)
+    * over a (s, d) symmetric edge frame. */
+  private[operators] def wedgeStats(sym: DataFrame): (Long, Long, Long) = {
     val row = sym.groupBy(col("s")).agg(count(lit(1)).as("deg"))
       .agg(coalesce(sum(expr("(deg * (deg - 1)) div 2")), lit(0L)).as("wedges"),
         coalesce(sum(col("deg")), lit(0L)).as("symRows"),
         coalesce(max(col("deg")), lit(0L)).as("maxDeg"))
       .head()
-    val (wedges, symRows, maxDeg) = (row.getLong(0), row.getLong(1), row.getLong(2))
-    if (wedgeSkewed(wedges, symRows)) {
-      skewWarnAcc(sym.sparkSession).add(1)
-      System.err.println(s"[graft.graph] $kernel: degree-skewed substrate - " +
-        s"$wedges wedges from $symRows symmetric edge rows (max degree " +
-        s"$maxDeg); the exact uncapped kernel is quadratic at hubs. " +
-        "Consider maxDegree (hub centers are trimmed with an exact " +
-        "dropped-wedge count - see Graph.droppedWedges).")
-    }
+    (row.getLong(0), row.getLong(1), row.getLong(2))
+  }
+
+  /** The loud half, separable for the same reason: bumps the session
+    * accumulator read by [[skewWarnings]] and prints the remedy. */
+  private[operators] def noteSkew(spark: org.apache.spark.sql.SparkSession,
+                                  kernel: String, wedges: Long,
+                                  symRows: Long, maxDeg: Long): Unit = {
+    skewWarnAcc(spark).add(1)
+    System.err.println(s"[graft.graph] $kernel: degree-skewed substrate - " +
+      s"$wedges wedges from $symRows symmetric edge rows (max degree " +
+      s"$maxDeg); the exact uncapped kernel is quadratic at hubs. " +
+      "Consider maxDegree (hub centers are trimmed with an exact " +
+      "dropped-wedge count - see Graph.droppedWedges).")
   }
 
   /** The warning decision, pure and spec-pinned: a wedge stream is
@@ -221,7 +236,8 @@ object Graph {
     // divisions, same exact sums (GraphSpec pins the equality;
     // IterativeKernelPropertySpec pins both against the reference).
     val nEdges = ed.count()
-    if (driverFinishEdges > 0 && nEdges <= driverFinishEdges) {
+    if (driverFinishEdges > 0 && nEdges <= driverFinishEdges &&
+        DriverFinish.fits(nEdges)) {
       val out = pageRankDriver(edges.sparkSession, ed, iterations,
         dampingPct, validateUniverse)
       ed.unpersist()
@@ -355,7 +371,7 @@ object Graph {
     // has d = h, so the distributed min(d) and the driver's
     // first-visit check agree), GraphSpec pins the equality.
     if (driverFinishEdges > 0 && nEdges <= driverFinishEdges &&
-        nSeeds <= driverFinishEdges) {
+        nSeeds <= driverFinishEdges && DriverFinish.fits(nEdges)) {
       val out = bfsDriver(edges.sparkSession, e, sd, maxHops)
       e.unpersist()
       Checkpoints.unpersist(sd)
@@ -423,7 +439,7 @@ object Graph {
       .distinct().localCheckpoint()
     val nSeeds = sd.count()
     if (driverFinishEdges > 0 && nEdges <= driverFinishEdges &&
-        nSeeds <= driverFinishEdges) {
+        nSeeds <= driverFinishEdges && DriverFinish.fits(nEdges)) {
       val out =
         try ssspDriver(edges.sparkSession, e, sd, maxRounds)
         finally { e.unpersist(); Checkpoints.unpersist(sd) }
@@ -538,7 +554,8 @@ object Graph {
       .union(ec.select(col("b").as("src"), col("a").as("dst")))
       .repartition(col("src")).persist()
     val m = ed.count()
-    if (driverFinishEdges > 0 && m <= driverFinishEdges) {
+    if (driverFinishEdges > 0 && m <= driverFinishEdges &&
+        DriverFinish.fits(m)) {
       val out = labelPropDriver(edges.sparkSession, ed, rounds)
       ed.unpersist()
       out
@@ -563,12 +580,16 @@ object Graph {
     // DuckDB twin replays original ids). Domain guards raise loudly:
     // |V| ≥ 2³² or a per-label neighbor count ≥ 2³¹ fails in-plan
     // instead of wrapping.
-    val remap = PrefixSum.globalRunningSum(
+    // materialize=true: the rank layout's internal checkpoint is
+    // released inside (review r11 — it would otherwise leak |V| rows
+    // per run); remapRaw IS the checkpoint (unpersisted at exit), the
+    // rename is a narrow view over its blocks
+    val remapRaw = PrefixSum.globalRunningSum(
         ed.select(col("src").as("node")).distinct()
           .withColumn("one", lit(1L)),
-        "node", "one")
+        "node", "one", materialize = true)
+    val remap = remapRaw
       .select(col("k").as("node"), (col("running") - 1L).as("dlbl"))
-      .localCheckpoint()
     var labels = remap.select(col("node"), col("dlbl").as("lbl"))
       .localCheckpoint()
     for (_ <- 1 to rounds) {
@@ -588,7 +609,7 @@ object Graph {
       .select(col("node"), col("community"))
       .localCheckpoint()
     Checkpoints.unpersist(labels)
-    Checkpoints.unpersist(remap)
+    Checkpoints.unpersist(remapRaw)
     ed.unpersist()
     out
     }
@@ -692,7 +713,8 @@ object Graph {
     val n0 = ed.select(col("src")).distinct().count()
     val kVal = k.getOrElse(if (n0 == 0) 1L else (m2 * 7L) / (n0 * 10L))
     require(kVal >= 1, s"kCore: derived k=$kVal < 1 (m2=$m2, n=$n0)")
-    if (driverFinishEdges > 0 && m2 <= driverFinishEdges) {
+    if (driverFinishEdges > 0 && m2 <= driverFinishEdges &&
+        DriverFinish.fits(m2)) {
       val out =
         try kCoreDriver(edges.sparkSession, ed, kVal, maxRounds)
         finally ed.unpersist()
@@ -1048,13 +1070,15 @@ object Graph {
     * Ladders force the distributed path with 0. The default gate is
     * MEASURED (r11 GateCalib, hub-bearing substrate — 10 % of edges
     * into √n hubs): the driver intersection wins at 1M edges
-    * (1.8 s vs 4.4 s) and 2M (3.0 vs 4.6), ties at 4M — gate 2M, the
-    * conservative side of the tie. The twin is the SAME (deg, id)
-    * orientation, so its worst case is the O(m^1.5) bound, not Σdeg²:
-    * at 2M edges that is ~2.8·10⁹ merge steps on a near-clique
-    * adversary (≈ 10 s single-threaded, vs the distributed path's
-    * ~30× parallelism on the same work) — bounded seconds on a
-    * pathological input, measured win on real shapes.
+    * (1.6 s vs 5.6 s), 2M (2.3 vs 5.8) and 4M (5.2 vs 8.3) — gate 2M,
+    * one measured rung inside the win region. The twin is the SAME
+    * (deg, id) orientation, so its worst case is the O(m^1.5) bound,
+    * not Σdeg²: at 2M edges that is ~2.8·10⁹ merge steps on a
+    * near-clique adversary (≈ 10 s single-threaded, vs the
+    * distributed path's ~30× parallelism on the same work) — bounded
+    * seconds on a pathological input, measured win on real shapes.
+    * [[DriverFinish.fits]] additionally requires the collect to fit
+    * the actual heap.
     *
     * `assumeCanonical`: the input is ALREADY (a < b, distinct) under
     * columns exactly ("a", "b") — callers that canonicalized for their
@@ -1081,7 +1105,8 @@ object Graph {
       .localCheckpoint() // eager: every downstream branch reads blocks
     val m = ec.count()
     val out =
-      if (driverFinishEdges > 0 && m <= driverFinishEdges)
+      if (driverFinishEdges > 0 && m <= driverFinishEdges &&
+          DriverFinish.fits(m))
         triangleDriver(edges.sparkSession, ec)
       else
         // triangleDistributed returns an eagerly-materialized frame,
@@ -1299,7 +1324,8 @@ object Graph {
         s"hitsMicro: $nEdges edges - a per-node long raw sum could " +
           "overflow past ~9.2e12 incident mass; widen the sums to decimal")
     }
-    if (driverFinishEdges > 0 && nEdges <= driverFinishEdges) {
+    if (driverFinishEdges > 0 && nEdges <= driverFinishEdges &&
+        DriverFinish.fits(nEdges)) {
       val out = try hitsDriver(edges.sparkSession, eS, iterations)
                 finally eS.unpersist()
       out

@@ -41,9 +41,17 @@ object PrefixSum {
   final case class KVRun(k: Long, v: Long, running: Long)
 
   /** (k, v, running) with running = inclusive prefix sum of v in
-    * ascending k order. */
+    * ascending k order.
+    *
+    * `materialize = true`: eagerly checkpoint the RESULT and release
+    * the internal stamped layout's blocks before returning (review
+    * r11: the stamped frame is a localCheckpoint the caller has no
+    * handle to — a lazy result keeps its |input|-row blocks alive
+    * until ContextCleaner GC; callers that were going to checkpoint
+    * the result anyway pass true and leak nothing). */
   def globalRunningSum(df: DataFrame, orderCol: String, valueCol: String,
-                       numPartitions: Int = 0): DataFrame = {
+                       numPartitions: Int = 0,
+                       materialize: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val n = if (numPartitions > 0) numPartitions
@@ -63,7 +71,7 @@ object PrefixSum {
     val actualN = if (totals.isEmpty) 0 else totals.keys.max + 1
     val offsets = (0 until actualN).scanLeft(0L)(_ + totals.getOrElse(_, 0L))
     val bc = spark.sparkContext.broadcast(offsets.toArray)
-    stamped.mapPartitions { it =>
+    val out = stamped.mapPartitions { it =>
       var cur = -1
       var acc = 0L
       it.map { r =>
@@ -72,6 +80,11 @@ object PrefixSum {
         KVRun(r.k, r.v, acc)
       }
     }.toDF("k", "v", "running")
+    if (materialize) {
+      val snap = out.localCheckpoint()
+      Checkpoints.unpersist(stamped.toDF())
+      snap
+    } else out
   }
 
   /** Streaming twin — the A2 constant-key pattern: ONE global state

@@ -516,7 +516,11 @@ object TimeSeries {
   def motifs(sax: DataFrame, keyCol: String): DataFrame = {
     // loud domain guard (the EncodedArgmax discipline): a word outside
     // the SAX vocabulary would silently mis-encode; evaluated on the
-    // ALREADY-AGGREGATED (key, sax, n) frame, ≤ 257 rows per key
+    // ALREADY-AGGREGATED (key, sax, n) frame, ≤ 257 rows per key.
+    // NULL words (saxWords propagates a null tap into a null word) are
+    // EXCLUDED from the vote below rather than raised: a null window
+    // carries no shape information, and the replaced struct form
+    // likewise never ranked one above a real word (review r11).
     val code = when(col("sax") === "flat", lit(256L))
       .when(col("sax").rlike("^[a-d]{4}$"),
         (ascii(substring(col("sax"), 1, 1)) - 97).cast("long") * 64L +
@@ -530,7 +534,8 @@ object TimeSeries {
     val abcd = array(lit("a"), lit("b"), lit("c"), lit("d"))
     def letter(shift: Int) =
       element_at(abcd, (shiftright(c, shift).bitwiseAND(lit(3L)) + 1L).cast("int"))
-    sax.groupBy(col(keyCol), col("sax")).agg(count(lit(1)).as("n"))
+    sax.filter(col("sax").isNotNull)
+      .groupBy(col(keyCol), col("sax")).agg(count(lit(1)).as("n"))
       .groupBy(col(keyCol))
       .agg(max(EncodedArgmax.maxScoreMinId(col("n"), code)).as("e"))
       .select(col(keyCol),

@@ -19,15 +19,20 @@ import org.apache.spark.sql.functions._
   */
 object GateCalib {
 
-  /** Deterministic pseudo-random undirected pair list: ~m canonical
-    * pairs over n = m/8 nodes (avg degree ~16 after symmetrization) —
-    * dense enough that every kernel does real per-round work, sparse
-    * enough that nothing is quadratic. */
+  /** Deterministic pseudo-random undirected pair list: ~m pairs over
+    * n = m/8 nodes (avg degree ~16 after symmetrization), with 10 % of
+    * endpoints directed into √n hub nodes — the graphLadder substrate,
+    * so crossovers are measured under the same degree skew the ladders
+    * exercise (review r11: a uniform substrate flatters the driver
+    * twin of the quadratic-family kernels). Dense enough that every
+    * kernel does real per-round work. */
   private def pairs(spark: SparkSession, m: Long): DataFrame = {
     val n = math.max(m / 8L, 64L)
+    val hubs = math.max(math.sqrt(n.toDouble).toLong, 1L)
     spark.range(m).select(
         pmod(xxhash64(col("id"), lit(11)), lit(n)).as("a"),
-        pmod(xxhash64(col("id"), lit(23)), lit(n)).as("b"))
+        when(col("id") % 10 === 0, pmod(xxhash64(col("id"), lit(31)), lit(hubs)))
+          .otherwise(pmod(xxhash64(col("id"), lit(23)), lit(n))).as("b"))
       .filter(col("a") =!= col("b"))
   }
 

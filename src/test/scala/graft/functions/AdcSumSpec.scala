@@ -73,6 +73,9 @@ class AdcSumSpec extends SparkSpec {
       assert(boom(full, ksub.toLong, viaFilter).contains("outside [0, 16)"))
       assert(boom(full, -1L, viaFilter).contains("outside [0, 16)"))
       assert(boom(full.take(ksub), 0L, viaFilter).contains("entries, need >"))
+      // the check reads the UNTRUNCATED long: 2^32+3 would wrap to an
+      // in-range 3 under an (int) cast and silently read the wrong slot
+      assert(boom(full, (1L << 32) + 3L, viaFilter).contains("outside [0, 16)"))
     }
   }
 

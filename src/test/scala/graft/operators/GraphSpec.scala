@@ -713,6 +713,22 @@ class GraphSpec extends SparkSpec {
     val wedges = adj.values.map(s => s.size.toLong * (s.size - 1) / 2).sum
     val symRows = 2L * und.size
     assert(wedges > 32L * symRows, "planted substrate must have the skew shape")
+    // the MEASUREMENT half extracts exactly these numbers from the
+    // symmetric frame (review r11: the aggregate row order/coalesce
+    // was untested), and the loud half bumps the session accumulator
+    locally {
+      import spark.implicits._
+      val sym = (und ++ und.map(_.swap)).toDF("s", "d")
+      val (w, r, mx) = Graph.wedgeStats(sym)
+      assert((w, r) == (wedges, symRows), s"wedgeStats ($w, $r)")
+      assert(mx == 300L, s"max degree $mx")
+      val before = Graph.skewWarnings(spark)
+      Graph.noteSkew(spark, "spec", w, r, mx)
+      assert(Graph.skewWarnings(spark) == before + 1,
+        "noteSkew must bump the observable accumulator")
+      assert(Graph.wedgeStats(Seq.empty[(Long, Long)].toDF("s", "d"))
+        == ((0L, 0L, 0L)), "empty frame must coalesce to zeros")
+    }
     assert(Graph.wedgeSkewed(wedges * 100000, symRows * 100000 / 64),
       "scaled-up hub substrate must warn")
     assert(!Graph.wedgeSkewed(wedges, symRows),
