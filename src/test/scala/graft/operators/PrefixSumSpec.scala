@@ -47,6 +47,21 @@ class PrefixSumSpec extends SparkSpec {
     assert(coalesced == direct)
   }
 
+  test("materialize=true returns identical rows and a released-input checkpoint") {
+    // the leak-free variant (review r11): the result is an eager
+    // checkpoint, the internal stamped layout's blocks are freed
+    // before return - values must be bit-identical to the lazy form
+    val lazyRows = run(8).toSet
+    val mat = PrefixSum.globalRunningSum(rows.toDF("k", "v"), "k", "v",
+      numPartitions = 8, materialize = true)
+    assert(mat.queryExecution.logical
+      .isInstanceOf[org.apache.spark.sql.execution.LogicalRDD],
+      "materialize=true must return the checkpoint itself (unpersistable)")
+    val got = mat.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == lazyRows)
+    Checkpoints.unpersist(mat)
+  }
+
   test("streaming twin: offsets continue across micro-batches and equal the batch form in-order") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long)]
