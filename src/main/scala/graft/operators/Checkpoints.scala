@@ -43,4 +43,23 @@ object DriverFinish {
     * and the result frame. */
   def fits(rows: Long): Boolean =
     rows <= Runtime.getRuntime.maxMemory / 5L / BytesPerRow
+
+  /** The gate decision with the heap guard applied: `gate ==
+    * Long.MaxValue` is an EXPLICIT force-driver request (GateCalib's
+    * "driver" arm, BenchScale's twin-equality replays) and bypasses
+    * the guard — otherwise a small-heap harness would silently
+    * measure the distributed path while labeling it "driver"
+    * (review r11). A declined in-gate finish notes itself once to
+    * stderr so the path choice is never invisible. `rows` must count
+    * EVERYTHING the twin collects (edges PLUS seeds for bfs/sssp). */
+  def take(gate: Long, rows: Long): Boolean =
+    if (gate == Long.MaxValue) true
+    else if (fits(rows)) true
+    else {
+      System.err.println(s"[graft] driver finish declined: $rows rows <= " +
+        s"gate $gate but ~${rows * BytesPerRow >> 20} MB exceeds the heap " +
+        s"guard (max ${Runtime.getRuntime.maxMemory >> 20} MB / 5); " +
+        "taking the distributed path")
+      false
+    }
 }

@@ -76,7 +76,7 @@ object Components {
     // driverFinishEdges > 0: passing 0 forces the distributed rounds
     // even on an empty edge set (the force-distributed contract)
     if (driverFinishEdges > 0 && initEdges <= driverFinishEdges &&
-        longIds && DriverFinish.fits(initEdges)) {
+        longIds && DriverFinish.take(driverFinishEdges, initEdges)) {
       val out = driverFinish(edges.sparkSession, e)
       // the collect consumed the checkpoint - free its blocks now
       Checkpoints.unpersist(e)

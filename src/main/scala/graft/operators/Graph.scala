@@ -237,7 +237,7 @@ object Graph {
     // IterativeKernelPropertySpec pins both against the reference).
     val nEdges = ed.count()
     if (driverFinishEdges > 0 && nEdges <= driverFinishEdges &&
-        DriverFinish.fits(nEdges)) {
+        DriverFinish.take(driverFinishEdges, nEdges)) {
       val out = pageRankDriver(edges.sparkSession, ed, iterations,
         dampingPct, validateUniverse)
       ed.unpersist()
@@ -371,7 +371,8 @@ object Graph {
     // has d = h, so the distributed min(d) and the driver's
     // first-visit check agree), GraphSpec pins the equality.
     if (driverFinishEdges > 0 && nEdges <= driverFinishEdges &&
-        nSeeds <= driverFinishEdges && DriverFinish.fits(nEdges)) {
+        nSeeds <= driverFinishEdges &&
+        DriverFinish.take(driverFinishEdges, nEdges + nSeeds)) {
       val out = bfsDriver(edges.sparkSession, e, sd, maxHops)
       e.unpersist()
       Checkpoints.unpersist(sd)
@@ -439,7 +440,8 @@ object Graph {
       .distinct().localCheckpoint()
     val nSeeds = sd.count()
     if (driverFinishEdges > 0 && nEdges <= driverFinishEdges &&
-        nSeeds <= driverFinishEdges && DriverFinish.fits(nEdges)) {
+        nSeeds <= driverFinishEdges &&
+        DriverFinish.take(driverFinishEdges, nEdges + nSeeds)) {
       val out =
         try ssspDriver(edges.sparkSession, e, sd, maxRounds)
         finally { e.unpersist(); Checkpoints.unpersist(sd) }
@@ -555,7 +557,7 @@ object Graph {
       .repartition(col("src")).persist()
     val m = ed.count()
     if (driverFinishEdges > 0 && m <= driverFinishEdges &&
-        DriverFinish.fits(m)) {
+        DriverFinish.take(driverFinishEdges, m)) {
       val out = labelPropDriver(edges.sparkSession, ed, rounds)
       ed.unpersist()
       out
@@ -714,7 +716,7 @@ object Graph {
     val kVal = k.getOrElse(if (n0 == 0) 1L else (m2 * 7L) / (n0 * 10L))
     require(kVal >= 1, s"kCore: derived k=$kVal < 1 (m2=$m2, n=$n0)")
     if (driverFinishEdges > 0 && m2 <= driverFinishEdges &&
-        DriverFinish.fits(m2)) {
+        DriverFinish.take(driverFinishEdges, m2)) {
       val out =
         try kCoreDriver(edges.sparkSession, ed, kVal, maxRounds)
         finally ed.unpersist()
@@ -1106,7 +1108,7 @@ object Graph {
     val m = ec.count()
     val out =
       if (driverFinishEdges > 0 && m <= driverFinishEdges &&
-          DriverFinish.fits(m))
+          DriverFinish.take(driverFinishEdges, m))
         triangleDriver(edges.sparkSession, ec)
       else
         // triangleDistributed returns an eagerly-materialized frame,
@@ -1325,7 +1327,7 @@ object Graph {
           "overflow past ~9.2e12 incident mass; widen the sums to decimal")
     }
     if (driverFinishEdges > 0 && nEdges <= driverFinishEdges &&
-        DriverFinish.fits(nEdges)) {
+        DriverFinish.take(driverFinishEdges, nEdges)) {
       val out = try hitsDriver(edges.sparkSession, eS, iterations)
                 finally eS.unpersist()
       out

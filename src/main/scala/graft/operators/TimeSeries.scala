@@ -520,7 +520,10 @@ object TimeSeries {
     // NULL words (saxWords propagates a null tap into a null word) are
     // EXCLUDED from the vote below rather than raised: a null window
     // carries no shape information, and the replaced struct form
-    // likewise never ranked one above a real word (review r11).
+    // likewise never ranked one above a real word (review r11). A key
+    // whose EVERY word is null consequently has no motif and emits no
+    // row — the same absence contract as a key with no full window
+    // (spec-pinned).
     val code = when(col("sax") === "flat", lit(256L))
       .when(col("sax").rlike("^[a-d]{4}$"),
         (ascii(substring(col("sax"), 1, 1)) - 97).cast("long") * 64L +

@@ -20,12 +20,14 @@ import org.apache.spark.sql.functions._
 object GateCalib {
 
   /** Deterministic pseudo-random undirected pair list: ~m pairs over
-    * n = m/8 nodes (avg degree ~16 after symmetrization), with 10 % of
-    * endpoints directed into √n hub nodes — the graphLadder substrate,
-    * so crossovers are measured under the same degree skew the ladders
-    * exercise (review r11: a uniform substrate flatters the driver
-    * twin of the quadratic-family kernels). Dense enough that every
-    * kernel does real per-round work. */
+    * n = m/8 nodes (avg degree ~16 after symmetrization); every 10th
+    * pair's b-endpoint is directed into one of √n hub nodes (10 % of
+    * pairs, 5 % of endpoints) — EXACTLY the graphLadder substrate
+    * (BenchScale's `id % 10 = 0` rule), so crossovers are measured
+    * under the same degree skew the ladders exercise (review r11: a
+    * uniform substrate flatters the driver twin of the
+    * quadratic-family kernels). Dense enough that every kernel does
+    * real per-round work. */
   private def pairs(spark: SparkSession, m: Long): DataFrame = {
     val n = math.max(m / 8L, 64L)
     val hubs = math.max(math.sqrt(n.toDouble).toLong, 1L)

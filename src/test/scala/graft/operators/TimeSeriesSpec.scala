@@ -233,6 +233,24 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got == Set((1L, "abcd", 2L), (2L, "abcd", 1L)))
   }
 
+  test("motif: null words are excluded; an all-null key emits no row; bad words raise") {
+    import spark.implicits._
+    val saxDf = Seq(
+      (1L, 8, Some("abcd")), (1L, 9, None), (1L, 10, Some("flat")),
+      (2L, 8, None), (2L, 9, None) // every word null → key absent
+    ).toDF("user_id", "rn", "sax")
+    val got = TimeSeries.motifs(saxDf, "user_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == Set((1L, "abcd", 1L)), s"got $got")
+    // out-of-vocabulary words fail loudly, never mis-encode
+    val bad = Seq((1L, 8, "abce")).toDF("user_id", "rn", "sax")
+    val ex = intercept[Exception] {
+      TimeSeries.motifs(bad, "user_id").collect()
+    }
+    val all = ex.getMessage + Option(ex.getCause).map(_.getMessage).getOrElse("")
+    assert(all.contains("outside the SAX vocabulary"), all)
+  }
+
   /** Independent Holt reference: explicit Vector fold (a different
     * structure from the kernel's streaming iterator), SAME IEEE tree. */
   private def refHolt(xs: Seq[Double], a: Double, b: Double): (Double, Double) =
