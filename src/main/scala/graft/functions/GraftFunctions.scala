@@ -105,6 +105,10 @@ object GraftFunctions {
         if (args.length > 2) intArg(args(2), "bloom_maybe", 3) else 4096,
         if (args.length > 3) intArg(args(3), "bloom_maybe", 4) else 3)),
       "bloom_maybe(sketch array<bigint>, hash bigint [, numBits, numHashes]) - Bloom membership probe"),
+    ("interleave_bits",
+      arity("interleave_bits", 3, Int.MaxValue)(args =>
+        InterleaveBits(args.tail, intArg(args.head, "interleave_bits", 1))),
+      "interleave_bits(bits int, c0, c1, ...) - Morton/Z-order interleave of k integral columns at bits bits each (k*bits <= 63)"),
     ("hyperplane_project",
       arity("hyperplane_project", 2, 4)(args => HyperplaneProject(args(0),
         intArg(args(1), "hyperplane_project", 2),

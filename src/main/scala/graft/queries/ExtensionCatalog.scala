@@ -1006,6 +1006,33 @@ object ExtensionCatalog {
         concat(lit("src"), col("src_num").cast("string")).as("source"),
         col("pos"))
 
+  /** Z-order clustering key + per-curve-cell locality summary — the
+    * multi-dimensional data-skipping layout ([[graft.tools.ZOrderLayout]],
+    * Morton 1966): every lineitem row gets the native
+    * `interleave_bits` Morton key of its bucketed (part, supplier)
+    * coordinates, then one aggregate reports each top-level curve
+    * cell's row count, coordinate envelope, and exact z-value sum.
+    * The tight per-cell pk/sk envelopes ARE the layout's promise —
+    * files written in z order carry those envelopes as parquet
+    * footer stats, so a box predicate on EITHER column prunes
+    * non-intersecting cells (executed-skipping receipt:
+    * ZOrderLayoutSpec). Plan: one narrow scan + one hash aggregate
+    * on the 6-bit cell — the z-value math is a codegen'd native
+    * expression, no shuffle beyond the aggregate's own. */
+  val dsZorder: Q = (s, d) => {
+    val b = Tables.lineitem(s, d).select(
+      (col("l_partkey") % 256).cast("long").as("pk_lo"),
+      (col("l_suppkey") % 256).cast("long").as("sk_lo"))
+    b.withColumn("zval",
+        graft.tools.ZOrderLayout.zvalue(Seq(col("pk_lo"), col("sk_lo")), bits = 8))
+      .withColumn("cell", shiftright(col("zval"), 10))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"),
+        min(col("pk_lo")).as("pk_min"), max(col("pk_lo")).as("pk_max"),
+        min(col("sk_lo")).as("sk_min"), max(col("sk_lo")).as("sk_max"),
+        sum(col("zval")).as("z_sum"))
+  }
+
   /** The end-to-end curation pipeline the extension operators exist to
     * COMPOSE: quality gate → language gate → exact-dedup survivor per
     * content hash → stable train/valid/test assignment. The plan is

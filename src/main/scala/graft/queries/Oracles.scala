@@ -2408,6 +2408,23 @@ object Oracles {
         |SELECT doc_id, 'src' || CAST(sn AS VARCHAR) AS source,
         |  row_number() OVER (ORDER BY (2*rk - 1) * (6 // w), sn, doc_id) AS pos
         |FROM r""".stripMargin,
+    // Morton-key twin: zval spelled out as the 16-term bit-select sum
+    // (bit i of pk_lo -> position 2i+1, of sk_lo -> 2i — column 0 most
+    // significant within each level, InterleaveBits' documented
+    // layout); cell = zval div 1024 == shiftright(zval, 10) on the
+    // non-negative curve key
+    "ds_zorder" ->
+      s"""WITH b AS (SELECT CAST(l_partkey % 256 AS BIGINT) AS pk_lo,
+        |    CAST(l_suppkey % 256 AS BIGINT) AS sk_lo FROM lineitem),
+        |z AS (SELECT pk_lo, sk_lo, CAST(${(0 until 8).map(i =>
+             s"((pk_lo >> $i) & 1) * ${1L << (2 * i + 1)} + " +
+               s"((sk_lo >> $i) & 1) * ${1L << (2 * i)}").mkString(" + ")}
+        |  AS BIGINT) AS zval FROM b)
+        |SELECT zval // 1024 AS cell, CAST(count(*) AS BIGINT) AS n,
+        |  min(pk_lo) AS pk_min, max(pk_lo) AS pk_max,
+        |  min(sk_lo) AS sk_min, max(sk_lo) AS sk_max,
+        |  CAST(sum(zval) AS BIGINT) AS z_sum
+        |FROM z GROUP BY 1""".stripMargin,
     "ds_split_assign" ->
       """SELECT doc_id, CASE WHEN d < 0.75 THEN 'train' WHEN d < 0.875 THEN 'valid'
         |    ELSE 'test' END AS split,

@@ -1,0 +1,75 @@
+package graft.tools
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.InterleaveBits
+
+/** Z-order (Morton-curve) file layout — the multi-dimensional
+  * data-skipping primitive: sort rows by the bit-interleave of k
+  * bucketed clustering columns before writing, and every parquet
+  * file / row group ends up with a TIGHT min/max envelope in EVERY
+  * clustering column simultaneously (a linear sort gives that for the
+  * leading column only). A box predicate on any subset of the
+  * clustering columns then prunes most files from the footer stats
+  * alone — at 100 TB this is the difference between scanning the
+  * shard that can match and scanning the table (the OPTIMIZE
+  * ZORDER BY discipline of lakehouse formats; Morton 1966).
+  *
+  * Scale shape: ONE range-exchange on the z-value (repartitionByRange
+  * samples the curve, so files are balanced even when the value
+  * distribution is skewed) + an in-partition sort — no global sort,
+  * no driver participation; numFiles is the layout knob
+  * (tableBytes / targetFileBytes, same sizing rule as
+  * [[BucketedLayout]]).
+  *
+  * ZOrderLayoutSpec carries the receipt: on a 2-D uniform corpus a
+  * non-leading-column box scan touches a fraction of the z-layout's
+  * files but ~all of the linear layout's, both via footer min/max
+  * intersection (deterministic) and executed recordsRead.
+  */
+object ZOrderLayout {
+
+  /** Morton key of `cols` at `bits` bits each (k·bits ≤ 63). Values
+    * must already sit in [0, 2^bits) — see [[rangeBucket]]; the native
+    * expression raises loudly on out-of-domain values rather than
+    * folding distant keys together. */
+  def zvalue(cols: Seq[Column], bits: Int): Column =
+    InterleaveBits.interleaveBits(cols, bits)
+
+  /** Linear bucketing of a numeric column into [0, 2^bits) for curve
+    * input: values OUTSIDE [min, max] raise in-plan (a silent clamp
+    * would pile out-of-range rows onto the curve's edge cells and
+    * quietly break the per-cell envelope the layout promises). min/max
+    * come from the caller's domain knowledge or a prior stats pass —
+    * at scale they are table constants, not a per-write aggregate. */
+  def rangeBucket(c: Column, min: Double, max: Double, bits: Int): Column = {
+    require(max > min, s"rangeBucket: max $max must exceed min $min")
+    require(bits >= 1 && bits <= 31, s"rangeBucket: bits $bits outside [1, 31]")
+    val cells = (1L << bits).toDouble
+    val raw = floor((c.cast("double") - lit(min)) / lit(max - min) * lit(cells))
+    val bucket = least(raw, lit(cells - 1)) // value == max lands in the top cell
+    when(c.isNull, lit(null).cast("long"))
+      .when(c < min || c > max,
+        raise_error(concat(
+          lit(s"rangeBucket: value outside [$min, $max]: "), c.cast("string"))))
+      .otherwise(bucket.cast("long"))
+  }
+
+  /** Write `df` z-ordered by `zCols` (already bucketed to [0, 2^bits))
+    * into `path` as `numFiles` parquet files: one range exchange on
+    * the Morton key, in-partition sort, key dropped before write (the
+    * skipping payoff lives in the ORIGINAL columns' per-file stats —
+    * persisting the derived key is the caller's choice via keepZ). */
+  def write(df: DataFrame, path: String, zCols: Seq[Column], bits: Int,
+            numFiles: Int, keepZ: Boolean = false): Unit = {
+    require(numFiles >= 1, s"ZOrderLayout.write: numFiles $numFiles < 1")
+    val zc = "_graft_z"
+    val keyed = df.withColumn(zc, zvalue(zCols, bits))
+    val laid =
+      if (numFiles == 1) keyed.coalesce(1).sortWithinPartitions(zc)
+      else keyed.repartitionByRange(numFiles, col(zc)).sortWithinPartitions(zc)
+    (if (keepZ) laid else laid.drop(zc))
+      .write.mode("overwrite").parquet(path)
+  }
+}
