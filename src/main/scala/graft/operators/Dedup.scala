@@ -525,6 +525,17 @@ object Dedup {
         array_min(transform(col("hs"), h => Hashing.affine(h, j))).as(s"mh$j")): _*)
   }
 
+  /** (doc_id, band, bucket) banded LSH keys from an `mh*` signature
+    * frame — the shared front half of [[minHashLsh]], the streaming
+    * state stage, and [[graft.tools.SignatureStore]]'s written index
+    * (one tokenizer, one permutation family, one banding: a probe
+    * against a written store collides exactly where an in-session
+    * LSH would). ONE posexplode — see [[bucketArray]]'s no-union
+    * note. */
+  def bandedBuckets(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
+    sigs.select(col("doc_id"),
+      posexplode(bucketArray(bands, rowsPerBand)).as(Seq("band", "bucket")))
+
   /** One bucket string per band from the `mh*` signature columns.
     * Used via ONE posexplode — NOT a bands-way union: Spark does not
     * dedupe common subplans, so a union would re-execute the whole

@@ -59,6 +59,41 @@ object ExtensionCatalog {
     Dedup.minHashLsh(Tables.documents(s, d), "text", "doc_id",
       bands = 4, rowsPerBand = 8)
 
+  /** Frozen-corpus near-dup probe ([[graft.tools.SignatureStore]]):
+    * the even-id half of the corpus is the "already-training" side
+    * whose banded LSH bucket table is the written index; the odd-id
+    * half is the incoming crawl, probed for any band collision —
+    * the production dedup-new-data-against-existing-corpus gate
+    * (SigPersistSpec pins the written round trip and the streaming
+    * twin; here the index side is computed in-session unless a
+    * published store for this dir exists, the ann_external
+    * discipline). Same tokenizer / permutations / banding as
+    * dd_minhash_lsh, so the oracle is that twin restricted to
+    * (odd query, even corpus) collisions. */
+  val ddLshProbe: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val queries = docs.filter(col("doc_id") % 2 === 1)
+    writtenSig(d) match {
+      case Some(p) => graft.tools.SignatureStore.probe(s, p, queries)
+      case None =>
+        val corpus = docs.filter(col("doc_id") % 2 === 0)
+        val cb = Dedup.bandedBuckets(
+            Dedup.minHashSignatures(corpus, "text", "doc_id", 32), 4, 8)
+          .select(col("band"), col("bucket"), col("doc_id").as("corpus_id"))
+        Dedup.bandedBuckets(
+            Dedup.minHashSignatures(queries, "text", "doc_id", 32), 4, 8)
+          .join(cb, Seq("band", "bucket"))
+          .select(col("doc_id").as("query_id"), col("corpus_id"))
+          .distinct()
+    }
+  }
+
+  private def writtenSig(d: String): Option[String] = {
+    val p = graft.tools.SignatureStore.path(d,
+      graft.tools.SignatureStore.dataFingerprint(d, "documents"))
+    if (graft.tools.SignatureStore.ready(p)) Some(p) else None
+  }
+
   /** SimHash 32-bit signatures per document. */
   val ddSimhash: Q = (s, d) =>
     Dedup.simHash(Tables.documents(s, d), "text", "doc_id")

@@ -1377,6 +1377,14 @@ object Oracles {
          |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
          |  AND a.doc_id < b.doc_id""".stripMargin,
+    // frozen-corpus probe twin: the same banded collisions restricted
+    // to (odd-id query, even-id corpus) — signatures are per-doc, so
+    // splitting after banding equals splitting the corpus first
+    "dd_lsh_probe" ->
+      s"""WITH ${sigCte(32)}, ${bandsCte(4, 8)}
+         |SELECT DISTINCT q.doc_id AS query_id, c.doc_id AS corpus_id
+         |FROM bands q JOIN bands c ON q.band = c.band AND q.bucket = c.bucket
+         |WHERE q.doc_id % 2 = 1 AND c.doc_id % 2 = 0""".stripMargin,
     "dd_simhash" ->
       s"""WITH $tokCte,
          |perbit AS (SELECT doc_id, bit,

@@ -1,0 +1,140 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.operators.Dedup
+import graft.streaming.SparkSpec
+
+/** Written LSH signature index round trip ([[SignatureStore]]): a
+  * probe against the PUBLISHED store must collide exactly where the
+  * in-session banded join does; a query stream served through
+  * probeStream must equal the batch probe at any micro-batch slicing;
+  * the hot-bucket cap retains the deterministic id-smallest members
+  * with dup-FLAG recall intact and the dropped count reported.
+  */
+class SigPersistSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def newStoreDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_sig_$tag").toString + "/sig"
+
+  test("probe against the written store == in-session banded join (sf0.001 split)") {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val corpus = docs.filter(col("doc_id") % 2 === 0)
+    val queries = docs.filter(col("doc_id") % 2 === 1)
+
+    val p = newStoreDir("rt")
+    SignatureStore.write(spark, corpus, p)
+    assert(SignatureStore.ready(p))
+    assert(SignatureStore.meta(spark, p) == ((4, 8, 2048)))
+
+    val got = SignatureStore.probe(spark, p, queries)
+      .as[(Long, Long)].collect().toSet
+    val want = Dedup.bandedBuckets(
+        Dedup.minHashSignatures(queries, "text", "doc_id", 32), 4, 8)
+      .join(Dedup.bandedBuckets(
+          Dedup.minHashSignatures(corpus, "text", "doc_id", 32), 4, 8)
+        .select(col("band"), col("bucket"), col("doc_id").as("corpus_id")),
+        Seq("band", "bucket"))
+      .select(col("doc_id"), col("corpus_id"))
+      .distinct().as[(Long, Long)].collect().toSet
+    assert(got == want, s"store probe ${got.size} pairs, in-session ${want.size}")
+
+    // flags: every query row present, is_dup consistent with pairs,
+    // dup_of the id-smallest match
+    val flags = SignatureStore.probeFlags(spark, p, queries)
+      .as[(Long, Option[Long], Long, Boolean)].collect()
+    assert(flags.length == queries.count())
+    val byQuery = want.groupBy(_._1)
+    flags.foreach { case (q, dupOf, n, isDup) =>
+      byQuery.get(q) match {
+        case Some(ms) =>
+          assert(isDup && n == ms.size && dupOf.contains(ms.map(_._2).min),
+            s"query $q flags ($dupOf, $n, $isDup) vs matches $ms")
+        case None => assert(!isDup && n == 0 && dupOf.isEmpty, s"query $q not clean")
+      }
+    }
+  }
+
+  test("probeStream == batch probe across uneven micro-batches") {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val p = newStoreDir("stream")
+    SignatureStore.write(spark, docs.filter(col("doc_id") % 2 === 0), p)
+
+    val queries = docs.filter(col("doc_id") % 2 === 1)
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    assert(queries.size > 20, "fixture too small for a slicing test")
+    val want = SignatureStore.probe(spark, p,
+      queries.toDF("doc_id", "text")).as[(Long, Long)].collect().toSet
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val q = SignatureStore.probeStream(spark, p,
+        in.toDF().toDF("doc_id", "text")) { res =>
+      got ++= res.as[(Long, Long)].collect()
+    }
+    try {
+      in.addData(queries.take(5))
+      q.processAllAvailable()
+      in.addData(queries.slice(5, 21))
+      q.processAllAvailable()
+      in.addData(queries.drop(21))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(got.size == got.toSet.size, "per-batch probes must not duplicate pairs")
+    assert(got.toSet == want, s"stream ${got.size} pairs, batch ${want.size}")
+  }
+
+  test("hot-bucket cap: id-smallest retained, dup-flag recall exact, dropped counted") {
+    // 5 identical template docs (one saturated bucket per band) + one
+    // distinct doc; cap 2 keeps ids 10,11 per bucket
+    val corpus = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (11L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (12L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (13L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (14L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (20L, "totally different words nothing shared here at all"))
+      .toDF("doc_id", "text")
+    val p = newStoreDir("cap")
+    SignatureStore.write(spark, corpus, p, maxBucket = 2)
+
+    // 4 bands × (5 - 2) template members dropped
+    assert(SignatureStore.droppedMembers(spark, p) == 12L)
+    val retained = SignatureStore.buckets(spark, p)
+      .filter(col("n") === 5).select("corpus_id")
+      .distinct().as[Long].collect().toSet
+    assert(retained == Set(10L, 11L), s"cap must keep id-smallest, got $retained")
+
+    // a probing template twin still flags as dup (recall exact), with
+    // pairs truncated to the retained members
+    val probe = SignatureStore.probe(spark, p,
+      Seq((99L, "alpha beta gamma delta epsilon zeta eta theta"))
+        .toDF("doc_id", "text")).as[(Long, Long)].collect().toSet
+    assert(probe == Set((99L, 10L), (99L, 11L)))
+    val flags = SignatureStore.probeFlags(spark, p,
+      Seq((99L, "alpha beta gamma delta epsilon zeta eta theta"),
+        (100L, "unrelated fresh clean content entirely new"))
+        .toDF("doc_id", "text"))
+      .as[(Long, Option[Long], Long, Boolean)].collect().toMap2
+    assert(flags(99L) == ((Some(10L), 2L, true)))
+    assert(flags(100L) == ((None, 0L, false)))
+  }
+
+  test("probe without a published store fails loudly") {
+    val ex = intercept[IllegalArgumentException] {
+      SignatureStore.probe(spark, newStoreDir("missing"),
+        Seq((1L, "x")).toDF("doc_id", "text"))
+    }
+    assert(ex.getMessage.contains("no ready signature index"))
+  }
+
+  private implicit class RowsOps(rows: Array[(Long, Option[Long], Long, Boolean)]) {
+    def toMap2: Map[Long, (Option[Long], Long, Boolean)] =
+      rows.map { case (q, d, n, f) => (q, (d, n, f)) }.toMap
+  }
+}
