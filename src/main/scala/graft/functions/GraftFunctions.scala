@@ -109,6 +109,9 @@ object GraftFunctions {
       arity("interleave_bits", 3, Int.MaxValue)(args =>
         InterleaveBits(args.tail, intArg(args.head, "interleave_bits", 1))),
       "interleave_bits(bits int, c0, c1, ...) - Morton/Z-order interleave of k integral columns at bits bits each (k*bits <= 63)"),
+    ("str_min_max",
+      arity("str_min_max", 1, 1)(args => StrMinMax(args(0))),
+      "str_min_max(s string) - struct(min_s, max_s) via a hash-friendly two-string buffer (aggregate)"),
     ("hyperplane_project",
       arity("hyperplane_project", 2, 4)(args => HyperplaneProject(args(0),
         intArg(args(1), "hyperplane_project", 2),

@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Keyed snapshot diff — the dataset-versioning primitive: which keys
+  * were added, removed, changed, or untouched between two corpus
+  * snapshots (nightly crawl vs current training set, table version N
+  * vs N+1). The CDC shape every incremental curation pipeline starts
+  * from: downstream stages re-process ONLY `added ∪ changed` instead
+  * of the corpus.
+  *
+  * Scale shape: each side collapses to (key, 32-char content
+  * fingerprint) BEFORE the join, so the full-outer join shuffles two
+  * narrow frames on the key and never moves content (the
+  * [[Dedup.exact]] never-shuffle-raw-text discipline). Content
+  * equality is md5 over the declared columns joined with a 
+  * separator — the separator keeps ("ab","c") and ("a","bc")
+  * distinct; md5 because both engines of the oracle contract spell
+  * it identically. Batch by contract: snapshot membership is a
+  * snapshot-wide fact (the [[Dedup.editDistancePairs]] posture); the
+  * streaming-adjacent shape is a CDC log source, which replaces this
+  * operator rather than approximating it.
+  */
+object Snapshot {
+
+  /** (key, status ∈ added|removed|changed|unchanged, old_fp, new_fp)
+    * for every key in either snapshot. NULL content columns
+    * fingerprint as the empty-slot form of concat_ws (dropped from
+    * the join of parts) — identical on both engines; a NULL KEY has
+    * no identity to diff and is refused loudly in-plan. */
+  def diff(oldSnap: DataFrame, newSnap: DataFrame,
+           keyCol: String, contentCols: Seq[String]): DataFrame = {
+    require(contentCols.nonEmpty, "Snapshot.diff: no content columns declared")
+    def side(df: DataFrame, fpName: String) = df.select(
+      when(col(keyCol).isNull,
+        raise_error(lit(s"Snapshot.diff: NULL $keyCol has no identity to diff")))
+        .otherwise(col(keyCol)).as("k"),
+      md5(concat_ws("\u0001", contentCols.map(col): _*)).as(fpName))
+    side(oldSnap, "old_fp")
+      .join(side(newSnap, "new_fp")
+        .withColumnRenamed("k", "kn"), col("k") === col("kn"), "full_outer")
+      .select(coalesce(col("k"), col("kn")).as(keyCol),
+        when(col("old_fp").isNull, "added")
+          .when(col("new_fp").isNull, "removed")
+          .when(col("old_fp") =!= col("new_fp"), "changed")
+          .otherwise("unchanged").as("status"),
+        col("old_fp"), col("new_fp"))
+  }
+}

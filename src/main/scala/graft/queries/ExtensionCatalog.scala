@@ -1068,6 +1068,36 @@ object ExtensionCatalog {
         sum(col("zval")).as("z_sum"))
   }
 
+  /** Keyed snapshot diff ([[Snapshot.diff]]) — dataset versioning:
+    * snapshot A drops every 17th document, snapshot B drops every
+    * 19th and revises every 13th's text, and the diff classifies
+    * every key as added/removed/changed/unchanged from the two
+    * (key, md5) frames alone. The planted arithmetic makes every
+    * status class non-empty at every SF; the oracle runs the same
+    * FULL JOIN over the same md5s. */
+  val dsSnapshotDiff: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val oldSnap = docs.filter(col("doc_id") % 17 =!= 3)
+      .select(col("doc_id"), col("text"))
+    val newSnap = docs.filter(col("doc_id") % 19 =!= 5)
+      .select(col("doc_id"),
+        when(col("doc_id") % 13 === 0, concat(col("text"), lit(" [rev2]")))
+          .otherwise(col("text")).as("text"))
+    Snapshot.diff(oldSnap, newSnap, "doc_id", Seq("text"))
+  }
+
+  /** Column profiling ([[Profiling.profile]]) over orders — the
+    * ingest-validation pass: per column one single-column aggregate
+    * (exact distinct, null count, typed min/max), unioned; the date
+    * column is normalized to DATE first so both engines profile the
+    * same domain. */
+  val dsProfile: Q = (s, d) =>
+    Profiling.profile(
+      Tables.orders(s, d)
+        .withColumn("o_orderdate", col("o_orderdate").cast("date")),
+      Seq("o_custkey", "o_totalprice", "o_orderstatus",
+        "o_orderpriority", "o_orderdate"))
+
   /** The end-to-end curation pipeline the extension operators exist to
     * COMPOSE: quality gate → language gate → exact-dedup survivor per
     * content hash → stable train/valid/test assignment. The plan is

@@ -2433,6 +2433,45 @@ object Oracles {
         |  min(sk_lo) AS sk_min, max(sk_lo) AS sk_max,
         |  CAST(sum(zval) AS BIGINT) AS z_sum
         |FROM z GROUP BY 1""".stripMargin,
+    // snapshot-diff twin: same planted snapshots, same md5 content
+    // fingerprints, same FULL JOIN classification
+    "ds_snapshot_diff" ->
+      """WITH o AS (SELECT doc_id, md5(text) AS old_fp FROM documents
+        |    WHERE doc_id % 17 <> 3),
+        |n AS (SELECT doc_id, md5(text ||
+        |      CASE WHEN doc_id % 13 = 0 THEN ' [rev2]' ELSE '' END) AS new_fp
+        |    FROM documents WHERE doc_id % 19 <> 5)
+        |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN o.doc_id IS NULL THEN 'added'
+        |    WHEN n.doc_id IS NULL THEN 'removed'
+        |    WHEN old_fp <> new_fp THEN 'changed'
+        |    ELSE 'unchanged' END AS status,
+        |  old_fp, new_fp
+        |FROM o FULL JOIN n ON o.doc_id = n.doc_id""".stripMargin,
+    // profiling twin: one single-column pass per profiled column,
+    // numeric min/max as rounded doubles, string/date as VARCHAR
+    "ds_profile" -> {
+      def num(c: String) =
+        s"""SELECT '$c' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  round(CAST(min($c) AS DOUBLE), 6) AS min_num,
+           |  round(CAST(max($c) AS DOUBLE), 6) AS max_num,
+           |  CAST(NULL AS VARCHAR) AS min_s, CAST(NULL AS VARCHAR) AS max_s
+           |FROM orders""".stripMargin
+      def str(c: String, e: String) =
+        s"""SELECT '$c' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(sum(CASE WHEN $e IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           |  CAST(count(DISTINCT $e) AS BIGINT) AS n_distinct,
+           |  CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
+           |  CAST(min($e) AS VARCHAR) AS min_s, CAST(max($e) AS VARCHAR) AS max_s
+           |FROM orders""".stripMargin
+      Seq(num("o_custkey"), num("o_totalprice"),
+        str("o_orderstatus", "o_orderstatus"),
+        str("o_orderpriority", "o_orderpriority"),
+        str("o_orderdate", "CAST(o_orderdate AS DATE)"))
+        .mkString("\n UNION ALL \n")
+    },
     "ds_split_assign" ->
       """SELECT doc_id, CASE WHEN d < 0.75 THEN 'train' WHEN d < 0.875 THEN 'valid'
         |    ELSE 'test' END AS split,

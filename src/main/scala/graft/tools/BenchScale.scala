@@ -473,6 +473,72 @@ object BenchScale {
     }
   }
 
+  /** SignatureStore ladder — the frozen-corpus dedup gate at scale:
+    * write the banded index of n unique-token docs (untimed synth,
+    * timed write), then probe a FIXED 10k-query batch (half exact
+    * duplicates of spread corpus targets, half fresh) through
+    * probeFlags. Gates are exact: every planted dup flags with
+    * `dup_of` = its target, every fresh query stays clean (md5-world
+    * determinism — a cross-band false collision would need 8 affine
+    * min-hash equalities on disjoint token sets), zero cap drops on
+    * the unique corpus. Write wall must stay ~linear in n; probe wall
+    * (fixed queries, growing store join) likewise. */
+  private def sigstoreLadder(spark: SparkSession, sizes: Seq[Long],
+                             maxTaskMs: java.util.concurrent.atomic.AtomicLong): Unit = {
+    import org.apache.spark.sql.functions._
+    val nQ = 10000L
+    def enc(e: String) = s"translate(cast(($e) AS string), '0123456789', 'abcdefghij')"
+    def textOf(idExpr: String) =
+      s"""concat_ws(' ', transform(sequence(0, 39), j ->
+         |  concat('u', ${enc(idExpr)}, 'x', ${enc("j")})))""".stripMargin
+    val rungs = sizes.map { n =>
+      require(n >= nQ, s"sigstore rung $n smaller than the query batch $nQ")
+      val dir = s"/tmp/graft_scale/sigstore_$n"
+      spark.range(n).selectExpr("id AS doc_id", s"${textOf("id")} AS text")
+        .write.mode("overwrite").parquet(s"$dir/corpus") // untimed setup
+      val stride = n / (nQ / 2)
+      spark.range(nQ).selectExpr(s"id + $n AS doc_id",
+          s"""CASE WHEN pmod(id, 2) = 0 THEN ${textOf(s"(id div 2) * $stride")}
+             |ELSE ${textOf(s"id + ${2 * n}")} END AS text""".stripMargin)
+        .write.mode("overwrite").parquet(s"$dir/queries")
+      val corpus = spark.read.parquet(s"$dir/corpus")
+      val queries = spark.read.parquet(s"$dir/queries")
+      val p = s"$dir/idx"
+      def time[A](f: => A): (Double, A, Double) = {
+        maxTaskMs.set(0)
+        val t0 = System.nanoTime(); val r = f
+        ((System.nanoTime() - t0) / 1e9, r, maxTaskMs.get() / 1e3)
+      }
+      val (wSec, _, wMt) = time { SignatureStore.write(spark, corpus, p) }
+      require(SignatureStore.droppedMembers(spark, p) == 0L,
+        s"unique corpus must not hit the bucket cap at n=$n")
+      val (pSec, flags, pMt) = time {
+        val f = SignatureStore.probeFlags(spark, p, queries).cache()
+        f.count(); f
+      }
+      val dup = flags.filter(col("is_dup")).count()
+      val clean = flags.filter(!col("is_dup")).count()
+      // dup_of must be EXACTLY the planted target (id-smallest is the
+      // target itself: unique corpus docs collide only with their copy)
+      val wrongTarget = flags.filter(col("is_dup"))
+        .filter(col("dup_of") =!= ((col("query_id") - n) / 2) * stride).count()
+      flags.unpersist()
+      require(dup == nQ / 2, s"planted-dup recall at n=$n: flagged $dup of ${nQ / 2}")
+      require(clean == nQ / 2, s"false positives at n=$n: ${nQ / 2 - clean}")
+      require(wrongTarget == 0L, s"$wrongTarget dup queries matched a non-target at n=$n")
+      println(f"""{"n_docs":$n,"write_sec":$wSec%.2f,"probe_sec":$pSec%.2f,"queries":$nQ,"write_max_task_sec":$wMt%.2f,"probe_max_task_sec":$pMt%.2f}""")
+      (n, wSec, pSec)
+    }
+    if (sizes.size >= 2) {
+      val wExp = fitExponent(rungs.map(r => r._1 -> r._2))
+      val pExp = fitExponent(rungs.map(r => r._1 -> r._3))
+      println(f"""{"metric":"sigstore_scale","write_exponent":$wExp%.3f,"probe_exponent":$pExp%.3f}""")
+      require(wExp <= 1.3, f"store write grows super-linearly: $wExp%.3f > 1.3")
+      require(pExp <= 1.15,
+        f"fixed-batch probe wall grows faster than the store scan: $pExp%.3f > 1.15")
+    }
+  }
+
   /** Multimodal-kernel throughput ladder: synth + full-pixel decode +
     * bilinear resize (PNG) and synth + per-frame decode (animated GIF)
     * over n generated docs — the docs/s of the imageio chain, plus the
@@ -1325,11 +1391,12 @@ object BenchScale {
     val linkpredMode = args.headOption.contains("linkpred")
     val linkpredSkewMode = args.headOption.contains("linkpredskew")
     val backoffMode = args.headOption.contains("backoff")
+    val sigstoreMode = args.headOption.contains("sigstore")
     val sizeArgs =
       if (annMode || mmMode || pqMode || ivfPqMode || semMode || graphMode ||
           tpchMode || bpeMode || shingleMode || triMode || backoffMode ||
           kcoreMode || tsMode || eventsMode || linkpredMode ||
-          linkpredSkewMode || lpaMode)
+          linkpredSkewMode || lpaMode || sigstoreMode)
         args.drop(1) else args
     val sizes =
       if (sizeArgs.nonEmpty) sizeArgs(0).split(",").map(_.trim.toLong).toSeq
@@ -1343,6 +1410,7 @@ object BenchScale {
       else if (tpchMode) Seq(600000L, 6000000L, 24000000L)
       else if (bpeMode) Seq(100000L, 400000L, 1600000L)
       else if (shingleMode) Seq(100000L, 400000L, 1600000L)
+      else if (sigstoreMode) Seq(100000L, 400000L, 1600000L)
       else if (triMode) Seq(1000000L, 4000000L, 16000000L)
       else if (kcoreMode) Seq(1000000L, 4000000L, 16000000L)
       else if (tsMode) Seq(1048576L, 4194304L, 16777216L)
@@ -1397,6 +1465,7 @@ object BenchScale {
     if (tpchMode) { tpchLadder(spark, sizes, maxTaskMs); spark.stop(); return }
     if (bpeMode) { bpeLadder(spark, sizes, maxTaskMs); spark.stop(); return }
     if (shingleMode) { shingleLadder(spark, sizes, maxTaskMs); spark.stop(); return }
+    if (sigstoreMode) { sigstoreLadder(spark, sizes, maxTaskMs); spark.stop(); return }
     if (triMode) { triLadder(spark, sizes, maxTaskMs); spark.stop(); return }
     if (kcoreMode) { kcoreLadder(spark, sizes, maxTaskMs); spark.stop(); return }
     if (tsMode) { tsLadder(spark, sizes, maxTaskMs); spark.stop(); return }
