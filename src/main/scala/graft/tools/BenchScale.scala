@@ -552,6 +552,73 @@ object BenchScale {
     }
   }
 
+  /** Z-order layout ladder — executed data-skipping at scale: n rows
+    * with two independent uniform 12-bit coordinates, written once
+    * sorted by x (the single-column layout) and once z-ordered on
+    * (x, y) via [[ZOrderLayout.write]], 64 files each. A 1/32 band
+    * scan on the NON-LEADING column y is then executed against both
+    * layouts with the predicate pushed to parquet, and the receipt is
+    * the recordsRead ratio: the linear layout materializes ~the whole
+    * table (every file spans all of y), the z layout only the curve
+    * cells intersecting the band. Both scans must return the same
+    * count; the z scan must read < 25 % of the linear scan's records
+    * and its wall must not exceed the linear scan's. */
+  private def zorderLadder(spark: SparkSession, sizes: Seq[Long],
+                           maxTaskMs: java.util.concurrent.atomic.AtomicLong): Unit = {
+    import org.apache.spark.sql.functions._
+    val recordsRead = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null)
+          recordsRead.addAndGet(te.taskMetrics.inputMetrics.recordsRead): Unit
+    })
+    def measured(f: => Long): (Double, Long, Long) = {
+      // drain stragglers from the PREVIOUS action, then count fresh
+      Thread.sleep(300)
+      recordsRead.set(0)
+      val t0 = System.nanoTime(); val r = f
+      val sec = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(300)
+      (sec, r, recordsRead.get())
+    }
+    val rungs = sizes.map { n =>
+      val dir = s"/tmp/graft_scale/zorder_$n"
+      val corpus = spark.range(n).select(col("id"),
+        pmod(xxhash64(concat(lit("zx_"), col("id"))), lit(4096)).as("x"),
+        pmod(xxhash64(concat(lit("zy_"), col("id"))), lit(4096)).as("y"))
+      corpus.repartitionByRange(64, col("x")).sortWithinPartitions("x")
+        .write.mode("overwrite").parquet(s"$dir/linear") // untimed
+      val t0 = System.nanoTime()
+      ZOrderLayout.write(corpus, s"$dir/z",
+        Seq(col("x"), col("y")), bits = 12, numFiles = 64)
+      val wSec = (System.nanoTime() - t0) / 1e9
+      // band = one full 512-wide y-slab (1/8 of the domain): the 64
+      // z-range files tile 512x512 curve cells, so ~8 files intersect
+      // exactly — plus up to ~8 straddlers, because range-sampled
+      // file boundaries fall at arbitrary z values, not slab edges
+      // (a file can span two y-slabs). Worst case ~16/64 = 0.25 of
+      // the files; the gate sits just above it, against the linear
+      // layout's 1.0.
+      val band = (c: org.apache.spark.sql.DataFrame) =>
+        c.filter(col("y") >= 1024 && col("y") < 1536).count()
+      val (lSec, lCount, lRead) = measured(band(spark.read.parquet(s"$dir/linear")))
+      val (zSec, zCount, zRead) = measured(band(spark.read.parquet(s"$dir/z")))
+      require(zCount == lCount, s"layouts disagree at n=$n: z=$zCount linear=$lCount")
+      require(lRead > 0 && zRead > 0, s"listener saw no reads at n=$n")
+      val ratio = zRead.toDouble / lRead
+      println(f"""{"n_rows":$n,"zwrite_sec":$wSec%.2f,"linear_scan_sec":$lSec%.2f,"z_scan_sec":$zSec%.2f,"records_linear":$lRead,"records_z":$zRead,"read_ratio":$ratio%.4f}""")
+      require(ratio < 0.30,
+        f"z layout read $ratio%.3f of the linear scan at n=$n (want < 0.30)")
+      (n, wSec)
+    }
+    if (sizes.size >= 2) {
+      val exponent = fitExponent(rungs)
+      println(f"""{"metric":"zorder_scale","write_exponent":$exponent%.3f}""")
+      require(exponent <= 1.3,
+        f"z-order write grows super-linearly: exponent $exponent%.3f > 1.3")
+    }
+  }
+
   /** Multimodal-kernel throughput ladder: synth + full-pixel decode +
     * bilinear resize (PNG) and synth + per-frame decode (animated GIF)
     * over n generated docs — the docs/s of the imageio chain, plus the
@@ -1405,11 +1472,12 @@ object BenchScale {
     val linkpredSkewMode = args.headOption.contains("linkpredskew")
     val backoffMode = args.headOption.contains("backoff")
     val sigstoreMode = args.headOption.contains("sigstore")
+    val zorderMode = args.headOption.contains("zorder")
     val sizeArgs =
       if (annMode || mmMode || pqMode || ivfPqMode || semMode || graphMode ||
           tpchMode || bpeMode || shingleMode || triMode || backoffMode ||
           kcoreMode || tsMode || eventsMode || linkpredMode ||
-          linkpredSkewMode || lpaMode || sigstoreMode)
+          linkpredSkewMode || lpaMode || sigstoreMode || zorderMode)
         args.drop(1) else args
     val sizes =
       if (sizeArgs.nonEmpty) sizeArgs(0).split(",").map(_.trim.toLong).toSeq
@@ -1424,6 +1492,7 @@ object BenchScale {
       else if (bpeMode) Seq(100000L, 400000L, 1600000L)
       else if (shingleMode) Seq(100000L, 400000L, 1600000L)
       else if (sigstoreMode) Seq(100000L, 400000L, 1600000L)
+      else if (zorderMode) Seq(1000000L, 4000000L, 16000000L)
       else if (triMode) Seq(1000000L, 4000000L, 16000000L)
       else if (kcoreMode) Seq(1000000L, 4000000L, 16000000L)
       else if (tsMode) Seq(1048576L, 4194304L, 16777216L)
@@ -1479,6 +1548,7 @@ object BenchScale {
     if (bpeMode) { bpeLadder(spark, sizes, maxTaskMs); spark.stop(); return }
     if (shingleMode) { shingleLadder(spark, sizes, maxTaskMs); spark.stop(); return }
     if (sigstoreMode) { sigstoreLadder(spark, sizes, maxTaskMs); spark.stop(); return }
+    if (zorderMode) { zorderLadder(spark, sizes, maxTaskMs); spark.stop(); return }
     if (triMode) { triLadder(spark, sizes, maxTaskMs); spark.stop(); return }
     if (kcoreMode) { kcoreLadder(spark, sizes, maxTaskMs); spark.stop(); return }
     if (tsMode) { tsLadder(spark, sizes, maxTaskMs); spark.stop(); return }
