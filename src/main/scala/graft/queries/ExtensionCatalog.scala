@@ -1098,6 +1098,47 @@ object ExtensionCatalog {
       Seq("o_custkey", "o_totalprice", "o_orderstatus",
         "o_orderpriority", "o_orderdate"))
 
+  /** Incremental curation — the composition the round's pieces exist
+    * for: [[Snapshot.diff]] names the fresh work (added ∪ changed
+    * keys between the planted snapshots, REVISED text), and ONLY
+    * those documents are near-dup-gated against the standing even-id
+    * training corpus via the shared LSH banding (the
+    * [[graft.tools.SignatureStore]] kernel, in-session here like
+    * dd_lsh_probe). Downstream re-processes |Δ| documents instead of
+    * the corpus — the 100 TB point of the whole CDC + frozen-index
+    * pair: yesterday's corpus never rescans, only the delta pays
+    * tokenize+band+probe. Output: one row per fresh doc with its
+    * status and dup verdict. */
+  val pipeIncremental: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val oldSnap = docs.filter(col("doc_id") % 17 =!= 3)
+      .select(col("doc_id"), col("text"))
+    val newSnap = docs.filter(col("doc_id") % 19 =!= 5)
+      .select(col("doc_id"),
+        when(col("doc_id") % 13 === 0, concat(col("text"), lit(" [rev2]")))
+          .otherwise(col("text")).as("text"))
+    val fresh = Snapshot.diff(oldSnap, newSnap, "doc_id", Seq("text"))
+      .filter(col("status").isin("added", "changed"))
+      .select(col("doc_id"), col("status"))
+      .join(newSnap, "doc_id")
+    val cb = Dedup.bandedBuckets(
+        Dedup.minHashSignatures(docs.filter(col("doc_id") % 2 === 0),
+          "text", "doc_id", 32), 4, 8)
+      .select(col("band"), col("bucket"), col("doc_id").as("corpus_id"))
+    val matches = Dedup.bandedBuckets(
+        Dedup.minHashSignatures(fresh.select(col("doc_id"), col("text")),
+          "text", "doc_id", 32), 4, 8)
+      .join(cb, Seq("band", "bucket"))
+      .groupBy(col("doc_id"))
+      .agg(min(col("corpus_id")).as("dup_of"),
+        countDistinct(col("corpus_id")).as("n_matches"))
+    fresh.select(col("doc_id"), col("status"))
+      .join(matches, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("status"),
+        col("dup_of").isNotNull.as("is_dup"), col("dup_of"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"))
+  }
+
   /** The end-to-end curation pipeline the extension operators exist to
     * COMPOSE: quality gate → language gate → exact-dedup survivor per
     * content hash → stable train/valid/test assignment. The plan is

@@ -38,6 +38,29 @@ object Oracles {
   private def mh(j: Int): String =
     s"min((${2 * j + 1} * h + ${12345 * (j + 1)}) % 2147483647) AS mh$j"
 
+  /** [[sigCte]]/[[bandsCte]] generalized to an arbitrary (doc_id,
+    * text) source subquery with a name prefix, so one statement can
+    * band TWO different frames (pipe_incremental: the revised fresh
+    * docs vs the standing corpus). Emits `<p>_sig` and `<p>_bands`. */
+  private def sigBandsCteFor(p: String, srcSql: String,
+                             bands: Int, rowsPerBand: Int): String = {
+    val k = bands * rowsPerBand
+    val selects = (0 until bands).map { b =>
+      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(j => s"mh$j")
+      s"SELECT doc_id, $b AS band, concat_ws('_', ${cols.mkString(", ")}) AS bucket FROM ${p}_sig"
+    }
+    s"""${p}_raw AS (
+       |  SELECT doc_id, unnest(string_split(trim(regexp_replace(regexp_replace(lower(text),
+       |    '[^a-z \\n]+', '', 'g'), '\\s+', ' ', 'g')), ' ')) AS tok FROM ($srcSql)),
+       |${p}_toks AS (
+       |  SELECT DISTINCT doc_id,
+       |    ('0x' || substr(md5(tok),1,15))::BIGINT % 2147483647 AS h
+       |  FROM ${p}_raw WHERE length(tok) > 0),
+       |${p}_sig AS (SELECT doc_id, ${(0 until k).map(mh).mkString(", ")}
+       |  FROM ${p}_toks GROUP BY doc_id),
+       |${p}_bands AS (${selects.mkString(" UNION ALL ")})""".stripMargin
+  }
+
   // ---- Rademacher sign-LSH twins (dd_embed_cosine / ann_bucketed) ----
   // The hyperplane constants come from Similarity.hyperplaneSign — ONE
   // source of truth — inlined as literal signed sums with the same left
@@ -2433,6 +2456,36 @@ object Oracles {
         |  min(sk_lo) AS sk_min, max(sk_lo) AS sk_max,
         |  CAST(sum(zval) AS BIGINT) AS z_sum
         |FROM z GROUP BY 1""".stripMargin,
+    // incremental-curation twin: the snapshot-diff CTEs name the
+    // fresh work (added/changed keys of the planted new snapshot,
+    // REVISED text), then two independently-banded sides — fresh
+    // docs vs the standing even-id corpus — join on band collisions
+    "pipe_incremental" ->
+      s"""WITH o AS (SELECT doc_id, md5(text) AS old_fp FROM documents
+        |    WHERE doc_id % 17 <> 3),
+        |nv AS (SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 13 = 0 THEN ' [rev2]' ELSE '' END AS text
+        |  FROM documents WHERE doc_id % 19 <> 5),
+        |nf AS (SELECT doc_id, md5(text) AS new_fp FROM nv),
+        |st AS (SELECT coalesce(o.doc_id, nf.doc_id) AS doc_id,
+        |    CASE WHEN o.doc_id IS NULL THEN 'added'
+        |      WHEN nf.doc_id IS NULL THEN 'removed'
+        |      WHEN old_fp <> new_fp THEN 'changed'
+        |      ELSE 'unchanged' END AS status
+        |  FROM o FULL JOIN nf ON o.doc_id = nf.doc_id),
+        |fresh AS (SELECT nv.doc_id, nv.text, st.status FROM nv
+        |  JOIN st ON nv.doc_id = st.doc_id
+        |  WHERE st.status IN ('added', 'changed')),
+        |${sigBandsCteFor("q", "SELECT doc_id, text FROM fresh", 4, 8)},
+        |${sigBandsCteFor("c",
+             "SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0", 4, 8)},
+        |m AS (SELECT q.doc_id AS doc_id, min(c.doc_id) AS dup_of,
+        |    CAST(count(DISTINCT c.doc_id) AS BIGINT) AS n_matches
+        |  FROM q_bands q JOIN c_bands c
+        |    ON q.band = c.band AND q.bucket = c.bucket GROUP BY 1)
+        |SELECT f.doc_id, f.status, (m.doc_id IS NOT NULL) AS is_dup,
+        |  m.dup_of, CAST(coalesce(m.n_matches, 0) AS BIGINT) AS n_matches
+        |FROM fresh f LEFT JOIN m ON f.doc_id = m.doc_id""".stripMargin,
     // snapshot-diff twin: same planted snapshots, same md5 content
     // fingerprints, same FULL JOIN classification
     "ds_snapshot_diff" ->
