@@ -125,6 +125,32 @@ class SigPersistSpec extends SparkSpec {
     assert(flags(100L) == ((None, 0L, false)))
   }
 
+  test("ddLshProbe takes the written-store branch when one is published") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sig_catalog")
+    sys.props("graft.index.dir") = tmp.resolve("root").toString
+    try {
+      // corpus copy under a fresh dir → fresh fingerprint, no
+      // pre-existing store (the IndexPersistSpec discipline)
+      val dataDir = tmp.resolve("data").toString
+      spark.read.parquet(s"$sfDir/documents.parquet").coalesce(1)
+        .write.parquet(s"$dataDir/documents.parquet")
+      val inSession = graft.queries.ExtensionCatalog.ddLshProbe(spark, dataDir)
+        .as[(Long, Long)].collect().toSet
+      val p = SignatureStore.path(dataDir,
+        SignatureStore.dataFingerprint(dataDir, "documents"))
+      assert(!SignatureStore.ready(p))
+      SignatureStore.write(spark,
+        graft.Tables.documents(spark, dataDir).filter(col("doc_id") % 2 === 0), p)
+      assert(SignatureStore.ready(p))
+      val viaStore = graft.queries.ExtensionCatalog.ddLshProbe(spark, dataDir)
+        .as[(Long, Long)].collect().toSet
+      assert(viaStore == inSession,
+        s"written-store branch diverged: ${viaStore.size} vs ${inSession.size} pairs")
+    } finally {
+      sys.props.remove("graft.index.dir"): Unit
+    }
+  }
+
   test("probe without a published store fails loudly") {
     val ex = intercept[IllegalArgumentException] {
       SignatureStore.probe(spark, newStoreDir("missing"),
