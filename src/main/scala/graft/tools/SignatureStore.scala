@@ -86,6 +86,53 @@ object SignatureStore {
         "pair lists against those buckets are truncated to retained members")
   }
 
+  /** Fold a DELTA corpus into a published index without touching the
+    * base corpus — the index-maintenance half of the incremental
+    * story (pipe_incremental names the fresh docs; this publishes
+    * their signatures): only the delta tokenizes and bands, the
+    * base contributes its already-written bucket rows. EXACTLY
+    * equal to a full rebuild over base ∪ delta (SigPersistSpec pins
+    * table-level equality): the cap keeps the id-SMALLEST members,
+    * and every member of cap-smallest(A ∪ B) ∩ A is necessarily in
+    * cap-smallest(A) — so re-capping (kept_A ∪ B) loses nothing a
+    * rebuild would keep, and the true size adds (n_A + |B ∩ bucket|).
+    * Banding parameters come from the BASE's meta — a delta can
+    * never silently band differently from its index. Writes a NEW
+    * versioned path (publish-last, same atomicity contract); the
+    * base stays readable throughout. Delta doc ids must be DISJOINT
+    * from the base corpus's (the CDC contract: a changed doc is a
+    * new version, keyed upstream — re-ingesting an existing id
+    * would double-count it in `n` and duplicate its bucket row). */
+  def merge(spark: SparkSession, basePath: String, deltaDocs: DataFrame,
+            outPath: String, textCol: String = "text",
+            idCol: String = "doc_id"): Unit = {
+    require(ready(basePath), s"SignatureStore.merge: no ready base index at $basePath")
+    require(new java.io.File(outPath).getCanonicalPath !=
+      new java.io.File(basePath).getCanonicalPath,
+      "SignatureStore.merge: outPath must be a new version, not the base (publish-last)")
+    val (bands, rowsPerBand, maxBucket) = meta(spark, basePath)
+    val base = buckets(spark, basePath)
+      .select(col("band"), col("bucket"), col("corpus_id").as("m"),
+        col("n").as("base_n"), lit(0L).as("is_delta"))
+    val delta = Dedup.bandedBuckets(
+        Dedup.minHashSignatures(deltaDocs, textCol, idCol, bands * rowsPerBand),
+        bands, rowsPerBand)
+      .select(col("band"), col("bucket"), col("doc_id").as("m"),
+        lit(0L).as("base_n"), lit(1L).as("is_delta"))
+    base.unionAll(delta)
+      .groupBy(col("band"), col("bucket"))
+      .agg(KMinByHash.kMinByHash(col("m"), lit(0.0), maxBucket).as("keep"),
+        (max(col("base_n")) + sum(col("is_delta"))).as("n"))
+      .select(col("band"), col("bucket"), col("n"),
+        explode(col("keep.h")).as("corpus_id"))
+      .write.mode("overwrite").parquet(s"$outPath/sig_buckets.parquet")
+    import spark.implicits._
+    Seq((bands, rowsPerBand, maxBucket))
+      .toDF("bands", "rows_per_band", "max_bucket")
+      .coalesce(1).write.mode("overwrite").parquet(s"$outPath/sig_meta.parquet")
+    ArtifactStore.publish(outPath, ReadyMarker)
+  }
+
   /** (bands, rowsPerBand, maxBucket) as written. */
   def meta(spark: SparkSession, p: String): (Int, Int, Int) = {
     import org.apache.spark.sql.types._

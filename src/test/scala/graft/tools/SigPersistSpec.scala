@@ -151,6 +151,49 @@ class SigPersistSpec extends SparkSpec {
     }
   }
 
+  test("merge(base, delta) == full rebuild, including across a capped bucket") {
+    // base: 5-copy template (over cap 2) + a distinct doc; delta: one
+    // more template copy (id ABOVE the kept pair — must not displace),
+    // one template copy with a SMALLER id (must displace a kept
+    // member under the id-smallest rule), one fresh doc
+    val tpl = "alpha beta gamma delta epsilon zeta eta theta"
+    val baseDocs = Seq(
+      (10L, tpl), (11L, tpl), (12L, tpl), (13L, tpl), (14L, tpl),
+      (20L, "totally different words nothing shared here at all"))
+      .toDF("doc_id", "text")
+    val deltaDocs = Seq(
+      (99L, tpl), (5L, tpl),
+      (30L, "brand new crawl content with its own tokens"))
+      .toDF("doc_id", "text")
+
+    val pBase = newStoreDir("mrg_base")
+    val pMerged = newStoreDir("mrg_out")
+    val pFull = newStoreDir("mrg_full")
+    SignatureStore.write(spark, baseDocs, pBase, maxBucket = 2)
+    SignatureStore.merge(spark, pBase, deltaDocs, pMerged)
+    SignatureStore.write(spark, baseDocs.unionAll(deltaDocs), pFull, maxBucket = 2)
+
+    assert(SignatureStore.meta(spark, pMerged) == SignatureStore.meta(spark, pFull))
+    def rows(p: String) = SignatureStore.buckets(spark, p)
+      .as[(Int, String, Long, Long)].collect().toSet
+    assert(rows(pMerged) == rows(pFull),
+      s"merged table diverged from rebuild:\n merged=${rows(pMerged)}\n full=${rows(pFull)}")
+    // the displaced cap slot: template bucket keeps {5, 10} now
+    val kept = SignatureStore.buckets(spark, pMerged)
+      .filter(col("n") === 7).select("corpus_id").distinct()
+      .as[Long].collect().toSet
+    assert(kept == Set(5L, 10L), s"cap must keep id-smallest after merge, got $kept")
+    // probes through both stores agree
+    val q = Seq((1000L, tpl)).toDF("doc_id", "text")
+    assert(SignatureStore.probe(spark, pMerged, q).as[(Long, Long)].collect().toSet ==
+      SignatureStore.probe(spark, pFull, q).as[(Long, Long)].collect().toSet)
+    // merging onto the base path itself is refused (publish-last)
+    val ex = intercept[IllegalArgumentException] {
+      SignatureStore.merge(spark, pBase, deltaDocs, pBase)
+    }
+    assert(ex.getMessage.contains("new version"))
+  }
+
   test("probe without a published store fails loudly") {
     val ex = intercept[IllegalArgumentException] {
       SignatureStore.probe(spark, newStoreDir("missing"),
