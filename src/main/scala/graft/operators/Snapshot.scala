@@ -24,6 +24,48 @@ import org.apache.spark.sql.functions._
   */
 object Snapshot {
 
+  /** Apply an ordered change log onto a base snapshot — the MERGE
+    * INTO / CDC-compaction shape: per key the HIGHEST-version log
+    * entry wins ('I'nsert/'U'psert keep its content, 'D'elete drops
+    * the key), keys untouched by the log pass through. Returns
+    * (key, fp, origin ∈ base|log) — content travels as its md5
+    * fingerprint, so (as in [[diff]]) nothing wider than 40 bytes
+    * shuffles; callers needing payloads join the winner keys back.
+    *
+    * Plan: one hash max-aggregate on (key → version), one equi join
+    * back to the log (both sides the narrow log frame), one
+    * full-outer join with the fingerprinted base — hash-friendly
+    * end to end (op stays a projected string, never an aggregate
+    * buffer). Contracts, LOUD where a row can violate them: an op
+    * outside {I, U, D} raises in-plan; (key, version) pairs are
+    * unique and versions totally ordered per key BY CONTRACT (the
+    * CDC log's own invariant — a duplicate pair would duplicate its
+    * key's output row; SnapshotSpec pins the semantics). Delete of
+    * an absent key is a no-op, matching MERGE WHEN MATCHED
+    * semantics. */
+  def applyLog(base: DataFrame, log: DataFrame, keyCol: String,
+               versionCol: String, opCol: String,
+               contentCols: Seq[String]): DataFrame = {
+    require(contentCols.nonEmpty, "Snapshot.applyLog: no content columns declared")
+    val bfp = base.select(col(keyCol).as("k"),
+      md5(concat_ws("\u0001", contentCols.map(col): _*)).as("fp"))
+    val lg = log.select(col(keyCol).as("k"),
+      col(versionCol).cast("long").as("v"),
+      when(col(opCol).isin("I", "U", "D"), col(opCol))
+        .otherwise(raise_error(concat(
+          lit("Snapshot.applyLog: op must be I, U or D, got: "),
+          col(opCol).cast("string")))).as("op"),
+      md5(concat_ws("\u0001", contentCols.map(col): _*)).as("lfp"))
+    val winners = lg.groupBy(col("k")).agg(max(col("v")).as("v"))
+    val win = lg.join(winners, Seq("k", "v")).select(col("k"), col("op"), col("lfp"))
+    bfp.join(win.withColumnRenamed("k", "kw"),
+        col("k") === col("kw"), "full_outer")
+      .filter(coalesce(col("op"), lit("")) =!= "D")
+      .select(coalesce(col("k"), col("kw")).as(keyCol),
+        when(col("kw").isNotNull, col("lfp")).otherwise(col("fp")).as("fp"),
+        when(col("kw").isNotNull, "log").otherwise("base").as("origin"))
+  }
+
   /** (key, status ∈ added|removed|changed|unchanged, old_fp, new_fp)
     * for every key in either snapshot. NULL content columns
     * fingerprint as the empty-slot form of concat_ws (dropped from

@@ -1086,6 +1086,29 @@ object ExtensionCatalog {
     Snapshot.diff(oldSnap, newSnap, "doc_id", Seq("text"))
   }
 
+  /** CDC log application ([[Snapshot.applyLog]]) — MERGE INTO: a
+    * planted change log (upserts for every 5th key at version 2,
+    * deletes for every 7th-≡1 key at version 3, inserts of shifted
+    * new keys at version 1) folds onto the snapshot-A base;
+    * overlapping keys (≡15 mod 35 carry BOTH the upsert and a later
+    * delete) prove latest-version-wins. Oracle runs the same
+    * max-version + join + full-outer chain. */
+  val dsApplyLog: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val base = docs.filter(col("doc_id") % 17 =!= 3)
+      .select(col("doc_id"), col("text"))
+    val log = docs.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), lit(2L).as("v"), lit("U").as("op"),
+        concat(col("text"), lit(" [v2]")).as("text"))
+      .unionAll(docs.filter(col("doc_id") % 7 === 1)
+        .select(col("doc_id"), lit(3L).as("v"), lit("D").as("op"),
+          lit("").as("text")))
+      .unionAll(docs.filter(col("doc_id") % 11 === 2)
+        .select((col("doc_id") + 100000L).as("doc_id"), lit(1L).as("v"),
+          lit("I").as("op"), concat(col("text"), lit(" [new]")).as("text")))
+    Snapshot.applyLog(base, log, "doc_id", "v", "op", Seq("text"))
+  }
+
   /** Column profiling ([[Profiling.profile]]) over orders — the
     * ingest-validation pass: per column one single-column aggregate
     * (exact distinct, null count, typed min/max), unioned; the date

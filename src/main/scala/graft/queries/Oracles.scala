@@ -2501,6 +2501,28 @@ object Oracles {
         |    ELSE 'unchanged' END AS status,
         |  old_fp, new_fp
         |FROM o FULL JOIN n ON o.doc_id = n.doc_id""".stripMargin,
+    // MERGE INTO twin: same planted log, same max-version winner,
+    // same full-outer apply; empty-string D payload matches the
+    // engine side (its fp is never read — D rows are filtered)
+    "ds_apply_log" ->
+      """WITH b AS (SELECT doc_id, md5(text) AS fp FROM documents
+        |    WHERE doc_id % 17 <> 3),
+        |l AS (
+        |  SELECT doc_id, 2 AS v, 'U' AS op, md5(text || ' [v2]') AS lfp
+        |    FROM documents WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id, 3, 'D', md5('') FROM documents WHERE doc_id % 7 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 100000, 1, 'I', md5(text || ' [new]')
+        |    FROM documents WHERE doc_id % 11 = 2),
+        |w AS (SELECT doc_id, max(v) AS v FROM l GROUP BY 1),
+        |win AS (SELECT l.doc_id, l.op, l.lfp FROM l
+        |  JOIN w ON l.doc_id = w.doc_id AND l.v = w.v)
+        |SELECT coalesce(b.doc_id, win.doc_id) AS doc_id,
+        |  CASE WHEN win.doc_id IS NOT NULL THEN win.lfp ELSE b.fp END AS fp,
+        |  CASE WHEN win.doc_id IS NOT NULL THEN 'log' ELSE 'base' END AS origin
+        |FROM b FULL JOIN win ON b.doc_id = win.doc_id
+        |WHERE coalesce(win.op, '') <> 'D'""".stripMargin,
     // profiling twin: one single-column pass per profiled column,
     // numeric min/max as rounded doubles, string/date as VARCHAR
     "ds_profile" -> {

@@ -42,6 +42,37 @@ class SnapshotSpec extends SparkSpec {
     assert(got == "unchanged")
   }
 
+  test("applyLog: latest version wins, delete drops, insert adds, rest pass through") {
+    val base = Seq((1L, "keep"), (2L, "update-me"), (3L, "delete-me"),
+      (5L, "update-then-delete")).toDF("k", "t")
+    val log = Seq(
+      (2L, 1L, "U", "v1"), (2L, 2L, "U", "v2"),          // latest U wins
+      (3L, 1L, "D", ""),                                  // delete existing
+      (4L, 1L, "I", "fresh"),                             // insert new key
+      (5L, 1L, "U", "x"), (5L, 2L, "D", ""),              // U then D -> gone
+      (9L, 1L, "D", "")                                   // delete absent: no-op
+    ).toDF("k", "v", "op", "t")
+    val got = Snapshot.applyLog(base, log, "k", "v", "op", Seq("t"))
+      .as[(Long, String, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got.keySet == Set(1L, 2L, 4L))
+    def md5s(x: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got(1L) == ((md5s("keep"), "base")))
+    assert(got(2L) == ((md5s("v2"), "log")))
+    assert(got(4L) == ((md5s("fresh"), "log")))
+  }
+
+  test("applyLog: unknown op raises loudly") {
+    val base = Seq((1L, "a")).toDF("k", "t")
+    val log = Seq((1L, 1L, "X", "zap")).toDF("k", "v", "op", "t")
+    val ex = intercept[Exception] {
+      Snapshot.applyLog(base, log, "k", "v", "op", Seq("t")).collect()
+    }
+    assert(ex.getMessage.contains("applyLog") ||
+      Option(ex.getCause).exists(_.getMessage.contains("applyLog")))
+  }
+
   test("null key raises loudly") {
     val oldSnap = Seq((Option.empty[Long], "t")).toDF("k", "t")
     val newSnap = Seq((Option(1L), "t")).toDF("k", "t")
