@@ -109,6 +109,10 @@ object GraftFunctions {
       arity("interleave_bits", 3, Int.MaxValue)(args =>
         InterleaveBits(args.tail, intArg(args.head, "interleave_bits", 1))),
       "interleave_bits(bits int, c0, c1, ...) - Morton/Z-order interleave of k integral columns at bits bits each (k*bits <= 63)"),
+    ("hilbert_xy",
+      arity("hilbert_xy", 3, 3)(args => HilbertIndex(args(1), args(2),
+        intArg(args(0), "hilbert_xy", 1))),
+      "hilbert_xy(bits int, x, y) - 2-D Hilbert curve index on the 2^bits grid"),
     ("str_min_max",
       arity("str_min_max", 1, 1)(args => StrMinMax(args(0))),
       "str_min_max(s string) - struct(min_s, max_s) via a hash-friendly two-string buffer (aggregate)"),

@@ -1068,6 +1068,27 @@ object ExtensionCatalog {
         sum(col("zval")).as("z_sum"))
   }
 
+  /** Hilbert-curve twin of [[dsZorder]] ([[graft.functions.HilbertIndex]]):
+    * same bucketed (part, supplier) coordinates, same per-curve-cell
+    * envelope summary, but the key is the Hilbert index — consecutive
+    * positions are always grid NEIGHBORS (no Morton quadrant jumps),
+    * so equal-size curve ranges map to tighter regions. The oracle
+    * runs the identical reflect-and-swap level loop as a recursive
+    * CTE over the ≤ 2¹⁶ distinct coordinate pairs. */
+  val dsHilbert: Q = (s, d) => {
+    val b = Tables.lineitem(s, d).select(
+      (col("l_partkey") % 256).cast("long").as("pk_lo"),
+      (col("l_suppkey") % 256).cast("long").as("sk_lo"))
+    b.withColumn("hval",
+        graft.functions.HilbertIndex.hilbertXY(col("pk_lo"), col("sk_lo"), bits = 8))
+      .withColumn("cell", shiftright(col("hval"), 10))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"),
+        min(col("pk_lo")).as("pk_min"), max(col("pk_lo")).as("pk_max"),
+        min(col("sk_lo")).as("sk_min"), max(col("sk_lo")).as("sk_max"),
+        sum(col("hval")).as("h_sum"))
+  }
+
   /** Keyed snapshot diff ([[Snapshot.diff]]) — dataset versioning:
     * snapshot A drops every 17th document, snapshot B drops every
     * 19th and revises every 13th's text, and the diff classifies

@@ -2486,6 +2486,42 @@ object Oracles {
         |SELECT f.doc_id, f.status, (m.doc_id IS NOT NULL) AS is_dup,
         |  m.dup_of, CAST(coalesce(m.n_matches, 0) AS BIGINT) AS n_matches
         |FROM fresh f LEFT JOIN m ON f.doc_id = m.doc_id""".stripMargin,
+    // Hilbert twin: the classical xy->d reflect-and-swap loop run as
+    // a recursive CTE over the levels (s = 128 .. 1), on the <= 2^16
+    // DISTINCT coordinate pairs (per-pair counts carried to the cell
+    // aggregate). rx/ry and the new x/y all read the PRE-step row;
+    // negative reflected intermediates use two's-complement & on
+    // both engines. d-increment spells gray((3*rx)^ry) as a CASE.
+    "ds_hilbert" ->
+      """WITH RECURSIVE
+        |b AS (SELECT CAST(l_partkey % 256 AS BIGINT) AS pk_lo,
+        |    CAST(l_suppkey % 256 AS BIGINT) AS sk_lo FROM lineitem),
+        |g AS (SELECT pk_lo, sk_lo, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM b GROUP BY 1, 2),
+        |h AS (
+        |  SELECT pk_lo, sk_lo, pk_lo AS x, sk_lo AS y,
+        |      CAST(0 AS BIGINT) AS d, CAST(128 AS BIGINT) AS s FROM g
+        |  UNION ALL
+        |  SELECT pk_lo, sk_lo,
+        |    CASE WHEN (y & s) = 0 THEN
+        |        CASE WHEN (x & s) <> 0 THEN s - 1 - y ELSE y END
+        |      ELSE x END,
+        |    CASE WHEN (y & s) = 0 THEN
+        |        CASE WHEN (x & s) <> 0 THEN s - 1 - x ELSE x END
+        |      ELSE y END,
+        |    d + s * s * (CASE WHEN (x & s) = 0 AND (y & s) = 0 THEN 0
+        |      WHEN (x & s) = 0 THEN 1
+        |      WHEN (y & s) <> 0 THEN 2
+        |      ELSE 3 END),
+        |    s // 2
+        |  FROM h WHERE s > 0),
+        |f AS (SELECT pk_lo, sk_lo, d AS hval FROM h WHERE s = 0)
+        |SELECT hval // 1024 AS cell, CAST(sum(cnt) AS BIGINT) AS n,
+        |  min(g.pk_lo) AS pk_min, max(g.pk_lo) AS pk_max,
+        |  min(g.sk_lo) AS sk_min, max(g.sk_lo) AS sk_max,
+        |  CAST(sum(hval * cnt) AS BIGINT) AS h_sum
+        |FROM g JOIN f ON g.pk_lo = f.pk_lo AND g.sk_lo = f.sk_lo
+        |GROUP BY 1""".stripMargin,
     // snapshot-diff twin: same planted snapshots, same md5 content
     // fingerprints, same FULL JOIN classification
     "ds_snapshot_diff" ->
