@@ -56,16 +56,33 @@ object ZOrderLayout {
       .otherwise(bucket.cast("long"))
   }
 
-  /** Write `df` z-ordered by `zCols` (already bucketed to [0, 2^bits))
-    * into `path` as `numFiles` parquet files: one range exchange on
-    * the Morton key, in-partition sort, key dropped before write (the
-    * skipping payoff lives in the ORIGINAL columns' per-file stats —
-    * persisting the derived key is the caller's choice via keepZ). */
+  /** Curve key for `curve` ∈ {morton, hilbert}: Morton interleaves
+    * any k columns; Hilbert (2 columns only) trades that generality
+    * for unit-step continuity — tighter regions per equal curve
+    * range (see [[graft.functions.HilbertIndex]]). */
+  def curveKey(cols: Seq[Column], bits: Int, curve: String): Column = curve match {
+    case "morton" => zvalue(cols, bits)
+    case "hilbert" =>
+      require(cols.length == 2,
+        s"ZOrderLayout: the Hilbert curve is 2-D, got ${cols.length} columns")
+      graft.functions.HilbertIndex.hilbertXY(cols(0), cols(1), bits)
+    case other =>
+      throw new IllegalArgumentException(
+        s"ZOrderLayout: unknown curve '$other' (morton | hilbert)")
+  }
+
+  /** Write `df` curve-ordered by `zCols` (already bucketed to
+    * [0, 2^bits)) into `path` as `numFiles` parquet files: one range
+    * exchange on the curve key, in-partition sort, key dropped before
+    * write (the skipping payoff lives in the ORIGINAL columns'
+    * per-file stats — persisting the derived key is the caller's
+    * choice via keepZ). */
   def write(df: DataFrame, path: String, zCols: Seq[Column], bits: Int,
-            numFiles: Int, keepZ: Boolean = false): Unit = {
+            numFiles: Int, keepZ: Boolean = false,
+            curve: String = "morton"): Unit = {
     require(numFiles >= 1, s"ZOrderLayout.write: numFiles $numFiles < 1")
     val zc = "_graft_z"
-    val keyed = df.withColumn(zc, zvalue(zCols, bits))
+    val keyed = df.withColumn(zc, curveKey(zCols, bits, curve))
     val laid =
       if (numFiles == 1) keyed.coalesce(1).sortWithinPartitions(zc)
       else keyed.repartitionByRange(numFiles, col(zc)).sortWithinPartitions(zc)
