@@ -3,6 +3,11 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+/** [[Snapshot.applyLogStream]] row/state/output shapes. */
+case class SnapLogRow(k: Long, v: Long, op: String, lfp: String)
+case class SnapApplyState(v: Long, fp: String, live: Boolean, origin: String)
+case class SnapApplyOut(k: Long, fp: String, origin: String, live: Boolean)
+
 /** Keyed snapshot diff — the dataset-versioning primitive: which keys
   * were added, removed, changed, or untouched between two corpus
   * snapshots (nightly crawl vs current training set, table version N
@@ -88,5 +93,62 @@ object Snapshot {
           .when(col("old_fp") =!= col("new_fp"), "changed")
           .otherwise("unchanged").as("status"),
         col("old_fp"), col("new_fp"))
+  }
+
+  /** Streaming twin of [[applyLog]] — the CDC log served AS the
+    * stream it naturally is: a materialized view keyed by `keyCol`,
+    * initialized from the BASE snapshot (flatMapGroupsWithState
+    * initial state — the base is read once, never per batch) and
+    * updated by each micro-batch's winners. Per-key state is ONE
+    * (version, fp, live) tuple; arrivals fold by max version, so any
+    * within- or cross-batch arrival ORDER yields the batch result
+    * (SnapshotSpec pins final-emission ≡ batch applyLog across
+    * uneven out-of-order micro-batches). Each batch emits the keys
+    * it changed — current fingerprint for live keys, a live=false
+    * TOMBSTONE for deletes (the batch form simply omits the row);
+    * keys the log never touches stay silent in their initial base
+    * state. Integral keys by contract (the state key encoder);
+    * unknown ops raise in-plan as in the batch form. */
+  def applyLogStream(base: DataFrame, log: DataFrame, keyCol: String,
+                     versionCol: String, opCol: String,
+                     contentCols: Seq[String]): DataFrame = {
+    require(log.isStreaming, "applyLogStream serves a streaming change log")
+    require(contentCols.nonEmpty, "Snapshot.applyLogStream: no content columns declared")
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val spark = log.sparkSession
+    import spark.implicits._
+    val init = base.select(col(keyCol).cast("long").as("k"),
+        md5(concat_ws("\u0001", contentCols.map(col): _*)).as("fp"))
+      .as[(Long, String)]
+      .map { case (k, fp) => (k, SnapApplyState(Long.MinValue, fp, live = true, "base")) }
+      .groupByKey(_._1).mapValues(_._2)
+    log.select(col(keyCol).cast("long").as("k"),
+        col(versionCol).cast("long").as("v"),
+        when(col(opCol).isin("I", "U", "D"), col(opCol))
+          .otherwise(raise_error(concat(
+            lit("Snapshot.applyLogStream: op must be I, U or D, got: "),
+            col(opCol).cast("string")))).as("op"),
+        md5(concat_ws("\u0001", contentCols.map(col): _*)).as("lfp"))
+      .as[SnapLogRow]
+      .groupByKey(_.k)
+      .flatMapGroupsWithState[SnapApplyState, SnapApplyOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout, init) {
+        (k: Long, it: Iterator[SnapLogRow],
+         st: org.apache.spark.sql.streaming.GroupState[SnapApplyState]) =>
+          val start = st.getOption
+            .getOrElse(SnapApplyState(Long.MinValue, null, live = false, "none"))
+          var s = start
+          it.foreach { r =>
+            if (r.v > s.v)
+              s = SnapApplyState(r.v, if (r.op == "D") null else r.lfp,
+                r.op != "D", "log")
+          }
+          if (s == start) Iterator.empty
+          else {
+            st.update(s)
+            Iterator.single(SnapApplyOut(k, s.fp, s.origin, s.live))
+          }
+      }
+      .toDF(keyCol, "fp", "origin", "live")
   }
 }

@@ -63,6 +63,65 @@ class SnapshotSpec extends SparkSpec {
     assert(got(4L) == ((md5s("fresh"), "log")))
   }
 
+  test("applyLogStream: final emissions == batch applyLog across out-of-order micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val base = Seq((1L, "keep"), (2L, "update-me"), (3L, "delete-me"),
+      (5L, "update-then-delete")).toDF("k", "t")
+    val logRows = Seq(
+      (2L, 1L, "U", "v1"), (2L, 2L, "U", "v2"),
+      (3L, 1L, "D", ""),
+      (4L, 1L, "I", "fresh"),
+      (5L, 1L, "U", "x"), (5L, 2L, "D", ""),
+      (9L, 1L, "D", ""))
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, Long, String, String)]
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, (Long, Option[String], String, Boolean))]
+    var batchId = 0L
+    val q = graft.operators.Snapshot
+      .applyLogStream(base, in.toDF().toDF("k", "v", "op", "t"), "k", "v", "op", Seq("t"))
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        got ++= b.as[(Long, Option[String], String, Boolean)].collect()
+          .map(r => r._1 -> ((id, r._2, r._3, r._4)))
+        batchId = id
+      }.start()
+    try {
+      // OUT OF ORDER: the delete@2 for key 5 arrives before its U@1;
+      // key 2's v2 lands a batch before its stale v1
+      in.addData(Seq((5L, 2L, "D", ""), (2L, 2L, "U", "v2")))
+      q.processAllAvailable()
+      in.addData(Seq((2L, 1L, "U", "v1"), (3L, 1L, "D", ""), (9L, 1L, "D", "")))
+      q.processAllAvailable()
+      in.addData(Seq((4L, 1L, "I", "fresh"), (5L, 1L, "U", "x")))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // last emission per key
+    val finalByKey = got.groupBy(_._1).map { case (k, xs) =>
+      k -> xs.maxBy(_._2._1)._2
+    }
+    // batch twin over the SAME complete log
+    val want = Snapshot.applyLog(base,
+        logRows.toDF("k", "v", "op", "t"), "k", "v", "op", Seq("t"))
+      .as[(Long, String, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // live final emissions carry exactly the batch rows for touched keys
+    val liveFinal = finalByKey.collect { case (k, (_, Some(fp), origin, true)) =>
+      k -> ((fp, origin))
+    }
+    assert(liveFinal == want.filter { case (k, (_, o)) => o == "log" },
+      s"live stream state diverged: $liveFinal vs $want")
+    // deletes surface as tombstones, exactly the keys batch omits
+    val tombstones = finalByKey.collect { case (k, (_, _, _, false)) => k }.toSet
+    assert(tombstones == Set(3L, 5L, 9L))
+    // stale key-2 v1 in a LATER batch must not re-emit (no state change)
+    val key2Emissions = got.filter(_._1 == 2L)
+    assert(key2Emissions.size == 1 && key2Emissions.head._2._2.contains(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest("v2".getBytes("UTF-8")).map("%02x".format(_)).mkString))
+  }
+
   test("applyLog: unknown op raises loudly") {
     val base = Seq((1L, "a")).toDF("k", "t")
     val log = Seq((1L, 1L, "X", "zap")).toDF("k", "v", "op", "t")
