@@ -32,6 +32,16 @@ case class StrMinMax(child: Expression,
     extends TypedImperativeAggregate[StrMinMax.Buf]
     with UnaryLike[Expression] {
 
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"str_min_max expects a string column, got $other")
+    }
+
   override def createAggregationBuffer(): StrMinMax.Buf = new StrMinMax.Buf(null, null)
 
   private def observe(buf: StrMinMax.Buf, s: UTF8String): Unit = {

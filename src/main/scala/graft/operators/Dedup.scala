@@ -435,8 +435,7 @@ object Dedup {
     val spark = docs.sparkSession
     import spark.implicits._
     val sigs = rowMinHashSignatures(docs, textCol, idCol, bands * rowsPerBand)
-    sigs.select(col("doc_id"),
-        posexplode(bucketArray(bands, rowsPerBand)).as(Seq("band", "bucket")))
+    bandedBuckets(sigs, bands, rowsPerBand)
       .select(col("band"), col("bucket"), col("doc_id")).as[(Int, String, Long)]
       .groupByKey(r => (r._1, r._2))
       .flatMapGroupsWithState[Seq[Long], (Long, Long)](
@@ -526,12 +525,14 @@ object Dedup {
   }
 
   /** (doc_id, band, bucket) banded LSH keys from an `mh*` signature
-    * frame — the shared front half of [[minHashLsh]], the streaming
-    * state stage, and [[graft.tools.SignatureStore]]'s written index
-    * (one tokenizer, one permutation family, one banding: a probe
-    * against a written store collides exactly where an in-session
-    * LSH would). ONE posexplode — see [[bucketArray]]'s no-union
-    * note. */
+    * frame — the shared banding of [[minHashLshStream]],
+    * [[graft.tools.SignatureStore]]'s written index, and its probe
+    * kernel (one tokenizer, one permutation family, one banding: a
+    * probe against a written store collides exactly where an
+    * in-session LSH would). [[minHashLsh]] and the watermarked
+    * stream-dedup variant carry EXTRA payload columns through the
+    * same [[bucketArray]] explode — one array source either way (see
+    * bucketArray's no-union note). */
   def bandedBuckets(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
     sigs.select(col("doc_id"),
       posexplode(bucketArray(bands, rowsPerBand)).as(Seq("band", "bucket")))

@@ -105,10 +105,13 @@ object Snapshot {
     * (SnapshotSpec pins final-emission ≡ batch applyLog across
     * uneven out-of-order micro-batches). Each batch emits the keys
     * it changed — current fingerprint for live keys, a live=false
-    * TOMBSTONE for deletes (the batch form simply omits the row);
-    * keys the log never touches stay silent in their initial base
-    * state. Integral keys by contract (the state key encoder);
-    * unknown ops raise in-plan as in the batch form. */
+    * TOMBSTONE for deletes of keys that were VISIBLE at batch start
+    * (the batch twin's delete-of-absent no-op holds: a key never
+    * seen, or born-and-deleted inside one batch, emits nothing, and
+    * repeated deletes never re-emit); keys the log never touches
+    * stay silent in their initial base state. Integral keys by
+    * contract (the state key encoder); unknown ops raise in-plan as
+    * in the batch form. */
   def applyLogStream(base: DataFrame, log: DataFrame, keyCol: String,
                      versionCol: String, opCol: String,
                      contentCols: Seq[String]): DataFrame = {
@@ -146,7 +149,15 @@ object Snapshot {
           if (s == start) Iterator.empty
           else {
             st.update(s)
-            Iterator.single(SnapApplyOut(k, s.fp, s.origin, s.live))
+            // a dead end-state emits a tombstone ONLY if the key was
+            // visible at batch start (base row or a previously-live
+            // log state): the batch twin treats delete-of-absent as a
+            // no-op, and a key both born and deleted inside one batch
+            // was never externally visible — also deduplicates
+            // repeated higher-version deletes across batches
+            if (s.live || start.live)
+              Iterator.single(SnapApplyOut(k, s.fp, s.origin, s.live))
+            else Iterator.empty
           }
       }
       .toDF(keyCol, "fp", "origin", "live")

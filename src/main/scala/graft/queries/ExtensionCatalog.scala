@@ -76,17 +76,21 @@ object ExtensionCatalog {
     writtenSig(d) match {
       case Some(p) => graft.tools.SignatureStore.probe(s, p, queries)
       case None =>
-        val corpus = docs.filter(col("doc_id") % 2 === 0)
-        val cb = Dedup.bandedBuckets(
-            Dedup.minHashSignatures(corpus, "text", "doc_id", 32), 4, 8)
-          .select(col("band"), col("bucket"), col("doc_id").as("corpus_id"))
-        Dedup.bandedBuckets(
-            Dedup.minHashSignatures(queries, "text", "doc_id", 32), 4, 8)
-          .join(cb, Seq("band", "bucket"))
-          .select(col("doc_id").as("query_id"), col("corpus_id"))
-          .distinct()
+        // the in-session form runs the SAME kernel as the written
+        // store's probe (SignatureStore.probeAgainst) — one kernel,
+        // so the two branches can never diverge
+        graft.tools.SignatureStore.probeAgainst(
+          inSessionBuckets(docs.filter(col("doc_id") % 2 === 0)),
+          bands = 4, rowsPerBand = 8, queries, "text", "doc_id")
     }
   }
+
+  /** In-session (band, bucket, corpus_id) frame with dd_minhash_lsh's
+    * banding — the store-less stand-in for SignatureStore.buckets. */
+  private def inSessionBuckets(corpus: org.apache.spark.sql.DataFrame) =
+    Dedup.bandedBuckets(
+        Dedup.minHashSignatures(corpus, "text", "doc_id", 32), 4, 8)
+      .select(col("band"), col("bucket"), col("doc_id").as("corpus_id"))
 
   private def writtenSig(d: String): Option[String] = {
     val p = graft.tools.SignatureStore.path(d,
@@ -1165,17 +1169,17 @@ object ExtensionCatalog {
       .filter(col("status").isin("added", "changed"))
       .select(col("doc_id"), col("status"))
       .join(newSnap, "doc_id")
-    val cb = Dedup.bandedBuckets(
-        Dedup.minHashSignatures(docs.filter(col("doc_id") % 2 === 0),
-          "text", "doc_id", 32), 4, 8)
-      .select(col("band"), col("bucket"), col("doc_id").as("corpus_id"))
-    val matches = Dedup.bandedBuckets(
-        Dedup.minHashSignatures(fresh.select(col("doc_id"), col("text")),
-          "text", "doc_id", 32), 4, 8)
-      .join(cb, Seq("band", "bucket"))
-      .groupBy(col("doc_id"))
+    // the shared probe kernel emits DISTINCT (query_id, corpus_id)
+    // pairs, so the per-query aggregate's count IS the distinct
+    // matched-corpus count
+    val matches = graft.tools.SignatureStore.probeAgainst(
+        inSessionBuckets(docs.filter(col("doc_id") % 2 === 0)),
+        bands = 4, rowsPerBand = 8,
+        fresh.select(col("doc_id"), col("text")), "text", "doc_id")
+      .groupBy(col("query_id"))
       .agg(min(col("corpus_id")).as("dup_of"),
-        countDistinct(col("corpus_id")).as("n_matches"))
+        count(col("corpus_id")).as("n_matches"))
+      .withColumnRenamed("query_id", "doc_id")
     fresh.select(col("doc_id"), col("status"))
       .join(matches, Seq("doc_id"), "left")
       .select(col("doc_id"), col("status"),

@@ -555,7 +555,7 @@ object BenchScale {
   /** Z-order layout ladder — executed data-skipping at scale: n rows
     * with two independent uniform 12-bit coordinates, written once
     * sorted by x (the single-column layout) and once z-ordered on
-    * (x, y) via [[ZOrderLayout.write]], 64 files each. A 1/32 band
+    * (x, y) via [[ZOrderLayout.write]], 64 files each. A slab-aligned 1/8 band
     * scan on the NON-LEADING column y is then executed against both
     * layouts with the predicate pushed to parquet, and the receipt is
     * the recordsRead ratio: the linear layout materializes ~the whole

@@ -169,15 +169,19 @@ object SignatureStore {
             textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(ready(p), s"SignatureStore.probe: no ready signature index at $p")
     val (bands, rows, _) = meta(spark, p)
-    probeBatch(buckets(spark, p), bands, rows, queries, textCol, idCol)
+    probeAgainst(buckets(spark, p), bands, rows, queries, textCol, idCol)
   }
 
-  /** The shared probe kernel — batch and every foreachBatch
-    * micro-batch run EXACTLY this, so stream ≡ batch by construction
-    * (probing is per-document stateless). */
-  private def probeBatch(store: DataFrame, bands: Int, rowsPerBand: Int,
-                         queries: DataFrame, textCol: String,
-                         idCol: String): DataFrame =
+  /** The ONE probe kernel — the written store's batch probe, every
+    * foreachBatch micro-batch, AND the catalog's in-session forms
+    * (dd_lsh_probe, pipe_incremental) all run exactly this against
+    * their bucket frame (band, bucket, corpus_id), so stream ≡
+    * batch ≡ in-session by construction (probing is per-document
+    * stateless; one kernel means a banding change can never diverge
+    * the forms). */
+  def probeAgainst(store: DataFrame, bands: Int, rowsPerBand: Int,
+                   queries: DataFrame, textCol: String,
+                   idCol: String): DataFrame =
     Dedup.bandedBuckets(
         Dedup.minHashSignatures(queries, textCol, idCol, bands * rowsPerBand),
         bands, rowsPerBand)
@@ -222,7 +226,7 @@ object SignatureStore {
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty)
-          sink(probeBatch(store, bands, rows, batch, textCol, idCol))
+          sink(probeAgainst(store, bands, rows, batch, textCol, idCol))
       }
       .start()
   }

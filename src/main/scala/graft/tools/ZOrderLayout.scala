@@ -49,8 +49,11 @@ object ZOrderLayout {
     val cells = (1L << bits).toDouble
     val raw = floor((c.cast("double") - lit(min)) / lit(max - min) * lit(cells))
     val bucket = least(raw, lit(cells - 1)) // value == max lands in the top cell
+    // NaN would slide past both range comparisons and land in the top
+    // cell via least() (NaN sorts greatest) — the silent-clamp failure
+    // this function exists to refuse; raise on it explicitly
     when(c.isNull, lit(null).cast("long"))
-      .when(c < min || c > max,
+      .when(isnan(c.cast("double")) || c < min || c > max,
         raise_error(concat(
           lit(s"rangeBucket: value outside [$min, $max]: "), c.cast("string"))))
       .otherwise(bucket.cast("long"))

@@ -38,6 +38,14 @@ class StrMinMaxSpec extends SparkSpec {
     assert(plan.contains("ObjectHashAggregate"))
   }
 
+  test("non-string input fails analysis, not runtime") {
+    val ex = intercept[Exception] {
+      Seq(1L, 2L).toDF("v").agg(StrMinMax.strMinMax(col("v"))).collect()
+    }
+    assert(ex.getMessage.contains("str_min_max") ||
+      ex.getMessage.contains("DATATYPE_MISMATCH"), ex.getMessage.take(200))
+  }
+
   test("callable from SQL after registration") {
     org.apache.spark.sql.GraftSqlBridge.registerAll(spark)
     Seq("m", "a", "z").toDF("s").createOrReplaceTempView("smm_in")

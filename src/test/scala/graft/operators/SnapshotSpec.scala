@@ -112,9 +112,12 @@ class SnapshotSpec extends SparkSpec {
     }
     assert(liveFinal == want.filter { case (k, (_, o)) => o == "log" },
       s"live stream state diverged: $liveFinal vs $want")
-    // deletes surface as tombstones, exactly the keys batch omits
+    // deletes of VISIBLE keys surface as tombstones; the delete of
+    // never-existing key 9 is a no-op in the stream exactly as in
+    // the batch twin (no phantom event)
     val tombstones = finalByKey.collect { case (k, (_, _, _, false)) => k }.toSet
-    assert(tombstones == Set(3L, 5L, 9L))
+    assert(tombstones == Set(3L, 5L))
+    assert(!finalByKey.contains(9L), "delete-of-absent must not emit")
     // stale key-2 v1 in a LATER batch must not re-emit (no state change)
     val key2Emissions = got.filter(_._1 == 2L)
     assert(key2Emissions.size == 1 && key2Emissions.head._2._2.contains(

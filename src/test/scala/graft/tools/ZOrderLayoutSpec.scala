@@ -148,5 +148,13 @@ class ZOrderLayoutSpec extends SparkSpec {
     val n = Seq(Option.empty[java.lang.Double]).toDF("v")
       .select(ZOrderLayout.rangeBucket(col("v"), 0.0, 1.0, 4)).collect()
     assert(n.head.isNullAt(0))
+    // NaN raises instead of silently landing in the top cell (it
+    // slides past both range comparisons and least() sorts it greatest)
+    val exNan = intercept[Exception] {
+      Seq(Double.NaN).toDF("v")
+        .select(ZOrderLayout.rangeBucket(col("v"), 0.0, 1.0, bits = 4)).collect()
+    }
+    assert(exNan.getMessage.contains("rangeBucket") ||
+      Option(exNan.getCause).exists(_.getMessage.contains("rangeBucket")))
   }
 }
