@@ -74,4 +74,48 @@ object Profiling {
         col("min_s"), col("max_s"))
     }.reduce(_.unionAll(_))
   }
+
+  /** Windowed NUMERIC drift profile — the monitoring face of
+    * [[profile]]: per event-time window per column, row/null counts,
+    * min/max, and an exact-integer-micro-unit mean (the emb_centroid
+    * summation idiom, so batch and every oracle sum in one order).
+    * Serves batch frames and streams through the SAME expression
+    * (kata03 discipline: the watermark attaches only when the input
+    * streams) — ProfilingSpec pins stream ≡ batch on closed windows.
+    *
+    * Shape: ONE narrow explode to (ts, column, v) rows and ONE
+    * windowed aggregate. Deliberately not k per-column aggregates
+    * unioned (the batch [[profile]] plan): a streaming query allows
+    * one stateful operator, and k× the window state buys nothing —
+    * the explode's k× rows collapse map-side. Numeric columns only
+    * BY CONTRACT (string min/max per window would drag object state
+    * into every window; the drift-monitor shape is numeric). */
+  def windowedProfile(df: DataFrame, tsCol: String, windowDur: String,
+                      watermark: String, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "Profiling.windowedProfile: no columns declared")
+    val schema = df.schema
+    cols.foreach { c =>
+      require(schema.fieldNames.contains(c),
+        s"Profiling.windowedProfile: no column $c")
+      require(schema(c).dataType.isInstanceOf[NumericType],
+        s"Profiling.windowedProfile: numeric columns only, $c is ${schema(c).dataType}")
+    }
+    val stacked = df.select(col(tsCol).as("ts"),
+        explode(array(cols.map(c =>
+          struct(lit(c).as("column"), col(c).cast("double").as("v"))): _*)).as("cv"))
+      .select(col("ts"), col("cv.column").as("column"), col("cv.v").as("v"))
+    val wm = if (stacked.isStreaming) stacked.withWatermark("ts", watermark)
+             else stacked
+    val nonNull = col("n_rows") - col("n_null")
+    wm.groupBy(window(col("ts"), windowDur), col("column"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_null"),
+        min(col("v")).as("min_num"), max(col("v")).as("max_num"),
+        sum(round(col("v") * 1000000).cast("long")).as("sum_micro"))
+      .select(col("window.start").as("window_start"), col("column"),
+        col("n_rows"), col("n_null"), col("min_num"), col("max_num"),
+        when(nonNull === 0L, lit(null).cast("double"))
+          .otherwise(round(col("sum_micro") / (nonNull * 1000000.0), 6))
+          .as("mean"))
+  }
 }

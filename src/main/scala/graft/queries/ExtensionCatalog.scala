@@ -1187,6 +1187,16 @@ object ExtensionCatalog {
         coalesce(col("n_matches"), lit(0L)).as("n_matches"))
   }
 
+  /** Windowed numeric drift profile ([[Profiling.windowedProfile]])
+    * over events, per UTC day — the monitoring twin of ds_profile:
+    * one explode + ONE windowed aggregate (the streaming-legal
+    * shape), exact micro-unit integer mean. The same expression
+    * serves a stream (ProfilingSpec pins stream ≡ batch on closed
+    * windows). */
+  val dsProfileWindows: Q = (s, d) =>
+    Profiling.windowedProfile(Tables.events(s, d), "ts", "1 day",
+      watermark = "0 seconds", cols = Seq("value", "user_id"))
+
   /** The end-to-end curation pipeline the extension operators exist to
     * COMPOSE: quality gate → language gate → exact-dedup survivor per
     * content hash → stable train/valid/test assignment. The plan is

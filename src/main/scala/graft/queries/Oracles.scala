@@ -2537,6 +2537,21 @@ object Oracles {
         |    ELSE 'unchanged' END AS status,
         |  old_fp, new_fp
         |FROM o FULL JOIN n ON o.doc_id = n.doc_id""".stripMargin,
+    // windowed-drift twin: UTC-day windows == date_trunc under the
+    // pinned UTC session tz; mean via the same micro-unit integer
+    // sum in one expression order, NULL for all-null windows
+    "ds_profile_windows" -> {
+      def one(c: String) =
+        s"""SELECT date_trunc('day', ts) AS window_start, '$c' AS "column",
+           |  CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           |  min(CAST($c AS DOUBLE)) AS min_num, max(CAST($c AS DOUBLE)) AS max_num,
+           |  CASE WHEN count($c) = 0 THEN NULL
+           |    ELSE round(sum(CAST(round(CAST($c AS DOUBLE) * 1000000) AS BIGINT))
+           |      / (count($c) * 1000000.0), 6) END AS mean
+           |FROM events GROUP BY 1""".stripMargin
+      s"${one("value")}\n UNION ALL \n${one("user_id")}"
+    },
     // MERGE INTO twin: same planted log, same max-version winner,
     // same full-outer apply; empty-string D payload matches the
     // engine side (its fp is never read — D rows are filtered)

@@ -35,6 +35,63 @@ class ProfilingSpec extends SparkSpec {
       Some("1995-01-01"), Some("2001-08-01"))))
   }
 
+  test("windowedProfile: golden per-window stats, exact micro-unit mean, null slot") {
+    val rows = Seq(
+      (ts(0L), Some(2.5), Some(10L)),
+      (ts(30 * 60000L), None, Some(30L)),
+      (ts(3600000L + 1), Some(7.25), None)) // second hour window
+    val got = Profiling.windowedProfile(
+        rows.toDF("t", "dbl", "num"), "t", "1 hour", "0 seconds", Seq("dbl", "num"))
+      .as[(java.sql.Timestamp, String, Long, Long, Option[Double], Option[Double], Option[Double])]
+      .collect().map(r => (r._1.getTime, r._2) -> ((r._3, r._4, r._5, r._6, r._7))).toMap
+    assert(got((0L, "dbl")) == ((2L, 1L, Some(2.5), Some(2.5), Some(2.5))))
+    assert(got((0L, "num")) == ((2L, 0L, Some(10.0), Some(30.0), Some(20.0))))
+    assert(got((3600000L, "dbl")) == ((1L, 0L, Some(7.25), Some(7.25), Some(7.25))))
+    assert(got((3600000L, "num")) == ((1L, 1L, None, None, None)))
+    // non-numeric column refused
+    val ex = intercept[IllegalArgumentException] {
+      Profiling.windowedProfile(Seq((ts(0), "s")).toDF("t", "c"),
+        "t", "1 hour", "0 seconds", Seq("c"))
+    }
+    assert(ex.getMessage.contains("numeric columns only"))
+  }
+
+  test("windowedProfile stream == batch on closed windows, across uneven batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val data = Seq(
+      (ts(10L), Some(1.0), Some(5L)), (ts(20L), Some(3.0), None),
+      (ts(3600000L + 5), None, Some(7L)), (ts(3600000L + 6), Some(4.5), Some(9L)),
+      (ts(2 * 3600000L + 1), Some(0.25), Some(1L)))
+    val sentinel = (ts(10 * 3600000L), Some(0.0), Some(0L))
+
+    val want = Profiling.windowedProfile(
+        data.toDF("t", "dbl", "num"), "t", "1 hour", "0 seconds", Seq("dbl", "num"))
+      .as[(java.sql.Timestamp, String, Long, Long, Option[Double], Option[Double], Option[Double])]
+      .collect().toSet
+
+    val in = MemoryStream[(java.sql.Timestamp, Option[Double], Option[Long])]
+    val got = scala.collection.mutable.ArrayBuffer
+      .empty[(java.sql.Timestamp, String, Long, Long, Option[Double], Option[Double], Option[Double])]
+    val q = Profiling.windowedProfile(
+        in.toDF().toDF("t", "dbl", "num"), "t", "1 hour", "0 seconds", Seq("dbl", "num"))
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= b.as[(java.sql.Timestamp, String, Long, Long,
+          Option[Double], Option[Double], Option[Double])].collect()
+        ()
+      }.start()
+    try {
+      in.addData(data.take(2))
+      q.processAllAvailable()
+      in.addData(data.drop(2))
+      q.processAllAvailable()
+      in.addData(Seq(sentinel)) // advance the watermark: close all real windows
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(got.toSet == want, s"stream ${got.size} rows vs batch ${want.size}")
+  }
+
   test("unknown column raises loudly") {
     val ex = intercept[IllegalArgumentException] {
       Profiling.profile(df, Seq("nope"))
