@@ -90,32 +90,64 @@ object Profiling {
     * the explode's k× rows collapse map-side. Numeric columns only
     * BY CONTRACT (string min/max per window would drag object state
     * into every window; the drift-monitor shape is numeric). */
+  /** Largest |value| whose micro-unit tap round(v·10⁶) stays inside
+    * double's 2⁵³ exact-integer range — beyond it the product itself
+    * loses integer exactness before any cast (the
+    * [[TimeSeries.MaxCentiTap]] posture, at micro scale). */
+  val MaxMicroValue: Double = 9.0e9
+
   def windowedProfile(df: DataFrame, tsCol: String, windowDur: String,
                       watermark: String, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "Profiling.windowedProfile: no columns declared")
+    require(cols.distinct.size == cols.size,
+      s"Profiling.windowedProfile: duplicate columns in ${cols.mkString(", ")}")
     val schema = df.schema
+    require(schema.fieldNames.contains(tsCol),
+      s"Profiling.windowedProfile: no column $tsCol")
     cols.foreach { c =>
       require(schema.fieldNames.contains(c),
         s"Profiling.windowedProfile: no column $c")
       require(schema(c).dataType.isInstanceOf[NumericType],
         s"Profiling.windowedProfile: numeric columns only, $c is ${schema(c).dataType}")
     }
-    val stacked = df.select(col(tsCol).as("ts"),
+    // loud per-row domain guards (the rangeBucket/autocorr posture):
+    // NaN/±Inf would ride round() into a silent 0/saturated long under
+    // the non-ANSI cast (mean corrupt, no error), |v| past the 2^53
+    // micro bound loses exactness before the cast, and a NULL
+    // timestamp is silently DROPPED by Spark's window() while the
+    // oracle's date_trunc would keep it as a NULL group — all three
+    // raise instead of diverging
+    val inRange = !isnan(col("v")) &&
+      col("v") >= lit(-MaxMicroValue) && col("v") <= lit(MaxMicroValue)
+    val stacked = df.select(
+        when(col(tsCol).isNull, raise_error(lit(
+          s"windowedProfile: NULL $tsCol has no window (the oracle would " +
+            "keep a NULL group; filter upstream)")))
+          .otherwise(col(tsCol)).as("ts"),
         explode(array(cols.map(c =>
           struct(lit(c).as("column"), col(c).cast("double").as("v"))): _*)).as("cv"))
       .select(col("ts"), col("cv.column").as("column"), col("cv.v").as("v"))
+      .withColumn("vc",
+        when(col("v").isNull, lit(null).cast("long"))
+          .when(inRange, round(col("v") * 1000000).cast("long"))
+          .otherwise(raise_error(concat(lit(
+            s"windowedProfile: value outside exact micro range [-$MaxMicroValue, " +
+              s"$MaxMicroValue] (or NaN): "), col("v").cast("string")))))
     val wm = if (stacked.isStreaming) stacked.withWatermark("ts", watermark)
              else stacked
     val nonNull = col("n_rows") - col("n_null")
+    // decimal(38,0) partial sums: a window of 2^53-scale taps must not
+    // wrap a long (DuckDB's sum(BIGINT) promotes to HUGEINT — same
+    // exactness class)
     wm.groupBy(window(col("ts"), windowDur), col("column"))
       .agg(count(lit(1)).as("n_rows"),
         sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_null"),
         min(col("v")).as("min_num"), max(col("v")).as("max_num"),
-        sum(round(col("v") * 1000000).cast("long")).as("sum_micro"))
+        sum(col("vc").cast("decimal(38,0)")).as("sum_micro"))
       .select(col("window.start").as("window_start"), col("column"),
         col("n_rows"), col("n_null"), col("min_num"), col("max_num"),
         when(nonNull === 0L, lit(null).cast("double"))
-          .otherwise(round(col("sum_micro") / (nonNull * 1000000.0), 6))
+          .otherwise(round(col("sum_micro").cast("double") / (nonNull * 1000000.0), 6))
           .as("mean"))
   }
 }

@@ -54,6 +54,34 @@ class ProfilingSpec extends SparkSpec {
         "t", "1 hour", "0 seconds", Seq("c"))
     }
     assert(ex.getMessage.contains("numeric columns only"))
+    // duplicate columns and a missing ts column refused loudly
+    assert(intercept[IllegalArgumentException] {
+      Profiling.windowedProfile(rows.toDF("t", "dbl", "num"),
+        "t", "1 hour", "0 seconds", Seq("dbl", "dbl"))
+    }.getMessage.contains("duplicate columns"))
+    assert(intercept[IllegalArgumentException] {
+      Profiling.windowedProfile(rows.toDF("t", "dbl", "num"),
+        "typo", "1 hour", "0 seconds", Seq("dbl"))
+    }.getMessage.contains("no column typo"))
+  }
+
+  test("windowedProfile: NaN, out-of-range values and NULL ts raise in-plan") {
+    def run(rows: Seq[(java.sql.Timestamp, Option[Double])]): Unit =
+      Profiling.windowedProfile(rows.toDF("t", "v"),
+        "t", "1 hour", "0 seconds", Seq("v")).collect(): Unit
+    val exNan = intercept[Exception] { run(Seq((ts(0), Some(Double.NaN)))) }
+    assert(exNan.getMessage.contains("windowedProfile") ||
+      Option(exNan.getCause).exists(_.getMessage.contains("windowedProfile")))
+    val exBig = intercept[Exception] { run(Seq((ts(0), Some(1.0e10)))) }
+    assert(exBig.getMessage.contains("micro range") ||
+      Option(exBig.getCause).exists(_.getMessage.contains("micro range")))
+    val exTs = intercept[Exception] {
+      Profiling.windowedProfile(
+        Seq((Option.empty[java.sql.Timestamp], Option(1.0))).toDF("t", "v"),
+        "t", "1 hour", "0 seconds", Seq("v")).collect()
+    }
+    assert(exTs.getMessage.contains("NULL t") ||
+      Option(exTs.getCause).exists(_.getMessage.contains("NULL t")))
   }
 
   test("windowedProfile stream == batch on closed windows, across uneven batches") {
