@@ -601,14 +601,24 @@ object BenchScale {
       // layout's 1.0.
       val band = (c: org.apache.spark.sql.DataFrame) =>
         c.filter(col("y") >= 1024 && col("y") < 1536).count()
+      // hilbert twin of the same layout (bits capped at 12 -> d fits
+      // easily): unit-step continuity should hold the same band to at
+      // most the morton file set, usually fewer straddlers
+      ZOrderLayout.write(corpus, s"$dir/h",
+        Seq(col("x"), col("y")), bits = 12, numFiles = 64, curve = "hilbert")
       val (lSec, lCount, lRead) = measured(band(spark.read.parquet(s"$dir/linear")))
       val (zSec, zCount, zRead) = measured(band(spark.read.parquet(s"$dir/z")))
-      require(zCount == lCount, s"layouts disagree at n=$n: z=$zCount linear=$lCount")
-      require(lRead > 0 && zRead > 0, s"listener saw no reads at n=$n")
+      val (hSec, hCount, hRead) = measured(band(spark.read.parquet(s"$dir/h")))
+      require(zCount == lCount && hCount == lCount,
+        s"layouts disagree at n=$n: z=$zCount h=$hCount linear=$lCount")
+      require(lRead > 0 && zRead > 0 && hRead > 0, s"listener saw no reads at n=$n")
       val ratio = zRead.toDouble / lRead
-      println(f"""{"n_rows":$n,"zwrite_sec":$wSec%.2f,"linear_scan_sec":$lSec%.2f,"z_scan_sec":$zSec%.2f,"records_linear":$lRead,"records_z":$zRead,"read_ratio":$ratio%.4f}""")
+      val hRatio = hRead.toDouble / lRead
+      println(f"""{"n_rows":$n,"zwrite_sec":$wSec%.2f,"linear_scan_sec":$lSec%.2f,"z_scan_sec":$zSec%.2f,"hilbert_scan_sec":$hSec%.2f,"records_linear":$lRead,"records_z":$zRead,"records_hilbert":$hRead,"read_ratio":$ratio%.4f,"hilbert_read_ratio":$hRatio%.4f}""")
       require(ratio < 0.30,
         f"z layout read $ratio%.3f of the linear scan at n=$n (want < 0.30)")
+      require(hRatio < 0.30,
+        f"hilbert layout read $hRatio%.3f of the linear scan at n=$n (want < 0.30)")
       (n, wSec)
     }
     if (sizes.size >= 2) {
