@@ -90,6 +90,36 @@ object Profiling {
     * the explode's k× rows collapse map-side. Numeric columns only
     * BY CONTRACT (string min/max per window would drag object state
     * into every window; the drift-monitor shape is numeric). */
+  /** Declarative data-quality gate over a [[profile]] frame — the
+    * expectations pattern: each check is (name, column, predicate
+    * over that column's profile row), and the result is one
+    * (expectation, column, pass) row per check. The ingest contract
+    * this enables: compute the profile ONCE, evaluate every
+    * expectation against its k-row output, block the corpus on any
+    * `pass = false` — no expectation re-scans data.
+    *
+    * Plan: ONE evaluation of the profile joined (broadcast) with the
+    * literal spec frame; the per-expectation predicates compile into
+    * one when-chain keyed on the expectation name. A NULL predicate
+    * result (e.g. a range check against a null min) is a FAILED
+    * expectation, not a silent pass. Unknown columns in checks raise
+    * up front. */
+  def expectations(profile: DataFrame,
+                   checks: Seq[(String, String, org.apache.spark.sql.Column)]): DataFrame = {
+    require(checks.nonEmpty, "Profiling.expectations: no checks declared")
+    require(checks.map(_._1).distinct.size == checks.size,
+      "Profiling.expectations: duplicate expectation names")
+    val spark = profile.sparkSession
+    import spark.implicits._
+    val spec = checks.map { case (n, c, _) => (n, c) }.toDF("expectation", "column")
+    val passExpr = checks.foldRight(lit(null).cast("boolean")) {
+      case ((n, _, pred), acc) =>
+        when(col("expectation") === n, coalesce(pred, lit(false))).otherwise(acc)
+    }
+    profile.join(broadcast(spec), Seq("column"))
+      .select(col("expectation"), col("column"), passExpr.as("pass"))
+  }
+
   /** Largest |value| whose micro-unit tap round(v·10⁶) stays inside
     * double's 2⁵³ exact-integer range — beyond it the product itself
     * loses integer exactness before any cast (the

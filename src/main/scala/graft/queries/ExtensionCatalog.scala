@@ -1187,6 +1187,26 @@ object ExtensionCatalog {
         coalesce(col("n_matches"), lit(0L)).as("n_matches"))
   }
 
+  /** Declarative data-quality gate ([[Profiling.expectations]]) over
+    * the ds_profile frame: five named expectations — four hold on the
+    * fixtures, `status_single_valued` deliberately FAILS (three order
+    * statuses), so both verdict paths are oracle-witnessed. The
+    * profile is computed once; no expectation re-scans data. */
+  val dsExpectations: Q = (s, d) => {
+    val prof = Profiling.profile(
+      Tables.orders(s, d)
+        .withColumn("o_orderdate", col("o_orderdate").cast("date")),
+      Seq("o_custkey", "o_totalprice", "o_orderstatus",
+        "o_orderpriority", "o_orderdate"))
+    Profiling.expectations(prof, Seq(
+      ("custkey_not_null", "o_custkey", col("n_null") === 0L),
+      ("custkey_min_card", "o_custkey", col("n_distinct") >= 10L),
+      ("totalprice_nonneg", "o_totalprice", col("min_num") >= 0.0),
+      ("status_single_valued", "o_orderstatus", col("n_distinct") <= 1L),
+      ("orderdate_in_window", "o_orderdate",
+        col("min_s") >= "1994-01-01" && col("max_s") <= "2002-12-31")))
+  }
+
   /** Windowed numeric drift profile ([[Profiling.windowedProfile]])
     * over events, per UTC day — the monitoring twin of ds_profile:
     * one explode + ONE windowed aggregate (the streaming-legal

@@ -34,6 +34,32 @@ object Oracles {
       |  SELECT doc_id, ('0x' || substr(md5(tok),1,15))::BIGINT % 2147483647 AS h
       |  FROM toks_raw WHERE length(tok) > 0)""".stripMargin
 
+
+  /** The ds_profile oracle union (per-column single passes over
+    * orders) — shared verbatim by ds_expectations' CTE. */
+  private lazy val ordersProfileSql: String = {
+    def num(c: String) =
+      s"""SELECT '$c' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+         |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+         |  round(CAST(min($c) AS DOUBLE), 6) AS min_num,
+         |  round(CAST(max($c) AS DOUBLE), 6) AS max_num,
+         |  CAST(NULL AS VARCHAR) AS min_s, CAST(NULL AS VARCHAR) AS max_s
+         |FROM orders""".stripMargin
+    def str(c: String, e: String) =
+      s"""SELECT '$c' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(sum(CASE WHEN $e IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+         |  CAST(count(DISTINCT $e) AS BIGINT) AS n_distinct,
+         |  CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
+         |  CAST(min($e) AS VARCHAR) AS min_s, CAST(max($e) AS VARCHAR) AS max_s
+         |FROM orders""".stripMargin
+    Seq(num("o_custkey"), num("o_totalprice"),
+      str("o_orderstatus", "o_orderstatus"),
+      str("o_orderpriority", "o_orderpriority"),
+      str("o_orderdate", "CAST(o_orderdate AS DATE)"))
+      .mkString("\n UNION ALL \n")
+  }
+
   /** MinHash permutation j twin of Hashing.affine. */
   private def mh(j: Int): String =
     s"min((${2 * j + 1} * h + ${12345 * (j + 1)}) % 2147483647) AS mh$j"
@@ -2576,28 +2602,28 @@ object Oracles {
         |WHERE coalesce(win.op, '') <> 'D'""".stripMargin,
     // profiling twin: one single-column pass per profiled column,
     // numeric min/max as rounded doubles, string/date as VARCHAR
-    "ds_profile" -> {
-      def num(c: String) =
-        s"""SELECT '$c' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
-           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
-           |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
-           |  round(CAST(min($c) AS DOUBLE), 6) AS min_num,
-           |  round(CAST(max($c) AS DOUBLE), 6) AS max_num,
-           |  CAST(NULL AS VARCHAR) AS min_s, CAST(NULL AS VARCHAR) AS max_s
-           |FROM orders""".stripMargin
-      def str(c: String, e: String) =
-        s"""SELECT '$c' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
-           |  CAST(sum(CASE WHEN $e IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
-           |  CAST(count(DISTINCT $e) AS BIGINT) AS n_distinct,
-           |  CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
-           |  CAST(min($e) AS VARCHAR) AS min_s, CAST(max($e) AS VARCHAR) AS max_s
-           |FROM orders""".stripMargin
-      Seq(num("o_custkey"), num("o_totalprice"),
-        str("o_orderstatus", "o_orderstatus"),
-        str("o_orderpriority", "o_orderpriority"),
-        str("o_orderdate", "CAST(o_orderdate AS DATE)"))
-        .mkString("\n UNION ALL \n")
-    },
+    "ds_profile" -> ordersProfileSql,
+    // expectations twin: same profile union as a CTE, one CASE per
+    // named expectation; a NULL predicate result is a FAIL (coalesce),
+    // matching the engine side
+    "ds_expectations" ->
+      s"""WITH p AS ($ordersProfileSql)
+        |SELECT e.expectation, e."column",
+        |  coalesce(CASE e.expectation
+        |    WHEN 'custkey_not_null' THEN p.n_null = 0
+        |    WHEN 'custkey_min_card' THEN p.n_distinct >= 10
+        |    WHEN 'totalprice_nonneg' THEN p.min_num >= 0
+        |    WHEN 'status_single_valued' THEN p.n_distinct <= 1
+        |    WHEN 'orderdate_in_window'
+        |      THEN p.min_s >= '1994-01-01' AND p.max_s <= '2002-12-31'
+        |  END, FALSE) AS pass
+        |FROM p JOIN (VALUES
+        |    ('custkey_not_null', 'o_custkey'),
+        |    ('custkey_min_card', 'o_custkey'),
+        |    ('totalprice_nonneg', 'o_totalprice'),
+        |    ('status_single_valued', 'o_orderstatus'),
+        |    ('orderdate_in_window', 'o_orderdate'))
+        |  e(expectation, "column") ON p."column" = e."column"""".stripMargin,
     "ds_split_assign" ->
       """SELECT doc_id, CASE WHEN d < 0.75 THEN 'train' WHEN d < 0.875 THEN 'valid'
         |    ELSE 'test' END AS split,

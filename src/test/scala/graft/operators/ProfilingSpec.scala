@@ -120,6 +120,26 @@ class ProfilingSpec extends SparkSpec {
     assert(got.toSet == want, s"stream ${got.size} rows vs batch ${want.size}")
   }
 
+  test("expectations: per-check verdicts, null predicate fails, duplicates refused") {
+    import org.apache.spark.sql.functions._
+    val prof = Profiling.profile(df, Seq("num", "dbl", "s"))
+    val got = Profiling.expectations(prof, Seq(
+      ("num_no_nulls", "num", col("n_null") === 0L),          // false (1 null)
+      ("num_card", "num", col("n_distinct") >= 2L),           // true
+      ("dbl_range", "dbl", col("min_num") >= 0.0),            // true
+      // min_num is NULL for a string column -> failed, not passed
+      ("s_bad_field", "s", col("min_num") >= 0.0)))
+      .as[(String, String, Boolean)].collect()
+      .map(r => r._1 -> r._3).toMap
+    assert(got == Map("num_no_nulls" -> false, "num_card" -> true,
+      "dbl_range" -> true, "s_bad_field" -> false))
+    val ex = intercept[IllegalArgumentException] {
+      Profiling.expectations(prof, Seq(
+        ("dup", "num", col("n_null") === 0L), ("dup", "dbl", col("n_null") === 0L)))
+    }
+    assert(ex.getMessage.contains("duplicate expectation names"))
+  }
+
   test("unknown column raises loudly") {
     val ex = intercept[IllegalArgumentException] {
       Profiling.profile(df, Seq("nope"))
