@@ -21,19 +21,39 @@ import re
 import sys
 
 
+def resolve(path):
+    """A directory resolves to its newest bench_full_*.json (the
+    append-only artifacts Bench writes since r12)."""
+    import glob
+    import os
+    if os.path.isdir(path):
+        cands = sorted(glob.glob(os.path.join(path, "bench_full*.json")),
+                       key=os.path.getmtime)
+        if not cands:
+            print(f"# ERROR: no bench_full*.json under {path}")
+            sys.exit(2)
+        return cands[-1]
+    return path
+
+
 def load_queries(path):
-    """(queries: {name: sec}, partial: bool)"""
+    """(queries: {name: sec}, partial: bool, dirty: list|None)"""
     with open(path) as f:
         d = json.load(f)
+    # r12 Bench stamps dirty/dirty_queries when accepted minima came out
+    # of over-gate load windows - surface it, the artifact is suspect
+    dirty = d.get("dirty_queries") if d.get("dirty") else None
     if "queries" in d and isinstance(d["queries"], dict):
-        return {k: v for k, v in d["queries"].items() if v >= 0}, False
+        return {k: v for k, v in d["queries"].items() if v >= 0}, False, dirty
     if d.get("parsed") and isinstance(d["parsed"].get("queries"), dict):
-        return {k: v for k, v in d["parsed"]["queries"].items() if v >= 0}, False
+        p = d["parsed"]
+        dirty = p.get("dirty_queries") if p.get("dirty") else dirty
+        return {k: v for k, v in p["queries"].items() if v >= 0}, False, dirty
     tail = d.get("tail", "")
     pairs = re.findall(r'"([a-z0-9_]+)":([0-9]+\.[0-9]+)', tail)
     qs = {k: float(v) for k, v in pairs
           if k not in ("value", "load", "load_end")}
-    return qs, True
+    return qs, True, dirty
 
 
 def main():
@@ -45,8 +65,8 @@ def main():
     if len(args) != 2:
         print(__doc__)
         sys.exit(2)
-    old, old_partial = load_queries(args[0])
-    new, new_partial = load_queries(args[1])
+    old, old_partial, old_dirty = load_queries(resolve(args[0]))
+    new, new_partial, new_dirty = load_queries(resolve(args[1]))
     shared = sorted(set(old) & set(new))
     only_old = sorted(set(old) - set(new))
     only_new = sorted(set(new) - set(old))
@@ -60,6 +80,12 @@ def main():
     if new_partial:
         print(f"# WARNING: NEW recovered from a truncated tail - "
               f"{len(new)} queries visible, not the full run (PARTIAL)")
+    if old_dirty is not None:
+        print(f"# WARNING: OLD self-declares DIRTY - {len(old_dirty)} "
+              f"accepted minima saw over-gate load: {', '.join(old_dirty)}")
+    if new_dirty is not None:
+        print(f"# WARNING: NEW self-declares DIRTY - {len(new_dirty)} "
+              f"accepted minima saw over-gate load: {', '.join(new_dirty)}")
     print(f"# shared {len(shared)}  only-old {len(only_old)}  "
           f"only-new {len(only_new)}")
     if only_new:

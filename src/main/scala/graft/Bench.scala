@@ -7,6 +7,14 @@ import org.apache.spark.sql.SparkSession
   * {"metric":…,"value":…,"unit":"sec","queries":{…},"sf":…}.
   * Each query is forced through a `noop` sink so the full plan
   * (not just a count-pruned projection) executes.
+  *
+  * Env knobs: SPARK_GRAFT_BENCH_ONLY (comma list → subset bench, for
+  * A/B receipts), SPARK_GRAFT_BENCH_OUT (sidecar path; default is
+  * timestamped and an existing file is never overwritten — claims
+  * artifacts are append-only), SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS.
+  * The JSON carries "dirty"/"dirty_queries" when accepted minima came
+  * out of over-gate load windows — such an artifact is not
+  * claims-grade and says so itself.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -64,7 +72,24 @@ object Bench {
     // burst is stacked on top.
     val LoadGate = 8.0
     val failed = scala.collection.mutable.LinkedHashSet[String]()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_BENCH_ONLY: comma-separated query names → bench only
+    // that subset (A/B triage runs, family-drift receipts). Unknown
+    // names raise — a typo'd filter must not silently bench nothing.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_BENCH_ONLY names unknown queries: ${unknown.mkString(", ")}")
+    }
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter { case (k, _) => names(k) }
+      case None        => SparkEntry.queries
+    }
+    // per-query: max 1-min load sampled around the ACCEPTED minimum's
+    // runs — the basis of the artifact-level dirty verdict below
+    val acceptedDirty = scala.collection.mutable.LinkedHashSet[String]()
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       // a failed query reports the -1.0 sentinel, joins "failed", and
       // fails the run — a regression must not bench as "fast"
       def once(): (Double, Double) = {
@@ -109,9 +134,11 @@ object Bench {
           extra += 1
           st = if (runs.forall(_._1 >= 0)) status(runs) else 0
         }
-        if (st == 2)
+        if (st == 2) {
+          acceptedDirty += name
           System.err.println(
             f"[bench] $name accepted from a dirty window after $extra retries - read against the load field")
+        }
         if (runs.exists(_._1 < 0)) -1.0 else runs.map(_._1).min
       }
       name -> settled()
@@ -125,13 +152,37 @@ object Bench {
     // post-gate start load (the window signal); "load_end" includes
     // our own threads' tail.
     val loadEnd = loadAvg()
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"load":$loadStart%.2f,"load_end":$loadEnd%.2f,"sf":"$sfDir"}"""
+    // dirty-window self-refusal (VERDICT r11 #8): an artifact where
+    // more than DirtyMax accepted minima came out of over-gate windows
+    // is not claims-grade — SAY so in the JSON instead of making the
+    // next round's regression table re-litigate the window. The flag is
+    // advisory (the run still completes); bench_diff.py surfaces it.
+    val DirtyMax = 3
+    val dirty = acceptedDirty.size > DirtyMax
+    val dirtyJson = acceptedDirty.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"load":$loadStart%.2f,"load_end":$loadEnd%.2f,"dirty":$dirty,"dirty_queries":$dirtyJson,"sf":"$sfDir"}"""
     // VERDICT r9 #5: the driver keeps only a truncated log TAIL, and the
     // one ~7 KB JSON line got clipped mid-line in r9 ("parsed": null, 94
     // of 184 per-query numbers lost). Persist the complete map to a
     // committed sidecar FIRST — the durable copy survives any log
     // truncation — then print the contract line to stdout as before.
-    val sidecar = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
+    // Append-only contract (VERDICT r11 #2/#3): a claims artifact must
+    // never be a mutable scratch file — the default name carries a UTC
+    // timestamp, and an existing file (explicit SPARK_GRAFT_BENCH_OUT
+    // included) is NEVER overwritten: the run writes to a fresh
+    // `<name>.<epoch-millis>` beside it and says so.
+    val sidecar0 = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", {
+      val ts = java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd'T'HHmmss'Z'")
+        .format(java.time.Instant.now.atZone(java.time.ZoneOffset.UTC))
+      s"bench_full_$ts.json"
+    })
+    val sidecar =
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(sidecar0))) sidecar0
+      else {
+        val alt = s"$sidecar0.${System.currentTimeMillis}"
+        System.err.println(s"[bench] $sidecar0 exists - refusing to overwrite, writing $alt")
+        alt
+      }
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(sidecar), line + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] sidecar write failed: $e") }
     println(line)

@@ -113,6 +113,10 @@ object GraftFunctions {
       arity("hilbert_xy", 3, 3)(args => HilbertIndex(args(1), args(2),
         intArg(args(0), "hilbert_xy", 1))),
       "hilbert_xy(bits int, x, y) - 2-D Hilbert curve index on the 2^bits grid"),
+    ("hilbert_k",
+      arity("hilbert_k", 3, Int.MaxValue)(args =>
+        HilbertIndexK(args.tail, intArg(args.head, "hilbert_k", 1))),
+      "hilbert_k(bits int, c0, c1, ...) - k-D Hilbert curve index (Skilling transpose) on the 2^bits grid (k*bits <= 63)"),
     ("str_min_max",
       arity("str_min_max", 1, 1)(args => StrMinMax(args(0))),
       "str_min_max(s string) - struct(min_s, max_s) via a hash-friendly two-string buffer (aggregate)"),

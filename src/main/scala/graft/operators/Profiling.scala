@@ -98,12 +98,17 @@ object Profiling {
     * expectation against its k-row output, block the corpus on any
     * `pass = false` — no expectation re-scans data.
     *
-    * Plan: ONE evaluation of the profile joined (broadcast) with the
-    * literal spec frame; the per-expectation predicates compile into
-    * one when-chain keyed on the expectation name. A NULL predicate
-    * result (e.g. a range check against a null min) is a FAILED
-    * expectation, not a silent pass. Unknown columns in checks raise
-    * up front. */
+    * Plan: ONE evaluation of the profile joined (broadcast, from the
+    * spec side LEFT OUTER so every declared check appears in the
+    * output exactly once) with the literal spec frame; the
+    * per-expectation predicates compile into one when-chain keyed on
+    * the expectation name. A NULL predicate result (e.g. a range
+    * check against a null min) is a FAILED expectation, not a silent
+    * pass — and a check naming a column ABSENT from the profile frame
+    * is likewise a FAILED expectation (its profile row is all-null,
+    * so the predicate coalesces to false), never a silently dropped
+    * row: a 'block on any pass=false' gate cannot pass vacuously on a
+    * typo'd column name (r11 ADVICE). */
   def expectations(profile: DataFrame,
                    checks: Seq[(String, String, org.apache.spark.sql.Column)]): DataFrame = {
     require(checks.nonEmpty, "Profiling.expectations: no checks declared")
@@ -116,8 +121,50 @@ object Profiling {
       case ((n, _, pred), acc) =>
         when(col("expectation") === n, coalesce(pred, lit(false))).otherwise(acc)
     }
-    profile.join(broadcast(spec), Seq("column"))
+    // spec drives the join: k-row profile broadcasts, every declared
+    // check survives to the output even when its column is absent from
+    // the profile (all-null profile row → predicate null → pass=false)
+    spec.join(broadcast(profile), Seq("column"), "left_outer")
       .select(col("expectation"), col("column"), passExpr.as("pass"))
+  }
+
+  /** The streaming face of [[expectations]] (VERDICT r11 #7): the
+    * same declarative checks evaluated per CLOSED event-time window
+    * over a [[windowedProfile]] — drift monitoring with verdicts
+    * instead of raw stats. One (window_start, expectation, column,
+    * pass) row per window per check; a NULL predicate result is a
+    * FAILED expectation, exactly as in the batch form.
+    *
+    * Plan: [[windowedProfile]]'s one stateful windowed aggregate plus
+    * ONE broadcast join with the literal spec frame — no new
+    * stateful operator, so stream ≡ batch on closed windows by
+    * construction (ProfilingSpec pins it). Check predicates range
+    * over the windowed profile's columns (n_rows, n_null, min_num,
+    * max_num, mean). Unknown check columns raise UP FRONT against
+    * the declared `cols` (this form can validate statically — the
+    * profiled column set is an argument, so the batch form's
+    * absent-column-fails-loudly fallback is never needed here). */
+  def windowedExpectations(df: DataFrame, tsCol: String, windowDur: String,
+                           watermark: String, cols: Seq[String],
+                           checks: Seq[(String, String, org.apache.spark.sql.Column)])
+      : DataFrame = {
+    require(checks.nonEmpty, "Profiling.windowedExpectations: no checks declared")
+    require(checks.map(_._1).distinct.size == checks.size,
+      "Profiling.windowedExpectations: duplicate expectation names")
+    val unknown = checks.map(_._2).filterNot(cols.contains)
+    require(unknown.isEmpty,
+      s"Profiling.windowedExpectations: checks name unprofiled columns: ${unknown.distinct.mkString(", ")}")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val prof = windowedProfile(df, tsCol, windowDur, watermark, cols)
+    val spec = checks.map { case (n, c, _) => (n, c) }.toDF("expectation", "column")
+    val passExpr = checks.foldRight(lit(null).cast("boolean")) {
+      case ((n, _, pred), acc) =>
+        when(col("expectation") === n, coalesce(pred, lit(false))).otherwise(acc)
+    }
+    prof.join(broadcast(spec), Seq("column"))
+      .select(col("window_start"), col("expectation"), col("column"),
+        passExpr.as("pass"))
   }
 
   /** Largest |value| whose micro-unit tap round(v·10⁶) stays inside

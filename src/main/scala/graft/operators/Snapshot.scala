@@ -117,6 +117,17 @@ object Snapshot {
                      contentCols: Seq[String]): DataFrame = {
     require(log.isStreaming, "applyLogStream serves a streaming change log")
     require(contentCols.nonEmpty, "Snapshot.applyLogStream: no content columns declared")
+    // "integral keys by contract" enforced, not just documented (r11
+    // ADVICE): a string key would cast('long') to NULL under non-ANSI
+    // semantics, collapsing every row into one null-keyed state group —
+    // silent corruption, so refuse the schema up front on BOTH inputs
+    Seq("base" -> base, "log" -> log).foreach { case (side, df) =>
+      import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType}
+      val dt = df.schema(keyCol).dataType
+      require(Set[org.apache.spark.sql.types.DataType](
+          ByteType, ShortType, IntegerType, LongType).contains(dt),
+        s"Snapshot.applyLogStream: $side.$keyCol must be integral (state key encoder), got $dt")
+    }
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     val spark = log.sparkSession
     import spark.implicits._

@@ -1093,6 +1093,31 @@ object ExtensionCatalog {
         sum(col("hval")).as("h_sum"))
   }
 
+  /** 3-D Hilbert layout key ([[graft.functions.HilbertIndexK]],
+    * Skilling 2004) — the k ≥ 3 curve [[dsHilbert]]'s classical loop
+    * cannot reach: bucketed (part, supplier, quantity) coordinates on
+    * the 64³ grid, per-curve-cell envelope summary in ALL THREE
+    * dimensions. The oracle replays the identical transpose kernel —
+    * unrolled level CTEs, Gray encode, bit interleave — over the
+    * ≤ 64³ distinct triples. Plan: one narrow scan + one hash
+    * aggregate on the 6-bit cell, the curve math a codegen'd native
+    * expression. */
+  val dsHilbert3: Q = (s, d) => {
+    val b = Tables.lineitem(s, d).select(
+      (col("l_partkey") % 64).cast("long").as("pk_lo"),
+      (col("l_suppkey") % 64).cast("long").as("sk_lo"),
+      (col("l_quantity").cast("long") % 64).as("qt_lo"))
+    b.withColumn("hval", graft.functions.HilbertIndexK.hilbertK(
+        Seq(col("pk_lo"), col("sk_lo"), col("qt_lo")), bits = 6))
+      .withColumn("cell", shiftright(col("hval"), 12))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"),
+        min(col("pk_lo")).as("pk_min"), max(col("pk_lo")).as("pk_max"),
+        min(col("sk_lo")).as("sk_min"), max(col("sk_lo")).as("sk_max"),
+        min(col("qt_lo")).as("qt_min"), max(col("qt_lo")).as("qt_max"),
+        sum(col("hval")).as("h_sum"))
+  }
+
   /** Keyed snapshot diff ([[Snapshot.diff]]) — dataset versioning:
     * snapshot A drops every 17th document, snapshot B drops every
     * 19th and revises every 13th's text, and the diff classifies
@@ -1216,6 +1241,22 @@ object ExtensionCatalog {
   val dsProfileWindows: Q = (s, d) =>
     Profiling.windowedProfile(Tables.events(s, d), "ts", "1 day",
       watermark = "0 seconds", cols = Seq("value", "user_id"))
+
+  /** Per-window drift VERDICTS ([[Profiling.windowedExpectations]],
+    * r12) — the monitoring gate composed from dsProfileWindows' one
+    * stateful aggregate plus one broadcast spec join: each UTC day
+    * answers its declarative checks with (window, expectation, pass).
+    * Checks are chosen so both verdict paths appear across the
+    * fixture's days; the same expression serves a stream
+    * (ProfilingSpec pins stream ≡ batch on closed windows). */
+  val dsExpectationsWindows: Q = (s, d) =>
+    Profiling.windowedExpectations(Tables.events(s, d), "ts", "1 day",
+      watermark = "0 seconds", cols = Seq("value", "user_id"),
+      checks = Seq(
+        ("value_present", "value", col("n_null") === 0L),
+        ("value_mean_band", "value", col("mean") <= 50.0),
+        ("user_id_ceiling", "user_id", col("max_num") <= 200.0),
+        ("daily_volume_floor", "value", col("n_rows") >= 100L)))
 
   /** The end-to-end curation pipeline the extension operators exist to
     * COMPOSE: quality gate → language gate → exact-dedup survivor per

@@ -2548,6 +2548,56 @@ object Oracles {
         |  CAST(sum(hval * cnt) AS BIGINT) AS h_sum
         |FROM g JOIN f ON g.pk_lo = f.pk_lo AND g.sk_lo = f.sk_lo
         |GROUP BY 1""".stripMargin,
+    // 3-D Hilbert twin: the SAME Skilling transpose kernel the native
+    // expression runs (inverse-undo levels q=32..2, Gray encode, bit
+    // interleave), replayed as chained level CTEs over the <= 64^3
+    // distinct (pk, sk, qty) triples; DuckDB's lateral column aliases
+    // carry the within-level sequential x0/x1/x2 updates
+    "ds_hilbert3" -> {
+      def lvl(i: Int, q: Long): String = {
+        val p = q - 1
+        val src = if (i == 1) "g" else s"h${i - 1}"
+        s"""h$i AS (SELECT pk_lo, sk_lo, qt_lo, cnt, c0 AS x0, b1 AS x1, c2 AS x2 FROM (
+           |  SELECT pk_lo, sk_lo, qt_lo, cnt,
+           |    CASE WHEN (x0 & $q) <> 0 THEN xor(x0, $p) ELSE x0 END AS a0,
+           |    CASE WHEN (x1 & $q) <> 0 THEN xor(a0, $p)
+           |      ELSE xor(a0, xor(a0, x1) & $p) END AS b0,
+           |    CASE WHEN (x1 & $q) <> 0 THEN x1
+           |      ELSE xor(x1, xor(a0, x1) & $p) END AS b1,
+           |    CASE WHEN (x2 & $q) <> 0 THEN xor(b0, $p)
+           |      ELSE xor(b0, xor(b0, x2) & $p) END AS c0,
+           |    CASE WHEN (x2 & $q) <> 0 THEN x2
+           |      ELSE xor(x2, xor(b0, x2) & $p) END AS c2
+           |  FROM $src))""".stripMargin
+      }
+      val levels = Seq(32L, 16L, 8L, 4L, 2L).zipWithIndex
+        .map { case (q, i) => lvl(i + 1, q) }.mkString(",\n")
+      val tExpr = Seq(32L, 16L, 8L, 4L, 2L)
+        .map(q => s"CASE WHEN (g2 & $q) <> 0 THEN ${q - 1} ELSE 0 END")
+        .reduce((a, b) => s"xor($a, $b)")
+      val interleave = (0 to 5).flatMap { j =>
+        Seq(s"(((f0 >> $j) & 1) << ${3 * j + 2})",
+          s"(((f1 >> $j) & 1) << ${3 * j + 1})",
+          s"(((f2 >> $j) & 1) << ${3 * j})")
+      }.mkString(" + ")
+      s"""WITH b AS (SELECT CAST(l_partkey % 64 AS BIGINT) AS pk_lo,
+        |    CAST(l_suppkey % 64 AS BIGINT) AS sk_lo,
+        |    CAST(l_quantity AS BIGINT) % 64 AS qt_lo FROM lineitem),
+        |g AS (SELECT pk_lo, sk_lo, qt_lo, CAST(count(*) AS BIGINT) AS cnt,
+        |    pk_lo AS x0, sk_lo AS x1, qt_lo AS x2 FROM b GROUP BY 1, 2, 3),
+        |$levels,
+        |gr AS (SELECT pk_lo, sk_lo, qt_lo, cnt, x0 AS g0, xor(x1, x0) AS g1,
+        |    xor(x2, xor(x1, x0)) AS g2 FROM h5),
+        |tt AS (SELECT pk_lo, sk_lo, qt_lo, cnt, g0, g1, g2, $tExpr AS t FROM gr),
+        |f AS (SELECT pk_lo, sk_lo, qt_lo, cnt, $interleave AS hval FROM
+        |  (SELECT *, xor(g0, t) AS f0, xor(g1, t) AS f1, xor(g2, t) AS f2 FROM tt))
+        |SELECT hval // 4096 AS cell, CAST(sum(cnt) AS BIGINT) AS n,
+        |  min(pk_lo) AS pk_min, max(pk_lo) AS pk_max,
+        |  min(sk_lo) AS sk_min, max(sk_lo) AS sk_max,
+        |  min(qt_lo) AS qt_min, max(qt_lo) AS qt_max,
+        |  CAST(sum(hval * cnt) AS BIGINT) AS h_sum
+        |FROM f GROUP BY 1""".stripMargin
+    },
     // snapshot-diff twin: same planted snapshots, same md5 content
     // fingerprints, same FULL JOIN classification
     "ds_snapshot_diff" ->
@@ -2577,6 +2627,34 @@ object Oracles {
            |      / (count($c) * 1000000.0), 6) END AS mean
            |FROM events GROUP BY 1""".stripMargin
       s"${one("value")}\n UNION ALL \n${one("user_id")}"
+    },
+    // windowed-expectations twin: the same per-day profile CTE, each
+    // check's predicate replayed as a CASE keyed on the expectation
+    // name; NULL predicate coalesces to FALSE (failed, never silent)
+    "ds_expectations_windows" -> {
+      def one(c: String) =
+        s"""SELECT date_trunc('day', ts) AS window_start, '$c' AS "column",
+           |  CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           |  min(CAST($c AS DOUBLE)) AS min_num, max(CAST($c AS DOUBLE)) AS max_num,
+           |  CASE WHEN count($c) = 0 THEN NULL
+           |    ELSE round(sum(CAST(round(CAST($c AS DOUBLE) * 1000000) AS BIGINT))
+           |      / (count($c) * 1000000.0), 6) END AS mean
+           |FROM events GROUP BY 1""".stripMargin
+      s"""WITH p AS (${one("value")}\n UNION ALL \n${one("user_id")})
+        |SELECT p.window_start, e.expectation, e."column",
+        |  coalesce(CASE e.expectation
+        |    WHEN 'value_present' THEN p.n_null = 0
+        |    WHEN 'value_mean_band' THEN p.mean <= 50.0
+        |    WHEN 'user_id_ceiling' THEN p.max_num <= 200.0
+        |    WHEN 'daily_volume_floor' THEN p.n_rows >= 100
+        |  END, FALSE) AS pass
+        |FROM p JOIN (VALUES
+        |    ('value_present', 'value'),
+        |    ('value_mean_band', 'value'),
+        |    ('user_id_ceiling', 'user_id'),
+        |    ('daily_volume_floor', 'value'))
+        |  e(expectation, "column") ON p."column" = e."column"""".stripMargin
     },
     // MERGE INTO twin: same planted log, same max-version winner,
     // same full-outer apply; empty-string D payload matches the

@@ -102,7 +102,13 @@ object SignatureStore {
     * base stays readable throughout. Delta doc ids must be DISJOINT
     * from the base corpus's (the CDC contract: a changed doc is a
     * new version, keyed upstream — re-ingesting an existing id
-    * would double-count it in `n` and duplicate its bucket row). */
+    * would double-count it in `n` and duplicate its bucket row).
+    * The contract is spot-checked, not just documented (r11 ADVICE):
+    * delta ids intersecting the base's RETAINED corpus_id set raise
+    * before anything is written. The check is PARTIAL by
+    * construction — a base member dropped over the bucket cap is
+    * invisible to it — and costs one semi-join of the (small) delta
+    * id set against the store, no corpus rescan. */
   def merge(spark: SparkSession, basePath: String, deltaDocs: DataFrame,
             outPath: String, textCol: String = "text",
             idCol: String = "doc_id"): Unit = {
@@ -111,6 +117,15 @@ object SignatureStore {
       new java.io.File(basePath).getCanonicalPath,
       "SignatureStore.merge: outPath must be a new version, not the base (publish-last)")
     val (bands, rowsPerBand, maxBucket) = meta(spark, basePath)
+    val overlap = deltaDocs.select(col(idCol).cast("long").as("did")).distinct()
+      .join(buckets(spark, basePath).select(col("corpus_id").as("did")).distinct(),
+        Seq("did"), "left_semi")
+      .limit(5).collect().map(_.getLong(0))
+    require(overlap.isEmpty,
+      s"SignatureStore.merge: delta doc ids intersect the base's retained corpus " +
+        s"(e.g. ${overlap.mkString(", ")}) - re-ingesting an existing id corrupts " +
+        "bucket sizes; key changed docs as new versions upstream (check is partial " +
+        "under the bucket cap)")
     val base = buckets(spark, basePath)
       .select(col("band"), col("bucket"), col("corpus_id").as("m"),
         col("n").as("base_n"), lit(0L).as("is_delta"))

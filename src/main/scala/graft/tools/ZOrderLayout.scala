@@ -60,15 +60,18 @@ object ZOrderLayout {
   }
 
   /** Curve key for `curve` ∈ {morton, hilbert}: Morton interleaves
-    * any k columns; Hilbert (2 columns only) trades that generality
-    * for unit-step continuity — tighter regions per equal curve
-    * range (see [[graft.functions.HilbertIndex]]). */
+    * any k columns; Hilbert matches that generality since r12 —
+    * k = 2 keeps the classical xy→d loop (its DuckDB recursive-CTE
+    * twin replays exactly that form), k ≥ 3 routes to the Skilling
+    * transpose kernel ([[graft.functions.HilbertIndexK]]) — both with
+    * unit-step continuity, i.e. tighter regions per equal curve range
+    * than Morton's quadrant jumps. */
   def curveKey(cols: Seq[Column], bits: Int, curve: String): Column = curve match {
     case "morton" => zvalue(cols, bits)
-    case "hilbert" =>
-      require(cols.length == 2,
-        s"ZOrderLayout: the Hilbert curve is 2-D, got ${cols.length} columns")
+    case "hilbert" if cols.length == 2 =>
       graft.functions.HilbertIndex.hilbertXY(cols(0), cols(1), bits)
+    case "hilbert" =>
+      graft.functions.HilbertIndexK.hilbertK(cols, bits)
     case other =>
       throw new IllegalArgumentException(
         s"ZOrderLayout: unknown curve '$other' (morton | hilbert)")

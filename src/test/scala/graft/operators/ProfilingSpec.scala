@@ -140,6 +140,76 @@ class ProfilingSpec extends SparkSpec {
     assert(ex.getMessage.contains("duplicate expectation names"))
   }
 
+  test("expectations: a check on a column absent from the profile FAILS, never vanishes") {
+    import org.apache.spark.sql.functions._
+    // r11 ADVICE: the old inner join dropped the row entirely, so a
+    // typo'd column name made a 'block on any pass=false' gate pass
+    // vacuously — now the check survives with pass=false
+    val prof = Profiling.profile(df, Seq("num"))
+    val got = Profiling.expectations(prof, Seq(
+      ("num_rows", "num", col("n_rows") === 4L),
+      ("typo_gate", "nmu", col("n_null") === 0L)))
+      .as[(String, String, Boolean)].collect()
+      .map(r => r._1 -> r._3).toMap
+    assert(got == Map("num_rows" -> true, "typo_gate" -> false))
+  }
+
+  test("windowedExpectations: per-window verdicts, stream == batch on closed windows") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val data = Seq(
+      (ts(10L), Some(1.0), Some(5L)), (ts(20L), Some(3.0), None),
+      (ts(3600000L + 5), None, Some(7L)), (ts(3600000L + 6), Some(4.5), Some(9L)))
+    val checks = Seq(
+      ("dbl_ceiling", "dbl", col("max_num") <= 4.0),  // h0 true, h1 false
+      ("num_complete", "num", col("n_null") === 0L),  // h0 false, h1 true
+      // mean is NULL for h1's all-null dbl? (dbl has one value in h1)
+      // — range check exercises the mean column per window
+      ("dbl_mean_low", "dbl", col("mean") <= 2.0))    // h0 true, h1 false
+
+    val want = Profiling.windowedExpectations(
+        data.toDF("t", "dbl", "num"), "t", "1 hour", "0 seconds",
+        Seq("dbl", "num"), checks)
+      .as[(java.sql.Timestamp, String, String, Boolean)].collect().toSet
+    // golden, not just stream-equal: the batch twin's verdicts
+    val wantMap = want.map(r => (r._1.getTime, r._2) -> r._4).toMap
+    assert(wantMap == Map(
+      (0L, "dbl_ceiling") -> true, (3600000L, "dbl_ceiling") -> false,
+      (0L, "num_complete") -> false, (3600000L, "num_complete") -> true,
+      (0L, "dbl_mean_low") -> true, (3600000L, "dbl_mean_low") -> false))
+
+    val in = MemoryStream[(java.sql.Timestamp, Option[Double], Option[Long])]
+    val got = scala.collection.mutable.ArrayBuffer
+      .empty[(java.sql.Timestamp, String, String, Boolean)]
+    val q = Profiling.windowedExpectations(
+        in.toDF().toDF("t", "dbl", "num"), "t", "1 hour", "0 seconds",
+        Seq("dbl", "num"), checks)
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= b.as[(java.sql.Timestamp, String, String, Boolean)].collect()
+        ()
+      }.start()
+    try {
+      in.addData(data.take(1))
+      q.processAllAvailable()
+      in.addData(data.drop(1))
+      q.processAllAvailable()
+      in.addData(Seq((ts(10 * 3600000L), Some(0.0), Some(0L)))) // close windows
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(got.toSet == want, s"stream ${got.size} rows vs batch ${want.size}")
+
+    // unknown check column raises up front in this form (the profiled
+    // set is an argument, so validation is static)
+    val ex = intercept[IllegalArgumentException] {
+      Profiling.windowedExpectations(data.toDF("t", "dbl", "num"),
+        "t", "1 hour", "0 seconds", Seq("dbl", "num"),
+        Seq(("bad", "nmu", col("n_null") === 0L)))
+    }
+    assert(ex.getMessage.contains("unprofiled columns"))
+  }
+
   test("unknown column raises loudly") {
     val ex = intercept[IllegalArgumentException] {
       Profiling.profile(df, Seq("nope"))

@@ -135,6 +135,27 @@ class SnapshotSpec extends SparkSpec {
       Option(ex.getCause).exists(_.getMessage.contains("applyLog")))
   }
 
+  test("applyLogStream: non-integral key schema refused up front") {
+    // r11 ADVICE: a string key would cast('long') to NULL under
+    // non-ANSI semantics and collapse every row into one null-keyed
+    // state group — refuse the schema instead of corrupting silently
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(String, Long, String, String)]
+    val badBase = Seq(("a", "t")).toDF("k", "t")
+    val ex = intercept[IllegalArgumentException] {
+      Snapshot.applyLogStream(badBase,
+        in.toDF().toDF("k", "v", "op", "t"), "k", "v", "op", Seq("t"))
+    }
+    assert(ex.getMessage.contains("must be integral"))
+    val goodBase = Seq((1L, "t")).toDF("k", "t")
+    val ex2 = intercept[IllegalArgumentException] {
+      Snapshot.applyLogStream(goodBase,
+        in.toDF().toDF("k", "v", "op", "t"), "k", "v", "op", Seq("t"))
+    }
+    assert(ex2.getMessage.contains("log.k must be integral"))
+  }
+
   test("null key raises loudly") {
     val oldSnap = Seq((Option.empty[Long], "t")).toDF("k", "t")
     val newSnap = Seq((Option(1L), "t")).toDF("k", "t")

@@ -192,6 +192,16 @@ class SigPersistSpec extends SparkSpec {
       SignatureStore.merge(spark, pBase, deltaDocs, pBase)
     }
     assert(ex.getMessage.contains("new version"))
+    // r11 ADVICE: a delta that re-ingests a RETAINED base id is refused
+    // before anything is written (partial guard — disjointness is the
+    // CDC contract; this catches the retained-set violations cheaply)
+    val exDup = intercept[IllegalArgumentException] {
+      SignatureStore.merge(spark, pBase,
+        Seq((20L, "totally different words nothing shared here at all"))
+          .toDF("doc_id", "text"),
+        newStoreDir("mrg_dup"))
+    }
+    assert(exDup.getMessage.contains("intersect the base's retained corpus"))
   }
 
   test("probe without a published store fails loudly") {

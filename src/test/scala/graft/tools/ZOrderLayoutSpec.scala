@@ -122,11 +122,14 @@ class ZOrderLayoutSpec extends SparkSpec {
     assert(hTotal >= 12, s"unexpected file count $hTotal")
     assert(hHit * 2 < hTotal,
       s"hilbert layout should prune most files on y, hit=$hHit/$hTotal")
-    // unknown curve and >2 columns refused loudly
-    val ex = intercept[IllegalArgumentException] {
-      ZOrderLayout.curveKey(Seq(col("x"), col("y"), col("id")), 8, "hilbert")
-    }
-    assert(ex.getMessage.contains("2-D"))
+    // k >= 3 hilbert routes to the Skilling expression since r12
+    // (HilbertIndexKSpec carries its bijection/continuity receipts);
+    // unknown curves still refused loudly
+    import spark.implicits._
+    val k3 = Seq((1L, 2L, 3L)).toDF("x", "y", "id")
+      .select(ZOrderLayout.curveKey(Seq(col("x"), col("y"), col("id")), 8, "hilbert").as("d"))
+      .as[Long].head()
+    assert(k3 >= 0L && k3 < (1L << 24))
     val ex2 = intercept[IllegalArgumentException] {
       ZOrderLayout.curveKey(Seq(col("x"), col("y")), 8, "peano")
     }
