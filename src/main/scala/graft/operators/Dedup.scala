@@ -331,7 +331,14 @@ object Dedup {
     spread.select(col("doc_id"),
         StatelessOps.explodeTokens(col("__text")).as("tok"))
       .filter(length(col("tok")) > 0)
-      .select(col("doc_id"), Hashing.md5Mod31(col("tok")).as("h"))
+      // FULL 60-bit token hash (r12): the near-dup identity paths
+      // (minhash banding, jaccard token sets, simhash bit votes) all
+      // key on h, and a 31-bit reduction made two distinct tokens
+      // collide under EVERY downstream permutation — the false-flag
+      // class that broke the 8M-doc sigstore rung and saturates at
+      // crawl scale. Wide h + the affine61 perm family ends it;
+      // DuckDB twin drops its % 2^31-1 in lockstep (tokCte).
+      .select(col("doc_id"), Hashing.md5Long(col("tok")).as("h"))
       .distinct()
   }
 
@@ -345,7 +352,7 @@ object Dedup {
   def minHashSignatures(docs: DataFrame, textCol: String, idCol: String, k: Int): DataFrame =
     tokenHashes(docs, textCol, idCol)
       .select(col("doc_id") +:
-        (0 until k).map(j => Hashing.affine(col("h"), j).as(s"a$j")): _*)
+        (0 until k).map(j => Hashing.affine61(col("h"), j).as(s"a$j")): _*)
       .groupBy(col("doc_id"))
       .agg(min(col("a0")).as("mh0"),
         (1 until k).map(j => min(col(s"a$j")).as(s"mh$j")): _*)
@@ -518,10 +525,10 @@ object Dedup {
       StatelessOps.tokenArray(col(textCol)), t => length(t) > 0))
     docs
       .select(col(idCol).cast("long").as("doc_id") +: extra.map(col) :+
-        transform(toks, t => Hashing.md5Mod31(t)).as("hs"): _*)
+        transform(toks, t => Hashing.md5Long(t)).as("hs"): _*)
       .filter(size(col("hs")) > 0)
       .select((col("doc_id") +: extra.map(col)) ++ (0 until k).map(j =>
-        array_min(transform(col("hs"), h => Hashing.affine(h, j))).as(s"mh$j")): _*)
+        array_min(transform(col("hs"), h => Hashing.affine61(h, j))).as(s"mh$j")): _*)
   }
 
   /** (doc_id, band, bucket) banded LSH keys from an `mh*` signature
@@ -693,9 +700,13 @@ object Dedup {
     * one aggregation regardless of corpus size. */
   def simHash(docs: DataFrame, textCol: String, idCol: String, bits: Int = 32): DataFrame = {
     val th = tokenHashes(docs, textCol, idCol)
+    // bit reads are SHIFTS, not double division: h is 60-bit since
+    // r12 and h / 2^i through DoubleType rounds past 2^53 — a silent
+    // wrong-bit class; (h >> i) & 1 is exact at any width on both
+    // engines
     val weighted = th.select(col("doc_id") +:
       (0 until bits).map(i =>
-        when((col("h") / lit(1L << i)).cast("long") % 2 === 1, 1)
+        when(shiftright(col("h"), i) % 2 === 1, 1)
           .otherwise(-1).as(s"w$i")): _*)
     weighted.groupBy(col("doc_id"))
       .agg(sum(col("w0")).as("s0"),
@@ -1070,7 +1081,7 @@ object Dedup {
     val n = docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val sigsWithToks = tokenHashes(docs, textCol, idCol)
       .select(col("doc_id") +: col("h") +:
-        (0 until k).map(j => Hashing.affine(col("h"), j).as(s"a$j")): _*)
+        (0 until k).map(j => Hashing.affine61(col("h"), j).as(s"a$j")): _*)
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_set(col("h"))).as("toks"),
         (0 until k).map(j => min(col(s"a$j")).as(s"mh$j")): _*)

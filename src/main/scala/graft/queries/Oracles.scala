@@ -22,7 +22,7 @@ object Oracles {
       |    '[^a-z \n]+', '', 'g'), '\s+', ' ', 'g')), ' ')) AS tok FROM documents),
       |toks AS (
       |  SELECT DISTINCT doc_id,
-      |    ('0x' || substr(md5(tok),1,15))::BIGINT % 2147483647 AS h
+      |    ('0x' || substr(md5(tok),1,15))::BIGINT AS h
       |  FROM toks_raw WHERE length(tok) > 0)""".stripMargin
 
   /** Non-distinct variant (token multiset) for the fingerprint. */
@@ -60,9 +60,13 @@ object Oracles {
       .mkString("\n UNION ALL \n")
   }
 
-  /** MinHash permutation j twin of Hashing.affine. */
+  /** MinHash permutation j twin of Hashing.affine61 — the wide
+    * mod-2^61-1 family (r12): DuckDB's HUGEINT carries the 67-bit
+    * product directly, the engine side does the same arithmetic with
+    * Mersenne split-folding inside 63 bits (equality
+    * property-verified). */
   private def mh(j: Int): String =
-    s"min((${2 * j + 1} * h + ${12345 * (j + 1)}) % 2147483647) AS mh$j"
+    s"min(CAST((CAST(${2 * j + 1} AS HUGEINT) * h + ${12345 * (j + 1)}) % 2305843009213693951 AS BIGINT)) AS mh$j"
 
   /** [[sigCte]]/[[bandsCte]] generalized to an arbitrary (doc_id,
     * text) source subquery with a name prefix, so one statement can
@@ -80,7 +84,7 @@ object Oracles {
        |    '[^a-z \\n]+', '', 'g'), '\\s+', ' ', 'g')), ' ')) AS tok FROM ($srcSql)),
        |${p}_toks AS (
        |  SELECT DISTINCT doc_id,
-       |    ('0x' || substr(md5(tok),1,15))::BIGINT % 2147483647 AS h
+       |    ('0x' || substr(md5(tok),1,15))::BIGINT AS h
        |  FROM ${p}_raw WHERE length(tok) > 0),
        |${p}_sig AS (SELECT doc_id, ${(0 until k).map(mh).mkString(", ")}
        |  FROM ${p}_toks GROUP BY doc_id),
@@ -1437,7 +1441,7 @@ object Oracles {
     "dd_simhash" ->
       s"""WITH $tokCte,
          |perbit AS (SELECT doc_id, bit,
-         |    CASE WHEN CAST(floor(h / power(2, bit)) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END AS w
+         |    CASE WHEN ((h >> bit) & 1) = 1 THEN 1 ELSE -1 END AS w
          |  FROM toks, generate_series(0, 31) g(bit)),
          |bitsums AS (SELECT doc_id, bit, sum(w) AS s FROM perbit GROUP BY 1, 2)
          |SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN CAST(power(2, bit) AS BIGINT)
@@ -1447,7 +1451,7 @@ object Oracles {
     "dd_simhash_pairs" ->
       s"""WITH $tokCte,
          |perbit AS (SELECT doc_id, bit,
-         |    CASE WHEN CAST(floor(h / power(2, bit)) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END AS w
+         |    CASE WHEN ((h >> bit) & 1) = 1 THEN 1 ELSE -1 END AS w
          |  FROM toks, generate_series(0, 31) g(bit)),
          |bitsums AS (SELECT doc_id, bit, sum(w) AS s FROM perbit GROUP BY 1, 2),
          |sh AS (SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN CAST(power(2, bit) AS BIGINT)

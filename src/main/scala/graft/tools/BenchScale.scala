@@ -519,13 +519,13 @@ object BenchScale {
       // planted queries have even (query_id - n); fresh ones odd
       val planted = (col("query_id") - n) % 2 === 0
       val dupPlanted = flags.filter(col("is_dup") && planted).count()
-      // a fresh query CAN collide: md5Mod31 token collisions across
-      // disjoint token sets occasionally share a band min (a tiny
-      // colliding hash wins every affine perm of a band in both
-      // docs) — the documented 31-bit false-positive tail of the
-      // minhash family, identical in the batch operator and its
-      // oracle. Recall on planted dups stays EXACT; the tail is
-      // bounded, counted, and printed.
+      // fresh-query collisions were the 31-bit minhash family's
+      // false-positive tail: two distinct tokens colliding mod 2^31-1
+      // collide under EVERY affine perm, and the tail GREW with corpus
+      // size — this rung's gate broke at 8M docs (7 flagged / 10k,
+      // gate 5), which is why r12 widened the family to the 60-bit
+      // hash + mod-2^61-1 perms (Hashing.affine61): the same class is
+      // now P ~ V^2/2^61 and the gate tightens to ZERO flags.
       val falsePos = flags.filter(col("is_dup") && !planted).count()
       // a planted query's id-smallest match must be its target
       // (unique corpus docs collide only with their copy, modulo the
@@ -535,10 +535,10 @@ object BenchScale {
       flags.unpersist()
       require(dupPlanted == nQ / 2,
         s"planted-dup recall at n=$n: flagged $dupPlanted of ${nQ / 2}")
-      require(falsePos <= 5,
-        s"false-positive tail at n=$n: $falsePos fresh queries flagged (> 5)")
-      require(wrongTarget <= 5,
-        s"$wrongTarget planted queries matched a non-target at n=$n (same collision class)")
+      require(falsePos == 0,
+        s"false-positive tail at n=$n: $falsePos fresh queries flagged (want 0 under the 61-bit family)")
+      require(wrongTarget == 0,
+        s"$wrongTarget planted queries matched a non-target at n=$n (want 0 under the 61-bit family)")
       println(f"""{"n_docs":$n,"write_sec":$wSec%.2f,"probe_sec":$pSec%.2f,"queries":$nQ,"false_pos":$falsePos,"write_max_task_sec":$wMt%.2f,"probe_max_task_sec":$pMt%.2f}""")
       (n, wSec, pSec)
     }
@@ -626,6 +626,68 @@ object BenchScale {
       println(f"""{"metric":"zorder_scale","write_exponent":$exponent%.3f}""")
       require(exponent <= 1.3,
         f"z-order write grows super-linearly: exponent $exponent%.3f > 1.3")
+    }
+  }
+
+  /** 3-D curve-vs-curve rung (r12, the k ≥ 3 face of [[zorderLadder]]):
+    * Morton interleave vs the Skilling k-D Hilbert
+    * ([[graft.functions.HilbertIndexK]]) on the same 256³ corpus, 64
+    * range files each, band scan on the LAST clustering column (the
+    * one a linear layout can't serve at all). The gate mirrors the
+    * 2-D ladder's: both curves must prune most of the linear scan,
+    * and the Hilbert read must not exceed Morton's — unit-step
+    * continuity buys fewer straddler files, in 3-D as in 2-D. */
+  private def zorder3Ladder(spark: SparkSession, sizes: Seq[Long],
+                            maxTaskMs: java.util.concurrent.atomic.AtomicLong): Unit = {
+    import org.apache.spark.sql.functions._
+    val recordsRead = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null)
+          recordsRead.addAndGet(te.taskMetrics.inputMetrics.recordsRead): Unit
+    })
+    def measured(f: => Long): (Double, Long, Long) = {
+      Thread.sleep(300)
+      recordsRead.set(0)
+      val t0 = System.nanoTime(); val r = f
+      val sec = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(300)
+      (sec, r, recordsRead.get())
+    }
+    sizes.foreach { n =>
+      val dir = s"/tmp/graft_scale/zorder3_$n"
+      val corpus = spark.range(n).select(col("id"),
+        pmod(xxhash64(concat(lit("3x_"), col("id"))), lit(256)).as("x"),
+        pmod(xxhash64(concat(lit("3y_"), col("id"))), lit(256)).as("y"),
+        pmod(xxhash64(concat(lit("3z_"), col("id"))), lit(256)).as("z"))
+      corpus.repartitionByRange(64, col("x")).sortWithinPartitions("x")
+        .write.mode("overwrite").parquet(s"$dir/linear") // untimed
+      ZOrderLayout.write(corpus, s"$dir/m",
+        Seq(col("x"), col("y"), col("z")), bits = 8, numFiles = 64)
+      ZOrderLayout.write(corpus, s"$dir/h",
+        Seq(col("x"), col("y"), col("z")), bits = 8, numFiles = 64,
+        curve = "hilbert")
+      // one full 32-wide z-slab = 1/8 of the domain, on the curve's
+      // LAST column: 64 files tile 64x64x64 curve cells, ~8 intersect
+      // plus range-boundary straddlers (the 2-D ladder's geometry,
+      // one dimension deeper)
+      val band = (c: org.apache.spark.sql.DataFrame) =>
+        c.filter(col("z") >= 96 && col("z") < 128).count()
+      val (lSec, lCount, lRead) = measured(band(spark.read.parquet(s"$dir/linear")))
+      val (mSec, mCount, mRead) = measured(band(spark.read.parquet(s"$dir/m")))
+      val (hSec, hCount, hRead) = measured(band(spark.read.parquet(s"$dir/h")))
+      require(mCount == lCount && hCount == lCount,
+        s"layouts disagree at n=$n: m=$mCount h=$hCount linear=$lCount")
+      require(lRead > 0 && mRead > 0 && hRead > 0, s"listener saw no reads at n=$n")
+      val mRatio = mRead.toDouble / lRead
+      val hRatio = hRead.toDouble / lRead
+      println(f"""{"n_rows":$n,"linear_scan_sec":$lSec%.2f,"morton_scan_sec":$mSec%.2f,"hilbert3_scan_sec":$hSec%.2f,"records_linear":$lRead,"records_morton":$mRead,"records_hilbert3":$hRead,"morton_read_ratio":$mRatio%.4f,"hilbert3_read_ratio":$hRatio%.4f}""")
+      require(mRatio < 0.45,
+        f"3-D morton layout read $mRatio%.3f of the linear scan at n=$n (want < 0.45)")
+      require(hRatio < 0.45,
+        f"3-D hilbert layout read $hRatio%.3f of the linear scan at n=$n (want < 0.45)")
+      require(hRatio <= mRatio * 1.05,
+        f"3-D hilbert read ratio $hRatio%.3f worse than morton $mRatio%.3f at n=$n")
     }
   }
 
@@ -1483,11 +1545,13 @@ object BenchScale {
     val backoffMode = args.headOption.contains("backoff")
     val sigstoreMode = args.headOption.contains("sigstore")
     val zorderMode = args.headOption.contains("zorder")
+    val zorder3Mode = args.headOption.contains("zorder3")
     val sizeArgs =
       if (annMode || mmMode || pqMode || ivfPqMode || semMode || graphMode ||
           tpchMode || bpeMode || shingleMode || triMode || backoffMode ||
           kcoreMode || tsMode || eventsMode || linkpredMode ||
-          linkpredSkewMode || lpaMode || sigstoreMode || zorderMode)
+          linkpredSkewMode || lpaMode || sigstoreMode || zorderMode ||
+          zorder3Mode)
         args.drop(1) else args
     val sizes =
       if (sizeArgs.nonEmpty) sizeArgs(0).split(",").map(_.trim.toLong).toSeq
@@ -1503,6 +1567,7 @@ object BenchScale {
       else if (shingleMode) Seq(100000L, 400000L, 1600000L)
       else if (sigstoreMode) Seq(100000L, 400000L, 1600000L)
       else if (zorderMode) Seq(1000000L, 4000000L, 16000000L)
+      else if (zorder3Mode) Seq(4000000L, 16000000L, 64000000L)
       else if (triMode) Seq(1000000L, 4000000L, 16000000L)
       else if (kcoreMode) Seq(1000000L, 4000000L, 16000000L)
       else if (tsMode) Seq(1048576L, 4194304L, 16777216L)
@@ -1559,6 +1624,7 @@ object BenchScale {
     if (shingleMode) { shingleLadder(spark, sizes, maxTaskMs); spark.stop(); return }
     if (sigstoreMode) { sigstoreLadder(spark, sizes, maxTaskMs); spark.stop(); return }
     if (zorderMode) { zorderLadder(spark, sizes, maxTaskMs); spark.stop(); return }
+    if (zorder3Mode) { zorder3Ladder(spark, sizes, maxTaskMs); spark.stop(); return }
     if (triMode) { triLadder(spark, sizes, maxTaskMs); spark.stop(); return }
     if (kcoreMode) { kcoreLadder(spark, sizes, maxTaskMs); spark.stop(); return }
     if (tsMode) { tsLadder(spark, sizes, maxTaskMs); spark.stop(); return }
