@@ -410,7 +410,7 @@ object Dedup {
       struct(col("doc_id").as("_1"), col("bands").as("_2")), maxBucket)
       // AQE coalesces this small aggregate to ~1 partition; the pair
       // emission below is the expensive part, so rebalance first.
-      .repartition(n).as[(Int, Seq[(Long, Seq[String])])]
+      .repartition(n).as[(Int, Seq[(Long, Seq[Long])])]
       // Dedicated iterator class, not Iterator.flatMap chains: the
       // shared combinator call sites go megamorphic in a long-lived
       // session (43 bench queries in one JVM) and the kernel
@@ -443,11 +443,11 @@ object Dedup {
     import spark.implicits._
     val sigs = rowMinHashSignatures(docs, textCol, idCol, bands * rowsPerBand)
     bandedBuckets(sigs, bands, rowsPerBand)
-      .select(col("band"), col("bucket"), col("doc_id")).as[(Int, String, Long)]
+      .select(col("band"), col("bucket"), col("doc_id")).as[(Int, Long, Long)]
       .groupByKey(r => (r._1, r._2))
       .flatMapGroupsWithState[Seq[Long], (Long, Long)](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (_: (Int, String), it: Iterator[(Int, String, Long)],
+        (_: (Int, Long), it: Iterator[(Int, Long, Long)],
          gs: org.apache.spark.sql.streaming.GroupState[Seq[Long]]) =>
           var members = gs.getOption.getOrElse(Seq.empty).toVector
           // membership Set beside the insertion-ordered Vector: the
@@ -487,11 +487,11 @@ object Dedup {
     sigs.select(col("doc_id"), col(tsCol).as("ts"),
         posexplode(bucketArray(bands, rowsPerBand)).as(Seq("band", "bucket")))
       .select(col("band"), col("bucket"), col("doc_id"), col("ts"))
-      .as[(Int, String, Long, Timestamp)]
+      .as[(Int, Long, Long, Timestamp)]
       .groupByKey(r => (r._1, r._2))
       .flatMapGroupsWithState[Seq[Long], (Long, Long, Timestamp)](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (_: (Int, String), it: Iterator[(Int, String, Long, Timestamp)],
+        (_: (Int, Long), it: Iterator[(Int, Long, Long, Timestamp)],
          gs: org.apache.spark.sql.streaming.GroupState[Seq[Long]]) =>
           var members = gs.getOption.getOrElse(Seq.empty).toVector
           // same O(1)-membership shape as minHashLshStream (ADVICE r4)
@@ -550,9 +550,18 @@ object Dedup {
     * signature pipeline (scan+tokenize+hash+agg) once per band. At
     * 100 TB that is bands× the scan; as one explode it is one pass. */
   private def bucketArray(bands: Int, rowsPerBand: Int) =
+    // bucket key = md5Long of the band's mh-tuple string (r12): bucket
+    // equality was exact 8-tuple string equality, but the wide 61-bit
+    // mins made those strings ~160 B — real money on every LSH shuffle
+    // and in the written store at corpus scale. The 60-bit compaction
+    // keeps the identity contract to P(tuple collision) ~ B^2/2^61
+    // corpus-wide (B = docs x bands buckets: ~1 spurious bucket merge
+    // per 10^9-doc corpus, the same class as the perm space itself)
+    // and the join key is 8 bytes. DuckDB twin: the same md5-substr
+    // over the same concat_ws string (bandsCte / sigBandsCteFor).
     array((0 until bands).map { b =>
-      concat_ws("_",
-        (b * rowsPerBand until (b + 1) * rowsPerBand).map(j => col(s"mh$j")): _*)
+      Hashing.md5Long(concat_ws("_",
+        (b * rowsPerBand until (b + 1) * rowsPerBand).map(j => col(s"mh$j")): _*))
     }: _*)
 
   /** Groups a banded frame (band, bucket, payload…) into per-shard
@@ -629,7 +638,7 @@ object Dedup {
   /** True iff the two members' band keys already collided in a band
     * before `band` — the pair was (or, under an earlier band's salt,
     * would have been) emitted there, so the current band skips it. */
-  private def matchedEarlier(band: Int, a: Array[String], b: Array[String]): Boolean = {
+  private def matchedEarlier(band: Int, a: Array[Long], b: Array[Long]): Boolean = {
     var p = 0
     while (p < band) {
       if (a(p) == b(p)) return true
@@ -640,11 +649,11 @@ object Dedup {
 
   /** Emits each group's sorted id pairs (a < b) whose FIRST band match
     * is this group's band, lazily. */
-  private final class PairIterator(groups: Iterator[(Int, Seq[(Long, Seq[String])])])
+  private final class PairIterator(groups: Iterator[(Int, Seq[(Long, Seq[Long])])])
       extends scala.collection.AbstractIterator[(Long, Long)] {
     private var band = 0
     private var ids: Array[Long] = _
-    private var bandKeys: Array[Array[String]] = _
+    private var bandKeys: Array[Array[Long]] = _
     private var i = 0
     private var j = 1
     private var outA = 0L
@@ -659,7 +668,7 @@ object Dedup {
           val sorted = g.sortBy(_._1)
           band = b
           ids = new Array[Long](sorted.length)
-          bandKeys = new Array[Array[String]](sorted.length)
+          bandKeys = new Array[Array[Long]](sorted.length)
           var m = 0
           while (m < sorted.length) {
             ids(m) = sorted(m)._1; bandKeys(m) = sorted(m)._2.toArray; m += 1
@@ -1094,7 +1103,7 @@ object Dedup {
       struct(col("doc_id").as("_1"), col("toks").as("_2"), col("bands").as("_3")),
       maxBucket)
       .repartition(n)
-      .as[(Int, Seq[(Long, Seq[Long], Seq[String])])]
+      .as[(Int, Seq[(Long, Seq[Long], Seq[Long])])]
       // dedicated iterator class — see PairIterator's megamorphism note
       .mapPartitions(groups => new GroupJaccardIterator(groups, threshold, spanningOnly))
       .toDF("doc_a", "doc_b", "jaccard")
@@ -1106,13 +1115,13 @@ object Dedup {
     * lazily. Group size is bounded by the LSH salt (`maxBucket`), so
     * the materialized arrays are O(maxBucket × set). */
   private final class GroupJaccardIterator(
-      groups: Iterator[(Int, Seq[(Long, Seq[Long], Seq[String])])], threshold: Double,
+      groups: Iterator[(Int, Seq[(Long, Seq[Long], Seq[Long])])], threshold: Double,
       spanning: Boolean = false)
       extends scala.collection.AbstractIterator[(Long, Long, Double)] {
     private var band = 0
     private var ids: Array[Long] = _
     private var toks: Array[Array[Long]] = _
-    private var bandKeys: Array[Array[String]] = _
+    private var bandKeys: Array[Array[Long]] = _
     private var parent: Array[Int] = _
     private var i = 0
     private var j = 1
@@ -1130,7 +1139,7 @@ object Dedup {
           band = b
           ids = new Array[Long](sorted.length)
           toks = new Array[Array[Long]](sorted.length)
-          bandKeys = new Array[Array[String]](sorted.length)
+          bandKeys = new Array[Array[Long]](sorted.length)
           if (spanning) parent = Array.tabulate(sorted.length)(identity)
           var m = 0
           while (m < sorted.length) {

@@ -77,7 +77,7 @@ object Oracles {
     val k = bands * rowsPerBand
     val selects = (0 until bands).map { b =>
       val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(j => s"mh$j")
-      s"SELECT doc_id, $b AS band, concat_ws('_', ${cols.mkString(", ")}) AS bucket FROM ${p}_sig"
+      s"SELECT doc_id, $b AS band, ('0x' || substr(md5(concat_ws('_', ${cols.mkString(", ")})),1,15))::BIGINT AS bucket FROM ${p}_sig"
     }
     s"""${p}_raw AS (
        |  SELECT doc_id, unnest(string_split(trim(regexp_replace(regexp_replace(lower(text),
@@ -399,7 +399,7 @@ object Oracles {
   private def bandsCte(bands: Int, rowsPerBand: Int): String = {
     val selects = (0 until bands).map { b =>
       val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(j => s"mh$j")
-      s"SELECT doc_id, $b AS band, concat_ws('_', ${cols.mkString(", ")}) AS bucket FROM sig"
+      s"SELECT doc_id, $b AS band, ('0x' || substr(md5(concat_ws('_', ${cols.mkString(", ")})),1,15))::BIGINT AS bucket FROM sig"
     }
     s"bands AS (${selects.mkString(" UNION ALL ")})"
   }

@@ -21,9 +21,10 @@ import graft.operators.Dedup
   * Layout under `path(dir, fingerprint)`:
   *   sig_buckets.parquet (band, bucket, n, corpus_id) — retained
   *                       bucket members, `n` the bucket's TRUE size
-  *   sig_meta.parquet    (bands, rows_per_band, max_bucket) — 1 row;
-  *                       probes derive banding from HERE so a store
-  *                       and its probes can never disagree
+  *   sig_meta.parquet    (bands, rows_per_band, max_bucket, family)
+  *                       — 1 row; probes derive banding from HERE so
+  *                       a store and its probes can never disagree,
+  *                       and a cross-[[Family]] store refuses loudly
   *   _GRAFT_SIG_READY    — atomic publish marker, written LAST
   *
   * Hot-bucket contract (the write-side form of [[Dedup.minHashLsh]]'s
@@ -47,8 +48,19 @@ object SignatureStore {
 
   def root: String = ArtifactStore.root
 
+  /** Algorithm-family version baked into both the store PATH and the
+    * written meta (r12): the bucket values are a function of the
+    * tokenizer + hash family + banding, and a store written under an
+    * older family probed by newer code would collide NOWHERE —
+    * silent total recall loss, no error. Path inclusion makes
+    * version-mismatched stores invisible (catalog callers just
+    * rebuild); the meta check makes an explicitly-pathed probe of a
+    * foreign store refuse loudly instead. Bump on any change to
+    * tokenization, the hash family, or the bucket-key encoding. */
+  val Family = "mh61x60v1"
+
   def path(dir: String, fingerprint: String): String =
-    ArtifactStore.path("sig_", dir, fingerprint)
+    ArtifactStore.path("sig_", dir, s"$fingerprint|$Family")
 
   def dataFingerprint(d: String, table: String): String =
     ArtifactStore.dataFingerprint(d, table)
@@ -75,8 +87,8 @@ object SignatureStore {
         explode(col("keep.h")).as("corpus_id"))
       .write.mode("overwrite").parquet(s"$p/sig_buckets.parquet")
     import spark.implicits._
-    Seq((bands, rowsPerBand, maxBucket))
-      .toDF("bands", "rows_per_band", "max_bucket")
+    Seq((bands, rowsPerBand, maxBucket, Family))
+      .toDF("bands", "rows_per_band", "max_bucket", "family")
       .coalesce(1).write.mode("overwrite").parquet(s"$p/sig_meta.parquet")
     ArtifactStore.publish(p, ReadyMarker)
     val dropped = droppedMembers(spark, p)
@@ -142,19 +154,24 @@ object SignatureStore {
         explode(col("keep.h")).as("corpus_id"))
       .write.mode("overwrite").parquet(s"$outPath/sig_buckets.parquet")
     import spark.implicits._
-    Seq((bands, rowsPerBand, maxBucket))
-      .toDF("bands", "rows_per_band", "max_bucket")
+    Seq((bands, rowsPerBand, maxBucket, Family))
+      .toDF("bands", "rows_per_band", "max_bucket", "family")
       .coalesce(1).write.mode("overwrite").parquet(s"$outPath/sig_meta.parquet")
     ArtifactStore.publish(outPath, ReadyMarker)
   }
 
-  /** (bands, rowsPerBand, maxBucket) as written. */
+  /** (bands, rowsPerBand, maxBucket) as written; refuses a store
+    * written under a different algorithm family (see [[Family]]). */
   def meta(spark: SparkSession, p: String): (Int, Int, Int) = {
     import org.apache.spark.sql.types._
     val r = ArtifactStore.readTable(spark, p, "sig_meta",
       "bands" -> IntegerType, "rows_per_band" -> IntegerType,
-      "max_bucket" -> IntegerType).collect()
+      "max_bucket" -> IntegerType, "family" -> StringType).collect()
     require(r.length == 1, s"SignatureStore: malformed meta at $p (${r.length} rows)")
+    require(r(0).getString(3) == Family,
+      s"SignatureStore: store at $p was written under family '${r(0).getString(3)}', " +
+        s"this build probes '$Family' - rebuild the index (a cross-family probe " +
+        "collides nowhere and would silently flag nothing)")
     (r(0).getInt(0), r(0).getInt(1), r(0).getInt(2))
   }
 
@@ -163,7 +180,7 @@ object SignatureStore {
   def buckets(spark: SparkSession, p: String): DataFrame = {
     import org.apache.spark.sql.types._
     ArtifactStore.readTable(spark, p, "sig_buckets",
-      "band" -> IntegerType, "bucket" -> StringType,
+      "band" -> IntegerType, "bucket" -> LongType,
       "n" -> LongType, "corpus_id" -> LongType)
   }
 

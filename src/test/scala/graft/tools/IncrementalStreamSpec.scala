@@ -152,7 +152,7 @@ class IncrementalStreamSpec extends SparkSpec {
     val pFull = newStoreDir("v2full")
     SignatureStore.write(spark, baseDocs.unionAll(keyed), pFull)
     def rows(p: String) = SignatureStore.buckets(spark, p)
-      .as[(Int, String, Long, Long)].collect().toSet
+      .as[(Int, Long, Long, Long)].collect().toSet
     assert(rows(pNext) == rows(pFull),
       "pipeline-merged index diverged from a full rebuild over base ∪ survivors")
     // the published next version flags dups against the round's survivors

@@ -175,7 +175,7 @@ class SigPersistSpec extends SparkSpec {
 
     assert(SignatureStore.meta(spark, pMerged) == SignatureStore.meta(spark, pFull))
     def rows(p: String) = SignatureStore.buckets(spark, p)
-      .as[(Int, String, Long, Long)].collect().toSet
+      .as[(Int, Long, Long, Long)].collect().toSet
     assert(rows(pMerged) == rows(pFull),
       s"merged table diverged from rebuild:\n merged=${rows(pMerged)}\n full=${rows(pFull)}")
     // the displaced cap slot: template bucket keeps {5, 10} now
@@ -202,6 +202,25 @@ class SigPersistSpec extends SparkSpec {
         newStoreDir("mrg_dup"))
     }
     assert(exDup.getMessage.contains("intersect the base's retained corpus"))
+  }
+
+  test("a store written under a foreign algorithm family refuses to serve probes") {
+    // bucket values are a function of tokenizer + hash family +
+    // banding: a cross-family probe collides NOWHERE and would
+    // silently flag nothing — the meta check turns that into a raise
+    // (the path already embeds Family, so catalog callers simply
+    // never SEE a stale store; this guards explicitly-pathed reads)
+    val p = newStoreDir("family")
+    SignatureStore.write(spark,
+      Seq((1L, "some corpus text here")).toDF("doc_id", "text"), p)
+    Seq((4, 8, 2048, "mh31-legacy"))
+      .toDF("bands", "rows_per_band", "max_bucket", "family")
+      .coalesce(1).write.mode("overwrite").parquet(s"$p/sig_meta.parquet")
+    val ex = intercept[IllegalArgumentException] {
+      SignatureStore.probe(spark, p,
+        Seq((2L, "anything")).toDF("doc_id", "text")).collect()
+    }
+    assert(ex.getMessage.contains("family"))
   }
 
   test("probe without a published store fails loudly") {
