@@ -80,17 +80,39 @@ object ExtensionCatalog {
         // store's probe (SignatureStore.probeAgainst) — one kernel,
         // so the two branches can never diverge
         graft.tools.SignatureStore.probeAgainst(
-          inSessionBuckets(docs.filter(col("doc_id") % 2 === 0)),
+          inSessionBuckets(s, d),
           bands = 4, rowsPerBand = 8, queries, "text", "doc_id")
     }
   }
 
   /** In-session (band, bucket, corpus_id) frame with dd_minhash_lsh's
-    * banding — the store-less stand-in for SignatureStore.buckets. */
-  private def inSessionBuckets(corpus: org.apache.spark.sql.DataFrame) =
-    Dedup.bandedBuckets(
-        Dedup.minHashSignatures(corpus, "text", "doc_id", 32), 4, 8)
-      .select(col("band"), col("bucket"), col("doc_id").as("corpus_id"))
+    * banding — the store-less stand-in for SignatureStore.buckets.
+    * MEMOIZED per (session, dir, documents-fingerprint) since r12
+    * (the coPurchasePairs discipline): dd_lsh_probe AND
+    * pipe_incremental consume this same even-id corpus banding, and
+    * each paid the ~1 s tokenize+minhash from scratch per run —
+    * band-the-standing-corpus-once is also the honest production
+    * shape (the written SignatureStore IS this memo, durable).
+    * Single slot, replaced frame's blocks freed under the
+    * serial-execution contract ([[unpersistCheckpoint]]). */
+  private val inSessionBucketsMemo =
+    new java.util.concurrent.atomic.AtomicReference[(String, DataFrame)]()
+
+  private def inSessionBuckets(s: SparkSession, d: String): DataFrame = {
+    val key = memoKey(s, d, "documents")
+    inSessionBucketsMemo.get() match {
+      case (k, df) if k == key => df
+      case _ =>
+        val corpus = Tables.documents(s, d).filter(col("doc_id") % 2 === 0)
+        val df = Dedup.bandedBuckets(
+            Dedup.minHashSignatures(corpus, "text", "doc_id", 32), 4, 8)
+          .select(col("band"), col("bucket"), col("doc_id").as("corpus_id"))
+          .localCheckpoint()
+        val prev = inSessionBucketsMemo.getAndSet((key, df))
+        if (prev != null && !(prev._2 eq df)) unpersistCheckpoint(prev._2)
+        df
+    }
+  }
 
   private def writtenSig(d: String): Option[String] = {
     val p = graft.tools.SignatureStore.path(d,
@@ -1198,7 +1220,7 @@ object ExtensionCatalog {
     // pairs, so the per-query aggregate's count IS the distinct
     // matched-corpus count
     val matches = graft.tools.SignatureStore.probeAgainst(
-        inSessionBuckets(docs.filter(col("doc_id") % 2 === 0)),
+        inSessionBuckets(s, d),
         bands = 4, rowsPerBand = 8,
         fresh.select(col("doc_id"), col("text")), "text", "doc_id")
       .groupBy(col("query_id"))
