@@ -22,15 +22,19 @@ import sys
 
 
 def resolve(path):
-    """A directory resolves to its newest bench_full_*.json (the
-    append-only artifacts Bench writes since r12)."""
+    """A directory resolves to its newest bench_full* artifact (the
+    append-only artifacts Bench writes since r12 — INCLUDING the
+    refuse-to-overwrite fallback names `<name>.json.<epoch-millis>`,
+    which don't end in .json). mtime ties (e.g. two committed
+    artifacts checked out together) break lexicographically, so the
+    later-named artifact wins deterministically."""
     import glob
     import os
     if os.path.isdir(path):
-        cands = sorted(glob.glob(os.path.join(path, "bench_full*.json")),
-                       key=os.path.getmtime)
+        cands = sorted(glob.glob(os.path.join(path, "bench_full*")),
+                       key=lambda p: (os.path.getmtime(p), p))
         if not cands:
-            print(f"# ERROR: no bench_full*.json under {path}")
+            print(f"# ERROR: no bench_full* artifact under {path}")
             sys.exit(2)
         return cands[-1]
     return path

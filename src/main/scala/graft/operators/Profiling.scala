@@ -111,21 +111,32 @@ object Profiling {
     * typo'd column name (r11 ADVICE). */
   def expectations(profile: DataFrame,
                    checks: Seq[(String, String, org.apache.spark.sql.Column)]): DataFrame = {
-    require(checks.nonEmpty, "Profiling.expectations: no checks declared")
+    val (spec, passExpr) = specAndPass(profile.sparkSession, "expectations", checks)
+    // spec drives the join: k-row profile broadcasts, every declared
+    // check survives to the output even when its column is absent from
+    // the profile (all-null profile row → predicate null → pass=false)
+    spec.join(broadcast(profile), Seq("column"), "left_outer")
+      .select(col("expectation"), col("column"), passExpr.as("pass"))
+  }
+
+  /** The ONE compilation of a check spec — shared by [[expectations]]
+    * and [[windowedExpectations]] so the NULL-predicate-fails contract
+    * can never diverge between the batch and windowed gates: the
+    * literal (expectation, column) spec frame plus the when-chain
+    * whose per-expectation predicate coalesces NULL to FALSE. */
+  private def specAndPass(spark: org.apache.spark.sql.SparkSession, who: String,
+                          checks: Seq[(String, String, org.apache.spark.sql.Column)])
+      : (DataFrame, org.apache.spark.sql.Column) = {
+    require(checks.nonEmpty, s"Profiling.$who: no checks declared")
     require(checks.map(_._1).distinct.size == checks.size,
-      "Profiling.expectations: duplicate expectation names")
-    val spark = profile.sparkSession
+      s"Profiling.$who: duplicate expectation names")
     import spark.implicits._
     val spec = checks.map { case (n, c, _) => (n, c) }.toDF("expectation", "column")
     val passExpr = checks.foldRight(lit(null).cast("boolean")) {
       case ((n, _, pred), acc) =>
         when(col("expectation") === n, coalesce(pred, lit(false))).otherwise(acc)
     }
-    // spec drives the join: k-row profile broadcasts, every declared
-    // check survives to the output even when its column is absent from
-    // the profile (all-null profile row → predicate null → pass=false)
-    spec.join(broadcast(profile), Seq("column"), "left_outer")
-      .select(col("expectation"), col("column"), passExpr.as("pass"))
+    (spec, passExpr)
   }
 
   /** The streaming face of [[expectations]] (VERDICT r11 #7): the
@@ -148,20 +159,11 @@ object Profiling {
                            watermark: String, cols: Seq[String],
                            checks: Seq[(String, String, org.apache.spark.sql.Column)])
       : DataFrame = {
-    require(checks.nonEmpty, "Profiling.windowedExpectations: no checks declared")
-    require(checks.map(_._1).distinct.size == checks.size,
-      "Profiling.windowedExpectations: duplicate expectation names")
     val unknown = checks.map(_._2).filterNot(cols.contains)
     require(unknown.isEmpty,
       s"Profiling.windowedExpectations: checks name unprofiled columns: ${unknown.distinct.mkString(", ")}")
-    val spark = df.sparkSession
-    import spark.implicits._
+    val (spec, passExpr) = specAndPass(df.sparkSession, "windowedExpectations", checks)
     val prof = windowedProfile(df, tsCol, windowDur, watermark, cols)
-    val spec = checks.map { case (n, c, _) => (n, c) }.toDF("expectation", "column")
-    val passExpr = checks.foldRight(lit(null).cast("boolean")) {
-      case ((n, _, pred), acc) =>
-        when(col("expectation") === n, coalesce(pred, lit(false))).otherwise(acc)
-    }
     prof.join(broadcast(spec), Seq("column"))
       .select(col("window_start"), col("expectation"), col("column"),
         passExpr.as("pass"))

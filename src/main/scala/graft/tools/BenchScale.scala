@@ -563,17 +563,19 @@ object BenchScale {
     * cells intersecting the band. Both scans must return the same
     * count; the z scan must read < 25 % of the linear scan's records
     * and its wall must not exceed the linear scan's. */
-  private def zorderLadder(spark: SparkSession, sizes: Seq[Long],
-                           maxTaskMs: java.util.concurrent.atomic.AtomicLong): Unit = {
-    import org.apache.spark.sql.functions._
-    val recordsRead = new java.util.concurrent.atomic.AtomicLong(0)
+  /** Shared scan-measurement scaffold for the layout ladders: a
+    * recordsRead listener plus a measure-one-action helper that
+    * drains the PREVIOUS action's straggler task-end events (the
+    * listener bus is async) before zeroing the counter, and again
+    * before reading it. */
+  private final class ScanMeter(spark: SparkSession) {
+    private val recordsRead = new java.util.concurrent.atomic.AtomicLong(0)
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
         if (te.taskMetrics != null)
           recordsRead.addAndGet(te.taskMetrics.inputMetrics.recordsRead): Unit
     })
-    def measured(f: => Long): (Double, Long, Long) = {
-      // drain stragglers from the PREVIOUS action, then count fresh
+    def apply(f: => Long): (Double, Long, Long) = {
       Thread.sleep(300)
       recordsRead.set(0)
       val t0 = System.nanoTime(); val r = f
@@ -581,6 +583,12 @@ object BenchScale {
       Thread.sleep(300)
       (sec, r, recordsRead.get())
     }
+  }
+
+  private def zorderLadder(spark: SparkSession, sizes: Seq[Long],
+                           maxTaskMs: java.util.concurrent.atomic.AtomicLong): Unit = {
+    import org.apache.spark.sql.functions._
+    val measured = new ScanMeter(spark)
     val rungs = sizes.map { n =>
       val dir = s"/tmp/graft_scale/zorder_$n"
       val corpus = spark.range(n).select(col("id"),
@@ -640,20 +648,7 @@ object BenchScale {
   private def zorder3Ladder(spark: SparkSession, sizes: Seq[Long],
                             maxTaskMs: java.util.concurrent.atomic.AtomicLong): Unit = {
     import org.apache.spark.sql.functions._
-    val recordsRead = new java.util.concurrent.atomic.AtomicLong(0)
-    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
-        if (te.taskMetrics != null)
-          recordsRead.addAndGet(te.taskMetrics.inputMetrics.recordsRead): Unit
-    })
-    def measured(f: => Long): (Double, Long, Long) = {
-      Thread.sleep(300)
-      recordsRead.set(0)
-      val t0 = System.nanoTime(); val r = f
-      val sec = (System.nanoTime() - t0) / 1e9
-      Thread.sleep(300)
-      (sec, r, recordsRead.get())
-    }
+    val measured = new ScanMeter(spark)
     sizes.foreach { n =>
       val dir = s"/tmp/graft_scale/zorder3_$n"
       val corpus = spark.range(n).select(col("id"),
