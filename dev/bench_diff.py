@@ -21,20 +21,38 @@ import re
 import sys
 
 
+def is_subset(path):
+    """True when the artifact self-declares a SPARK_GRAFT_BENCH_ONLY
+    filter (r13 Bench stamps "only":[...]) — its "total" is a subset
+    sum and it must not stand in for a full run."""
+    try:
+        with open(path) as f:
+            d = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return False
+    return bool(d.get("only") or (d.get("parsed") or {}).get("only"))
+
+
 def resolve(path):
-    """A directory resolves to its newest bench_full* artifact (the
-    append-only artifacts Bench writes since r12 — INCLUDING the
-    refuse-to-overwrite fallback names `<name>.json.<epoch-millis>`,
-    which don't end in .json). mtime ties (e.g. two committed
-    artifacts checked out together) break lexicographically, so the
-    later-named artifact wins deterministically."""
+    """A directory resolves to its newest FULL-RUN bench_full* artifact
+    (the append-only artifacts Bench writes since r12 — including the
+    refuse-to-overwrite fallback names). Subset artifacts (ADVICE r12:
+    a later 1-query A/B receipt silently shadowed the full run) are
+    skipped with a note. mtime ties (e.g. two committed artifacts
+    checked out together) break lexicographically, so the later-named
+    artifact wins deterministically."""
     import glob
     import os
     if os.path.isdir(path):
         cands = sorted(glob.glob(os.path.join(path, "bench_full*")),
                        key=lambda p: (os.path.getmtime(p), p))
+        skipped = [c for c in cands if is_subset(c)]
+        cands = [c for c in cands if c not in skipped]
+        for c in skipped:
+            print(f"# note: skipping subset artifact {c} "
+                  f"(self-declares an \"only\" filter)")
         if not cands:
-            print(f"# ERROR: no bench_full* artifact under {path}")
+            print(f"# ERROR: no full-run bench_full* artifact under {path}")
             sys.exit(2)
         return cands[-1]
     return path
@@ -69,8 +87,13 @@ def main():
     if len(args) != 2:
         print(__doc__)
         sys.exit(2)
-    old, old_partial, old_dirty = load_queries(resolve(args[0]))
-    new, new_partial, new_dirty = load_queries(resolve(args[1]))
+    old_path, new_path = resolve(args[0]), resolve(args[1])
+    for side, p in (("OLD", old_path), ("NEW", new_path)):
+        if is_subset(p):
+            print(f"# WARNING: {side} ({p}) is a SUBSET artifact - its "
+                  f"totals cover only its \"only\" filter")
+    old, old_partial, old_dirty = load_queries(old_path)
+    new, new_partial, new_dirty = load_queries(new_path)
     shared = sorted(set(old) & set(new))
     only_old = sorted(set(old) - set(new))
     only_new = sorted(set(new) - set(old))

@@ -167,7 +167,13 @@ object Bench {
     val DirtyMax = math.min(3, selected.size / 4)
     val dirty = acceptedDirty.size > DirtyMax
     val dirtyJson = acceptedDirty.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"load":$loadStart%.2f,"load_end":$loadEnd%.2f,"dirty":$dirty,"dirty_queries":$dirtyJson,"sf":"$sfDir"}"""
+    // A subset run must SAY it is one (ADVICE r12): its "total" is a
+    // subset sum, and bench_diff.py's directory resolution skips
+    // artifacts carrying an "only" filter so a 1-query A/B receipt can
+    // never shadow a full run in regression diffs.
+    val onlyJson = only.map(_.toSeq.sorted.map("\"" + _ + "\"")
+      .mkString(""""only":[""", ",", "],")).getOrElse("")
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec",$onlyJson"queries":$qs,"failed":$failedJson,"load":$loadStart%.2f,"load_end":$loadEnd%.2f,"dirty":$dirty,"dirty_queries":$dirtyJson,"sf":"$sfDir"}"""
     // VERDICT r9 #5: the driver keeps only a truncated log TAIL, and the
     // one ~7 KB JSON line got clipped mid-line in r9 ("parsed": null, 94
     // of 184 per-query numbers lost). Persist the complete map to a
@@ -186,13 +192,21 @@ object Bench {
     val sidecar =
       if (!java.nio.file.Files.exists(java.nio.file.Paths.get(sidecar0))) sidecar0
       else {
-        val alt = s"$sidecar0.${System.currentTimeMillis}"
+        // keep the .json suffix on the fallback name (ADVICE r12: the
+        // old `<name>.json.<millis>` form lost the suffix and a consumer
+        // diffing the explicit name could silently read the stale file —
+        // the redirect is also surfaced as a trailing stderr line below)
+        val alt =
+          if (sidecar0.endsWith(".json"))
+            s"${sidecar0.stripSuffix(".json")}.${System.currentTimeMillis}.json"
+          else s"$sidecar0.${System.currentTimeMillis}"
         System.err.println(s"[bench] $sidecar0 exists - refusing to overwrite, writing $alt")
         alt
       }
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(sidecar), line + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] sidecar write failed: $e") }
     println(line)
+    System.err.println(s"[bench] artifact: $sidecar")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

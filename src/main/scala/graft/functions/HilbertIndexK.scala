@@ -130,7 +130,11 @@ case class HilbertIndexK(children: Seq[Expression], bits: Int) extends Expressio
     val ref = ctx.addReferenceObj("hkKernel", this, classOf[HilbertIndexK].getName)
     val isNull = ctx.freshName("hkIsNull")
     val value = ctx.freshName("hkValue")
-    val arr = ctx.freshName("hkXs")
+    // per-operator scratch slot, reused across rows (ADVICE r12: a
+    // fresh long[k] per row is avoidable garbage on the 64M-row
+    // layout-write hot path); compute() treats it as scratch and every
+    // non-null row overwrites all k slots before the call
+    val arr = ctx.addMutableState("long[]", "hkXs", v => s"$v = new long[$k];")
     val fills = children.zipWithIndex.map { case (c, j) =>
       val cg = c.genCode(ctx)
       s"""
@@ -144,7 +148,6 @@ case class HilbertIndexK(children: Seq[Expression], bits: Int) extends Expressio
       code = code"""
         boolean $isNull = false;
         long $value = 0L;
-        long[] $arr = new long[$k];
         $fills
         if (!$isNull) { $value = $ref.compute($arr); }
         """,

@@ -1128,7 +1128,10 @@ object ExtensionCatalog {
     val b = Tables.lineitem(s, d).select(
       (col("l_partkey") % 64).cast("long").as("pk_lo"),
       (col("l_suppkey") % 64).cast("long").as("sk_lo"),
-      (col("l_quantity").cast("long") % 64).as("qt_lo"))
+      // round-then-cast on BOTH sides (ADVICE r12): Spark's bare
+      // cast truncates while DuckDB's rounds — explicit round keeps
+      // the engines on one convention even for non-integral quantity
+      (round(col("l_quantity")).cast("long") % 64).as("qt_lo"))
     b.withColumn("hval", graft.functions.HilbertIndexK.hilbertK(
         Seq(col("pk_lo"), col("sk_lo"), col("qt_lo")), bits = 6))
       .withColumn("cell", shiftright(col("hval"), 12))

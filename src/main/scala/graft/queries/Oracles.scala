@@ -2586,7 +2586,7 @@ object Oracles {
       }.mkString(" + ")
       s"""WITH b AS (SELECT CAST(l_partkey % 64 AS BIGINT) AS pk_lo,
         |    CAST(l_suppkey % 64 AS BIGINT) AS sk_lo,
-        |    CAST(l_quantity AS BIGINT) % 64 AS qt_lo FROM lineitem),
+        |    CAST(round(l_quantity) AS BIGINT) % 64 AS qt_lo FROM lineitem),
         |g AS (SELECT pk_lo, sk_lo, qt_lo, CAST(count(*) AS BIGINT) AS cnt,
         |    pk_lo AS x0, sk_lo AS x1, qt_lo AS x2 FROM b GROUP BY 1, 2, 3),
         |$levels,
