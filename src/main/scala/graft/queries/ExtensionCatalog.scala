@@ -65,11 +65,13 @@ object ExtensionCatalog {
     * half is the incoming crawl, probed for any band collision —
     * the production dedup-new-data-against-existing-corpus gate
     * (SigPersistSpec pins the written round trip and the streaming
-    * twin; here the index side is computed in-session unless a
-    * published store for this dir exists, the ann_external
-    * discipline). Same tokenizer / permutations / banding as
-    * dd_minhash_lsh, so the oracle is that twin restricted to
-    * (odd query, even corpus) collisions. */
+    * twin). The index side IS the written store: [[inSessionBuckets]]
+    * builds and publishes it on first use per data fingerprint, so
+    * every probe here — bench runs included — pays the store-probe
+    * cost, never a session-local shortcut (VERDICT r12 #1). Same
+    * tokenizer / permutations / banding as dd_minhash_lsh, so the
+    * oracle is that twin restricted to (odd query, even corpus)
+    * collisions. */
   val ddLshProbe: Q = (s, d) => {
     val docs = Tables.documents(s, d)
     val queries = docs.filter(col("doc_id") % 2 === 1)
@@ -85,16 +87,20 @@ object ExtensionCatalog {
     }
   }
 
-  /** In-session (band, bucket, corpus_id) frame with dd_minhash_lsh's
-    * banding — the store-less stand-in for SignatureStore.buckets.
-    * MEMOIZED per (session, dir, documents-fingerprint) since r12
-    * (the coPurchasePairs discipline): dd_lsh_probe AND
-    * pipe_incremental consume this same even-id corpus banding, and
-    * each paid the ~1 s tokenize+minhash from scratch per run —
-    * band-the-standing-corpus-once is also the honest production
-    * shape (the written SignatureStore IS this memo, durable).
-    * Single slot, replaced frame's blocks freed under the
-    * serial-execution contract ([[unpersistCheckpoint]]). */
+  /** The standing corpus's (band, bucket, corpus_id) frame with
+    * dd_minhash_lsh's banding — since r13 this IS the WRITTEN
+    * [[graft.tools.SignatureStore]] (VERDICT r12 #1): on first use per
+    * (dir, documents-fingerprint) the even-id corpus index is built
+    * and PUBLISHED at the catalog's store path, and every later call
+    * — in this session or any other — serves the store's lazy bucket
+    * scan. dd_lsh_probe and pipe_incremental therefore bench the
+    * store-probe cost by construction (the production shape: the
+    * corpus banded once, durably; the write cost is paid by the first
+    * run and receipted on the sigstore ladder — 11–31 s at 400k–8M
+    * docs), not an in-session warm memo the artifact couldn't see.
+    * The default hot-bucket cap (2048) never binds on the fixtures —
+    * `write` would print the dropped count loudly; the oracle twin
+    * (the uncapped in-session join) stays exact while it is 0. */
   private val inSessionBucketsMemo =
     new java.util.concurrent.atomic.AtomicReference[(String, DataFrame)]()
 
@@ -103,13 +109,16 @@ object ExtensionCatalog {
     inSessionBucketsMemo.get() match {
       case (k, df) if k == key => df
       case _ =>
-        val corpus = Tables.documents(s, d).filter(col("doc_id") % 2 === 0)
-        val df = Dedup.bandedBuckets(
-            Dedup.minHashSignatures(corpus, "text", "doc_id", 32), 4, 8)
-          .select(col("band"), col("bucket"), col("doc_id").as("corpus_id"))
-          .localCheckpoint()
-        val prev = inSessionBucketsMemo.getAndSet((key, df))
-        if (prev != null && !(prev._2 eq df)) unpersistCheckpoint(prev._2)
+        val p = graft.tools.SignatureStore.path(d,
+          graft.tools.SignatureStore.dataFingerprint(d, "documents"))
+        if (!graft.tools.SignatureStore.ready(p)) {
+          val corpus = Tables.documents(s, d).filter(col("doc_id") % 2 === 0)
+          graft.tools.SignatureStore.write(s, corpus, p,
+            bands = 4, rowsPerBand = 8)
+        }
+        val df = graft.tools.SignatureStore.buckets(s, p)
+          .select(col("band"), col("bucket"), col("corpus_id"))
+        inSessionBucketsMemo.set((key, df))
         df
     }
   }
