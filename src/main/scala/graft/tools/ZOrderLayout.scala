@@ -77,12 +77,60 @@ object ZOrderLayout {
         s"ZOrderLayout: unknown curve '$other' (morton | hilbert)")
   }
 
+  /** Curve-family tag for a written layout (the
+    * [[SignatureStore.Family]] pattern, VERDICT r12 #4): the key under
+    * a layout's file ordering is a function of curve KIND, ORIENTATION
+    * (the k = 2 classical loop and the Skilling transpose are both
+    * valid Hilbert curves but NOT bit-equal — `HilbertIndexK` scaladoc)
+    * and BITS — a reader that range-prunes curve-key intervals against
+    * a layout written under a different one reads the WRONG files with
+    * no error. The tag pins all three; bump a version suffix on any
+    * kernel change. */
+  def curveFamily(k: Int, bits: Int, curve: String): String = curve match {
+    case "morton"             => s"morton-v1-k$k-b$bits"
+    case "hilbert" if k == 2  => s"hilbert-classic-v1-k2-b$bits"
+    case "hilbert"            => s"hilbert-skilling-v1-k$k-b$bits"
+    case other =>
+      throw new IllegalArgumentException(
+        s"ZOrderLayout: unknown curve '$other' (morton | hilbert)")
+  }
+
+  /** Sidecar carrying the curve family, written AFTER the parquet
+    * files (a real warehouse bakes this into table properties; the
+    * call-site contract is identical). */
+  private val FamilyMarker = "_GRAFT_CURVE"
+
+  /** The written layout's curve family, if tagged. */
+  def readFamily(path: String): Option[String] = {
+    val f = new java.io.File(path, FamilyMarker)
+    if (f.isFile) Some(java.nio.file.Files.readString(f.toPath).trim) else None
+  }
+
+  /** Refuse to serve a curve-key reader against a layout whose family
+    * doesn't match — or that carries NO tag (an unversioned layout is
+    * indistinguishable from a foreign one; rebuild it). Silent
+    * mis-pruning is the failure this trades for a loud raise. */
+  def requireFamily(path: String, k: Int, bits: Int, curve: String): Unit = {
+    val want = curveFamily(k, bits, curve)
+    readFamily(path) match {
+      case Some(got) if got == want =>
+      case Some(got) => throw new IllegalArgumentException(
+        s"ZOrderLayout: layout at $path was written under curve family " +
+          s"'$got', this reader prunes '$want' - key ranges would select " +
+          "the wrong files; rebuild the layout or match the curve")
+      case None => throw new IllegalArgumentException(
+        s"ZOrderLayout: layout at $path carries no curve-family tag - " +
+          s"cannot verify it matches '$want'; rebuild it with " +
+          "ZOrderLayout.write (which tags) before range-pruning")
+    }
+  }
+
   /** Write `df` curve-ordered by `zCols` (already bucketed to
     * [0, 2^bits)) into `path` as `numFiles` parquet files: one range
     * exchange on the curve key, in-partition sort, key dropped before
     * write (the skipping payoff lives in the ORIGINAL columns'
     * per-file stats — persisting the derived key is the caller's
-    * choice via keepZ). */
+    * choice via keepZ). The curve-family sidecar is written LAST. */
   def write(df: DataFrame, path: String, zCols: Seq[Column], bits: Int,
             numFiles: Int, keepZ: Boolean = false,
             curve: String = "morton"): Unit = {
@@ -94,5 +142,8 @@ object ZOrderLayout {
       else keyed.repartitionByRange(numFiles, col(zc)).sortWithinPartitions(zc)
     (if (keepZ) laid else laid.drop(zc))
       .write.mode("overwrite").parquet(path)
+    java.nio.file.Files.writeString(
+      new java.io.File(path, FamilyMarker).toPath,
+      curveFamily(zCols.length, bits, curve) + "\n"): Unit
   }
 }

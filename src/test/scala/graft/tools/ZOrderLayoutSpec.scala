@@ -136,6 +136,45 @@ class ZOrderLayoutSpec extends SparkSpec {
     assert(ex2.getMessage.contains("unknown curve"))
   }
 
+  test("written layouts carry a curve-family tag; mismatched readers refuse") {
+    // the SignatureStore.Family pattern applied to layouts (VERDICT
+    // r12 #4): the k=2 classical Hilbert loop and the Skilling kernel
+    // are both valid curves but not bit-equal — a curve-key reader
+    // pruning ranges against the wrong family reads the WRONG files
+    // with no error, so the tag turns that into a loud raise (and an
+    // UNTAGGED layout refuses too: it is indistinguishable from a
+    // foreign one)
+    val base = Files.createTempDirectory("graft-curvetag").toFile.getAbsolutePath
+    val small = corpus.limit(1000)
+    ZOrderLayout.write(small, s"$base/m", Seq(col("x"), col("y")),
+      bits = 8, numFiles = 2)
+    ZOrderLayout.write(small, s"$base/h", Seq(col("x"), col("y")),
+      bits = 8, numFiles = 2, curve = "hilbert")
+    assert(ZOrderLayout.readFamily(s"$base/m").contains("morton-v1-k2-b8"))
+    assert(ZOrderLayout.readFamily(s"$base/h").contains("hilbert-classic-v1-k2-b8"))
+    // matching reader passes
+    ZOrderLayout.requireFamily(s"$base/m", 2, 8, "morton")
+    ZOrderLayout.requireFamily(s"$base/h", 2, 8, "hilbert")
+    // cross-curve, cross-bits and cross-k readers refuse
+    for ((k, b, c) <- Seq((2, 8, "hilbert"), (2, 4, "morton"), (3, 8, "morton"))) {
+      val ex = intercept[IllegalArgumentException] {
+        ZOrderLayout.requireFamily(s"$base/m", k, b, c)
+      }
+      assert(ex.getMessage.contains("curve family"), ex.getMessage)
+    }
+    // k >= 3 hilbert tags the Skilling family, distinct from k = 2
+    ZOrderLayout.write(small.withColumn("id2", col("x")), s"$base/h3",
+      Seq(col("x"), col("y"), col("id2")), bits = 8, numFiles = 2,
+      curve = "hilbert")
+    assert(ZOrderLayout.readFamily(s"$base/h3").contains("hilbert-skilling-v1-k3-b8"))
+    // an untagged (pre-tag / foreign) layout refuses
+    small.write.parquet(s"$base/untagged")
+    val exNone = intercept[IllegalArgumentException] {
+      ZOrderLayout.requireFamily(s"$base/untagged", 2, 8, "morton")
+    }
+    assert(exNone.getMessage.contains("no curve-family tag"))
+  }
+
   test("rangeBucket: linear cells, max lands in top cell, out-of-domain raises") {
     val got = Seq(0.0, 0.49, 0.5, 0.99, 1.0).toDF("v")
       .select(ZOrderLayout.rangeBucket(col("v"), 0.0, 1.0, bits = 1).as("b"))
