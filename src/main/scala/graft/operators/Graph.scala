@@ -594,9 +594,34 @@ object Graph {
       .select(col("k").as("node"), (col("running") - 1L).as("dlbl"))
     var labels = remap.select(col("node"), col("dlbl").as("lbl"))
       .localCheckpoint()
+    // ONE exchange per round, sized to the data (r13 — the 128M-rung
+    // finding): the old shape exchanged the per-round votes TWICE
+    // (partial (dst, lbl) counts — whose map-side combine achieves
+    // ~nothing, the pairs are nearly unique within a src partition —
+    // then the count frame again for the per-dst argmax), and at a
+    // fixed 32 shuffle partitions the 128M-half-edge rung put ~8M
+    // (dst, lbl) entries in every task's aggregate hash map, past
+    // execution memory → spill → the measured superlinear wall
+    // (64M→128M exponent 1.84). Repartitioning the raw votes by dst
+    // ONCE makes both aggregations partition-local (hash(dst)
+    // satisfies the clustered distribution of (dst, lbl) AND of dst,
+    // so neither groupBy plans another exchange), and the partition
+    // count scales with the edge count (~2M rows per task) so the
+    // in-task map stays in memory at any rung — the same sizing a
+    // real cluster applies via spark.sql.shuffle.partitions.
+    val aggParts = math.max(
+      edges.sparkSession.sessionState.conf.numShufflePartitions,
+      (m / 2000000L).toInt + 1)
     for (_ <- 1 to rounds) {
       val prev = labels
-      labels = ed.join(labels, col("src") === col("node"))
+      // shuffle-hash, build = the |V|-row label vector: a sort-merge
+      // join would re-SORT the cached 2m-row edge side every round
+      // (the sort can't persist across rounds — measured 1.3 GB of
+      // per-round sort spill at the 128M rung); hashing the small
+      // side probes the edges in storage order instead
+      labels = ed.join(labels.hint("shuffle_hash"), col("src") === col("node"))
+        .select(col("dst"), col("lbl"))
+        .repartition(aggParts, col("dst"))
         .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("c"))
         .groupBy(col("dst"))
         .agg(max(EncodedArgmax.maxScoreMinId(col("c"), col("lbl"))).as("e"))
