@@ -275,7 +275,11 @@ object Graph {
     val teleportMicro = (100L - dampingPct) * 10000L
     var ranks = nodes.withColumn("r", lit(1000000L))
     for (_ <- 1 to iterations) {
-      val contribs = ed.join(ranks, col("src") === col("node"))
+      // shuffle-hash, build = the |V|-row rank vector (the lpa r13
+      // lesson applied family-wide): a sort-merge join re-SORTS the
+      // cached edge side every round; hashing the vector probes the
+      // edges in storage order instead
+      val contribs = ed.join(ranks.hint("shuffle_hash"), col("src") === col("node"))
         .select(col("dst"),
           expr(s"($dampingPct * r) div (100 * outdeg)").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("cs"))
@@ -382,7 +386,8 @@ object Graph {
     var frontier = dist
     var hop = 1
     while (hop <= maxHops && !frontier.isEmpty) {
-      frontier = e.join(frontier, col("src") === col("node"))
+      // shuffle-hash on the ≤|V|-row frontier — never sort the edges
+      frontier = e.join(frontier.hint("shuffle_hash"), col("src") === col("node"))
         .select(col("dst").as("node"), (col("d") + 1).as("d"))
         .groupBy(col("node")).agg(min(col("d")).as("d"))
         .join(dist.select(col("node").as("seen")),
@@ -463,7 +468,7 @@ object Graph {
         require(rounds <= maxRounds,
           s"ssspMicro: no fixpoint within maxRounds=$maxRounds - " +
             "raise maxRounds AND the oracle's replay depth together")
-        val next = e.join(dist, col("src") === col("node"))
+        val next = e.join(dist.hint("shuffle_hash"), col("src") === col("node"))
           .select(col("dst").as("node"), (col("d") + col("w")).as("d"))
           .union(dist)
           .groupBy(col("node")).agg(min(col("d")).as("d"))
@@ -765,9 +770,13 @@ object Graph {
             "raise maxRounds AND the oracle's replay depth together")
         val keep = cur.groupBy(col("src")).agg(count(lit(1)).as("dg"))
           .filter(col("dg") >= kVal).select(col("src").as("node"))
+        // shuffle-hash on the ≤|V|-row survivor list: the two semi
+        // joins otherwise SORT the live edge frame twice per peel
         val next = cur
-          .join(keep.select(col("node").as("src")), Seq("src"), "left_semi")
-          .join(keep.select(col("node").as("dst")), Seq("dst"), "left_semi")
+          .join(keep.select(col("node").as("src")).hint("shuffle_hash"),
+            Seq("src"), "left_semi")
+          .join(keep.select(col("node").as("dst")).hint("shuffle_hash"),
+            Seq("dst"), "left_semi")
           .select(col("src"), col("dst"))
           .localCheckpoint()
         val mNext = next.count()
@@ -1376,7 +1385,7 @@ object Graph {
         // its two consumers (ADVICE r9): the max() normalizer and the
         // normalize select would otherwise each replay the Θ(|E|)
         // edge join — per-round cost was 2× the documented shape.
-        val araw = eS.join(h, col("src") === col("node"))
+        val araw = eS.join(h.hint("shuffle_hash"), col("src") === col("node"))
           .groupBy(col("dst"))
           .agg(sum(col("h")).as("araw"))
           .localCheckpoint()
@@ -1388,7 +1397,7 @@ object Graph {
           .localCheckpoint()
         Checkpoints.unpersist(araw)
         if (prevA != null) Checkpoints.unpersist(prevA)
-        val hraw = eD.join(a, col("dst") === col("node"))
+        val hraw = eD.join(a.hint("shuffle_hash"), col("dst") === col("node"))
           .groupBy(col("src"))
           .agg(sum(col("a")).as("hraw"))
           .localCheckpoint()
