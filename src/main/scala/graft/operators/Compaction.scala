@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Small-file compaction planner — the table-maintenance step every
+  * standing 100 TB lake needs: a long-running ingest leaves thousands
+  * of under-sized files per partition, and scan cost degrades with
+  * file COUNT (task scheduling, footer reads, open/close) even when
+  * total bytes are unchanged. The planner turns a file inventory
+  * (key, size) into output-bin assignments: files sorted by their
+  * layout key, then chunked into consecutive ~target-size groups, so
+  * every output file inherits a TIGHT key range (min/max survive as
+  * parquet footer stats — compaction never un-sorts a sorted layout,
+  * the same promise [[graft.tools.ZOrderLayout]] makes for curve
+  * cells).
+  *
+  * Policy: file f with exclusive prefix size P(f) (sum of sizes of
+  * all keys before it) lands in bin ⌊P(f)/target⌋ — the standard
+  * "chunk a sorted run by cumulative size" plan. Bins are filled to
+  * ≥ target by the first file that crosses the boundary (a bin can
+  * exceed target by at most one file), and a file larger than target
+  * still lands in exactly one bin — the planner never splits a file.
+  *
+  * Scale shape: the inventory is METADATA (one row per file — still
+  * millions of rows on a big lake), and the naive plan,
+  * `sum(sz) over (order by key)`, funnels all of it through ONE
+  * reducer. This uses [[PrefixSum.globalRunningSum]]'s two-pass form
+  * instead: range-partition + per-partition totals (numPartitions
+  * longs to the driver) + broadcast offsets — no global sort, no
+  * single reducer. The bin arithmetic is exact integer `div` (a
+  * double floor drifts past 2⁵³ of cumulative bytes — real at
+  * 100 TB).
+  */
+object Compaction {
+
+  /** One row per output bin: `out_bin, n_files, size_total, key_min,
+    * key_max`. `keyCol` must be UNIQUE per inventory row (it is the
+    * file's layout key — duplicate keys would make the prefix order,
+    * and thus the plan, engine-defined). */
+  def plan(inventory: DataFrame, keyCol: String, szCol: String,
+           targetSize: Long): DataFrame = {
+    require(targetSize > 0, s"Compaction.plan: targetSize must be positive, got $targetSize")
+    PrefixSum.globalRunningSum(inventory, keyCol, szCol)
+      .withColumn("out_bin", expr(s"(running - v) div ${targetSize}L"))
+      .groupBy(col("out_bin"))
+      .agg(count(lit(1)).as("n_files"), sum(col("v")).as("size_total"),
+        min(col("k")).as("key_min"), max(col("k")).as("key_max"))
+  }
+}

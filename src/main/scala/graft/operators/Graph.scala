@@ -1469,4 +1469,82 @@ object Graph {
         nodes.toSeq.map(n => (n, h.getOrElse(n, 0L), a.getOrElse(n, 0L)))))
       .toDF("node", "hub_micro", "auth_micro")
   }
+
+  /** Newman modularity of a NODE-ATTRIBUTE partition (Newman &
+    * Girvan, Phys Rev E 2004; Newman, PNAS 2006): for each community
+    * c, Q_c = e_c/m − (deg_c/2m)² — the intra-community edge share
+    * minus the share expected under the degree-preserving null model.
+    * Σ_c Q_c is the partition's modularity; per-community rows let the
+    * caller see WHICH attribute values cluster more than chance (the
+    * partition-quality companion to [[assortativity]]'s degree mixing
+    * — that one asks "do hubs link to hubs", this one "does the
+    * attribute explain the edges").
+    *
+    * Cross-engine exactness (the assortativity discipline): e_c,
+    * deg_c and m are exact integers, the numerator 4·m·e_c − deg_c²
+    * an exact decimal(38,0)/HUGEINT, and the single fp step
+    * num / (4m²) happens ONCE on identically-rounded doubles.
+    *
+    * `nodeComm` maps node → community (one row per node; nodes absent
+    * from it contribute their degree to no community and are dropped
+    * — the caller's dimension is expected total). Isolated nodes
+    * (degree 0) carry no edge ends, so they never enter any term;
+    * `n_nodes` counts CONNECTED nodes per community by contract.
+    *
+    * Scale shape: canonical edge set materialized once and reused by
+    * all three consumers (degrees, a-end, b-end); two equi joins of
+    * the edge list against the node→community map (a dimension —
+    * Catalyst broadcasts it when small, shuffle-hash when not); one
+    * map-side-combinable aggregate per term; the final window runs
+    * over ≤|communities| rows (an attribute's cardinality, not the
+    * graph), so its single-partition exchange is constant-size at any
+    * edge count. */
+  def modularity(edges: DataFrame, aCol: String, bCol: String,
+                 nodeComm: DataFrame, nodeCol: String,
+                 commCol: String): DataFrame = {
+    val und = edges.select(
+        least(col(aCol).cast("long"), col(bCol).cast("long")).as("a"),
+        greatest(col(aCol).cast("long"), col(bCol).cast("long")).as("b"))
+      .filter(col("a") < col("b"))
+      .distinct()
+      .localCheckpoint()
+    val nc = nodeComm.select(col(nodeCol).cast("long").as("node"),
+      col(commCol).as("community"))
+    val sym = und.select(col("a").as("s")).union(und.select(col("b").as("s")))
+    val degComm = sym.groupBy(col("s")).agg(count(lit(1)).as("deg"))
+      .join(nc, col("s") === col("node"))
+      .groupBy(col("community"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("deg_sum"))
+    val intra = und
+      .join(nc.select(col("node"), col("community").as("ca")), col("a") === col("node"))
+      .drop("node")
+      .join(nc.select(col("node"), col("community").as("cb")), col("b") === col("node"))
+      .filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("community"))
+      .agg(count(lit(1)).as("intra_edges"))
+    // Σ_c deg_c = 2m exactly (every counted edge end maps to a
+    // community after the inner joins above) — so the scalar m rides
+    // a window over the tiny community frame instead of a one-row
+    // broadcast join
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    val out = degComm.join(intra, Seq("community"), "left")
+      .select(col("community"), col("n_nodes"), col("deg_sum"),
+        coalesce(col("intra_edges"), lit(0L)).as("intra_edges"))
+      // 2m is even by construction; shiftright keeps the halving in
+      // exact integer arithmetic (long `/ 2` would detour via double)
+      .withColumn("m", shiftright(sum(col("deg_sum")).over(w), 1).cast("decimal(38,0)"))
+      .select(col("community"), col("n_nodes"), col("intra_edges"),
+        col("deg_sum"),
+        round(
+          (lit(4).cast("decimal(38,0)") * col("m")
+            * col("intra_edges").cast("decimal(38,0)")
+            - col("deg_sum").cast("decimal(38,0)")
+              * col("deg_sum").cast("decimal(38,0)")).cast("double")
+          / (lit(4).cast("decimal(38,0)") * col("m") * col("m")).cast("double"),
+          6).as("q"))
+      .localCheckpoint()
+    Checkpoints.unpersist(und)
+    out
+  }
 }

@@ -1103,6 +1103,21 @@ object ExtensionCatalog {
         sum(col("zval")).as("z_sum"))
   }
 
+  /** Small-file compaction plan over a synthetic per-day inventory of
+    * the orders table (one "file" per order date, size = row count):
+    * consecutive ~4096-row output bins in date order, each bin's key
+    * envelope intact for footer-stat pruning
+    * ([[graft.operators.Compaction]] — the cumulative size rides the
+    * two-pass distributed prefix sum, NOT a single-reducer global
+    * window). */
+  val dsCompaction: Q = (s, d) =>
+    graft.operators.Compaction.plan(
+      Tables.orders(s, d)
+        .select(datediff(col("o_orderdate"),
+          to_date(lit("1992-01-01"))).cast("long").as("fk"))
+        .groupBy(col("fk")).agg(count(lit(1)).as("sz")),
+      "fk", "sz", targetSize = 4096L)
+
   /** Hilbert-curve twin of [[dsZorder]] ([[graft.functions.HilbertIndex]]):
     * same bucketed (part, supplier) coordinates, same per-curve-cell
     * envelope summary, but the key is the Hilbert index — consecutive
@@ -1821,6 +1836,18 @@ object ExtensionCatalog {
     * moments, one fp step, single-row readout). */
   val gAssortativity: Q = (s, d) =>
     graft.operators.Graph.assortativity(coPurchasePairs(s, d), "pa", "pb")
+
+  /** Newman modularity of the BRAND partition over the co-purchase
+    * graph: does brand explain which parts sell together, community
+    * by community? ([[graft.operators.Graph.modularity]] — per-brand
+    * intra-edge counts vs the degree-preserving null model; exact
+    * integer terms, one fp step per row.) The partition-quality
+    * companion to [[gAssortativity]]'s degree mixing; the window in
+    * the final step runs over ≤25 brand rows, never the graph. */
+  val gModularity: Q = (s, d) =>
+    graft.operators.Graph.modularity(coPurchasePairs(s, d), "pa", "pb",
+      Tables.part(s, d).select(col("p_partkey"), col("p_brand")),
+      "p_partkey", "p_brand")
 
   /** Dense-core extraction over the co-purchase graph: the k-core at
     * the data-derived threshold k = ⌊0.7·avg degree⌋ ([[graft.operators.Graph.kCore]]

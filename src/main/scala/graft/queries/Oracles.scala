@@ -2486,6 +2486,49 @@ object Oracles {
         |  min(sk_lo) AS sk_min, max(sk_lo) AS sk_max,
         |  CAST(sum(zval) AS BIGINT) AS z_sum
         |FROM z GROUP BY 1""".stripMargin,
+    // compaction twin: same per-day inventory, the prefix sum spelled
+    // as the window DuckDB is happy to single-thread at oracle scale
+    // (the engine side uses the distributed two-pass PrefixSum — the
+    // whole point), same exact-integer bin arithmetic
+    "ds_compaction" ->
+      """WITH f AS (SELECT CAST(datediff('day', DATE '1992-01-01', o_orderdate)
+        |      AS BIGINT) AS fk, CAST(count(*) AS BIGINT) AS sz
+        |  FROM orders GROUP BY 1),
+        |c AS (SELECT fk, sz, sum(sz) OVER (ORDER BY fk
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - sz AS before_sz
+        |  FROM f)
+        |SELECT CAST(before_sz // 4096 AS BIGINT) AS out_bin,
+        |  CAST(count(*) AS BIGINT) AS n_files,
+        |  CAST(sum(sz) AS BIGINT) AS size_total,
+        |  min(fk) AS key_min, max(fk) AS key_max
+        |FROM c GROUP BY 1""".stripMargin,
+    // modularity twin: the assortativity pair chain, per-brand exact
+    // integer terms (intra edges, degree sums), m recovered from
+    // Σ deg_c = 2m over the tiny community frame, the single
+    // identical fp step (4·m·e_c − deg_c²) / 4m² rounded once
+    "g_modularity" ->
+      """WITH lp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+        |und AS (SELECT a.p AS a, b.p AS b FROM lp a JOIN lp b
+        |  ON a.ok = b.ok AND a.p < b.p GROUP BY 1, 2),
+        |sym AS (SELECT a AS s FROM und UNION ALL SELECT b FROM und),
+        |dg AS (SELECT s, count(*) AS deg FROM sym GROUP BY 1),
+        |nc AS (SELECT p_partkey AS node, p_brand AS community FROM part),
+        |dc AS (SELECT community, CAST(count(*) AS BIGINT) AS n_nodes,
+        |    CAST(sum(deg) AS BIGINT) AS deg_sum
+        |  FROM dg JOIN nc ON nc.node = dg.s GROUP BY 1),
+        |ic AS (SELECT ca.community AS community, count(*) AS intra
+        |  FROM und JOIN nc ca ON ca.node = und.a
+        |  JOIN nc cb ON cb.node = und.b
+        |  WHERE ca.community = cb.community GROUP BY 1),
+        |j AS (SELECT community, n_nodes, deg_sum,
+        |    CAST(coalesce(intra, 0) AS BIGINT) AS intra_edges,
+        |    CAST((sum(deg_sum) OVER ()) // 2 AS HUGEINT) AS m
+        |  FROM dc LEFT JOIN ic USING (community))
+        |SELECT community, n_nodes, intra_edges, deg_sum,
+        |  round(CAST(4 * m * CAST(intra_edges AS HUGEINT)
+        |      - CAST(deg_sum AS HUGEINT) * CAST(deg_sum AS HUGEINT) AS DOUBLE)
+        |    / CAST(4 * m * m AS DOUBLE), 6) AS q
+        |FROM j""".stripMargin,
     // incremental-curation twin: the snapshot-diff CTEs name the
     // fresh work (added/changed keys of the planted new snapshot,
     // REVISED text), then two independently-banded sides — fresh

@@ -758,4 +758,47 @@ class GraphSpec extends SparkSpec {
       s"got $got")
     assert(Graph.droppedWedges(spark) - before == 10L) // 5*4/2
   }
+
+  test("modularity: two bridged cliques, trivial partition is 0, random matches reference") {
+    import spark.implicits._
+    def run(und: Seq[(Long, Long)], comm: Map[Long, String])
+        : Map[String, (Long, Long, Long, Double)] =
+      Graph.modularity(und.toDF("a", "b"), "a", "b",
+        comm.toSeq.toDF("node", "c"), "node", "c")
+        .collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+        .toMap
+    // two triangles bridged by one edge: m=7, each community deg 7,
+    // intra 3 → q = (4·7·3 − 49)/(4·49) = 35/196 = 0.178571 apiece
+    val bridged = Seq((0L, 1L), (0L, 2L), (1L, 2L),
+      (3L, 4L), (3L, 5L), (4L, 5L), (2L, 3L))
+    val twoComm = Map(0L -> "A", 1L -> "A", 2L -> "A",
+      3L -> "B", 4L -> "B", 5L -> "B")
+    assert(run(bridged, twoComm) == Map(
+      "A" -> ((3L, 3L, 7L, 0.178571)), "B" -> ((3L, 3L, 7L, 0.178571))))
+    // the trivial one-community partition has modularity EXACTLY 0:
+    // e_c = m and deg_c = 2m cancel against the null model
+    val one = run(bridged, (0L to 5L).map(_ -> "all").toMap)
+    assert(one == Map("all" -> ((6L, 7L, 14L, 0.0))), s"got $one")
+    // random graph + random 3-way partition vs a driver reference
+    val rnd = new scala.util.Random(17)
+    val und = Seq.fill(60)((rnd.nextInt(14).toLong, rnd.nextInt(14).toLong))
+      .filter { case (a, b) => a != b }
+    val es = und.map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    val comm = (0L until 14L).map(n => n -> s"c${rnd.nextInt(3)}").toMap
+    val m = es.size.toLong
+    val deg = es.flatMap { case (a, b) => Seq(a, b) }
+      .groupBy(identity).map { case (n, xs) => n -> xs.size.toLong }
+    val want = deg.keys.map(comm).toSeq.distinct.map { c =>
+      val nodes = deg.keys.filter(comm(_) == c).toSet
+      val degC = nodes.toSeq.map(deg).sum
+      val intra = es.count { case (a, b) => nodes(a) && nodes(b) }.toLong
+      val q = new java.math.BigDecimal(
+          (4.0 * m * intra - degC.toDouble * degC) / (4.0 * m * m))
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      c -> ((nodes.size.toLong, intra, degC, q))
+    }.toMap
+    assert(run(es, comm) == want)
+  }
 }
