@@ -1,54 +1,57 @@
 package graft.operators
 
-import org.apache.spark.TaskContext
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Distributed GLOBAL prefix sum — the primitive behind sequence
   * packing (concatenate a corpus into fixed-token training sequences),
-  * global row numbering, and stream-offset assignment.
+  * global row numbering, stream-offset assignment, and compaction
+  * planning.
   *
   * The naive form, `sum(v) over (order by k)` with no partition
   * clause, funnels the entire table through ONE reducer — the classic
   * non-scalable window. This is the classic two-pass alternative:
   *
-  *  1. range-partition by the order key, sort within partitions, STAMP
-  *     each row with its partition id, and materialize that layout
-  *     once (the range boundaries are sampled, so later passes must
-  *     see the same physical layout — eager checkpoint, per the
-  *     Components lineage-recompute lesson);
-  *  2. per-stamped-partition totals to the driver — numPartitions
-  *     longs, the only driver-side data;
+  *  1. range-partition by the order key and sort within partitions —
+  *     ONE shuffle, shared: both passes run over the same RDD object,
+  *     so the second job's map stage is skipped (shuffle files AND
+  *     the sampled range boundaries are reused);
+  *  2. per-partition totals to the driver — numPartitions longs, the
+  *     only driver-side data;
   *  3. broadcast the exclusive cumulative offsets; each task streams
   *     its rows adding offset + local running sum.
   *
-  * The partition id travels AS DATA, not via TaskContext at emit time:
-  * a downstream `coalesce` (or AQE) may fuse several stamped
-  * partitions into one task, where the task's own id would silently
-  * misalign the offsets — reading the stamp from the row and resetting
-  * the accumulator on stamp change survives any non-shuffling layout
-  * change. Results are also independent of the sampled boundaries:
-  * moving a row between partitions moves its contribution between the
-  * local sum and the broadcast offset, never its global prefix.
-  * `orderCol` must be UNIQUE — with duplicate keys the per-row prefix
-  * would depend on intra-key order, which no engine defines.
+  * Results are independent of the sampled boundaries: moving a row
+  * between partitions moves its contribution between the local sum
+  * and the broadcast offset, never its global prefix. `orderCol` must
+  * be UNIQUE — with duplicate keys the per-row prefix would depend on
+  * intra-key order, which no engine defines.
   */
 object PrefixSum {
 
   // public: Catalyst's generated deserializer must reach the ctors
   final case class KV(k: Long, v: Long)
-  final case class PKV(p: Int, k: Long, v: Long)
   final case class KVRun(k: Long, v: Long, running: Long)
 
   /** (k, v, running) with running = inclusive prefix sum of v in
     * ascending k order.
     *
-    * `materialize = true`: eagerly checkpoint the RESULT and release
-    * the internal stamped layout's blocks before returning (review
-    * r11: the stamped frame is a localCheckpoint the caller has no
-    * handle to — a lazy result keeps its |input|-row blocks alive
-    * until ContextCleaner GC; callers that were going to checkpoint
-    * the result anyway pass true and leak nothing). */
+    * Both passes act on the SAME range-sorted RDD object, so the
+    * second job skips the exchange's map stage and reuses its shuffle
+    * files — and therefore its sampled range boundaries (stage reuse
+    * keys on the shared ShuffleDependency). Nothing is cached or
+    * checkpointed: the earlier design froze the sampled layout as a
+    * 64-bit-row DESERIALIZED localCheckpoint, whose object blocks were
+    * a measured GC storm at inventory scale (compaction ladder, r13:
+    * the stamp/store stages ran 3-6× their CPU time at 64M rows; this
+    * form's wall is the shuffle + two in-partition sorts). Partition
+    * ids come from `mapPartitionsWithIndex`'s SPLIT index, which stays
+    * correct under any downstream coalesce (each fused parent
+    * partition still computes with its own index) — the property the
+    * old design bought by carrying the stamp as data.
+    *
+    * `materialize = true`: eagerly checkpoint the RESULT (callers
+    * that hold the rows across later mutations of the session). */
   def globalRunningSum(df: DataFrame, orderCol: String, valueCol: String,
                        numPartitions: Int = 0,
                        materialize: Boolean = false): DataFrame = {
@@ -56,35 +59,31 @@ object PrefixSum {
     import spark.implicits._
     val n = if (numPartitions > 0) numPartitions
       else spark.sparkContext.defaultParallelism
-    val stamped = df.select(col(orderCol).cast("long").as("k"),
+    val sorted: org.apache.spark.rdd.RDD[KV] = df
+      .select(col(orderCol).cast("long").as("k"),
         col(valueCol).cast("long").as("v"))
       .repartitionByRange(n, col("k"))
       .sortWithinPartitions(col("k"))
       .as[KV]
-      .mapPartitions { it =>
-        val pid = TaskContext.getPartitionId()
-        it.map(kv => PKV(pid, kv.k, kv.v))
+      .rdd
+    // pass 1: per-partition totals — numPartitions longs to the driver
+    val totals = sorted
+      .mapPartitionsWithIndex { (pid, it) =>
+        var s = 0L; it.foreach(s += _.v); Iterator((pid, s))
       }
-      .localCheckpoint()
-    val totals = stamped.groupBy(col("p")).agg(sum(col("v")).as("t"))
-      .as[(Int, Long)].collect().toMap
-    val actualN = if (totals.isEmpty) 0 else totals.keys.max + 1
+      .collect().toMap
+    val actualN = sorted.getNumPartitions
     val offsets = (0 until actualN).scanLeft(0L)(_ + totals.getOrElse(_, 0L))
     val bc = spark.sparkContext.broadcast(offsets.toArray)
-    val out = stamped.mapPartitions { it =>
-      var cur = -1
-      var acc = 0L
-      it.map { r =>
-        if (r.p != cur) { cur = r.p; acc = bc.value(cur) }
-        acc += r.v
-        KVRun(r.k, r.v, acc)
-      }
-    }.toDF("k", "v", "running")
-    if (materialize) {
-      val snap = out.localCheckpoint()
-      Checkpoints.unpersist(stamped.toDF())
-      snap
-    } else out
+    // pass 2: same RDD — map stage skipped, sort recomputed from the
+    // reused shuffle files, each row adds its partition's exclusive
+    // offset to the local running sum
+    val out = spark.createDataset(
+      sorted.mapPartitionsWithIndex { (pid, it) =>
+        var acc = bc.value(pid)
+        it.map { r => acc += r.v; KVRun(r.k, r.v, acc) }
+      }).toDF("k", "v", "running")
+    if (materialize) out.localCheckpoint() else out
   }
 
   /** Streaming twin — the A2 constant-key pattern: ONE global state

@@ -585,6 +585,67 @@ object BenchScale {
     }
   }
 
+  /** Compaction-planner rung ([[graft.operators.Compaction]]): an
+    * n-file synthetic inventory (unique keys, skewed sizes) planned by
+    * the two-pass distributed prefix sum vs the naive
+    * `sum() over (order by key)` single-reducer window twin. Gates:
+    * the two plans are IDENTICAL (bin arithmetic is exact integers —
+    * any drift is a bug, not noise), the distributed wall grows
+    * ~linearly, and at the top rung the two-pass form beats the
+    * single reducer — the reason the operator exists. The window
+    * twin's max task is also printed: it owns the ENTIRE inventory
+    * (the scale-killer the ladder makes visible). */
+  private def compactionLadder(spark: SparkSession, sizes: Seq[Long],
+                               maxTaskMs: java.util.concurrent.atomic.AtomicLong): Unit = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val target = 1L << 20 // ~1M size units per output bin
+    val rungs = sizes.map { n =>
+      val inv = spark.range(n).select(col("id").as("fk"),
+          (pmod(xxhash64(concat(lit("sz_"), col("id"))), lit(1000)) + 1).as("sz"))
+        .localCheckpoint() // materialized: generation cost is untimed
+      maxTaskMs.set(0)
+      val t0 = System.nanoTime()
+      val plan = graft.operators.Compaction.plan(inv, "fk", "sz", target)
+        .localCheckpoint()
+      val nBins = plan.count()
+      val dSec = (System.nanoTime() - t0) / 1e9
+      val dMax = maxTaskMs.get() / 1e3
+      maxTaskMs.set(0)
+      val t1 = System.nanoTime()
+      val twin = inv
+        .withColumn("before", sum(col("sz")).over(
+          Window.orderBy(col("fk"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)) - col("sz"))
+        .withColumn("out_bin", expr(s"before div ${target}L"))
+        .groupBy(col("out_bin"))
+        .agg(count(lit(1)).as("n_files"), sum(col("sz")).as("size_total"),
+          min(col("fk")).as("key_min"), max(col("fk")).as("key_max"))
+        .localCheckpoint()
+      val wSec = (System.nanoTime() - t1) / 1e9
+      val wMax = maxTaskMs.get() / 1e3
+      // exact-integer equality, both directions — the two forms are
+      // the SAME function, so any row-level difference is a defect
+      require(plan.exceptAll(twin).isEmpty && twin.exceptAll(plan).isEmpty,
+        s"two-pass and window compaction plans differ at n=$n")
+      graft.operators.Checkpoints.unpersist(inv)
+      graft.operators.Checkpoints.unpersist(twin)
+      graft.operators.Checkpoints.unpersist(plan)
+      println(f"""{"n_files":$n,"n_bins":$nBins,"twopass_sec":$dSec%.2f,"twopass_max_task_sec":$dMax%.2f,"window_sec":$wSec%.2f,"window_max_task_sec":$wMax%.2f,"ratio":${dSec / wSec}%.3f}""")
+      (n, dSec, wSec)
+    }
+    if (sizes.size >= 2) {
+      val exponent = fitExponent(rungs.map { case (n, d, _) => (n, d) })
+      println(f"""{"metric":"compaction_scale","twopass_exponent":$exponent%.3f}""")
+      require(exponent <= 1.3,
+        f"two-pass compaction grows super-linearly: exponent $exponent%.3f > 1.3")
+      val (nTop, dTop, wTop) = rungs.last
+      require(dTop < wTop,
+        f"two-pass ($dTop%.2f s) did not beat the single-reducer window " +
+          f"($wTop%.2f s) at the $nTop-file top rung")
+    }
+  }
+
   private def zorderLadder(spark: SparkSession, sizes: Seq[Long],
                            maxTaskMs: java.util.concurrent.atomic.AtomicLong): Unit = {
     import org.apache.spark.sql.functions._
@@ -1545,12 +1606,13 @@ object BenchScale {
     val sigstoreMode = args.headOption.contains("sigstore")
     val zorderMode = args.headOption.contains("zorder")
     val zorder3Mode = args.headOption.contains("zorder3")
+    val compactionMode = args.headOption.contains("compaction")
     val sizeArgs =
       if (annMode || mmMode || pqMode || ivfPqMode || semMode || graphMode ||
           tpchMode || bpeMode || shingleMode || triMode || backoffMode ||
           kcoreMode || tsMode || eventsMode || linkpredMode ||
           linkpredSkewMode || lpaMode || sigstoreMode || zorderMode ||
-          zorder3Mode)
+          zorder3Mode || compactionMode)
         args.drop(1) else args
     val sizes =
       if (sizeArgs.nonEmpty) sizeArgs(0).split(",").map(_.trim.toLong).toSeq
@@ -1567,6 +1629,7 @@ object BenchScale {
       else if (sigstoreMode) Seq(100000L, 400000L, 1600000L)
       else if (zorderMode) Seq(1000000L, 4000000L, 16000000L)
       else if (zorder3Mode) Seq(4000000L, 16000000L, 64000000L)
+      else if (compactionMode) Seq(4000000L, 16000000L, 64000000L)
       else if (triMode) Seq(1000000L, 4000000L, 16000000L)
       else if (kcoreMode) Seq(1000000L, 4000000L, 16000000L)
       else if (tsMode) Seq(1048576L, 4194304L, 16777216L)
@@ -1625,6 +1688,7 @@ object BenchScale {
     if (sigstoreMode) { sigstoreLadder(spark, sizes, maxTaskMs); spark.stop(); return }
     if (zorderMode) { zorderLadder(spark, sizes, maxTaskMs); spark.stop(); return }
     if (zorder3Mode) { zorder3Ladder(spark, sizes, maxTaskMs); spark.stop(); return }
+    if (compactionMode) { compactionLadder(spark, sizes, maxTaskMs); spark.stop(); return }
     if (triMode) { triLadder(spark, sizes, maxTaskMs); spark.stop(); return }
     if (kcoreMode) { kcoreLadder(spark, sizes, maxTaskMs); spark.stop(); return }
     if (tsMode) { tsLadder(spark, sizes, maxTaskMs); spark.stop(); return }
