@@ -37,11 +37,25 @@ object Compaction {
   /** One row per output bin: `out_bin, n_files, size_total, key_min,
     * key_max`. `keyCol` must be UNIQUE per inventory row (it is the
     * file's layout key — duplicate keys would make the prefix order,
-    * and thus the plan, engine-defined). */
+    * and thus the plan, engine-defined) and sizes must be
+    * NONNEGATIVE (a negative prefix would also split the engines:
+    * Spark's `div` truncates toward zero, DuckDB's `//` floors) —
+    * both contracts are enforced loudly, not assumed (review r13):
+    * duplicates fail inside the prefix sum's pass-1 scan, negative
+    * sizes via the assert_true guard below. */
   def plan(inventory: DataFrame, keyCol: String, szCol: String,
            targetSize: Long): DataFrame = {
     require(targetSize > 0, s"Compaction.plan: targetSize must be positive, got $targetSize")
-    PrefixSum.globalRunningSum(inventory, keyCol, szCol)
+    // assert_true returns NULL when the guard holds, so the coalesce
+    // adds exactly 0 to every valid size (the shuffleRank idiom)
+    val sz = col(szCol).cast("long")
+    val guard = coalesce(assert_true(sz >= 0,
+      concat(lit("Compaction.plan: negative size for key "),
+        col(keyCol).cast("string"), lit(": "), sz.cast("string")))
+      .cast("long"), lit(0L))
+    val guarded = inventory.select(col(keyCol), (sz + guard).as(szCol))
+    PrefixSum.globalRunningSum(guarded, keyCol, szCol,
+        requireUniqueKeys = true)
       .withColumn("out_bin", expr(s"(running - v) div ${targetSize}L"))
       .groupBy(col("out_bin"))
       .agg(count(lit(1)).as("n_files"), sum(col("v")).as("size_total"),

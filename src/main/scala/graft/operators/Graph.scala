@@ -587,10 +587,10 @@ object Graph {
     // DuckDB twin replays original ids). Domain guards raise loudly:
     // |V| ≥ 2³² or a per-label neighbor count ≥ 2³¹ fails in-plan
     // instead of wrapping.
-    // materialize=true: the rank layout's internal checkpoint is
-    // released inside (review r11 — it would otherwise leak |V| rows
-    // per run); remapRaw IS the checkpoint (unpersisted at exit), the
-    // rename is a narrow view over its blocks
+    // materialize=true: the shared-shuffle two-pass rank keeps no
+    // internal checkpoint (r13 — both passes reuse ONE shuffle's
+    // files); remapRaw IS the one eager checkpoint (unpersisted at
+    // exit), the rename is a narrow view over its blocks
     val remapRaw = PrefixSum.globalRunningSum(
         ed.select(col("src").as("node")).distinct()
           .withColumn("one", lit(1L)),
@@ -1485,47 +1485,58 @@ object Graph {
     * an exact decimal(38,0)/HUGEINT, and the single fp step
     * num / (4m²) happens ONCE on identically-rounded doubles.
     *
-    * `nodeComm` maps node → community (one row per node; nodes absent
-    * from it contribute their degree to no community and are dropped
-    * — the caller's dimension is expected total). Isolated nodes
-    * (degree 0) carry no edge ends, so they never enter any term;
-    * `n_nodes` counts CONNECTED nodes per community by contract.
+    * `nodeComm` maps node → community (one row per node). Nodes
+    * absent from it are excluded along with ALL their edges — the
+    * operator computes over the INDUCED SUBGRAPH on mapped nodes, so
+    * degrees, intra counts and m are consistent by construction
+    * (Σ_c deg_c = 2m exactly; an edge with one unmapped end
+    * contributes to nothing, rather than silently inflating one
+    * community's degree while m floors an odd end-count — review
+    * r13). Isolated nodes (degree 0) carry no edge ends, so they
+    * never enter any term; `n_nodes` counts CONNECTED nodes per
+    * community by contract.
     *
-    * Scale shape: canonical edge set materialized once and reused by
-    * all three consumers (degrees, a-end, b-end); two equi joins of
-    * the edge list against the node→community map (a dimension —
-    * Catalyst broadcasts it when small, shuffle-hash when not); one
-    * map-side-combinable aggregate per term; the final window runs
-    * over ≤|communities| rows (an attribute's cardinality, not the
-    * graph), so its single-partition exchange is constant-size at any
-    * edge count. */
+    * Scale shape: canonical edge set deduped once, joined ONCE per
+    * endpoint against the node→community map (a dimension — Catalyst
+    * broadcasts it when small, shuffle-hash when not), and the
+    * community-tagged edge frame materialized once for its three
+    * consumers (degrees, n_nodes, intra); one map-side-combinable
+    * aggregate per term; the final window runs over ≤|communities|
+    * rows (an attribute's cardinality, not the graph), so its
+    * single-partition exchange is constant-size at any edge count. */
   def modularity(edges: DataFrame, aCol: String, bCol: String,
                  nodeComm: DataFrame, nodeCol: String,
                  commCol: String): DataFrame = {
+    val nc = nodeComm.select(col(nodeCol).cast("long").as("node"),
+      col(commCol).as("community"))
+    // induced subgraph: both endpoints must map — the inner joins
+    // drop any edge touching an unmapped node BEFORE degrees are
+    // counted, so every surviving edge contributes exactly two ends
     val und = edges.select(
         least(col(aCol).cast("long"), col(bCol).cast("long")).as("a"),
         greatest(col(aCol).cast("long"), col(bCol).cast("long")).as("b"))
       .filter(col("a") < col("b"))
       .distinct()
+      .join(nc.select(col("node").as("na"), col("community").as("ca")),
+        col("a") === col("na"))
+      .join(nc.select(col("node").as("nb"), col("community").as("cb")),
+        col("b") === col("nb"))
+      .select(col("a"), col("b"), col("ca"), col("cb"))
       .localCheckpoint()
-    val nc = nodeComm.select(col(nodeCol).cast("long").as("node"),
-      col(commCol).as("community"))
-    val sym = und.select(col("a").as("s")).union(und.select(col("b").as("s")))
-    val degComm = sym.groupBy(col("s")).agg(count(lit(1)).as("deg"))
-      .join(nc, col("s") === col("node"))
+    val ends = und.select(col("a").as("s"), col("ca").as("community"))
+      .union(und.select(col("b").as("s"), col("cb").as("community")))
+    val degComm = ends.groupBy(col("s"), col("community"))
+      .agg(count(lit(1)).as("deg"))
       .groupBy(col("community"))
       .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("deg_sum"))
     val intra = und
-      .join(nc.select(col("node"), col("community").as("ca")), col("a") === col("node"))
-      .drop("node")
-      .join(nc.select(col("node"), col("community").as("cb")), col("b") === col("node"))
       .filter(col("ca") === col("cb"))
       .groupBy(col("ca").as("community"))
       .agg(count(lit(1)).as("intra_edges"))
-    // Σ_c deg_c = 2m exactly (every counted edge end maps to a
-    // community after the inner joins above) — so the scalar m rides
-    // a window over the tiny community frame instead of a one-row
-    // broadcast join
+    // Σ_c deg_c = 2m exactly (both ends of every surviving edge map
+    // to a community by the induced-subgraph joins above) — so the
+    // scalar m rides a window over the tiny community frame instead
+    // of a one-row broadcast join
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
     val out = degComm.join(intra, Seq("community"), "left")

@@ -25,7 +25,21 @@ import org.apache.spark.sql.functions._
   * between partitions moves its contribution between the local sum
   * and the broadcast offset, never its global prefix. `orderCol` must
   * be UNIQUE — with duplicate keys the per-row prefix would depend on
-  * intra-key order, which no engine defines.
+  * intra-key order, which no engine defines (pass
+  * `requireUniqueKeys = true` to enforce this loudly: equal keys
+  * co-locate under the range partitioner, so the check is a free
+  * adjacent comparison inside the existing pass-1 scan).
+  *
+  * Input-determinism contract (review r13): the two passes read the
+  * shared shuffle's files, and under executor loss Spark re-runs the
+  * upstream map stage to regenerate lost blocks. If `df` is
+  * NONDETERMINISTIC (e.g. rand(), an unstable limit, a changed-
+  * between-jobs source), a regenerated partition can disagree with
+  * the already-collected broadcast offsets — silent misalignment
+  * where the retired eager-checkpoint design failed loudly. Callers
+  * feeding nondeterministic frames must stabilize them first
+  * (`df.localCheckpoint()`); every in-repo caller reads deterministic
+  * scans or deterministic derivations thereof.
   */
 object PrefixSum {
 
@@ -54,7 +68,8 @@ object PrefixSum {
     * that hold the rows across later mutations of the session). */
   def globalRunningSum(df: DataFrame, orderCol: String, valueCol: String,
                        numPartitions: Int = 0,
-                       materialize: Boolean = false): DataFrame = {
+                       materialize: Boolean = false,
+                       requireUniqueKeys: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val n = if (numPartitions > 0) numPartitions
@@ -66,10 +81,23 @@ object PrefixSum {
       .sortWithinPartitions(col("k"))
       .as[KV]
       .rdd
-    // pass 1: per-partition totals — numPartitions longs to the driver
+    // pass 1: per-partition totals — numPartitions longs to the
+    // driver. Duplicate order keys co-locate under the range
+    // partitioner and sit adjacent after the in-partition sort, so
+    // uniqueness is a free comparison against the previous key here.
+    val dupCheck = requireUniqueKeys
     val totals = sorted
       .mapPartitionsWithIndex { (pid, it) =>
-        var s = 0L; it.foreach(s += _.v); Iterator((pid, s))
+        var s = 0L; var prev = Long.MinValue; var first = true
+        it.foreach { r =>
+          if (dupCheck && !first && r.k == prev)
+            throw new IllegalArgumentException(
+              s"PrefixSum.globalRunningSum: duplicate order key ${r.k} " +
+                "— the prefix order (and any plan built on it) would be " +
+                "engine-defined")
+          prev = r.k; first = false; s += r.v
+        }
+        Iterator((pid, s))
       }
       .collect().toMap
     val actualN = sorted.getNumPartitions

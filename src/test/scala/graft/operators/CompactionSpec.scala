@@ -39,4 +39,22 @@ class CompactionSpec extends SparkSpec {
       Compaction.plan(Seq(1L -> 1L).toDF("fk", "sz"), "fk", "sz", 0L)
     }
   }
+
+  test("negative size fails loudly (div-vs-floor engine split, review r13)") {
+    val e = intercept[Exception] {
+      run(Seq(1L -> 4L, 2L -> -3L, 3L -> 5L), 10L)
+    }
+    assert(e.getMessage.contains("negative size") ||
+      Option(e.getCause).exists(_.getMessage.contains("negative size")),
+      s"unexpected failure: ${e.getMessage}")
+  }
+
+  test("duplicate layout key fails loudly (engine-defined plan otherwise)") {
+    val e = intercept[org.apache.spark.SparkException] {
+      run(Seq(1L -> 4L, 2L -> 3L, 2L -> 5L), 10L)
+    }
+    assert(e.getMessage.contains("duplicate order key") ||
+      Option(e.getCause).exists(_.getMessage.contains("duplicate order key")),
+      s"unexpected failure: ${e.getMessage}")
+  }
 }

@@ -781,6 +781,15 @@ class GraphSpec extends SparkSpec {
     // e_c = m and deg_c = 2m cancel against the null model
     val one = run(bridged, (0L to 5L).map(_ -> "all").toMap)
     assert(one == Map("all" -> ((6L, 7L, 14L, 0.0))), s"got $one")
+    // partial coverage = INDUCED SUBGRAPH (review r13): dropping node
+    // 5 removes edges (3,5),(4,5) from every term — m=5, A keeps its
+    // triangle (deg 2+2+3=7), B shrinks to the (3,4) edge with node
+    // 3 still touching the bridge (deg 2+1=3); Σ deg_c = 10 = 2m
+    // stays even by construction, q = (4·5·3−49)/100 = (4·5·1−9)/100
+    val partial = run(bridged, twoComm - 5L)
+    assert(partial == Map(
+      "A" -> ((3L, 3L, 7L, 0.11)), "B" -> ((2L, 1L, 3L, 0.11))),
+      s"got $partial")
     // random graph + random 3-way partition vs a driver reference
     val rnd = new scala.util.Random(17)
     val und = Seq.fill(60)((rnd.nextInt(14).toLong, rnd.nextInt(14).toLong))

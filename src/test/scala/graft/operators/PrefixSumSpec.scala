@@ -33,12 +33,29 @@ class PrefixSumSpec extends SparkSpec {
     assert(run(3) == run(17))
   }
 
+  test("requireUniqueKeys fails loudly on a duplicate order key") {
+    // equal keys co-locate under the range partitioner, so the check
+    // is an adjacent comparison inside pass 1 — no extra job
+    val dup = (rows :+ (250L, 9L)).toDF("doc", "cnt")
+    val e = intercept[org.apache.spark.SparkException] {
+      PrefixSum.globalRunningSum(dup, "doc", "cnt", 8,
+        requireUniqueKeys = true).collect()
+    }
+    assert(e.getMessage.contains("duplicate order key") ||
+      Option(e.getCause).exists(_.getMessage.contains("duplicate order key")),
+      s"unexpected failure: ${e.getMessage}")
+    // the guard is free for unique inputs: flagged run ≡ unflagged
+    assert(PrefixSum.globalRunningSum(rows.toDF("doc", "cnt"), "doc",
+        "cnt", 8, requireUniqueKeys = true)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq == run(8))
+  }
+
   test("single partition degenerates correctly") {
     val got = run(1)
     assert(got.last._3 == rows.map(_._2).sum)
   }
 
-  test("survives a downstream coalesce(1) (stamp travels as data, not task id)") {
+  test("survives a downstream coalesce(1) (split index, not task id, names the partition)") {
     val direct = run(8)
     val coalesced = PrefixSum.globalRunningSum(
       rows.toDF("doc", "cnt"), "doc", "cnt", 8)
@@ -48,9 +65,9 @@ class PrefixSumSpec extends SparkSpec {
   }
 
   test("materialize=true returns identical rows and a released-input checkpoint") {
-    // the leak-free variant (review r11): the result is an eager
-    // checkpoint, the internal stamped layout's blocks are freed
-    // before return - values must be bit-identical to the lazy form
+    // the result is an eager checkpoint; the shared-shuffle design
+    // (r13) keeps no internal checkpoint to free - values must be
+    // bit-identical to the lazy form
     val lazyRows = run(8).toSet
     val mat = PrefixSum.globalRunningSum(rows.toDF("k", "v"), "k", "v",
       numPartitions = 8, materialize = true)
