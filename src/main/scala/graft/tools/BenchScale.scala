@@ -937,6 +937,83 @@ object BenchScale {
     }
   }
 
+  /** Modularity ladder (VERDICT r13 Next #5): planted-community
+    * graphs — n = m/8 nodes in K=256 communities (community = node %
+    * K), ~90 % of generated edges intra-community, 10 % uniform — so
+    * the partition quality is KNOWN to land high and the output frame
+    * is K rows at every rung (the final window's input is an
+    * attribute's cardinality, never the graph). Gates per rung: the
+    * output has exactly K communities, Σ deg_sum is EVEN (the
+    * induced-subgraph 2m contract), Q = Σ q_c inside the planted band
+    * (0.7, 0.95), and the smallest rung is compared EXACTLY against a
+    * driver-side reference (same BigDecimal half-up rounding as
+    * GraphSpec). Wall must stay ~linear in edges: only the edge dedup
+    * and the two endpoint joins scale with m; exponent hard-gates at
+    * 1.4. */
+  private def modularityLadder(spark: SparkSession, sizes: Seq[Long],
+                               maxTaskMs: java.util.concurrent.atomic.AtomicLong): Unit = {
+    val K = 256L
+    val rungs = sizes.map { m =>
+      val n = math.max(m / 8 / K * K, K * 2) // multiple of K so src+K*j keeps the residue
+      val perComm = n / K
+      val half = spark.range(m).selectExpr(
+        s"pmod(xxhash64('a', id), $n) AS src",
+        // intra: same residue mod K, j in 1..perComm-1 (never a self
+        // loop); inter: uniform (self-loops dropped by the operator)
+        s"""CASE WHEN id % 10 < 9
+           |  THEN pmod(pmod(xxhash64('a', id), $n)
+           |         + $K * (1 + pmod(xxhash64('b', id), ${perComm - 1})), $n)
+           |  ELSE pmod(xxhash64('c', id), $n) END AS dst""".stripMargin)
+      val dir = s"/tmp/graft_scale/modgraph_$m"
+      half.write.mode("overwrite").parquet(dir) // untimed setup
+      val edges = spark.read.parquet(dir)
+      val nodeComm = spark.range(n).selectExpr("id AS node", s"pmod(id, $K) AS community")
+      maxTaskMs.set(0)
+      val t0 = System.nanoTime()
+      val out = graft.operators.Graph.modularity(edges, "src", "dst",
+        nodeComm, "node", "community").collect()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val degSum = out.map(_.getLong(3)).sum
+      val q = out.map(_.getDouble(4)).sum
+      println(f"""{"edges":$m,"nodes":$n,"communities":${out.length},"mod_sec":$sec%.2f,"max_task_sec":${maxTaskMs.get() / 1e3}%.2f,"two_m":$degSum,"q":$q%.4f}""")
+      require(out.length == K, s"expected $K communities, got ${out.length}")
+      require(degSum % 2 == 0, s"sum(deg_sum)=$degSum is odd - induced-subgraph 2m contract broken")
+      require(q > 0.7 && q < 0.95, f"planted Q $q%.4f outside (0.7, 0.95)")
+      if (m == sizes.min && m <= 4000000L) {
+        // exact driver reference on the deduped undirected edge set
+        val es = edges.selectExpr("least(src, dst) AS a", "greatest(src, dst) AS b")
+          .where("a < b").distinct().collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+        val mm = es.length.toLong
+        val deg = new java.util.HashMap[Long, Long]()
+        es.foreach { case (a, b) =>
+          deg.merge(a, 1L, _ + _); deg.merge(b, 1L, _ + _)
+        }
+        val degC = new Array[Long](K.toInt); val nC = new Array[Long](K.toInt)
+        deg.forEach((node, d) => { degC((node % K).toInt) += d; nC((node % K).toInt) += 1 })
+        val intraC = new Array[Long](K.toInt)
+        es.foreach { case (a, b) => if (a % K == b % K) intraC((a % K).toInt) += 1 }
+        val want = (0 until K.toInt).map { c =>
+          val qc = new java.math.BigDecimal(
+              (4.0 * mm * intraC(c) - degC(c).toDouble * degC(c)) / (4.0 * mm * mm))
+            .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+          c.toLong -> ((nC(c), intraC(c), degC(c), qc))
+        }.toMap
+        val got = out.map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+        require(got == want, s"driver reference diverged at m=$m")
+        println(s"""{"edges":$m,"driver_reference":"exact_match","m_undirected":$mm}""")
+      }
+      (m, sec)
+    }
+    if (sizes.size >= 2) {
+      val exponent = fitExponent(rungs)
+      println(f"""{"metric":"modularity_scale","exponent":$exponent%.3f}""")
+      require(exponent <= 1.4,
+        f"modularity wall grows super-linearly in edges: exponent $exponent%.3f > 1.4")
+    }
+  }
+
   /** Backoff-LM ladder: stupid-backoff trigram training + held-out
     * scoring ([[graft.operators.TextAnalysis.backoffXent]]) on the
     * generated dedup corpus (80-word docs, seeded 4-letter vocab).
@@ -1607,12 +1684,13 @@ object BenchScale {
     val zorderMode = args.headOption.contains("zorder")
     val zorder3Mode = args.headOption.contains("zorder3")
     val compactionMode = args.headOption.contains("compaction")
+    val modularityMode = args.headOption.contains("modularity")
     val sizeArgs =
       if (annMode || mmMode || pqMode || ivfPqMode || semMode || graphMode ||
           tpchMode || bpeMode || shingleMode || triMode || backoffMode ||
           kcoreMode || tsMode || eventsMode || linkpredMode ||
           linkpredSkewMode || lpaMode || sigstoreMode || zorderMode ||
-          zorder3Mode || compactionMode)
+          zorder3Mode || compactionMode || modularityMode)
         args.drop(1) else args
     val sizes =
       if (sizeArgs.nonEmpty) sizeArgs(0).split(",").map(_.trim.toLong).toSeq
@@ -1630,6 +1708,7 @@ object BenchScale {
       else if (zorderMode) Seq(1000000L, 4000000L, 16000000L)
       else if (zorder3Mode) Seq(4000000L, 16000000L, 64000000L)
       else if (compactionMode) Seq(4000000L, 16000000L, 64000000L)
+      else if (modularityMode) Seq(1000000L, 4000000L, 16000000L)
       else if (triMode) Seq(1000000L, 4000000L, 16000000L)
       else if (kcoreMode) Seq(1000000L, 4000000L, 16000000L)
       else if (tsMode) Seq(1048576L, 4194304L, 16777216L)
@@ -1689,6 +1768,7 @@ object BenchScale {
     if (zorderMode) { zorderLadder(spark, sizes, maxTaskMs); spark.stop(); return }
     if (zorder3Mode) { zorder3Ladder(spark, sizes, maxTaskMs); spark.stop(); return }
     if (compactionMode) { compactionLadder(spark, sizes, maxTaskMs); spark.stop(); return }
+    if (modularityMode) { modularityLadder(spark, sizes, maxTaskMs); spark.stop(); return }
     if (triMode) { triLadder(spark, sizes, maxTaskMs); spark.stop(); return }
     if (kcoreMode) { kcoreLadder(spark, sizes, maxTaskMs); spark.stop(); return }
     if (tsMode) { tsLadder(spark, sizes, maxTaskMs); spark.stop(); return }
