@@ -108,14 +108,26 @@ object AsOfJoin {
           valueCols.map { case (c, o) => col(c).as(o) }: _*).as("__vpack"): _*)
     // same deterministic tie key as [[asOf]]: equal-instant right rows
     // resolve by value-pack order (greatest wins backward, least wins
-    // forward) — partition-order-independent either way
+    // forward) — partition-order-independent either way.
+    // The forward carry rides the REVERSED total order as a RUNNING
+    // frame, not a [current → unboundedFollowing] frame: Spark's
+    // UnboundedFollowing frame re-aggregates current-to-end for every
+    // row — O(rows²) per key at scale — while a running frame
+    // accumulates in one pass. (__t, __side, __vpack) is a total order
+    // up to fully-tied null-pack left rows (which ignoreNulls skips),
+    // so `last non-null` under the desc order picks exactly the asc
+    // order's first-following non-null pack; desc flips null ordering
+    // to NULLS LAST in lockstep. Cost: a second sort order on the same
+    // key exchange.
     val ord = Window.partitionBy(col(key))
       .orderBy(col("__t"), col("__side"), col("__vpack"))
+    val ordRev = Window.partitionBy(col(key))
+      .orderBy(col("__t").desc, col("__side").desc, col("__vpack").desc)
     val wb = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wf = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val wf = ordRev.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val u = l.unionByName(r)
       .withColumn("__b", last(col("__vpack"), ignoreNulls = true).over(wb))
-      .withColumn("__f", first(col("__vpack"), ignoreNulls = true).over(wf))
+      .withColumn("__f", last(col("__vpack"), ignoreNulls = true).over(wf))
     val pick = when(col("__b").isNull, col("__f"))
       .when(col("__f").isNull, col("__b"))
       .when(col("__t") - col("__b.__rt") <= col("__f.__rt") - col("__t"),

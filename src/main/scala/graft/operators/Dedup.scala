@@ -166,6 +166,13 @@ object Dedup {
       .select(col("doc_id"), explode(expr(
         s"transform(sequence(1, size(toks) - ${n - 1}), i -> concat_ws(' ', slice(toks, i, $n)))")).as("sh"))
       .select(col("doc_id"), Hashing.md5Long(col("sh")).as("h"))
+      // ONE exchange serves the dedup AND the df window (r14):
+      // hash(h) satisfies the (doc_id, h) clustered distribution (a
+      // subset of the grouping keys), so the distinct aggregates
+      // partition-locally on it and the h-window needs only a sort —
+      // the old shape exchanged the full (doc_id, h) stream twice,
+      // once by (doc_id, h) for the dedup and again by h for df.
+      .repartition(col("h"))
       .distinct()
       .withColumn("df", count(lit(1)).over(w))
       .filter(col("df") <= maxDf)

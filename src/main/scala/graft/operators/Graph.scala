@@ -211,6 +211,32 @@ object Graph {
     withStableCachePartitioning(edges.sparkSession) {
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
+    // ADAPTIVE DRIVER FINISH (the Components / Bpe pattern): when the
+    // edge count is ≤ the gate, the `iterations` rounds run on the
+    // driver over the collected (src, dst) rows — outdegrees are one
+    // O(m) in-memory pass there, so the driver path never pays the
+    // degree aggregate, the degree join, or the src repartition that
+    // only the distributed rounds need (r14: those were built and
+    // persisted BEFORE the gate, costing the driver path two shuffles
+    // and a cache it never used). The gate count is one pass over the
+    // caller's frame — catalog callers hand a memoized checkpoint or a
+    // narrow projection of one (the commonNeighbors discipline), so
+    // the count and the collect are narrow block reads, not upstream
+    // replays. The collect is bounded BY THE GATE regardless of corpus
+    // size; a corpus-scale edge list exceeds it and takes the
+    // distributed rounds (the graph ladder forces them with 0, so its
+    // published per-round exchange receipts stay distributed-path).
+    // Integer micro-unit arithmetic makes the two paths BIT-identical
+    // — same floor divisions, same exact sums (GraphSpec pins the
+    // equality; IterativeKernelPropertySpec pins both against the
+    // reference).
+    if (driverFinishEdges > 0 && {
+          val n = e.count()
+          n <= driverFinishEdges && DriverFinish.take(driverFinishEdges, n)
+        }) {
+      pageRankDriver(edges.sparkSession, e, iterations,
+        dampingPct, validateUniverse)
+    } else {
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     // (src, dst, outdeg) computed once, HASH-PARTITIONED ON src once,
     // cached and MATERIALIZED before any round is planned: the rounds'
@@ -219,30 +245,9 @@ object Graph {
     // (|E| rows). localCheckpoint would NOT work here: under AQE it
     // snapshots UnknownPartitioning before the plan finalizes, and
     // every round re-shuffles the static edges (plan-gated in
-    // GraphSpec; the adaptive-finish gate's count below doubles as
-    // the materializing action).
+    // GraphSpec; this count doubles as the materializing action).
     val ed = e.join(deg, "src").repartition(col("src")).persist()
-    // ADAPTIVE DRIVER FINISH (the Components / Bpe pattern): the
-    // cached (src, dst, outdeg) frame is materialized here anyway, so
-    // its count is one cheap cache scan — when it is ≤ the gate, the
-    // `iterations` rounds run on the driver over the collected edges
-    // instead of paying one full-cluster join barrier each (the
-    // catalog's fixture graphs are hundreds of nodes). The collect is
-    // bounded BY THE GATE regardless of corpus size; a corpus-scale
-    // edge list exceeds it and takes the distributed rounds (the
-    // graph ladder forces them with 0, so its published per-round
-    // exchange receipts stay distributed-path). Integer micro-unit
-    // arithmetic makes the two paths BIT-identical — same floor
-    // divisions, same exact sums (GraphSpec pins the equality;
-    // IterativeKernelPropertySpec pins both against the reference).
-    val nEdges = ed.count()
-    if (driverFinishEdges > 0 && nEdges <= driverFinishEdges &&
-        DriverFinish.take(driverFinishEdges, nEdges)) {
-      val out = pageRankDriver(edges.sparkSession, ed, iterations,
-        dampingPct, validateUniverse)
-      ed.unpersist()
-      out
-    } else {
+    ed.count()
     val nodes = ed.select(col("src").as("node")).distinct().localCheckpoint()
     // Node-universe contract, ENFORCED (was doc-only): a dst that
     // never appears as a src is a dangling sink whose rank mass would
@@ -301,21 +306,21 @@ object Graph {
   }
 
   /** Bounded-collect driver rounds: the same integer recurrence over
-    * the collected (src, dst, outdeg) rows — floor divisions and
-    * exact sums make it BIT-identical to the distributed form. The
-    * dangling-sink contract is enforced in-memory with the same
-    * exception. */
+    * the collected (src, dst) rows, outdegrees one O(m) in-memory pass
+    * (r14 — the distributed degree join is distributed-path-only now)
+    * — floor divisions and exact sums make it BIT-identical to the
+    * distributed form. The dangling-sink contract is enforced
+    * in-memory with the same exception. */
   private def pageRankDriver(spark: org.apache.spark.sql.SparkSession,
-                             ed: DataFrame, iterations: Int,
+                             e: DataFrame, iterations: Int,
                              dampingPct: Int,
                              validateUniverse: Boolean): DataFrame = {
     import spark.implicits._
-    val rows = ed.select(col("src"), col("dst"), col("outdeg"))
-      .as[(Long, Long, Long)].collect()
-    val srcs = scala.collection.mutable.LongMap.empty[Boolean]
-    rows.foreach { case (s, _, _) => srcs(s) = true }
+    val rows = e.select(col("src"), col("dst")).as[(Long, Long)].collect()
+    val outdeg = scala.collection.mutable.LongMap.empty[Long]
+    rows.foreach { case (s, _) => outdeg(s) = outdeg.getOrElse(s, 0L) + 1L }
     if (validateUniverse) {
-      rows.find { case (_, d, _) => !srcs.contains(d) }.foreach { case (_, d, _) =>
+      rows.find { case (_, d) => !outdeg.contains(d) }.foreach { case (_, d) =>
         throw new IllegalArgumentException(
           s"pageRankMicro: node $d appears as a " +
             "destination but never as a source (dangling sink, out of " +
@@ -324,14 +329,14 @@ object Graph {
       }
     }
     val teleportMicro = (100L - dampingPct) * 10000L
-    val nodes = srcs.keys.toArray
+    val nodes = outdeg.keys.toArray
     var ranks = scala.collection.mutable.LongMap.empty[Long]
     nodes.foreach(n => ranks(n) = 1000000L)
     for (_ <- 1 to iterations) {
       val contribs = scala.collection.mutable.LongMap.empty[Long]
-      rows.foreach { case (s, d, od) =>
+      rows.foreach { case (s, d) =>
         contribs(d) = contribs.getOrElse(d, 0L) +
-          (dampingPct * ranks(s)) / (100L * od)
+          (dampingPct * ranks(s)) / (100L * outdeg(s))
       }
       val next = scala.collection.mutable.LongMap.empty[Long]
       nodes.foreach(n => next(n) = teleportMicro + contribs.getOrElse(n, 0L))
@@ -358,30 +363,34 @@ object Graph {
                    driverFinishEdges: Long = 4000000L): DataFrame = {
     require(maxHops >= 1)
     withStableCachePartitioning(edges.sparkSession) {
-    // partitioned on src once, cached and materialized before round 1
-    // is planned (see pageRankMicro), so each round's frontier
-    // expansion exchanges only the frontier
-    val e = edges.select(col(srcCol).cast("long").as("src"),
+    val e0 = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
-      .repartition(col("src")).persist()
-    val nEdges = e.count()
     val sd = seeds.toDF("node").select(col("node").cast("long"))
       .distinct().localCheckpoint()
     val nSeeds = sd.count()
-    // ADAPTIVE DRIVER FINISH (the pageRankMicro pattern): both counts
-    // come from frames this method materializes anyway; under the
+    // ADAPTIVE DRIVER FINISH (the pageRankMicro pattern): under the
     // gate the hop rounds run driver-side over the collected edges —
     // identical first-discovery semantics (every round-h discovery
     // has d = h, so the distributed min(d) and the driver's
-    // first-visit check agree), GraphSpec pins the equality.
-    if (driverFinishEdges > 0 && nEdges <= driverFinishEdges &&
-        nSeeds <= driverFinishEdges &&
-        DriverFinish.take(driverFinishEdges, nEdges + nSeeds)) {
-      val out = bfsDriver(edges.sparkSession, e, sd, maxHops)
-      e.unpersist()
+    // first-visit check agree), GraphSpec pins the equality. The src
+    // repartition + cache exist only for the distributed rounds, so
+    // the driver path no longer builds them (r14); the gate count is
+    // one pass over the caller's frame (catalog callers hand memoized
+    // checkpoints or narrow projections of one).
+    if (driverFinishEdges > 0 && nSeeds <= driverFinishEdges && {
+          val nEdges = e0.count()
+          nEdges <= driverFinishEdges &&
+            DriverFinish.take(driverFinishEdges, nEdges + nSeeds)
+        }) {
+      val out = bfsDriver(edges.sparkSession, e0, sd, maxHops)
       Checkpoints.unpersist(sd)
       out
     } else {
+    // partitioned on src once, cached and materialized before round 1
+    // is planned (see pageRankMicro), so each round's frontier
+    // expansion exchanges only the frontier
+    val e = e0.repartition(col("src")).persist()
+    e.count()
     var dist = sd.withColumn("d", lit(0L)).localCheckpoint()
     var frontier = dist
     var hop = 1
@@ -433,25 +442,31 @@ object Graph {
                 driverFinishEdges: Long = 4000000L): DataFrame = {
     require(maxRounds >= 1)
     withStableCachePartitioning(edges.sparkSession) {
-    val e = edges.select(col(srcCol).cast("long").as("src"),
+    val e0 = edges.select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"),
         col(wCol).cast("long").as("w"))
       .withColumn("w", when(col("w") >= 0L, col("w"))
         .otherwise(raise_error(concat(lit(
           "ssspMicro: negative weight "), col("w").cast("string")))))
-      .repartition(col("src")).persist()
-    val nEdges = e.count()
     val sd = seeds.toDF("node").select(col("node").cast("long"))
       .distinct().localCheckpoint()
     val nSeeds = sd.count()
-    if (driverFinishEdges > 0 && nEdges <= driverFinishEdges &&
-        nSeeds <= driverFinishEdges &&
-        DriverFinish.take(driverFinishEdges, nEdges + nSeeds)) {
+    // driver path skips the src repartition + cache (distributed-only
+    // machinery — the pageRankMicro r14 slimming); the negative-weight
+    // guard still fires on every path that reads w (the driver collect
+    // and the distributed materialization both do).
+    if (driverFinishEdges > 0 && nSeeds <= driverFinishEdges && {
+          val nEdges = e0.count()
+          nEdges <= driverFinishEdges &&
+            DriverFinish.take(driverFinishEdges, nEdges + nSeeds)
+        }) {
       val out =
-        try ssspDriver(edges.sparkSession, e, sd, maxRounds)
-        finally { e.unpersist(); Checkpoints.unpersist(sd) }
+        try ssspDriver(edges.sparkSession, e0, sd, maxRounds)
+        finally Checkpoints.unpersist(sd)
       out
     } else {
+    val e = e0.repartition(col("src")).persist()
+    e.count()
       var dist = sd.withColumn("d", lit(0L)).localCheckpoint()
       // (count, Σd) — exact decimal sum; monotone relaxation means
       // equality of both ⟺ no distance changed and no node appeared
@@ -549,24 +564,50 @@ object Graph {
     * and a randomized property pins both against a plain reference. */
   def labelPropagation(edges: DataFrame, aCol: String, bCol: String,
                        rounds: Int = 4,
-                       driverFinishEdges: Long = 4000000L): DataFrame = {
+                       driverFinishEdges: Long = 4000000L,
+                       assumeCanonical: Boolean = false): DataFrame = {
     require(rounds >= 1)
     withStableCachePartitioning(edges.sparkSession) {
-    val ec = edges.select(
-        least(col(aCol).cast("long"), col(bCol).cast("long")).as("a"),
-        greatest(col(aCol).cast("long"), col(bCol).cast("long")).as("b"))
-      .filter(col("a") < col("b"))
-      .distinct()
+    // assumeCanonical + driver-path slimming: see kCore — the gate
+    // count and the driver collect read the canonical HALF-edge
+    // blocks; the 2m-row symmetrize/repartition/cache is built only
+    // when the distributed rounds actually run (r14).
+    // checkpoint only when the driver gate is LIVE; a forced-
+    // distributed caller (gate 0 — the scale ladders) keeps the r13
+    // shape exactly (see kCore)
+    val gateLive = driverFinishEdges > 0
+    val (ec, ownEc) =
+      if (assumeCanonical)
+        (edges.select(col(aCol).cast("long").as("a"),
+          col(bCol).cast("long").as("b")), false)
+      else {
+        val canon = edges.select(
+            least(col(aCol).cast("long"), col(bCol).cast("long")).as("a"),
+            greatest(col(aCol).cast("long"), col(bCol).cast("long")).as("b"))
+          .filter(col("a") < col("b"))
+          .distinct()
+        if (gateLive) (canon.localCheckpoint(), true) else (canon, false)
+      }
+    if (gateLive && {
+          val m = 2L * ec.count()
+          m <= driverFinishEdges && DriverFinish.take(driverFinishEdges, m)
+        }) {
+      import edges.sparkSession.implicits._
+      val half = ec.select(col("a"), col("b")).as[(Long, Long)].collect()
+      if (ownEc) Checkpoints.unpersist(ec)
+      val symRows = new Array[(Long, Long)](half.length * 2)
+      var i = 0
+      while (i < half.length) {
+        symRows(2 * i) = half(i)
+        symRows(2 * i + 1) = (half(i)._2, half(i)._1)
+        i += 1
+      }
+      labelPropDriver(edges.sparkSession, symRows, rounds)
+    } else {
     val ed = ec.select(col("a").as("src"), col("b").as("dst"))
       .union(ec.select(col("b").as("src"), col("a").as("dst")))
       .repartition(col("src")).persist()
     val m = ed.count()
-    if (driverFinishEdges > 0 && m <= driverFinishEdges &&
-        DriverFinish.take(driverFinishEdges, m)) {
-      val out = labelPropDriver(edges.sparkSession, ed, rounds)
-      ed.unpersist()
-      out
-    } else {
     // symmetry ⇒ every node appears as src, so the label vector and
     // each round's update cover the whole universe — no dangling case
     //
@@ -643,6 +684,7 @@ object Graph {
     Checkpoints.unpersist(labels)
     Checkpoints.unpersist(remapRaw)
     ed.unpersist()
+    if (ownEc) Checkpoints.unpersist(ec)
     out
     }
     }
@@ -654,9 +696,8 @@ object Graph {
     * edge rows — exact integer counting makes it bit-identical to the
     * distributed form. */
   private def labelPropDriver(spark: org.apache.spark.sql.SparkSession,
-                              ed: DataFrame, rounds: Int): DataFrame = {
+                              rows: Array[(Long, Long)], rounds: Int): DataFrame = {
     import spark.implicits._
-    val rows = ed.select(col("src"), col("dst")).as[(Long, Long)].collect()
     // adjacency once (symmetric rows ⇒ dst's row list IS its neighbor
     // set); per-node scratch counting replaces the old global
     // (node, label)-tuple-keyed HashMap — the boxing/tuple-hash cost
@@ -730,30 +771,71 @@ object Graph {
   def kCore(edges: DataFrame, aCol: String, bCol: String,
             k: Option[Long] = None,
             maxRounds: Int = 12,
-            driverFinishEdges: Long = 4000000L): DataFrame = {
+            driverFinishEdges: Long = 4000000L,
+            assumeCanonical: Boolean = false): DataFrame = {
     require(maxRounds >= 1)
     withStableCachePartitioning(edges.sparkSession) {
-    val ec = edges.select(
-        least(col(aCol).cast("long"), col(bCol).cast("long")).as("a"),
-        greatest(col(aCol).cast("long"), col(bCol).cast("long")).as("b"))
-      .filter(col("a") < col("b"))
-      .distinct()
-    val ed = ec.select(col("a").as("src"), col("b").as("dst"))
-      .union(ec.select(col("b").as("src"), col("a").as("dst")))
-      .repartition(col("src")).persist()
-    val m2 = ed.count()
-    val n0 = ed.select(col("src")).distinct().count()
-    val kVal = k.getOrElse(if (n0 == 0) 1L else (m2 * 7L) / (n0 * 10L))
-    require(kVal >= 1, s"kCore: derived k=$kVal < 1 (m2=$m2, n=$n0)")
-    if (driverFinishEdges > 0 && m2 <= driverFinishEdges &&
-        DriverFinish.take(driverFinishEdges, m2)) {
-      val out =
-        try kCoreDriver(edges.sparkSession, ed, kVal, maxRounds)
-        finally ed.unpersist()
-      out
+    // `assumeCanonical`: the input is ALREADY (a < b, distinct) AND
+    // eagerly materialized (a memoized checkpoint) — skip the
+    // canonicalization shuffle and read its blocks directly (the
+    // triangleCounts flag, generalized r14). Otherwise canonicalize
+    // and checkpoint HERE: the count, the driver collect, and the
+    // distributed symmetrize all read the canonical HALF-edge blocks —
+    // the old shape symmetrized + repartitioned + cached BEFORE the
+    // gate, so the driver path paid a 2m-row shuffle, a 2m-row cache,
+    // a full distinct-count shuffle for n0, and a 2m-row collect for
+    // work it finishes on m rows in memory.
+    // the canonicalization is checkpointed only when the driver gate
+    // is LIVE (it funds the gate count + the half-edge collect as
+    // narrow block reads); a forced-distributed caller (gate 0 — the
+    // scale ladders) keeps the r13 shape exactly: lazy canonical ec,
+    // one materialization (the symmetric cache), zero extra passes
+    val gateLive = driverFinishEdges > 0
+    val (ec, ownEc) =
+      if (assumeCanonical)
+        (edges.select(col(aCol).cast("long").as("a"),
+          col(bCol).cast("long").as("b")), false)
+      else {
+        val canon = edges.select(
+            least(col(aCol).cast("long"), col(bCol).cast("long")).as("a"),
+            greatest(col(aCol).cast("long"), col(bCol).cast("long")).as("b"))
+          .filter(col("a") < col("b"))
+          .distinct()
+        if (gateLive) (canon.localCheckpoint(), true) else (canon, false)
+      }
+    val m2Pre = if (gateLive) 2L * ec.count() else -1L
+    if (gateLive && m2Pre <= driverFinishEdges &&
+        DriverFinish.take(driverFinishEdges, m2Pre)) {
+      import edges.sparkSession.implicits._
+      val half = ec.select(col("a"), col("b")).as[(Long, Long)].collect()
+      if (ownEc) Checkpoints.unpersist(ec)
+      // symmetrize in memory: same multiset the old collected frame held
+      val rows = new Array[(Long, Long)](half.length * 2)
+      var i = 0
+      while (i < half.length) {
+        rows(2 * i) = half(i)
+        rows(2 * i + 1) = (half(i)._2, half(i)._1)
+        i += 1
+      }
+      val n0 = { // distinct nodes — was a full shuffle, now one pass
+        val seen = scala.collection.mutable.LongMap.empty[Boolean]
+        rows.foreach { case (s, _) => seen(s) = true }
+        seen.size.toLong
+      }
+      val kVal = k.getOrElse(if (n0 == 0) 1L else (m2Pre * 7L) / (n0 * 10L))
+      require(kVal >= 1, s"kCore: derived k=$kVal < 1 (m2=$m2Pre, n=$n0)")
+      kCoreDriver(edges.sparkSession, rows, kVal, maxRounds)
     } else {
+      val ed = ec.select(col("a").as("src"), col("b").as("dst"))
+        .union(ec.select(col("b").as("src"), col("a").as("dst")))
+        .repartition(col("src")).persist()
+      val m2 = ed.count()
+      val n0 = ed.select(col("src")).distinct().count()
+      val kVal = k.getOrElse(if (n0 == 0) 1L else (m2 * 7L) / (n0 * 10L))
+      require(kVal >= 1, s"kCore: derived k=$kVal < 1 (m2=$m2, n=$n0)")
       var cur = ed.localCheckpoint()
       ed.unpersist()
+      if (ownEc) Checkpoints.unpersist(ec)
       // convergence on the LIVE EDGE count, not a distinct node
       // count: any removed node drops ≥ 1 of its symmetric rows, so
       // edge-count stability ⟺ node-count stability — and counting
@@ -993,7 +1075,8 @@ object Graph {
     * Scale shape: one degree aggregate, two node-keyed joins onto the
     * edge list, ONE map-side-combinable global moment aggregate —
     * returns a single row (n_ends, r). */
-  def assortativity(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+  def assortativity(edges: DataFrame, aCol: String, bCol: String,
+                    assumeCanonical: Boolean = false): DataFrame = {
     // materialized ONCE (the commonNeighbors lesson, applied r11 after
     // the plan audit counted 12 scans / 23 exchanges here): the
     // canonical edge set feeds both symmetrize arms AND, through sym,
@@ -1001,7 +1084,13 @@ object Graph {
     // upstream pair generation replays ~6x. The degree frame is
     // checkpointed too (two join branches), and the single-row result
     // is eager so both releases happen before return.
-    val und = edges.select(
+    // assumeCanonical: the caller's frame is already (a < b, distinct)
+    // AND eagerly materialized (a memoized checkpoint) — use its
+    // blocks directly, skip the shuffle, and do NOT unpersist it.
+    val und = if (assumeCanonical)
+        edges.select(col(aCol).cast("long").as("a"),
+          col(bCol).cast("long").as("b"))
+      else edges.select(
         least(col(aCol).cast("long"), col(bCol).cast("long")).as("a"),
         greatest(col(aCol).cast("long"), col(bCol).cast("long")).as("b"))
       .filter(col("a") < col("b"))
@@ -1031,7 +1120,7 @@ object Graph {
                 (col("n") * col("syy") - col("sy") * col("sy")).cast("double")),
             6)).as("r"))
       .localCheckpoint()
-    Checkpoints.unpersist(und)
+    if (!assumeCanonical) Checkpoints.unpersist(und)
     Checkpoints.unpersist(deg)
     out
   }
@@ -1040,10 +1129,10 @@ object Graph {
     * remove-below-k rounds over the collected symmetric edge rows —
     * integer degrees make it bit-identical to the distributed form. */
   private def kCoreDriver(spark: org.apache.spark.sql.SparkSession,
-                          ed: DataFrame, kVal: Long,
+                          symRows: Array[(Long, Long)], kVal: Long,
                           maxRounds: Int): DataFrame = {
     import spark.implicits._
-    var rows = ed.select(col("src"), col("dst")).as[(Long, Long)].collect()
+    var rows = symRows
     var changed = true
     var rounds = 0
     while (changed) {
@@ -1340,32 +1429,35 @@ object Graph {
     withStableCachePartitioning(edges.sparkSession) {
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
+    // Contract checks (empty graph: the round normalizer max(araw) is
+    // undefined; the Θ(|E|) raw sums stay PLAIN LONGS — codegen'd
+    // partial aggregation, a decimal sum in this hot path measured ~4×
+    // PageRank's per-round cost — safe because scores are ≤ 10⁶ and a
+    // per-node sum overflows long only past ~9.2·10¹² incident edges).
+    // Checked on whichever count the taken path produces: the driver
+    // gate's pre-count, or the distributed cache's materializing count
+    // (gate 0 skips the pre-count entirely — the forced-distributed
+    // ladder contract).
+    def guard(nEdges: Long, release: => Unit): Unit =
+      if (nEdges == 0 || nEdges > 4000000000000L) {
+        release
+        require(nEdges > 0, "hitsMicro: empty edge list - the round " +
+          "normalizer max(araw) would be undefined")
+        require(nEdges <= 4000000000000L,
+          s"hitsMicro: $nEdges edges - a per-node long raw sum could " +
+            "overflow past ~9.2e12 incident mass; widen the sums to decimal")
+      }
+    val nPre = if (driverFinishEdges > 0) e.count() else -1L
+    if (driverFinishEdges > 0) guard(nPre, ())
+    // driver path skips the two per-direction repartitioned caches
+    // (distributed-only machinery — the pageRankMicro r14 slimming)
+    if (driverFinishEdges > 0 && nPre <= driverFinishEdges &&
+        DriverFinish.take(driverFinishEdges, nPre)) {
+      hitsDriver(edges.sparkSession, e, iterations)
+    } else {
     val eS = e.repartition(col("src")).persist()
     val nEdges = eS.count()
-    // BOTH contract checks sit here, before any further state, and
-    // release the cached edge frame on their throw path (the
-    // pageRankMicro validateUniverse lesson — a caller catching the
-    // require must not leak an |E|-row cache for the session):
-    //  - empty graph: the round normalizer max(araw) is undefined;
-    //  - the Θ(|E|) raw sums below stay PLAIN LONGS (codegen'd
-    //    partial aggregation — a decimal sum in this hot path
-    //    measured ~4× PageRank's per-round cost), safe because
-    //    scores are ≤ 10⁶ and a per-node sum overflows long only
-    //    past ~9.2·10¹² incident edges.
-    if (nEdges == 0 || nEdges > 4000000000000L) {
-      eS.unpersist()
-      require(nEdges > 0, "hitsMicro: empty edge list - the round " +
-        "normalizer max(araw) would be undefined")
-      require(nEdges <= 4000000000000L,
-        s"hitsMicro: $nEdges edges - a per-node long raw sum could " +
-          "overflow past ~9.2e12 incident mass; widen the sums to decimal")
-    }
-    if (driverFinishEdges > 0 && nEdges <= driverFinishEdges &&
-        DriverFinish.take(driverFinishEdges, nEdges)) {
-      val out = try hitsDriver(edges.sparkSession, eS, iterations)
-                finally eS.unpersist()
-      out
-    } else {
+    guard(nEdges, eS.unpersist())
       val eD = e.repartition(col("dst")).persist()
       eD.count()
       val nodes = eS.select(col("src").as("node"))
@@ -1506,17 +1598,25 @@ object Graph {
     * single-partition exchange is constant-size at any edge count. */
   def modularity(edges: DataFrame, aCol: String, bCol: String,
                  nodeComm: DataFrame, nodeCol: String,
-                 commCol: String): DataFrame = {
+                 commCol: String,
+                 assumeCanonical: Boolean = false): DataFrame = {
     val nc = nodeComm.select(col(nodeCol).cast("long").as("node"),
       col(commCol).as("community"))
     // induced subgraph: both endpoints must map — the inner joins
     // drop any edge touching an unmapped node BEFORE degrees are
-    // counted, so every surviving edge contributes exactly two ends
-    val und = edges.select(
+    // counted, so every surviving edge contributes exactly two ends.
+    // assumeCanonical: the caller's frame is already (a < b, distinct)
+    // — skip the canonicalization shuffle (the result frame below is
+    // checkpointed and owned here either way).
+    val canon = if (assumeCanonical)
+        edges.select(col(aCol).cast("long").as("a"),
+          col(bCol).cast("long").as("b"))
+      else edges.select(
         least(col(aCol).cast("long"), col(bCol).cast("long")).as("a"),
         greatest(col(aCol).cast("long"), col(bCol).cast("long")).as("b"))
       .filter(col("a") < col("b"))
       .distinct()
+    val und = canon
       .join(nc.select(col("node").as("na"), col("community").as("ca")),
         col("a") === col("na"))
       .join(nc.select(col("node").as("nb"), col("community").as("cb")),

@@ -306,13 +306,24 @@ object TimeSeries {
         lit(null).cast("long").as("vc"), lit(1).as("gf")))
     val wPrev = Window.partitionBy(col("k")).orderBy(col("us"))
       .rangeBetween(Window.unboundedPreceding, Window.currentRow)
-    val wNext = Window.partitionBy(col("k")).orderBy(col("us"))
-      .rangeBetween(Window.currentRow, Window.unboundedFollowing)
+    // forward carry rides a DESC-ordered RUNNING frame, not a
+    // [current → unboundedFollowing] frame: Spark's UnboundedFollowing
+    // frame recomputes the aggregate from the current row to the
+    // partition end FOR EVERY ROW — O(rows²) per key, a quiet
+    // quadratic on long per-key series at scale — while a running
+    // frame is one accumulating pass. Same row set ({us' ≥ us}, peers
+    // included under RANGE either way), and `last non-null` in desc
+    // order IS `first non-null` in asc order (at most one non-null
+    // per (k, us) — ev is (k, us)-aggregated, grid rows are null), so
+    // the carried value is identical; the only cost is the second
+    // sort order on the same exchange.
+    val wNext = Window.partitionBy(col("k")).orderBy(col("us").desc)
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
     val evUs = when(col("gf") === 0, col("us"))
     val pvc = last(col("vc"), ignoreNulls = true).over(wPrev)
     val pus = last(evUs, ignoreNulls = true).over(wPrev)
-    val nvc = first(col("vc"), ignoreNulls = true).over(wNext)
-    val nus = first(evUs, ignoreNulls = true).over(wNext)
+    val nvc = last(col("vc"), ignoreNulls = true).over(wNext)
+    val nus = last(evUs, ignoreNulls = true).over(wNext)
     unioned
       .select(col("k"), col("us"), col("gf"),
         pvc.as("pvc"), pus.as("pus"), nvc.as("nvc"), nus.as("nus"))

@@ -1628,14 +1628,39 @@ object ExtensionCatalog {
   /** The customer↔supplier trade graph: distinct (customer, supplier)
     * pairs observed through orders+lineitem, both directions, the two
     * id spaces disambiguated into one node space as 2k / 2k+1. */
+  /** Session memo for the distinct directed customer→supplier pair
+    * set (r14 — the coPurchaseMemo discipline applied to the trade
+    * graph): THREE consumers (pagerank, bfs, hits) each re-ran the
+    * same lineitem⋈orders join + distinct per run. Keyed on BOTH
+    * source tables' fingerprints; single slot, replaced blocks freed.
+    * Consumers derive views narrowly: the symmetric trade graph is a
+    * two-arm union over these blocks, HITS uses the directed pairs
+    * as-is. */
+  private val tradePairsMemo =
+    new java.util.concurrent.atomic.AtomicReference[(String, DataFrame)]()
+
+  private def tradePairs(s: SparkSession, d: String): DataFrame = {
+    val key = memoKey(s, d, "lineitem") + "|" + dataFingerprint(d, "orders")
+    tradePairsMemo.get() match {
+      case (k, df) if k == key => df
+      case _ =>
+        val df = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+          .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select((col("o_custkey") * 2).as("src"),
+            (col("l_suppkey") * 2 + 1).as("dst"))
+          .distinct()
+          .localCheckpoint()
+        val prev = tradePairsMemo.getAndSet((key, df))
+        if (prev != null && !(prev._2 eq df)) unpersistCheckpoint(prev._2)
+        df
+    }
+  }
+
   private def tradeEdges(s: SparkSession, d: String): DataFrame = {
-    val pairs = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
-      .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
-        col("l_orderkey") === col("o_orderkey"))
-      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("sn"))
-      .distinct()
-    pairs.select(col("c").as("src"), col("sn").as("dst"))
-      .union(pairs.select(col("sn").as("src"), col("c").as("dst")))
+    val pairs = tradePairs(s, d)
+    pairs.select(col("src"), col("dst"))
+      .union(pairs.select(col("dst").as("src"), col("src").as("dst")))
   }
 
   val gPagerank: Q = (s, d) =>
@@ -1696,6 +1721,32 @@ object ExtensionCatalog {
     }
   }
 
+  /** Session memo for the CANONICAL co-purchase edge set — the
+    * distinct (pa < pb) pairs, i.e. THE GRAPH the undirected kernels
+    * run on (r14). Six consumers (triangles, clustering, labelprop,
+    * kcore, assortativity, modularity) each re-derived this same
+    * distinct from the raw pair multiset on every run — one
+    * corpus-wide shuffle apiece for an identical result. Same
+    * discipline as [[coPurchaseMemo]] (build-the-graph-once, keyed on
+    * (session, dir, data fingerprint), single slot, replaced blocks
+    * freed): the raw multiset memo stays for multiplicity consumers
+    * (sssp's co-occurrence weights); kernels take this one with
+    * `assumeCanonical = true` and never unpersist it. */
+  private val coPurchaseEdgesMemo =
+    new java.util.concurrent.atomic.AtomicReference[(String, DataFrame)]()
+
+  private def coPurchaseEdges(s: SparkSession, d: String): DataFrame = {
+    val key = memoKey(s, d, "lineitem")
+    coPurchaseEdgesMemo.get() match {
+      case (k, df) if k == key => df
+      case _ =>
+        val df = coPurchasePairs(s, d).distinct().localCheckpoint()
+        val prev = coPurchaseEdgesMemo.getAndSet((key, df))
+        if (prev != null && !(prev._2 eq df)) unpersistCheckpoint(prev._2)
+        df
+    }
+  }
+
   /** Per-part triangle counts over the co-purchase graph: parts are
     * linked when they appear in the same order ("frequently bought
     * together"), and triangles are the cohesion unit of that network.
@@ -1706,7 +1757,8 @@ object ExtensionCatalog {
     * kernel ([[graft.operators.Graph.triangleCounts]]), whose wedge
     * join is bounded O(m^1.5) regardless of hub parts. */
   val gTriangles: Q = (s, d) =>
-    graft.operators.Graph.triangleCounts(coPurchasePairs(s, d), "pa", "pb")
+    graft.operators.Graph.triangleCounts(coPurchaseEdges(s, d), "pa", "pb",
+      assumeCanonical = true)
 
   /** Per-part local clustering coefficient over the co-purchase
     * graph: c(v) = 2·tri(v) / (deg(v)·(deg(v)−1)) — how close a
@@ -1718,13 +1770,13 @@ object ExtensionCatalog {
     * out (coefficient undefined). The division happens ONCE on exact
     * integers and rounds to 6, so both engines rank identically. */
   val gClustering: Q = (s, d) => {
-    // checkpointed ONCE: the canonical edge set feeds BOTH the degree
-    // aggregate and the triangle kernel (assumeCanonical skips the
-    // kernel's own re-canonicalization shuffle) — lazily each branch
-    // would re-run the whole co-purchase pair generation
-    val e = coPurchasePairs(s, d)
-      .select(col("pa").as("a"), col("pb").as("b")).distinct()
-      .localCheckpoint()
+    // the canonical edge set is the session memo (r14): both the
+    // degree aggregate and the triangle kernel (assumeCanonical skips
+    // its re-canonicalization shuffle) read the memo's checkpoint
+    // blocks — the per-run distinct+checkpoint this query used to
+    // build is exactly [[coPurchaseEdges]]
+    val e = coPurchaseEdges(s, d)
+      .select(col("pa").as("a"), col("pb").as("b"))
     val deg = e.select(col("a").as("node"))
       .union(e.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
@@ -1736,10 +1788,10 @@ object ExtensionCatalog {
         coalesce(col("n_tri"), lit(0L)).as("n_tri"),
         round(lit(2.0) * coalesce(col("n_tri"), lit(0L)) /
           (col("deg") * (col("deg") - 1)), 6).as("coef"))
-      // eager: releases both bounded intermediates below instead of
-      // leaking their blocks for the session
+      // eager: releases the bounded triangle intermediate below
+      // instead of leaking its blocks for the session (the memo'd
+      // edge set deliberately stays)
       .localCheckpoint()
-    unpersistCheckpoint(e)
     unpersistCheckpoint(tri)
     out
   }
@@ -1752,7 +1804,8 @@ object ExtensionCatalog {
     * exact round-by-round replay. */
   val gLabelprop: Q = (s, d) => {
     val lp = graft.operators.Graph.labelPropagation(
-      coPurchasePairs(s, d), "pa", "pb", rounds = 4)
+      coPurchaseEdges(s, d), "pa", "pb", rounds = 4,
+      assumeCanonical = true)
     val sizes = lp.groupBy(col("community")).agg(count(lit(1)).as("comm_size"))
     lp.join(sizes, Seq("community"))
       .select(col("node"), col("community"), col("comm_size"))
@@ -1819,23 +1872,17 @@ object ExtensionCatalog {
     * hub scores (auth 0 — never pointed at), suppliers authority
     * scores (hub 0), and the DuckDB twin replays the rounds
     * CTE-by-CTE to the bit. */
-  val gHits: Q = (s, d) => {
-    val pairs = Tables.lineitem(s, d)
-      .select(col("l_orderkey"), col("l_suppkey"))
-      .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
-        col("l_orderkey") === col("o_orderkey"))
-      .select((col("o_custkey") * 2).as("src"),
-        (col("l_suppkey") * 2 + 1).as("dst"))
-      .distinct()
-    graft.operators.Graph.hitsMicro(pairs, "src", "dst", iterations = 4)
-  }
+  val gHits: Q = (s, d) =>
+    graft.operators.Graph.hitsMicro(tradePairs(s, d), "src", "dst",
+      iterations = 4)
 
   /** Degree assortativity of the co-purchase graph: do frequently
     * co-purchased parts link to each other or to long-tail parts?
     * ([[graft.operators.Graph.assortativity]] — exact integer
     * moments, one fp step, single-row readout). */
   val gAssortativity: Q = (s, d) =>
-    graft.operators.Graph.assortativity(coPurchasePairs(s, d), "pa", "pb")
+    graft.operators.Graph.assortativity(coPurchaseEdges(s, d), "pa", "pb",
+      assumeCanonical = true)
 
   /** Newman modularity of the BRAND partition over the co-purchase
     * graph: does brand explain which parts sell together, community
@@ -1845,9 +1892,9 @@ object ExtensionCatalog {
     * companion to [[gAssortativity]]'s degree mixing; the window in
     * the final step runs over ≤25 brand rows, never the graph. */
   val gModularity: Q = (s, d) =>
-    graft.operators.Graph.modularity(coPurchasePairs(s, d), "pa", "pb",
+    graft.operators.Graph.modularity(coPurchaseEdges(s, d), "pa", "pb",
       Tables.part(s, d).select(col("p_partkey"), col("p_brand")),
-      "p_partkey", "p_brand")
+      "p_partkey", "p_brand", assumeCanonical = true)
 
   /** Dense-core extraction over the co-purchase graph: the k-core at
     * the data-derived threshold k = ⌊0.7·avg degree⌋ ([[graft.operators.Graph.kCore]]
@@ -1855,7 +1902,8 @@ object ExtensionCatalog {
     * so the DuckDB twin replays a fixed over-provisioned round chain
     * and must agree). Every surviving part with its in-core degree. */
   val gKcore: Q = (s, d) =>
-    graft.operators.Graph.kCore(coPurchasePairs(s, d), "pa", "pb")
+    graft.operators.Graph.kCore(coPurchaseEdges(s, d), "pa", "pb",
+      assumeCanonical = true)
 
   // ----------------------------------------------------------- time series
 

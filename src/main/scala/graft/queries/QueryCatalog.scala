@@ -297,10 +297,24 @@ object QueryCatalog {
     * measured, not assumed). DuckDB's fixed-precision HLL sits at ~1%
     * typical error, same margin. Raw-estimate visibility stays in
     * agg_kmv_distinct, whose KMV estimate IS cross-engine exact. */
+  /** Shape note (r14): the natural `agg(approx_count_distinct,
+    * countDistinct)` mixes a distinct and a non-distinct aggregate, so
+    * Spark plans the one-distinct rewrite whose FIRST phase keys on
+    * (event_type, user_id) and carries a partial HLL++ buffer PER
+    * GROUP — at rsd = 0.01 that is a 2¹⁴-register sketch per distinct
+    * (type, user) pair, ~GBs of aggregation-buffer churn at corpus
+    * scale for buffers that each absorb one value. Deduplicating first
+    * and aggregating once per type computes the IDENTICAL result: HLL
+    * register maxima are duplicate-insensitive (the sketch over the
+    * deduped set equals the sketch over the raw stream, bit for bit)
+    * and count(*) over the deduped pairs IS countDistinct. Same two
+    * exchanges, no wide buffers. */
   val aggApproxDistinct: Q = (s, d) =>
-    Tables.events(s, d).groupBy(col("event_type"))
+    Tables.events(s, d).select(col("event_type"), col("user_id"))
+      .distinct()
+      .groupBy(col("event_type"))
       .agg(approx_count_distinct(col("user_id"), 0.01).as("approx"),
-        countDistinct(col("user_id")).as("exact_users"))
+        count(lit(1)).as("exact_users"))
       .select(col("event_type"), col("exact_users"),
         (abs(col("approx") - col("exact_users")) <=
           col("exact_users") * 0.05).as("approx_within_5pct"))
