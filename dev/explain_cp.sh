@@ -15,5 +15,5 @@ export SPARK_GRAFT_CPUS="$CPUS"
 exec java $ADD_OPENS -Xmx${SPARK_DRIVER_MEM:-32g} \
   -XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
-  -cp "/root/repo/target/scala-2.13/classes:/opt/spark/jars/*" \
+  -cp "${GRAFT_CP:-/root/repo/target/scala-2.13/classes}:/opt/spark/jars/*" \
   graft.tools.Explain "$Q" "$SF" "$N"

@@ -1707,8 +1707,13 @@ object ExtensionCatalog {
     coPurchaseMemo.get() match {
       case (k, df) if k == key => df
       case _ =>
+        // one order-key repartition serves the (ok, p) dedup AND both
+        // self-join arms (exchange reuse dedups the shuffle across
+        // arms; hash(ok) satisfies the dedup's (ok, p) clustering) —
+        // the old shape exchanged the stream three times (r14)
         val lp = Tables.lineitem(s, d)
           .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+          .repartition(col("ok"))
           .distinct()
         val df = lp.select(col("ok"), col("p").as("pa"))
           .join(lp.select(col("ok"), col("p").as("pb")), Seq("ok"))
