@@ -836,13 +836,20 @@ object Graph {
       var cur = ed.localCheckpoint()
       ed.unpersist()
       if (ownEc) Checkpoints.unpersist(ec)
-      // convergence on the LIVE EDGE count, not a distinct node
-      // count: any removed node drops ≥ 1 of its symmetric rows, so
-      // edge-count stability ⟺ node-count stability — and counting
-      // the checkpointed frame is a narrow scan where distinct()
-      // paid an edge-sized shuffle per round (the sf0.1 entry runs
-      // 10 rounds; that shuffle was pure convergence overhead)
-      var mLive = m2
+      // PEEL BY THE REMOVED SET, not the survivor set (r14): after the
+      // first round a peel removes FEW nodes, so anti-joining the live
+      // edges against the (small) removed set — BROADCAST when it fits
+      // — leaves the edge frame entirely unshuffled in the common
+      // round, where the old semi-join-on-survivors shape exchanged
+      // the full live edge frame TWICE per round. Convergence rides
+      // the degree aggregate itself (zero nodes removed ⟺ edge count
+      // stable — the same fixpoint), so the old terminal no-change
+      // join round and its count pass disappear too. A first round
+      // that removes a corpus-sized set (k far above the typical
+      // degree) falls back to the shuffle-hash anti join — the same
+      // exchange budget as the old shape, minus one survivor-side
+      // aggregate consumer.
+      val BroadcastRemovedMax = 4000000L
       var rounds = 0
       var converged = false
       while (!converged) {
@@ -850,25 +857,28 @@ object Graph {
         require(rounds <= maxRounds,
           s"kCore: no fixpoint within maxRounds=$maxRounds (k=$kVal) - " +
             "raise maxRounds AND the oracle's replay depth together")
-        val keep = cur.groupBy(col("src")).agg(count(lit(1)).as("dg"))
-          .filter(col("dg") >= kVal).select(col("src").as("node"))
-        // shuffle-hash on the ≤|V|-row survivor list: the two semi
-        // joins otherwise SORT the live edge frame twice per peel
-        val next = cur
-          .join(keep.select(col("node").as("src")).hint("shuffle_hash"),
-            Seq("src"), "left_semi")
-          .join(keep.select(col("node").as("dst")).hint("shuffle_hash"),
-            Seq("dst"), "left_semi")
-          .select(col("src"), col("dst"))
+        // materialized: consumed by the convergence count and both
+        // anti-join branches (lazy would recompute the degree pass 3x)
+        val removed = cur.groupBy(col("src")).agg(count(lit(1)).as("dg"))
+          .filter(col("dg") < kVal).select(col("src").as("node"))
           .localCheckpoint()
-        val mNext = next.count()
-        if (mNext == mLive) {
-          Checkpoints.unpersist(next)
+        val nRem = removed.count()
+        if (nRem == 0) {
+          Checkpoints.unpersist(removed)
           converged = true
         } else {
+          val bcast = nRem <= BroadcastRemovedMax && DriverFinish.fits(nRem)
+          def side(c: String) =
+            if (bcast) broadcast(removed.select(col("node").as(c)))
+            else removed.select(col("node").as(c)).hint("shuffle_hash")
+          val next = cur
+            .join(side("src"), Seq("src"), "left_anti")
+            .join(side("dst"), Seq("dst"), "left_anti")
+            .select(col("src"), col("dst"))
+            .localCheckpoint()
           Checkpoints.unpersist(cur)
+          Checkpoints.unpersist(removed)
           cur = next
-          mLive = mNext
         }
       }
       val out = cur.groupBy(col("src")).agg(count(lit(1)).as("core_deg"))
