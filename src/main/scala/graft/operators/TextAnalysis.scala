@@ -238,13 +238,47 @@ object TextAnalysis {
     * [[tfidfTopTerms]] precedent); the tables are plain frames, so
     * callers may persist them as a written index (the BpeStore
     * discipline) or broadcast them plan-side. */
+  /** Input-size estimate gate for the cache-vs-recompute crossover
+    * (r14): below the threshold the fused lazy shape wins (redundant
+    * small scans overlap across cores and cost less than serialized
+    * materialization jobs — MEASURED at sf0.1: unconditional
+    * materialization read +26 % on ta_backoff/ta_moorelewis); above
+    * it, replaying a corpus tokenize per consuming branch is the
+    * dominant cost (the lazy ta_backoff plan carried SEVEN parquet
+    * scans + tokenizes of the same table, ta_moorelewis THIRTEEN).
+    * The estimate is the optimizer's sizeInBytes on the training
+    * frame — free driver-side metadata, far above any fixture and far
+    * below any production corpus at the 256 MB line. */
+  private val MaterializeTrainBytes = BigInt(256L << 20)
+
+  private def bigCorpus(df: DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.stats.sizeInBytes > MaterializeTrainBytes
+
   def trainBackoff(df: DataFrame, textCol: String, idCol: String): BackoffModel = {
-    val train = tokensOf(df, textCol, idCol)
-    val u1 = grams(train, 1, Seq("w")).groupBy(col("w")).agg(count(lit(1)).as("c1"))
-    val b2 = grams(train, 2, Seq("p", "q")).groupBy(col("p"), col("q"))
-      .agg(count(lit(1)).as("c2"))
-    val t3 = grams(train, 3, Seq("w1", "w2", "w3"))
-      .groupBy(col("w1"), col("w2"), col("w3")).agg(count(lit(1)).as("c3"))
+    // ONE tokenize pass + MATERIALIZED model tables on big corpora
+    // (r14): left lazy, the three n-gram aggregates AND every
+    // scoring-join branch that consumes them replay the corpus
+    // tokenize per branch (u1/b2 appear twice each in the backoff
+    // join chain and ReuseExchange does not fire across the
+    // differently-projected branches). Above the [[bigCorpus]] line:
+    // the token frame is checkpointed once, each count table is
+    // checkpointed over its blocks (model-sized), and the token
+    // blocks are freed before returning — the model frames' blocks
+    // live as long as the model (the bm25 perDoc/ContextCleaner
+    // discipline). The frozen-store path
+    // ([[graft.tools.BackoffStore]]) is unaffected (written tables
+    // were always materialized).
+    val big = bigCorpus(df)
+    val train0 = tokensOf(df, textCol, idCol)
+    val train = if (big) train0.localCheckpoint() else train0
+    def mat(t: DataFrame): DataFrame = if (big) t.localCheckpoint() else t
+    val u1 = mat(grams(train, 1, Seq("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c1")))
+    val b2 = mat(grams(train, 2, Seq("p", "q")).groupBy(col("p"), col("q"))
+      .agg(count(lit(1)).as("c2")))
+    val t3 = mat(grams(train, 3, Seq("w1", "w2", "w3"))
+      .groupBy(col("w1"), col("w2"), col("w3")).agg(count(lit(1)).as("c3")))
+    if (big) Checkpoints.unpersist(train)
     BackoffModel(u1, b2, t3, u1.agg(sum(col("c1")).as("n_total")))
   }
 
@@ -754,8 +788,16 @@ object TextAnalysis {
     * be non-null. */
   def trainNaiveBayes(df: DataFrame, textCol: String, labelCol: String,
                       idCol: String): NbModel = {
+    // ONE tokenize pass (r14, the trainBackoff finding): the two
+    // bounded collects, the vocabulary count and the model-table
+    // broadcast each re-ran the corpus tokenize from scratch — four
+    // passes per training call. The token frame is checkpointed once
+    // (occ is a narrow explode over its blocks), the model table below
+    // is checkpointed too, and the token blocks are freed before
+    // returning.
     val train = df.select(col(labelCol).as("__lab"),
-      filter(StatelessOps.tokenArray(col(textCol)), t => length(t) > 0).as("__toks"))
+        filter(StatelessOps.tokenArray(col(textCol)), t => length(t) > 0).as("__toks"))
+      .localCheckpoint()
     val occ = train.select(col("__lab"), explode(col("__toks")).as("w"))
     // bounded eager collects: per-class doc counts / token totals + V
     val nd = train.groupBy(col("__lab")).agg(count(lit(1)).as("nd"))
@@ -783,7 +825,9 @@ object TextAnalysis {
         lit(tc.getOrElse(l, 0L) + v).cast("double")
           / (coalesce(col(s"c_$l"), lit(0L)) + lit(1L)))).cast("long")
     }: _*)
-    NbModel(labels, prior, dflt, wide.select(col("w"), sArr.as("sArr")))
+    val condWide = wide.select(col("w"), sArr.as("sArr")).localCheckpoint()
+    Checkpoints.unpersist(train)
+    NbModel(labels, prior, dflt, condWide)
   }
 
   /** Score `docs` against a frozen [[NbModel]]: per document, the
