@@ -11,6 +11,18 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench contract (VERDICT r14 #2): graft.Bench prints ONE JSON line
+// and the driver parses it from the stdout TAIL — sbt's "[success]
+// Total time …" epilogue after the forked run was the only line behind
+// it and left PERF_r14.json empty ("parsed": null). Success/failure is
+// carried by the exit code (the driver records rc); the epilogue is
+// cosmetic, so drop it and the JSON is the last stdout line.
+Global / showSuccess := false
+// …and un-prefix it: sbt's default fork output strategy routes the
+// child's stdout through the logger, which stamps "[info] " onto every
+// line — a strict json-loads of the tail line fails on the prefix.
+// StdoutOutput pipes the forked run's stdout straight through.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

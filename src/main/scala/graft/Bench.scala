@@ -18,7 +18,10 @@ import org.apache.spark.sql.SparkSession
   * host-level co-tenant steal; the probe is not) — such an artifact
   * is not claims-grade and says so itself. "probes" stamps every
   * accepted minimum's probe ratio; "probe_nominal_ms" the calibrated
-  * floor.
+  * floor; "probes_wide"/"probe_wide_nominal_ms"/"probe_wide_n" the
+  * same for the N-wide probe that catches PARTIAL multi-core steal
+  * (r15). The JSON line is also the LAST stdout line of the sbt run
+  * (build.sbt drops the [success] epilogue) so a tail parser works.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -61,12 +64,73 @@ object Bench {
       (1 to 3).foreach(_ => spinOnce())
       (1 to 10).map(_ => spinOnce()).min
     }
+    // WIDE probe (VERDICT r14 #1/#2): the single-thread probe catches
+    // full-core steal but is blind to PARTIAL multi-core steal — a
+    // 32-thread stage losing a third of its cores reads probe ≈ 1.0
+    // (the r14 driver artifact passed the dirty gate with 11 queries
+    // physically impossibly faster at 8 cores than 32). The wide probe
+    // runs the SAME fixed spin on one thread per bench core
+    // concurrently and times the slowest: when external load occupies
+    // k of our N cores, ~k probe threads must time-share and the wall
+    // dilates ~2x, while the 1-thread probe still finds a free core.
+    // Width = the bench's own core count, not the box's: an 8-core
+    // bench on a 32-core box is only harmed when IT cannot get 8
+    // cores. MINUS TWO (calibrated): a fully-saturating probe times
+    // the Spark JVM's own post-query daemon/GC tail as if it were
+    // steal (measured 1.15-1.46x on an idle box); two spare cores
+    // absorb that self-noise, and any external burst wider than the
+    // headroom still forces probe threads to time-share (~2x). Probes
+    // share a pool (thread creation is not part of the measurement
+    // beyond the first call).
+    val wideN = math.max(2, math.min(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt,
+      Runtime.getRuntime.availableProcessors()) - 2)
+    val wideSink = new java.util.concurrent.atomic.AtomicLong()
+    val widePool = java.util.concurrent.Executors.newFixedThreadPool(wideN,
+      r => { val t = new Thread(r, "bench-wide-probe"); t.setDaemon(true); t })
+    def wideSpinOnce(): Double = {
+      val latch = new java.util.concurrent.CountDownLatch(wideN)
+      val t0 = System.nanoTime()
+      (1 to wideN).foreach { _ =>
+        widePool.execute { () =>
+          var x = 0x9E3779B97F4A7C15L
+          var i = 0
+          while (i < 40000000) {
+            x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+            i += 1
+          }
+          wideSink.addAndGet(x)
+          latch.countDown()
+        }
+      }
+      latch.await()
+      (System.nanoTime() - t0) / 1e9
+    }
+    var wideNominal = {
+      (1 to 2).foreach(_ => wideSpinOnce())
+      (1 to 5).map(_ => wideSpinOnce()).min
+    }
+    var lastWide = wideNominal
     def probe(): Double = {
       val p = spinOnce()
       if (p < probeNominal) probeNominal = p
+      // min of two back-to-back wide spins: a single ~40 ms wide spin
+      // can be dilated by our own JVM's GC tail right after a heavy
+      // query (self-noise, not steal); real co-tenant bursts last
+      // seconds-minutes and dilate both spins, so min-of-2 keeps the
+      // signal and drops the one-off pause class.
+      val w = math.min(wideSpinOnce(), wideSpinOnce())
+      if (w < wideNominal) wideNominal = w
+      lastWide = w
       p
     }
     val ProbeGate = 1.5
+    // same gate for the wide probe: on an otherwise-idle box the
+    // N-wide spin's slowest thread tracks the 1-thread spin within a
+    // few % (same fixed work, one thread per core); scheduler jitter
+    // stays well under 1.5x, and a co-tenant stealing >= 1 of our
+    // cores forces two probe threads onto one core ≈ 2x.
+    val WideGate = 1.5
 
     // quiet-window gate (VERDICT r5 #1): the box is co-tenant; if the
     // 1-min load is already high at start, every per-query number is
@@ -136,14 +200,16 @@ object Bench {
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       // a failed query reports the -1.0 sentinel, joins "failed", and
       // fails the run — a regression must not bench as "fast".
-      // Each run carries (sec, maxLoad, rawProbe): rawProbe = the
-      // slower of the calibration probes taken immediately before and
-      // after the timed run (probes are shared between adjacent runs,
-      // so a k-run query costs k+1 probes, not 2k).
+      // Each run carries (sec, maxLoad, rawProbe, rawWide): rawProbe /
+      // rawWide = the slower of the calibration probes taken
+      // immediately before and after the timed run (probes are shared
+      // between adjacent runs, so a k-run query costs k+1 probes, not
+      // 2k).
       var lastProbe = probe()
-      def once(): (Double, Double, Double) = {
+      def once(): (Double, Double, Double, Double) = {
         val l0 = loadAvg()
         val pBefore = lastProbe
+        val wBefore = lastWide
         val t0 = System.nanoTime()
         val sec = try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -154,21 +220,31 @@ object Bench {
           -1.0
         }
         lastProbe = probe()
-        (sec, math.max(l0, loadAvg()), math.max(pBefore, lastProbe))
+        // narrow probe: MAX of the adjacent probes (one free core is
+        // enough to keep it clean, so any dilation is signal). Wide
+        // probe: MIN — a real burst is sustained and dilates BOTH
+        // adjacent probes, while the JVM's own post-query GC/cleanup
+        // tail only dilates the after-probe (measured 1.2-1.7x
+        // self-noise after heavy queries on an idle box); max() would
+        // flag our own tail as steal.
+        (sec, math.max(l0, loadAvg()), math.max(pBefore, lastProbe),
+          math.min(wBefore, lastWide))
       }
-      // a run is CONTAMINATED when the load gate trips OR the spin
-      // probe dilated past the gate (steal the load average can't see)
-      def contaminated(r: (Double, Double, Double)): Boolean =
-        r._2 > LoadGate || r._3 > ProbeGate * probeNominal
+      // a run is CONTAMINATED when the load gate trips OR either spin
+      // probe dilated past its gate (steal the load average can't see;
+      // PARTIAL steal only the wide probe can see)
+      def contaminated(r: (Double, Double, Double, Double)): Boolean =
+        r._2 > LoadGate || r._3 > ProbeGate * probeNominal ||
+          r._4 > WideGate * wideNominal
       // 0 = settled; 1 = two smallest disagree >1.5x; 2 = they agree
       // but both ran dirty (over-gate load or probe dilation on both)
-      def status(runs: List[(Double, Double, Double)]): Int = {
+      def status(runs: List[(Double, Double, Double, Double)]): Int = {
         val s = runs.sortBy(_._1)
         if (s(1)._1 > 1.5 * s(0)._1) 1
         else if (contaminated(s(0)) && contaminated(s(1))) 2
         else 0
       }
-      def settled(): (Double, Double) = {
+      def settled(): (Double, Double, Double) = {
         var runs = List(once(), once())
         var extra = 0
         var disagreeExtras = 0
@@ -196,18 +272,21 @@ object Bench {
           System.err.println(
             f"[bench] $name accepted from a dirty window after $extra retries - read against the load/probe fields")
         }
-        if (runs.exists(_._1 < 0)) (-1.0, -1.0)
-        else { val best = runs.minBy(_._1); (best._1, best._3) }
+        if (runs.exists(_._1 < 0)) (-1.0, -1.0, -1.0)
+        else { val best = runs.minBy(_._1); (best._1, best._3, best._4) }
       }
       name -> settled()
     }
-    val qs = results.map { case (k, (v, _)) => "\"" + k + f"""\":$v%.3f""" }
+    val qs = results.map { case (k, (v, _, _)) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
-    // per-query probe ratio of the ACCEPTED minimum's window, against
-    // the FINAL nominal (the sharpest floor the whole run observed) —
-    // the reader's per-row contamination stamp
-    val probes = results.map { case (k, (_, p)) =>
+    // per-query probe ratios of the ACCEPTED minimum's window, against
+    // the FINAL nominals (the sharpest floors the whole run observed) —
+    // the reader's per-row contamination stamps (narrow + wide)
+    val probes = results.map { case (k, (_, p, _)) =>
       "\"" + k + f"""\":${if (p < 0) -1.0 else p / probeNominal}%.2f"""
+    }.mkString("{", ",", "}")
+    val probesWide = results.map { case (k, (_, _, w)) =>
+      "\"" + k + f"""\":${if (w < 0) -1.0 else w / wideNominal}%.2f"""
     }.mkString("{", ",", "}")
     val total = results.map(_._2._1).filter(_ >= 0).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -234,7 +313,7 @@ object Bench {
     // never shadow a full run in regression diffs.
     val onlyJson = only.map(_.toSeq.sorted.map("\"" + _ + "\"")
       .mkString(""""only":[""", ",", "],")).getOrElse("")
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec",$onlyJson"queries":$qs,"failed":$failedJson,"load":$loadStart%.2f,"load_end":$loadEnd%.2f,"probe_nominal_ms":${probeNominal * 1000}%.1f,"probes":$probes,"dirty":$dirty,"dirty_queries":$dirtyJson,"sf":"$sfDir"}"""
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec",$onlyJson"queries":$qs,"failed":$failedJson,"load":$loadStart%.2f,"load_end":$loadEnd%.2f,"probe_nominal_ms":${probeNominal * 1000}%.1f,"probes":$probes,"probe_wide_nominal_ms":${wideNominal * 1000}%.1f,"probe_wide_n":$wideN,"probes_wide":$probesWide,"dirty":$dirty,"dirty_queries":$dirtyJson,"sf":"$sfDir"}"""
     // VERDICT r9 #5: the driver keeps only a truncated log TAIL, and the
     // one ~7 KB JSON line got clipped mid-line in r9 ("parsed": null, 94
     // of 184 per-query numbers lost). Persist the complete map to a

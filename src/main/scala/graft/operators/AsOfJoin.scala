@@ -80,13 +80,16 @@ object AsOfJoin {
     * join: align each observation with its closest reading, not just
     * the preceding one.
     *
-    * Same scale shape as [[asOf]]: tag-union, ONE shuffle on the key,
-    * one window sort serving BOTH the backward carry
-    * (last ignoreNulls over the preceding frame) and the forward
-    * carry (first ignoreNulls over the following frame) — at equal
-    * timestamps right rows sort before left, so the backward frame
-    * sees them and the forward frame never double-counts them. The
-    * pick is one integer µs distance comparison. */
+    * Same scale shape as [[asOf]]: tag-union, ONE shuffle on the key;
+    * two sort orders ride that single exchange — the backward carry is
+    * last-ignoreNulls over the ascending RUNNING frame, the forward
+    * carry last-ignoreNulls over the DESCENDING running frame (provably
+    * the ascending order's first-following non-null; see the inline
+    * note — an UnboundedFollowing frame would re-aggregate
+    * current-to-end per row, O(rows²) per key). At equal timestamps
+    * right rows sort before left, so the backward frame sees them and
+    * the forward frame never double-counts them. The pick is one
+    * integer µs distance comparison. */
   def asOfNearest(left: DataFrame, right: DataFrame, key: String,
                   leftTime: String, rightTime: String,
                   valueCols: Seq[(String, String)]): DataFrame = {

@@ -311,6 +311,13 @@ object QueryCatalog {
     * exchanges, no wide buffers. */
   val aggApproxDistinct: Q = (s, d) =>
     Tables.events(s, d).select(col("event_type"), col("user_id"))
+      // NULL guard (ADVICE r14): count(*) over the deduped pairs counts
+      // a NULL user_id as a distinct user where countDistinct — and the
+      // DuckDB twin's count(DISTINCT) — ignore NULLs. The fixtures have
+      // no NULL user_id (198/198 green either way); the filter makes
+      // the rewrite's equivalence unconditional
+      // (approx_count_distinct already ignores NULLs).
+      .filter(col("user_id").isNotNull)
       .distinct()
       .groupBy(col("event_type"))
       .agg(approx_count_distinct(col("user_id"), 0.01).as("approx"),

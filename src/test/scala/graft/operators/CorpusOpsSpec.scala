@@ -168,6 +168,44 @@ class CorpusOpsSpec extends SparkSpec {
     assert(!got.contains(3L))                       // no bigram to score
   }
 
+  test("bigCorpus materialization gate: both sides produce identical results; " +
+    "gate-on plans read checkpointed model tables (VERDICT r14 #6)") {
+    val docs = Seq((1L, "a a b c d"), (2L, "b c d e"), (3L, "a d e f g a b"))
+      .toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.toString).toSet
+    def checkpointed(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.LogicalRDD => r
+      }.nonEmpty
+    // gate OFF (default threshold far above any fixture): fused lazy
+    // shape, no checkpoint node anywhere
+    assert(!TextAnalysis.bigCorpus(docs))
+    val offU = TextAnalysis.unigramXent(docs, "text", "doc_id")
+    val offB = TextAnalysis.bigramXent(docs, "text", "doc_id")
+    val offC = TextAnalysis.collocations(docs, "text", "doc_id", minCount = 1)
+    assert(!checkpointed(offU) && !checkpointed(offB) && !checkpointed(offC))
+    val (ru, rb, rc) = (rows(offU), rows(offB), rows(offC))
+    // gate ON (threshold 0): identical rows, model tables materialized
+    spark.conf.set("graft.materializeTrainBytes", "0")
+    try {
+      assert(TextAnalysis.bigCorpus(docs))
+      val onU = TextAnalysis.unigramXent(docs, "text", "doc_id")
+      val onB = TextAnalysis.bigramXent(docs, "text", "doc_id")
+      val onC = TextAnalysis.collocations(docs, "text", "doc_id", minCount = 1)
+      assert(checkpointed(onU) && checkpointed(onB) && checkpointed(onC))
+      assert(rows(onU) == ru && rows(onB) == rb && rows(onC) == rc)
+      // the trainBackoff gate rides the same helper: gate-on scoring
+      // equals the gate-off fixture values pinned in TextStreamSpec
+      val m = TextAnalysis.trainBackoff(docs, "text", "doc_id")
+      val scoredOn = rows(TextAnalysis.scoreBackoff(m, docs, "text", "doc_id"))
+      spark.conf.unset("graft.materializeTrainBytes")
+      val mOff = TextAnalysis.trainBackoff(docs, "text", "doc_id")
+      assert(rows(TextAnalysis.scoreBackoff(mOff, docs, "text", "doc_id"))
+        == scoredOn)
+    } finally spark.conf.unset("graft.materializeTrainBytes")
+  }
+
   test("knnGraph: in-cluster neighbors ranked by cosine, singleton clusters emit nothing") {
     val assigned = Seq(
       (1L, 0L, Seq(1.0f, 0.0f)),
