@@ -106,9 +106,13 @@ object Dedup {
   def contaminationCheck(train: DataFrame, eval: DataFrame,
                          textCol: String = "text", idCol: String = "doc_id",
                          n: Int = 8): DataFrame = {
-    val toks = graft.operators.StatelessOps.tokenArray(col(textCol))
+    // spread before the shingle explode (r15, see [[spreadNarrow]]) —
+    // both sides: the train scan is the wide one, the eval side is
+    // small but pays the same single-task serialization at small SF
     def shingles(df: DataFrame, idAs: String): DataFrame =
-      df.select(col(idCol).as(idAs), toks.as("toks"))
+      spreadNarrow(df.select(col(idCol).as(idAs), col(textCol).as("__text")))
+        .select(col(idAs),
+          graft.operators.StatelessOps.tokenArray(col("__text")).as("toks"))
         .where(size(col("toks")) >= n)
         .select(col(idAs), explode(expr(
           s"transform(sequence(1, size(toks) - ${n - 1}), i -> concat_ws(' ', slice(toks, i, $n)))")).as("sh"))
@@ -147,7 +151,8 @@ object Dedup {
   def containmentPairs(docs: DataFrame, textCol: String, idCol: String,
                        n: Int = 8, threshold: Double = 0.5,
                        maxDf: Int = 50): DataFrame = {
-    val toks = graft.operators.StatelessOps.tokenArray(col(textCol))
+    val toks2 = (c: org.apache.spark.sql.Column) =>
+      graft.operators.StatelessOps.tokenArray(c)
     // ONE tokenize+shingle pass, ZERO joins (the ta_tfidf lesson —
     // computing df/denominators as separate agg branches re-scans the
     // corpus: pruned branches defeat ReuseExchange). The df cap and
@@ -159,37 +164,61 @@ object Dedup {
     // every exchange after the scan carries only (h, doc_id, counts)
     // longs, never text.
     val w = Window.partitionBy(col("h"))
-    val wd = Window.partitionBy(col("doc_id"))
-    val kept = docs
-      .select(col(idCol).cast("long").as("doc_id"), toks.as("toks"))
+    // spread the narrow projection first (r15): the shingle explode
+    // otherwise runs at scan parallelism — one task at small SF
+    val kept = spreadNarrow(
+        docs.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("__text")))
+      .select(col("doc_id"), toks2(col("__text")).as("toks"))
       .where(size(col("toks")) >= n)
       .select(col("doc_id"), explode(expr(
         s"transform(sequence(1, size(toks) - ${n - 1}), i -> concat_ws(' ', slice(toks, i, $n)))")).as("sh"))
       .select(col("doc_id"), Hashing.md5Long(col("sh")).as("h"))
-      // ONE exchange serves the dedup AND the df window (r14):
-      // hash(h) satisfies the (doc_id, h) clustered distribution (a
-      // subset of the grouping keys), so the distinct aggregates
-      // partition-locally on it and the h-window needs only a sort —
-      // the old shape exchanged the full (doc_id, h) stream twice,
-      // once by (doc_id, h) for the dedup and again by h for df.
+      // ONE exchange serves the dedup, the df window AND the pair
+      // grouping (r14/r15): hash(h) satisfies the (doc_id, h)
+      // clustered distribution (a subset of the grouping keys), so the
+      // distinct aggregates partition-locally on it, the h-window
+      // needs only a sort, and the collect_list below regroups with
+      // NO further exchange.
       .repartition(col("h"))
       .distinct()
       .withColumn("df", count(lit(1)).over(w))
       .filter(col("df") <= maxDf)
-      .withColumn("n_sh", count(lit(1)).over(wd))
-    kept.groupBy(col("h"))
-      .agg(collect_list(struct(col("doc_id"), col("n_sh"))).as("ds"))
+    // Each doc's denominator was a doc_id-partitioned count window,
+    // which exchanged the full surviving (doc_id, h) stream a second
+    // time, and a THIRD exchange brought it back to h for the pair
+    // grouping (r15 restructure, §2.3/§2.4). Instead, SELF-PAIRS ride
+    // the pair aggregate: cnt(a,a) = the number of h-groups containing
+    // a = |sh(a)| over exactly this filtered stream — the denominator,
+    // computed by the same aggregate that computes the intersections.
+    // The full stream now crosses ONE exchange; denominators attach
+    // via a src-partitioned window over the POST-aggregation pair
+    // table (orders of magnitude smaller), keeping the audit contract:
+    // one corpus scan, zero joins, partitioned windows.
+    // UNORDERED emission (n_inter is symmetric): a <= b halves the
+    // pair explode and its exchange; both directional rows
+    // re-materialize after the aggregate.
+    val paired = kept.groupBy(col("h"))
+      .agg(collect_list(col("doc_id")).as("ds"))
       .select(explode(expr(
         """flatten(transform(ds, a -> transform(ds, b ->
-          |  struct(a.doc_id AS doc_a, a.n_sh AS n_sh, b.doc_id AS doc_b))))"""
-          .stripMargin)).as("p"))
-      .filter(col("p.doc_a") =!= col("p.doc_b"))
+          |  struct(a AS doc_a, b AS doc_b))))""".stripMargin)).as("p"))
+      .filter(col("p.doc_a") <= col("p.doc_b"))
       .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
-      .agg(count(lit(1)).as("n_inter"), first(col("p.n_sh")).as("n_sh"))
+      .agg(count(lit(1)).as("cnt"))
+    val wsrc = Window.partitionBy(col("src"))
+    paired.select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst"), col("cnt")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst"), col("cnt"))))
+        .as("q"))
+      .select(col("q.src").as("src"), col("q.dst").as("dst"), col("q.cnt").as("cnt"))
+      // every surviving doc owns a self-pair, so the max-when is total
+      .withColumn("n_sh", max(when(col("src") === col("dst"), col("cnt"))).over(wsrc))
+      .filter(col("src") =!= col("dst"))
       .withColumn("containment",
-        round(col("n_inter").cast("double") / col("n_sh"), 6))
+        round(col("cnt").cast("double") / col("n_sh"), 6))
       .filter(col("containment") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("containment"))
+      .select(col("src").as("doc_a"), col("dst").as("doc_b"),
+        col("cnt").as("n_inter"), col("containment"))
   }
 
   /** Bucketed edit-distance near-dup pairs — the character-level
@@ -235,12 +264,18 @@ object Dedup {
   def editDistancePairs(docs: DataFrame, textCol: String, idCol: String,
                         maxDist: Int = 12, prefixLen: Int = 64,
                         lenBucket: Int = 16, maxBlock: Int = 1000): DataFrame = {
-    val toks = graft.operators.StatelessOps.tokenArray(col(textCol))
+    val toks = graft.operators.StatelessOps.tokenArray(col("__text"))
     // one scan: group the block's (id, prefix) members, cap the block,
     // explode ordered pairs from the grouped array (the containment
-    // idiom — pair fan-out bounded by maxBlock·(maxBlock−1)/2)
-    val blocks = docs.select(col(idCol).cast("long").as("id"),
-        substring(col(textCol), 1, prefixLen).as("pfx"), toks.as("toks"))
+    // idiom — pair fan-out bounded by maxBlock·(maxBlock−1)/2).
+    // Input spread first (r15): single-row-group scans tokenized as
+    // one task; collect_list partials neither grow nor collapse under
+    // the spread (see [[spreadNarrow]]).
+    val n = docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val blocks = spreadNarrow(docs.select(col(idCol).cast("long").as("id"),
+        col(textCol).as("__text")))
+      .select(col("id"), substring(col("__text"), 1, prefixLen).as("pfx"),
+        toks.as("toks"))
       .filter(size(col("toks")) > 0)
       .select(col("id"), col("pfx"),
         floor(size(col("toks")).cast("double") / lenBucket).cast("long").as("lb"),
@@ -248,13 +283,23 @@ object Dedup {
       .groupBy(col("lb"), col("t1"))
       .agg(collect_list(struct(col("id"), col("pfx"))).as("ms"))
       .filter(size(col("ms")) between (2, maxBlock))
-    blocks.select(explode(expr(
+    // rebalance before the quadratic pair explode (r15, the LSH-kernel
+    // idiom): AQE coalesces the small block aggregate to ~3 partitions
+    // and the |block|²·DP work — the expensive part — serialized onto
+    // 3 of 32 cores (measured 3.0 CPU-s in 3 tasks at sf0.1)
+    blocks.repartition(n)
+      .select(explode(expr(
         """flatten(transform(ms, a -> transform(ms, b ->
           |  struct(a.id AS doc_a, a.pfx AS pfx_a, b.id AS doc_b, b.pfx AS pfx_b))))"""
           .stripMargin)).as("p"))
       .filter(col("p.doc_b") < col("p.doc_a"))
-      .withColumn("dist", levenshtein(col("p.pfx_a"), col("p.pfx_b")))
-      .filter(col("dist") <= maxDist)
+      // threshold-banded DP (r15): the 3-arg levenshtein explores only
+      // the ±maxDist diagonal band — O(maxDist·prefixLen) cells instead
+      // of O(prefixLen²) — and returns −1 past the threshold, which the
+      // existing ≤ maxDist filter already excludes; kept rows carry the
+      // exact distance, so the result set is bit-identical.
+      .withColumn("dist", levenshtein(col("p.pfx_a"), col("p.pfx_b"), maxDist))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
         col("dist").cast("long").as("dist"))
   }
@@ -320,21 +365,33 @@ object Dedup {
     }
   }
 
+  /** Spread a narrow projection across the session's parallelism when
+    * its scan has fewer partitions — a small corpus in a single
+    * parquet row group otherwise tokenizes/shingles as ONE task
+    * (measured r15: dd_containment's shingle stage ran 1.0-1.8 s
+    * single-task at sf0.1 while 31 cores idled). At 100 TB the scan is
+    * already parallel and this is a no-op. Safe exactly when the
+    * downstream keys are doc/shingle-grained — collect_list partials
+    * and (doc, hash) distincts neither grow nor collapse under the
+    * spread; VOCAB-keyed aggregate pipelines must NOT use it (the r14
+    * ta_* revert: 32 copies of vocab partials cross the shuffle). */
+  private[operators] def spreadNarrow(df: DataFrame): DataFrame = {
+    // streaming frames cannot be partition-counted (.rdd) or usefully
+    // round-robin-repartitioned — micro-batch parallelism is the
+    // source's concern; pass them through (contaminationCheck's
+    // streaming-train twin hits this path)
+    if (df.isStreaming) return df
+    val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    if (df.rdd.getNumPartitions < n) df.repartition(n) else df
+  }
+
   /** Distinct-token shingle set per doc with mod-2^31 hashes — the
     * shared front end of MinHash and Jaccard. Tokenizer is THE single
     * definition in StatelessOps.explodeTokens (oracle parity for every
     * dedup and text-analysis query depends on one tokenizer per engine). */
   private def tokenHashes(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
-    // Tokenize parallelism = scan parallelism, and a small corpus in a
-    // single parquet row group scans as ONE task (measured: the whole
-    // sf0.1 tokenize serialized into one 11-60 s task). When the input
-    // has fewer partitions than the session's parallelism, spread the
-    // narrow (id, text) projection first; when the scan is already
-    // parallel (the 100 TB case — thousands of files/row groups) skip
-    // the extra text shuffle entirely.
-    val n = docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val slim = docs.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
-    val spread = if (slim.rdd.getNumPartitions < n) slim.repartition(n) else slim
+    val spread = spreadNarrow(slim)
     spread.select(col("doc_id"),
         StatelessOps.explodeTokens(col("__text")).as("tok"))
       .filter(length(col("tok")) > 0)
@@ -886,8 +943,10 @@ object Dedup {
   def crossDocNgrams(docs: DataFrame, textCol: String, idCol: String,
                      n: Int = 3): DataFrame = {
     require(n >= 2, "n >= 2 (a 1-gram fraction is just token overlap)")
-    val toksDf = docs.select(col(idCol).cast("long").as("doc_id"),
-        StatelessOps.tokenArray(col(textCol)).as("toks"))
+    // spread before the gram explode (r15, see [[spreadNarrow]])
+    val toksDf = spreadNarrow(docs.select(col(idCol).cast("long").as("doc_id"),
+        col(textCol).as("__text")))
+      .select(col("doc_id"), StatelessOps.tokenArray(col("__text")).as("toks"))
       .filter(size(col("toks")) >= n)
     val gramsCol = expr(
       s"transform(sequence(1, size(toks) - ${n - 1}), i -> concat_ws(' ', slice(toks, i, $n)))")
@@ -934,8 +993,10 @@ object Dedup {
   def duplicatedSpans(docs: DataFrame, textCol: String, idCol: String,
                       n: Int = 3, minRun: Int = 2): DataFrame = {
     require(n >= 2 && minRun >= 1, "need n >= 2 and minRun >= 1")
-    val toksDf = docs.select(col(idCol).cast("long").as("doc_id"),
-        StatelessOps.tokenArray(col(textCol)).as("toks"))
+    // spread before the gram explode (r15, see [[spreadNarrow]])
+    val toksDf = spreadNarrow(docs.select(col(idCol).cast("long").as("doc_id"),
+        col(textCol).as("__text")))
+      .select(col("doc_id"), StatelessOps.tokenArray(col("__text")).as("toks"))
       .filter(size(col("toks")) >= n)
     val gramsCol = expr(
       s"transform(sequence(1, size(toks) - ${n - 1}), i -> concat_ws(' ', slice(toks, i, $n)))")
@@ -981,8 +1042,11 @@ object Dedup {
         col("start_pos") + col("run_grams") + lit(n - 2).cast("long"))).as("cpos"))
       .groupBy(col("doc_id"))
       .agg(collect_set(col("cpos").cast("int")).as("cov"))
-    docs.select(col(idCol).cast("long").as("doc_id"),
-        StatelessOps.tokenArray(col(textCol)).as("toks"))
+    // spread the apply pass too (r15): its tokenize otherwise runs at
+    // scan parallelism, and the join keys on doc_id (doc-grained, safe)
+    spreadNarrow(docs.select(col(idCol).cast("long").as("doc_id"),
+        col(textCol).as("__text")))
+      .select(col("doc_id"), StatelessOps.tokenArray(col("__text")).as("toks"))
       .join(cov, Seq("doc_id"), "left")
       .select(col("doc_id"),
         size(col("toks")).cast("long").as("n_tokens"),
