@@ -375,7 +375,7 @@ object Dedup {
     * and (doc, hash) distincts neither grow nor collapse under the
     * spread; VOCAB-keyed aggregate pipelines must NOT use it (the r14
     * ta_* revert: 32 copies of vocab partials cross the shuffle). */
-  private[operators] def spreadNarrow(df: DataFrame): DataFrame = {
+  private[graft] def spreadNarrow(df: DataFrame): DataFrame = {
     // streaming frames cannot be partition-counted (.rdd) or usefully
     // round-robin-repartitioned — micro-batch parallelism is the
     // source's concern; pass them through (contaminationCheck's

@@ -1353,7 +1353,11 @@ object ExtensionCatalog {
     * split projection joined on the survivor id. */
   val pipePretrain: Q = (s, d) => {
     val docs = Tables.documents(s, d)
-    val gated = TextAnalysis.qualityFeatures(docs, "text")
+    // spread before the regex-heavy quality gate (r15): the curation
+    // chain otherwise runs its scan+gate+hash stages as ONE task on a
+    // single-row-group fixture; downstream keys are doc/hash-grained
+    val gated = TextAnalysis.qualityFeatures(
+      graft.operators.Dedup.spreadNarrow(docs), "text")
       .filter(col("quality_score") >= 0.7 && col("lang").isin("en", "fr"))
       .select(col("doc_id"), col("text"))
     val survivors = Dedup.exact(gated, "text", "doc_id")

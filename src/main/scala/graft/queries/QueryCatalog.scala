@@ -577,8 +577,13 @@ object QueryCatalog {
     val ev = Tables.events(s, d)
       .select(col("event_type"), col("event_id"), col("value"))
     val cell = floor(col("value") / (2 * w))
-    val a = ev.select(col("event_type"), col("event_id").as("id_a"),
-      col("value").as("v_a"), cell.as("cell"))
+    // spread the PROBE side (r15): the planner broadcasts the exploded
+    // side, so the join runs inside the probe scan's tasks — one task
+    // on a single-row-group fixture (measured 0.8-1.2 s serialized, 31
+    // cores idle). No-op once the scan is parallel (the 100 TB case).
+    val a = graft.operators.Dedup.spreadNarrow(
+      ev.select(col("event_type"), col("event_id").as("id_a"),
+        col("value").as("v_a"), cell.as("cell")))
     val b = ev.select(col("event_type"), col("event_id").as("id_b"),
       col("value").as("v_b"),
       explode(array(cell - 1, cell, cell + 1)).as("cell"))
